@@ -1,13 +1,247 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.TextAnalysis
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` entry is one operator from the survey; every entry
+  * with a SQL-expressible semantics also has an `oracleSql` entry run
+  * by the driver in DuckDB over the same parquet tables. Column names
+  * are aligned on both sides (the compare sorts columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  /** The (entity, ts, value) series used by the rollup family: orders
+    * as a 7-year-per-entity time series (see SURVEY.md §3).
+    */
+  private def orderSeries(s: SparkSession, d: String): DataFrame =
+    Rollups.series(Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — A. rollups —
+    "rollup_daily"    -> ((s, d) => Rollups.daily(orderSeries(s, d))),
+    "rollup_monthly"  -> ((s, d) => Rollups.monthly(orderSeries(s, d))),
+    "rollup_yearly"   -> ((s, d) => Rollups.yearly(orderSeries(s, d))),
+    "rollup_combined" -> ((s, d) => Rollups.combined(orderSeries(s, d))),
+    "schema_normalize" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(coalesce(nanvl(col("value").cast("double"), lit(0.0)), lit(0.0)), 2).as("value_clean"),
+        floor(col("value")).cast("long").as("value_floor"))
+        .orderBy("event_id")),
+    // — B. API surface —
+    "api_companies"   -> ((s, d) => ApiSurface.companies(Tables.customer(s, d))),
+    "api_agg_types"   -> ((s, d) => ApiSurface.aggTypes(Rollups.combined(orderSeries(s, d)), 1L)),
+    "api_period_keys" -> ((s, d) => ApiSurface.periodKeys(Rollups.monthly(orderSeries(s, d)), 1L)),
+    "api_data_range"  -> ((s, d) =>
+      ApiSurface.dataRange(Rollups.monthly(orderSeries(s, d)), 1L, "1996-01", "1998-12")),
+    "api_search"      -> ((s, d) => ApiSurface.search(Tables.documents(s, d), "join")),
+    "api_paginate"    -> ((s, d) => ApiSurface.paginate(Tables.customer(s, d), page = 2, limit = 9)),
+    "api_detail"      -> ((s, d) => ApiSurface.detail(Tables.part(s, d), 42L)),
+    // — C. text pipeline —
+    "news_transform"  -> ((s, d) => TextPipeline.transform(Tables.documents(s, d)).orderBy("doc_id")),
+    "news_dedup"      -> ((s, d) => TextPipeline.dedupByTitle(Tables.documents(s, d), 8)),
+    // — D. extraction —
+    "kv_extract"        -> ((s, d) => Extraction.kvExtract(Tables.events(s, d))),
+    "financial_metrics" -> ((s, d) => Extraction.financialMetrics(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "format_rupiah"     -> ((s, d) => Extraction.formatRupiah(Tables.orders(s, d))),
+    // — E. analytics core —
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q3_top_revenue"     -> ((s, d) =>
+      Analytics.topRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_region_revenue"  -> ((s, d) =>
+      Analytics.regionRevenue(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d), 3)),
+    "moving_avg"  -> ((s, d) => Analytics.movingAvg(Tables.events(s, d), 7)),
+    "top_k"       -> ((s, d) => Analytics.topK(Tables.orders(s, d), 100)),
+    // — F. LLM-data-pipeline ops —
+    "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
+    "ann_lsh_topk"      -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0L, 20)),
+    "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)))
+  )
+
+  // DuckDB-dialect oracles. Conventions shared with the Spark side:
+  // monetary sums via DECIMAL (exact, order-independent — double sums
+  // drift with partition merge order); avg/std derived from the exact
+  // sums with an identical double expression tree; rounded floats
+  // (4dp avg/std/ratios), counts BIGINT, timestamps as strings.
+
+  /** Oracle for one rollup grain: decimal-exact sums, avg = sum/n,
+    * sample std via the sum-of-squares identity — mirrors
+    * [[graft.operators.Rollups]].grain exactly.
+    */
+  private def grainOracle(fmt: String, tag: String): String =
+    s"""SELECT strftime(o_orderdate, '$fmt') AS period_key, '$tag' AS agg_type, o_custkey AS entity_id,
+       |round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_value,
+       |CAST(sum(v) AS DOUBLE) AS sum_value,
+       |CAST(max(v) AS DOUBLE) AS max_value, CAST(min(v) AS DOUBLE) AS min_value,
+       |CASE WHEN count(*) > 1 THEN round(sqrt(greatest((CAST(sum(v*v) AS DOUBLE) - CAST(sum(v) AS DOUBLE)*CAST(sum(v) AS DOUBLE)/count(*)) / (count(*)-1), 0)), 4) END AS std_value,
+       |count(*) AS cnt_value
+       |FROM (SELECT o_orderdate, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "rollup_daily" ->
+      """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS period_key, 'day' AS agg_type,
+        |o_custkey AS entity_id, round(o_totalprice, 2) AS value FROM orders""".stripMargin,
+    "rollup_monthly" -> grainOracle("%Y-%m", "month"),
+    "rollup_yearly" -> grainOracle("%Y", "year"),
+    "rollup_combined" ->
+      """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS period_key, 'day' AS agg_type, o_custkey AS entity_id FROM orders
+        |UNION ALL SELECT DISTINCT strftime(o_orderdate, '%Y-%m'), 'month', o_custkey FROM orders
+        |UNION ALL SELECT DISTINCT strftime(o_orderdate, '%Y'), 'year', o_custkey FROM orders""".stripMargin,
+    "schema_normalize" ->
+      """SELECT event_id, user_id,
+        |round(coalesce(CASE WHEN isnan(value) THEN 0.0 ELSE value END, 0.0), 2) AS value_clean,
+        |CAST(floor(value) AS BIGINT) AS value_floor FROM events ORDER BY event_id""".stripMargin,
+    "api_companies" -> "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "api_agg_types" ->
+      """SELECT DISTINCT agg_type FROM (
+        |SELECT 'day' AS agg_type, o_custkey FROM orders
+        |UNION ALL SELECT 'month', o_custkey FROM orders
+        |UNION ALL SELECT 'year', o_custkey FROM orders)
+        |WHERE o_custkey = 1 ORDER BY agg_type""".stripMargin,
+    "api_period_keys" ->
+      """SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS period_key FROM orders
+        |WHERE o_custkey = 1 ORDER BY period_key""".stripMargin,
+    "api_data_range" ->
+      s"""SELECT * FROM (${grainOracle("%Y-%m", "month")})
+         |WHERE entity_id = 1 AND period_key >= '1996-01' AND period_key <= '1998-12'
+         |ORDER BY period_key""".stripMargin,
+    "api_search" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE lower(text) LIKE '%join%' ORDER BY doc_id DESC""".stripMargin,
+    "api_paginate" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rn FROM (
+        |SELECT c_custkey, c_name, c_acctbal,
+        |row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+        |WHERE rn > 9 AND rn <= 18""".stripMargin,
+    "api_detail" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |round(p_retailprice, 2) AS retailprice FROM part WHERE p_partkey = 42""".stripMargin,
+    "news_transform" ->
+      """SELECT doc_id,
+        |array_to_string(list_slice(string_split(substring(text, 1, 500), ' '), 1, 64), ' ') AS content,
+        |array_to_string(list_slice(string_split(substring(text, 1, 500), ' '), 1, 24), ' ') AS summary,
+        |CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 'market_news' ELSE 'stock_news' END AS category,
+        |lang,
+        |CAST(len(string_split(array_to_string(list_slice(string_split(substring(text, 1, 500), ' '), 1, 64), ' '), ' ')) AS BIGINT) AS word_count,
+        |CAST(len(string_split(array_to_string(list_slice(string_split(substring(text, 1, 500), ' '), 1, 24), ' '), ' ')) AS BIGINT) AS summary_length
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "news_dedup" ->
+      """SELECT doc_id, title FROM (
+        |SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,
+        |row_number() OVER (PARTITION BY array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') ORDER BY doc_id) AS rn
+        |FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "kv_extract" ->
+      """SELECT event_id, event_type,
+        |coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "financial_metrics" ->
+      """WITH li AS (SELECT l_orderkey,
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS net,
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS discounted
+        |FROM lineitem GROUP BY 1)
+        |SELECT o_custkey, CAST(round(sum(net), 2) AS DOUBLE) AS revenue,
+        |CAST(round(sum(discounted), 2) AS DOUBLE) AS cost,
+        |CAST(round(sum(net - discounted), 2) AS DOUBLE) AS profit,
+        |CASE WHEN CAST(round(sum(net), 2) AS DOUBLE) <> 0
+        |THEN round(CAST(round(sum(net - discounted), 2) AS DOUBLE) / CAST(round(sum(net), 2) AS DOUBLE), 4) END AS margin_ratio
+        |FROM orders JOIN li ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "format_rupiah" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        |'Rp ' || CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END ||
+        |replace(format('{:,}', CAST(round(abs(o_totalprice)*100) AS BIGINT) // 100), ',', '.') ||
+        |',' || lpad(CAST(CAST(round(abs(o_totalprice)*100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS total_rupiah
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
+        |round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-03-15' AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "moving_avg" ->
+      """SELECT user_id, event_id,
+        |round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "top_k" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
+        |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
+    "ann_cosine_topk" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en_hits,
+        |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('el','la','de','en','es','los','que'))) AS BIGINT) AS es_hits,
+        |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de_hits,
+        |CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS word_count,
+        |round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4) AS punct_ratio,
+        |round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_ratio,
+        |round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1)::DOUBLE / len(string_split_regex(trim(text), '\s+')), 4) AS avg_word_len,
+        |round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure column expressions over builtin + higher-order functions
+  * (split / filter / regexp_count / md5) — codegen'd, shuffle-free
+  * per-document maps. At 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  private def countIn(c: Column, vocab: Seq[String]): Column =
+    size(filter(words(lower(c)), w => vocab.foldLeft(lit(false))((acc, v) => acc || w === v)))
+
+  // Tiny stopword profiles per language — the n-gram/stopword
+  // heuristic approach of public langid tools, kept small enough to
+  // mirror in the DuckDB oracle.
+  val EnStops: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EsStops: Seq[String] = Seq("el", "la", "de", "en", "es", "los", "que")
+  val DeStops: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+
+  /** Stopword-profile language heuristic: argmax of per-language
+    * stopword hits, ties resolved en > es > de > unknown.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val en = countIn(col("text"), EnStops)
+    val es = countIn(col("text"), EsStops)
+    val de = countIn(col("text"), DeStops)
+    documents.select(
+      col("doc_id"),
+      en.cast("long").as("en_hits"), es.cast("long").as("es_hits"), de.cast("long").as("de_hits"),
+      when(en >= es && en >= de && en > 0, lit("en"))
+        .when(es >= de && es > 0, lit("es"))
+        .when(de > 0, lit("de"))
+        .otherwise(lit("unknown")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality features: length, word stats, punctuation ratio, stopword
+    * ratio, and a bounded composite score — the standard pre-training
+    * quality-filter feature set (length/punct/stopword heuristics).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nChars = length(col("text"))
+    val wcount = size(words(col("text")))
+    val punct  = regexp_count(col("text"), lit("[.!?,;:]"))
+    val stops  = countIn(col("text"), EnStops)
+    val punctRatio = round(punct.cast("double") / nChars, 4)
+    val stopRatio  = round(stops.cast("double") / wcount, 4)
+    val awl        = round((nChars - wcount + 1).cast("double") / wcount, 4)
+    documents.select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      wcount.cast("long").as("word_count"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      awl.as("avg_word_len"),
+      round(least(wcount.cast("double") / 100, lit(1.0)) * (lit(1.0) - punctRatio), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation), the usual cheap
+    * proxy for subword token counts.
+    */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Whitespace-normalized content fingerprint (md5). The dedup
+    * primitive: equal fingerprints = exact duplicates modulo
+    * whitespace.
+    */
+  def fingerprintCol(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      fingerprintCol(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

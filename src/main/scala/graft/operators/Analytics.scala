@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The analytical core: multi-aggregate scans, star joins, windowed
+  * analytics. These are the engine primitives every reference pipeline
+  * bottoms out in (rollups = grouped multi-agg; report pages = sorted
+  * windows; dashboard joins = star joins).
+  *
+  * Scale notes: dimension tables are broadcast (`broadcast()`), fact-
+  * fact joins shuffle on their join key only after filters have been
+  * pushed below the join by Catalyst. Every aggregate here is partial-
+  * aggregated map-side.
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary: one scan, grouped multi-agg.
+    * The grouping key cardinality is tiny, so the shuffle after the
+    * map-side partial agg is a few rows per partition regardless of
+    * input scale.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    // All money/rate columns are exact 2-decimal values → decimal
+    // arithmetic keeps every sum exact and order-independent (double
+    // sums depend on partition merge order). Narrow casts keep the
+    // product precisions within decimal(38): price(12,2) × rate(4,2)
+    // × rate(4,2) = (22,6); sum = (32,6).
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val tax = col("l_tax").cast("decimal(4,2)")
+    val one = lit(1).cast("decimal(4,2)")
+    val n = count(lit(1))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        // quantities are integral → double sums are already exact
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(price), 2).cast("double").as("sum_base_price"),
+        round(sum(price * (one - disc).cast("decimal(4,2)")), 2).cast("double").as("sum_disc_price"),
+        round(sum(price * (one - disc).cast("decimal(4,2)") * (one + tax).cast("decimal(4,2)")), 2)
+          .cast("double").as("sum_charge"),
+        round(sum("l_quantity") / n, 4).as("avg_qty"),
+        round(sum(price).cast("double") / n, 4).as("avg_price"),
+        round(sum(disc).cast("double") / n, 4).as("avg_disc"),
+        n.as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped top unshipped revenue: customer ⋈ orders ⋈
+    * lineitem with selective filters pushed below the joins. customer
+    * is dim-sized → broadcast; orders⋈lineitem shuffles on orderkey.
+    */
+  def topRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cut = lit("1996-03-15").cast("timestamp")
+    broadcast(customer.filter(col("c_mktsegment") === "BUILDING"))
+      .join(orders.filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: 6-way star join filtered to
+    * one region and one year. region/nation/supplier/customer broadcast;
+    * the only big shuffle is orders⋈lineitem on orderkey.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val dims = broadcast(
+      region.filter(col("r_name") === "ASIA")
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .join(supplier, col("s_nationkey") === col("n_nationkey")))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-N-per-group via a row_number window (reference: the "top
+    * reports per page" pattern). Partitioned window → shuffles once on
+    * the partition key, never collects to the driver.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Rolling mean over event time per series (stock-chart smoothing
+    * analog). ROWS frame keyed by (ts, event_id) for determinism.
+    */
+  def movingAvg(events: DataFrame, window: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("mavg", round(avg("value").over(w), 4))
+      .select("user_id", "event_id", "mavg")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Global top-k: order-by + limit. Spark executes this as a
+    * per-partition TakeOrdered + driver merge of k rows — no global
+    * sort shuffle.
+    */
+  def topK(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(k)
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semi-structured extraction + derived financial metrics
+  * (reference: airflow/dags/idx/idx_transformation_load_script.py).
+  *
+  * The reference parses XBRL XML into a string map with a Python UDF,
+  * then does case-insensitive key lookup, coalesce-to-0 casting, a
+  * safe-division ratio, and Rupiah formatting (also Python UDFs). Here
+  * the payload extraction is a native `regexp_extract`/`get_json_object`
+  * (codegen'd, pushes the scan projection down to just the payload
+  * column) and the formatting is a composition of builtin expressions —
+  * no UDF anywhere, so the whole stage stays in Tungsten codegen.
+  */
+object Extraction {
+
+  /** Typed field extraction from a semi-structured payload column
+    * (reference parse_xbrl + safe_get_key, idx_transformation_load_script.py:207-282).
+    * events.props is a JSON string standing in for the XBRL instance.
+    */
+  def kvExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      // coalesce-to-default on failed extraction, like the reference's
+      // `coalesce(cast(...), lit(0.0))` (:407-440)
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k_value"))
+      .orderBy("event_id")
+
+  /** Derived per-entity financial metrics with safe division
+    * (reference debt_to_equity, idx_transformation_load_script.py:446-454):
+    * ratio is NULL when the denominator is 0, never a crash or Inf.
+    */
+  def financialMetrics(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // Money columns are exact 2-decimal values; decimal arithmetic makes
+    // every sum exact and order-independent, so results are reproducible
+    // regardless of partitioning / merge order (doubles would drift in
+    // the last cent depending on reduction order).
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val li = lineitem.groupBy("l_orderkey").agg(
+      sum(price * (lit(1).cast("decimal(18,2)") - disc)).as("net"),
+      sum(price * disc).as("discounted"))
+    orders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(
+        round(sum("net"), 2).cast("double").as("revenue"),
+        round(sum("discounted"), 2).cast("double").as("cost"),
+        round(sum(col("net") - col("discounted")), 2).cast("double").as("profit"))
+      .withColumn("margin_ratio",
+        when(col("revenue") =!= 0, round(col("profit") / col("revenue"), 4)))
+      .orderBy("o_custkey")
+  }
+
+  /** Indonesian Rupiah formatting (reference format_rupiah UDF,
+    * idx_transformation_load_script.py:284-308): `Rp 1.234.567,89`,
+    * negative as `Rp -1.234,50`. US-format then swap separators — the
+    * same trick the reference uses, but as codegen'd builtins
+    * (format_number + translate) instead of a Python UDF.
+    */
+  def rupiah(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("Rp "), translate(format_number(c.cast("double"), 2), ",.", ".,"))
+
+  /** Currency-formatted metric projection (reference applies the
+    * formatter to every currency column, :456-467).
+    */
+  def formatRupiah(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("total"),
+      rupiah(col("o_totalprice")).as("total_rupiah"))
+      .orderBy("o_orderkey")
+}

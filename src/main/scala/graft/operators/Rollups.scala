@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-grain time-series rollups.
+  *
+  * Re-expresses the reference's per-stock daily/monthly/yearly OHLCV
+  * aggregation (reference: airflow/dags/yfinance/TransForm_Load_Yfinance.py:210-349)
+  * as a single grouped plan over ALL series at once. The reference
+  * loops over stocks in driver Python (one Spark job per stock — its
+  * scale ceiling); here the series key is just another grouping column,
+  * so one shuffle per grain handles any number of series. At 100 TB
+  * this is the difference between O(n_series) jobs and 3 jobs total.
+  *
+  * Grain keys follow the reference: `period_key` is `yyyy-MM-dd` /
+  * `yyyy-MM` / `yyyy` and `agg_type` is `day` / `month` / `year`.
+  *
+  * Input contract: a frame with `entity_id` (series key), `ts`
+  * (timestamp) and `value` (double) columns — see [[Rollups.series]].
+  */
+object Rollups {
+
+  /** Project an (entity, ts, value) series view out of an arbitrary frame. */
+  def series(df: DataFrame, entity: String, ts: String, value: String): DataFrame =
+    df.select(
+      col(entity).cast("long").as("entity_id"),
+      col(ts).as("ts"),
+      col(value).cast("double").as("value"))
+
+  /** Reference schema-normalization step (TransForm_Load_Yfinance.py:191-208):
+    * default missing columns, null/NaN → 0.0, enforce numeric types.
+    * Declarative (`nanvl` + `coalesce`) so it stays inside codegen.
+    */
+  def normalize(df: DataFrame, numericCols: Seq[String]): DataFrame =
+    numericCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c))
+        d.withColumn(c, coalesce(nanvl(col(c).cast("double"), lit(0.0)), lit(0.0)))
+      else d.withColumn(c, lit(0.0))
+    }
+
+  /** Daily grain: cleaned, deduplicated day-level records
+    * (reference daily frame, TransForm_Load_Yfinance.py:210-226).
+    */
+  def daily(s: DataFrame): DataFrame =
+    s.select(
+      date_format(col("ts"), "yyyy-MM-dd").as("period_key"),
+      lit("day").as("agg_type"),
+      col("entity_id"),
+      round(col("value"), 2).as("value")
+    ).distinct()
+
+  /** One aggregated grain (month or year). Single shuffle on
+    * (entity_id, period_key); partial aggregation happens map-side so
+    * the shuffle carries one row per (entity, period) per mapper, not
+    * raw data — the property that keeps this viable at 100 TB.
+    */
+  private def grain(s: DataFrame, fmt: String, tag: String): DataFrame = {
+    // Values are exact 2-decimal quantities; summing them as decimals
+    // keeps every aggregate exact and order-independent (double sums
+    // drift in the last ulp with partitioning/merge order, which is
+    // fatal for a value-level oracle compare and irreproducible on a
+    // cluster). avg and stddev are derived from the exact sums with a
+    // fixed double expression tree, so they are bit-reproducible too.
+    val v = col("value").cast("decimal(18,2)")
+    val n = col("cnt_value")
+    val sumD = col("sum_d").cast("double")
+    val sumsqD = col("sumsq_d").cast("double")
+    s.groupBy(
+        col("entity_id"),
+        date_format(col("ts"), fmt).as("period_key"))
+      .agg(
+        sum(v).as("sum_d"),
+        sum(v * v).as("sumsq_d"),
+        max(v).as("max_d"),
+        min(v).as("min_d"),
+        count(lit(1)).as("cnt_value"))
+      .select(
+        col("period_key"), lit(tag).as("agg_type"), col("entity_id"),
+        round(sumD / n, 4).as("avg_value"),
+        sumD.as("sum_value"),
+        col("max_d").cast("double").as("max_value"),
+        col("min_d").cast("double").as("min_value"),
+        when(n > 1,
+          round(sqrt(greatest((sumsqD - sumD * sumD / n) / (n - lit(1)), lit(0.0))), 4))
+          .as("std_value"),
+        n)
+  }
+
+  def monthly(s: DataFrame): DataFrame = grain(s, "yyyy-MM", "month")
+  def yearly(s: DataFrame): DataFrame  = grain(s, "yyyy", "year")
+
+  /** Combined multi-grain index (reference combined collection,
+    * TransForm_Load_Yfinance.py:326-342): union of the three grains on
+    * their shared identity columns. Union of already-aggregated frames —
+    * no extra shuffle beyond the per-grain ones.
+    */
+  def combined(s: DataFrame): DataFrame = {
+    val id = Seq("period_key", "agg_type", "entity_id")
+    // daily() is distinct over (ids, value); dropping value requires a
+    // re-distinct to keep one row per (entity, day)
+    daily(s).select(id.map(col): _*).distinct()
+      .unionByName(monthly(s).select(id.map(col): _*))
+      .unionByName(yearly(s).select(id.map(col): _*))
+  }
+}

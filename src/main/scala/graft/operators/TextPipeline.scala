@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** News/text ETL (reference: airflow/dags/iqplus/transform_iqplus_news_dags.py).
+  *
+  * The reference pipeline is: char-budget truncation → token-budget
+  * truncation → summarize (NLP model) → category from URL → word
+  * counts → first-occurrence dedup. The model inference is replaced by
+  * a deterministic extractive stub (leading sentences), per the brief;
+  * everything else is the same computation, expressed as columnar
+  * expressions (split/slice/concat_ws) that stay inside whole-stage
+  * codegen — no UDFs, no driver loop over articles.
+  */
+object TextPipeline {
+
+  val CharLimit  = 500  // reference SANITY_CHAR_LIMIT analog (:110)
+  val TokenLimit = 64   // reference model token budget analog (:118)
+  val SummaryTokens = 24 // reference summary max_length analog (:129)
+
+  /** Transform stage (transform_iqplus_news_dags.py:96-154): truncate,
+    * "summarize", derive category, count words.
+    */
+  def transform(documents: DataFrame): DataFrame = {
+    val content = substring(col("text"), 1, CharLimit)
+    val words   = split(content, " ")
+    val safe    = concat_ws(" ", slice(words, 1, TokenLimit))
+    val summary = concat_ws(" ", slice(words, 1, SummaryTokens))
+    // reference derives category from the URL path (:138-141); here the
+    // `source` column plays the URL role.
+    val category = when(
+      substring(col("source"), -1, 1).isin("0", "2", "4", "6", "8"),
+      lit("market_news")).otherwise(lit("stock_news"))
+    documents.select(
+      col("doc_id"),
+      safe.as("content"),
+      summary.as("summary"),
+      category.as("category"),
+      col("lang"),
+      size(split(safe, " ")).cast("long").as("word_count"),
+      size(split(summary, " ")).cast("long").as("summary_length"))
+  }
+
+  /** First-occurrence dedup by "title" (leading words), reference
+    * `find_one({"judul": title})` insert guard (:144,156). Window
+    * row_number keeps the earliest doc per title in one shuffle.
+    */
+  def dedupByTitle(documents: DataFrame, titleWords: Int): DataFrame = {
+    val title = concat_ws(" ", slice(split(col("text"), " "), 1, titleWords))
+    val w = Window.partitionBy("title").orderBy("doc_id")
+    documents
+      .select(col("doc_id"), title.as("title"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("title"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch operators.
+  *
+  * The reference runs its pipelines on an Airflow schedule (daily
+  * batch); the streaming-native equivalent is the same rollup
+  * computation as an incremental windowed aggregation with a
+  * watermark, so late data is folded in without reprocessing and state
+  * is bounded. `readStream → transform → writeStream` composes with
+  * every batch operator in this package that is expressible under
+  * streaming semantics.
+  */
+object StreamingRollups {
+
+  /** Event-time windowed rollup (streaming analog of
+    * [[graft.operators.Rollups.daily]]/monthly): per (entity, window)
+    * avg/sum/max/min/count of value, with a watermark bounding state.
+    *
+    * Input: a (possibly streaming) frame with ts/entity_id/value.
+    */
+  def windowed(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("entity_id"))
+      .agg(
+        avg("value").as("avg_value"),
+        sum("value").as("sum_value"),
+        max("value").as("max_value"),
+        min("value").as("min_value"),
+        count(lit(1)).as("cnt_value"))
+
+  case class Event(entity_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(entity_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+                     n_events: Long, total_value: Double)
+  // NOT private: the state encoder's generated code instantiates this
+  // class from outside the package.
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Session windows via flatMapGroupsWithState: a session closes after
+    * `gapMs` of inactivity (processing-time timeout). Custom state
+    * keyed by entity — the Spark-native replacement for the
+    * reference's driver-side per-entity bookkeeping.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (entity: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(entity, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(entity, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.TextAnalysis
+
+/** Per-operator behavior specs on sf0.001. The value-level oracle
+  * check is the DuckDB gate (scripts/verify_local.py); these specs pin
+  * semantics and invariants.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private def orderSeries = Rollups.series(
+    Tables.orders(spark, sfDir), "o_custkey", "o_orderdate", "o_totalprice")
+
+  test("rollup grains have the reference period_key/agg_type shape") {
+    val m = Rollups.monthly(orderSeries)
+    assert(m.columns.toSet === Set("period_key", "agg_type", "entity_id",
+      "avg_value", "sum_value", "max_value", "min_value", "std_value", "cnt_value"))
+    val row = m.filter(col("cnt_value") > 1).head()
+    assert(row.getAs[String]("agg_type") === "month")
+    assert(row.getAs[String]("period_key").matches("\\d{4}-\\d{2}"))
+    assert(row.getAs[Double]("max_value") >= row.getAs[Double]("min_value"))
+  }
+
+  test("combined rollup = daily+monthly+yearly ids, deduplicated") {
+    val s = orderSeries
+    val c = Rollups.combined(s)
+    val types = c.select("agg_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types === Set("day", "month", "year"))
+    assert(c.count() === c.distinct().count())
+  }
+
+  test("normalize defaults missing columns and zeroes nulls/NaN") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Double.NaN)), (2L, None), (3L, Some(2.5)))
+      .toDF("id", "v")
+    val out = Rollups.normalize(df, Seq("v", "absent"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getAs[Double]("v")).toSeq === Seq(0.0, 0.0, 2.5))
+    assert(rows.forall(_.getAs[Double]("absent") === 0.0))
+  }
+
+  test("api surface: pagination is deterministic and point lookup pushes down") {
+    val cust = Tables.customer(spark, sfDir)
+    val p1 = ApiSurface.paginate(cust, 1, 9).collect()
+    val p2 = ApiSurface.paginate(cust, 2, 9).collect()
+    assert(p1.length === 9 && p2.length === 9)
+    assert(p1.map(_.getAs[Long]("c_custkey")).toSet
+      .intersect(p2.map(_.getAs[Long]("c_custkey")).toSet).isEmpty)
+    val plan = ApiSurface.detail(Tables.part(spark, sfDir), 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("p_partkey"))
+  }
+
+  test("news transform truncates to token budget and derives category") {
+    val out = TextPipeline.transform(Tables.documents(spark, sfDir))
+    assert(out.filter(col("word_count") > TextPipeline.TokenLimit).count() === 0)
+    assert(out.filter(col("summary_length") > TextPipeline.SummaryTokens).count() === 0)
+    val cats = out.select("category").distinct().collect().map(_.getString(0)).toSet
+    assert(cats.subsetOf(Set("market_news", "stock_news")))
+  }
+
+  test("financial metrics: safe division yields null only for zero revenue") {
+    val out = Extraction.financialMetrics(
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+    assert(out.filter(col("revenue") =!= 0 && col("margin_ratio").isNull).count() === 0)
+  }
+
+  test("rupiah formatting matches the reference format") {
+    import spark.implicits._
+    val df = Seq(1234567.891, 0.0, -1234.5).toDF("x")
+      .select(Extraction.rupiah(col("x")).as("r"))
+    assert(df.collect().map(_.getString(0)).toSeq ===
+      Seq("Rp 1.234.567,89", "Rp 0,00", "Rp -1.234,50"))
+  }
+
+  test("dedup_exact groups exact duplicates under the min doc_id") {
+    import spark.implicits._
+    val docs = Seq((1L, "a  b c"), (2L, "A b C"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("dup_count") === 2).get
+    assert(dup.getAs[Long]("canonical_doc_id") === 1L)
+  }
+
+  test("minhash LSH finds near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),                     // near-dup of 1
+      (3L, "completely different content about spark query engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, k = 5, numPerm = 64, bands = 16, threshold = 0.5)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("b") === 3L || r.getAs[Long]("a") === 3L))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups found") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one more shared sentence about distributed query processing engines"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " trailer"), // near-dup: one extra token out of ~31
+      (3L, "totally unrelated words nothing in common with the others at all " +
+        "different topic different vocabulary different everything entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhash(docs, maxHamming = 12).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L))
+  }
+
+  test("ann brute-force: nearest neighbor of a vector's own cluster label") {
+    val out = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 0L, 20)
+    val rows = out.collect()
+    assert(rows.length === 20)
+    // descending similarity
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    assert(sims.head <= 1.0001 && sims.last >= -1.0001)
+  }
+
+  test("ann lsh candidates are a subset-scored consistently with brute force") {
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 0L, 20)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val lsh = Similarity.lshTopK(Tables.embeddings(spark, sfDir), 0L, 20).collect()
+    lsh.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(b => assert(math.abs(b - r.getAs[Double]("cos_sim")) < 1e-9))
+    }
+  }
+
+  test("quality/token/fingerprint invariants") {
+    val docs = Tables.documents(spark, sfDir)
+    val q = TextAnalysis.qualityScore(docs)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+    val t = TextAnalysis.tokenCount(docs)
+    assert(t.filter(col("bpe_tokens") < col("ws_tokens")).count() === 0)
+    val f = TextAnalysis.fingerprint(docs)
+    assert(f.select("fp").distinct().count() === f.count()) // corpus is all-distinct
+  }
+
+  test("multimodal: stub decode produces fixed-width normalized features") {
+    val media = Multimodal.synthesize(Tables.documents(spark, sfDir), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.head()
+    val v = row.getAs[scala.collection.Seq[Double]]("features")
+    assert(v.length === 16)
+    assert(math.abs(v.sum - 1.0) < 1e-9)
+    val frames = Multimodal.sampleFrames(media, stride = 8, frameLen = 8)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "frame"))
+  }
+}

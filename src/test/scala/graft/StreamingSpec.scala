@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingRollups
+import graft.streaming.StreamingRollups.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed rollup with watermark aggregates event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:10"), 10.0),
+      Event(1L, ts("2024-01-01 00:00:50"), 30.0),
+      Event(1L, ts("2024-01-01 00:01:10"), 5.0),
+      Event(2L, ts("2024-01-01 00:00:20"), 7.0))
+    val agg = StreamingRollups.windowed(input.toDF(), "1 minute", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("complete").trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("win")
+      .select(col("entity_id"), col("sum_value"), col("cnt_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(rows.contains((1L, 40.0, 2L))) // first window of entity 1
+    assert(rows.contains((1L, 5.0, 1L)))  // second window
+    assert(rows.contains((2L, 7.0, 1L)))
+  }
+
+  test("sessionization closes a session after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 00:00:30"), 2.0),
+      Event(1L, ts("2024-01-01 00:10:00"), 4.0)) // > 5 min gap → new session
+    val sessions = StreamingRollups.sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    val done = spark.table("sess").as[Session].collect()
+    // first session (2 events, total 3.0) closed by the arrival of the third
+    assert(done.exists(s => s.n_events == 2 && math.abs(s.total_value - 3.0) < 1e-9))
+  }
+}
