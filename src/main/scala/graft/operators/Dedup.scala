@@ -3,17 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
+import graft.plans.HashExprs
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard.
   *
   * Design for scale: every near-dup variant is
-  * shingle/signature (per-row map, codegen'd higher-order functions)
-  * → band/bucket explode → shuffle ON THE BUCKET KEY ONLY → pair join
-  * within buckets → exact verify on candidates. The candidate
-  * generation never compares all pairs — the only O(n²) work is inside
-  * a bucket, and bucket sizes are bounded by the band width. No UDFs,
-  * no driver-side state.
+  * shingle/signature (per-row compiled sketch expression, see
+  * [[graft.plans.HashExprs]]) → band/bucket explode → shuffle ON THE
+  * BUCKET KEY ONLY → pair join within buckets → exact verify on
+  * candidates. The candidate generation never compares all pairs — the
+  * only O(n²) work is inside a bucket, and bucket sizes are bounded by
+  * the band width. No UDFs, no driver-side state.
   */
 object Dedup {
 
@@ -27,61 +28,31 @@ object Dedup {
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy("canonical_doc_id")
 
+  /** Whitespace/case normalization shared by all shingle variants. */
+  private def norm(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+
   // ---------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------
 
-  /** Mersenne-ish prime below 2^61; with 32-bit base hashes and
-    * coefficients < 2^20, a*h+b < 2^52 — no long overflow (safe under
-    * ANSI mode).
-    */
-  private val P = 2305843009213693951L
-
-  /** Deterministic permutation coefficients (LCG, fixed seed). */
-  private def perms(n: Int): Seq[(Long, Long)] = {
-    var x = 88172645463325252L
-    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
-    (0 until n).map(_ => ((next() & 0xFFFFFL) | 1L, next() & 0xFFFFFL))
-  }
-
-  /** Distinct character k-shingles of a normalized text column, via
-    * substr over an index sequence (codegen'd, no UDF).
-    */
-  private[operators] def shingleArr(c: Column, k: Int): Column = {
-    val norm = lower(regexp_replace(trim(c), "\\s+", " "))
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(norm) - k, lit(0))),
-      i => norm.substr(i + 1, lit(k))))
-  }
-
-  /** 32-bit-ish positive hashes of each shingle. */
-  private def shingleHashes(sh: Column): Column =
-    transform(sh, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
-
-  /** MinHash signature: sig_i = min over shingle hashes of
-    * (a_i*h + b_i) mod P. One nested higher-order expression — stays
-    * columnar.
-    */
-  private def minhashSig(hashes: Column, numPerm: Int): Column = {
-    val ab = perms(numPerm)
-    array(ab.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
-  }
-
-  /** Candidate pairs via LSH banding, verified with exact Jaccard on
-    * the shingle sets. `bands` × `rowsPerBand` = numPerm.
+  /** Candidate pairs via LSH banding over MinHash signatures, verified
+    * with exact Jaccard on the shingle sets. `bands` × rows-per-band =
+    * `numPerm`.
     *
-    * Plan shape: map (shingle+sig) → explode bands (bands× fanout on a
-    * narrow projection only) → shuffle on (band, bandHash) via the
-    * self-join → distinct pairs → join back to shingle sets → verify.
+    * Plan shape: map (shingle → compiled minhash sig) → explode bands
+    * (bands× fanout on a narrow (doc_id, band_hash) projection only) →
+    * shuffle on (band, band_hash) via the self-join → distinct pairs →
+    * join back to shingle sets → verify. At 100 TB the signature table
+    * is ~1% of corpus size and the band shuffle carries 16 longs per
+    * doc; the corpus itself is scanned once.
     */
-  def minhashLsh(documents: DataFrame, k: Int = 5, numPerm: Int = 64,
-                 bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+  private def lshPairs(documents: DataFrame, k: Int, word: Boolean,
+                       numPerm: Int, bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val docs = documents.select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
-      .withColumn("sig", minhashSig(shingleHashes(col("sh")), numPerm))
-    val banded = docs.select(
+    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
+    val sigs = base.select(col("doc_id"),
+      HashExprs.minhashText(col("nt"), k, numPerm, word).as("sig"))
+    val banded = sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(j =>
         xxhash64(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))): _*)))
@@ -92,66 +63,72 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), col("sh"))
+    // verify: join the (narrow) normalized text back for candidates
+    // only; exact Jaccard is one compiled pass per pair
     cand
-      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
-      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
+      .withColumn("jaccard", round(HashExprs.jaccardText(col("nt_a"), col("nt_b"), k, word), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
   }
 
-  /** Exact pairwise n-gram Jaccard on LSH-generated candidates (the
-    * verify stage exposed as its own operator, lower threshold).
+  /** Near-dup pairs on character 5-shingles (MinHash LSH, Jaccard
+    * verified ≥ `threshold`).
+    *
+    * Band geometry: 8 bands × 8 rows puts the S-curve knee at
+    * (1/8)^(1/8) ≈ 0.77 — real near-dups (Jaccard ≥0.9) are caught
+    * with ~99.9% recall while background text pairs (char-5 Jaccard
+    * ≈0.3 on same-language corpora) collide with p ≈ 6e-5 per band.
+    * Wider 4-row bands put the knee at 0.5 but admit ~1000× more
+    * false candidates, which turns the verify join quadratic.
     */
-  def ngramJaccard(documents: DataFrame, k: Int = 3, threshold: Double = 0.2): DataFrame =
-    minhashLsh(documents, k = k, numPerm = 64, bands = 32, threshold = threshold)
+  def minhashLsh(documents: DataFrame, k: Int = 5, numPerm: Int = 64,
+                 bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    lshPairs(documents, k, word = false, numPerm, bands, threshold)
+
+  /** Word n-gram set Jaccard pair scores (LSH-accelerated — exact
+    * Jaccard is computed on candidates only). 8 bands × 6 rows:
+    * knee at (1/8)^(1/6) ≈ 0.71.
+    */
+  def ngramJaccard(documents: DataFrame, k: Int = 3, threshold: Double = 0.4): DataFrame =
+    lshPairs(documents, k, word = true, numPerm = 48, bands = 8, threshold)
 
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------
 
-  /** 64-bit SimHash as a bit array: bit b = sign of sum over token
-    * hashes of ±1 at position b. Expressed via SQL higher-order
-    * functions (shiftright with a column shift amount needs expr()).
-    */
-  private val simhashBitsExpr =
-    """transform(sequence(0, 63), b ->
-      |  CASE WHEN aggregate(
-      |    transform(split(trim(lower(text)), '\\s+'), w -> xxhash64(w)),
-      |    0L,
-      |    (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END) > 0
-      |  THEN 1 ELSE 0 END)""".stripMargin
-
-  /** Near-dup pairs by SimHash: chunk banding with `maxHamming + 1`
-    * chunks — by pigeonhole, a pair within hamming distance
-    * `maxHamming` must agree exactly on ≥1 chunk, so recall is exact.
-    * Hamming verify ≤ `maxHamming` on the full 64-bit signature.
+  /** Near-dup pairs by 64-bit SimHash: chunk banding with
+    * `maxHamming + 1` chunks — by pigeonhole, a pair within hamming
+    * distance `maxHamming` must agree exactly on ≥1 chunk, so recall
+    * is exact. Hamming verify = bit_count(xor) on the two longs, all
+    * codegen'd integer ops.
     */
   def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val docs = documents.select(col("doc_id"), expr(simhashBitsExpr).as("bits"))
+    val docs = documents.select(col("doc_id"),
+      HashExprs.simhash64(split(norm(col("text")), " ")).as("sim"))
     val numChunks = maxHamming + 1
-    // split 64 bit positions into numChunks near-even contiguous runs
+    // split the 64 bit positions into numChunks near-even runs
     val bounds = (0 to numChunks).map(c => c * 64 / numChunks)
+    def chunk(c: Int): Column = {
+      val len = bounds(c + 1) - bounds(c)
+      val mask = if (len == 64) -1L else (1L << len) - 1L
+      shiftrightunsigned(col("sim"), bounds(c)).bitwiseAND(lit(mask))
+    }
     val chunked = docs.select(
-      col("doc_id"), col("bits"),
-      posexplode(array((0 until numChunks).map(c =>
-        xxhash64(slice(col("bits"), bounds(c) + 1, bounds(c + 1) - bounds(c)))): _*)))
-      .toDF("doc_id", "bits", "chunk", "chunk_hash")
+      col("doc_id"), col("sim"),
+      posexplode(array((0 until numChunks).map(chunk): _*)))
+      .toDF("doc_id", "sim", "chunk", "chunk_val")
     val cand = chunked.as("x")
       .join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.chunk_hash") === col("y.chunk_hash") &&
+        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.bits").as("bits_a"), col("y.bits").as("bits_b"))
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
       .distinct()
     cand
-      .withColumn("hamming",
-        aggregate(zip_with(col("bits_a"), col("bits_b"),
-          (x, y) => when(x === y, 0).otherwise(1)), lit(0), (acc, d) => acc + d))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
       .orderBy("a", "b")
@@ -173,10 +150,6 @@ object Dedup {
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
   }
 
-  private[operators] def dot(v: Column, plane: Seq[Double]): Column =
-    aggregate(zip_with(v, array(plane.map(lit): _*),
-      (x, y) => x.cast("double") * y), lit(0.0), (acc, z) => acc + z)
-
   /** Embedding-cosine near-dup pairs: sign-projection signature →
     * 4×4-bit bucket bands → pair join within buckets → exact cosine
     * verify ≥ `threshold`. Same LSH shape as MinHash: no all-pairs
@@ -187,13 +160,12 @@ object Dedup {
     */
   def embeddingNearDup(embeddings: DataFrame, dim: Int = 64,
                        threshold: Double = 0.35): DataFrame = {
-    val planes = hyperplanes(16, dim)
-    val bits = array(planes.map(p => when(dot(col("embedding"), p) >= 0, 1).otherwise(0)): _*)
+    val bits = HashExprs.signProjBits(col("embedding"), hyperplanes(16, dim))
     val docs = embeddings.select(col("vec_id"), col("embedding"), bits.as("bits"))
     val banded = docs.select(
       col("vec_id"), col("embedding"),
       posexplode(array((0 until 4).map(c =>
-        xxhash64(slice(col("bits"), c * 4 + 1, 4))): _*)))
+        shiftrightunsigned(col("bits"), c * 4).bitwiseAND(lit(0xFL))): _*)))
       .toDF("vec_id", "embedding", "band", "bucket")
     val cand = banded.as("x")
       .join(banded.as("y"),
@@ -202,13 +174,8 @@ object Dedup {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         col("x.embedding").as("va"), col("y.embedding").as("vb"))
       .distinct()
-    val dotAB = aggregate(zip_with(col("va"), col("vb"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, z) => acc + z)
-    val norm: Column => Column = v =>
-      sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, z) => acc + z))
     cand
-      .withColumn("cosine", round(dotAB / (norm(col("va")) * norm(col("vb"))), 4))
+      .withColumn("cosine", round(HashExprs.cosineSim(col("va"), col("vb")), 4))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
       .orderBy("a", "b")

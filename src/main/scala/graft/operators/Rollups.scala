@@ -96,11 +96,17 @@ object Rollups {
     * no extra shuffle beyond the per-grain ones.
     */
   def combined(s: DataFrame): DataFrame = {
-    val id = Seq("period_key", "agg_type", "entity_id")
-    // daily() is distinct over (ids, value); dropping value requires a
-    // re-distinct to keep one row per (entity, day)
-    daily(s).select(id.map(col): _*).distinct()
-      .unionByName(monthly(s).select(id.map(col): _*))
-      .unionByName(yearly(s).select(id.map(col): _*))
+    // grain key-sets computed directly (one distinct each) rather than
+    // via the full grain aggregates — the identity columns don't need
+    // the avg/std work, and daily() would otherwise pay a second
+    // distinct to drop its value column
+    def keys(fmt: String, tag: String): DataFrame =
+      s.select(
+        date_format(col("ts"), fmt).as("period_key"),
+        lit(tag).as("agg_type"),
+        col("entity_id")).distinct()
+    keys("yyyy-MM-dd", "day")
+      .unionByName(keys("yyyy-MM", "month"))
+      .unionByName(keys("yyyy", "year"))
   }
 }

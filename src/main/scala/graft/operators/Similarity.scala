@@ -2,12 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.HashExprs
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k — a single scan with the query
-  * vector broadcast (literal array), per-partition TakeOrdered + driver
-  * merge of k rows; zero shuffles of the embedding table.
+  * vector broadcast, per-partition TakeOrdered + driver merge of k
+  * rows; zero shuffles of the embedding table. The per-row cosine is a
+  * compiled expression ([[graft.plans.HashExprs.cosineSim]]), not an
+  * interpreted higher-order function.
   *
   * Scale path: sign-random-projection LSH buckets (shared with
   * [[Dedup.embeddingNearDup]]) — probe only the query's bucket(s),
@@ -15,19 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
-  private[operators] def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
-
-  private def normCol(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, z) => acc + z))
-
-  /** Cosine similarity between two array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val (da, db) = (toDouble(a), toDouble(b))
-    dotCols(da, db) / (normCol(da) * normCol(db))
-  }
+  /** Cosine similarity between two array columns. */
+  def cosine(a: Column, b: Column): Column = HashExprs.cosineSim(a, b)
 
   /** Brute-force cosine top-k against the embedding of `queryId`.
     * The 1-row query side is broadcast; the scan side never shuffles.
@@ -44,17 +36,16 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: both the corpus and the query get
-    * a sign-projection bucket; only rows sharing a band bucket with the
-    * query are scored. On a cluster the bucket id is the partition key,
-    * so a probe touches a fraction ~= 2/2^8 of the data.
+    * sign-projection band buckets; only rows sharing a band bucket with
+    * the query are scored. On a cluster the bucket id is the partition
+    * key, so a probe touches a fraction ~= 2/2^8 of the data.
     */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64): DataFrame = {
-    val planes = Dedup.hyperplanes(16, dim)
-    val bits = array(planes.map(p => when(Dedup.dot(col("embedding"), p) >= 0, 1).otherwise(0)): _*)
+    val bits = HashExprs.signProjBits(col("embedding"), Dedup.hyperplanes(16, dim))
     val withBuckets = embeddings.select(col("vec_id"), col("embedding"), bits.as("bits"))
       .select(col("vec_id"), col("embedding"),
-        xxhash64(slice(col("bits"), 1, 8)).as("b0"),
-        xxhash64(slice(col("bits"), 9, 8)).as("b1"))
+        col("bits").bitwiseAND(lit(0xFFL)).as("b0"),
+        shiftrightunsigned(col("bits"), 8).bitwiseAND(lit(0xFFL)).as("b1"))
     val q = withBuckets.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"), col("b0").as("qb0"), col("b1").as("qb1"))
     withBuckets.filter(col("vec_id") =!= queryId)

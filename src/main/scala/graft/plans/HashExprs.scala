@@ -1,0 +1,396 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the sketch/similarity hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * are evaluated interpreted — one boxed lambda invocation per array
+  * element. A MinHash signature is O(shingles × permutations) ≈ 20k
+  * lambda calls per row that way; at millions of rows that dominates
+  * the pipeline. These expressions do the same math as a single
+  * compiled eval over the unsafe array data (no boxing, primitive
+  * loops), which is the idiomatic Spark extension point for a scalar
+  * function the builtins can't express efficiently.
+  *
+  * They are CodegenFallback: the op itself is a tight compiled loop,
+  * so codegen would only save the row-level dispatch.
+  */
+object HashExprs {
+
+  /** Deterministic per-permutation seeds (xorshift, fixed seed).
+    *
+    * Each MinHash "permutation" is the bijection h → fmix64(h ^ seed):
+    * a full-strength 64-bit mixer, so the minima of different
+    * permutations are independent. (The textbook (a*h+b) mod P trick
+    * silently degenerates when a*h+b never exceeds P — the mod becomes
+    * a no-op, every permutation ranks by raw h, and all signature
+    * lanes collapse to the single global-min shingle.)
+    */
+  def perms(n: Int): Array[Long] = {
+    var x = 88172645463325252L
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    Array.fill(n)(next())
+  }
+
+  private def col(e: Expression): Column = GraftSqlBridge.column(e)
+  private def expr(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  /** MinHash signature of an array<string> shingle set. */
+  def minhashSig(shingles: Column, numPerm: Int): Column =
+    col(MinHashSigExpr(expr(shingles), numPerm))
+
+  /** MinHash signature straight from a normalized text column —
+    * shingling + hashing + permutations in ONE compiled pass per row.
+    * `word = false`: character k-shingles; `word = true`: word
+    * k-grams (contiguous char regions between word boundaries, so no
+    * per-shingle string allocation either way).
+    */
+  def minhashText(normText: Column, k: Int, numPerm: Int, word: Boolean): Column =
+    col(MinHashTextExpr(expr(normText), k, numPerm, word))
+
+  /** Exact shingle-set Jaccard of two normalized texts (compiled;
+    * operates on 64-bit shingle hashes, collision probability ~0).
+    */
+  def jaccardText(a: Column, b: Column, k: Int, word: Boolean): Column =
+    col(JaccardTextExpr(expr(a), expr(b), k, word))
+
+  /** 64-bit SimHash of an array<string> token list. */
+  def simhash64(tokens: Column): Column = col(SimHash64Expr(expr(tokens)))
+
+  /** Cosine similarity of two array<float|double> vectors. */
+  def cosineSim(a: Column, b: Column): Column = col(CosineSimExpr(expr(a), expr(b)))
+
+  /** Sign-random-projection bits of an array<float|double> vector:
+    * bit i = (v · planes(i) >= 0). Up to 64 planes.
+    */
+  def signProjBits(v: Column, planes: Seq[Seq[Double]]): Column =
+    col(SignProjBitsExpr(expr(v), planes.map(_.toArray).toArray))
+
+  private[plans] def checkStringArray(dt: DataType, who: String): TypeCheckResult =
+    dt match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$who expects array<string>, got ${other.simpleString}")
+    }
+
+  private[plans] def checkNumericArray(dt: DataType, who: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$who expects array<float|double>, got ${other.simpleString}")
+    }
+
+  /** Read element i of a float/double array as double. */
+  @inline private[plans] def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  @inline private[plans] def hashUtf8(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** murmur3 fmix64 finalizer — turns a weak polynomial hash into a
+    * well-distributed 64-bit value (minhash needs uniformity).
+    */
+  @inline private[plans] def fmix64(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33; h
+  }
+
+  /** 64-bit hash of s[start, end): polynomial accumulate + fmix. */
+  @inline private[plans] def regionHash(s: String, start: Int, end: Int): Long = {
+    var h = 1125899906842597L
+    var i = start
+    while (i < end) { h = 31 * h + s.charAt(i); i += 1 }
+    fmix64(h)
+  }
+
+  /** Shingle hash stream of a normalized text: calls `f` with the
+    * 64-bit hash of every shingle. Char mode: all k-char substrings.
+    * Word mode: every k-word window — the text is single-space
+    * normalized, so a window is a contiguous char region and no
+    * per-shingle string is allocated. Texts shorter than one shingle
+    * produce a single whole-text shingle.
+    */
+  private[plans] def foreachShingleHash(s: String, k: Int, word: Boolean)(f: Long => Unit): Unit = {
+    val len = s.length
+    if (word) {
+      // starts(i) = char index of word i; one extra sentinel at len+1
+      var nWords = 0
+      var i = 0
+      // count words
+      if (len > 0) { nWords = 1; while (i < len) { if (s.charAt(i) == ' ') nWords += 1; i += 1 } }
+      if (nWords <= k) { f(regionHash(s, 0, len)); return }
+      val starts = new Array[Int](nWords + 1)
+      var w = 1
+      i = 0
+      while (i < len) { if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+      starts(nWords) = len + 1
+      var j = 0
+      while (j + k <= nWords) {
+        f(regionHash(s, starts(j), starts(j + k) - 1))
+        j += 1
+      }
+    } else {
+      if (len <= k) { f(regionHash(s, 0, len)); return }
+      var i = 0
+      while (i + k <= len) { f(regionHash(s, i, i + k)); i += 1 }
+    }
+  }
+
+  /** Sorted distinct shingle-hash array of a normalized text. */
+  private[plans] def shingleHashSet(s: String, k: Int, word: Boolean): Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    foreachShingleHash(s, k, word)(buf += _)
+    val arr = buf.result()
+    java.util.Arrays.sort(arr)
+    // in-place dedupe
+    var n = 0
+    var i = 0
+    while (i < arr.length) {
+      if (n == 0 || arr(i) != arr(n - 1)) { arr(n) = arr(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(arr, n)
+  }
+}
+
+/** sig_p = min over shingles of (a_p * h32(shingle) + b_p) mod P.
+  * One pass over the shingle array computes all `numPerm` minima.
+  * Duplicate shingles cannot change a min, so the input need not be
+  * distinct (min over a multiset = min over its support).
+  */
+case class MinHashSigExpr(child: Expression, numPerm: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkStringArray(child.dataType, "minhash_sig")
+
+  @transient private lazy val ab = HashExprs.perms(numPerm)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashExprs.hashUtf8(arr.getUTF8String(i))
+        var p = 0
+        while (p < numPerm) {
+          val v = HashExprs.fmix64(h ^ ab(p))
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** MinHash signature computed straight from normalized text: one
+  * compiled pass does shingling, hashing and all `numPerm` permutation
+  * minima. Exists because expressing shingling with `transform(
+  * sequence(...), i => norm.substr(...))` re-evaluates the outer
+  * normalization expression once PER ELEMENT in the interpreted
+  * higher-order path — O(len × cost(norm)) per row.
+  */
+case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_text expects string, got ${other.simpleString}")
+    }
+
+  @transient private lazy val ab = HashExprs.perms(numPerm)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    HashExprs.foreachShingleHash(s, k, word) { h =>
+      var p = 0
+      while (p < numPerm) {
+        val v = HashExprs.fmix64(h ^ ab(p))
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashTextExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_text"
+}
+
+/** Exact shingle-set Jaccard of two normalized texts over 64-bit
+  * shingle hashes (sorted-merge intersection; collision probability
+  * is negligible at corpus scale). Runs only on LSH candidates.
+  */
+case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Boolean)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_text expects (string, string), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = HashExprs.shingleHashSet(a.asInstanceOf[UTF8String].toString, k, word)
+    val sb = HashExprs.shingleHashSet(b.asInstanceOf[UTF8String].toString, k, word)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    val union = sa.length + sb.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardTextExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_text"
+}
+
+/** Classic 64-bit SimHash over token hashes: bit b of the result is
+  * set iff sum over tokens of ±1 (sign of bit b of xxhash64(token))
+  * is positive.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkStringArray(child.dataType, "simhash64")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashExprs.hashUtf8(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+/** Cosine similarity of two numeric arrays (compiled single pass). */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = HashExprs.checkNumericArray(left.dataType, "cosine_sim")
+    if (l.isFailure) l else HashExprs.checkNumericArray(right.dataType, "cosine_sim")
+  }
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = HashExprs.elem(va, i, leftIsFloat)
+      val y = HashExprs.elem(vb, i, rightIsFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Sign-random-projection LSH bits: bit i = (v · planes(i) >= 0). */
+case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes.length <= 64, "at most 64 projection planes")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkNumericArray(child.dataType, "sign_proj_bits")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val d = math.min(n, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += HashExprs.elem(v, i, isFloat) * plane(i); i += 1 }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjBitsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_proj_bits"
+}
