@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the graft sketch
+  * expressions as SQL functions, so `spark.sql` users (and external
+  * SQL tooling) get the same compiled hot paths as the DataFrame API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Registered:
+  *  - `cosine_sim(array<float|double>, array<float|double>) -> double`
+  *  - `jaccard_text(string, string, k, word) -> double`
+  *  - `minhash_text(string, k, numPerm, word) -> array<bigint>`
+  *  - `simhash64(array<string>) -> bigint`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans.HashExprs", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_text"),
+      info("jaccard_text", "jaccard_text(a, b, k, word) - shingle-set Jaccard of two normalized texts"),
+      (args: Seq[Expression]) => JaccardTextExpr(args(0), args(1),
+        intArg(args(2), "k"), boolArg(args(3), "word"))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_text"),
+      info("minhash_text", "minhash_text(text, k, numPerm, word) - MinHash signature of a normalized text"),
+      (args: Seq[Expression]) => MinHashTextExpr(args(0),
+        intArg(args(1), "k"), intArg(args(2), "numPerm"), boolArg(args(3), "word"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0))))
+  }
+}
