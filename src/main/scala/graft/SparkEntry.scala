@@ -51,6 +51,7 @@ object SparkEntry {
     "news_dedup"      -> ((s, d) => TextPipeline.dedupByTitle(Tables.documents(s, d), 8)),
     // — D. extraction —
     "kv_extract"        -> ((s, d) => Extraction.kvExtract(Tables.events(s, d))),
+    "kv_extract_xml"    -> ((s, d) => Extraction.kvExtractXml(Tables.events(s, d))),
     "financial_metrics" -> ((s, d) => Extraction.financialMetrics(Tables.orders(s, d), Tables.lineitem(s, d))),
     "format_rupiah"     -> ((s, d) => Extraction.formatRupiah(Tables.orders(s, d))),
     // — E. analytics core —
@@ -66,6 +67,7 @@ object SparkEntry {
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -154,6 +156,13 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "kv_extract_xml" ->
+      """SELECT event_id,
+        |regexp_extract(payload, '<type(?:\s[^>]*)?>([^<]*)</type>', 1) AS type_value,
+        |coalesce(CAST(nullif(regexp_extract(payload, '<k(?:\s[^>]*)?>([^<]*)</k>', 1), '') AS BIGINT), 0) AS k_value
+        |FROM (SELECT event_id,
+        |'<evt><type>' || event_type || '</type><k>' || coalesce(json_extract_string(props, '$.k'), '') || '</k></evt>' AS payload
+        |FROM events) ORDER BY event_id""".stripMargin,
     "financial_metrics" ->
       """WITH li AS (SELECT l_orderkey,
         |sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS net,

@@ -95,6 +95,48 @@ object Dedup {
   def ngramJaccard(documents: DataFrame, k: Int = 3, threshold: Double = 0.4): DataFrame =
     lshPairs(documents, k, word = true, numPerm = 48, bands = 8, threshold)
 
+  /** Near-dup CLUSTERS from the pair list: each doc is assigned the
+    * minimum doc_id reachable through near-dup pairs (connected
+    * components by iterative min-label propagation). This is the
+    * at-scale dedup deliverable — a keep/drop decision per document —
+    * because emitting all pairs is quadratic in cluster size while
+    * the cluster assignment is linear.
+    *
+    * Label propagation is a small number of self-joins over the PAIR
+    * table (size ≈ number of near-dup edges, ≪ corpus); `maxIter`
+    * bounds the work, and components of diameter ≤ 2^maxIter converge
+    * (near-dup clusters are dense, so 3–4 iterations suffice in
+    * practice). No driver-side graph state.
+    */
+  def minhashClusters(documents: DataFrame, maxIter: Int = 4): DataFrame = {
+    val pairs = minhashLsh(documents).select("a", "b")
+    // undirected edges, both directions
+    val edges = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
+    // start: every doc labels itself with the min direct neighbor
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("min_nbr"))
+      .select(col("doc_id"), least(col("min_nbr"), col("doc_id")).as("label"))
+    var i = 0
+    while (i < maxIter) {
+      // label(d) <- min(label(d), min over neighbors n of label(n))
+      labels = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
+      i += 1
+    }
+    // docs with no near-dup edge are their own singleton cluster
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------

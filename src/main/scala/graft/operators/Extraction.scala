@@ -29,6 +29,41 @@ object Extraction {
       coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k_value"))
       .orderBy("event_id")
 
+  /** Tag extraction from an XML-ish payload column (reference
+    * parse_xbrl walks the XBRL instance tree,
+    * idx_transformation_load_script.py:207-282). A full XML parse is a
+    * UDF; for flat leaf tags a regexp_extract is equivalent and stays
+    * codegen'd — `<tag ...>value</tag>` → value, '' when absent.
+    */
+  def xmlValue(payload: org.apache.spark.sql.Column, tag: String): org.apache.spark.sql.Column =
+    regexp_extract(payload, s"<$tag(?:\\s[^>]*)?>([^<]*)</$tag>", 1)
+
+  /** Case-insensitive key lookup over a parsed key→value map column
+    * (reference safe_get_key lowercases all keys before lookup,
+    * idx_transformation_load_script.py:284-301).
+    */
+  def safeGetKey(m: org.apache.spark.sql.Column, key: String): org.apache.spark.sql.Column =
+    element_at(map_from_arrays(
+      transform(map_keys(m), k => lower(k)), map_values(m)), key.toLowerCase)
+
+  /** XML-path variant of [[kvExtract]]: the payload is an XML-ish
+    * document (the reference's actual XBRL shape) and fields come out
+    * via [[xmlValue]]. The payload here is synthesized from event
+    * columns so the oracle can rebuild it byte-identically.
+    */
+  def kvExtractXml(events: DataFrame): DataFrame = {
+    val payload = concat(
+      lit("<evt><type>"), col("event_type"), lit("</type><k>"),
+      coalesce(get_json_object(col("props"), "$.k"), lit("")), lit("</k></evt>"))
+    events.select(
+      col("event_id"),
+      xmlValue(payload, "type").as("type_value"),
+      // regexp_extract yields '' on no match; '' casts to null only
+      // outside ANSI mode, so nullif first (ANSI-safe)
+      coalesce(nullif(xmlValue(payload, "k"), lit("")).cast("long"), lit(0L)).as("k_value"))
+      .orderBy("event_id")
+  }
+
   /** Derived per-entity financial metrics with safe division
     * (reference debt_to_equity, idx_transformation_load_script.py:446-454):
     * ratio is NULL when the denominator is 0, never a crash or Inf.

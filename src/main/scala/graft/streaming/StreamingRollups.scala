@@ -33,6 +33,17 @@ object StreamingRollups {
         min("value").as("min_value"),
         count(lit(1)).as("cnt_value"))
 
+  /** Streaming exact dedup (the reference's find-one-before-insert
+    * guard, transform_iqplus_news_dags.py:144-156, as a streaming
+    * primitive): drop duplicate (entity, ts, value) rows, with the
+    * watermark bounding dedup state — late duplicates beyond the
+    * watermark age out instead of growing state forever.
+    */
+  def dedup(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("entity_id", "ts", "value")
+
   case class Event(entity_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(entity_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)

@@ -100,6 +100,35 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("b") === 3L || r.getAs[Long]("a") === 3L))
   }
 
+  test("minhash clusters assign every doc the min reachable doc_id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " y"), // chain 1-2-3
+      (7L, "entirely different content about columnar query execution engines")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out(7L) === 7L) // singleton keeps itself
+  }
+
+  test("xml extraction handles attributes, absent tags, case-insensitive keys") {
+    import spark.implicits._
+    val df = Seq(
+      """<root><Assets unit="IDR">500</Assets><Debt>200</Debt></root>""",
+      """<root><Debt>9</Debt></root>""").toDF("payload")
+    val out = df.select(
+      Extraction.xmlValue(col("payload"), "Assets").as("assets"),
+      Extraction.xmlValue(col("payload"), "Debt").as("debt")).collect()
+    assert(out(0).getString(0) === "500" && out(0).getString(1) === "200")
+    assert(out(1).getString(0) === "" && out(1).getString(1) === "9")
+    val m = Seq(1).toDF("x").select(
+      Extraction.safeGetKey(
+        map(lit("TotalAssets"), lit("500")), "totalassets").as("v"))
+    assert(m.head().getString(0) === "500")
+  }
+
   test("simhash: identical docs at hamming 0, near dups found") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

@@ -32,6 +32,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 7.0, 1L)))
   }
 
+  test("streaming dedup drops late duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:10"), 10.0),
+      Event(1L, ts("2024-01-01 00:00:10"), 10.0), // exact duplicate
+      Event(2L, ts("2024-01-01 00:00:20"), 7.0))
+    val deduped = StreamingRollups.dedup(input.toDF(), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup").count() === 2)
+  }
+
   test("sessionization closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
