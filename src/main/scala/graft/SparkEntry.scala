@@ -43,6 +43,9 @@ object SparkEntry {
     "api_period_keys" -> ((s, d) => ApiSurface.periodKeys(Rollups.monthly(orderSeries(s, d)), 1L)),
     "api_data_range"  -> ((s, d) =>
       ApiSurface.dataRange(Rollups.monthly(orderSeries(s, d)), 1L, "1996-01", "1998-12")),
+    "api_data_point"  -> ((s, d) =>
+      ApiSurface.dataPoint(Rollups.monthly(orderSeries(s, d)), 1L, "1996-03")),
+    "api_report_list" -> ((s, d) => ApiSurface.reportList(Tables.customer(s, d), "1", 2, 9)),
     "api_search"      -> ((s, d) => ApiSurface.search(Tables.documents(s, d), "join")),
     "api_paginate"    -> ((s, d) => ApiSurface.paginate(Tables.customer(s, d), page = 2, limit = 9)),
     "api_detail"      -> ((s, d) => ApiSurface.detail(Tables.part(s, d), 42L)),
@@ -73,6 +76,7 @@ object SparkEntry {
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_lsh_topk"      -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0L, 20)),
+    "ann_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 20)),
     "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -127,6 +131,16 @@ object SparkEntry {
       s"""SELECT * FROM (${grainOracle("%Y-%m", "month")})
          |WHERE entity_id = 1 AND period_key >= '1996-01' AND period_key <= '1998-12'
          |ORDER BY period_key""".stripMargin,
+    "api_data_point" ->
+      s"""SELECT * FROM (${grainOracle("%Y-%m", "month")})
+         |WHERE entity_id = 1 AND period_key = '1996-03'""".stripMargin,
+    "api_report_list" ->
+      """SELECT c_custkey, c_name, rn, total_count FROM (
+        |SELECT c_custkey, c_name,
+        |row_number() OVER (ORDER BY c_custkey) AS rn,
+        |count(*) OVER () AS total_count
+        |FROM customer WHERE lower(c_name) LIKE '%1%')
+        |WHERE rn > 9 AND rn <= 18""".stripMargin,
     "api_search" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE lower(text) LIKE '%join%' ORDER BY doc_id DESC""".stripMargin,

@@ -39,6 +39,28 @@ object ApiSurface {
         col("period_key") >= start && col("period_key") <= end)
       .orderBy("period_key")
 
+  /** GET /api/data/<company>?agg_type=&period_key= — point lookup on
+    * one grain (api/app.py:24-79, the period_key-equality branch).
+    */
+  def dataPoint(grainFrame: DataFrame, entityId: Long, periodKey: String): DataFrame =
+    grainFrame.filter(col("entity_id") === entityId && col("period_key") === periodKey)
+
+  /** GET /api/reports/list/<year>/<period>?search=&page=&limit= —
+    * substring search + deterministic pagination + the response's
+    * total_count (api/app.py:213-286). total_count is a window count
+    * over the filtered set, so one pass serves both the page and the
+    * pagination metadata.
+    */
+  def reportList(customer: DataFrame, needle: String, page: Int, limit: Int): DataFrame = {
+    val w = Window.orderBy(col("c_custkey"))
+    customer
+      .filter(lower(col("c_name")).contains(needle.toLowerCase))
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("total_count", count(lit(1)).over())
+      .filter(col("rn") > (page - 1) * limit && col("rn") <= page * limit)
+  }
+
   /** GET /api/iqplus/news?search= — case-insensitive substring search,
     * newest first (api/app.py:133-172).
     */

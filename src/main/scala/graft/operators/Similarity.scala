@@ -35,6 +35,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-bucketed approximate top-k: a small deterministic codebook
+    * (hash-sampled corpus vectors) partitions the corpus into inverted
+    * lists; a probe scores only the `nProbe` lists nearest the query.
+    *
+    * At scale the assignment is computed once at ingest and the table
+    * is PARTITIONED BY the list id, so a probe is a partition-pruned
+    * read of nProbe/nCentroids of the data. The codebook is driver-side
+    * metadata (kilobytes) like a broadcast-join build side; a trained
+    * (k-means) codebook drops in without changing the plan shape.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // deterministic codebook: the nCentroids corpus vectors with the
+    // smallest xxhash64(vec_id) — a uniform sample independent of id order
+    val cents: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+    val qRow = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head()
+    val qVec = qRow.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    // nProbe centroids nearest the query (driver-side over the codebook)
+    val probeLists = cents.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(qVec).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    assigned
+      .filter(col("list_id").isin(probeLists.toSeq: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: both the corpus and the query get
     * sign-projection band buckets; only rows sharing a band bucket with
     * the query are scored. On a cluster the bucket id is the partition

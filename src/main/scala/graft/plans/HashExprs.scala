@@ -74,6 +74,10 @@ object HashExprs {
   def signProjBits(v: Column, planes: Seq[Seq[Double]]): Column =
     col(SignProjBitsExpr(expr(v), planes.map(_.toArray).toArray))
 
+  /** IVF assignment: index of the nearest centroid (squared L2). */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    col(NearestCentroidExpr(expr(v), centroids))
+
   private[plans] def checkStringArray(dt: DataType, who: String): TypeCheckResult =
     dt match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -356,6 +360,51 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "cosine_sim"
+}
+
+/** Index of the nearest centroid (squared-L2) — the IVF assignment
+  * step as one compiled pass; `centroids` ride along as a literal
+  * table (IVF codebooks are kilobytes, broadcast-sized).
+  */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "at least one centroid")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkNumericArray(child.dataType, "nearest_centroid")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val d = math.min(n, cent.length)
+      var dist = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = HashExprs.elem(v, i, isFloat) - cent(i)
+        dist += diff * diff
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid"
 }
 
 /** Sign-random-projection LSH bits: bit i = (v · planes(i) >= 0). */

@@ -38,4 +38,20 @@ object Sinks {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Save as a bucketed table: rows are hash-clustered into `numBuckets`
+    * files per partition on `bucketCols`. Joins/aggregations on the
+    * bucket columns between co-bucketed tables skip the shuffle
+    * entirely — the pre-partitioning IS the exchange. This is the
+    * at-scale answer for a fact table joined repeatedly on the same
+    * key (orders ⋈ lineitem on orderkey at 100 TB shuffles terabytes
+    * per query unless both sides are bucketed).
+    */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

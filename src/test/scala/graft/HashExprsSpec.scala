@@ -74,6 +74,61 @@ class HashExprsSpec extends SparkSpec {
     assert(sh !== 0L)
   }
 
+  test("ivf top-k scores consistently with brute force on shared ids") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val brute = operators.Similarity.bruteForceTopK(emb, 0L, 20)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ivf = operators.Similarity.ivfTopK(emb, 0L, 20).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id"))
+        .foreach(b => assert(math.abs(b - r.getAs[Double]("cos_sim")) < 1e-9))
+    }
+    // probing all lists must recover the exact brute-force top-k
+    val full = operators.Similarity.ivfTopK(emb, 0L, 20, nCentroids = 8, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val bruteIds = operators.Similarity.bruteForceTopK(emb, 0L, 20)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full === bruteIds)
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    // broadcast off so the assertion is about bucketing, not broadcast
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS g_orders_b")
+      spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+      // a stale managed-table location (killed run) blocks CREATE
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("g_orders_b", "g_lineitem_b").foreach { t =>
+        val dir = new java.io.File(wh, t)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(dir)
+        }
+      }
+      Sinks.writeBucketed(sources.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), "g_orders_b", Seq("o_orderkey"), 4)
+      Sinks.writeBucketed(sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice"), "g_lineitem_b", Seq("l_orderkey"), 4)
+      val joined = spark.table("g_orders_b")
+        .join(spark.table("g_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+      // control: joining against the unbucketed parquet shuffles that side
+      val plain = sources.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice")
+      val mixed = spark.table("g_orders_b")
+        .join(plain, col("o_orderkey") === col("l_orderkey"))
+      assert(mixed.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("partitioned sink writes per-period directories and prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val combined = operators.Rollups.combined(operators.Rollups.series(
