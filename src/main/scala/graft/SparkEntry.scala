@@ -31,6 +31,7 @@ object SparkEntry {
     "rollup_monthly"  -> ((s, d) => Rollups.monthly(orderSeries(s, d))),
     "rollup_yearly"   -> ((s, d) => Rollups.yearly(orderSeries(s, d))),
     "rollup_combined" -> ((s, d) => Rollups.combined(orderSeries(s, d))),
+    "rollup_multi"    -> ((s, d) => Rollups.multiMetric(Tables.lineitem(s, d))),
     "schema_normalize" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
@@ -108,6 +109,19 @@ object SparkEntry {
       """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS period_key, 'day' AS agg_type,
         |o_custkey AS entity_id, round(o_totalprice, 2) AS value FROM orders""".stripMargin,
     "rollup_monthly" -> grainOracle("%Y-%m", "month"),
+    "rollup_multi" ->
+      """SELECT l_suppkey AS entity_id, strftime(l_shipdate, '%Y-%m') AS period_key, 'month' AS agg_type,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |CAST((CAST(sum(l_quantity) AS BIGINT) * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_qty,
+        |CAST((CAST(sum(p) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_price,
+        |CAST(sum(p) AS DOUBLE) AS sum_price,
+        |CAST(max(p) AS DOUBLE) AS max_price, CAST(min(p) AS DOUBLE) AS min_price,
+        |CASE WHEN count(*) > 1 THEN round(sqrt(greatest((CAST(sum(p*p) AS DOUBLE) - CAST(sum(p) AS DOUBLE)*CAST(sum(p) AS DOUBLE)/count(*)) / (count(*)-1), 0)), 4) END AS std_price,
+        |CAST((CAST(sum(dsc) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_disc,
+        |count(*) AS cnt_value
+        |FROM (SELECT l_suppkey, l_shipdate, l_quantity,
+        |CAST(l_extendedprice AS DECIMAL(12,2)) AS p, CAST(l_discount AS DECIMAL(4,2)) AS dsc
+        |FROM lineitem) GROUP BY 1, 2, 3""".stripMargin,
     "rollup_yearly" -> grainOracle("%Y", "year"),
     "rollup_combined" ->
       """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS period_key, 'day' AS agg_type, o_custkey AS entity_id FROM orders

@@ -90,6 +90,59 @@ object Rollups {
   def monthly(s: DataFrame): DataFrame = grain(s, "yyyy-MM", "month")
   def yearly(s: DataFrame): DataFrame  = grain(s, "yyyy", "year")
 
+  /** Multi-metric monthly rollup — the reference's OHLCV shape
+    * (TransForm_Load_Yfinance.py:231-248: one groupBy computing
+    * avg/max/min/std for each of Open/High/Low/Close/Volume plus
+    * sums and a row count). Here the metrics are lineitem quantity /
+    * extended price / discount per (supplier, ship-month). One shuffle
+    * computes every statistic for every metric — the width of the
+    * aggregate list costs nothing extra in passes.
+    */
+  def multiMetric(lineitem: DataFrame): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val n = col("cnt_value")
+    val sumP = col("sum_price_d").cast("double")
+    val sumsqP = col("sumsq_price_d").cast("double")
+    lineitem
+      .groupBy(
+        col("l_suppkey").as("entity_id"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("period_key"))
+      .agg(
+        // quantities are integral — double sums are exact
+        sum("l_quantity").as("sum_qty_d"),
+        sum(price).as("sum_price_d"),
+        sum(price * price).as("sumsq_price_d"),
+        max(price).as("max_price_d"),
+        min(price).as("min_price_d"),
+        sum(disc).as("sum_disc_d"),
+        count(lit(1)).as("cnt_value"))
+      // Averages of 2-decimal values by small counts often land on
+      // EXACT 5th-decimal halves (e.g. sum/8), where Spark rounds
+      // HALF_UP and DuckDB's double round() goes half-even — so the
+      // 4dp rounding is done in exact integer math on both sides:
+      // round(S/(100·n), 4)·10^4 = (200·S + n) div (2·n), S in cents.
+      .withColumn("cents_p", (col("sum_price_d") * 100).cast("long"))
+      .withColumn("cents_d", (col("sum_disc_d") * 100).cast("long"))
+      .withColumn("qty_l", col("sum_qty_d").cast("long"))
+      .select(
+        col("entity_id"), col("period_key"), lit("month").as("agg_type"),
+        round(col("sum_qty_d"), 2).as("sum_qty"),
+        (expr("(qty_l * 20000 + cnt_value) div (cnt_value * 2)").cast("double") / 10000)
+          .as("avg_qty"),
+        (expr("(cents_p * 200 + cnt_value) div (cnt_value * 2)").cast("double") / 10000)
+          .as("avg_price"),
+        sumP.as("sum_price"),
+        col("max_price_d").cast("double").as("max_price"),
+        col("min_price_d").cast("double").as("min_price"),
+        when(n > 1,
+          round(sqrt(greatest((sumsqP - sumP * sumP / n) / (n - lit(1)), lit(0.0))), 4))
+          .as("std_price"),
+        (expr("(cents_d * 200 + cnt_value) div (cnt_value * 2)").cast("double") / 10000)
+          .as("avg_disc"),
+        n)
+  }
+
   /** Combined multi-grain index (reference combined collection,
     * TransForm_Load_Yfinance.py:326-342): union of the three grains on
     * their shared identity columns. Union of already-aggregated frames —
