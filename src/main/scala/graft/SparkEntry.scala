@@ -67,6 +67,7 @@ object SparkEntry {
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d), 3)),
     "moving_avg"  -> ((s, d) => Analytics.movingAvg(Tables.events(s, d), 7)),
+    "sessionize"  -> ((s, d) => Analytics.sessionize(Tables.events(s, d), 30000L)),
     "top_k"       -> ((s, d) => Analytics.topK(Tables.orders(s, d), 100)),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -81,6 +82,7 @@ object SparkEntry {
     "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "text_clean"        -> ((s, d) => TextAnalysis.textClean(Tables.documents(s, d))),
     "fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)))
   )
 
@@ -243,6 +245,17 @@ object SparkEntry {
       """SELECT user_id, event_id,
         |round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "sessionize" ->
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM (SELECT user_id, event_id, ts, value,
+        |sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |FROM (SELECT user_id, event_id, ts, value,
+        |CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30000 THEN 1 ELSE 0 END AS new_s
+        |FROM events))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "top_k" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
@@ -276,6 +289,11 @@ object SparkEntry {
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_clean" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text,
+        |CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

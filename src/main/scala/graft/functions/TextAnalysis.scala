@@ -75,6 +75,26 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Text cleaning for training-data pipelines: strip markup tags,
+    * drop control characters, collapse whitespace, trim. All
+    * regexp_replace — codegen'd, scan-speed. (The reference's news
+    * pipeline receives pre-scraped text; a real crawl pipeline needs
+    * this stage before any dedup/quality step.)
+    */
+  def cleanCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "<[^>]*>", " "), // markup tags
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""), // control chars
+      "\\s+", " "))
+
+  def textClean(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      cleanCol(col("text")).as("clean_text"),
+      length(cleanCol(col("text"))).cast("long").as("clean_chars"))
+      .orderBy("doc_id")
+
   /** Whitespace-normalized content fingerprint (md5). The dedup
     * primitive: equal fingerprints = exact duplicates modulo
     * whitespace.

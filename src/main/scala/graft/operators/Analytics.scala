@@ -119,6 +119,33 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** Batch sessionization: group events into sessions separated by
+    * ≥ `gapSec` of inactivity (batch analog of
+    * [[graft.streaming.StreamingRollups.sessionize]]; the reference
+    * tracks per-stock visit state in driver Python). Two windows over
+    * one (user, ts) sort: lag marks session starts, a running sum of
+    * start-flags numbers the sessions — no driver state, one shuffle.
+    */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // whole-second epochs (cast truncates) so the gap compare is
+    // integer on both engines regardless of sub-second precision
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser) > gapSec, 1
+    ).otherwise(0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("session_id", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Global top-k: order-by + limit. Spark executes this as a
     * per-partition TakeOrdered + driver merge of k rows — no global
     * sort shuffle.
