@@ -85,7 +85,6 @@ def main(sf_dir: str, out_dir: str) -> int:
         if name not in results:
             results[name] = "FAIL (no spark output)"
 
-    n_pass = sum(1 for v in results.values() if v.startswith(("PASS", "rows-only")))
     for name, v in sorted(results.items()):
         print(f"{'✅' if v.startswith(('PASS', 'rows-only')) and 'FAIL' not in v else '❌'} {name}: {v}")
     bad = sum(1 for v in results.values() if "FAIL" in v)

@@ -95,12 +95,19 @@ object TextAnalysis {
       length(cleanCol(col("text"))).cast("long").as("clean_chars"))
       .orderBy("doc_id")
 
+  /** THE canonical text normalization (trim, collapse whitespace,
+    * lowercase) shared by fingerprinting and every shingle-based
+    * near-dup operator — one definition so "the same text" means the
+    * same thing everywhere.
+    */
+  def normalizeWs(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
   /** Whitespace-normalized content fingerprint (md5). The dedup
     * primitive: equal fingerprints = exact duplicates modulo
     * whitespace.
     */
-  def fingerprintCol(c: Column): Column =
-    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+  def fingerprintCol(c: Column): Column = md5(normalizeWs(c))
 
   def fingerprint(documents: DataFrame): DataFrame =
     documents.select(

@@ -28,8 +28,10 @@ object Dedup {
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy("canonical_doc_id")
 
-  /** Whitespace/case normalization shared by all shingle variants. */
-  private def norm(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+  /** Whitespace/case normalization shared by all shingle variants
+    * (same definition as the exact-dedup fingerprint).
+    */
+  private def norm(c: Column): Column = TextAnalysis.normalizeWs(c)
 
   // ---------------------------------------------------------------
   // MinHash + LSH
@@ -48,6 +50,8 @@ object Dedup {
     */
   private def lshPairs(documents: DataFrame, k: Int, word: Boolean,
                        numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm) — trailing signature lanes would be silently ignored")
     val rowsPerBand = numPerm / bands
     val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
     val sigs = base.select(col("doc_id"),
@@ -103,13 +107,22 @@ object Dedup {
     * the cluster assignment is linear.
     *
     * Label propagation is a small number of self-joins over the PAIR
-    * table (size ≈ number of near-dup edges, ≪ corpus); `maxIter`
-    * bounds the work, and components of diameter ≤ 2^maxIter converge
-    * (near-dup clusters are dense, so 3–4 iterations suffice in
-    * practice). No driver-side graph state.
+    * table (size ≈ number of near-dup edges, ≪ corpus); each round is
+    * a neighbor-min step followed by a pointer-jumping compression
+    * (label := label(label)), so reachable distance roughly doubles
+    * per round and `maxIter` rounds cover components of diameter
+    * ~2^maxIter. No driver-side graph state.
     */
-  def minhashClusters(documents: DataFrame, maxIter: Int = 4): DataFrame = {
-    val pairs = minhashLsh(documents).select("a", "b")
+  def minhashClusters(documents: DataFrame, maxIter: Int = 5): DataFrame =
+    clusterPairs(minhashLsh(documents).select("a", "b"),
+      documents.select("doc_id"), maxIter)
+
+  /** Connected components over an (a, b) near-dup pair list: every doc
+    * in `allDocs` gets the min doc_id of its component (docs without
+    * edges are their own singleton). Public so any pair source
+    * (simhash, embedding cosine, …) can feed the same clustering.
+    */
+  def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 5): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
@@ -126,10 +139,23 @@ object Dedup {
         .agg(min(col("label")).as("nbr_label"))
         .join(labels, "doc_id")
         .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
+      // pointer jump: label(d) <- label(label(d)) — path compression,
+      // without which propagation is one hop per iteration and long
+      // chains end with inconsistent fragments
+      val byLabel = labels.select(col("doc_id").as("label"), col("label").as("label2"))
+      labels = labels.join(byLabel, Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("label2"), col("label")).as("label"))
+        // each round references the previous labels TWICE (self + jump
+        // target), so without truncation the logical plan doubles per
+        // iteration — 2^maxIter copies of the whole LSH pipeline.
+        // Materialize the (tiny: one row per edge-touched doc) label
+        // table and cut the lineage. On a cluster this would be
+        // checkpoint() to reliable storage.
+        .localCheckpoint(true)
       i += 1
     }
     // docs with no near-dup edge are their own singleton cluster
-    documents.select(col("doc_id"))
+    allDocs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"),
@@ -203,20 +229,25 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, dim: Int = 64,
                        threshold: Double = 0.35): DataFrame = {
     val bits = HashExprs.signProjBits(col("embedding"), hyperplanes(16, dim))
-    val docs = embeddings.select(col("vec_id"), col("embedding"), bits.as("bits"))
-    val banded = docs.select(
-      col("vec_id"), col("embedding"),
+    val keyed = embeddings.select(col("vec_id"), bits.as("bits"))
+    // band explode and the bucket self-join stay NARROW (ids + bucket
+    // only); the 64-float embeddings join back on the distinct
+    // candidate ids, so the bucket shuffle never carries vectors
+    val banded = keyed.select(
+      col("vec_id"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("bits"), c * 4).bitwiseAND(lit(0xFL))): _*)))
-      .toDF("vec_id", "embedding", "band", "bucket")
+      .toDF("vec_id", "band", "bucket")
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.embedding").as("va"), col("y.embedding").as("vb"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cand
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
       .withColumn("cosine", round(HashExprs.cosineSim(col("va"), col("vb")), 4))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")

@@ -45,6 +45,11 @@ object Similarity {
     * metadata (kilobytes) like a broadcast-join build side; a trained
     * (k-means) codebook drops in without changing the plan shape.
     */
+  /** Row field → double array regardless of float/double element type. */
+  private def vecOf(row: org.apache.spark.sql.Row, field: String): Array[Double] =
+    row.getAs[scala.collection.Seq[Any]](field)
+      .map(_.asInstanceOf[Number].doubleValue()).toArray
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     // deterministic codebook: the nCentroids corpus vectors with the
@@ -54,12 +59,16 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCentroids)
       .collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .map(vecOf(_, "embedding"))
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
-    val qRow = assigned.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head()
-    val qVec = qRow.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val qRows = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).take(1)
+    if (qRows.isEmpty)
+      // unknown queryId → empty result, matching bruteForceTopK
+      return embeddings.filter(lit(false))
+        .select(col("vec_id"), lit(0.0).as("cos_sim"))
+    val qVec = vecOf(qRows(0), "embedding")
     // nProbe centroids nearest the query (driver-side over the codebook)
     val probeLists = cents.zipWithIndex
       .map { case (c, i) =>

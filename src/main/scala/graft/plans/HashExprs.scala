@@ -43,10 +43,6 @@ object HashExprs {
   private def col(e: Expression): Column = GraftSqlBridge.column(e)
   private def expr(c: Column): Expression = GraftSqlBridge.expression(c)
 
-  /** MinHash signature of an array<string> shingle set. */
-  def minhashSig(shingles: Column, numPerm: Int): Column =
-    col(MinHashSigExpr(expr(shingles), numPerm))
-
   /** MinHash signature straight from a normalized text column —
     * shingling + hashing + permutations in ONE compiled pass per row.
     * `word = false`: character k-shingles; `word = true`: word
@@ -165,47 +161,6 @@ object HashExprs {
     }
     java.util.Arrays.copyOf(arr, n)
   }
-}
-
-/** sig_p = min over shingles of (a_p * h32(shingle) + b_p) mod P.
-  * One pass over the shingle array computes all `numPerm` minima.
-  * Duplicate shingles cannot change a min, so the input need not be
-  * distinct (min over a multiset = min over its support).
-  */
-case class MinHashSigExpr(child: Expression, numPerm: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    HashExprs.checkStringArray(child.dataType, "minhash_sig")
-
-  @transient private lazy val ab = HashExprs.perms(numPerm)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(numPerm)(Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = HashExprs.hashUtf8(arr.getUTF8String(i))
-        var p = 0
-        while (p < numPerm) {
-          val v = HashExprs.fmix64(h ^ ab(p))
-          if (v < mins(p)) mins(p) = v
-          p += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
-    copy(child = newChild)
-
-  override def prettyName: String = "minhash_sig"
 }
 
 /** MinHash signature computed straight from normalized text: one

@@ -27,6 +27,12 @@ object Tables {
     * micros timestamp (integer division — nanos-since-epoch exceeds
     * double precision). The corpus' min inter-event gap is ~59 ms, so
     * micros truncation never reorders events.
+    *
+    * NOTE: `nanosAsLong` is session-wide and stays set (the scan reads
+    * it at execution, not just at schema inference, so it cannot be
+    * scoped to this call). Effect on other readers: a TIMESTAMP(NANOS)
+    * parquet column elsewhere surfaces as LongType nanos instead of
+    * failing — the same treatment this loader applies deliberately.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

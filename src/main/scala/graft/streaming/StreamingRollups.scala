@@ -76,7 +76,12 @@ object StreamingRollups {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                  // late (out-of-order) events must never move the
+                  // session window backwards — a cross-batch arrival
+                  // with t < s.end would otherwise corrupt the end
+                  // and spuriously split the session later
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed += Session(entity, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, s.total)

@@ -100,6 +100,19 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("b") === 3L || r.getAs[Long]("a") === 3L))
   }
 
+  test("label propagation converges on a long chain component") {
+    import spark.implicits._
+    // pure chain 1-2-3-...-12: diameter 11 — single-hop-per-iteration
+    // propagation with 5 rounds would leave inconsistent fragments;
+    // the pointer-jumping rounds must collapse it fully
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val docs = (1L to 14L).toDF("doc_id") // 13, 14 are edgeless singletons
+    val out = Dedup.clusterPairs(pairs, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    (1L to 12L).foreach(d => assert(out(d) === 1L, s"doc $d: ${out(d)}"))
+    assert(out(13L) === 13L && out(14L) === 14L)
+  }
+
   test("minhash clusters assign every doc the min reachable doc_id") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
