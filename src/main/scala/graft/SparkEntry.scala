@@ -69,6 +69,9 @@ object SparkEntry {
     "moving_avg"  -> ((s, d) => Analytics.movingAvg(Tables.events(s, d), 7)),
     "sessionize"  -> ((s, d) => Analytics.sessionize(Tables.events(s, d), 30000L)),
     "top_k"       -> ((s, d) => Analytics.topK(Tables.orders(s, d), 100)),
+    "region_pivot" -> ((s, d) =>
+      Analytics.regionPivot(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -79,6 +82,13 @@ object SparkEntry {
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_lsh_topk"      -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 20)),
+    "embed_quantize"    -> ((s, d) => {
+      val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
+      Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
+        .select(col("vec_id"), col("st.scale").as("scale"), col("st.l1").as("l1"),
+          col("st.qmax").as("qmax"), col("st.qmin").as("qmin"))
+        .orderBy("vec_id")
+    }),
     "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -259,6 +269,27 @@ object SparkEntry {
     "top_k" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
+    "region_pivot" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |CAST(coalesce(round(sum(v) FILTER (WHERE r = 'africa'), 2), 0) AS DOUBLE) AS africa,
+        |CAST(coalesce(round(sum(v) FILTER (WHERE r = 'america'), 2), 0) AS DOUBLE) AS america,
+        |CAST(coalesce(round(sum(v) FILTER (WHERE r = 'asia'), 2), 0) AS DOUBLE) AS asia,
+        |CAST(coalesce(round(sum(v) FILTER (WHERE r = 'europe'), 2), 0) AS DOUBLE) AS europe,
+        |CAST(coalesce(round(sum(v) FILTER (WHERE r = 'middle_east'), 2), 0) AS DOUBLE) AS middle_east
+        |FROM (SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+        |lower(replace(r_name, ' ', '_')) AS r
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embed_quantize" ->
+      """SELECT vec_id, scale,
+        |CAST(list_sum(list_transform(v, x -> CAST(abs(CASE WHEN scale = 0 THEN 0 ELSE round(x / scale) END) AS BIGINT))) AS BIGINT) AS l1,
+        |CAST(list_max(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE round(x / scale) END)) AS BIGINT) AS qmax,
+        |CAST(list_min(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE round(x / scale) END)) AS BIGINT) AS qmin
+        |FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+        |ORDER BY vec_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |min(doc_id) AS canonical_doc_id, count(*) AS dup_count

@@ -119,6 +119,29 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** Wide reshape: monthly revenue pivoted to one column per region
+    * (the dashboard "compare series side-by-side" view). `pivot` with
+    * an explicit value list keeps the plan static — one shuffle on the
+    * group key, the pivot itself is a map-side conditional aggregate.
+    */
+  def regionPivot(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame): DataFrame = {
+    val regions = Seq("africa", "america", "asia", "europe", "middle_east")
+    val joined = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        lower(regexp_replace(col("r_name"), " ", "_")).as("region"),
+        col("o_totalprice").cast("decimal(12,2)").as("v"))
+    val pivoted = joined.groupBy("month")
+      .pivot("region", regions)
+      .agg(round(sum("v"), 2).cast("double"))
+    regions.foldLeft(pivoted)((d, r) => d.withColumn(r, coalesce(col(r), lit(0.0))))
+      .orderBy("month")
+  }
+
   /** Batch sessionization: group events into sessions separated by
     * ≥ `gapSec` of inactivity (batch analog of
     * [[graft.streaming.StreamingRollups.sessionize]]; the reference

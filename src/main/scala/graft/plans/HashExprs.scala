@@ -74,6 +74,12 @@ object HashExprs {
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     col(NearestCentroidExpr(expr(v), centroids))
 
+  /** Symmetric int8 quantization stats of a vector: struct(scale,
+    * l1, qmax, qmin) where scale = max|x|/127 and q_i = round(x_i /
+    * scale) with ties away from zero (C round semantics).
+    */
+  def quantizeI8Stats(v: Column): Column = col(QuantizeI8StatsExpr(expr(v)))
+
   private[plans] def checkStringArray(dt: DataType, who: String): TypeCheckResult =
     dt match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -360,6 +366,61 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
     copy(child = newChild)
 
   override def prettyName: String = "nearest_centroid"
+}
+
+/** Symmetric int8 quantization summary — the storage-compression
+  * primitive for embedding tables (4 bytes → 1 byte per dim). One
+  * compiled pass computes the scale and the quantized-value stats;
+  * a storage pipeline would emit the q array itself the same way.
+  */
+case class QuantizeI8StatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("l1", LongType, nullable = false),
+    StructField("qmax", LongType, nullable = false),
+    StructField("qmin", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkNumericArray(child.dataType, "quantize_i8_stats")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // ties away from zero — matches C/DuckDB round(double)
+  @inline private def roundAway(y: Double): Double =
+    if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(HashExprs.elem(v, i, isFloat))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 127.0
+    var l1 = 0L; var qmax = Long.MinValue; var qmin = Long.MaxValue
+    i = 0
+    while (i < n) {
+      val q = if (scale == 0.0) 0L
+              else roundAway(HashExprs.elem(v, i, isFloat) / scale).toLong
+      l1 += math.abs(q)
+      if (q > qmax) qmax = q
+      if (q < qmin) qmin = q
+      i += 1
+    }
+    if (n == 0) { qmax = 0L; qmin = 0L }
+    org.apache.spark.sql.catalyst.InternalRow(scale, l1, qmax, qmin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8StatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_i8_stats"
 }
 
 /** Sign-random-projection LSH bits: bit i = (v · planes(i) >= 0). */
