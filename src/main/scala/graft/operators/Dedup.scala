@@ -123,9 +123,12 @@ object Dedup {
     * (simhash, embedding cosine, …) can feed the same clustering.
     */
   def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 5): DataFrame = {
-    // undirected edges, both directions
+    // undirected edges, both directions — materialized once: the pair
+    // source (a whole LSH pipeline) is referenced in every propagation
+    // round and would otherwise be recomputed maxIter times
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint(true)
     // start: every doc labels itself with the min direct neighbor
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(min(col("b")).as("min_nbr"))
