@@ -108,7 +108,7 @@ object SparkEntry {
     */
   private def grainOracle(fmt: String, tag: String): String =
     s"""SELECT strftime(o_orderdate, '$fmt') AS period_key, '$tag' AS agg_type, o_custkey AS entity_id,
-       |round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_value,
+       |CAST((CAST(sum(v) * 100 AS HUGEINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_value,
        |CAST(sum(v) AS DOUBLE) AS sum_value,
        |CAST(max(v) AS DOUBLE) AS max_value, CAST(min(v) AS DOUBLE) AS min_value,
        |CASE WHEN count(*) > 1 THEN round(sqrt(greatest((CAST(sum(v*v) AS DOUBLE) - CAST(sum(v) AS DOUBLE)*CAST(sum(v) AS DOUBLE)/count(*)) / (count(*)-1), 0)), 4) END AS std_value,
@@ -225,9 +225,9 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
-        |round(sum(l_quantity) / count(*), 4) AS avg_qty,
-        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-        |round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |CAST((CAST(sum(l_quantity) AS BIGINT) * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_qty,
+        |CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_price,
+        |CAST((CAST(sum(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_disc,
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -31,21 +31,35 @@ object Analytics {
     val disc = col("l_discount").cast("decimal(4,2)")
     val tax = col("l_tax").cast("decimal(4,2)")
     val one = lit(1).cast("decimal(4,2)")
-    val n = count(lit(1))
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         // quantities are integral → double sums are already exact
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(price), 2).cast("double").as("sum_base_price"),
-        round(sum(price * (one - disc).cast("decimal(4,2)")), 2).cast("double").as("sum_disc_price"),
-        round(sum(price * (one - disc).cast("decimal(4,2)") * (one + tax).cast("decimal(4,2)")), 2)
-          .cast("double").as("sum_charge"),
-        round(sum("l_quantity") / n, 4).as("avg_qty"),
-        round(sum(price).cast("double") / n, 4).as("avg_price"),
-        round(sum(disc).cast("double") / n, 4).as("avg_disc"),
-        n.as("count_order"))
+        sum("l_quantity").as("sum_qty_d"),
+        sum(price).as("sum_price_d"),
+        sum(price * (one - disc).cast("decimal(4,2)")).as("sum_disc_price_d"),
+        sum(price * (one - disc).cast("decimal(4,2)") * (one + tax).cast("decimal(4,2)"))
+          .as("sum_charge_d"),
+        sum(disc).as("sum_disc_d"),
+        count(lit(1)).as("cnt"))
+      // 4dp averages in exact integer math (cents-based), same rule as
+      // Rollups.multiMetric/grain — sum/count of 2-decimal money hits
+      // exact 5th-decimal halves where Spark (HALF_UP) and DuckDB
+      // (half-even) double rounds diverge
+      .withColumn("qty_l", col("sum_qty_d").cast("long"))
+      .withColumn("cents_p", (col("sum_price_d") * 100).cast("long"))
+      .withColumn("cents_d", (col("sum_disc_d") * 100).cast("long"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("sum_qty_d"), 2).as("sum_qty"),
+        round(col("sum_price_d"), 2).cast("double").as("sum_base_price"),
+        round(col("sum_disc_price_d"), 2).cast("double").as("sum_disc_price"),
+        round(col("sum_charge_d"), 2).cast("double").as("sum_charge"),
+        (expr("(qty_l * 20000 + cnt) div (cnt * 2)").cast("double") / 10000).as("avg_qty"),
+        (expr("(cents_p * 200 + cnt) div (cnt * 2)").cast("double") / 10000).as("avg_price"),
+        (expr("(cents_d * 200 + cnt) div (cnt * 2)").cast("double") / 10000).as("avg_disc"),
+        col("cnt").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's Flask query surface (reference: api/app.py)
@@ -47,18 +46,32 @@ object ApiSurface {
 
   /** GET /api/reports/list/<year>/<period>?search=&page=&limit= —
     * substring search + deterministic pagination + the response's
-    * total_count (api/app.py:213-286). total_count is a window count
-    * over the filtered set, so one pass serves both the page and the
-    * pagination metadata.
+    * total_count (api/app.py:213-286).
+    *
+    * Scale shape: a page is a small-k problem, so the global order is
+    * taken with `orderBy(...).limit(page·limit)` — a per-partition
+    * TakeOrdered + driver merge, never a single-partition global sort.
+    * Row numbers are then assigned on that ≤ page·limit-row bounded set
+    * (the window's single partition holds at most page·limit rows
+    * regardless of table size). total_count is a separate count over
+    * the filtered set, broadcast back via cross join — one extra
+    * scan+reduce, no shuffle of the data.
     */
   def reportList(customer: DataFrame, needle: String, page: Int, limit: Int): DataFrame = {
-    val w = Window.orderBy(col("c_custkey"))
-    customer
+    val filtered = customer
       .filter(lower(col("c_name")).contains(needle.toLowerCase))
       .select(col("c_custkey"), col("c_name"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("total_count", count(lit(1)).over())
-      .filter(col("rn") > (page - 1) * limit && col("rn") <= page * limit)
+    val total = filtered.agg(count(lit(1)).as("total_count"))
+    val topK = filtered.orderBy(col("c_custkey")).limit(page * limit)
+    // rn without any global window: the limited set is ≤ page·limit
+    // rows, so one partition is bounded by the page depth, and
+    // monotonically_increasing_id over the single sorted partition IS
+    // the row number (the sort key is total, so the order is unique)
+    topK.coalesce(1).sortWithinPartitions(col("c_custkey"))
+      .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
+      .filter(col("rn") > (page - 1) * limit)
+      .crossJoin(broadcast(total))
+      .select(col("c_custkey"), col("c_name"), col("rn"), col("total_count"))
   }
 
   /** GET /api/iqplus/news?search= — case-insensitive substring search,
@@ -70,16 +83,23 @@ object ApiSurface {
       .orderBy(col("doc_id").desc)
 
   /** GET /api/reports/list — search + deterministic pagination
-    * (api/app.py:213-286; reference default limit is 9). Pagination is
-    * a row_number window over a total order, so any page is
-    * reproducible on a cluster.
+    * (api/app.py:213-286; reference default limit is 9). The page
+    * is taken as a global TakeOrdered of page·limit rows (per-partition
+    * top-k + driver merge — no single-partition global sort); row
+    * numbers are assigned on that bounded set, so the one-partition
+    * window never sees more than page·limit rows at any table size.
     */
   def paginate(customer: DataFrame, page: Int, limit: Int): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    customer
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    val topK = customer
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > (page - 1) * limit && col("rn") <= page * limit)
+      .orderBy(order: _*)
+      .limit(page * limit)
+    // rn without a global window (see reportList): bounded set, single
+    // sorted partition, monotonically_increasing_id = row number
+    topK.coalesce(1).sortWithinPartitions(order: _*)
+      .withColumn("rn", (monotonically_increasing_id() + 1).cast("int"))
+      .filter(col("rn") > (page - 1) * limit)
       .select(col("c_custkey"), col("c_name"),
         round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
   }

@@ -75,9 +75,16 @@ object Rollups {
         max(v).as("max_d"),
         min(v).as("min_d"),
         count(lit(1)).as("cnt_value"))
+      // 4dp average in exact integer math — round(S/(100·n), 4)·10^4 =
+      // (200·S + n) div (2·n) with S in cents. Same hazard as
+      // multiMetric: sum/count of 2-decimal values lands on EXACT
+      // 5th-decimal halves for counts 2/4/5/8, where Spark's double
+      // round goes HALF_UP and DuckDB's half-even.
+      .withColumn("cents_v", (col("sum_d") * 100).cast("decimal(38,0)"))
       .select(
         col("period_key"), lit(tag).as("agg_type"), col("entity_id"),
-        round(sumD / n, 4).as("avg_value"),
+        (expr("(cents_v * 200 + cnt_value) div (cnt_value * 2)").cast("double") / 10000)
+          .as("avg_value"),
         sumD.as("sum_value"),
         col("max_d").cast("double").as("max_value"),
         col("min_d").cast("double").as("min_value"),

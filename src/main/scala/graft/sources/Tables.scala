@@ -28,14 +28,15 @@ object Tables {
     * double precision). The corpus' min inter-event gap is ~59 ms, so
     * micros truncation never reorders events.
     *
-    * NOTE: `nanosAsLong` is session-wide and stays set (the scan reads
-    * it at execution, not just at schema inference, so it cannot be
-    * scoped to this call). Effect on other readers: a TIMESTAMP(NANOS)
-    * parquet column elsewhere surfaces as LongType nanos instead of
-    * failing — the same treatment this loader applies deliberately.
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true`, set at
+    * session build time (Bench / Verify / Explain / the test base do) —
+    * it is session-wide, so it is NOT set here as a read side effect;
+    * fail fast with a pointer instead of a confusing reader error.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true; " +
+        "set it on the SparkSession builder (session-wide by design)")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
