@@ -124,12 +124,12 @@ object SparkEntry {
     "rollup_multi" ->
       """SELECT l_suppkey AS entity_id, strftime(l_shipdate, '%Y-%m') AS period_key, 'month' AS agg_type,
         |round(sum(l_quantity), 2) AS sum_qty,
-        |CAST((CAST(sum(l_quantity) AS BIGINT) * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_qty,
-        |CAST((CAST(sum(p) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_price,
+        |CAST((CAST(sum(l_quantity) AS HUGEINT) * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_qty,
+        |CAST((CAST(sum(p) * 100 AS HUGEINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_price,
         |CAST(sum(p) AS DOUBLE) AS sum_price,
         |CAST(max(p) AS DOUBLE) AS max_price, CAST(min(p) AS DOUBLE) AS min_price,
         |CASE WHEN count(*) > 1 THEN round(sqrt(greatest((CAST(sum(p*p) AS DOUBLE) - CAST(sum(p) AS DOUBLE)*CAST(sum(p) AS DOUBLE)/count(*)) / (count(*)-1), 0)), 4) END AS std_price,
-        |CAST((CAST(sum(dsc) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_disc,
+        |CAST((CAST(sum(dsc) * 100 AS HUGEINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_disc,
         |count(*) AS cnt_value
         |FROM (SELECT l_suppkey, l_shipdate, l_quantity,
         |CAST(l_extendedprice AS DECIMAL(12,2)) AS p, CAST(l_discount AS DECIMAL(4,2)) AS dsc
@@ -225,9 +225,9 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
-        |CAST((CAST(sum(l_quantity) AS BIGINT) * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_qty,
-        |CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_price,
-        |CAST((CAST(sum(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_disc,
+        |CAST((CAST(sum(l_quantity) AS HUGEINT) * 20000 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_qty,
+        |CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS HUGEINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_price,
+        |CAST((CAST(sum(CAST(l_discount AS DECIMAL(4,2))) * 100 AS HUGEINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_disc,
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

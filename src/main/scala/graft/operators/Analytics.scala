@@ -47,9 +47,12 @@ object Analytics {
       // Rollups.multiMetric/grain — sum/count of 2-decimal money hits
       // exact 5th-decimal halves where Spark (HALF_UP) and DuckDB
       // (half-even) double rounds diverge
-      .withColumn("qty_l", col("sum_qty_d").cast("long"))
-      .withColumn("cents_p", (col("sum_price_d") * 100).cast("long"))
-      .withColumn("cents_d", (col("sum_disc_d") * 100).cast("long"))
+      // cents sums as decimal(38,0), not long — a long wraps silently
+      // (non-ANSI) once a group's price sum passes ~4.6e14, well inside
+      // the 100 TB design range; same rule as Rollups.grain
+      .withColumn("qty_l", col("sum_qty_d").cast("decimal(38,0)"))
+      .withColumn("cents_p", (col("sum_price_d") * 100).cast("decimal(38,0)"))
+      .withColumn("cents_d", (col("sum_disc_d") * 100).cast("decimal(38,0)"))
       .select(
         col("l_returnflag"), col("l_linestatus"),
         round(col("sum_qty_d"), 2).as("sum_qty"),

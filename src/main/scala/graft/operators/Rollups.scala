@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * Input contract: a frame with `entity_id` (series key), `ts`
   * (timestamp) and `value` (double) columns — see [[Rollups.series]].
+  * `value` must be NON-NEGATIVE (prices, volumes, quantities): the
+  * exact 4dp rounding identity used for `avg_value`,
+  * `(200·S + n) div (2·n)`, relies on truncate-toward-zero division
+  * and is the HALF_UP round only for S ≥ 0 — a negative sum comes out
+  * 1e-4 off (e.g. S=-1 cent, n=2 gives -49 instead of -50). Signed
+  * series need a sign-split of the identity (compute on |S|, reapply
+  * the sign).
   */
 object Rollups {
 
