@@ -81,7 +81,9 @@ object SparkEntry {
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_lsh_topk"      -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0L, 20)),
-    "ann_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 20)),
+    // exact-guarantee IVF (triangle-inequality pruning) — output is
+    // provably the true top-k, so the oracle is plain brute force
+    "ann_ivf_topk"      -> ((s, d) => Similarity.ivfTopKExact(Tables.embeddings(s, d), 7L, 20)),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -116,7 +118,150 @@ object SparkEntry {
        |FROM (SELECT o_orderdate, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Brute-force shingle-set Jaccard pairs in DuckDB — the oracle for
+    * the LSH-accelerated dedup queries. Computes TRUE Jaccard over all
+    * pairs sharing ≥1 shingle (any pair at J ≥ threshold shares
+    * shingles, so this is complete), with the exact shingle definition
+    * of [[graft.plans.HashExprs.foreachShingleHash]]: texts shorter
+    * than one shingle contribute the whole text as a single shingle.
+    * The final division is the same two ints divided in double on both
+    * engines → bit-identical.
+    *
+    * This equals the Spark LSH output iff LSH recall is 100% at the
+    * threshold on the gate data — which holds with margin: at sf0.01
+    * every true pair has J ≥ 0.92 (8×8 bands catch those with
+    * per-pair miss ≈ 1e-3, and the signature is deterministic, so
+    * "caught" is a fixed property of the data, verified empirically)
+    * and the next pair down is at J ≈ 0.31, far below threshold.
+    */
+  private def jaccardPairsOracle(word: Boolean, k: Int, threshold: Double): String = {
+    val shingles =
+      if (word)
+        s"CASE WHEN len(w) <= $k THEN [nt] ELSE list_transform(range(1, len(w) - ${k - 2}), i -> array_to_string(list_slice(w, i, i + ${k - 1}), ' ')) END"
+      else
+        s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+       |base AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM nrm),
+       |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM base),
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |FROM ipair JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
+  }
+
+  /** Connected components over the brute-force near-dup pairs
+    * (recursive transitive closure — components are tiny relative to
+    * the corpus, so the closure stays small), giving every document
+    * the min doc_id of its component; edgeless docs are their own
+    * singleton. Mirrors [[graft.operators.Dedup.minhashClusters]].
+    */
+  private def clusterOracle: String =
+    s"""WITH RECURSIVE jp AS (${jaccardPairsOracle(word = false, k = 5, threshold = 0.5)}),
+       |edges AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+       |reach AS (SELECT a AS doc_id, b AS r FROM edges
+       |  UNION SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON e.b = reach.doc_id),
+       |lbl AS (SELECT doc_id, min(r) AS mr FROM reach GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id,
+       |(coalesce(least(l.mr, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
+       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
+
+  /** Brute-force SimHash pairs in DuckDB. The token hash is the first
+    * 8 bytes of md5 (see [[graft.plans.HashExprs.md5Hash64]]), so the
+    * oracle recomputes every signature bit from the md5 HEX digest:
+    * bit b lives in hex digit pair 2·(7 − b div 8), shifted by
+    * b mod 8. Spark's chunk banding is pigeonhole-exact at
+    * hamming ≤ k, so brute force equals the operator output with no
+    * recall assumption at all.
+    */
+  private def simhashOracle(maxHamming: Int): String =
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+       |tok0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS t FROM nrm),
+       |tok AS (SELECT doc_id, md5(t) AS h FROM tok0),
+       |bits AS (SELECT doc_id, r.b AS b,
+       |  CASE WHEN sum(CASE WHEN ((((strpos('0123456789abcdef', substring(h, 2 * (7 - r.b // 8) + 1, 1)) - 1) * 16
+       |    + strpos('0123456789abcdef', substring(h, 2 * (7 - r.b // 8) + 2, 1)) - 1) >> (r.b % 8)) & 1) = 1
+       |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM tok, range(64) r(b) GROUP BY doc_id, r.b),
+       |ham AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, hamming FROM ham WHERE hamming <= $maxHamming""".stripMargin
+
+  /** The sign-random-projection LSH replicated in SQL — a SEMANTIC
+    * oracle for the embedding LSH queries (brute force can't work
+    * here: the gate corpus has no cosine gap, so LSH recall < 1 by
+    * design and only an independent re-implementation of the full
+    * pipeline can verify the output). Each projection is the same
+    * hyperplane literals ([[graft.operators.Dedup.hyperplanes]] —
+    * dyadic rationals, so the shortest-round-trip decimal repr parses
+    * back to the identical double) dotted in the same left-to-right
+    * order as the compiled [[graft.plans.SignProjBitsExpr]] loop —
+    * bit-identical IEEE arithmetic, no rounding tolerance needed.
+    * Returns one SQL expression per plane evaluating to bit 0/1 over
+    * a DOUBLE[] column `e`.
+    */
+  private def signBitExprs(nPlanes: Int, dim: Int): Seq[String] =
+    Dedup.hyperplanes(nPlanes, dim).map { p =>
+      val dot = p.zipWithIndex
+        .map { case (c, i) => s"e[${i + 1}] * ($c)" }
+        .mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN 1 ELSE 0 END"
+    }
+
+  /** CTEs shared by the embedding-LSH oracles: vectors as DOUBLE[]
+    * plus the 16 projection bits b0..b15 per vector.
+    */
+  private def signBitsCte: String = {
+    val bitCols = signBitExprs(16, 64).zipWithIndex
+      .map { case (e, p) => s"$e AS b$p" }.mkString(",\n  ")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bits AS (SELECT vec_id, e,
+       |  $bitCols
+       |  FROM v)""".stripMargin
+  }
+
+  /** Oracle for embed_cosine_dup: 4×4-bit band buckets from the
+    * projection bits, pair join within buckets, exact-cosine verify —
+    * the Spark plan re-expressed over DuckDB primitives.
+    */
+  private def embedNearDupOracle(threshold: Double): String = {
+    def bucket(c: Int): String =
+      (0 until 4).map(j => s"${1 << j} * b${4 * c + j}").mkString(" + ")
+    s"""WITH $signBitsCte,
+       |band AS (${(0 until 4).map(c =>
+           s"SELECT vec_id, $c AS band, ${bucket(c)} AS bucket FROM bits")
+           .mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT a, b, round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+       |FROM cand JOIN v va ON cand.a = va.vec_id JOIN v vb ON cand.b = vb.vec_id
+       |WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold""".stripMargin
+  }
+
+  /** Oracle for ann_lsh_topk: two 8-bit band buckets; score rows
+    * sharing a bucket with the query; top-k by (cos_sim desc, vec_id).
+    */
+  private def lshTopKOracle(queryId: Long, k: Int): String = {
+    def key(c: Int): String =
+      (0 until 8).map(j => s"${1 << j} * b${8 * c + j}").mkString(" + ")
+    s"""WITH $signBitsCte,
+       |bk AS (SELECT vec_id, e, ${key(0)} AS k0, ${key(1)} AS k1 FROM bits),
+       |q AS (SELECT e AS qe, k0 AS qk0, k1 AS qk1 FROM bk WHERE vec_id = $queryId)
+       |SELECT bk.vec_id, round(list_cosine_similarity(bk.e, q.qe), 4) AS cos_sim
+       |FROM bk, q WHERE bk.vec_id <> $queryId AND (bk.k0 = q.qk0 OR bk.k1 = q.qk1)
+       |ORDER BY cos_sim DESC, bk.vec_id LIMIT $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "embed_cosine_dup" -> embedNearDupOracle(0.35),
+    "ann_lsh_topk" -> lshTopKOracle(0L, 20),
+    "dedup_minhash_lsh" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
+    "ngram_jaccard" -> jaccardPairsOracle(word = true, k = 3, threshold = 0.4),
+    "dedup_cluster" -> clusterOracle,
+    "dedup_simhash" -> simhashOracle(3),
     "rollup_daily" ->
       """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS period_key, 'day' AS agg_type,
         |o_custkey AS entity_id, round(o_totalprice, 2) AS value FROM orders""".stripMargin,
@@ -299,6 +444,13 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // brute force IS the correct oracle for ivfTopKExact: its bound
+    // logic guarantees the true top-k on any corpus
+    "ann_ivf_topk" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     "lang_id" ->
       """SELECT doc_id,
         |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en_hits,

@@ -68,11 +68,15 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // verify: join the (narrow) normalized text back for candidates
-    // only; exact Jaccard is one compiled pass per pair
+    // only; exact Jaccard is one compiled pass per pair. Emitted at
+    // full double precision: intersection/union division of the same
+    // two ints is bit-identical in any IEEE engine, whereas a 4dp
+    // round can land on an exact 5th-decimal half (e.g. 1/32) where
+    // rounding modes diverge across engines.
     cand
       .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
       .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
-      .withColumn("jaccard", round(HashExprs.jaccardText(col("nt_a"), col("nt_b"), k, word), 4))
+      .withColumn("jaccard", HashExprs.jaccardText(col("nt_a"), col("nt_b"), k, word))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
@@ -212,7 +216,7 @@ object Dedup {
   /** Deterministic random hyperplanes (LCG, fixed seed) for
     * sign-random-projection LSH over embeddings.
     */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var x = 6364136223846793005L
     def next(): Double = {
       x = x * 2862933555777941757L + 3037000493L

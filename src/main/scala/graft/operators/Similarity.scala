@@ -35,31 +35,83 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-bucketed approximate top-k: a small deterministic codebook
-    * (hash-sampled corpus vectors) partitions the corpus into inverted
-    * lists; a probe scores only the `nProbe` lists nearest the query.
+  /** IVF-bucketed approximate top-k: a small k-means-trained codebook
+    * ([[trainCodebook]]) partitions the corpus into inverted lists; a
+    * probe scores only the `nProbe` lists nearest the query.
     *
     * At scale the assignment is computed once at ingest and the table
     * is PARTITIONED BY the list id, so a probe is a partition-pruned
     * read of nProbe/nCentroids of the data. The codebook is driver-side
-    * metadata (kilobytes) like a broadcast-join build side; a trained
-    * (k-means) codebook drops in without changing the plan shape.
+    * metadata (kilobytes) like a broadcast-join build side.
     */
   /** Row field → double array regardless of float/double element type. */
   private def vecOf(row: org.apache.spark.sql.Row, field: String): Array[Double] =
     row.getAs[scala.collection.Seq[Any]](field)
       .map(_.asInstanceOf[Number].doubleValue()).toArray
 
-  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic codebook: the nCentroids corpus vectors with the
-    // smallest xxhash64(vec_id) — a uniform sample independent of id order
-    val cents: Array[Array[Double]] = embeddings
+  /** Deterministic seed codebook: the nCentroids corpus vectors with
+    * the smallest xxhash64(vec_id) — a uniform sample independent of
+    * id order (k-means init).
+    */
+  private def seedCodebook(embeddings: DataFrame, nCentroids: Int): Array[Array[Double]] =
+    embeddings
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCentroids)
       .collect()
       .map(vecOf(_, "embedding"))
+
+  /** Lloyd's k-means over the embedding column, as iterative DataFrame
+    * aggregation — the trained-codebook step that turns IVF from
+    * demo-ANN into usable-ANN (a hash-sampled codebook mis-sizes the
+    * inverted lists on skewed corpora).
+    *
+    * Each round is one distributed pass: assign (compiled
+    * nearest-centroid expression) → per-(list, dim) partial sums
+    * map-side → one small shuffle of nCentroids×dim rows → collect
+    * kilobytes to the driver. No driver loop touches row data, so the
+    * same plan runs at any corpus size; at 100 TB you'd train on a
+    * hash-based sample (`xxhash64(vec_id) % N = 0`) — the codebook
+    * needs distribution coverage, not every row.
+    *
+    * Element sums accumulate in DECIMAL(28,12), not double: decimal
+    * addition is exact and therefore independent of partition/merge
+    * order, so the trained codebook is bit-reproducible run to run —
+    * which keeps every downstream probe (and the correctness gate)
+    * deterministic. The 12dp input rounding is harmless: centroids
+    * only need to be near their cluster's mean.
+    */
+  def trainCodebook(embeddings: DataFrame, nCentroids: Int = 16,
+                    iters: Int = 3): Array[Array[Double]] = {
+    var cents = seedCodebook(embeddings, nCentroids)
+    for (_ <- 1 to iters) {
+      val sums = embeddings
+        .select(HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"),
+          posexplode(col("embedding")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val list = r.getAs[Int]("list_id")
+        val pos = r.getAs[Int]("pos")
+        val s = r.getAs[java.math.BigDecimal]("s")
+        val n = r.getAs[Long]("n")
+        // exact decimal mean → double once, at the end: deterministic
+        next(list)(pos) = s.divide(java.math.BigDecimal.valueOf(n),
+          java.math.MathContext.DECIMAL64).doubleValue()
+      }
+      // lists that captured no vectors keep their previous centroid
+      cents = next
+    }
+    cents
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 3): DataFrame = {
+    val cents: Array[Array[Double]] =
+      if (trainIters <= 0) seedCodebook(embeddings, nCentroids)
+      else trainCodebook(embeddings, nCentroids, trainIters)
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
     val qRows = assigned.filter(col("vec_id") === queryId)
@@ -84,6 +136,99 @@ object Similarity {
         round(cosine(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** IVF top-k with an EXACT-recall guarantee (triangle-inequality
+    * list pruning). Works in the normalized-vector geometry where
+    * cosine and L2 are interchangeable: ‖y′−q′‖² = 2 − 2·cos(y,q).
+    *
+    * Phase 1 scores the `nProbe` lists nearest the query → an upper
+    * bound d_k on the true kth distance (any k candidates give one).
+    * Phase 2 scans every other list whose lower bound
+    * ‖c′−q′‖ − r_c (reverse triangle inequality; r_c = the list's
+    * max member distance to its normalized centroid) is ≤ d_k — any
+    * unscanned vector is provably outside the top k. On a clustered
+    * corpus phase 2 touches few or no lists, so this runs at IVF
+    * cost; on a structureless corpus it degrades to a full scan but
+    * NEVER returns a wrong answer — which is why its gate oracle can
+    * be plain brute force, unlike a fixed-nProbe probe whose recall
+    * is a property of the data.
+    *
+    * All bound comparisons carry a 1e-9 slack: the bounds are strict
+    * with exact arithmetic, the slack absorbs double noise. At scale
+    * the per-list stats (centroid, r_c) are index metadata computed
+    * at ingest, and each phase is a partition-pruned scan of the
+    * list-partitioned table.
+    */
+  def ivfTopKExact(embeddings: DataFrame, queryId: Long, k: Int,
+                   nCentroids: Int = 16, nProbe: Int = 4,
+                   trainIters: Int = 3): DataFrame = {
+    val eps = 1e-9
+    val cents =
+      if (trainIters <= 0) seedCodebook(embeddings, nCentroids)
+      else trainCodebook(embeddings, nCentroids, trainIters)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+    val qRows = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).take(1)
+    if (qRows.isEmpty)
+      return embeddings.filter(lit(false))
+        .select(col("vec_id"), lit(0.0).as("cos_sim"))
+    val qVec = vecOf(qRows(0), "embedding")
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+
+    // per-list radius in normalized space: r_c = max ‖y′ − c′‖ over
+    // members; one distributed pass, broadcast join on the tiny
+    // codebook (‖y′−c′‖² = 2 − 2·cos(y,c), cosine is scale-invariant)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("list_id", "cent"))
+    val radii: Map[Int, Double] = assigned
+      .join(centDf, "list_id")
+      .groupBy("list_id")
+      .agg(max(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * cosine(col("embedding"), col("cent"))))).as("r"))
+      .collect()
+      .map(r => r.getAs[Int]("list_id") -> r.getAs[Double]("r")).toMap
+
+    def centDist(i: Int): Double = {
+      val c = cents(i)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      if (cn == 0 || qNorm == 0) 0.0 // degenerate → no pruning power
+      else {
+        var dot = 0.0
+        var j = 0
+        while (j < math.min(c.length, qVec.length)) { dot += c(j) * qVec(j); j += 1 }
+        math.sqrt(math.max(0.0, 2.0 - 2.0 * dot / (cn * qNorm)))
+      }
+    }
+    val byDist = (0 until cents.length).sortBy(centDist)
+    val probe = byDist.take(nProbe).toSet
+
+    def scoreLists(lists: Set[Int]): DataFrame =
+      assigned
+        .filter(col("list_id").isin(lists.toSeq: _*) && col("vec_id") =!= queryId)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), typedLit(qVec)), 4).as("cos_sim"),
+          cosine(col("embedding"), typedLit(qVec)).as("cos_raw"))
+
+    // phase 1: upper bound on the kth distance from the seed lists
+    // (fewer than k candidates → unbounded → phase 2 scans all lists)
+    val seedTop = scoreLists(probe)
+      .orderBy(col("cos_raw").desc, col("vec_id")).limit(k).collect()
+    val dK = if (seedTop.length < k) Double.MaxValue
+    else math.sqrt(math.max(0.0,
+      2.0 - 2.0 * seedTop.last.getAs[Double]("cos_raw")))
+
+    val extra = (0 until cents.length)
+      .filterNot(probe)
+      .filter(i => centDist(i) - radii.getOrElse(i, 0.0) <= dK + eps)
+      .toSet
+    scoreLists(probe ++ extra)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cos_sim"))
   }
 
   /** LSH-bucketed approximate top-k: both the corpus and the query get

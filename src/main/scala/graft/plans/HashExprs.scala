@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
@@ -98,8 +98,23 @@ object HashExprs {
   @inline private[plans] def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
-  @inline private[plans] def hashUtf8(s: UTF8String): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(s), big-endian — a 64-bit hash that any SQL
+    * engine with an md5() builtin can reproduce (substring the hex),
+    * which is what makes simhash signatures value-verifiable against
+    * an independent engine. ~2× slower than xxhash64 per token; token
+    * hashing is a negligible slice of the simhash pipeline.
+    */
+  @inline private[plans] def md5Hash64(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(digest).getLong
+  }
 
   /** murmur3 fmix64 finalizer — turns a weak polynomial hash into a
     * well-distributed 64-bit value (minhash needs uniformity).
@@ -246,8 +261,10 @@ case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Bo
 }
 
 /** Classic 64-bit SimHash over token hashes: bit b of the result is
-  * set iff sum over tokens of ±1 (sign of bit b of xxhash64(token))
-  * is positive.
+  * set iff sum over tokens of ±1 (sign of bit b of the token hash) is
+  * positive. The token hash is the first 8 bytes of md5 (big-endian)
+  * so an independent engine can recompute the signature from the hex
+  * digest — see SparkEntry's dedup_simhash oracle.
   */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -264,7 +281,7 @@ case class SimHash64Expr(child: Expression)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = HashExprs.hashUtf8(arr.getUTF8String(i))
+        val h = HashExprs.md5Hash64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

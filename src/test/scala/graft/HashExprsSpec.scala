@@ -92,6 +92,49 @@ class HashExprsSpec extends SparkSpec {
     assert(full === bruteIds)
   }
 
+  test("exact-guarantee ivf equals brute force on an unclustered corpus") {
+    // the testdata embeddings have NO cluster structure — the worst
+    // case for IVF pruning — so equality here exercises the fallback
+    // bound logic, not luck
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    for (q <- Seq(0L, 7L, 123L)) {
+      val exact = operators.Similarity.ivfTopKExact(emb, q, 15, nProbe = 3)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val brute = operators.Similarity.bruteForceTopK(emb, q, 15)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      assert(exact === brute, s"query $q")
+    }
+  }
+
+  test("trained codebook reaches high recall at low nProbe on clustered data") {
+    import spark.implicits._
+    // 16 well-separated clusters of 30 points each: the corpus shape
+    // IVF is FOR. A trained codebook should route a query's top-10 to
+    // a handful of lists; nProbe=4 of 16 must catch ≥ 90%.
+    def lcg(seed: Long): Iterator[Double] = Iterator.iterate(seed)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+      .map(x => ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5).drop(1)
+    val dim = 8
+    val rows = (for {
+      c <- 0 until 16
+      i <- 0 until 30
+    } yield {
+      val center = lcg(c * 7919L + 1).take(dim).map(_ * 10).toArray
+      val noise = lcg(c * 104729L + i * 31L + 7).take(dim).toArray
+      ((c * 30 + i).toLong, center.zip(noise).map { case (a, b) => (a + b).toFloat })
+    }).toDF("vec_id", "embedding")
+    val brute = operators.Similarity.bruteForceTopK(rows, 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = operators.Similarity.ivfTopK(rows, 0L, 10, nCentroids = 16, nProbe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+    // and the exact variant must be perfect even at nProbe=1
+    val ex = operators.Similarity.ivfTopKExact(rows, 0L, 10, nCentroids = 16, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ex === brute)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     // broadcast off so the assertion is about bucketing, not broadcast
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
