@@ -56,6 +56,7 @@ object SparkEntry {
     // — D. extraction —
     "kv_extract"        -> ((s, d) => Extraction.kvExtract(Tables.events(s, d))),
     "kv_extract_xml"    -> ((s, d) => Extraction.kvExtractXml(Tables.events(s, d))),
+    "kv_extract_nested" -> ((s, d) => Extraction.kvExtractNested(Tables.events(s, d))),
     "financial_metrics" -> ((s, d) => Extraction.financialMetrics(Tables.orders(s, d), Tables.lineitem(s, d))),
     "format_rupiah"     -> ((s, d) => Extraction.formatRupiah(Tables.orders(s, d))),
     // — E. analytics core —
@@ -91,6 +92,14 @@ object SparkEntry {
           col("st.qmax").as("qmax"), col("st.qmin").as("qmin"))
         .orderBy("vec_id")
     }),
+    // the quantized array itself (the storage artifact), exploded to
+    // (vec_id, pos, q) rows so the oracle can value-compare it
+    "embed_quantize_values" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.plans.HashExprs.quantizeI8(col("embedding"))))
+        .select(col("vec_id"), col("pos"), col("col").cast("int").as("q"))
+        .orderBy("vec_id", "pos")),
     "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -313,8 +322,10 @@ object SparkEntry {
         |FROM customer WHERE lower(c_name) LIKE '%1%')
         |WHERE rn > 9 AND rn <= 18""".stripMargin,
     "api_search" ->
-      """SELECT doc_id, source, lang FROM documents
-        |WHERE lower(text) LIKE '%join%' ORDER BY doc_id DESC""".stripMargin,
+      """SELECT doc_id, source, lang,
+        |strftime(DATE '2024-01-01' + CAST((doc_id * 37) % 365 AS INTEGER), '%Y-%m-%d') AS published
+        |FROM documents
+        |WHERE lower(text) LIKE '%join%' ORDER BY published DESC, doc_id DESC""".stripMargin,
     "api_paginate" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rn FROM (
         |SELECT c_custkey, c_name, c_acctbal,
@@ -348,6 +359,17 @@ object SparkEntry {
         |FROM (SELECT event_id,
         |'<evt><type>' || event_type || '</type><k>' || coalesce(json_extract_string(props, '$.k'), '') || '</k></evt>' AS payload
         |FROM events) ORDER BY event_id""".stripMargin,
+    // semantic oracle: the payload is synthesized from event columns,
+    // so the expected fields are recomputed from the same base columns
+    "kv_extract_nested" ->
+      """SELECT event_id, event_type AS entity,
+        |coalesce(CAST(nullif(json_extract_string(props, '$.k'), '') AS BIGINT), 0) AS revenue,
+        |user_id AS current_year, 'IDR' AS unit,
+        |event_id % 7 AS liabilities,
+        |CASE WHEN event_id % 7 <> 0 THEN
+        |round(CAST(coalesce(CAST(nullif(json_extract_string(props, '$.k'), '') AS BIGINT), 0) AS DOUBLE) / (event_id % 7), 4)
+        |END AS leverage_ratio
+        |FROM events ORDER BY event_id""".stripMargin,
     "financial_metrics" ->
       """WITH li AS (SELECT l_orderkey,
         |sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS net,
@@ -435,6 +457,16 @@ object SparkEntry {
         |FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
         |ORDER BY vec_id""".stripMargin,
+    // constant range cross join (DuckDB's generate_series is not
+    // lateral-capable); the len(v) guard keeps it dim-agnostic up to
+    // the 64-dim testdata width
+    "embed_quantize_values" ->
+      """SELECT vec_id, r.i AS pos,
+        |CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[r.i + 1] / scale) END AS INTEGER) AS q
+        |FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |range(64) r(i) WHERE r.i < len(v)
+        |ORDER BY vec_id, pos""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |min(doc_id) AS canonical_doc_id, count(*) AS dup_count

@@ -126,21 +126,38 @@ object Dedup {
     * edges are their own singleton). Public so any pair source
     * (simhash, embedding cosine, …) can feed the same clustering.
     */
-  def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 8): DataFrame = {
     // undirected edges, both directions — materialized once: the pair
     // source (a whole LSH pipeline) is referenced in every propagation
-    // round and would otherwise be recomputed maxIter times
+    // round and would otherwise be recomputed maxIter times. The edge
+    // table is tiny relative to the corpus (one row per near-dup
+    // edge), so a handful of partitions keeps every subsequent
+    // barrier a few-task job instead of a shuffle-partitions-wide one
+    // (at cluster scale, size this by |edges| instead).
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .localCheckpoint(true)
+      .coalesce(4).localCheckpoint(true)
     // start: every doc labels itself with the min direct neighbor
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(min(col("b")).as("min_nbr"))
       .select(col("doc_id"), least(col("min_nbr"), col("doc_id")).as("label"))
+      .coalesce(1).localCheckpoint(true)
+    // Convergence probe: labels only ever decrease (least of self,
+    // neighbor-min, and jump target), so the label sum is strictly
+    // decreasing until the fixed point — an unchanged sum IS
+    // convergence. At the fixed point every edge has label(a) ≤
+    // label(b) in BOTH directions (edges are symmetric), so labels
+    // are constant per component, and since labels are always ids of
+    // reachable members the constant is the component min. Decimal
+    // accumulator: a 100 TB corpus sums long ids past 2^63.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (i < maxIter) {
+    while (i < maxIter && !converged) {
       // label(d) <- min(label(d), min over neighbors n of label(n))
-      labels = edges
+      val propagated = edges
         .join(labels.withColumnRenamed("doc_id", "b"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
@@ -148,17 +165,24 @@ object Dedup {
         .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
       // pointer jump: label(d) <- label(label(d)) — path compression,
       // without which propagation is one hop per iteration and long
-      // chains end with inconsistent fragments
-      val byLabel = labels.select(col("doc_id").as("label"), col("label").as("label2"))
-      labels = labels.join(byLabel, Seq("label"), "left")
+      // chains need diameter-many rounds; with it reach ~doubles per
+      // round, so maxIter rounds cover diameter ~2^maxIter
+      val byLabel = propagated.select(col("doc_id").as("label"), col("label").as("label2"))
+      labels = propagated.join(byLabel, Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("label2"), col("label")).as("label"))
-        // each round references the previous labels TWICE (self + jump
-        // target), so without truncation the logical plan doubles per
-        // iteration — 2^maxIter copies of the whole LSH pipeline.
-        // Materialize the (tiny: one row per edge-touched doc) label
-        // table and cut the lineage. On a cluster this would be
-        // checkpoint() to reliable storage.
-        .localCheckpoint(true)
+        // each round references the previous labels THREE times (join
+        // + self + jump target), so without truncation the logical
+        // plan grows geometrically — 3^maxIter copies of the whole
+        // LSH pipeline. Materialize the (tiny: one row per
+        // edge-touched doc, single partition) label table and cut the
+        // lineage. On a cluster this would be checkpoint() to
+        // reliable storage.
+        .coalesce(1).localCheckpoint(true)
+      val s = labelSum(labels)
+      // the sum probe rides on the just-materialized single-partition
+      // checkpoint — a one-task job, not a recompute
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     // docs with no near-dup edge are their own singleton cluster

@@ -38,13 +38,59 @@ object Extraction {
   def xmlValue(payload: org.apache.spark.sql.Column, tag: String): org.apache.spark.sql.Column =
     regexp_extract(payload, s"<$tag(?:\\s[^>]*)?>([^<]*)</$tag>", 1)
 
-  /** Case-insensitive key lookup over a parsed key→value map column
-    * (reference safe_get_key lowercases all keys before lookup,
-    * idx_transformation_load_script.py:284-301).
+  /** Case-insensitive key lookup over an ARBITRARY (mixed-case-keyed)
+    * map column (reference safe_get_key lowercases all keys before
+    * lookup, idx_transformation_load_script.py:284-301). The
+    * interpreted `transform` here is per-lookup overhead — for maps
+    * the engine builds itself, lower-case keys at map-BUILD time and
+    * use [[graft.plans.XmlExprs.getKeyCI]] instead (plain constant
+    * element_at, no per-row key pass); that is what
+    * [[kvExtractNested]] does.
     */
   def safeGetKey(m: org.apache.spark.sql.Column, key: String): org.apache.spark.sql.Column =
     element_at(map_from_arrays(
       transform(map_keys(m), k => lower(k)), map_values(m)), key.toLowerCase)
+
+  /** Full nested-XML extraction — the reference's real XBRL shape:
+    * the whole instance document is parsed ONCE into a key→value map
+    * ([[graft.plans.XmlLeafMapExpr]]: namespace prefixes stripped,
+    * attributes captured as `tag@attr`, keys lowercased at build
+    * time), then financial keys are looked up case-insensitively,
+    * coalesce-to-0 cast, and a safe-division ratio derived
+    * (reference parse_xbrl + safe_get_key + ratios,
+    * idx_transformation_load_script.py:207-301,446-454).
+    *
+    * The payload is synthesized from event columns — nested elements,
+    * an `idx:` namespace, attributes on both leaf and non-leaf
+    * elements, mixed-case tag names — so the oracle can recompute the
+    * expected fields from the same base columns.
+    */
+  def kvExtractNested(events: DataFrame): DataFrame = {
+    import graft.plans.XmlExprs
+    val payload = concat(
+      lit("""<idx:Report xmlns:idx="http://graft/idx" Entity=""""), col("event_type"), lit("\">"),
+      lit("<idx:Revenue>"), coalesce(get_json_object(col("props"), "$.k"), lit("")), lit("</idx:Revenue>"),
+      lit("""<idx:meta><idx:CurrentYear unit="IDR">"""), col("user_id"), lit("</idx:CurrentYear></idx:meta>"),
+      lit("<Liabilities>"), col("event_id") % 7, lit("</Liabilities>"),
+      lit("</idx:Report>"))
+    val m = XmlExprs.xmlLeafMap(payload)
+    events.select(col("event_id"), m.as("m"))
+      .select(
+        col("event_id"),
+        // attribute on the (non-leaf) root element
+        XmlExprs.getKeyCI(col("m"), "Report@Entity").as("entity"),
+        // mixed-case lookups against lowercased map keys
+        coalesce(nullif(XmlExprs.getKeyCI(col("m"), "REVENUE"), lit("")).cast("long"), lit(0L)).as("revenue"),
+        coalesce(nullif(XmlExprs.getKeyCI(col("m"), "currentYear"), lit("")).cast("long"), lit(0L)).as("current_year"),
+        // attribute on a leaf element
+        XmlExprs.getKeyCI(col("m"), "CurrentYear@Unit").as("unit"),
+        coalesce(nullif(XmlExprs.getKeyCI(col("m"), "Liabilities"), lit("")).cast("long"), lit(0L)).as("liabilities"))
+      // the reference's debt_to_equity-style safe division: NULL on 0
+      .withColumn("leverage_ratio",
+        when(col("liabilities") =!= 0,
+          round(col("revenue").cast("double") / col("liabilities"), 4)))
+      .orderBy("event_id")
+  }
 
   /** XML-path variant of [[kvExtract]]: the payload is an XML-ish
     * document (the reference's actual XBRL shape) and fields come out

@@ -54,5 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64Expr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_i8"),
+      info("quantize_i8", "quantize_i8(v) - symmetric int8 quantization of a numeric array"),
+      (args: Seq[Expression]) => QuantizeI8Expr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("xml_leaf_map"),
+      info("xml_leaf_map", "xml_leaf_map(payload) - XML leaf elements + attributes as map<string,string>, lowercased keys"),
+      (args: Seq[Expression]) => XmlLeafMapExpr(args(0))))
   }
 }

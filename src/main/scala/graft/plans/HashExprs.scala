@@ -80,6 +80,13 @@ object HashExprs {
     */
   def quantizeI8Stats(v: Column): Column = col(QuantizeI8StatsExpr(expr(v)))
 
+  /** Symmetric int8 quantization of a vector: the quantized
+    * array<tinyint> itself (the storage artifact — 4 bytes → 1 byte
+    * per dimension), q_i = round(x_i / (max|x|/127)) with ties away
+    * from zero. Same math as [[quantizeI8Stats]], emitting values.
+    */
+  def quantizeI8(v: Column): Column = col(QuantizeI8Expr(expr(v)))
+
   private[plans] def checkStringArray(dt: DataType, who: String): TypeCheckResult =
     dt match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -438,6 +445,55 @@ case class QuantizeI8StatsExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "quantize_i8_stats"
+}
+
+/** Symmetric int8 quantization — the quantized vector itself, as
+  * array<tinyint> (the storage artifact of the embedding-compression
+  * pipeline). scale = max|x|/127 so every q_i fits int8 by
+  * construction; an all-zero (or empty) vector quantizes to zeros.
+  * Same rounding as [[QuantizeI8StatsExpr]] (ties away from zero,
+  * matching C/DuckDB `round(double)`).
+  */
+case class QuantizeI8Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkNumericArray(child.dataType, "quantize_i8")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @inline private def roundAway(y: Double): Double =
+    if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(HashExprs.elem(v, i, isFloat))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 127.0
+    val q = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        q(i) = roundAway(HashExprs.elem(v, i, isFloat) / scale).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(q)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_i8"
 }
 
 /** Sign-random-projection LSH bits: bit i = (v · planes(i) >= 0). */

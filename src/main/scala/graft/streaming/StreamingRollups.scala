@@ -51,6 +51,76 @@ object StreamingRollups {
   // class from outside the package.
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+  /** Shared per-batch session merge: fold this batch's (sorted) events
+    * into the open session, emitting sessions closed INLINE by a
+    * same-key event arriving past the gap. Late (out-of-order) events
+    * must never move the window backwards — a cross-batch arrival with
+    * t < s.end would otherwise corrupt the end and spuriously split
+    * the session later.
+    */
+  private def mergeBatch(entity: Long, rows: Iterator[Event], state: GroupState[SessionState],
+                         gapMs: Long): (Option[SessionState], Seq[Session]) = {
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var cur = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.end <= gapMs =>
+          cur = Some(s.copy(start = math.min(s.start, t),
+            end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          closed += Session(entity, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (cur, closed.result())
+  }
+
+  /** Session windows closed by EVENT time: a session ends when the
+    * watermark — not the wall clock — passes `session end + gap`, so
+    * replaying history yields identical sessions regardless of
+    * processing speed, and late events within the watermark still
+    * extend their session. This is the deterministic variant of
+    * [[sessionize]]; processing-time timeouts close sessions at
+    * ingestion pauses, which is wrong on backfill/replay.
+    *
+    * `watermarkDelay` bounds both state and lateness (events later
+    * than the watermark may be dropped by the engine upstream).
+    */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long,
+                          watermarkDelay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (entity: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(entity, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val (cur, closed) = mergeBatch(entity, rows, state, gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the WATERMARK passes end+gap; the timeout
+              // timestamp must sit above the current watermark, so an
+              // already-stale session fires at the next batch instead
+              // of throwing
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (processing-time timeout). Custom state
     * keyed by entity — the Spark-native replacement for the
@@ -69,32 +139,12 @@ object StreamingRollups {
             Iterator.single(Session(entity, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  // late (out-of-order) events must never move the
-                  // session window backwards — a cross-batch arrival
-                  // with t < s.end would otherwise corrupt the end
-                  // and spuriously split the session later
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  closed += Session(entity, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (cur, closed) = mergeBatch(entity, rows, state, gapMs)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutDuration(gapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

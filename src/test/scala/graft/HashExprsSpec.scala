@@ -184,4 +184,54 @@ class HashExprsSpec extends SparkSpec {
     assert(back.count() > 0)
     assert(back.select("agg_type").distinct().head().getString(0) === "year")
   }
+
+  test("quantize_i8 emits the int8 array consistent with its stats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5, -1.0, 0.25, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)) // all-zero → zeros, no div-by-0
+    ).toDF("id", "v").select(
+      col("id"),
+      HashExprs.quantizeI8(col("v")).as("q"),
+      HashExprs.quantizeI8Stats(col("v")).as("st"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    val q1 = rows(0).getAs[scala.collection.Seq[Byte]]("q")
+    // scale = 1.0/127; q = round(x * 127)
+    assert(q1 === Seq[Byte](64, -127, 32, 0))
+    val st1 = rows(0).getStruct(2)
+    assert(q1.map(b => math.abs(b.toLong)).sum === st1.getAs[Long]("l1"))
+    assert(q1.map(_.toLong).max === st1.getAs[Long]("qmax"))
+    assert(q1.map(_.toLong).min === st1.getAs[Long]("qmin"))
+    assert(rows(1).getAs[scala.collection.Seq[Byte]]("q") === Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("xml_leaf_map: namespaces, attributes, nesting, case, last-wins") {
+    import spark.implicits._
+    import graft.plans.XmlExprs
+    val payload =
+      """<idx:Report xmlns:idx="http://x" Entity="ACME">
+        |<idx:Revenue>100</idx:Revenue>
+        |<idx:meta><idx:CurrentYear unit="IDR">2024</idx:CurrentYear></idx:meta>
+        |<Liabilities>7</Liabilities>
+        |<Dup>first</Dup><Dup>second</Dup>
+        |<broken <<< not-xml
+        |</idx:Report>""".stripMargin
+    val m = Seq(payload).toDF("p").select(XmlExprs.xmlLeafMap(col("p")).as("m"))
+    val got = m.select(
+      XmlExprs.getKeyCI(col("m"), "Report@Entity").as("entity"),
+      XmlExprs.getKeyCI(col("m"), "REVENUE").as("rev"),
+      XmlExprs.getKeyCI(col("m"), "currentYear").as("cy"),
+      XmlExprs.getKeyCI(col("m"), "CurrentYear@UNIT").as("unit"),
+      XmlExprs.getKeyCI(col("m"), "liabilities").as("li"),
+      XmlExprs.getKeyCI(col("m"), "dup").as("dup"),
+      XmlExprs.getKeyCI(col("m"), "meta").as("meta"), // non-leaf → absent
+      XmlExprs.getKeyCI(col("m"), "missing").as("missing")).head()
+    assert(got.getString(0) === "ACME")
+    assert(got.getString(1) === "100")
+    assert(got.getString(2) === "2024")
+    assert(got.getString(3) === "IDR")
+    assert(got.getString(4) === "7")
+    assert(got.getString(5) === "second")
+    assert(got.isNullAt(6) && got.isNullAt(7))
+  }
 }

@@ -47,6 +47,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === 2)
   }
 
+  test("event-time sessionization closes a session by watermark advance, not wall clock") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val input = MemoryStream[Event]
+    // one batch per run against a shared checkpoint: each Trigger.Once
+    // run terminates cleanly (multi-batch processAllAvailable against
+    // flatMapGroupsWithState hangs in this environment), and the
+    // watermark persists in the checkpoint between runs
+    def runOnce(): Unit = {
+      val q = StreamingRollups
+        .sessionizeEventTime(input.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "10 seconds")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.Once()).start()
+      q.awaitTermination(120000)
+    }
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 00:00:30"), 2.0))
+    runOnce() // watermark after this batch ≈ 00:00:20 — session open
+    input.addData(Event(2L, ts("2024-01-01 01:00:00"), 7.0))
+    runOnce() // advances the watermark to ≈ 00:59:50 (timeouts fire NEXT batch)
+    input.addData(Event(3L, ts("2024-01-01 01:00:01"), 1.0))
+    runOnce() // watermark 00:59:50 > session end 00:00:30 + 5 min gap → entity 1 closes
+    val done = spark.read.parquet(out).as[Session].collect()
+    assert(done.exists(s => s.entity_id == 1L && s.n_events == 2L
+      && math.abs(s.total_value - 3.0) < 1e-9),
+      s"expected entity 1 session closed by event time, got ${done.mkString(", ")}")
+    // entity 2's session is still within its gap at the final watermark
+    assert(!done.exists(_.entity_id == 2L))
+  }
+
   test("sessionization closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
