@@ -73,6 +73,8 @@ object SparkEntry {
     "region_pivot" -> ((s, d) =>
       Analytics.regionPivot(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d))),
+    "asof_join"  -> ((s, d) => Temporal.asofJoin(Tables.events(s, d))),
+    "range_join" -> ((s, d) => Temporal.rangeJoinOrders(Tables.orders(s, d), 90)),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -104,7 +106,8 @@ object SparkEntry {
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "text_clean"        -> ((s, d) => TextAnalysis.textClean(Tables.documents(s, d))),
-    "fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)))
+    "fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) => Sampling.stratified(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Conventions shared with the Spark side:
@@ -433,6 +436,39 @@ object SparkEntry {
         |CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30000 THEN 1 ELSE 0 END AS new_s
         |FROM events))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB's native ASOF JOIN is an independent implementation of
+    // the as-of semantics — a strong oracle for the union+window plan
+    "asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_event_id, max(value) AS p_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |p.purchase_event_id,
+        |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |round(p.p_value, 2) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      """SELECT a.o_orderkey, count(*) AS n_window,
+        |CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS window_total
+        |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |AND b.o_orderdate >= a.o_orderdate
+        |AND b.o_orderdate < a.o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_stratified" -> {
+      // first 8 md5 hex digits as an integer, via per-digit strpos
+      // (DuckDB has no hex→int conv builtin)
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |b AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS bucket FROM h)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+         |ORDER BY doc_id""".stripMargin
+    },
     "top_k" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in physical operator
+  * for, expressed as shuffle-minimal compositions of built-ins (the
+  * preferred extension path: no custom plan node needed, Catalyst and
+  * AQE still see through the whole thing).
+  */
+object Temporal {
+
+  /** AS-OF join: for each left event, the most recent right event of
+    * the same key at-or-before its timestamp — the time-series "state
+    * at time t" lookup (last quote before a trade, last conversion
+    * before a click).
+    *
+    * Plan shape: union both sides tagged, ONE hash shuffle on the
+    * key, then `last(..., ignoreNulls)` over a (ts, side)-ordered
+    * running window carries each right row forward to the left rows
+    * it answers. No range-condition join (which Spark would plan as
+    * a broadcast-nested-loop or a cartesian with post-filter — both
+    * explode at scale), no per-key collect. Right rows sort before
+    * left rows at equal ts (side 0 < 1), making the match inclusive.
+    * Skewed keys shard like any window: by construction state per
+    * key is one pass, and a hot key can be salted by time-bucketing
+    * the partition key if ever needed.
+    *
+    * Here: for each `click` event, the user's most recent `purchase`
+    * at-or-before it. The right side is first collapsed to one row
+    * per (user, ts) — max event_id / value — so the as-of winner is
+    * unique and the result is deterministic under ties.
+    */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"), max(col("value")).as("p_value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = purchases.select(
+      col("user_id"), col("ts"), lit(0).as("side"),
+      col("p_event_id"), col("ts").as("p_ts"), col("p_value"),
+      lit(null).cast("long").as("event_id"))
+    val left = clicks.select(
+      col("user_id"), col("ts"), lit(1).as("side"),
+      lit(null).cast("long").as("p_event_id"),
+      lit(null).cast("timestamp").as("p_ts"),
+      lit(null).cast("double").as("p_value"),
+      col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right.unionByName(left)
+      .withColumn("purchase_event_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .withColumn("purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("purchase_event_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** RANGE join: count/sum the same-key rows whose timestamp falls in
+    * a bounded window after each row — here, for every order, the
+    * customer's order count and spend over the following `days` days
+    * (inclusive start, exclusive end).
+    *
+    * Plan shape: the interval side explodes into the (few) coarse
+    * time buckets its window covers (`sequence` of month starts —
+    * bounded: a d-day window spans ≤ ⌈d/28⌉+1 buckets), the point
+    * side buckets by its own month, and the range predicate becomes
+    * an EQUI-join on (key, bucket) plus a residual filter. One hash
+    * shuffle, candidate pairs limited to same-key-same-month — never
+    * the all-pairs-per-key blowup a raw `ts BETWEEN` join plans as.
+    * Each true pair is found exactly once (the point side has exactly
+    * one bucket), so aggregates need no dedup.
+    */
+  def rangeJoinOrders(orders: DataFrame, days: Int): DataFrame = {
+    val a = orders.select(
+      col("o_orderkey").as("a_key"), col("o_custkey").as("cust"),
+      col("o_orderdate").as("a_date"))
+      .withColumn("bucket", explode(sequence(
+        date_trunc("month", col("a_date")),
+        date_trunc("month", col("a_date") + expr(s"INTERVAL ${days - 1} DAYS")),
+        expr("INTERVAL 1 MONTH"))))
+    val b = orders.select(
+      col("o_custkey").as("cust"), col("o_orderdate").as("b_date"),
+      col("o_totalprice").cast("decimal(12,2)").as("b_price"),
+      date_trunc("month", col("o_orderdate")).as("bucket"))
+    a.join(b, Seq("cust", "bucket"))
+      .filter(col("b_date") >= col("a_date") &&
+        col("b_date") < col("a_date") + expr(s"INTERVAL $days DAYS"))
+      .groupBy(col("a_key").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_window"),
+        round(sum(col("b_price")), 2).cast("double").as("window_total"))
+      .orderBy("o_orderkey")
+  }
+}

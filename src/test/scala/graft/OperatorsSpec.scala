@@ -187,6 +187,69 @@ class OperatorsSpec extends SparkSpec {
     assert(f.select("fp").distinct().count() === f.count()) // corpus is all-distinct
   }
 
+  test("asof join picks the latest at-or-before right row, inclusive at ties") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: purchases at :10 and :30; clicks at :10 (tie → inclusive),
+    // :20 (after first), :40 (after second), and user 2 has no purchase
+    val events = Seq(
+      (100L, 1L, t("2024-01-01 00:00:10"), 5.0, "purchase"),
+      (101L, 1L, t("2024-01-01 00:00:30"), 9.0, "purchase"),
+      (200L, 1L, t("2024-01-01 00:00:10"), 0.0, "click"),
+      (201L, 1L, t("2024-01-01 00:00:20"), 0.0, "click"),
+      (202L, 1L, t("2024-01-01 00:00:40"), 0.0, "click"),
+      (203L, 2L, t("2024-01-01 00:00:15"), 0.0, "click")
+    ).toDF("event_id", "user_id", "ts", "value", "event_type")
+    val out = Temporal.asofJoin(events).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out === Map(200L -> 100L, 201L -> 100L, 202L -> 101L, 203L -> -1L))
+  }
+
+  test("asof join plans a single hash shuffle, never a range-condition join") {
+    val plan = Temporal.asofJoin(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("range join counts the bounded follow window exactly once per pair") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cust 1: orders on Jan 1, Feb 25, May 1 — 90-day window of Jan 1
+    // includes Feb 25 (bucket 2 months away) but not May 1; the
+    // cross-month bucket explosion must not double count
+    val orders = Seq(
+      (1L, 1L, d("1995-01-01"), 10.0),
+      (2L, 1L, d("1995-02-25"), 20.0),
+      (3L, 1L, d("1995-05-01"), 40.0),
+      (4L, 2L, d("1995-01-15"), 7.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Temporal.rangeJoinOrders(orders, 90).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((2L, 30.0))) // itself + Feb 25; May 1 > Apr 1 excluded
+    assert(out(2L) === ((2L, 60.0))) // itself + May 1 (65 days later)
+    assert(out(3L) === ((1L, 40.0)))
+    assert(out(4L) === ((1L, 7.0)))
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Sampling.stratified(docs).collect()
+    val s2 = Sampling.stratified(docs).collect()
+    assert(s1.toSeq === s2.toSeq) // pure function of doc_id → identical
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en kept at ~50%, others at ~20% (hash buckets are uniform-ish;
+    // wide tolerance, the exactness is pinned by the DuckDB oracle)
+    val enRate = byLang.getOrElse("en", 0).toDouble / total("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+    val otherKept = byLang.filterNot(_._1 == "en").values.sum.toDouble
+    val otherTotal = total.filterNot(_._1 == "en").values.sum.toDouble
+    val otherRate = otherKept / otherTotal
+    assert(otherRate > 0.08 && otherRate < 0.35, s"other rate $otherRate")
+    assert(enRate > otherRate)
+  }
+
   test("multimodal: stub decode produces fixed-width normalized features") {
     val media = Multimodal.synthesize(Tables.documents(spark, sfDir), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
