@@ -75,6 +75,8 @@ object SparkEntry {
         Tables.customer(s, d), Tables.orders(s, d))),
     "asof_join"  -> ((s, d) => Temporal.asofJoin(Tables.events(s, d))),
     "range_join" -> ((s, d) => Temporal.rangeJoinOrders(Tables.orders(s, d), 90)),
+    "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
+    "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -472,6 +474,22 @@ object SparkEntry {
     "top_k" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
+    // the salted two-stage agg must equal the PLAIN aggregation —
+    // that equality is exactly what the oracle checks
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
+        |round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rank-based lower median: same integer selection rule on both
+    // engines (interpolated medians diverge in the last double ulp)
+    "rollup_median" ->
+      """SELECT o_custkey AS entity_id, round(o_totalprice, 2) AS median_price, n AS n_orders
+        |FROM (SELECT o_custkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn,
+        |count(*) OVER (PARTITION BY o_custkey) AS n
+        |FROM orders)
+        |WHERE rn = (n + 1) // 2 ORDER BY entity_id""".stripMargin,
     "region_pivot" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |CAST(coalesce(round(sum(v) FILTER (WHERE r = 'africa'), 2), 0) AS DOUBLE) AS africa,

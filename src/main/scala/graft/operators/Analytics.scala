@@ -190,6 +190,54 @@ object Analytics {
     * per-partition TakeOrdered + driver merge of k rows — no global
     * sort shuffle.
     */
+  /** Skew-safe two-stage ("salted") aggregation: partial-aggregate on
+    * (key, salt) first, then finish on the key. The result is
+    * IDENTICAL to a plain groupBy (decimal sums are associative), but
+    * a hot key's rows spread over `salts` reducers in stage one
+    * instead of hammering a single task — the standard fix when one
+    * group holds a double-digit percentage of a 100 TB fact table and
+    * AQE's skew handling can't split an agg the way it splits a join.
+    * The salt derives from a uniform existing column, not rand():
+    * deterministic output, and re-runs/retries agg identically.
+    */
+  def saltedAgg(lineitem: DataFrame, salts: Int = 16): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    lineitem
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(price).as("p_price"),
+        sum("l_quantity").as("p_qty"),
+        count(lit(1)).as("p_cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(col("p_price")), 2).cast("double").as("sum_price"),
+        round(sum(col("p_qty")), 2).as("sum_qty"),
+        sum(col("p_cnt")).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact per-entity median by RANK, not interpolation: the lower
+    * median is the ((n+1) div 2)-th smallest value (ties broken by
+    * orderkey, so the picked ROW is unique). Rank-based selection is
+    * engine-portable — interpolated medians average two doubles with
+    * engine-specific expression trees and diverge in the last ulp —
+    * and generalizes to any percentile by changing the rank formula.
+    * One shuffle on the entity; both windows share the partitioning.
+    */
+  def medianByEntity(orders: DataFrame): DataFrame = {
+    val byEntity = Window.partitionBy("o_custkey")
+    val w = byEntity.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byEntity))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("o_custkey").as("entity_id"),
+        round(col("o_totalprice"), 2).as("median_price"),
+        col("n").as("n_orders"))
+      .orderBy("entity_id")
+  }
+
   def topK(orders: DataFrame, k: Int): DataFrame =
     orders
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))

@@ -51,6 +51,15 @@ object StreamingRollups {
   // class from outside the package.
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+  /** Stream-static enrichment: join a stream against a broadcast
+    * dimension table (the reference enriches every pipeline row with
+    * company metadata). The static side is re-broadcast per batch by
+    * the engine; no stream-side shuffle, so watermarks and state pass
+    * through untouched.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Shared per-batch session merge: fold this batch's (sorted) events
     * into the open session, emitting sessions closed INLINE by a
     * same-key event arriving past the gap. Late (out-of-order) events

@@ -250,6 +250,32 @@ class OperatorsSpec extends SparkSpec {
     assert(enRate > otherRate)
   }
 
+  test("salted two-stage aggregation equals the plain aggregation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val salted = Analytics.saltedAgg(li).collect().toSeq
+    val plain = li.groupBy("l_returnflag")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2).cast("double").as("sum_price"),
+        round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("rank-based median picks the lower middle element deterministically") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 1L, d("1995-01-01"), 10.0),
+      (2L, 1L, d("1995-01-02"), 30.0),
+      (3L, 1L, d("1995-01-03"), 20.0),
+      (4L, 2L, d("1995-01-01"), 5.0),
+      (5L, 2L, d("1995-01-02"), 6.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.medianByEntity(orders).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(1L) === ((20.0, 3L))) // odd: true middle
+    assert(out(2L) === ((5.0, 2L)))  // even: LOWER median, not interpolated 5.5
+  }
+
   test("multimodal: stub decode produces fixed-width normalized features") {
     val media = Multimodal.synthesize(Tables.documents(spark, sfDir), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)

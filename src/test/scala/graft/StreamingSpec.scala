@@ -81,6 +81,25 @@ class StreamingSpec extends SparkSpec {
     assert(!done.exists(_.entity_id == 2L))
   }
 
+  test("stream-static enrichment broadcasts the dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:10"), 10.0),
+      Event(999999L, ts("2024-01-01 00:00:20"), 7.0)) // no dim match → left join keeps it
+    val dim = sources.Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val enriched = StreamingRollups.enrich(input.toDF(), dim, "entity_id", "c_custkey")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("enriched").collect()
+    assert(rows.length === 2)
+    val byId = rows.map(r => r.getAs[Long]("entity_id") -> r.getAs[String]("c_name")).toMap
+    assert(byId(1L) != null)
+    assert(byId(999999L) == null)
+  }
+
   test("sessionization closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
