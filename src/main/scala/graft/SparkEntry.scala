@@ -79,6 +79,8 @@ object SparkEntry {
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_keep_best"   -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
+    "quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -171,16 +173,37 @@ object SparkEntry {
     * the min doc_id of its component; edgeless docs are their own
     * singleton. Mirrors [[graft.operators.Dedup.minhashClusters]].
     */
-  private def clusterOracle: String =
-    s"""WITH RECURSIVE jp AS (${jaccardPairsOracle(word = false, k = 5, threshold = 0.5)}),
+  private def clusterCtes: String =
+    s"""jp AS (${jaccardPairsOracle(word = false, k = 5, threshold = 0.5)}),
        |edges AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
        |reach AS (SELECT a AS doc_id, b AS r FROM edges
        |  UNION SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON e.b = reach.doc_id),
-       |lbl AS (SELECT doc_id, min(r) AS mr FROM reach GROUP BY doc_id)
+       |lbl AS (SELECT doc_id, min(r) AS mr FROM reach GROUP BY doc_id)""".stripMargin
+
+  private def clusterOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT d.doc_id,
        |coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id,
        |(coalesce(least(l.mr, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
+
+  /** Oracle for dedup_keep_best: brute-force components (same CTEs as
+    * [[clusterOracle]]) joined to the quality expression of the
+    * quality_score oracle, per-cluster argmax by (quality desc, id).
+    */
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |q AS (SELECT doc_id,
+       |  round(least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) AS quality
+       |  FROM documents),
+       |jn AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+       |  row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+       |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS keep_doc_id, n_members, quality AS best_quality
+       |FROM jn WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** Brute-force SimHash pairs in DuckDB. The token hash is the first
     * 8 bytes of md5 (see [[graft.plans.HashExprs.md5Hash64]]), so the
@@ -273,6 +296,14 @@ object SparkEntry {
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),
     "dedup_minhash_lsh" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
+    "dedup_keep_best" -> keepBestOracle,
+    "quality_filter" ->
+      """SELECT doc_id, word_count, quality FROM (
+        |SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS word_count,
+        |round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) AS quality
+        |FROM documents)
+        |WHERE quality >= 0.5 AND word_count >= 20 ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" -> jaccardPairsOracle(word = true, k = 3, threshold = 0.4),
     "dedup_cluster" -> clusterOracle,
     "dedup_simhash" -> simhashOracle(3),

@@ -64,6 +64,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The quality KEEP/DROP decision itself (the filter stage every
+    * pre-training pipeline runs after scoring): keep documents whose
+    * composite quality and length clear the thresholds. A pure row
+    * predicate over [[qualityScore]] — scan-speed, pushdown-friendly,
+    * no shuffle.
+    */
+  def qualityFilter(documents: DataFrame, minQuality: Double = 0.5,
+                    minWords: Int = 20): DataFrame =
+    qualityScore(documents)
+      .filter(col("quality") >= minQuality && col("word_count") >= minWords)
+      .select(col("doc_id"), col("word_count"), col("quality"))
+      .orderBy("doc_id")
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation), the usual cheap
     * proxy for subword token counts.

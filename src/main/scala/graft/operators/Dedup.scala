@@ -117,9 +117,33 @@ object Dedup {
     * per round and `maxIter` rounds cover components of diameter
     * ~2^maxIter. No driver-side graph state.
     */
-  def minhashClusters(documents: DataFrame, maxIter: Int = 5): DataFrame =
+  def minhashClusters(documents: DataFrame, maxIter: Int = 8): DataFrame =
     clusterPairs(minhashLsh(documents).select("a", "b"),
       documents.select("doc_id"), maxIter)
+
+  /** The end product of the dedup pipeline: ONE kept document per
+    * near-dup cluster, chosen by QUALITY (not min id — dropping the
+    * better-written duplicate is a real training-data loss), with a
+    * deterministic id tiebreak. Composes [[minhashClusters]] with
+    * [[graft.functions.TextAnalysis.qualityScore]]; the per-cluster
+    * argmax is a window over the (tiny) cluster assignment, not the
+    * corpus.
+    */
+  def keepBest(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = minhashClusters(documents).select("doc_id", "cluster_id")
+    val quality = graft.functions.TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("quality"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val w = byCluster.orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("n_members"), col("quality").as("best_quality"))
+      .orderBy("cluster_id")
+  }
 
   /** Connected components over an (a, b) near-dup pair list: every doc
     * in `allDocs` gets the min doc_id of its component (docs without

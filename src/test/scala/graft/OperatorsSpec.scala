@@ -126,6 +126,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L) === 7L) // singleton keeps itself
   }
 
+  test("keep-best dedup keeps the highest-quality member of each cluster") {
+    import spark.implicits._
+    // doc 2 extends doc 1 with more words → higher length-driven
+    // quality; keep-best must pick 2, NOT the min-id canonical 1
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " plus extra tail"),
+      (7L, "entirely different content about columnar query execution engines")
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepBest(docs).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_members"))).toMap
+    assert(out(1L) === ((2L, 2L)), s"got $out")
+    assert(out(7L) === ((7L, 1L)))
+  }
+
   test("xml extraction handles attributes, absent tags, case-insensitive keys") {
     import spark.implicits._
     val df = Seq(
