@@ -39,6 +39,46 @@ object Sinks {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Idempotent per-period upsert: replace ONLY the partitions present
+    * in `df`, leaving every other partition untouched — Spark's
+    * dynamic partition overwrite. This is the reference's
+    * delete-then-insert per (year, period) load
+    * (idx_transformation_load_script.py:469-519) without the
+    * full-table overwrite: a daily re-run rewrites that day's
+    * directory and nothing else, so backfills are idempotent and
+    * concurrent readers of other periods are unaffected.
+    */
+  def upsertPartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a partitioned table's data with a
+    * bounded number of files per partition. Incremental per-period
+    * loads accumulate one-file-per-task fragments; at 100 TB the
+    * resulting millions of small files dominate scan open/seek cost
+    * and NameNode/listing pressure. One clustered rewrite restores
+    * few-large-files layout; run it on cold partitions out of band.
+    */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String]): Unit = {
+    val tmp = path.stripSuffix("/") + "_compacted_tmp"
+    val df = spark.read.parquet(path)
+    val parts = partitionCols.map(df.col)
+    // hash-clustering on the partition columns lands each partition
+    // value in one task → one file per directory (for a partition too
+    // big for one file, range-repartition on (partition cols, a salt))
+    df.repartition(parts: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
+    // atomic-ish swap (on an object store this would be a manifest
+    // commit; locally a directory rename)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
   /** Save as a bucketed table: rows are hash-clustered into `numBuckets`
     * files per partition on `bucketCols`. Joins/aggregations on the
     * bucket columns between co-bucketed tables skip the shuffle

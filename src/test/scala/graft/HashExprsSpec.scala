@@ -185,6 +185,36 @@ class HashExprsSpec extends SparkSpec {
     assert(back.select("agg_type").distinct().head().getString(0) === "year")
   }
 
+  test("dynamic partition upsert replaces only the loaded periods") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val v1 = Seq(("2024-01", 1L, 10.0), ("2024-02", 2L, 20.0))
+      .toDF("period", "id", "v")
+    Sinks.writePartitioned(v1, dir, Seq("period"))
+    // reload of ONE period with corrected data
+    val v2 = Seq(("2024-02", 2L, 25.0)).toDF("period", "id", "v")
+    Sinks.upsertPartitions(v2, dir, Seq("period"))
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("period") -> r.getAs[Double]("v")).toMap
+    assert(back === Map("2024-01" -> 10.0, "2024-02" -> 25.0))
+  }
+
+  test("compaction collapses many small files to one per partition, same rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 200).map(i => (s"2024-0${i % 2 + 1}", i.toLong)).toDF("period", "id")
+    // force a fragmented layout: many tasks each writing every period
+    df.repartition(16).write.mode("overwrite").partitionBy("period").parquet(dir)
+    def filesIn(p: String) = new java.io.File(s"$dir/period=$p")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesIn("2024-01") > 4)
+    Sinks.compact(spark, dir, Seq("period"))
+    assert(filesIn("2024-01") === 1 && filesIn("2024-02") === 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 200)
+    assert(back.agg(sum("id")).head().getLong(0) === (1 to 200).sum.toLong)
+  }
+
   test("quantize_i8 emits the int8 array consistent with its stats") {
     import spark.implicits._
     val df = Seq(
