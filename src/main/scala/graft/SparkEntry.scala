@@ -278,8 +278,10 @@ object SparkEntry {
        |WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold""".stripMargin
   }
 
-  /** Oracle for ann_lsh_topk: two 8-bit band buckets; score rows
-    * sharing a bucket with the query; top-k by (cos_sim desc, vec_id).
+  /** Oracle for ann_lsh_topk: two 8-bit band buckets; score rows whose
+    * bucket is within hamming 1 of the query's on either band
+    * (multi-probe, mirroring [[graft.operators.Similarity.lshTopK]]);
+    * top-k by (cos_sim desc, vec_id).
     */
   private def lshTopKOracle(queryId: Long, k: Int): String = {
     def key(c: Int): String =
@@ -288,7 +290,9 @@ object SparkEntry {
        |bk AS (SELECT vec_id, e, ${key(0)} AS k0, ${key(1)} AS k1 FROM bits),
        |q AS (SELECT e AS qe, k0 AS qk0, k1 AS qk1 FROM bk WHERE vec_id = $queryId)
        |SELECT bk.vec_id, round(list_cosine_similarity(bk.e, q.qe), 4) AS cos_sim
-       |FROM bk, q WHERE bk.vec_id <> $queryId AND (bk.k0 = q.qk0 OR bk.k1 = q.qk1)
+       |FROM bk, q WHERE bk.vec_id <> $queryId
+       |AND (bit_count(xor(bk.k0::BIGINT, q.qk0::BIGINT)) <= 1
+       |  OR bit_count(xor(bk.k1::BIGINT, q.qk1::BIGINT)) <= 1)
        |ORDER BY cos_sim DESC, bk.vec_id LIMIT $k""".stripMargin
   }
 

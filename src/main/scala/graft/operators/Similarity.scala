@@ -231,12 +231,21 @@ object Similarity {
       .select(col("vec_id"), col("cos_sim"))
   }
 
-  /** LSH-bucketed approximate top-k: both the corpus and the query get
-    * sign-projection band buckets; only rows sharing a band bucket with
-    * the query are scored. On a cluster the bucket id is the partition
-    * key, so a probe touches a fraction ~= 2/2^8 of the data.
+  /** LSH-bucketed approximate top-k with MULTI-PROBE: both the corpus
+    * and the query get sign-projection band buckets; rows whose bucket
+    * is within hamming distance `probeHamming` of the query's on
+    * EITHER band are scored. Single-bucket probing (probeHamming=0)
+    * misses near neighbors that flip one marginal projection bit —
+    * multi-probe recovers most of that recall for 9× the probed
+    * buckets per band (of 256), still a tiny corpus fraction.
+    *
+    * On a cluster the bucket id is the partition key; the probe set
+    * is enumerable (all keys within hamming r), so this stays a
+    * partition-pruned read — the bit_count filter below is the same
+    * predicate in scan form.
     */
-  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64): DataFrame = {
+  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int = 64,
+              probeHamming: Int = 1): DataFrame = {
     val bits = HashExprs.signProjBits(col("embedding"), Dedup.hyperplanes(16, dim))
     val withBuckets = embeddings.select(col("vec_id"), col("embedding"), bits.as("bits"))
       .select(col("vec_id"), col("embedding"),
@@ -246,7 +255,9 @@ object Similarity {
       .select(col("embedding").as("q_embedding"), col("b0").as("qb0"), col("b1").as("qb1"))
     withBuckets.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .filter(col("b0") === col("qb0") || col("b1") === col("qb1"))
+      .filter(
+        bit_count(col("b0").bitwiseXOR(col("qb0"))) <= probeHamming ||
+        bit_count(col("b1").bitwiseXOR(col("qb1"))) <= probeHamming)
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

@@ -193,6 +193,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe lsh recalls at least as much as single-bucket probing") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(emb, 0L, 20)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    def recall(h: Int): Double = {
+      val got = Similarity.lshTopK(emb, 0L, 20, probeHamming = h)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    // on a structureless random corpus recall ≈ probed fraction, so
+    // only monotonicity is assertable — multi-probe must dominate
+    assert(r1 >= r0, s"multi-probe recall $r1 < single-probe $r0")
+    val n0 = Similarity.lshTopK(emb, 0L, 20, probeHamming = 0).count()
+    val n1 = Similarity.lshTopK(emb, 0L, 20, probeHamming = 1).count()
+    assert(n1 >= n0 && n1 > 0, s"multi-probe candidates $n1 vs $n0")
+  }
+
   test("quality/token/fingerprint invariants") {
     val docs = Tables.documents(spark, sfDir)
     val q = TextAnalysis.qualityScore(docs)
