@@ -6,7 +6,7 @@ object Explain {
       .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
       .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (name <- args) {
       println(s"===== $name =====")
       SparkEntry.queries(name)(spark, d).explain("formatted")

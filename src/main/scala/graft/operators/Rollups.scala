@@ -136,9 +136,13 @@ object Rollups {
       // HALF_UP and DuckDB's double round() goes half-even — so the
       // 4dp rounding is done in exact integer math on both sides:
       // round(S/(100·n), 4)·10^4 = (200·S + n) div (2·n), S in cents.
-      .withColumn("cents_p", (col("sum_price_d") * 100).cast("long"))
-      .withColumn("cents_d", (col("sum_disc_d") * 100).cast("long"))
-      .withColumn("qty_l", col("sum_qty_d").cast("long"))
+      // decimal(38,0), not long: per-(entity, month) cents sums stay
+      // far below 2^63, but the wider type costs nothing and keeps the
+      // identity overflow-proof if the grouping ever coarsens (the Q1
+      // lesson — Analytics.scala:50)
+      .withColumn("cents_p", (col("sum_price_d") * 100).cast("decimal(38,0)"))
+      .withColumn("cents_d", (col("sum_disc_d") * 100).cast("decimal(38,0)"))
+      .withColumn("qty_l", col("sum_qty_d").cast("decimal(38,0)"))
       .select(
         col("entity_id"), col("period_key"), lit("month").as("agg_type"),
         round(col("sum_qty_d"), 2).as("sum_qty"),

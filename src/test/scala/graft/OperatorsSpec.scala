@@ -266,6 +266,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) === ((1L, 7.0)))
   }
 
+  test("bucketized pair range join agrees with the window range aggregation") {
+    val orders = Tables.orders(spark, sfDir)
+    val viaWindow = Temporal.rangeJoinOrders(orders, 90).collect().toSeq
+    val intervals = orders.select(col("o_custkey").as("key"),
+      col("o_orderkey").as("a_key"), col("o_orderdate").as("a_date"))
+    val points = orders.select(col("o_custkey").as("key"),
+      col("o_orderdate").as("b_date"), col("o_totalprice").cast("decimal(12,2)").as("b_val"))
+    val viaJoin = Temporal.rangeJoinPairs(intervals, points, 90)
+      .groupBy(col("a_key").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_window"),
+        round(sum("b_val"), 2).cast("double").as("window_total"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(viaJoin === viaWindow)
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = Sampling.stratified(docs).collect()
