@@ -111,7 +111,11 @@ object SparkEntry {
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "text_clean"        -> ((s, d) => TextAnalysis.textClean(Tables.documents(s, d))),
     "fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
-    "sample_stratified" -> ((s, d) => Sampling.stratified(Tables.documents(s, d)))
+    "sample_stratified" -> ((s, d) => Sampling.stratified(Tables.documents(s, d))),
+    "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
+    "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
+    "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d)))
   )
 
   // DuckDB-dialect oracles. Conventions shared with the Spark side:
@@ -601,6 +605,43 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same 4dp integer HALF_UP identity as the rollup averages — word
+    // counts are routinely powers of two, which lands the ratios on
+    // exact 5th-decimal halves where double rounding splits by engine
+    "quality_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, len(ws)::BIGINT AS n_words, len(list_distinct(ws))::BIGINT AS n_distinct_words,
+        |list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) AS gs FROM w),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM s),
+        |c AS (SELECT doc_id, max(cnt)::BIGINT AS top_bigram_count FROM (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2) GROUP BY 1)
+        |SELECT s.doc_id, s.n_words, s.n_distinct_words, coalesce(c.top_bigram_count, 0) AS top_bigram_count,
+        |CAST(((s.n_words - s.n_distinct_words) * 20000 + s.n_words) // (2 * s.n_words) AS DOUBLE) / 10000 AS dup_word_frac,
+        |CASE WHEN s.n_words > 1 THEN CAST((coalesce(c.top_bigram_count, 0) * 20000 + (s.n_words - 1)) // (2 * (s.n_words - 1)) AS DOUBLE) / 10000 ELSE 0.0 END AS top_bigram_frac
+        |FROM s LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the profile string is constructed identically on both engines
+    // (the synthetic customer table has no PII-bearing columns); the
+    // operator under test is the redaction itself
+    "pii_scrub" ->
+      """WITH p AS (SELECT c_custkey,
+        |concat_ws(' ', c_name,
+        |printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10, (c_custkey * 7) % 1000, (c_custkey * 13) % 1000, (c_custkey * 31) % 10000),
+        |CASE WHEN c_custkey % 3 = 0 THEN 'user' || c_custkey || '@example.com' ELSE '' END,
+        |c_mktsegment) AS profile FROM customer)
+        |SELECT c_custkey,
+        |len(regexp_extract_all(profile, '\b\d{2}-\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |len(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |regexp_replace(regexp_replace(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY c_custkey""".stripMargin,
+    "vocab_topk" ->
+      """WITH g AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents)
+        |SELECT word, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+        |FROM g GROUP BY 1 ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |hits AS (SELECT DISTINCT g.doc_id, g.gram FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0)
+        |SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

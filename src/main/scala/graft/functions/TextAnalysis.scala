@@ -116,6 +116,72 @@ object TextAnalysis {
   def normalizeWs(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
+  /** Per-document repetition signals (the Gopher/RefinedWeb-style
+    * repetition filter features): duplicate-word fraction and the
+    * most-frequent-bigram fraction. One compiled pass per document
+    * ([[graft.plans.HashExprs.repetitionStats]]) — shuffle-free scan
+    * work, where the explode→groupBy formulation would shuffle one
+    * row per bigram occurrence (≈ corpus token count) at 100 TB.
+    * The 4dp ratios use the exact integer HALF_UP identity
+    * `(20000·n + d) div (2·d)` — documents routinely have power-of-2
+    * word counts, which land ratios on exact 5th-decimal halves where
+    * Spark (HALF_UP) and DuckDB (half-even) double rounding split.
+    */
+  def repetition(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.plans.HashExprs.repetitionStats(normalizeWs(col("text"))).as("s"))
+      .select(col("doc_id"),
+        col("s.n_words").as("n_words"),
+        col("s.n_distinct_words").as("n_distinct_words"),
+        col("s.top_bigram_count").as("top_bigram_count"))
+      .withColumn("dup_word_frac",
+        expr("((n_words - n_distinct_words) * 20000 + n_words) div (2 * n_words)")
+          .cast("double") / 10000)
+      .withColumn("top_bigram_frac",
+        when(col("n_words") > 1,
+          expr("(top_bigram_count * 20000 + (n_words - 1)) div (2 * (n_words - 1))")
+            .cast("double") / 10000)
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  /** PII pattern in the NANP-ish `nn-nnn-nnn-nnnn` shape. Deliberately
+    * anchored with `\b` and written in the regex subset Java and RE2
+    * interpret identically, so the redaction is oracle-verifiable.
+    */
+  val PhonePattern = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before anything leaves the raw zone: replace phone/email
+    * matches with typed placeholders and count what was redacted
+    * (the redaction-rate metric drives pipeline monitoring). Pure
+    * regexp_replace/regexp_count — codegen'd, scan-speed.
+    *
+    * The synthetic customer table carries no PII-bearing columns, so
+    * the profile string under test is CONSTRUCTED deterministically
+    * from c_custkey (both engines build the identical string — the
+    * operator under test is the redaction, not the profile).
+    */
+  def piiScrub(customer: DataFrame): DataFrame = {
+    val ck = col("c_custkey")
+    val profile = concat_ws(" ",
+      col("c_name"),
+      format_string("%02d-%03d-%03d-%04d",
+        pmod(ck, lit(90)) + 10, pmod(ck * 7, lit(1000)),
+        pmod(ck * 13, lit(1000)), pmod(ck * 31, lit(10000))),
+      when(ck % 3 === 0, concat(lit("user"), ck, lit("@example.com"))).otherwise(lit("")),
+      col("c_mktsegment"))
+    customer.select(ck, profile.as("profile"))
+      .select(col("c_custkey"),
+        regexp_count(col("profile"), lit(PhonePattern)).cast("long").as("n_phones"),
+        regexp_count(col("profile"), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_replace(
+          regexp_replace(col("profile"), lit(EmailPattern), lit("<EMAIL>")),
+          lit(PhonePattern), lit("<PHONE>")).as("redacted"))
+      .orderBy("c_custkey")
+  }
+
   /** Whitespace-normalized content fingerprint (md5). The dedup
     * primitive: equal fingerprints = exact duplicates modulo
     * whitespace.

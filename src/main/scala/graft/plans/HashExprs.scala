@@ -74,6 +74,22 @@ object HashExprs {
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     col(NearestCentroidExpr(expr(v), centroids))
 
+  /** Word n-grams of a single-space-normalized text, as strings —
+    * the decontamination/membership primitive (gram strings, not
+    * hashes, so any engine can recompute them). Texts shorter than n
+    * words produce an EMPTY array (a too-short text can't contain a
+    * full n-gram).
+    */
+  def wordNgrams(normText: Column, n: Int): Column =
+    col(WordNgramsExpr(expr(normText), n))
+
+  /** Per-document repetition statistics in one compiled pass:
+    * struct(n_words, n_distinct_words, top_bigram_count) over a
+    * single-space-normalized text.
+    */
+  def repetitionStats(normText: Column): Column =
+    col(RepetitionStatsExpr(expr(normText)))
+
   /** Symmetric int8 quantization stats of a vector: struct(scale,
     * l1, qmax, qmin) where scale = max|x|/127 and q_i = round(x_i /
     * scale) with ties away from zero (C round semantics).
@@ -172,6 +188,26 @@ object HashExprs {
       var i = 0
       while (i + k <= len) { f(regionHash(s, i, i + k)); i += 1 }
     }
+  }
+
+  /** Word-start offsets of a single-space-normalized string:
+    * starts(i) is the char index of word i, and starts(nWords) =
+    * len + 1, so the region [starts(i), starts(j) - 1) is exactly the
+    * text of words i..j-1 including inner separators. Returns null
+    * for the empty string (zero words); nWords = starts.length - 1.
+    */
+  private[plans] def wordStarts(s: String): Array[Int] = {
+    val len = s.length
+    if (len == 0) return null
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) { if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = len + 1
+    starts
   }
 
   /** Sorted distinct shingle-hash array of a normalized text. */
@@ -531,4 +567,99 @@ case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 
   override def prettyName: String = "sign_proj_bits"
+}
+
+/** Word n-grams of a single-space-normalized text as STRINGS (one
+  * compiled pass; each gram is a contiguous char region, so the only
+  * allocation is the output string itself). Strings rather than
+  * hashes on purpose: the decontamination oracle recomputes grams in
+  * a different engine, which an engine-private hash would preclude.
+  * Texts with fewer than n words yield an empty array.
+  */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val starts = HashExprs.wordStarts(s)
+    val nWords = if (starts == null) 0 else starts.length - 1
+    if (nWords < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nWords - n + 1)
+    var j = 0
+    while (j + n <= nWords) {
+      out(j) = UTF8String.fromString(s.substring(starts(j), starts(j + n) - 1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+/** Per-document repetition statistics (the Gopher/RefinedWeb-style
+  * repetition signals) in ONE compiled pass: word count, distinct
+  * word count, and the occurrence count of the most frequent word
+  * bigram. Distinctness is tracked over 64-bit region hashes — at
+  * ~10^2 words per document the collision probability is ~10^-15,
+  * far below any engine's floating rounding noise. The alternative
+  * (explode bigrams → groupBy(doc, gram) → max) shuffles ~n_words
+  * rows per document; this is shuffle-free scan work.
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("top_bigram_count", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val starts = HashExprs.wordStarts(s)
+    if (starts == null) {
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L)
+    }
+    val nWords = starts.length - 1
+    val distinct = new scala.collection.mutable.LongMap[Unit](nWords * 2)
+    var j = 0
+    while (j < nWords) {
+      distinct.update(HashExprs.regionHash(s, starts(j), starts(j + 1) - 1), ())
+      j += 1
+    }
+    val bigrams = new scala.collection.mutable.LongMap[Int](nWords * 2)
+    var top = 0
+    j = 0
+    while (j + 2 <= nWords) {
+      val h = HashExprs.regionHash(s, starts(j), starts(j + 2) - 1)
+      val c = bigrams.getOrElse(h, 0) + 1
+      bigrams.update(h, c)
+      if (c > top) top = c
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nWords.toLong, distinct.size.toLong, top.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
 }

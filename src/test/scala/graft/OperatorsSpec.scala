@@ -337,4 +337,60 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "frame"))
   }
+
+  test("repetition stats: hand-checked counts and exact 4dp ratios") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "x y z w"), (3L, "q")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "a b a b a": 5 words, 2 distinct, bigrams (a b, b a, a b, b a) → top 2
+    assert(out(1L).getAs[Long]("n_words") === 5L)
+    assert(out(1L).getAs[Long]("n_distinct_words") === 2L)
+    assert(out(1L).getAs[Long]("top_bigram_count") === 2L)
+    assert(out(1L).getAs[Double]("dup_word_frac") === 0.6)
+    assert(out(1L).getAs[Double]("top_bigram_frac") === 0.5)
+    // all-distinct doc: zero dup fraction, every bigram unique
+    assert(out(2L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(out(2L).getAs[Long]("top_bigram_count") === 1L)
+    // single word: no bigrams at all
+    assert(out(3L).getAs[Long]("top_bigram_count") === 0L)
+    assert(out(3L).getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("word n-grams: exact windows, too-short texts yield empty") {
+    import spark.implicits._
+    val df = Seq(("a b c d", 1L), ("a b", 2L)).toDF("text", "id")
+    val out = df.select(col("id"),
+        graft.plans.HashExprs.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq.empty)
+  }
+
+  test("pii scrub redacts every constructed phone/email and counts them") {
+    val out = TextAnalysis.piiScrub(Tables.customer(spark, sfDir))
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Long]("n_phones") === 1L))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_emails") === (if (r.getAs[Long]("c_custkey") % 3 == 0) 1L else 0L)))
+    assert(rows.forall(r => !r.getAs[String]("redacted")
+      .matches(".*\\d{2}-\\d{3}-\\d{3}-\\d{4}.*")))
+    assert(rows.forall(r => !r.getAs[String]("redacted").contains("@")))
+    assert(rows.forall(r => r.getAs[String]("redacted").contains("<PHONE>")))
+  }
+
+  test("decontaminate flags only non-benchmark docs, benchmark stays clean") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Corpus.decontaminate(docs, n = 8, benchMod = 10).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") % 10 != 0))
+    assert(out.forall(_.getAs[Long]("n_contaminated_grams") > 0))
+  }
+
+  test("vocab top-k is tf-descending with deterministic tie-break") {
+    val out = Corpus.vocabTopK(Tables.documents(spark, sfDir), 50).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    val pairs = out.map(r => (r.getAs[Long]("tf"), r.getAs[String]("word")))
+    assert(pairs.sameElements(pairs.sortBy { case (tf, w) => (-tf, w) }))
+    assert(out.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf")))
+  }
 }
