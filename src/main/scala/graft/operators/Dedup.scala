@@ -194,19 +194,31 @@ object Dedup {
       val byLabel = propagated.select(col("doc_id").as("label"), col("label").as("label2"))
       labels = propagated.join(byLabel, Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("label2"), col("label")).as("label"))
-        // each round references the previous labels THREE times (join
-        // + self + jump target), so without truncation the logical
-        // plan grows geometrically — 3^maxIter copies of the whole
-        // LSH pipeline. Materialize the (tiny: one row per
-        // edge-touched doc, single partition) label table and cut the
-        // lineage. On a cluster this would be checkpoint() to
-        // reliable storage.
-        .coalesce(1).localCheckpoint(true)
-      val s = labelSum(labels)
-      // the sum probe rides on the just-materialized single-partition
-      // checkpoint — a one-task job, not a recompute
-      converged = s == prevSum
-      prevSum = s
+      // Materialize + convergence-probe every OTHER round, not every
+      // round: each barrier (an eager localCheckpoint job plus the
+      // one-task sum probe) costs more wall time than the tiny round
+      // itself, and Spark's ReusedExchange keeps the fused two-round
+      // DAG linear — the three references to the previous labels all
+      // resolve to the same materialized scan, and the repeated
+      // subtrees inside one round dedupe to one execution each. The
+      // lineage still truncates every two rounds, so the logical plan
+      // stays bounded (without truncation it grows 3^rounds copies of
+      // the whole LSH pipeline). On a cluster this would be
+      // checkpoint() to reliable storage.
+      // probe on EVEN rounds: most near-dup graphs are stars/short
+      // chains whose labels are final after the init neighbor-min, so
+      // the round-0 probe exits after a single propagation round
+      if (i % 2 == 0 || i == maxIter - 1) {
+        val t0 = System.nanoTime()
+        labels = labels.coalesce(1).localCheckpoint(true)
+        val s = labelSum(labels)
+        // labels only ever decrease, so an unchanged sum across TWO
+        // rounds is still exactly the fixed point
+        converged = s == prevSum
+        prevSum = s
+        if (sys.env.contains("GRAFT_DEBUG_CLUSTER"))
+          System.err.println(f"[cluster] round $i barrier: ${(System.nanoTime() - t0) / 1e9}%.2f s, sum=$s converged=$converged")
+      }
       i += 1
     }
     // docs with no near-dup edge are their own singleton cluster

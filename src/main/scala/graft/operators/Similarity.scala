@@ -82,10 +82,17 @@ object Similarity {
     * only need to be near their cluster's mean.
     */
   def trainCodebook(embeddings: DataFrame, nCentroids: Int = 16,
-                    iters: Int = 3): Array[Array[Double]] = {
+                    iters: Int = 3, sampleMod: Int = 1): Array[Array[Double]] = {
+    // hash-based training sample (sampleMod > 1): the codebook needs
+    // distribution coverage, not every row — this is the documented
+    // 100 TB regime, applied at every scale so training cost stays a
+    // small fraction of one corpus pass
+    val train = if (sampleMod > 1)
+      embeddings.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    else embeddings
     var cents = seedCodebook(embeddings, nCentroids)
     for (_ <- 1 to iters) {
-      val sums = embeddings
+      val sums = train
         .select(HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"),
           posexplode(col("embedding")))
         .groupBy(col("list_id"), col("pos"))
@@ -166,11 +173,17 @@ object Similarity {
     val eps = 1e-9
     val cents =
       if (trainIters <= 0) seedCodebook(embeddings, nCentroids)
-      else trainCodebook(embeddings, nCentroids, trainIters)
+      else trainCodebook(embeddings, nCentroids, trainIters, sampleMod = 4)
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // cached: the assigned table feeds FOUR actions below (radii,
+    // query lookup, phase-1 scoring, phase-2 scoring) — without the
+    // cache each one re-scans the corpus and re-runs the centroid
+    // assignment. This is the in-memory stand-in for what a real
+    // deployment materializes at ingest (the list-partitioned index).
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+      .cache()
     val qRows = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding")).take(1)
     if (qRows.isEmpty)
