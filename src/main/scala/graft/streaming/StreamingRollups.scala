@@ -60,6 +60,43 @@ object StreamingRollups {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Stream-STREAM interval join: pair each left event with the right
+    * events of the same entity whose timestamp falls within
+    * [left.ts − before, left.ts + after]. Both sides carry watermarks
+    * and the join condition bounds event-time distance in BOTH
+    * directions — exactly what lets the engine expire buffered state
+    * (a stream-stream join without a time bound must buffer one side
+    * forever). Right-side columns come back `r_`-prefixed.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   watermark: String, before: String, after: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.columns.foldLeft(right.withWatermark("ts", watermark)) {
+      (df, c) => df.withColumnRenamed(c, s"r_$c")
+    }
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+  }
+
+  /** The streaming LOAD stage: sink a stream into the partitioned
+    * parquet layout via idempotent per-batch partition upserts
+    * ([[graft.sources.Sinks.upsertPartitions]] under foreachBatch).
+    * Dynamic partition overwrite makes a replayed batch rewrite the
+    * same partitions instead of duplicating rows, which is what turns
+    * at-least-once batch delivery into effectively-once table state —
+    * the streaming form of the reference's idempotent per-(year,
+    * period) reload.
+    */
+  def loadStream(stream: DataFrame, path: String, partitionCols: Seq[String],
+                 checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsertPartitions(batch, path, partitionCols)
+      }
+
   /** Shared per-batch session merge: fold this batch's (sorted) events
     * into the open session, emitting sessions closed INLINE by a
     * same-key event arriving past the gap. Late (out-of-order) events

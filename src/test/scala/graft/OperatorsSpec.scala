@@ -393,4 +393,21 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.sameElements(pairs.sortBy { case (tf, w) => (-tf, w) }))
     assert(out.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf")))
   }
+
+  test("corpus operator plans keep their scale shape") {
+    val docs = Tables.documents(spark, sfDir)
+    // decontaminate: benchmark grams broadcast — the corpus side must
+    // never reach a shuffled (sort-merge) join
+    val dec = Corpus.decontaminate(docs).queryExecution.executedPlan.toString
+    assert(dec.contains("BroadcastHashJoin"), s"expected broadcast join:\n$dec")
+    assert(!dec.contains("SortMergeJoin"), s"corpus side must not shuffle-join:\n$dec")
+    // vocab: bounded top-k must be a TakeOrdered, never a global sort
+    val voc = Corpus.vocabTopK(docs).queryExecution.executedPlan.toString
+    assert(voc.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$voc")
+    // self range aggregation: a window frame, not a join
+    val rj = Temporal.rangeJoinOrders(Tables.orders(spark, sfDir), 90)
+      .queryExecution.executedPlan.toString
+    assert(rj.contains("Window") && !rj.contains("Join"),
+      s"range aggregation must plan as a window, not a join:\n$rj")
+  }
 }

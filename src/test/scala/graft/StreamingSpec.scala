@@ -116,4 +116,57 @@ class StreamingSpec extends SparkSpec {
     // first session (2 events, total 3.0) closed by the arrival of the third
     assert(done.exists(s => s.n_events == 2 && math.abs(s.total_value - 3.0) < 1e-9))
   }
+
+  test("stream-stream interval join pairs events within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(2L, ts("2024-01-01 00:00:00"), 2.0))
+    purchases.addData(
+      Event(1L, ts("2024-01-01 00:03:00"), 10.0),  // within 5 min after → joins
+      Event(1L, ts("2024-01-01 00:20:00"), 20.0),  // outside bound → dropped
+      Event(2L, ts("2023-12-31 23:59:30"), 30.0))  // 30 s BEFORE, within 1 min → joins
+    val joined = StreamingRollups.intervalJoin(
+      clicks.toDF(), purchases.toDF(), "entity_id",
+      watermark = "10 seconds", before = "1 MINUTE", after = "5 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("ij")
+      .select(col("entity_id"), col("r_value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 10.0), (2L, 30.0)))
+  }
+
+  test("streaming load stage upserts partitions idempotently via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_load").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_load_ck1").toString
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(2L, ts("2024-01-02 00:00:00"), 2.0))
+    def run(ckpt: String, in: MemoryStream[Event]): Unit = {
+      val q = StreamingRollups.loadStream(
+        in.toDF().withColumn("day", to_date(col("ts"))),
+        path, Seq("day"), ckpt).trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    run(ckpt1, input)
+    assert(spark.read.parquet(path).count() === 2)
+    // replay the same day from a fresh checkpoint, one row changed:
+    // dynamic partition overwrite must REPLACE the day, not append
+    val replay = MemoryStream[Event]
+    replay.addData(Event(1L, ts("2024-01-01 00:00:00"), 9.0))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_load_ck2").toString
+    run(ckpt2, replay)
+    val rows = spark.read.parquet(path)
+      .select(col("entity_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 9.0), (2L, 2.0)))
+  }
 }
