@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Robust semi-structured ingest — the EXTRACT side of the reference
+  * pipelines (scraped news JSON, downloaded report CSV), minus the
+  * network I/O itself. Real feeds contain malformed rows; the load
+  * must quarantine them, not fail the pipeline or silently drop them
+  * (reference: the try/except-per-record loops in
+  * airflow/dags/iqplus/Ekstrak_Berita_Emiten.py and the IDX download
+  * DAG, re-expressed as one declarative permissive read).
+  */
+object Ingest {
+
+  /** good = schema-conforming rows; quarantined = the raw text of
+    * every malformed row, for replay/inspection.
+    */
+  final case class IngestResult(good: DataFrame, quarantined: DataFrame)
+
+  private def split(raw: DataFrame): IngestResult = {
+    // Spark computes the corrupt-record column only when the SAME
+    // materialization carries both it and the data columns — filtering
+    // an uncached frame on _corrupt_record alone is unsupported
+    // (AnalysisException) precisely because it would need a second
+    // parse. Cache once, split twice.
+    val cached = raw.cache()
+    IngestResult(
+      good = cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      quarantined = cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+
+  /** Permissive JSONL read against an EXPLICIT schema (schema
+    * inference is a full extra pass over the data — never at 100 TB),
+    * malformed lines captured instead of nulled-and-lost.
+    */
+  def jsonWithQuarantine(spark: SparkSession, path: String, schema: StructType): IngestResult =
+    split(spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path))
+
+  /** Permissive CSV read with the same quarantine contract. */
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        header: Boolean = true, sep: String = ","): IngestResult =
+    split(spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header.toString)
+      .option("sep", sep)
+      .csv(path))
+}

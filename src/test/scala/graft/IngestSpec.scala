@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import graft.sources.Ingest
+
+class IngestSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("title", StringType),
+    StructField("score", DoubleType)))
+
+  test("json ingest quarantines malformed lines and keeps conforming rows") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.write(java.nio.file.Paths.get(dir, "feed.jsonl"), java.util.Arrays.asList(
+      """{"id": 1, "title": "ok one", "score": 0.5}""",
+      """{"id": 2, "title": "ok two", "score": 1.5}""",
+      """{"id": 3, "title": "broken""",             // truncated JSON
+      """not json at all"""))
+    val r = Ingest.jsonWithQuarantine(spark, dir, schema)
+    val good = r.good.collect().map(_.getAs[Long]("id")).toSet
+    assert(good === Set(1L, 2L))
+    val bad = r.quarantined.collect().map(_.getAs[String]("raw")).toSet
+    assert(bad.size === 2)
+    assert(bad.exists(_.contains("broken")))
+    assert(bad.contains("not json at all"))
+  }
+
+  test("csv ingest quarantines type-mismatched rows") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.write(java.nio.file.Paths.get(dir, "feed.csv"), java.util.Arrays.asList(
+      "id,title,score",
+      "1,ok one,0.5",
+      "oops,bad id,0.7",   // non-numeric id → quarantine
+      "2,ok two,1.5"))
+    val r = Ingest.csvWithQuarantine(spark, dir, schema)
+    assert(r.good.collect().map(_.getAs[Long]("id")).toSet === Set(1L, 2L))
+    val bad = r.quarantined.collect().map(_.getAs[String]("raw"))
+    assert(bad.length === 1 && bad.head.startsWith("oops"))
+  }
+}
