@@ -77,6 +77,8 @@ object SparkEntry {
     "range_join" -> ((s, d) => Temporal.rangeJoinOrders(Tables.orders(s, d), 90)),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
+    "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
+    "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_keep_best"   -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
@@ -637,6 +639,28 @@ object SparkEntry {
       """WITH g AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents)
         |SELECT word, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
         |FROM g GROUP BY 1 ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+    "series_fill_forward" ->
+      """WITH m AS (SELECT o_custkey AS entity_id, date_trunc('month', o_orderdate) AS mo, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v FROM orders GROUP BY 1, 2),
+        |s AS (SELECT entity_id, min(mo) AS mn, max(mo) AS mx FROM m GROUP BY 1),
+        |cal AS (SELECT entity_id, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS mo FROM s),
+        |j AS (SELECT cal.entity_id, cal.mo, m.v FROM cal LEFT JOIN m ON m.entity_id = cal.entity_id AND m.mo = cal.mo)
+        |SELECT entity_id, strftime(mo, '%Y-%m') AS month,
+        |round(CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY entity_id ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sum_value,
+        |(v IS NULL) AS filled
+        |FROM j ORDER BY entity_id, month""".stripMargin,
+    // the flag filter applies to the ROUNDED z on both engines — a
+    // raw-z filter would let the two engines disagree on rows whose
+    // unrounded z sits within a rounding ulp of the threshold
+    "zscore_outliers" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey AS entity_id, o_totalprice,
+        |count(*) OVER (PARTITION BY o_custkey) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS sum_d,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS sumsq_d
+        |FROM orders),
+        |c AS (SELECT *, sqrt(greatest((sumsq_d - sum_d*sum_d/n)/(n-1), 0)) AS std FROM b WHERE n >= 5),
+        |z AS (SELECT o_orderkey, entity_id, round(o_totalprice, 2) AS total,
+        |round((o_totalprice - sum_d/n)/std, 4) AS z FROM c WHERE std > 0)
+        |SELECT * FROM z WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),

@@ -123,6 +123,35 @@ object Analytics {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Per-entity z-score outlier flagging (the anomalous-price /
+    * anomalous-order monitor): |value − mean| > `sigmas`·std within
+    * the entity. One window shuffle on the entity key, no join back —
+    * mean and std ride the same window. The moments derive from EXACT
+    * decimal window sums with the same fixed double expression tree as
+    * [[Rollups]].grain, so the flagged set is partition-order
+    * independent (double-accumulated moments drift in the last ulp
+    * and flake rows sitting exactly at the threshold).
+    */
+  def zscoreOutliers(orders: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    val v = col("o_totalprice").cast("decimal(12,2)")
+    val base = orders.select(col("o_orderkey"), col("o_custkey").as("entity_id"),
+        col("o_totalprice"), v.as("v"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("entity_id")))
+      .withColumn("sum_d", sum(col("v")).over(Window.partitionBy("entity_id")))
+      .withColumn("sumsq_d", sum(col("v") * col("v")).over(Window.partitionBy("entity_id")))
+    val n = col("n")
+    val sumD = col("sum_d").cast("double")
+    val sumsqD = col("sumsq_d").cast("double")
+    val std = sqrt(greatest((sumsqD - sumD * sumD / n) / (n - lit(1)), lit(0.0)))
+    base
+      .filter(n >= 5 && std > 0)
+      .withColumn("z", round((col("o_totalprice") - sumD / n) / std, 4))
+      .filter(abs(col("z")) > sigmas)
+      .select(col("o_orderkey"), col("entity_id"),
+        round(col("o_totalprice"), 2).as("total"), col("z"))
+      .orderBy("o_orderkey")
+  }
+
   /** Rolling mean over event time per series (stock-chart smoothing
     * analog). ROWS frame keyed by (ts, event_id) for determinism.
     */

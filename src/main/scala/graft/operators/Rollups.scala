@@ -161,6 +161,40 @@ object Rollups {
         n)
   }
 
+  /** Gap-filled monthly series (forward fill): every month in each
+    * entity's [first, last] span gets a row, months with no data carry
+    * the previous month's sum — the standard series-densification
+    * step (the reference's OHLCV series skip non-trading days and its
+    * per-period reports skip idle periods; downstream joins and
+    * window math need a dense axis).
+    *
+    * Plan: one shuffle to the monthly aggregate; the per-entity span
+    * and calendar explode stay on that aggregate (≪ raw data — the
+    * explode fans out to entity×months rows, never touching the
+    * corpus); the carry-forward is `last(ignoreNulls)` over a running
+    * per-entity window — one sort within the already-partitioned
+    * aggregate, no further shuffle of raw rows.
+    */
+  def fillForwardMonthly(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orders.groupBy(
+        col("o_custkey").as("entity_id"),
+        trunc(col("o_orderdate"), "month").as("mo"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+    val cal = monthly.groupBy("entity_id")
+      .agg(min("mo").as("mn"), max("mo").as("mx"))
+      .select(col("entity_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 MONTH"))).as("mo"))
+    val w = Window.partitionBy("entity_id").orderBy("mo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(monthly, Seq("entity_id", "mo"), "left")
+      .withColumn("sum_value",
+        last(col("v"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("entity_id"), date_format(col("mo"), "yyyy-MM").as("month"),
+        round(col("sum_value"), 2).as("sum_value"), col("v").isNull.as("filled"))
+      .orderBy("entity_id", "month")
+  }
+
   /** Combined multi-grain index (reference combined collection,
     * TransForm_Load_Yfinance.py:326-342): union of the three grains on
     * their shared identity columns. Union of already-aggregated frames —

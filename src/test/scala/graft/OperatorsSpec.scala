@@ -394,6 +394,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf")))
   }
 
+  test("forward fill densifies the month axis and carries the last sum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-15", 10.0), (1L, "2024-01-20", 5.0), (1L, "2024-04-01", 7.0))
+      .toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("d")))
+    val out = Rollups.fillForwardMonthly(df).collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Double]("sum_value"), r.getAs[Boolean]("filled")))
+    assert(out.toSeq === Seq(
+      ("2024-01", 15.0, false), ("2024-02", 15.0, true),
+      ("2024-03", 15.0, true), ("2024-04", 7.0, false)))
+  }
+
+  test("zscore flags the planted outlier and nothing else") {
+    import spark.implicits._
+    val rows = (1L to 20L).map(i => (i, 7L, 100.0 + (i % 3))) :+ ((21L, 7L, 10000.0))
+    val df = rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Analytics.zscoreOutliers(df).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("o_orderkey") === 21L)
+    assert(out.head.getAs[Double]("z") > 2.0)
+  }
+
   test("corpus operator plans keep their scale shape") {
     val docs = Tables.documents(spark, sfDir)
     // decontaminate: benchmark grams broadcast — the corpus side must
