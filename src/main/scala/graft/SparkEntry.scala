@@ -117,7 +117,16 @@ object SparkEntry {
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
-    "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d)))
+    "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
+    "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
+    // deterministic overlapping splits: every doc_id ≡ 0 (mod 6) is in
+    // BOTH sides, so the content anti-join has real work to do
+    "content_delta"     -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextPipeline.contentDelta(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 2 === 0))
+    })
   )
 
   // DuckDB-dialect oracles. Conventions shared with the Spark side:
@@ -661,6 +670,24 @@ object SparkEntry {
         |z AS (SELECT o_orderkey, entity_id, round(o_totalprice, 2) AS total,
         |round((o_totalprice - sum_d/n)/std, 4) AS z FROM c WHERE std > 0)
         |SELECT * FROM z WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH wds AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM wds GROUP BY 1, 2),
+        |dfr AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.word, tf.tf, dfr.df, n.n_docs,
+        |CAST(tf.tf * n.n_docs AS DOUBLE) / dfr.df AS score
+        |FROM tf JOIN dfr USING (word) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM sc)
+        |SELECT doc_id, word, tf, df,
+        |CAST((tf * n_docs * 20000 + df) // (2 * df) AS DOUBLE) / 10000 AS tfidf, rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "content_delta" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) NOT IN
+        |(SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),

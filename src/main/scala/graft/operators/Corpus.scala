@@ -29,6 +29,43 @@ object Corpus {
       .orderBy(col("tf").desc, col("word"))
       .limit(k)
 
+  /** Per-document top-k terms by tf·idf — the keyword/topic-feature
+    * step (the reference's category derivation is a crude fixed-rule
+    * version of this). idf is kept RATIONAL (tf·N/df, no logarithm):
+    * ln() implementations differ across engines/libms in the last
+    * ulp, while integer-ratio doubles are IEEE-exact, which is what
+    * makes the ranking and the 4dp display value reproducible
+    * anywhere. Ranking compares tf·N/df as doubles: distinct
+    * rationals with these magnitudes differ by ≥ 1/(bd) ≫ one ulp,
+    * so the order is engine-independent too.
+    *
+    * The df table is broadcast: post-trim vocabulary grows ~√corpus
+    * (Heaps' law) and stays megabytes; for an untrimmed web-scale
+    * vocabulary swap the broadcast for a shuffle join on word.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents.select(col("doc_id"),
+      explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(dfr), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        // 4dp in exact integer math — rational scores land on exact
+        // 5th-decimal halves (e.g. df = 128), where engines' double
+        // rounding splits
+        (expr("(tf * n_docs * 20000 + df) div (2 * df)").cast("double") / 10000)
+          .as("tfidf"),
+        col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** Benchmark decontamination — flag corpus documents that share any
     * word n-gram with a held-out benchmark/eval set (here the
     * deterministic doc_id % benchMod == 0 slice stands in for the

@@ -57,4 +57,21 @@ object TextPipeline {
       .select(col("doc_id"), col("title"))
       .orderBy("doc_id")
   }
+
+  /** Incremental delta detection BY CONTENT: the rows of `incoming`
+    * whose normalized-content fingerprint is not already in
+    * `processed` — the streaming-ETL "what's actually new" step. The
+    * reference keeps a per-row status flag and re-queries before every
+    * insert (find-one-per-record); one anti-join on the fingerprint
+    * does the same for the whole batch in a single shuffle, and keying
+    * on CONTENT (not id) also skips re-crawled duplicates that arrive
+    * under fresh ids.
+    */
+  def contentDelta(incoming: DataFrame, processed: DataFrame): DataFrame = {
+    val fp = graft.functions.TextAnalysis.fingerprintCol(col("text"))
+    incoming.select(col("doc_id"), fp.as("fp"))
+      .join(processed.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
 }

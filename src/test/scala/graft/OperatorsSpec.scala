@@ -417,6 +417,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("z") > 2.0)
   }
 
+  test("tfidf ranks a document's rare term above its common term") {
+    import spark.implicits._
+    // "rare" appears in 1 of 3 docs, "common" in all 3; doc 1 has both
+    val df = Seq(
+      (1L, "rare common common"), (2L, "common other filler"), (3L, "common filler other"))
+      .toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(df, 2).collect()
+      .filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Int]("rn"))
+    // rare: tf=1, df=1 → score 3; common: tf=2, df=3 → score 2
+    assert(out.head.getAs[String]("word") === "rare")
+    assert(out.head.getAs[Double]("tfidf") === 3.0)
+    assert(out(1).getAs[String]("word") === "common")
+    assert(out(1).getAs[Double]("tfidf") === 2.0)
+  }
+
+  test("content delta skips re-crawled duplicates that arrive under fresh ids") {
+    import spark.implicits._
+    val processed = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (90L, "Alpha  beta   GAMMA"),   // same content modulo case/ws → not new
+      (91L, "genuinely new content")).toDF("doc_id", "text")
+    val out = TextPipeline.contentDelta(incoming, processed).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(91L))
+  }
+
   test("corpus operator plans keep their scale shape") {
     val docs = Tables.documents(spark, sfDir)
     // decontaminate: benchmark grams broadcast — the corpus side must
