@@ -77,6 +77,7 @@ object SparkEntry {
     "range_join" -> ((s, d) => Temporal.rangeJoinOrders(Tables.orders(s, d), 90)),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
+    "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
     // — F. LLM-data-pipeline ops —
@@ -648,6 +649,14 @@ object SparkEntry {
       """WITH g AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents)
         |SELECT word, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
         |FROM g GROUP BY 1 ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+    "rollup_margins" ->
+      """SELECT o_custkey AS entity_id, strftime(o_orderdate, '%Y') AS year,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+        |count(*)::BIGINT AS cnt,
+        |CAST(GROUPING(o_custkey, strftime(o_orderdate, '%Y')) AS BIGINT) AS lvl
+        |FROM orders
+        |GROUP BY ROLLUP (o_custkey, strftime(o_orderdate, '%Y'))
+        |ORDER BY lvl, entity_id, year""".stripMargin,
     "series_fill_forward" ->
       """WITH m AS (SELECT o_custkey AS entity_id, date_trunc('month', o_orderdate) AS mo, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v FROM orders GROUP BY 1, 2),
         |s AS (SELECT entity_id, min(mo) AS mn, max(mo) AS mx FROM m GROUP BY 1),

@@ -161,6 +161,24 @@ object Rollups {
         n)
   }
 
+  /** Margin rollup via grouping sets: (entity, year) detail, per-entity
+    * totals, and the grand total in ONE aggregation pass — Spark's
+    * `rollup` plans a single Expand + hash aggregate, so the margins
+    * cost one extra shuffle row per grouping set, not one extra query
+    * per level (the reference computes each level as a separate
+    * collection). `lvl` is the grouping bitmask (0 = detail, 1 = year
+    * rolled up, 3 = grand total), identical to SQL GROUPING().
+    */
+  def rollupMargins(orders: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("entity_id"),
+        date_format(col("o_orderdate"), "yyyy").as("year"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+      .rollup("entity_id", "year")
+      .agg(round(sum("v"), 2).cast("double").as("sum_value"),
+        count(lit(1)).as("cnt"),
+        grouping_id().cast("long").as("lvl"))
+      .orderBy("lvl", "entity_id", "year")
+
   /** Gap-filled monthly series (forward fill): every month in each
     * entity's [first, last] span gets a row, months with no data carry
     * the previous month's sum — the standard series-densification

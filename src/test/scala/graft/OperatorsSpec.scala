@@ -394,6 +394,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf")))
   }
 
+  test("margin rollup: levels are consistent and totals reconcile") {
+    val out = Rollups.rollupMargins(Tables.orders(spark, sfDir)).collect()
+    val byLvl = out.groupBy(_.getAs[Long]("lvl"))
+    assert(byLvl.keySet === Set(0L, 1L, 3L))
+    assert(byLvl(3L).length === 1)
+    val grand = byLvl(3L).head.getAs[Long]("cnt")
+    assert(byLvl(1L).map(_.getAs[Long]("cnt")).sum === grand)
+    assert(byLvl(0L).map(_.getAs[Long]("cnt")).sum === grand)
+  }
+
   test("forward fill densifies the month axis and carries the last sum") {
     import spark.implicits._
     val df = Seq(
