@@ -17,6 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `jaccard_text(string, string, k, word) -> double`
   *  - `minhash_text(string, k, numPerm, word) -> array<bigint>`
   *  - `simhash64(array<string>) -> bigint`
+  *  - `quantize_i8(array<float|double>) -> array<tinyint>`
+  *  - `xml_leaf_map(string) -> map<string,string>`
+  *  - `word_ngrams(string, n) -> array<string>`
+  *  - `repetition_stats(string) -> struct<n_words,n_distinct_words,top_bigram_count>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -62,5 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("xml_leaf_map"),
       info("xml_leaf_map", "xml_leaf_map(payload) - XML leaf elements + attributes as map<string,string>, lowercased keys"),
       (args: Seq[Expression]) => XmlLeafMapExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - word n-grams of a single-space-normalized text"),
+      (args: Seq[Expression]) => WordNgramsExpr(args(0), intArg(args(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(text) - struct(n_words, n_distinct_words, top_bigram_count) of a single-space-normalized text"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(args(0))))
   }
 }

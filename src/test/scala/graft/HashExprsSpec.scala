@@ -72,6 +72,13 @@ class HashExprsSpec extends SparkSpec {
     assert(sig.size === 16)
     val sh = spark.sql("SELECT simhash64(split('a b c', ' ')) AS h").head().getLong(0)
     assert(sh !== 0L)
+    val ng = spark.sql("SELECT word_ngrams('a b c d', 3) AS g")
+      .head().getAs[scala.collection.Seq[String]]("g")
+    assert(ng.toSeq === Seq("a b c", "b c d"))
+    val rs = spark.sql("SELECT repetition_stats('a b a b a') AS s").head()
+      .getStruct(0)
+    assert(rs.getAs[Long]("n_words") === 5L)
+    assert(rs.getAs[Long]("top_bigram_count") === 2L)
   }
 
   test("ivf top-k scores consistently with brute force on shared ids") {
