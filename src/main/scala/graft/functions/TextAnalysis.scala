@@ -50,7 +50,10 @@ object TextAnalysis {
     val wcount = size(words(col("text")))
     val punct  = regexp_count(col("text"), lit("[.!?,;:]"))
     val stops  = countIn(col("text"), EnStops)
-    val punctRatio = round(punct.cast("double") / nChars, 4)
+    // zero-char guard: ANSI mode (Spark 4 default) turns the division
+    // on an empty document into a DIVIDE_BY_ZERO error, not a null
+    val punctRatio = when(nChars > 0, round(punct.cast("double") / nChars, 4))
+      .otherwise(lit(0.0))
     val stopRatio  = round(stops.cast("double") / wcount, 4)
     val awl        = round((nChars - wcount + 1).cast("double") / wcount, 4)
     documents.select(
@@ -135,9 +138,14 @@ object TextAnalysis {
         col("s.n_words").as("n_words"),
         col("s.n_distinct_words").as("n_distinct_words"),
         col("s.top_bigram_count").as("top_bigram_count"))
+      // both ratios guard their zero-words / one-word denominators:
+      // under ANSI mode (Spark 4 default) an unguarded `div` throws
+      // DIVIDE_BY_ZERO on the first empty document
       .withColumn("dup_word_frac",
-        expr("((n_words - n_distinct_words) * 20000 + n_words) div (2 * n_words)")
-          .cast("double") / 10000)
+        when(col("n_words") > 0,
+          expr("((n_words - n_distinct_words) * 20000 + n_words) div (2 * n_words)")
+            .cast("double") / 10000)
+          .otherwise(lit(0.0)))
       .withColumn("top_bigram_frac",
         when(col("n_words") > 1,
           expr("(top_bigram_count * 20000 + (n_words - 1)) div (2 * (n_words - 1))")

@@ -24,6 +24,8 @@ object Corpus {
     documents
       .select(col("doc_id"),
         explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      // an entirely-empty document splits to [""] — not a word
+      .filter(col("word") =!= "")
       .groupBy("word")
       .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
       .orderBy(col("tf").desc, col("word"))

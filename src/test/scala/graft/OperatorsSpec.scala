@@ -453,6 +453,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(91L))
   }
 
+  test("text operators tolerate null and empty documents") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "ok text here"))
+      .toDF("doc_id", "text")
+    // none of these may throw (ANSI div-by-zero on empty docs is the trap)
+    assert(TextAnalysis.repetition(df).count() === 3)
+    assert(TextAnalysis.qualityScore(df).count() === 3)
+    assert(TextAnalysis.fingerprint(df).count() === 3)
+    assert(Corpus.vocabTopK(df).collect().map(_.getAs[String]("word")).toSet
+      === Set("ok", "text", "here"))
+    val rep = TextAnalysis.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rep(2L).getAs[Long]("n_words") === 0L)
+    assert(rep(2L).getAs[Double]("dup_word_frac") === 0.0)
+  }
+
   test("corpus operator plans keep their scale shape") {
     val docs = Tables.documents(spark, sfDir)
     // decontaminate: benchmark grams broadcast — the corpus side must
