@@ -123,6 +123,21 @@ object Analytics {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Sketch-aggregate cardinality: HyperLogLog++ approximate distinct
+    * next to the exact count. Exact distinct is a full shuffle of
+    * every key occurrence; the HLL sketch is kilobytes per partition
+    * merged in the reduce — the only viable per-refresh cardinality
+    * at corpus scale, which is why it ships alongside the exact
+    * operators (the exact column here exists to measure the sketch's
+    * error, and is what you DON'T run at 100 TB). Spec-pinned, not
+    * oracle-checked: HLL implementations differ across engines by
+    * design.
+    */
+  def cardinalityReport(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.agg(
+      countDistinct("user_id").as("exact_users"),
+      approx_count_distinct("user_id", rsd).as("approx_users"))
+
   /** Per-entity z-score outlier flagging (the anomalous-price /
     * anomalous-order monitor): |value − mean| > `sigmas`·std within
     * the entity. One window shuffle on the entity key, no join back —

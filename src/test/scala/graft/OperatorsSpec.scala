@@ -453,6 +453,13 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(91L))
   }
 
+  test("hll cardinality sketch lands within its error bound") {
+    val r = Analytics.cardinalityReport(Tables.events(spark, sfDir), rsd = 0.02).head()
+    val exact = r.getAs[Long]("exact_users").toDouble
+    val approx = r.getAs[Long]("approx_users").toDouble
+    assert(math.abs(approx - exact) / exact < 0.06, s"exact=$exact approx=$approx")
+  }
+
   test("text operators tolerate null and empty documents") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "ok text here"))
