@@ -75,6 +75,22 @@ object SparkEntry {
         Tables.customer(s, d), Tables.orders(s, d))),
     "asof_join"  -> ((s, d) => Temporal.asofJoin(Tables.events(s, d))),
     "range_join" -> ((s, d) => Temporal.rangeJoinOrders(Tables.orders(s, d), 90)),
+    // the general two-table range join: click→purchase attribution
+    // within a 7-day window (value summed as decimal — double sums
+    // drift with partition merge order)
+    "range_join_2t" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("event_id").as("a_key"), col("ts").as("a_date"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts").as("b_date"),
+          col("value").cast("decimal(18,4)").as("b_val"))
+      Temporal.rangeJoinPairs(clicks, purchases, 7)
+        .groupBy(col("a_key").as("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("b_val"), 2).cast("double").as("purchase_total"))
+        .orderBy("click_id")
+    }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
@@ -502,6 +518,13 @@ object SparkEntry {
         |round(p.p_value, 2) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
+    "range_join_2t" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, CAST(value AS DECIMAL(18,4)) AS v FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, count(*)::BIGINT AS n_purchases,
+        |CAST(round(sum(p.v), 2) AS DOUBLE) AS purchase_total
+        |FROM c JOIN p ON c.user_id = p.user_id AND p.pts >= c.ts AND p.pts < c.ts + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "range_join" ->
       """SELECT a.o_orderkey, count(*) AS n_window,
         |CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS window_total

@@ -60,6 +60,23 @@ object StreamingRollups {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Streaming CONTENT dedup: drop documents whose normalized-content
+    * fingerprint was already seen, with
+    * `dropDuplicatesWithinWatermark` bounding the fingerprint state by
+    * event time — the streaming form of the batch exact-dedup /
+    * content-delta pair ([[graft.operators.TextPipeline.contentDelta]]).
+    * Re-crawled duplicates under fresh ids are dropped because the key
+    * is the content, not the id; duplicates farther apart than the
+    * watermark delay age out of state (the at-scale trade: unbounded
+    * exact streaming dedup is unbounded state).
+    */
+  def dedupContent(docs: DataFrame, watermark: String): DataFrame =
+    docs
+      .withColumn("fp",
+        graft.functions.TextAnalysis.fingerprintCol(org.apache.spark.sql.functions.col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-STREAM interval join: pair each left event with the right
     * events of the same entity whose timestamp falls within
     * [left.ts − before, left.ts + after]. Both sides carry watermarks

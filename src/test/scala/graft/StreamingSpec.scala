@@ -117,6 +117,25 @@ class StreamingSpec extends SparkSpec {
     assert(done.exists(s => s.n_events == 2 && math.abs(s.total_value - 3.0) < 1e-9))
   }
 
+  test("streaming content dedup drops a re-crawled duplicate under a fresh id") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), "the same article text"),
+      (2L, ts("2024-01-01 00:05:00"), "THE  same   Article text"), // dup modulo case/ws
+      (3L, ts("2024-01-01 00:06:00"), "a different article"))
+    val deduped = StreamingRollups.dedupContent(
+      input.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("cdedup")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("cdedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size === 2)
+    assert(kept.contains(3L))
+    assert(!(kept.contains(1L) && kept.contains(2L)))
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
