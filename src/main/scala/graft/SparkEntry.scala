@@ -92,6 +92,9 @@ object SparkEntry {
         .orderBy("click_id")
     }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
+    // rows-only: HLL sketch values are implementation-defined, the
+    // error bound is pinned by spec instead (OperatorsSpec)
+    "hll_cardinality" -> ((s, d) => Analytics.cardinalityReport(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
