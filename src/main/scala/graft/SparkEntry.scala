@@ -95,6 +95,7 @@ object SparkEntry {
     // rows-only: HLL sketch values are implementation-defined, the
     // error bound is pinned by spec instead (OperatorsSpec)
     "hll_cardinality" -> ((s, d) => Analytics.cardinalityReport(Tables.events(s, d))),
+    "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
@@ -521,6 +522,15 @@ object SparkEntry {
         |round(p.p_value, 2) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH c AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+        |AND e.ts >= c.t1 WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT c.user_id, (p.user_id IS NOT NULL) AS purchased,
+        |(p.user_id IS NOT NULL AND p.t2 < c.t1 + INTERVAL 3 DAY) AS converted,
+        |CASE WHEN p.user_id IS NOT NULL THEN (epoch_us(p.t2) - epoch_us(c.t1)) // 1000000 END AS secs_to_purchase
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |ORDER BY c.user_id""".stripMargin,
     "range_join_2t" ->
       """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts AS pts, CAST(value AS DECIMAL(18,4)) AS v FROM events WHERE event_type = 'purchase')

@@ -123,6 +123,32 @@ object Analytics {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Funnel conversion — ordered event-pattern detection (did the
+    * first `toType` event happen AFTER the user's first `fromType`,
+    * and within the window): the click→purchase conversion readout of
+    * every event-analytics surface. Two per-user min aggregations +
+    * one join, all keyed on user_id, so the exchanges share one
+    * partitioning. Time delta in whole seconds via truncating integer
+    * division on unix micros — identical on engines that truncate
+    * positive division the same way.
+    */
+  def funnel(events: DataFrame, fromType: String = "click",
+             toType: String = "purchase", withinDays: Int = 3): DataFrame = {
+    val first = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val next = events.filter(col("event_type") === toType)
+      .join(first, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    first.join(next, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("t2").isNotNull.as("purchased"),
+        (col("t2").isNotNull &&
+          col("t2") < col("t1") + expr(s"INTERVAL $withinDays DAYS")).as("converted"),
+        when(col("t2").isNotNull,
+          expr("(unix_micros(t2) - unix_micros(t1)) div 1000000")).as("secs_to_purchase"))
+      .orderBy("user_id")
+  }
+
   /** Sketch-aggregate cardinality: HyperLogLog++ approximate distinct
     * next to the exact count. Exact distinct is a full shuffle of
     * every key occurrence; the HLL sketch is kilobytes per partition

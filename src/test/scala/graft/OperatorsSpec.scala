@@ -453,6 +453,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(91L))
   }
 
+  test("funnel respects event ORDER, not mere co-occurrence") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: purchase BEFORE any click → purchased=false
+      (1L, t("2024-01-01 00:00:00"), "purchase"),
+      (1L, t("2024-01-02 00:00:00"), "click"),
+      // user 2: click then purchase within 3 days → converted
+      (2L, t("2024-01-01 00:00:00"), "click"),
+      (2L, t("2024-01-02 00:00:00"), "purchase"),
+      // user 3: click then purchase after 3 days → purchased, not converted
+      (3L, t("2024-01-01 00:00:00"), "click"),
+      (3L, t("2024-01-10 00:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnel(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Boolean]("purchased"), r.getAs[Boolean]("converted"))).toMap
+    assert(out(1L) === ((false, false)))
+    assert(out(2L) === ((true, true)))
+    assert(out(3L) === ((true, false)))
+  }
+
   test("hll cardinality sketch lands within its error bound") {
     val r = Analytics.cardinalityReport(Tables.events(spark, sfDir), rsd = 0.02).head()
     val exact = r.getAs[Long]("exact_users").toDouble
