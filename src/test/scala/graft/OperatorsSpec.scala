@@ -453,6 +453,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(91L))
   }
 
+  test("multimodal chain: media → features → int8 quantize → ANN search") {
+    // the media retrieval pipeline end-to-end (decode stubbed per the
+    // brief): extract features per media row, quantize them for
+    // storage, then similarity-search the feature space — asserting
+    // the three stages' schemas actually compose
+    val media = Multimodal.synthesize(
+      Tables.documents(spark, sfDir).limit(64), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+      .select(col("media_id").as("vec_id"),
+        col("features").as("embedding"))
+    val q = feats.select(col("vec_id"),
+      graft.plans.HashExprs.quantizeI8(col("embedding")).as("q8"))
+    assert(q.filter(size(col("q8")) > 0).count() === 64)
+    val top = Similarity.bruteForceTopK(feats, feats.head().getAs[Long]("vec_id"), 5)
+      .collect()
+    assert(top.length === 5)
+    assert(top.forall(r => r.getAs[Double]("cos_sim") <= 1.0 + 1e-9))
+  }
+
   test("funnel respects event ORDER, not mere co-occurrence") {
     import spark.implicits._
     import java.sql.Timestamp
