@@ -96,6 +96,7 @@ object SparkEntry {
     // error bound is pinned by spec instead (OperatorsSpec)
     "hll_cardinality" -> ((s, d) => Analytics.cardinalityReport(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
+    "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
@@ -522,6 +523,15 @@ object SparkEntry {
         |round(p.p_value, 2) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |j AS (SELECT a.user_id, f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS offset_weeks FROM a JOIN f USING (user_id)),
+        |s AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM f GROUP BY 1),
+        |g AS (SELECT cohort, offset_weeks, count(DISTINCT user_id)::BIGINT AS active_users FROM j GROUP BY 1, 2)
+        |SELECT strftime(g.cohort, '%Y-%m-%d') AS cohort_week, CAST(g.offset_weeks AS BIGINT) AS offset_weeks, g.active_users, s.cohort_size,
+        |CAST((g.active_users * 20000 + s.cohort_size) // (2 * s.cohort_size) AS DOUBLE)/10000 AS retention
+        |FROM g JOIN s USING (cohort) ORDER BY 1, 2""".stripMargin,
     "funnel_conversion" ->
       """WITH c AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'click' GROUP BY 1),
         |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id

@@ -123,6 +123,33 @@ object Analytics {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Weekly retention cohorts — the activation/retention readout:
+    * users grouped by the week of their FIRST event; for each
+    * (cohort, weeks-since) the distinct active users and the
+    * retention ratio. All aggregations key on user_id or the (tiny)
+    * cohort table; the per-user distinct-week projection is the only
+    * pass over raw events. Ratio at 4dp via the integer HALF_UP
+    * identity (cohort sizes are routinely powers of two).
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    active.join(firsts, "user_id")
+      .withColumn("offset_weeks", expr("datediff(wk, cohort) div 7").cast("long"))
+      .groupBy("cohort", "offset_weeks")
+      .agg(countDistinct("user_id").as("active_users"))
+      .join(sizes, "cohort")
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_weeks"), col("active_users"), col("cohort_size"),
+        (expr("(active_users * 20000 + cohort_size) div (2 * cohort_size)")
+          .cast("double") / 10000).as("retention"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
   /** Funnel conversion — ordered event-pattern detection (did the
     * first `toType` event happen AFTER the user's first `fromType`,
     * and within the window): the click→purchase conversion readout of

@@ -453,6 +453,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(91L))
   }
 
+  test("retention cohorts: offset 0 is always full retention") {
+    val out = Analytics.retentionCohorts(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    val zero = out.filter(_.getAs[Long]("offset_weeks") == 0L)
+    // every user is by definition active in their own cohort week
+    assert(zero.nonEmpty)
+    assert(zero.forall(r =>
+      r.getAs[Long]("active_users") === r.getAs[Long]("cohort_size")))
+    assert(zero.forall(_.getAs[Double]("retention") === 1.0))
+    assert(out.forall(r => r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_size")))
+  }
+
   test("multimodal chain: media → features → int8 quantize → ANN search") {
     // the media retrieval pipeline end-to-end (decode stubbed per the
     // brief): extract features per media row, quantize them for
