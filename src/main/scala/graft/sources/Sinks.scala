@@ -39,6 +39,17 @@ object Sinks {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a table whose schema DRIFTED across its ingest history
+    * (columns added over time): `mergeSchema` unions the per-file
+    * schemas, and [[graft.operators.Rollups.normalize]] downstream
+    * fills the columns older files lack. mergeSchema costs a footer
+    * read per file — acceptable on a compacted table, pathological on
+    * millions of un-compacted fragments, which is one more reason
+    * [[compact]] exists.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Idempotent per-period upsert: replace ONLY the partitions present
     * in `df`, leaving every other partition untouched — Spark's
     * dynamic partition overwrite. This is the reference's

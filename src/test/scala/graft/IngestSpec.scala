@@ -27,6 +27,23 @@ class IngestSpec extends SparkSpec {
     assert(bad.contains("not json at all"))
   }
 
+  test("schema-drifted table reads merged, normalize fills the old files' gap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift").toString
+    // v1 files: (id, value); v2 files add a quality column
+    Seq((1L, 10.0)).toDF("id", "value")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, 20.0, 0.9)).toDF("id", "value", "quality")
+      .write.parquet(s"$dir/batch=2")
+    val merged = graft.sources.Sinks.readMerged(spark, dir)
+    assert(merged.columns.contains("quality"))
+    val normalized = graft.operators.Rollups.normalize(merged, Seq("value", "quality"))
+    val byId = normalized.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("quality")).toMap
+    assert(byId(1L) === 0.0) // old file: filled
+    assert(byId(2L) === 0.9) // new file: preserved
+  }
+
   test("csv ingest quarantines type-mismatched rows") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(dir, "feed.csv"), java.util.Arrays.asList(
