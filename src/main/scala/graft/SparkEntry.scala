@@ -95,6 +95,8 @@ object SparkEntry {
     // rows-only: HLL sketch values are implementation-defined, the
     // error bound is pinned by spec instead (OperatorsSpec)
     "hll_cardinality" -> ((s, d) => Analytics.cardinalityReport(Tables.events(s, d))),
+    // rows-only for the same reason as hll_cardinality
+    "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),

@@ -191,6 +191,21 @@ object Analytics {
       countDistinct("user_id").as("exact_users"),
       approx_count_distinct("user_id", rsd).as("approx_users"))
 
+  /** Quantile sketch (Greenwald-Khanna): approximate p50/p90/p99 of
+    * the order value distribution in one pass with bounded memory —
+    * the scale companion to [[cardinalityReport]] (an exact global
+    * percentile needs a full sort; the rank-based exact median
+    * [[medianByEntity]] stays viable only because it is per-entity).
+    * Spec-pinned against the exact quantiles; not oracle-checked —
+    * sketch outputs are implementation-defined.
+    */
+  def quantileSketch(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders.agg(
+      count(lit(1)).as("n"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)).as("p50"),
+      percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)).as("p90"),
+      percentile_approx(col("o_totalprice"), lit(0.99), lit(accuracy)).as("p99"))
+
   /** Per-entity z-score outlier flagging (the anomalous-price /
     * anomalous-order monitor): |value − mean| > `sigmas`·std within
     * the entity. One window shuffle on the entity key, no join back —

@@ -507,6 +507,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) === ((true, false)))
   }
 
+  test("quantile sketch tracks the exact quantiles") {
+    val orders = Tables.orders(spark, sfDir)
+    val r = Analytics.quantileSketch(orders).head()
+    val vals = orders.select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    def exact(p: Double) = vals(math.min(vals.length - 1, (p * vals.length).toInt))
+    for ((c, p) <- Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))) {
+      val approx = r.getAs[Double](c)
+      assert(math.abs(approx - exact(p)) / exact(p) < 0.02, s"$c: $approx vs ${exact(p)}")
+    }
+  }
+
   test("hll cardinality sketch lands within its error bound") {
     val r = Analytics.cardinalityReport(Tables.events(spark, sfDir), rsd = 0.02).head()
     val exact = r.getAs[Long]("exact_users").toDouble
