@@ -141,6 +141,7 @@ object SparkEntry {
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
+    "corpus_report"     -> ((s, d) => Corpus.report(Tables.documents(s, d))),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
     "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     // deterministic overlapping splits: every doc_id ≡ 0 (mod 6) is in
@@ -693,6 +694,11 @@ object SparkEntry {
         |len(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
         |regexp_replace(regexp_replace(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM p ORDER BY c_custkey""".stripMargin,
+    "corpus_report" ->
+      """WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\s+'))::BIGINT AS wc, length(text)::BIGINT AS nc FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(wc) AS BIGINT) AS total_words, CAST(sum(nc) AS BIGINT) AS total_chars,
+        |CAST((sum(wc) * 20000 + count(*)) // (2 * count(*)) AS DOUBLE)/10000 AS avg_words
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "vocab_topk" ->
       """WITH g AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents)
         |SELECT word, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df

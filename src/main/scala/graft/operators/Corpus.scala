@@ -31,6 +31,24 @@ object Corpus {
       .orderBy(col("tf").desc, col("word"))
       .limit(k)
 
+  /** Per-language corpus composition report — the first table every
+    * corpus curation review asks for: document counts, token/char
+    * volume, and mean document length per language. One map-side
+    * combinable aggregation over a narrow projection.
+    */
+  def report(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("wc"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("wc").as("total_words"),
+        sum("nc").as("total_chars"))
+      .withColumn("avg_words",
+        expr("(total_words * 20000 + n_docs) div (2 * n_docs)").cast("double") / 10000)
+      .orderBy("lang")
+
   /** Per-document top-k terms by tf·idf — the keyword/topic-feature
     * step (the reference's category derivation is a crude fixed-rule
     * version of this). idf is kept RATIONAL (tf·N/df, no logarithm):
