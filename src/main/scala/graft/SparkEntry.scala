@@ -132,6 +132,12 @@ object SparkEntry {
           posexplode(graft.plans.HashExprs.quantizeI8(col("embedding"))))
         .select(col("vec_id"), col("pos"), col("col").cast("int").as("q"))
         .orderBy("vec_id", "pos")),
+    "embed_l2_normalize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.plans.HashExprs.l2Normalize(col("embedding"))))
+        .select(col("vec_id"), col("pos"), round(col("col"), 6).as("nv"))
+        .orderBy("vec_id", "pos")),
     "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -618,6 +624,13 @@ object SparkEntry {
       """SELECT vec_id, r.i AS pos,
         |CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[r.i + 1] / scale) END AS INTEGER) AS q
         |FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |range(64) r(i) WHERE r.i < len(v)
+        |ORDER BY vec_id, pos""".stripMargin,
+    "embed_l2_normalize" ->
+      """SELECT vec_id, r.i AS pos,
+        |round(CASE WHEN l2 = 0 THEN 0 ELSE v[r.i + 1] / l2 END, 6) AS nv
+        |FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS l2
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
         |range(64) r(i) WHERE r.i < len(v)
         |ORDER BY vec_id, pos""".stripMargin,

@@ -103,6 +103,9 @@ object HashExprs {
     */
   def quantizeI8(v: Column): Column = col(QuantizeI8Expr(expr(v)))
 
+  /** L2 (unit-norm) normalization of a vector. */
+  def l2Normalize(v: Column): Column = col(L2NormalizeExpr(expr(v)))
+
   private[plans] def checkStringArray(dt: DataType, who: String): TypeCheckResult =
     dt match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -662,4 +665,43 @@ case class RepetitionStatsExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "repetition_stats"
+}
+
+/** L2 normalization of a numeric vector (the standard embedding prep:
+  * cosine becomes a plain dot product on normalized vectors). One
+  * compiled pass; the norm accumulates sequentially in doubles so the
+  * result is bit-reproducible against any engine that sums a list in
+  * order. Zero vectors normalize to zero vectors.
+  */
+case class L2NormalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.checkNumericArray(child.dataType, "l2_normalize")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = HashExprs.elem(v, i, isFloat); ss += x * x; i += 1 }
+    val l2 = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (l2 == 0) 0.0 else HashExprs.elem(v, i, isFloat) / l2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "l2_normalize"
 }

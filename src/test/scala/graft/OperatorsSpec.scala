@@ -507,6 +507,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) === ((true, false)))
   }
 
+  test("l2 normalize yields unit vectors and passes zero vectors through") {
+    import spark.implicits._
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        graft.plans.HashExprs.l2Normalize(col("embedding")).as("nv"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    assert(math.abs(out(1L).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(out(1L) === Seq(0.6, 0.8))
+    assert(out(2L) === Seq(0.0, 0.0))
+  }
+
   test("quantile sketch tracks the exact quantiles") {
     val orders = Tables.orders(spark, sfDir)
     val r = Analytics.quantileSketch(orders).head()
