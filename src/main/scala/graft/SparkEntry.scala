@@ -74,6 +74,7 @@ object SparkEntry {
       Analytics.regionPivot(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d))),
     "asof_join"  -> ((s, d) => Temporal.asofJoin(Tables.events(s, d))),
+    "asof_join_tolerance" -> ((s, d) => Temporal.asofJoinTolerance(Tables.events(s, d), 12)),
     "range_join" -> ((s, d) => Temporal.rangeJoinOrders(Tables.orders(s, d), 90)),
     // the general two-table range join: click→purchase attribution
     // within a 7-day window (value summed as decimal — double sums
@@ -557,6 +558,19 @@ object SparkEntry {
         |CAST(round(sum(p.v), 2) AS DOUBLE) AS purchase_total
         |FROM c JOIN p ON c.user_id = p.user_id AND p.pts >= c.ts AND p.pts < c.ts + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // staleness tolerance over DuckDB's native ASOF: matches older
+    // than 12h are nulled by CASE, exactly the Spark-side predicate
+    "asof_join_tolerance" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS pid, max(value) AS pv
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.pid, p.pv
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |CASE WHEN pts >= ts - INTERVAL 12 HOUR THEN pid END AS purchase_event_id,
+        |CASE WHEN pts >= ts - INTERVAL 12 HOUR THEN strftime(pts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts,
+        |CASE WHEN pts >= ts - INTERVAL 12 HOUR THEN round(pv, 2) END AS purchase_value
+        |FROM j ORDER BY event_id""".stripMargin,
     "range_join" ->
       """SELECT a.o_orderkey, count(*) AS n_window,
         |CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS window_total

@@ -32,7 +32,10 @@ object Temporal {
     * per (user, ts) — max event_id / value — so the as-of winner is
     * unique and the result is deterministic under ties.
     */
-  def asofJoin(events: DataFrame): DataFrame = {
+  /** The shared as-of core: one row per click with the carried-forward
+    * latest purchase columns, unformatted.
+    */
+  private def asofCore(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("p_event_id"), max(col("value")).as("p_value"))
@@ -55,12 +58,35 @@ object Temporal {
       .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
       .withColumn("purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
+  }
+
+  def asofJoin(events: DataFrame): DataFrame =
+    asofCore(events)
       .select(
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         col("purchase_event_id"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("event_id")
+
+  /** As-of join with a STALENESS TOLERANCE: a match older than
+    * `toleranceHours` before the click is nulled out rather than
+    * carried — the market-data rule that a quote too stale to price
+    * against is no quote at all. Same single-shuffle plan as
+    * [[asofJoin]]; the tolerance is a post-window row predicate, so
+    * it costs nothing extra.
+    */
+  def asofJoinTolerance(events: DataFrame, toleranceHours: Int): DataFrame = {
+    val fresh = col("purchase_ts").isNotNull &&
+      col("purchase_ts") >= col("ts") - expr(s"INTERVAL $toleranceHours HOURS")
+    asofCore(events)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        when(fresh, col("purchase_event_id")).as("purchase_event_id"),
+        when(fresh, date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")).as("purchase_ts"),
+        when(fresh, round(col("purchase_value"), 2)).as("purchase_value"))
       .orderBy("event_id")
   }
 

@@ -266,6 +266,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) === ((1L, 7.0)))
   }
 
+  test("asof tolerance nulls stale matches but keeps the fresh ones") {
+    val ev = Tables.events(spark, sfDir)
+    val loose = Temporal.asofJoin(ev)
+      .filter(col("purchase_event_id").isNotNull).count()
+    val tight = Temporal.asofJoinTolerance(ev, 12)
+      .filter(col("purchase_event_id").isNotNull).count()
+    assert(tight < loose)   // some matches are older than 12h
+    assert(tight > 0)       // but not all
+    // row count identical — tolerance nulls columns, never drops rows
+    assert(Temporal.asofJoinTolerance(ev, 12).count() ===
+      Temporal.asofJoin(ev).count())
+  }
+
   test("bucketized pair range join agrees with the window range aggregation") {
     val orders = Tables.orders(spark, sfDir)
     val viaWindow = Temporal.rangeJoinOrders(orders, 90).collect().toSeq
