@@ -59,19 +59,29 @@ object Corpus {
     * rationals with these magnitudes differ by ≥ 1/(bd) ≫ one ulp,
     * so the order is engine-independent too.
     *
-    * The df table is broadcast: post-trim vocabulary grows ~√corpus
-    * (Heaps' law) and stays megabytes; for an untrimmed web-scale
-    * vocabulary swap the broadcast for a shuffle join on word.
+    * Scale contract for the df (vocabulary) side: an UNTRIMMED
+    * web-scale vocabulary is billions of terms (hapax legomena grow
+    * linearly with the corpus) — broadcasting it would kill the
+    * driver, so the default is a shuffle join on `word` (tf is
+    * already keyed by (doc, word); the df join adds one word-keyed
+    * exchange of the term table, never of the corpus). `minDf`
+    * trims the vocabulary (df ≥ minDf, the standard tf·idf trim —
+    * a term in <minDf documents can't be a corpus-level feature);
+    * a TRIMMED vocabulary grows ~√corpus (Heaps' law) and stays
+    * megabytes, so callers that trim may set `broadcastVocab=true`
+    * to skip the tf-side exchange entirely.
     */
-  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3, minDf: Long = 1L,
+                    broadcastVocab: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = documents.select(col("doc_id"),
       explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfrAll = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfr = if (minDf > 1L) dfrAll.filter(col("df") >= minDf) else dfrAll
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(dfr), "word")
+    tf.join(if (broadcastVocab) broadcast(dfr) else dfr, "word")
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rn", row_number().over(w))

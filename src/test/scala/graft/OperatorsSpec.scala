@@ -580,5 +580,39 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(rj.contains("Window") && !rj.contains("Join"),
       s"range aggregation must plan as a window, not a join:\n$rj")
+    // tfidf: the UNTRIMMED vocabulary aggregate must never be
+    // broadcast (hapax legomena make it billions of terms at web
+    // scale — a broadcast kills the driver); the word join must plan
+    // as a shuffle join. A TRIMMED vocabulary (minDf ≥ 2, bounded by
+    // Heaps' law) may opt back into the broadcast. autoBroadcast off
+    // so the small test table doesn't mask the untrimmed plan shape.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val untrimmed = Corpus.tfidfTopTerms(docs).queryExecution.executedPlan.toString
+      assert(!untrimmed.contains("BroadcastHashJoin"),
+        s"untrimmed vocabulary must not be broadcast:\n$untrimmed")
+      assert(untrimmed.contains("SortMergeJoin") || untrimmed.contains("ShuffledHashJoin"),
+        s"untrimmed word join must be a shuffle join:\n$untrimmed")
+      val trimmed = Corpus.tfidfTopTerms(docs, minDf = 2, broadcastVocab = true)
+        .queryExecution.executedPlan.toString
+      assert(trimmed.contains("BroadcastHashJoin"),
+        s"trimmed vocabulary opts into the broadcast:\n$trimmed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("tfidf minDf trims sub-threshold vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta delta"), (3L, "alpha epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, k = 5, minDf = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("word"))).toSet
+    // df: alpha=3, beta=2, everything else 1 → only alpha/beta survive
+    assert(out === Set((1L, "alpha"), (1L, "beta"), (2L, "alpha"), (2L, "beta"), (3L, "alpha")))
+    // untrimmed default keeps the hapax terms
+    val all = Corpus.tfidfTopTerms(docs, k = 5)
+      .collect().map(_.getAs[String]("word")).toSet
+    assert(all.contains("gamma") && all.contains("zeta"))
   }
 }
