@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines:
   * language ID, quality scoring, token counting, fingerprinting.
   *
-  * All pure column expressions over builtin + higher-order functions
-  * (split / filter / regexp_count / md5) — codegen'd, shuffle-free
-  * per-document maps. At 100 TB these run at scan speed.
+  * All pure column expressions over builtins (split / regexp_count /
+  * md5) plus compiled Catalyst expressions for the per-token passes
+  * ([[graft.plans.HashExprs.stopwordHits]] — Spark's higher-order
+  * `filter` runs interpreted, one boxed lambda per token) —
+  * shuffle-free per-document maps. At 100 TB these run at scan speed.
   */
 object TextAnalysis {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
   private def countIn(c: Column, vocab: Seq[String]): Column =
-    size(filter(words(lower(c)), w => vocab.foldLeft(lit(false))((acc, v) => acc || w === v)))
+    graft.plans.HashExprs.stopwordHits(lower(c), vocab)
 
   // Tiny stopword profiles per language — the n-gram/stopword
   // heuristic approach of public langid tools, kept small enough to

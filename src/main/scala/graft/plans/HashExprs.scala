@@ -74,6 +74,15 @@ object HashExprs {
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     col(NearestCentroidExpr(expr(v), centroids))
 
+  /** Count of whitespace-delimited tokens of `text` equal to a word
+    * in `vocab` — the stopword-profile primitive behind lang_id and
+    * the quality scores. One compiled pass over the chars: no token
+    * array, no boxed per-token lambda (the `filter(split(...), ...)`
+    * higher-order formulation runs interpreted).
+    */
+  def stopwordHits(text: Column, vocab: Seq[String]): Column =
+    col(StopwordHitsExpr(expr(text), vocab))
+
   /** Word n-grams of a single-space-normalized text, as strings —
     * the decontamination/membership primitive (gram strings, not
     * hashes, so any engine can recompute them). Texts shorter than n
@@ -570,6 +579,69 @@ case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 
   override def prettyName: String = "sign_proj_bits"
+}
+
+/** Count of whitespace-delimited tokens equal to any `vocab` word,
+  * in one compiled pass. Token semantics match
+  * `split(trim(s), "\\s+")`: tokens are maximal runs of
+  * non-whitespace, where whitespace is Java regex `\s` =
+  * `[ \t\n\x0B\f\r]` — so the count equals
+  * `size(filter(split(trim(s), "\\s+"), w -> w IN vocab))` on every
+  * input (the split's empty-string artifact on empty input can never
+  * match a vocab word). Vocabularies are tiny (≤ ~10 stopwords per
+  * language profile); the inner comparison bails on the first
+  * length/char mismatch.
+  */
+case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"stopword_hits expects string, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vocabChars: Array[Array[Char]] =
+    vocab.map(_.toCharArray).toArray
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    var hits = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val tl = i - start
+        var v = 0
+        var found = false
+        while (v < vocabChars.length && !found) {
+          val w = vocabChars(v)
+          if (w.length == tl) {
+            var j = 0
+            while (j < tl && w(j) == s.charAt(start + j)) j += 1
+            found = j == tl
+          }
+          v += 1
+        }
+        if (found) hits += 1
+      }
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "stopword_hits"
 }
 
 /** Word n-grams of a single-space-normalized text as STRINGS (one

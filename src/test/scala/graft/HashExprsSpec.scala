@@ -242,6 +242,38 @@ class HashExprsSpec extends SparkSpec {
     assert(rows(1).getAs[scala.collection.Seq[Byte]]("q") === Seq[Byte](0, 0, 0, 0))
   }
 
+  test("stopword_hits equals the interpreted filter(split) formulation") {
+    import spark.implicits._
+    val vocab = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, null.asInstanceOf[String]), (9002L, ""), (9003L, "   \t \n "),
+        (9004L, "the THE the. a\tof\nand"), (9005L, "is"), (9006L, "isnt theo a")
+      ).toDF("doc_id", "text"))
+    val both = docs.select(
+      col("doc_id"),
+      graft.plans.HashExprs.stopwordHits(lower(col("text")), vocab).as("compiled"),
+      size(filter(split(trim(lower(col("text"))), "\\s+"),
+        w => vocab.foldLeft(lit(false))((acc, v) => acc || w === v))).as("interpreted"))
+    val bad = both.filter(
+      !(col("compiled") <=> col("interpreted")) &&
+      // null text: compiled → null, size(filter(null)) → null too
+      col("compiled").isNotNull || col("interpreted").isNotNull && col("compiled").isNull)
+      .collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString(", ")}")
+    // spot values: "the THE the. a of and" lowered → the, the, the., a, of, and
+    val r = both.filter(col("doc_id") === 9004L).head()
+    assert(r.getAs[Int]("compiled") === 5) // "the." is not a vocab word
+    // no interpreted lambda may remain in any text-analysis query plan
+    for (q <- Seq(
+      graft.functions.TextAnalysis.langId(docs),
+      graft.functions.TextAnalysis.qualityScore(docs),
+      graft.functions.TextAnalysis.qualityFilter(docs))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"), s"interpreted HOF left in plan:\n$plan")
+    }
+  }
+
   test("xml_leaf_map: namespaces, attributes, nesting, case, last-wins") {
     import spark.implicits._
     import graft.plans.XmlExprs
