@@ -186,9 +186,11 @@ object Similarity {
       .cache()
     val qRows = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding")).take(1)
-    if (qRows.isEmpty)
+    if (qRows.isEmpty) {
+      assigned.unpersist()
       return embeddings.filter(lit(false))
         .select(col("vec_id"), lit(0.0).as("cos_sim"))
+    }
     val qVec = vecOf(qRows(0), "embedding")
     val qNorm = math.sqrt(qVec.map(x => x * x).sum)
 
@@ -238,10 +240,18 @@ object Similarity {
       .filterNot(probe)
       .filter(i => centDist(i) - radii.getOrElse(i, 0.0) <= dK + eps)
       .toSet
-    scoreLists(probe ++ extra)
+    // materialize the k result rows eagerly (localCheckpoint stores k
+    // rows, nothing more) so the cached index can be RELEASED before
+    // returning — a long-lived session otherwise accumulates one
+    // pinned corpus copy per query. A real deployment materializes
+    // the index at ingest and owns its lifecycle there.
+    val result = scoreLists(probe ++ extra)
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("cos_sim"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    result
   }
 
   /** LSH-bucketed approximate top-k with MULTI-PROBE: both the corpus

@@ -16,20 +16,33 @@ object Ingest {
 
   /** good = schema-conforming rows; quarantined = the raw text of
     * every malformed row, for replay/inspection.
+    *
+    * Cache ownership: both frames read one shared cached parse (see
+    * [[Ingest.split]]). The CALLER owns that cache — call
+    * [[IngestResult.unpersist]] once both frames are consumed (written
+    * / counted), or the parse stays pinned for the session's lifetime.
     */
-  final case class IngestResult(good: DataFrame, quarantined: DataFrame)
+  final case class IngestResult(good: DataFrame, quarantined: DataFrame,
+                                private val cachedParse: DataFrame) {
+    /** Release the shared cached parse backing `good`/`quarantined`.
+      * Lazy re-use of either frame afterwards recomputes the parse.
+      */
+    def unpersist(): Unit = { cachedParse.unpersist(); () }
+  }
 
   private def split(raw: DataFrame): IngestResult = {
     // Spark computes the corrupt-record column only when the SAME
     // materialization carries both it and the data columns — filtering
     // an uncached frame on _corrupt_record alone is unsupported
     // (AnalysisException) precisely because it would need a second
-    // parse. Cache once, split twice.
+    // parse. Cache once, split twice; the caller releases via
+    // IngestResult.unpersist.
     val cached = raw.cache()
     IngestResult(
       good = cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       quarantined = cached.filter(col("_corrupt_record").isNotNull)
-        .select(col("_corrupt_record").as("raw")))
+        .select(col("_corrupt_record").as("raw")),
+      cachedParse = cached)
   }
 
   /** Permissive JSONL read against an EXPLICIT schema (schema

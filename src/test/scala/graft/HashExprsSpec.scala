@@ -142,6 +142,21 @@ class HashExprsSpec extends SparkSpec {
     assert(ex === brute)
   }
 
+  test("ivf exact releases its cached index once the result is materialized") {
+    spark.catalog.clearCache()
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val res = operators.Similarity.ivfTopKExact(emb, 0L, 10, nProbe = 2)
+    assert(res.count() === 10)
+    // the in-query index cache is an ingest-time stand-in; it must not
+    // outlive the call (a long-lived session would pin one corpus copy
+    // per query otherwise)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ivfTopKExact left its corpus index pinned after returning")
+    // missing query id: the empty-result early return must release too
+    assert(operators.Similarity.ivfTopKExact(emb, -1L, 10).count() === 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     // broadcast off so the assertion is about bucketing, not broadcast
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

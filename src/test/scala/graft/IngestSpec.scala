@@ -25,6 +25,11 @@ class IngestSpec extends SparkSpec {
     assert(bad.size === 2)
     assert(bad.exists(_.contains("broken")))
     assert(bad.contains("not json at all"))
+    // the caller owns the shared parse cache: releasing it must leave
+    // no pinned storage behind
+    r.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ingest left a pinned cache after unpersist()")
   }
 
   test("schema-drifted table reads merged, normalize fills the old files' gap") {
