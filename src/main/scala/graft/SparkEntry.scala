@@ -118,6 +118,9 @@ object SparkEntry {
     // exact-guarantee IVF (triangle-inequality pruning) — output is
     // provably the true top-k, so the oracle is plain brute force
     "ann_ivf_topk"      -> ((s, d) => Similarity.ivfTopKExact(Tables.embeddings(s, d), 7L, 20)),
+    // retrieval at storage precision: top-k over the int8-quantized
+    // table (integer dot/norms — the scales cancel in the cosine)
+    "ann_int8_topk"     -> ((s, d) => Similarity.int8TopK(Tables.embeddings(s, d), 0L, 20)),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -664,6 +667,23 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
         |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // int8 search oracle: re-quantize in SQL (same round-away-from-
+    // zero as quantize_i8), then integer dot/norms — every partial is
+    // an exact integer well under 2^53, so double accumulation is
+    // order-independent and the final sqrt/divide/round is
+    // bit-identical to the compiled Spark expression
+    "ann_int8_topk" ->
+      """WITH s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |q8 AS (SELECT vec_id, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE round(x / scale) END) AS q FROM s),
+        |qq AS (SELECT q AS qv FROM q8 WHERE vec_id = 0),
+        |el AS (SELECT e.vec_id, e.q[r.i + 1] AS x, qq.qv[r.i + 1] AS y
+        |  FROM q8 e, qq, range(64) r(i) WHERE r.i < len(e.q) AND e.vec_id <> 0),
+        |sc AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+        |  FROM el GROUP BY vec_id)
+        |SELECT vec_id,
+        |CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE round(dot / (sqrt(na) * sqrt(nb)), 4) END AS cos_sim
+        |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
     "lang_id" ->
       """SELECT doc_id,
         |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en_hits,

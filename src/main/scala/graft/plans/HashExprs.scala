@@ -115,6 +115,12 @@ object HashExprs {
   /** L2 (unit-norm) normalization of a vector. */
   def l2Normalize(v: Column): Column = col(L2NormalizeExpr(expr(v)))
 
+  /** Cosine similarity of two int8-quantized vectors
+    * (array<tinyint>) — integer dot and norms, one double division.
+    */
+  def cosineSimI8(a: Column, b: Column): Column =
+    col(CosineSimI8Expr(expr(a), expr(b)))
+
   private[plans] def checkStringArray(dt: DataType, who: String): TypeCheckResult =
     dt match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -542,6 +548,50 @@ case class QuantizeI8Expr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "quantize_i8"
+}
+
+/** Cosine similarity of two int8-quantized vectors (array<tinyint>).
+  * The symmetric per-vector quantization scale (max|x|/127) cancels
+  * in the cosine quotient, so the whole score is integer arithmetic:
+  * exact long dot and norms (≤ 127²·dim, nowhere near overflow for
+  * any realistic dim), then one double division — bit-reproducible
+  * on any engine, which is what lets the gate value-compare it.
+  */
+case class CosineSimI8Expr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def chk(dt: DataType): TypeCheckResult = dt match {
+      case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim_i8 expects array<tinyint>, got ${other.simpleString}")
+    }
+    val l = chk(left.dataType)
+    if (l.isFailure) l else chk(right.dataType)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = va.getByte(i).toLong
+      val y = vb.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (d == 0.0) 0.0 else dot.toDouble / d
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimI8Expr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim_i8"
 }
 
 /** Sign-random-projection LSH bits: bit i = (v · planes(i) >= 0). */

@@ -142,6 +142,26 @@ class HashExprsSpec extends SparkSpec {
     assert(ex === brute)
   }
 
+  test("int8 top-k tracks the float top-k closely (storage-precision recall)") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val k = 20
+    for (q <- Seq(0L, 7L)) {
+      val fl = operators.Similarity.bruteForceTopK(emb, q, k)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+      val i8 = operators.Similarity.int8TopK(emb, q, k)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+      // recall@k: int8 quantization perturbs each cosine by O(1/127);
+      // on 64-dim data the top-k sets should mostly agree
+      val recall = (i8.keySet & fl.keySet).size.toDouble / k
+      assert(recall >= 0.8, s"query $q: recall@$k = $recall")
+      // and on shared ids the scores agree to quantization error
+      (i8.keySet & fl.keySet).foreach { id =>
+        assert(math.abs(i8(id) - fl(id)) <= 0.02,
+          s"query $q id $id: i8=${i8(id)} float=${fl(id)}")
+      }
+    }
+  }
+
   test("ivf exact releases its cached index once the result is materialized") {
     spark.catalog.clearCache()
     val emb = sources.Tables.embeddings(spark, sfDir)
