@@ -143,6 +143,7 @@ object SparkEntry {
         .select(col("vec_id"), col("pos"), round(col("col"), 6).as("nv"))
         .orderBy("vec_id", "pos")),
     "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "lang_segments"     -> ((s, d) => TextAnalysis.langSegments(Tables.documents(s, d))),
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "text_clean"        -> ((s, d) => TextAnalysis.textClean(Tables.documents(s, d))),
@@ -684,6 +685,32 @@ object SparkEntry {
         |SELECT vec_id,
         |CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE round(dot / (sqrt(na) * sqrt(nb)), 4) END AS cos_sim
         |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    // lang_segments oracle: re-derive the windows (16 tokens), the
+    // per-window stopword argmax (same tie order as lang_id), and the
+    // run-length merge (gaps-and-islands over the window sequence).
+    // range(512) caps documents at 8192 tokens — far above the
+    // testdata maximum; the Spark side has no such cap.
+    "lang_segments" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |w AS (SELECT doc_id, r.i AS win, list_slice(toks, r.i*16 + 1, r.i*16 + 16) AS wt
+        |  FROM t, range(512) r(i) WHERE r.i * 16 < len(toks)),
+        |h AS (SELECT doc_id, win, len(wt) AS ntok,
+        |  len(list_filter(wt, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+        |  len(list_filter(wt, x -> x IN ('el','la','de','en','es','los','que'))) AS es,
+        |  len(list_filter(wt, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS de
+        |  FROM w),
+        |l AS (SELECT doc_id, win, ntok,
+        |  CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es > 0 THEN 'es'
+        |       WHEN de > 0 THEN 'de' ELSE 'unknown' END AS lang FROM h),
+        |g AS (SELECT doc_id, win, ntok, lang,
+        |  CASE WHEN lang = lag(lang) OVER (PARTITION BY doc_id ORDER BY win) THEN 0 ELSE 1 END AS brk
+        |  FROM l),
+        |seg AS (SELECT doc_id, win, ntok, lang,
+        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY win) - 1 AS seg_idx FROM g)
+        |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, lang, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM seg GROUP BY doc_id, seg_idx, lang ORDER BY doc_id, seg_idx""".stripMargin,
     "lang_id" ->
       """SELECT doc_id,
         |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en_hits,

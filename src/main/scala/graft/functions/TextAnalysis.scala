@@ -43,6 +43,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Default lang_segments window: long enough for a stopword signal,
+    * short enough to catch paragraph-level language switches.
+    */
+  val SegmentWindow = 16
+
+  /** Per-document LANGUAGE SEGMENTATION — the span-level refinement of
+    * [[langId]] for mixed-language documents (common in web corpora):
+    * fixed [[SegmentWindow]]-token windows are language-ID'd with the
+    * same stopword-profile argmax as whole-doc lang_id (ties
+    * en > es > de > unknown), then adjacent same-language windows
+    * merge into segments. Output is one row per (doc, segment) with
+    * its REAL token count, so per-language token budgets / sampling
+    * rates are computed from span-level counts instead of a whole-doc
+    * argmax that hides the minority language entirely.
+    *
+    * One compiled pass per document
+    * ([[graft.plans.HashExprs.langSegments]]) — no token explode, no
+    * shuffle; the explode→window→groupBy formulation would shuffle
+    * one row per corpus token at 100 TB.
+    */
+  def langSegments(documents: DataFrame): DataFrame = {
+    val segs = graft.plans.HashExprs.langSegments(lower(col("text")),
+      SegmentWindow, Seq("en" -> EnStops, "es" -> EsStops, "de" -> DeStops))
+    documents
+      // blank docs have no tokens, hence no segments, on either engine
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), posexplode(segs))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col.lang").as("lang"), col("col.n_tokens").as("n_tokens"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
   /** Quality features: length, word stats, punctuation ratio, stopword
     * ratio, and a bounded composite score — the standard pre-training
     * quality-filter feature set (length/punct/stopword heuristics).

@@ -309,6 +309,39 @@ class HashExprsSpec extends SparkSpec {
     }
   }
 
+  test("lang_segments splits mixed-language documents into per-language spans") {
+    import spark.implicits._
+    val W = graft.functions.TextAnalysis.SegmentWindow
+    // doc 1: 2 windows of English then 2 windows of Spanish, from the
+    // profile vocabularies themselves (unambiguous signal)
+    val en = Seq.fill(2 * W / 7 + 1)(graft.functions.TextAnalysis.EnStops)
+      .flatten.take(2 * W).mkString(" ")
+    val es = Seq.fill(2 * W / 7 + 1)(graft.functions.TextAnalysis.EsStops)
+      .flatten.take(2 * W).mkString(" ")
+    val docs = Seq(
+      (1L, s"$en $es"),
+      (2L, "zzz qqq xxx"),          // no stopwords at all → unknown
+      (3L, ""),                     // blank → no segments
+      (4L, "the " * (W / 2))        // sub-window doc → one short segment
+    ).toDF("doc_id", "text")
+    val segs = graft.functions.TextAnalysis.langSegments(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_idx"),
+        r.getAs[String]("lang"), r.getAs[Long]("n_tokens")))
+    assert(segs.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0L, "en", 2L * W), (1L, 1L, "es", 2L * W)))
+    assert(segs.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "unknown", 3L)))
+    assert(!segs.exists(_._1 == 3L))
+    assert(segs.filter(_._1 == 4L).toSeq === Seq((4L, 0L, "en", (W / 2).toLong)))
+    // whole-doc argmax hides doc 1's Spanish half; the segments don't:
+    // per-language token sums are the point of the operator
+    val byLang = segs.filter(_._1 == 1L).groupBy(_._3).view.mapValues(_.map(_._4).sum)
+    assert(byLang("en") === byLang("es"))
+    // scan-shape: no interpreted lambda, no shuffle before the explode
+    val plan = graft.functions.TextAnalysis.langSegments(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"), s"interpreted HOF in plan:\n$plan")
+  }
+
   test("xml_leaf_map: namespaces, attributes, nesting, case, last-wins") {
     import spark.implicits._
     import graft.plans.XmlExprs
