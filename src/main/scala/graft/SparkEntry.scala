@@ -177,7 +177,7 @@ object SparkEntry {
     */
   private def grainOracle(fmt: String, tag: String): String =
     s"""SELECT strftime(o_orderdate, '$fmt') AS period_key, '$tag' AS agg_type, o_custkey AS entity_id,
-       |CAST((CAST(sum(v) * 100 AS HUGEINT) * 200 + count(*)) // (count(*) * 2) AS DOUBLE) / 10000 AS avg_value,
+       |CAST((CASE WHEN sum(v) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(v) * 100 AS HUGEINT)) * 200 + count(*)) // (count(*) * 2)) AS DOUBLE) / 10000 AS avg_value,
        |CAST(sum(v) AS DOUBLE) AS sum_value,
        |CAST(max(v) AS DOUBLE) AS max_value, CAST(min(v) AS DOUBLE) AS min_value,
        |CASE WHEN count(*) > 1 THEN round(sqrt(greatest((CAST(sum(v*v) AS DOUBLE) - CAST(sum(v) AS DOUBLE)*CAST(sum(v) AS DOUBLE)/count(*)) / (count(*)-1), 0)), 4) END AS std_value,

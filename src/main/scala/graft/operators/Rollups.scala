@@ -18,13 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Input contract: a frame with `entity_id` (series key), `ts`
   * (timestamp) and `value` (double) columns — see [[Rollups.series]].
-  * `value` must be NON-NEGATIVE (prices, volumes, quantities): the
-  * exact 4dp rounding identity used for `avg_value`,
-  * `(200·S + n) div (2·n)`, relies on truncate-toward-zero division
-  * and is the HALF_UP round only for S ≥ 0 — a negative sum comes out
-  * 1e-4 off (e.g. S=-1 cent, n=2 gives -49 instead of -50). Signed
-  * series need a sign-split of the identity (compute on |S|, reapply
-  * the sign).
+  * `value` may be signed: the exact 4dp rounding identity used for
+  * `avg_value` is applied to |S| with the sign reapplied (round half
+  * AWAY FROM ZERO), because the bare `(200·S + n) div (2·n)` is the
+  * HALF_UP round only for S ≥ 0 — truncate-toward-zero division puts
+  * a negative half-case 1e-4 off (S=-1 cent, n=2 → -49 not -50), and
+  * DuckDB's `//` floors, diverging the other way.
   */
 object Rollups {
 
@@ -83,14 +82,16 @@ object Rollups {
         min(v).as("min_d"),
         count(lit(1)).as("cnt_value"))
       // 4dp average in exact integer math — round(S/(100·n), 4)·10^4 =
-      // (200·S + n) div (2·n) with S in cents. Same hazard as
-      // multiMetric: sum/count of 2-decimal values lands on EXACT
-      // 5th-decimal halves for counts 2/4/5/8, where Spark's double
-      // round goes HALF_UP and DuckDB's half-even.
+      // (200·|S| + n) div (2·n) with S in cents, sign reapplied
+      // (half away from zero; series() accepts signed values). Same
+      // hazard as multiMetric: sum/count of 2-decimal values lands on
+      // EXACT 5th-decimal halves for counts 2/4/5/8, where Spark's
+      // double round goes HALF_UP and DuckDB's half-even.
       .withColumn("cents_v", (col("sum_d") * 100).cast("decimal(38,0)"))
       .select(
         col("period_key"), lit(tag).as("agg_type"), col("entity_id"),
-        (expr("(cents_v * 200 + cnt_value) div (cnt_value * 2)").cast("double") / 10000)
+        (expr("if(cents_v < 0, -1, 1) * ((abs(cents_v) * 200 + cnt_value) div (cnt_value * 2))")
+          .cast("double") / 10000)
           .as("avg_value"),
         sumD.as("sum_value"),
         col("max_d").cast("double").as("max_value"),

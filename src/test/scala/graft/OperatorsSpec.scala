@@ -24,6 +24,22 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Double]("max_value") >= row.getAs[Double]("min_value"))
   }
 
+  test("rollup avg_value rounds half away from zero for signed series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // sum=-0.01 over n=2 → avg=-0.005, the exact negative half-case:
+    // truncate-toward-zero div gives -0.0049, floor div -0.0050-1ulp;
+    // the sign-split identity gives the HALF_UP-away-from-zero -0.005
+    val ts = Timestamp.valueOf("2024-03-05 00:00:00")
+    val df = Seq(
+      (1L, ts, 0.24), (1L, ts, -0.25),            // sum -0.01, n=2
+      (2L, ts, 0.25), (2L, ts, 0.0)               // positive mirror
+    ).toDF("entity_id", "ts", "value")
+    val m = Rollups.monthly(df).orderBy("entity_id").collect()
+    assert(m(0).getAs[Double]("avg_value") === -0.005)
+    assert(m(1).getAs[Double]("avg_value") === 0.125)
+  }
+
   test("combined rollup = daily+monthly+yearly ids, deduplicated") {
     val s = orderSeries
     val c = Rollups.combined(s)
