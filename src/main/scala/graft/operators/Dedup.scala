@@ -48,31 +48,49 @@ object Dedup {
     * is ~1% of corpus size and the band shuffle carries 16 longs per
     * doc; the corpus itself is scanned once.
     */
-  private def lshPairs(documents: DataFrame, k: Int, word: Boolean,
-                       numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+  /** The (doc_id, band, band_hash) LSH band table — the dedup INDEX.
+    * Narrow (two longs + an int per doc per band); at 100 TB this is
+    * the artifact to persist at ingest (see [[writeMinhashIndex]]) so
+    * every subsequent dedup run skips the corpus scan and the band
+    * shuffle entirely.
+    */
+  private def bandTable(documents: DataFrame, k: Int, word: Boolean,
+                        numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm) — trailing signature lanes would be silently ignored")
     val rowsPerBand = numPerm / bands
-    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
-    val sigs = base.select(col("doc_id"),
-      HashExprs.minhashText(col("nt"), k, numPerm, word).as("sig"))
-    val banded = sigs.select(
+    val sigs = documents.select(col("doc_id"),
+      HashExprs.minhashText(norm(col("text")), k, numPerm, word).as("sig"))
+    sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(j =>
         xxhash64(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))): _*)))
       .toDF("doc_id", "band", "band_hash")
-    val cand = banded.as("x")
+  }
+
+  /** Candidate (a, b) id pairs from a band table: self-join on the
+    * bucket key, a < b. NOT distinct — a pair colliding in several
+    * bands appears once per collision; callers dedupe. Public to the
+    * package so the plan-shape spec can assert the persisted-index
+    * join shuffles nothing.
+    */
+  private[graft] def bucketCandidates(banded: DataFrame): DataFrame =
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    // verify: join the (narrow) normalized text back for candidates
-    // only; exact Jaccard is one compiled pass per pair. Emitted at
-    // full double precision: intersection/union division of the same
-    // two ints is bit-identical in any IEEE engine, whereas a 4dp
-    // round can land on an exact 5th-decimal half (e.g. 1/32) where
-    // rounding modes diverge across engines.
+
+  /** Exact-Jaccard verification of candidate pairs: join the (narrow)
+    * normalized text back for candidates only; exact Jaccard is one
+    * compiled pass per pair. Emitted at full double precision:
+    * intersection/union division of the same two ints is bit-identical
+    * in any IEEE engine, whereas a 4dp round can land on an exact
+    * 5th-decimal half (e.g. 1/32) where rounding modes diverge across
+    * engines.
+    */
+  private def verifyJaccard(cand: DataFrame, base: DataFrame, k: Int,
+                            word: Boolean, threshold: Double): DataFrame =
     cand
       .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
       .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
@@ -80,6 +98,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
+
+  private def lshPairs(documents: DataFrame, k: Int, word: Boolean,
+                       numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
+    val cand = bucketCandidates(bandTable(documents, k, word, numPerm, bands)).distinct()
+    verifyJaccard(cand, base, k, word, threshold)
+  }
+
+  /** Persist the minhash band index bucketed by (band, band_hash): the
+    * "signatures computed at ingest" half of the dedup pipeline. The
+    * bucket layout IS the LSH shuffle, paid once at write time — every
+    * later [[minhashLshIndexed]] self-join reads co-bucketed files and
+    * plans ZERO exchanges (spec-asserted), so re-running dedup after an
+    * incremental ingest touches the corpus text only for the candidate
+    * pairs' verification.
+    */
+  def writeMinhashIndex(documents: DataFrame, table: String, numBuckets: Int = 8,
+                        k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketed(
+      bandTable(documents, k, word = false, numPerm, bands),
+      // bucket columns = the candidate join's key set EXACTLY: Spark's
+      // planner only keeps the bucketed (exchange-free) scan when the
+      // join keys match the bucket spec, not a superset of it
+      table, Seq("band", "band_hash"), numBuckets)
+
+  /** [[minhashLsh]] over a persisted band index: candidates come from
+    * the bucketed table (shuffle-free self-join — both sides carry the
+    * same HashPartitioning on the bucket columns, which are exactly
+    * the join keys), and the corpus is consulted only to
+    * Jaccard-verify the candidate ids. Same output contract as
+    * [[minhashLsh]] (spec-asserted equal).
+    */
+  def minhashLshIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                        documents: DataFrame, k: Int = 5,
+                        threshold: Double = 0.5): DataFrame = {
+    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
+    val cand = bucketCandidates(spark.table(table)).distinct()
+    verifyJaccard(cand, base, k, word = false, threshold)
   }
 
   /** Near-dup pairs on character 5-shingles (MinHash LSH, Jaccard

@@ -77,6 +77,45 @@ object StreamingRollups {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup dedup: drop an arriving document whose minhash
+    * LSH band bucket was already claimed by an earlier document — the
+    * streaming form of [[graft.operators.Dedup.minhashLsh]] and the
+    * principled version of the reference's find-one-before-insert
+    * guard (transform_iqplus_news_dags.py:144-156), which only catches
+    * byte-identical re-crawls. Here a re-crawl that differs by a
+    * boilerplate footer shares nearly all minhash lanes with the
+    * original, so at least one band collides and the copy is dropped
+    * even though its content fingerprint is fresh.
+    *
+    * Mechanics: one `dropDuplicatesWithinWatermark` per band, chained
+    * (Spark's multiple-stateful-operator support). A document survives
+    * only if EVERY band is novel — i.e. it is dropped iff ≥1 band
+    * matches a kept document, exactly the batch LSH candidate rule. A
+    * dropped document does NOT register its remaining bands, so state
+    * tracks kept (canonical) documents only. State per band is
+    * (band_hash → expiry) bounded by the watermark; there is no exact
+    * Jaccard verify (that would require buffering prior TEXT —
+    * unbounded state), so band geometry is the precision knob: 8-lane
+    * bands collide at p = s^8 for Jaccard s, negligible for genuinely
+    * different documents.
+    */
+  def dedupNear(docs: DataFrame, watermark: String, k: Int = 5,
+                numPerm: Int = 64, bands: Int = 8): DataFrame = {
+    require(numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rowsPerBand = numPerm / bands
+    val sig = graft.plans.HashExprs.minhashText(
+      graft.functions.TextAnalysis.normalizeWs(col("text")), k, numPerm, word = false)
+    val withBands = (0 until bands).foldLeft(docs.withColumn("sig", sig)) {
+      (df, j) => df.withColumn(s"band_$j",
+        xxhash64(lit(j), slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)))
+    }.drop("sig").withWatermark("ts", watermark)
+    val deduped = (0 until bands).foldLeft(withBands) {
+      (df, j) => df.dropDuplicatesWithinWatermark(s"band_$j")
+    }
+    deduped.drop((0 until bands).map(j => s"band_$j"): _*)
+  }
+
   /** Stream-STREAM interval join: pair each left event with the right
     * events of the same entity whose timestamp falls within
     * [left.ts − before, left.ts + after]. Both sides carry watermarks

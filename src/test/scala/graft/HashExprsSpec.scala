@@ -214,6 +214,39 @@ class HashExprsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("persisted minhash index self-joins shuffle-free and reproduces direct LSH pairs") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS g_minhash_idx")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = new java.io.File(wh, "g_minhash_idx")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      val docs = sources.Tables.documents(spark, sfDir)
+      operators.Dedup.writeMinhashIndex(docs, "g_minhash_idx")
+      // the candidate self-join over the bucketed index: the bucket
+      // layout is the exchange, paid at ingest — the query plans none
+      val cand = operators.Dedup.bucketCandidates(spark.table("g_minhash_idx"))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"persisted-index self-join should not shuffle:\n$plan")
+      assert(cand.count() > 0)
+      // same pairs as computing signatures from the corpus in-query
+      val indexed = operators.Dedup.minhashLshIndexed(spark, "g_minhash_idx", docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = operators.Dedup.minhashLsh(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(indexed === direct)
+      assert(indexed.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("partitioned sink writes per-period directories and prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val combined = operators.Rollups.combined(operators.Rollups.series(

@@ -22,8 +22,8 @@ class StreamingSpec extends SparkSpec {
       Event(2L, ts("2024-01-01 00:00:20"), 7.0))
     val agg = StreamingRollups.windowed(input.toDF(), "1 minute", "10 seconds")
     val q = agg.writeStream.format("memory").queryName("win")
-      .outputMode("complete").trigger(Trigger.Once()).start()
-    q.awaitTermination(60000)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
     val rows = spark.table("win")
       .select(col("entity_id"), col("sum_value"), col("cnt_value"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
@@ -42,8 +42,8 @@ class StreamingSpec extends SparkSpec {
       Event(2L, ts("2024-01-01 00:00:20"), 7.0))
     val deduped = StreamingRollups.dedup(input.toDF(), "10 minutes")
     val q = deduped.writeStream.format("memory").queryName("dedup")
-      .outputMode("append").trigger(Trigger.Once()).start()
-    q.awaitTermination(60000)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
     assert(spark.table("dedup").count() === 2)
   }
 
@@ -91,8 +91,8 @@ class StreamingSpec extends SparkSpec {
     val dim = sources.Tables.customer(spark, sfDir).select("c_custkey", "c_name")
     val enriched = StreamingRollups.enrich(input.toDF(), dim, "entity_id", "c_custkey")
     val q = enriched.writeStream.format("memory").queryName("enriched")
-      .outputMode("append").trigger(Trigger.Once()).start()
-    q.awaitTermination(60000)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
     val rows = spark.table("enriched").collect()
     assert(rows.length === 2)
     val byId = rows.map(r => r.getAs[Long]("entity_id") -> r.getAs[String]("c_name")).toMap
@@ -127,13 +127,49 @@ class StreamingSpec extends SparkSpec {
       (3L, ts("2024-01-01 00:06:00"), "a different article"))
     val deduped = StreamingRollups.dedupContent(
       input.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+    // processAllAvailable, not awaitTermination(timeout): a fixed
+    // timeout under a contended host returns before the batch lands
+    // and reads an empty table (observed flake)
     val q = deduped.writeStream.format("memory").queryName("cdedup")
-      .outputMode("append").trigger(Trigger.Once()).start()
-    q.awaitTermination(60000)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
     val kept = spark.table("cdedup").collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept.size === 2)
     assert(kept.contains(3L))
     assert(!(kept.contains(1L) && kept.contains(2L)))
+  }
+
+  test("streaming near-dup dedup closes a near-duplicate re-crawl across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // long body: the near-dup shares ~95% of its char-5 shingles with
+    // the original, so ≥1 of the 8 LSH bands collides w.h.p. (and the
+    // hashes are deterministic, so this test is not flaky)
+    val body = "jakarta composite index climbed more than two percent on strong " +
+      "bank earnings while commodity stocks lagged the broader market as " +
+      "investors rotated into financials ahead of the central bank decision " +
+      "and analysts raised year end targets citing resilient consumer demand " +
+      "and a stable currency outlook across the region"
+    val deduped = StreamingRollups.dedupNear(
+      input.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("ndedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), body))
+      q.processAllAvailable()
+      // batch 2: a re-crawl with a boilerplate footer — different
+      // content fingerprint, so exact/content dedup would KEEP it —
+      // plus a genuinely new document
+      input.addData(
+        (2L, ts("2024-01-01 00:05:00"), body + " subscribe to our daily newsletter"),
+        (3L, ts("2024-01-01 00:06:00"), "volcanic ash clouds disrupted dozens of " +
+          "flights across the archipelago as authorities raised the alert level " +
+          "and evacuated villages near the crater overnight"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("ndedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 3L))
   }
 
   test("stream-stream interval join pairs events within the time bound only") {
