@@ -149,6 +149,8 @@ object SparkEntry {
     "text_clean"        -> ((s, d) => TextAnalysis.textClean(Tables.documents(s, d))),
     "fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Sampling.stratified(Tables.documents(s, d))),
+    "sample_target_mix" -> ((s, d) => Sampling.targetMix(Tables.documents(s, d))),
+    "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
@@ -595,6 +597,33 @@ object SparkEntry {
          |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
          |ORDER BY doc_id""".stripMargin
     },
+    // same md5-bucket rule as sample_stratified; rates from the actual
+    // per-language counts (HUGEINT-safe: DuckDB sum(BIGINT) is HUGEINT,
+    // cast back for the schema compare)
+    "sample_target_mix" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+         |r AS (SELECT lang, least(100, (100 * (SELECT sum(cnt) FROM c)) // ((SELECT count(*)::BIGINT FROM c) * cnt)) AS rate_pct FROM c),
+         |h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |b AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS bucket FROM h)
+         |SELECT b.doc_id, b.lang, CAST(r.rate_pct AS BIGINT) AS rate_pct
+         |FROM b JOIN r USING (lang)
+         |WHERE b.bucket < r.rate_pct
+         |ORDER BY doc_id""".stripMargin
+    },
+    // offsets/sequence ids are exact integer arithmetic on both
+    // engines (non-negative, so truncating div == floor div)
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, lang, n_tokens,
+        |CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM t)
+        |SELECT doc_id, lang, n_tokens, token_offset,
+        |token_offset // 512 AS seq_first,
+        |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin,
     "top_k" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -76,18 +76,16 @@ object ApiSurface {
 
   /** GET /api/iqplus/news?search= — case-insensitive substring search,
     * newest first by publication date (api/app.py:133-172 sorts by
-    * `metadata.original_date` desc). The documents testdata carries no
-    * date column, so a deterministic publication date is derived from
-    * doc_id (fixed affine map into one year) — same derivation on the
-    * oracle side, date-desc with doc_id-desc tiebreak.
+    * `metadata.original_date` desc), date-desc with doc_id-desc
+    * tiebreak. The `published` column is attached at ingest by
+    * [[graft.sources.Ingest.withPublishedDate]] (a deterministic
+    * stand-in — the testdata carries no date column); this query just
+    * filters, projects, and orders it.
     */
   def search(documents: DataFrame, needle: String): DataFrame =
-    documents.filter(lower(col("text")).contains(needle.toLowerCase))
-      .select(col("doc_id"), col("source"), col("lang"),
-        date_format(
-          date_add(to_date(lit("2024-01-01")),
-            pmod(col("doc_id") * 37, lit(365)).cast("int")),
-          "yyyy-MM-dd").as("published"))
+    graft.sources.Ingest.withPublishedDate(documents)
+      .filter(lower(col("text")).contains(needle.toLowerCase))
+      .select(col("doc_id"), col("source"), col("lang"), col("published"))
       .orderBy(col("published").desc, col("doc_id").desc)
 
   /** GET /api/reports/list — search + deterministic pagination

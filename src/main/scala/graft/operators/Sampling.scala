@@ -34,4 +34,39 @@ object Sampling {
         when(col("lang") === "en", lit(enPct)).otherwise(lit(otherPct)))
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
+
+  /** Resample the corpus toward a UNIFORM target language mix — the
+    * domain/language re-weighting step of a pre-training data recipe
+    * (down-sample the dominant language instead of up-weighting the
+    * rare ones). Per-language keep-rates come from the ACTUAL counts:
+    * rate_pct = min(100, ⌊100·N / (L·count_lang)⌋) for L languages —
+    * the over-represented languages are thinned toward N/L docs each,
+    * already-under-represented ones keep everything. The keep decision
+    * is the same deterministic content-keyed bucket predicate as
+    * [[stratified]].
+    *
+    * Scale shape: the only aggregation is the per-language count (L
+    * rows — kilobytes at any corpus size), computed map-side-combined
+    * and broadcast back; the corpus itself is one scan with a pushed
+    * predicate. Integer percent rates, not fractional: the rate
+    * compares against the 0-99 bucket, so the decision is exact
+    * integer arithmetic in any engine.
+    */
+  def targetMix(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the window runs over the L-row counts frame, not the corpus —
+    // a single-partition window over kilobytes is free
+    val w = Window.partitionBy()
+    val rates = documents.groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(w))
+      .withColumn("n_langs", count(lit(1)).over(w))
+      .select(col("lang"),
+        least(lit(100L), expr("(100 * total) div (n_langs * cnt)")).as("rate_pct"))
+    documents.join(broadcast(rates), "lang")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("lang"), col("rate_pct"))
+      .orderBy("doc_id")
+  }
 }

@@ -45,6 +45,25 @@ object Ingest {
       cachedParse = cached)
   }
 
+  /** Publication-date enrichment for the documents/news surface,
+    * applied at INGEST so every downstream consumer (e.g. the
+    * news-search date ordering, [[graft.operators.ApiSurface.search]])
+    * reads a real `published` column rather than deriving a date
+    * inline. A real feed supplies this from its payload (the reference
+    * sorts news by `metadata.original_date`, api/app.py:151-153); the
+    * driver-generated documents testdata carries no date column and is
+    * read-only, so this stand-in derives a deterministic date from
+    * doc_id (fixed affine map into one calendar year). Swapping in a
+    * real feed timestamp is a one-line change HERE — downstream code
+    * is already column-based.
+    */
+  def withPublishedDate(docs: DataFrame): DataFrame =
+    docs.withColumn("published",
+      date_format(
+        date_add(to_date(lit("2024-01-01")),
+          pmod(col("doc_id") * 37, lit(365)).cast("int")),
+        "yyyy-MM-dd"))
+
   /** Permissive JSONL read against an EXPLICIT schema (schema
     * inference is a full extra pass over the data — never at 100 TB),
     * malformed lines captured instead of nulled-and-lost.

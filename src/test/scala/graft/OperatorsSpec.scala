@@ -581,6 +581,44 @@ class OperatorsSpec extends SparkSpec {
     assert(rep(2L).getAs[Double]("dup_word_frac") === 0.0)
   }
 
+  test("sequence packing offsets are the exact per-shard prefix sums") {
+    val packed = Corpus.packSequences(Tables.documents(spark, sfDir), budgetTokens = 512)
+      .collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      var expect = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("token_offset") === expect,
+          s"offset not contiguous in shard $lang at doc ${r.getAs[Long]("doc_id")}")
+        expect += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("seq_first") === r.getAs[Long]("token_offset") / 512)
+        assert(r.getAs[Long]("seq_last") >= r.getAs[Long]("seq_first"))
+      }
+    }
+    // a multi-sequence shard exists (the packing actually chunks)
+    assert(packed.map(_.getAs[Long]("seq_last")).max > 0)
+  }
+
+  test("target-mix resampling rates follow the uniform-mix formula") {
+    val docs = Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = before.values.sum
+    val langs = before.size
+    val out = Sampling.targetMix(docs).collect()
+    assert(out.nonEmpty)
+    val rates = out.map(r => r.getAs[String]("lang") -> r.getAs[Long]("rate_pct"))
+      .toMap
+    rates.foreach { case (lang, rate) =>
+      assert(rate === math.min(100L, (100L * total) / (langs * before(lang))),
+        s"rate for $lang")
+    }
+    // dominant languages get thinned, and no shard is emptied
+    assert(rates.values.min < 100L)
+    val sampledPerLang = out.groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length }
+    rates.keys.foreach(l => assert(sampledPerLang.getOrElse(l, 0) > 0, s"$l sampled to zero"))
+  }
+
   test("corpus operator plans keep their scale shape") {
     val docs = Tables.documents(spark, sfDir)
     // decontaminate: benchmark grams broadcast — the corpus side must
