@@ -138,6 +138,37 @@ object Dedup {
     verifyJaccard(cand, base, k, word = false, threshold)
   }
 
+  /** INCREMENTAL near-dup check: an arriving batch against the
+    * persisted corpus index — the batch-ingest workflow (is this
+    * re-crawl already in the corpus?), the batch analog of
+    * [[graft.streaming.StreamingRollups.dedupNear]]. Only the NEW
+    * documents are shingled and banded (batch-sized work); the corpus
+    * side is the pre-bucketed index table, so the bucket join shuffles
+    * the batch's bands into the index's existing layout and the corpus
+    * text is consulted only for the candidates' Jaccard verification.
+    * Output: (new_doc_id, corpus_doc_id, jaccard ≥ threshold) pairs —
+    * empty means the whole batch is novel.
+    */
+  def minhashLshAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                             newDocs: DataFrame, corpus: DataFrame, k: Int = 5,
+                             numPerm: Int = 64, bands: Int = 8,
+                             threshold: Double = 0.5): DataFrame = {
+    val newBands = bandTable(newDocs, k, word = false, numPerm, bands)
+    val cand = newBands.as("x")
+      .join(spark.table(table).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(newDocs.select(col("doc_id").as("a"), norm(col("text")).as("nt_a")), "a")
+      .join(corpus.select(col("doc_id").as("b"), norm(col("text")).as("nt_b")), "b")
+      .withColumn("jaccard", HashExprs.jaccardText(col("nt_a"), col("nt_b"), k, word = false))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
   /** Near-dup pairs on character 5-shingles (MinHash LSH, Jaccard
     * verified ≥ `threshold`).
     *

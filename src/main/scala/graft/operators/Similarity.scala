@@ -114,21 +114,22 @@ object Similarity {
     cents
   }
 
-  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 3): DataFrame = {
-    val cents: Array[Array[Double]] =
-      if (trainIters <= 0) seedCodebook(embeddings, nCentroids)
-      else trainCodebook(embeddings, nCentroids, trainIters)
-    val assigned = embeddings.select(col("vec_id"), col("embedding"),
-      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+  /** The probe step shared by [[ivfTopK]] (in-query assignment) and
+    * [[ivfTopKIndexed]] (persisted assignment): pick the `nProbe`
+    * lists nearest the query (driver-side over the kilobyte codebook),
+    * score only their members. When `assigned` is the persisted
+    * list-partitioned table, the isin filter IS a partition filter —
+    * the probe reads nProbe/nCentroids of the data.
+    */
+  private def probeTopK(assigned: DataFrame, cents: Array[Array[Double]],
+                        queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val qRows = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding")).take(1)
     if (qRows.isEmpty)
       // unknown queryId → empty result, matching bruteForceTopK
-      return embeddings.filter(lit(false))
+      return assigned.filter(lit(false))
         .select(col("vec_id"), lit(0.0).as("cos_sim"))
     val qVec = vecOf(qRows(0), "embedding")
-    // nProbe centroids nearest the query (driver-side over the codebook)
     val probeLists = cents.zipWithIndex
       .map { case (c, i) =>
         (i, c.zip(qVec).map { case (x, y) => (x - y) * (x - y) }.sum)
@@ -143,6 +144,52 @@ object Similarity {
         round(cosine(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 3): DataFrame = {
+    val cents: Array[Array[Double]] =
+      if (trainIters <= 0) seedCodebook(embeddings, nCentroids)
+      else trainCodebook(embeddings, nCentroids, trainIters)
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+    probeTopK(assigned, cents, queryId, k, nProbe)
+  }
+
+  /** Persist the IVF index — the "train at ingest" half of the ANN
+    * story (every in-query variant documents that a real deployment
+    * does this): the trained codebook as a tiny parquet table and the
+    * per-vector list assignment PARTITIONED BY list_id, so a probe
+    * over the persisted index is a partition-pruned read of
+    * nProbe/nCentroids of the corpus (spec-asserted PartitionFilters).
+    * Training cost is paid once here, not per query.
+    */
+  def writeIvfIndex(embeddings: DataFrame, path: String,
+                    nCentroids: Int = 16, trainIters: Int = 3): Unit = {
+    val cents = trainCodebook(embeddings, nCentroids, trainIters)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** [[ivfTopK]] over a persisted index: no training, no assignment
+    * pass — the codebook is kilobytes read to the driver, and the
+    * probe's list filter prunes to nProbe partitions of the assigned
+    * table. Identical results to [[ivfTopK]] with the same training
+    * config (the decimal-accumulated codebook is bit-reproducible —
+    * spec-asserted equal).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/codebook")
+      .orderBy("list_id").collect().map(vecOf(_, "cent"))
+    val assigned = spark.read.parquet(s"$path/assigned")
+    probeTopK(assigned, cents, queryId, k, nProbe)
   }
 
   /** IVF top-k with an EXACT-recall guarantee (triangle-inequality

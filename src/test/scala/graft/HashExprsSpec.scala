@@ -247,6 +247,58 @@ class HashExprsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("incremental dedup flags a re-crawled batch against the persisted index") {
+    spark.sql("DROP TABLE IF EXISTS g_minhash_idx_inc")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, "g_minhash_idx_inc")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    import spark.implicits._
+    val corpus = sources.Tables.documents(spark, sfDir)
+    operators.Dedup.writeMinhashIndex(corpus, "g_minhash_idx_inc")
+    // an arriving batch: two re-crawls of existing docs with a footer
+    // appended (near-dup, fresh ids) and one genuinely new document.
+    // The two LONGEST docs: a fixed footer on a short doc dilutes the
+    // shingle Jaccard below the 8×8 LSH knee (~0.77)
+    val base = corpus.orderBy(col("n_chars").desc, col("doc_id")).limit(2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val batch = Seq(
+      (100001L, base(0)._2 + " subscribe to our newsletter today"),
+      (100002L, base(1)._2 + " all rights reserved contact us"),
+      (100003L, "an entirely novel report about deep sea mining robots " +
+        "surveying hydrothermal vents for battery metals"))
+      .toDF("doc_id", "text")
+    val hits = operators.Dedup
+      .minhashLshAgainstIndex(spark, "g_minhash_idx_inc", batch, corpus)
+      .collect()
+    val flagged = hits.map(_.getAs[Long]("a")).toSet
+    assert(flagged === Set(100001L, 100002L))
+    assert(hits.exists(r => r.getAs[Long]("a") == 100001L && r.getAs[Long]("b") == base(0)._1))
+    assert(hits.exists(r => r.getAs[Long]("a") == 100002L && r.getAs[Long]("b") == base(1)._1))
+  }
+
+  test("persisted ivf index probes with partition pruning, same results as in-query ivf") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    operators.Similarity.writeIvfIndex(emb, path)
+    val qid = emb.select(min(col("vec_id"))).head().getLong(0)
+    val indexed = operators.Similarity.ivfTopKIndexed(spark, path, qid, 10)
+    // the probe's list filter must reach the scan as a PARTITION
+    // filter — that pruning is the entire point of the persisted index
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(plan).nonEmpty,
+      s"expected list_id partition pruning:\n$plan")
+    // decimal-accumulated training is bit-reproducible, so the
+    // persisted index reproduces the in-query probe exactly
+    val direct = operators.Similarity.ivfTopK(emb, qid, 10)
+    assert(indexed.collect().toSeq === direct.collect().toSeq)
+  }
+
   test("partitioned sink writes per-period directories and prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val combined = operators.Rollups.combined(operators.Rollups.series(
