@@ -156,6 +156,7 @@ object SparkEntry {
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     "corpus_report"     -> ((s, d) => Corpus.report(Tables.documents(s, d))),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
+    "decontaminate_semantic" -> ((s, d) => Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
     "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     // deterministic overlapping splits: every doc_id ≡ 0 (mod 6) is in
     // BOTH sides, so the content anti-join has real work to do
@@ -349,8 +350,30 @@ object SparkEntry {
        |ORDER BY cos_sim DESC, bk.vec_id LIMIT $k""".stripMargin
   }
 
+  /** Oracle for decontaminate_semantic: the [[embedNearDupOracle]]
+    * band/verify machinery with the benchmark/train split (vec_id %
+    * 10) and the per-training-vector aggregate.
+    */
+  private def semanticDecontamOracle(benchMod: Int, threshold: Double): String = {
+    def bucket(c: Int): String =
+      (0 until 4).map(j => s"${1 << j} * b${4 * c + j}").mkString(" + ")
+    s"""WITH $signBitsCte,
+       |band AS (${(0 until 4).map(c =>
+           s"SELECT vec_id, $c AS band, ${bucket(c)} AS bucket FROM bits")
+           .mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+       |  WHERE x.vec_id % $benchMod <> 0 AND y.vec_id % $benchMod = 0),
+       |hits AS (SELECT a, round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+       |  FROM cand JOIN v va ON cand.a = va.vec_id JOIN v vb ON cand.b = vb.vec_id
+       |  WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold)
+       |SELECT a AS vec_id, count(*) AS n_bench_hits, max(cosine) AS max_cosine
+       |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
+    "decontaminate_semantic" -> semanticDecontamOracle(10, 0.35),
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),
     "dedup_minhash_lsh" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_keep_best" -> keepBestOracle,

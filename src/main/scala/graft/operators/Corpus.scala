@@ -122,6 +122,51 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space counterpart of
+    * [[decontaminate]]: n-gram matching misses paraphrased benchmark
+    * leakage, so flag training vectors whose embedding is
+    * near-duplicate (cosine ≥ `threshold`) to any benchmark vector.
+    * Benchmark membership is the same deterministic stand-in as
+    * [[decontaminate]] (`vec_id % benchMod = 0`; a real run supplies
+    * the benchmark embedding table). Output per flagged training
+    * vector: how many benchmark items it collides with and the worst
+    * (max) cosine.
+    *
+    * Plan shape mirrors [[Dedup.embeddingNearDup]], with the benchmark
+    * side BROADCAST (eval suites are thousands-to-millions of vectors
+    * — index-card data next to a 100 TB corpus): sign-projection
+    * bands on both sides, train bands join the broadcast benchmark
+    * bands, exact-cosine verify on the candidate ids only. The corpus
+    * side is one scan + broadcast join — it never shuffles; only
+    * candidates reach the verify joins and the tiny per-vector
+    * aggregate.
+    */
+  def decontaminateSemantic(embeddings: DataFrame, dim: Int = 64,
+                            benchMod: Int = 10, threshold: Double = 0.35): DataFrame = {
+    val bits = HashExprs.signProjBits(col("embedding"), Dedup.hyperplanes(16, dim))
+    val banded = embeddings.select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("bits"), c * 4).bitwiseAND(lit(0xFL))): _*)))
+      .toDF("vec_id", "band", "bucket")
+    val bench = banded.filter(col("vec_id") % benchMod === 0)
+    val train = banded.filter(col("vec_id") % benchMod =!= 0)
+    val cand = train.as("x")
+      .join(broadcast(bench.as("y")),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .withColumn("cosine", round(HashExprs.cosineSim(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("a").as("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Sequence PACKING for training-batch construction: documents are
     * concatenated per shard (here: per language) in deterministic
     * doc_id order and chunked into fixed `budgetTokens`-token training
