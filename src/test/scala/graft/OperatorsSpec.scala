@@ -619,6 +619,30 @@ class OperatorsSpec extends SparkSpec {
     rates.keys.foreach(l => assert(sampledPerLang.getOrElse(l, 0) > 0, s"$l sampled to zero"))
   }
 
+  test("semantic decontamination flags near-copies of bench vectors, not orthogonal ones") {
+    import spark.implicits._
+    // vec_id % 10 == 0 → benchmark member. 11 ≈ bench vector 10 (one
+    // perturbed dim); 12 is orthogonal to everything in the bench set
+    val dim = 8
+    val bench = Array.tabulate(dim)(i => if (i < 4) 1.0 else 0.0)
+    val nearCopy = bench.clone(); nearCopy(0) = 0.9
+    val ortho = Array.tabulate(dim)(i => if (i >= 4) 1.0 else 0.0)
+    val df = Seq(
+      (10L, bench.toSeq), (11L, nearCopy.toSeq), (12L, ortho.toSeq),
+      (20L, Array.tabulate(dim)(i => if (i >= 4) -1.0 else 0.0).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Corpus.decontaminateSemantic(df, dim = dim, benchMod = 10, threshold = 0.8)
+      .collect()
+    val flagged = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged === Set(11L), s"got $flagged")
+    assert(out.head.getAs[Double]("max_cosine") > 0.95)
+    // scale shape: the benchmark band side is broadcast — the corpus
+    // (train) side must not be exchanged for the candidate join
+    val plan = Corpus.decontaminateSemantic(
+      Tables.embeddings(spark, sfDir)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bench bands:\n$plan")
+  }
+
   test("corpus operator plans keep their scale shape") {
     val docs = Tables.documents(spark, sfDir)
     // decontaminate: benchmark grams broadcast — the corpus side must
