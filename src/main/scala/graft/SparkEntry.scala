@@ -157,6 +157,7 @@ object SparkEntry {
     "corpus_report"     -> ((s, d) => Corpus.report(Tables.documents(s, d))),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
     "decontaminate_semantic" -> ((s, d) => Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
+    "corpus_keep_list"  -> ((s, d) => Corpus.keepList(Tables.documents(s, d))),
     "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     // deterministic overlapping splits: every doc_id ≡ 0 (mod 6) is in
     // BOTH sides, so the content anti-join has real work to do
@@ -882,6 +883,30 @@ object SparkEntry {
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
         |hits AS (SELECT DISTINCT g.doc_id, g.gram FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0)
-        |SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+        |SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the curation end product: every signal CTE is the corresponding
+    // single-query oracle verbatim (quality_filter, dedup_exact,
+    // decontaminate), composed on doc_id
+    "corpus_keep_list" ->
+      """WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |  (round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) >= 0.5
+        |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
+        |w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0)
+        |SELECT d.doc_id, q.is_quality,
+        |  (d.doc_id = c.canon_id) AS is_canonical,
+        |  (d.doc_id % 10 = 0) AS is_benchmark,
+        |  (cont.doc_id IS NOT NULL) AS is_contaminated,
+        |  (q.is_quality AND d.doc_id = c.canon_id AND d.doc_id % 10 <> 0 AND cont.doc_id IS NULL) AS keep
+        |FROM documents d
+        |JOIN fp ON d.doc_id = fp.doc_id
+        |JOIN canon c ON fp.f = c.f
+        |JOIN q ON d.doc_id = q.doc_id
+        |LEFT JOIN cont ON d.doc_id = cont.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -122,6 +122,47 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The curation pipeline's END PRODUCT: one row per document with
+    * the keep/drop decision and WHY — quality gate
+    * ([[graft.functions.TextAnalysis.qualityScore]] thresholds),
+    * exact-dedup canonicality (min doc_id per content fingerprint,
+    * the [[Dedup.exact]] rule), benchmark membership, and n-gram
+    * contamination ([[decontaminate]]). `keep` = quality ∧ canonical
+    * ∧ ¬benchmark ∧ ¬contaminated. Auditable reasons matter as much
+    * as the final list: corpus curation reviews ask "why did we drop
+    * 12% of source X", and a bare keep list can't answer.
+    *
+    * Scale shape: each signal is the already-scale-shaped operator it
+    * reuses (one fingerprint shuffle, scan-speed quality, broadcast
+    * gram semi-join); the composition joins them on doc_id — linear,
+    * co-partitioned after the first exchange.
+    */
+  def keepList(documents: DataFrame, minQuality: Double = 0.5,
+               minWords: Long = 20, n: Int = 8, benchMod: Int = 10): DataFrame = {
+    val fps = documents.select(col("doc_id"),
+      TextAnalysis.fingerprintCol(col("text")).as("fp"))
+    val canonical = fps
+      .join(fps.groupBy("fp").agg(min("doc_id").as("canon_id")), "fp")
+      .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("is_canonical"))
+    val quality = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"),
+        (col("quality") >= minQuality && col("word_count") >= minWords).as("is_quality"))
+    val contaminated = decontaminate(documents, n, benchMod)
+      .select(col("doc_id"), lit(true).as("cont"))
+    documents
+      .select(col("doc_id"), (col("doc_id") % benchMod === 0).as("is_benchmark"))
+      .join(quality, "doc_id")
+      .join(canonical, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("is_contaminated", coalesce(col("cont"), lit(false)))
+      .withColumn("keep",
+        col("is_quality") && col("is_canonical") &&
+          !col("is_benchmark") && !col("is_contaminated"))
+      .select("doc_id", "is_quality", "is_canonical", "is_benchmark",
+        "is_contaminated", "keep")
+      .orderBy("doc_id")
+  }
+
   /** SEMANTIC decontamination — the embedding-space counterpart of
     * [[decontaminate]]: n-gram matching misses paraphrased benchmark
     * leakage, so flag training vectors whose embedding is
