@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("streaming curation pipeline: quality gate and near-dup compose across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val body = "the regional development bank approved new infrastructure funding " +
+      "for port expansion and rural electrification projects across three " +
+      "provinces with construction contracts awarded to local consortiums " +
+      "after a competitive tender process that drew significant international " +
+      "interest from engineering firms and institutional investors alike"
+    // stateless quality predicate BELOW the stateful dedup: junk never
+    // enters dedup state — the order a streaming curation pipeline wants
+    val curated = StreamingRollups.dedupNear(
+      input.toDF().toDF("doc_id", "ts", "text")
+        .filter(size(split(trim(col("text")), "\\s+")) >= 20),
+      "10 minutes")
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), body))
+      q.processAllAvailable()
+      input.addData(
+        (2L, ts("2024-01-01 00:04:00"), "too short to train on"), // fails the gate
+        (3L, ts("2024-01-01 00:05:00"), body + " photo credit staff reporter")) // near-dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("curated").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L))
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
