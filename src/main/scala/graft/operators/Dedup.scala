@@ -138,6 +138,26 @@ object Dedup {
     verifyJaccard(cand, base, k, word = false, threshold)
   }
 
+  /** Index MAINTENANCE: append an arriving batch's band signatures to
+    * the persisted index, completing the ingest lifecycle — build
+    * ([[writeMinhashIndex]]) → check the batch
+    * ([[minhashLshAgainstIndex]]) → extend (here), so the NEXT batch
+    * is checked against a corpus that includes this one. The append
+    * must use the identical bucket spec; Spark rejects a mismatched
+    * bucketBy on an existing table, so drift is an error, not silent
+    * corruption. Under streaming, call this from `foreachBatch`
+    * alongside the document sink (the
+    * [[graft.streaming.StreamingRollups.loadStream]] pattern).
+    */
+  def appendToMinhashIndex(newDocs: DataFrame, table: String, numBuckets: Int = 8,
+                           k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit =
+    bandTable(newDocs, k, word = false, numPerm, bands)
+      .write.mode("append")
+      .bucketBy(numBuckets, "band", "band_hash")
+      .sortBy("band", "band_hash")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** INCREMENTAL near-dup check: an arriving batch against the
     * persisted corpus index — the batch-ingest workflow (is this
     * re-crawl already in the corpus?), the batch analog of

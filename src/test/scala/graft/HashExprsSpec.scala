@@ -282,6 +282,50 @@ class HashExprsSpec extends SparkSpec {
     assert(hits.exists(r => r.getAs[Long]("a") == 100002L && r.getAs[Long]("b") == base(1)._1))
   }
 
+  test("appending a batch to the minhash index makes the next check see it") {
+    spark.sql("DROP TABLE IF EXISTS g_minhash_idx_app")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, "g_minhash_idx_app")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    import spark.implicits._
+    val corpus = sources.Tables.documents(spark, sfDir)
+    operators.Dedup.writeMinhashIndex(corpus, "g_minhash_idx_app")
+    val longest = corpus.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).head
+    // batch 1 lands and its signatures are appended to the index
+    val batch1 = Seq((200001L, longest._2 + " first re-crawl footer line"))
+      .toDF("doc_id", "text")
+    operators.Dedup.appendToMinhashIndex(batch1, "g_minhash_idx_app")
+    // batch 2 is a near-dup of BATCH 1's doc (and of the original):
+    // the check must now flag it against the appended signatures too
+    val batch2 = Seq((200002L, longest._2 + " second re-crawl footer line"))
+      .toDF("doc_id", "text")
+    val haystack = corpus.select("doc_id", "text")
+      .unionByName(batch1.select("doc_id", "text"))
+    val hits = operators.Dedup
+      .minhashLshAgainstIndex(spark, "g_minhash_idx_app", batch2, haystack)
+      .collect()
+    val matched = hits.map(_.getAs[Long]("b")).toSet
+    assert(matched.contains(200001L), s"appended doc not matched: $matched")
+    assert(matched.contains(longest._1))
+    // the appended table keeps the bucket layout: still no shuffle
+    // (broadcast off — at test size the planner otherwise prefers a
+    // broadcast join and skips the bucketed scan entirely)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = operators.Dedup.bucketCandidates(spark.table("g_minhash_idx_app"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"append broke the bucket layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("persisted ivf index probes with partition pruning, same results as in-query ivf") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val emb = sources.Tables.embeddings(spark, sfDir)
