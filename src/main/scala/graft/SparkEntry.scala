@@ -639,15 +639,23 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     // offsets/sequence ids are exact integer arithmetic on both
-    // engines (non-negative, so truncating div == floor div)
-    "pack_sequences" ->
-      """WITH t AS (SELECT doc_id, lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
-        |o AS (SELECT doc_id, lang, n_tokens,
-        |CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM t)
-        |SELECT doc_id, lang, n_tokens, token_offset,
-        |token_offset // 512 AS seq_first,
-        |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
-        |FROM o ORDER BY doc_id""".stripMargin,
+    // engines (non-negative, so truncating div == floor div); the
+    // shard is the same md5 bucket as sample_stratified
+    "pack_sequences" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH t AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS shard, n_tokens FROM t),
+         |o AS (SELECT doc_id, lang, shard, n_tokens,
+         |CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM s)
+         |SELECT doc_id, lang, shard, n_tokens, token_offset,
+         |token_offset // 512 AS seq_first,
+         |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
     "top_k" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -209,28 +209,32 @@ object Corpus {
   }
 
   /** Sequence PACKING for training-batch construction: documents are
-    * concatenated per shard (here: per language) in deterministic
-    * doc_id order and chunked into fixed `budgetTokens`-token training
-    * sequences — GPT-style concat-then-chunk, so a document may
-    * straddle a sequence boundary. Each document reports its token
-    * offset within its shard and the [seq_first, seq_last] range of
-    * training sequences that contain any of it (what an attention-mask
-    * builder and an epoch accountant both need).
+    * concatenated per shard in deterministic doc_id order and chunked
+    * into fixed `budgetTokens`-token training sequences — GPT-style
+    * concat-then-chunk, so a document may straddle a sequence
+    * boundary. Each document reports its token offset within its
+    * shard and the [seq_first, seq_last] range of training sequences
+    * that contain any of it (what an attention-mask builder and an
+    * epoch accountant both need).
     *
     * Scale shape: ONE window partitioned by the shard key — the
     * cumulative sum never sees a global ordering, so each shard packs
-    * independently, exactly how a 1000-worker packing job shards. A
-    * real deployment shards by (lang, hash-bucket) to bound shard
-    * size; the shard key is whatever the window partitions by.
-    * Offsets are a pure function of (shard, doc_id) order —
-    * re-partitioning or re-running never moves a document.
+    * independently, exactly how a 1000-worker packing job shards. The
+    * shard key is (lang, content-keyed md5 bucket), NOT lang alone: a
+    * 5-language corpus would otherwise pack with 5-way parallelism at
+    * any size, whereas the 100-bucket split keeps every window
+    * partition ~1% of its language. Offsets are a pure function of
+    * (shard, doc_id) order — re-partitioning or re-running never
+    * moves a document, and the md5 bucket is reproducible in any
+    * engine ([[Sampling.hashBucket]]).
     */
   def packSequences(documents: DataFrame, budgetTokens: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     documents
       .select(col("doc_id"), col("lang"),
+        Sampling.hashBucket(col("doc_id")).as("shard"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .withColumn("token_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
       // non-negative longs: div truncation == floor on both engines.

