@@ -150,6 +150,7 @@ object SparkEntry {
     "fingerprint"       -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Sampling.stratified(Tables.documents(s, d))),
     "sample_target_mix" -> ((s, d) => Sampling.targetMix(Tables.documents(s, d))),
+    "sample_recency"    -> ((s, d) => Sampling.recency(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
@@ -636,6 +637,23 @@ object SparkEntry {
          |SELECT b.doc_id, b.lang, CAST(r.rate_pct AS BIGINT) AS rate_pct
          |FROM b JOIN r USING (lang)
          |WHERE b.bucket < r.rate_pct
+         |ORDER BY doc_id""".stripMargin
+    },
+    // day diffs and truncating div only — integer-exact on both
+    // engines; published is the api_search ingest derivation
+    "sample_recency" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         |  DATE '2024-01-01' + CAST((doc_id * 37) % 365 AS INTEGER) AS pub FROM documents),
+         |a AS (SELECT doc_id, hx, strftime(pub, '%Y-%m-%d') AS published,
+         |  datediff('day', pub, DATE '2025-06-30') AS days_old FROM p),
+         |r AS (SELECT doc_id, hx, published, CAST(days_old AS BIGINT) AS days_old,
+         |  greatest(10, 100 - (days_old // 30) * 15)::BIGINT AS rate_pct FROM a)
+         |SELECT doc_id, published, days_old, rate_pct FROM r
+         |WHERE CAST(($hv) % 100 AS INTEGER) < rate_pct
          |ORDER BY doc_id""".stripMargin
     },
     // offsets/sequence ids are exact integer arithmetic on both

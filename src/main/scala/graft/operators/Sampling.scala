@@ -52,6 +52,27 @@ object Sampling {
     * compares against the 0-99 bucket, so the decision is exact
     * integer arithmetic in any engine.
     */
+  /** Recency-weighted sampling — the freshness knob of a crawl
+    * curation recipe: keep-rate decays with document age (15 points
+    * per 30-day bucket, floored at 10%), so recent content dominates
+    * without discarding the archive. Age comes from the ingest-time
+    * `published` column ([[graft.sources.Ingest.withPublishedDate]]);
+    * the keep decision is the deterministic md5 bucket. ALL integer
+    * arithmetic (day diffs, truncating div) — bit-identical in any
+    * engine, unlike months_between-style fractional ages.
+    * Scan-only: predicate + projection, no shuffle, no state.
+    */
+  def recency(documents: DataFrame, asOf: String = "2025-06-30"): DataFrame =
+    graft.sources.Ingest.withPublishedDate(documents)
+      .withColumn("days_old",
+        datediff(to_date(lit(asOf)), to_date(col("published"))))
+      .withColumn("rate_pct",
+        greatest(lit(10L), lit(100L) - expr("days_old div 30") * 15L))
+      .filter(hashBucket(col("doc_id")) < col("rate_pct"))
+      .select(col("doc_id"), col("published"), col("days_old").cast("long").as("days_old"),
+        col("rate_pct"))
+      .orderBy("doc_id")
+
   def targetMix(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the window runs over the L-row counts frame, not the corpus —
