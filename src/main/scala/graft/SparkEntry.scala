@@ -151,6 +151,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Sampling.stratified(Tables.documents(s, d))),
     "sample_target_mix" -> ((s, d) => Sampling.targetMix(Tables.documents(s, d))),
     "sample_recency"    -> ((s, d) => Sampling.recency(Tables.documents(s, d))),
+    "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
@@ -638,6 +639,23 @@ object SparkEntry {
          |FROM b JOIN r USING (lang)
          |WHERE b.bucket < r.rate_pct
          |ORDER BY doc_id""".stripMargin
+    },
+    // same recursive-CTE components as dedup_cluster, split by the
+    // md5 bucket of the CLUSTER id (near-dups share a split by
+    // construction)
+    "split_leakage_safe" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |h AS (SELECT doc_id, cluster_id, md5(CAST(cluster_id AS VARCHAR)) AS hx FROM cl),
+         |b AS (SELECT doc_id, cluster_id, CAST(($hv) % 100 AS INTEGER) AS bucket FROM h)
+         |SELECT doc_id, cluster_id,
+         |CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
     },
     // day diffs and truncating div only — integer-exact on both
     // engines; published is the api_search ingest derivation

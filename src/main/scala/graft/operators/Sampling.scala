@@ -52,6 +52,30 @@ object Sampling {
     * compares against the 0-99 bucket, so the decision is exact
     * integer arithmetic in any engine.
     */
+  /** Leakage-safe train/val/test split: the split is a deterministic
+    * function of the near-dup CLUSTER id ([[Dedup.minhashClusters]]),
+    * not the document id — so near-duplicates can never straddle
+    * train and eval (the classic leakage trap: a test document's
+    * near-copy in train inflates every metric). Documents without
+    * near-dups are their own singleton cluster and split
+    * independently; the bucket rule is the engine-reproducible md5
+    * bucket shared by every sampler here.
+    *
+    * Scale shape: the clustering is the LSH pipeline (bucketed
+    * candidate generation, edge-table label propagation); the split
+    * assignment itself is a scan over the (doc, cluster) table.
+    */
+  def leakageSafeSplit(documents: DataFrame, trainPct: Int = 90,
+                       valPct: Int = 5): DataFrame =
+    Dedup.minhashClusters(documents).select("doc_id", "cluster_id")
+      .withColumn("bucket", hashBucket(col("cluster_id")))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+
   /** Recency-weighted sampling — the freshness knob of a crawl
     * curation recipe: keep-rate decays with document age (15 points
     * per 30-day bucket, floored at 10%), so recent content dominates

@@ -620,6 +620,20 @@ class OperatorsSpec extends SparkSpec {
     rates.keys.foreach(l => assert(sampledPerLang.getOrElse(l, 0) > 0, s"$l sampled to zero"))
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    val out = Sampling.leakageSafeSplit(Tables.documents(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    // the invariant the operator exists for: one split per cluster
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[String]("split")).toSet.size === 1,
+        s"cluster $cid straddles splits")
+    }
+    // all three splits materialize and train dominates
+    val bySplit = out.groupBy(_.getAs[String]("split")).map { case (s, rs) => s -> rs.length }
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+  }
+
   test("semantic decontamination flags near-copies of bench vectors, not orthogonal ones") {
     import spark.implicits._
     // vec_id % 10 == 0 → benchmark member. 11 ≈ bench vector 10 (one
