@@ -106,6 +106,9 @@ object SparkEntry {
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dup_spans"         -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
+    "source_reputation" -> ((s, d) => Corpus.sourceReputation(Tables.documents(s, d))),
+    "source_filter"     -> ((s, d) => Corpus.filterBySource(Tables.documents(s, d))),
     "dedup_keep_best"   -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
     "quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -753,6 +756,40 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |min(doc_id) AS canonical_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
+    // cross-doc duplicated n-gram spans: dup grams on the SAME 64-bit
+    // md5-prefix key as the Spark side, totals derived arithmetically
+    "dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |k AS (SELECT doc_id, substr(md5(gram), 1, 16) AS gk FROM g),
+        |d AS (SELECT gk FROM k GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |c AS (SELECT doc_id, count(*)::BIGINT AS n_dup_positions FROM k JOIN d USING (gk) GROUP BY 1),
+        |t AS (SELECT doc_id, greatest(len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) - 7, 0)::BIGINT AS n_grams FROM documents)
+        |SELECT t.doc_id, t.n_grams, coalesce(c.n_dup_positions, 0)::BIGINT AS n_dup_positions,
+        |CASE WHEN t.n_grams > 0 THEN CAST((coalesce(c.n_dup_positions, 0) * 20000 + t.n_grams) // (2 * t.n_grams) AS DOUBLE) / 10000 ELSE 0.0 END AS dup_frac
+        |FROM t LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // per-source reputation: quality CTE is the quality_score oracle's
+    // composite, 1e4-scaled to a BIGINT so the mean is order-exact;
+    // dup flag is the dedup_exact canonical rule
+    "source_reputation" ->
+      """WITH q AS (SELECT doc_id, CAST(round(round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) * 10000) AS BIGINT) AS q4 FROM documents),
+        |fp AS (SELECT doc_id, source, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
+        |fl AS (SELECT fp.doc_id, fp.source, CASE WHEN fp.doc_id <> canon.canon_id THEN 1 ELSE 0 END AS is_dup FROM fp JOIN canon USING (f)),
+        |a AS (SELECT source, count(*)::BIGINT AS n_docs, sum(q.q4)::BIGINT AS q4sum, sum(fl.is_dup)::BIGINT AS n_dups FROM fl JOIN q USING (doc_id) GROUP BY 1)
+        |SELECT source, n_docs, CAST((q4sum * 2 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000 AS mean_quality,
+        |n_dups, CAST((n_dups * 20000 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000 AS dup_frac,
+        |(mean_quality < 0.5 OR dup_frac > 0.2) AS blocked
+        |FROM a ORDER BY source""".stripMargin,
+    // the doc-level effect: drop every document from a blocked source
+    "source_filter" ->
+      """WITH q AS (SELECT doc_id, CAST(round(round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) * 10000) AS BIGINT) AS q4 FROM documents),
+        |fp AS (SELECT doc_id, source, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
+        |fl AS (SELECT fp.doc_id, fp.source, CASE WHEN fp.doc_id <> canon.canon_id THEN 1 ELSE 0 END AS is_dup FROM fp JOIN canon USING (f)),
+        |a AS (SELECT source, count(*)::BIGINT AS n_docs, sum(q.q4)::BIGINT AS q4sum, sum(fl.is_dup)::BIGINT AS n_dups FROM fl JOIN q USING (doc_id) GROUP BY 1),
+        |blk AS (SELECT source FROM a WHERE CAST((q4sum * 2 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000 < 0.5 OR CAST((n_dups * 20000 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000 > 0.2)
+        |SELECT doc_id, source, lang FROM documents WHERE source NOT IN (SELECT source FROM blk) ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim

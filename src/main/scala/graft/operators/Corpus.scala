@@ -208,6 +208,66 @@ object Corpus {
       .orderBy("vec_id")
   }
 
+  /** SOURCE/DOMAIN reputation — the per-source curation table every
+    * crawl pipeline maintains (the domain-level filter stage of
+    * ccnet/RefinedWeb-style curation): documents from a consistently
+    * low-quality or duplicate-heavy source are dropped wholesale,
+    * before any per-document scoring is trusted. Per source: doc
+    * count, mean quality (4dp, exact-integer HALF_UP over the
+    * 1e4-scaled per-doc quality — double summation order never
+    * matters), exact-duplicate count/fraction (the [[Dedup.exact]]
+    * non-canonical rule), and the block decision.
+    *
+    * Scale shape: quality is scan work; the duplicate flag is the one
+    * fingerprint-keyed shuffle it always costs; the reputation
+    * aggregate is map-side combinable on `source`, and the result is
+    * |domains| rows — millions, not billions, at web scale. A skewed
+    * source (one domain = half the crawl) is absorbed by partial
+    * aggregation, never a single-reducer hotspot.
+    */
+  def sourceReputation(documents: DataFrame, minQuality: Double = 0.5,
+                       maxDupFrac: Double = 0.2): DataFrame = {
+    // 1e4-scaled quality as a long: the per-doc quality is already
+    // rounded to 4dp, so round(q*10000) is exact on both engines
+    val q = graft.functions.TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), round(col("quality") * 10000).cast("long").as("q4"))
+    val fps = documents.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.fingerprintCol(col("text")).as("fp"))
+    val flagged = fps
+      .join(fps.groupBy("fp").agg(min("doc_id").as("canon_id")), "fp")
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") =!= col("canon_id")).cast("long").as("is_dup"))
+    flagged.join(q, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("q4").as("q4sum"),
+        sum("is_dup").as("n_dups"))
+      // non-negative sums: the HALF_UP div identity holds (§ADVICE r3)
+      .withColumn("mean_quality",
+        expr("(q4sum * 2 + n_docs) div (2 * n_docs)").cast("double") / 10000)
+      .withColumn("dup_frac",
+        expr("(n_dups * 20000 + n_docs) div (2 * n_docs)").cast("double") / 10000)
+      .withColumn("blocked",
+        col("mean_quality") < minQuality || col("dup_frac") > maxDupFrac)
+      .select("source", "n_docs", "mean_quality", "n_dups", "dup_frac", "blocked")
+      .orderBy("source")
+  }
+
+  /** The document-level EFFECT of [[sourceReputation]]: drop every
+    * document from a blocked source. The blocklist is |blocked
+    * domains| rows — index-card data next to the corpus — so the
+    * anti-join broadcasts and the corpus side stays a pure scan with
+    * zero shuffle (the reputation pass itself already paid its one
+    * fingerprint exchange).
+    */
+  def filterBySource(documents: DataFrame, minQuality: Double = 0.5,
+                     maxDupFrac: Double = 0.2): DataFrame = {
+    val blocked = sourceReputation(documents, minQuality, maxDupFrac)
+      .filter(col("blocked")).select("source")
+    documents.join(broadcast(blocked), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence PACKING for training-batch construction: documents are
     * concatenated per shard in deterministic doc_id order and chunked
     * into fixed `budgetTokens`-token training sequences — GPT-style

@@ -708,4 +708,56 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getAs[String]("word")).toSet
     assert(all.contains("gamma") && all.contains("zeta"))
   }
+
+  test("dup_spans counts cross-doc duplicated n-gram positions only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),   // grams: abcdefgh, bcdefghx, cdefghxy
+      (2L, "z a b c d e f g h q"),   // shares the abcdefgh 8-gram with doc 1
+      (3L, "p q r s t u v w m n"),   // no cross-doc gram
+      (4L, "short doc"))             // < 8 words → zero grams
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_positions"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) === ((3L, 1L, 0.3333)))
+    assert(out(2L) === ((3L, 1L, 0.3333)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+  }
+
+  private def sourceFixtureDocs = {
+    import spark.implicits._
+    // "bad" source: 3 copies of the same short (low-quality) text;
+    // "good": distinct 60-word documents (quality 0.6, no dups)
+    val longText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, "dup dup text here now", "bad", "en"),
+      (2L, "dup dup text here now", "bad", "en"),
+      (3L, "dup dup text here now", "bad", "en"),
+      (4L, longText, "good", "en"),
+      (5L, longText + " extra", "good", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+  }
+
+  test("source_reputation blocks low-quality / duplicate-heavy sources") {
+    val rep = Corpus.sourceReputation(sourceFixtureDocs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bad = rep("bad")
+    assert(bad.getAs[Long]("n_dups") === 2L)       // docs 2,3 non-canonical
+    assert(bad.getAs[Double]("dup_frac") === 0.6667)
+    assert(bad.getAs[Double]("mean_quality") === 0.05)  // 5 words → 0.05
+    assert(bad.getAs[Boolean]("blocked"))
+    val good = rep("good")
+    assert(good.getAs[Long]("n_dups") === 0L)
+    assert(good.getAs[Double]("mean_quality") === 0.605) // (0.60+0.61)/2
+    assert(!good.getAs[Boolean]("blocked"))
+  }
+
+  test("source_filter drops every document from a blocked source") {
+    val kept = Corpus.filterBySource(sourceFixtureDocs)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept === Seq(4L, 5L))
+  }
 }
