@@ -46,22 +46,29 @@ object Dedup {
     * Scale shape (the distributed alternative to a suffix array): one
     * corpus scan explodes word n-grams, projected immediately to
     * (doc_id, 64-bit md5-prefix gram key) so the shuffle carries 16
-    * bytes of key, not ~50-byte gram strings. The duplicated-gram set
-    * is `groupBy(key) HAVING count(distinct doc) ≥ 2` — partial
-    * aggregation absorbs within-partition repeats — and the join back
-    * is a same-key shuffle join (NEVER a broadcast: the gram
-    * vocabulary grows with the corpus; Catalyst reuses the exchange
-    * the aggregate already paid for). Per-doc totals come from the
-    * scan side arithmetically, so no second corpus pass.
+    * bytes of key, not ~50-byte gram strings — and that gram table is
+    * shuffled exactly ONCE: an explicit repartition on the gram key
+    * feeds both the duplicated-set aggregate (in-place, no second
+    * exchange) and the join back (ReusedExchange — spec-asserted).
+    * "Duplicated" is `min(doc_id) ≠ max(doc_id)` — a single-level
+    * map-side-combinable aggregate, where count(distinct doc) would
+    * plan a second (key, doc) exchange of the whole gram table. The
+    * dup set is never broadcast (the gram vocabulary grows with the
+    * corpus). Per-doc totals come from the scan side arithmetically,
+    * so no second corpus pass. The explicit isNotNull filters are
+    * no-ops on real data; they pre-place the join's inferred
+    * null-filters so both consumers share one identical subtree.
     */
   def dupSpans(documents: DataFrame, n: Int = 8): DataFrame = {
     val keys = documents
       .select(col("doc_id"),
         explode(HashExprs.wordNgrams(norm(col("text")), n)).as("gram"))
       .select(col("doc_id"), substring(md5(col("gram")), 1, 16).as("gk"))
+      .filter(col("gk").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("gk"))
     val dupKeys = keys.groupBy("gk")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2).select("gk")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1")).select("gk")
     val hits = keys.join(dupKeys, "gk")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
     documents
