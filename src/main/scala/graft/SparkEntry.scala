@@ -107,6 +107,7 @@ object SparkEntry {
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dup_spans"         -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
+    "strip_dup_spans"   -> ((s, d) => Dedup.stripDupSpans(Tables.documents(s, d))),
     "source_reputation" -> ((s, d) => Corpus.sourceReputation(Tables.documents(s, d))),
     "source_filter"     -> ((s, d) => Corpus.filterBySource(Tables.documents(s, d))),
     "dedup_keep_best"   -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
@@ -768,6 +769,27 @@ object SparkEntry {
         |SELECT t.doc_id, t.n_grams, coalesce(c.n_dup_positions, 0)::BIGINT AS n_dup_positions,
         |CASE WHEN t.n_grams > 0 THEN CAST((coalesce(c.n_dup_positions, 0) * 20000 + t.n_grams) // (2 * t.n_grams) AS DOUBLE) / 10000 ELSE 0.0 END AS dup_frac
         |FROM t LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the span-removal rewrite: covered positions re-derived from the
+    // non-canonical occurrences, survivors re-joined in token order
+    "strip_dup_spans" ->
+      """WITH w AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents),
+        |t AS (SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(nt, ' ') END AS ws FROM w),
+        |g AS (SELECT doc_id, u.gpos AS gpos, u.gk AS gk FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+        |    i -> {'gpos': i - 1, 'gk': substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)})) AS u
+        |  FROM t WHERE len(ws) >= 8)),
+        |own AS (SELECT gk, min(doc_id) AS owner FROM g GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+        |rem AS (SELECT g.doc_id, g.gpos FROM g JOIN own USING (gk) WHERE g.doc_id <> own.owner),
+        |cov AS (SELECT DISTINCT doc_id, gpos + r.i AS tpos FROM rem, range(8) r(i)),
+        |tok AS (SELECT doc_id, v.tpos AS tpos, v.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+        |    i -> {'tpos': i - 1, 'tok': ws[i]})) AS v FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos WHERE cov.tpos IS NULL),
+        |a AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept_text FROM kept GROUP BY 1),
+        |c AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.kept_text, '') AS kept_text, len(t.ws)::BIGINT AS n_tokens,
+        |coalesce(c.n_removed, 0)::BIGINT AS n_removed
+        |FROM t LEFT JOIN a USING (doc_id) LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
     // per-source reputation: quality CTE is the quality_score oracle's
     // composite, 1e4-scaled to a BIGINT so the mean is order-exact;
     // dup flag is the dedup_exact canonical rule

@@ -85,6 +85,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The REWRITE side of [[dupSpans]] — Lee-et-al-style exact
+    * substring dedup as a transform, not just a flag: every token
+    * covered by a cross-document duplicated n-gram is dropped, EXCEPT
+    * in the gram's canonical owner (the min doc_id containing it), so
+    * exactly one copy of each duplicated passage survives the corpus.
+    * Output per document: the rewritten text plus token/removal
+    * counts (every doc appears; untouched docs keep their normalized
+    * text verbatim).
+    *
+    * Scale shape: same one-shuffle gram table as [[dupSpans]] (64-bit
+    * md5-prefix keys, min≠max duplication test, reused exchange); the
+    * non-canonical occurrences collapse to a per-doc SORTED start
+    * array (rows ≈ duplicated occurrences only), and the rewrite
+    * itself is one compiled pass per document
+    * ([[HashExprs.removeSpans]]) — overlapping spans merge in a
+    * single token/span sweep, with no corpus-token explode and no
+    * per-token boxed lambda.
+    */
+  def stripDupSpans(documents: DataFrame, n: Int = 8): DataFrame = {
+    val occ = documents
+      .select(col("doc_id"),
+        posexplode(HashExprs.wordNgrams(norm(col("text")), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("gpos"),
+        substring(md5(col("col")), 1, 16).as("gk"))
+    val owned = occ.groupBy("gk")
+      .agg(min("doc_id").as("owner"), max("doc_id").as("dmax"))
+      .filter(col("owner") =!= col("dmax")).select("gk", "owner")
+    val removedStarts = occ.join(owned, "gk")
+      .filter(col("doc_id") =!= col("owner"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("gpos"))).as("starts"))
+    documents
+      .join(removedStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        HashExprs.removeSpans(norm(col("text")),
+          coalesce(col("starts"), array().cast("array<bigint>")), n).as("r"))
+      .select(col("doc_id"), col("r.kept_text").as("kept_text"),
+        col("r.n_tokens").as("n_tokens"), col("r.n_removed").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------

@@ -92,6 +92,15 @@ object HashExprs {
   def wordNgrams(normText: Column, n: Int): Column =
     col(WordNgramsExpr(expr(normText), n))
 
+  /** Rewrite a single-space-normalized text by dropping every token
+    * covered by an n-token span starting at any of `starts` (sorted
+    * 0-based token indices): struct(kept_text, n_tokens, n_removed)
+    * in one compiled pass — the span-removal side of exact-substring
+    * dedup, with no corpus-token explode.
+    */
+  def removeSpans(normText: Column, starts: Column, n: Int): Column =
+    col(RemoveSpansExpr(expr(normText), expr(starts), n))
+
   /** Per-document repetition statistics in one compiled pass:
     * struct(n_words, n_distinct_words, top_bigram_count) over a
     * single-space-normalized text.
@@ -857,6 +866,66 @@ case class WordNgramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "word_ngrams"
+}
+
+/** Span-removal rewrite: drop every token whose 0-based index falls
+  * inside [start, start + n) for any start in the SORTED `starts`
+  * array, and re-join the survivors with single spaces. One merged
+  * sweep — tokens and spans are both walked in order, so overlapping
+  * spans cost nothing extra — and the only allocation is the output
+  * string. Output struct(kept_text, n_tokens, n_removed); n_tokens
+  * counts the walked tokens (an empty text has zero, where a
+  * split-based count would report one empty token).
+  */
+case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(n > 0, "span length must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("kept_text", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"remove_spans expects (string, array<bigint>), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(textAny: Any, startsAny: Any): Any = {
+    val s = textAny.asInstanceOf[UTF8String].toString
+    val ws = HashExprs.wordStarts(s)
+    val nWords = if (ws == null) 0 else ws.length - 1
+    val starts = startsAny.asInstanceOf[ArrayData]
+    val m = starts.numElements()
+    val sb = new java.lang.StringBuilder
+    var removed = 0L
+    var coveredUntil = -1L
+    var j = 0
+    var i = 0
+    while (i < nWords) {
+      while (j < m && starts.getLong(j) <= i) {
+        val end = starts.getLong(j) + n - 1
+        if (end > coveredUntil) coveredUntil = end
+        j += 1
+      }
+      if (i > coveredUntil) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(s, ws(i), ws(i + 1) - 1)
+      } else removed += 1L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(sb.toString), nWords.toLong, removed)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): RemoveSpansExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "remove_spans"
 }
 
 /** Per-document repetition statistics (the Gopher/RefinedWeb-style

@@ -750,6 +750,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))
   }
 
+  test("strip_dup_spans keeps the canonical copy and merges overlapping spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),   // canonical owner of abcdefgh → untouched
+      (2L, "z a b c d e f g h q"),   // loses tokens 1..8 → "z q"
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),  // owner of both 9-word grams
+      (4L, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),  // two OVERLAPPING dup spans → ""
+      (5L, "short doc"))             // no grams → untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("kept_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) === (("a b c d e f g h x y", 10L, 0L)))
+    assert(out(2L) === (("z q", 10L, 8L)))
+    assert(out(3L) === (("m1 m2 m3 m4 m5 m6 m7 m8 m9", 9L, 0L)))
+    assert(out(4L) === (("", 9L, 9L)))
+    assert(out(5L) === (("short doc", 2L, 0L)))
+  }
+
   private def sourceFixtureDocs = {
     import spark.implicits._
     // "bad" source: 3 copies of the same short (low-quality) text;
