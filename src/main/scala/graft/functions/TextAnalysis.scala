@@ -75,6 +75,23 @@ object TextAnalysis {
       .orderBy("doc_id", "seg_idx")
   }
 
+  /** The bounded composite quality score as a standalone column — ONE
+    * definition of "document quality" shared by the batch feature
+    * table ([[qualityScore]]), the per-source reputation aggregate,
+    * and the streaming source monitor (a formula drifting between
+    * consumers would make their decisions incomparable).
+    */
+  def qualityCol(c: Column): Column = {
+    val nChars = length(c)
+    val wcount = size(words(c))
+    // zero-char guard: ANSI mode (Spark 4 default) turns the division
+    // on an empty document into a DIVIDE_BY_ZERO error, not a null
+    val punctRatio = when(nChars > 0,
+      round(regexp_count(c, lit("[.!?,;:]")).cast("double") / nChars, 4))
+      .otherwise(lit(0.0))
+    round(least(wcount.cast("double") / 100, lit(1.0)) * (lit(1.0) - punctRatio), 4)
+  }
+
   /** Quality features: length, word stats, punctuation ratio, stopword
     * ratio, and a bounded composite score — the standard pre-training
     * quality-filter feature set (length/punct/stopword heuristics).
@@ -84,8 +101,6 @@ object TextAnalysis {
     val wcount = size(words(col("text")))
     val punct  = regexp_count(col("text"), lit("[.!?,;:]"))
     val stops  = countIn(col("text"), EnStops)
-    // zero-char guard: ANSI mode (Spark 4 default) turns the division
-    // on an empty document into a DIVIDE_BY_ZERO error, not a null
     val punctRatio = when(nChars > 0, round(punct.cast("double") / nChars, 4))
       .otherwise(lit(0.0))
     val stopRatio  = round(stops.cast("double") / wcount, 4)
@@ -97,7 +112,7 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"),
       awl.as("avg_word_len"),
-      round(least(wcount.cast("double") / 100, lit(1.0)) * (lit(1.0) - punctRatio), 4).as("quality"))
+      qualityCol(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

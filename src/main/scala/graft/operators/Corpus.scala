@@ -229,8 +229,9 @@ object Corpus {
                        maxDupFrac: Double = 0.2): DataFrame = {
     // 1e4-scaled quality as a long: the per-doc quality is already
     // rounded to 4dp, so round(q*10000) is exact on both engines
-    val q = graft.functions.TextAnalysis.qualityScore(documents)
-      .select(col("doc_id"), round(col("quality") * 10000).cast("long").as("q4"))
+    val q = documents.select(col("doc_id"),
+      round(graft.functions.TextAnalysis.qualityCol(col("text")) * 10000)
+        .cast("long").as("q4"))
     val fps = documents.select(col("doc_id"), col("source"),
       graft.functions.TextAnalysis.fingerprintCol(col("text")).as("fp"))
     val flagged = fps

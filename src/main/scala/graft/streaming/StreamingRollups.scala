@@ -116,6 +116,35 @@ object StreamingRollups {
     deduped.drop((0 until bands).map(j => s"band_$j"): _*)
   }
 
+  /** Streaming per-source QUALITY MONITOR — the pipeline-monitoring
+    * counterpart of [[graft.operators.Corpus.sourceReputation]]: per
+    * (event-time window, source), document volume and mean quality
+    * (same composite as the batch score —
+    * [[graft.functions.TextAnalysis.qualityCol]] — 1e4-scaled to a
+    * long so the windowed mean is summation-order-exact), with an
+    * alert flag when a window's mean drops below the threshold. This
+    * is how a crawl pipeline notices a source going bad MID-CRAWL
+    * (template change, spam takeover, encoding breakage) instead of
+    * at the next batch curation review.
+    *
+    * State is one (window, source) aggregate row per pair, bounded by
+    * the watermark; the quality column is scan work before the one
+    * windowed shuffle.
+    */
+  def sourceMonitor(docs: DataFrame, window: String, watermark: String,
+                    minQuality: Double = 0.5): DataFrame =
+    docs
+      .withColumn("q4",
+        round(graft.functions.TextAnalysis.qualityCol(col("text")) * 10000)
+          .cast("long"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("q4").as("q4sum"))
+      .withColumn("mean_quality",
+        expr("(q4sum * 2 + n_docs) div (2 * n_docs)").cast("double") / 10000)
+      .withColumn("alert", col("mean_quality") < minQuality)
+      .drop("q4sum")
+
   /** Stream-STREAM interval join: pair each left event with the right
     * events of the same entity whose timestamp falls within
     * [left.ts − before, left.ts + after]. Both sides carry watermarks

@@ -201,6 +201,30 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L))
   }
 
+  test("streaming source monitor flags a low-quality source within its window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val good = (1 to 60).map(i => s"tok$i").mkString(" ") // quality 0.6
+    input.addData(
+      (1L, ts("2024-01-01 00:01:00"), "wire", good),
+      (2L, ts("2024-01-01 00:03:00"), "wire", good + " extra"),   // 0.61
+      (3L, ts("2024-01-01 00:02:00"), "spam", "junk junk junk junk junk"), // 0.05
+      (4L, ts("2024-01-01 00:04:00"), "spam", "junk junk junk junk junk"))
+    val mon = StreamingRollups.sourceMonitor(
+      input.toDF().toDF("doc_id", "ts", "source", "text"),
+      "10 minutes", "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("srcmon")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("srcmon").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("mean_quality"),
+          r.getAs[Boolean]("alert")))).toMap
+    assert(rows("wire") === ((2L, 0.605, false)))
+    assert(rows("spam") === ((2L, 0.05, true)))
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
