@@ -344,6 +344,44 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Persist the near-dup cluster ASSIGNMENT — (doc_id, cluster_id,
+    * quality) — as a table bucketed by cluster_id: the clustering
+    * artifact computed ONCE at ingest, like the minhash band index
+    * ([[writeMinhashIndex]]) and the IVF codebook. Each row carries
+    * the document's quality composite, so every cluster-keyed
+    * consumer — keep-best argmax ([[keepBestIndexed]]), leakage-safe
+    * splitting ([[graft.operators.Sampling.splitFromIndex]]), dedup
+    * reporting — runs off this narrow table without touching the
+    * corpus or re-running LSH, and the bucketing makes their
+    * cluster-partitioned work ZERO-exchange (spec-asserted).
+    */
+  def writeClusterIndex(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val clusters = minhashClusters(documents).select("doc_id", "cluster_id")
+    val quality = documents.select(col("doc_id"),
+      graft.functions.TextAnalysis.qualityCol(col("text")).as("quality"))
+    graft.sources.Sinks.writeBucketed(
+      clusters.join(quality, "doc_id"), table, Seq("cluster_id"), numBuckets)
+  }
+
+  /** [[keepBest]] over the persisted cluster index: the per-cluster
+    * quality argmax reads the bucketed assignment — the window's
+    * cluster partitioning is satisfied by the bucketing, so the only
+    * work is a bucket-local sort. Identical output to the direct
+    * path (the index stores the same quality composite).
+    */
+  def keepBestIndexed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy("cluster_id")
+    val w = byCluster.orderBy(col("quality").desc, col("doc_id"))
+    spark.table(table)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("n_members"), col("quality").as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** Connected components over an (a, b) near-dup pair list: every doc
     * in `allDocs` gets the min doc_id of its component (docs without
     * edges are their own singleton). Public so any pair source

@@ -76,6 +76,23 @@ object Sampling {
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy("doc_id")
 
+  /** [[leakageSafeSplit]] over the persisted cluster index
+    * ([[Dedup.writeClusterIndex]]): the split becomes a pure scan of
+    * the narrow assignment table — no LSH, no clustering, no shuffle
+    * (the md5 bucket is a row-local projection). This is the form a
+    * recurring split job takes once clustering runs at ingest.
+    */
+  def splitFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                     trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    spark.table(table).select("doc_id", "cluster_id")
+      .withColumn("bucket", hashBucket(col("cluster_id")))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+
   /** Recency-weighted sampling — the freshness knob of a crawl
     * curation recipe: keep-rate decays with document age (15 points
     * per 30-day bucket, floored at 10%), so recent content dominates

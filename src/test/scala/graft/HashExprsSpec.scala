@@ -247,6 +247,34 @@ class HashExprsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("persisted cluster index: keep-best and split run without hash exchanges, matching direct") {
+    spark.sql("DROP TABLE IF EXISTS g_cluster_idx")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, "g_cluster_idx")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+    operators.Dedup.writeClusterIndex(docs, "g_cluster_idx")
+    // the per-cluster argmax window: its cluster partitioning is
+    // satisfied by the bucketing — the only exchange left is the
+    // output ordering's range partitioning
+    val kb = operators.Dedup.keepBestIndexed(spark, "g_cluster_idx")
+    val kbPlan = kb.queryExecution.executedPlan.toString
+    assert(!kbPlan.contains("Exchange hashpartitioning"),
+      s"indexed keep-best should not hash-shuffle:\n$kbPlan")
+    assert(kb.collect().toSeq === operators.Dedup.keepBest(docs).collect().toSeq)
+    val sp = operators.Sampling.splitFromIndex(spark, "g_cluster_idx")
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert(!spPlan.contains("Exchange hashpartitioning"),
+      s"indexed split should not hash-shuffle:\n$spPlan")
+    assert(sp.collect().toSeq === operators.Sampling.leakageSafeSplit(docs).collect().toSeq)
+  }
+
   test("incremental dedup flags a re-crawled batch against the persisted index") {
     spark.sql("DROP TABLE IF EXISTS g_minhash_idx_inc")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
