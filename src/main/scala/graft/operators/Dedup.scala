@@ -47,29 +47,25 @@ object Dedup {
     * corpus scan explodes word n-grams, projected immediately to
     * (doc_id, 64-bit md5-prefix gram key) so the shuffle carries 16
     * bytes of key, not ~50-byte gram strings — and that gram table is
-    * shuffled exactly ONCE: an explicit repartition on the gram key
-    * feeds both the duplicated-set aggregate (in-place, no second
-    * exchange) and the join back (ReusedExchange — spec-asserted).
-    * "Duplicated" is `min(doc_id) ≠ max(doc_id)` — a single-level
-    * map-side-combinable aggregate, where count(distinct doc) would
-    * plan a second (key, doc) exchange of the whole gram table. The
-    * dup set is never broadcast (the gram vocabulary grows with the
-    * corpus). Per-doc totals come from the scan side arithmetically,
-    * so no second corpus pass. The explicit isNotNull filters are
-    * no-ops on real data; they pre-place the join's inferred
-    * null-filters so both consumers share one identical subtree.
+    * shuffled exactly ONCE (spec-asserted): "appears in ≥2 distinct
+    * docs" is `min(doc_id) ≠ max(doc_id)` computed as a WINDOW over
+    * the gram key, so there is no aggregate-then-join-back (whose two
+    * gram branches prune to different projections and can't share an
+    * exchange) and nothing to broadcast. count(distinct doc) would
+    * additionally plan a second (key, doc) exchange of the whole
+    * gram table. Per-doc totals come from the scan side
+    * arithmetically, so no second corpus pass.
     */
   def dupSpans(documents: DataFrame, n: Int = 8): DataFrame = {
-    val keys = documents
+    import org.apache.spark.sql.expressions.Window
+    val byGram = Window.partitionBy("gk")
+    val hits = documents
       .select(col("doc_id"),
         explode(HashExprs.wordNgrams(norm(col("text")), n)).as("gram"))
       .select(col("doc_id"), substring(md5(col("gram")), 1, 16).as("gk"))
-      .filter(col("gk").isNotNull && col("doc_id").isNotNull)
-      .repartition(col("gk"))
-    val dupKeys = keys.groupBy("gk")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
-      .filter(col("d0") =!= col("d1")).select("gk")
-    val hits = keys.join(dupKeys, "gk")
+      .withColumn("d0", min("doc_id").over(byGram))
+      .withColumn("d1", max("doc_id").over(byGram))
+      .filter(col("d0") =!= col("d1"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
     documents
       .select(col("doc_id"),
@@ -94,26 +90,27 @@ object Dedup {
     * counts (every doc appears; untouched docs keep their normalized
     * text verbatim).
     *
-    * Scale shape: same one-shuffle gram table as [[dupSpans]] (64-bit
-    * md5-prefix keys, min≠max duplication test, reused exchange); the
-    * non-canonical occurrences collapse to a per-doc SORTED start
-    * array (rows ≈ duplicated occurrences only), and the rewrite
-    * itself is one compiled pass per document
+    * Scale shape: same ONE-shuffle gram table as [[dupSpans]] (64-bit
+    * md5-prefix keys; owner = min(doc_id) and the min≠max duplication
+    * test as a window over the gram key, so no aggregate-then-join
+    * and nothing broadcast); the non-canonical occurrences collapse
+    * to a per-doc SORTED start array (rows ≈ duplicated occurrences
+    * only), and the rewrite itself is one compiled pass per document
     * ([[HashExprs.removeSpans]]) — overlapping spans merge in a
     * single token/span sweep, with no corpus-token explode and no
     * per-token boxed lambda.
     */
   def stripDupSpans(documents: DataFrame, n: Int = 8): DataFrame = {
-    val occ = documents
+    import org.apache.spark.sql.expressions.Window
+    val byGram = Window.partitionBy("gk")
+    val removedStarts = documents
       .select(col("doc_id"),
         posexplode(HashExprs.wordNgrams(norm(col("text")), n)))
       .select(col("doc_id"), col("pos").cast("long").as("gpos"),
         substring(md5(col("col")), 1, 16).as("gk"))
-    val owned = occ.groupBy("gk")
-      .agg(min("doc_id").as("owner"), max("doc_id").as("dmax"))
-      .filter(col("owner") =!= col("dmax")).select("gk", "owner")
-    val removedStarts = occ.join(owned, "gk")
-      .filter(col("doc_id") =!= col("owner"))
+      .withColumn("owner", min("doc_id").over(byGram))
+      .withColumn("dmax", max("doc_id").over(byGram))
+      .filter(col("owner") =!= col("dmax") && col("doc_id") =!= col("owner"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("gpos"))).as("starts"))
     documents
       .join(removedStarts, Seq("doc_id"), "left")

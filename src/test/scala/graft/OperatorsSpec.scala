@@ -709,27 +709,22 @@ class OperatorsSpec extends SparkSpec {
     assert(all.contains("gamma") && all.contains("zeta"))
   }
 
-  test("dup_spans keeps its scale shape: same-key shuffle join, reused exchange, no forced broadcast") {
+  test("dup_spans and strip_dup_spans shuffle the gram table exactly once, no broadcast") {
     val docs = Tables.documents(spark, sfDir)
-    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    // at web scale the dup-gram set grows with the corpus: with
-    // broadcasts off (what size estimation decides at 100×), the
-    // dup-key join must be a same-key shuffle join over the exchange
-    // the aggregate already paid for — never a replanned broadcast
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val q = Dedup.dupSpans(docs)
-      q.collect() // materialize THIS queryExecution (count() would plan
-                  // its own): AQE reuses shuffle stages at RUNTIME, so
-                  // the reuse is only visible in the final plan
-      val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin"),
-        s"dup-gram join must not rely on a broadcast:\n$plan")
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"dup-gram join must be a same-key shuffle join:\n$plan")
-      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-        s"the gram-key exchange must be paid once and reused:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // the duplication test is a window over the gram key — the gram
+    // table (≈ corpus tokens) is exchanged ONCE, and there is no
+    // dup-set join to broadcast or re-shuffle at web scale
+    def gramExchanges(plan: String): Int =
+      "Exchange hashpartitioning\\(gk".r.findAllIn(plan).length
+    // (the per-doc totals join on doc_id may broadcast its TINY hits
+    // side — that one is size-based and shrinks with dedup selectivity;
+    // only a gram-keyed join/broadcast would be a scale bug)
+    val q = Dedup.dupSpans(docs).queryExecution.executedPlan.toString
+    assert(gramExchanges(q) === 1, s"expected exactly one gram-key exchange:\n$q")
+    assert(!q.contains("BroadcastHashJoin [gk"), s"no broadcast on the gram key:\n$q")
+    val s = Dedup.stripDupSpans(docs).queryExecution.executedPlan.toString
+    assert(gramExchanges(s) === 1, s"expected exactly one gram-key exchange:\n$s")
+    assert(!s.contains("BroadcastHashJoin [gk"), s"no broadcast on the gram key:\n$s")
   }
 
   test("dup_spans counts cross-doc duplicated n-gram positions only") {
