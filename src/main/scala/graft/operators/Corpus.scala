@@ -139,11 +139,13 @@ object Corpus {
     */
   def keepList(documents: DataFrame, minQuality: Double = 0.5,
                minWords: Long = 20, n: Int = 8, benchMod: Int = 10): DataFrame = {
-    val fps = documents.select(col("doc_id"),
-      TextAnalysis.fingerprintCol(col("text")).as("fp"))
-    val canonical = fps
-      .join(fps.groupBy("fp").agg(min("doc_id").as("canon_id")), "fp")
-      .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("is_canonical"))
+    // canonicality via a fingerprint window (one fp exchange of a
+    // narrow projection; the agg-plus-join-back would shuffle twice)
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val canonical = documents
+      .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .select(col("doc_id"),
+        (col("doc_id") === min("doc_id").over(byFp)).as("is_canonical"))
     val quality = TextAnalysis.qualityScore(documents)
       .select(col("doc_id"),
         (col("quality") >= minQuality && col("word_count") >= minWords).as("is_quality"))
@@ -229,16 +231,20 @@ object Corpus {
                        maxDupFrac: Double = 0.2): DataFrame = {
     // 1e4-scaled quality as a long: the per-doc quality is already
     // rounded to 4dp, so round(q*10000) is exact on both engines
-    val q = documents.select(col("doc_id"),
-      round(graft.functions.TextAnalysis.qualityCol(col("text")) * 10000)
-        .cast("long").as("q4"))
-    val fps = documents.select(col("doc_id"), col("source"),
-      graft.functions.TextAnalysis.fingerprintCol(col("text")).as("fp"))
-    val flagged = fps
-      .join(fps.groupBy("fp").agg(min("doc_id").as("canon_id")), "fp")
+    // the exact-dup flag is min(doc_id) over a FINGERPRINT window —
+    // one fp exchange of a narrow projection, not the
+    // aggregate-plus-join-back that would scan and shuffle twice —
+    // and quality rides along in the same projection, so documents is
+    // scanned once
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy("fp")
+    documents
       .select(col("doc_id"), col("source"),
-        (col("doc_id") =!= col("canon_id")).cast("long").as("is_dup"))
-    flagged.join(q, "doc_id")
+        graft.functions.TextAnalysis.fingerprintCol(col("text")).as("fp"),
+        round(graft.functions.TextAnalysis.qualityCol(col("text")) * 10000)
+          .cast("long").as("q4"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min("doc_id").over(byFp)).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("q4").as("q4sum"),
         sum("is_dup").as("n_dups"))
