@@ -62,14 +62,16 @@ object Corpus {
     * Scale contract for the df (vocabulary) side: an UNTRIMMED
     * web-scale vocabulary is billions of terms (hapax legomena grow
     * linearly with the corpus) — broadcasting it would kill the
-    * driver, so the default is a shuffle join on `word` (tf is
-    * already keyed by (doc, word); the df join adds one word-keyed
-    * exchange of the term table, never of the corpus). `minDf`
-    * trims the vocabulary (df ≥ minDf, the standard tf·idf trim —
-    * a term in <minDf documents can't be a corpus-level feature);
-    * a TRIMMED vocabulary grows ~√corpus (Heaps' law) and stays
-    * megabytes, so callers that trim may set `broadcastVocab=true`
-    * to skip the tf-side exchange entirely.
+    * driver, so the default computes df as a WINDOW over the word key
+    * (one word exchange of the tf table; the aggregate-plus-join-back
+    * alternative exchanges tf on word twice and can never share the
+    * exchange — the branches prune differently). `minDf` trims the
+    * vocabulary (df ≥ minDf, the standard tf·idf trim — a term in
+    * <minDf documents can't be a corpus-level feature); a TRIMMED
+    * vocabulary grows ~√corpus (Heaps' law) and stays megabytes, so
+    * callers that trim may set `broadcastVocab=true` to join a
+    * broadcast df table instead, skipping the tf-side word exchange
+    * entirely.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3, minDf: Long = 1L,
                     broadcastVocab: Boolean = false): DataFrame = {
@@ -77,11 +79,19 @@ object Corpus {
     val words = documents.select(col("doc_id"),
       explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfrAll = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val dfr = if (minDf > 1L) dfrAll.filter(col("df") >= minDf) else dfrAll
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
-    tf.join(if (broadcastVocab) broadcast(dfr) else dfr, "word")
+    val withDf =
+      if (broadcastVocab) {
+        val dfrAll = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val dfr = if (minDf > 1L) dfrAll.filter(col("df") >= minDf) else dfrAll
+        tf.join(broadcast(dfr), "word")
+      } else {
+        val all = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("word")))
+        if (minDf > 1L) all.filter(col("df") >= minDf) else all
+      }
+    withDf
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rn", row_number().over(w))

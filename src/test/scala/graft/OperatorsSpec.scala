@@ -673,20 +673,25 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(rj.contains("Window") && !rj.contains("Join"),
       s"range aggregation must plan as a window, not a join:\n$rj")
-    // tfidf: the UNTRIMMED vocabulary aggregate must never be
-    // broadcast (hapax legomena make it billions of terms at web
-    // scale — a broadcast kills the driver); the word join must plan
-    // as a shuffle join. A TRIMMED vocabulary (minDf ≥ 2, bounded by
-    // Heaps' law) may opt back into the broadcast. autoBroadcast off
-    // so the small test table doesn't mask the untrimmed plan shape.
+    // tfidf: the UNTRIMMED vocabulary must never be broadcast (hapax
+    // legomena make it billions of terms at web scale — a broadcast
+    // kills the driver); df comes from a word-key window costing one
+    // exchange of the tf table. A TRIMMED vocabulary (minDf ≥ 2,
+    // bounded by Heaps' law) may opt back into the broadcast join.
+    // autoBroadcast off so the small test table doesn't mask the
+    // untrimmed plan shape.
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val untrimmed = Corpus.tfidfTopTerms(docs).queryExecution.executedPlan.toString
       assert(!untrimmed.contains("BroadcastHashJoin"),
         s"untrimmed vocabulary must not be broadcast:\n$untrimmed")
-      assert(untrimmed.contains("SortMergeJoin") || untrimmed.contains("ShuffledHashJoin"),
-        s"untrimmed word join must be a shuffle join:\n$untrimmed")
+      // df comes from a word-key window: exactly one word exchange of
+      // the tf table, and no df join at all
+      assert("Exchange hashpartitioning\\(word".r.findAllIn(untrimmed).length === 1,
+        s"untrimmed df must cost one word exchange:\n$untrimmed")
+      assert(!untrimmed.contains("SortMergeJoin [word"),
+        s"untrimmed path must not join a df table:\n$untrimmed")
       val trimmed = Corpus.tfidfTopTerms(docs, minDf = 2, broadcastVocab = true)
         .queryExecution.executedPlan.toString
       assert(trimmed.contains("BroadcastHashJoin"),
