@@ -172,6 +172,14 @@ object SparkEntry {
       TextPipeline.contentDelta(
         docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 2 === 0))
+    }),
+    // same snapshot stand-ins as content_delta: %2 = previous crawl,
+    // %3 = current crawl (docs with doc_id % 6 = 0 are in both)
+    "corpus_drift"      -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextPipeline.snapshotDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 3 === 0))
     })
   )
 
@@ -981,6 +989,24 @@ object SparkEntry {
         |WHERE doc_id % 3 = 0 AND md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) NOT IN
         |(SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
+    // per-snapshot dedupe by the fingerprint-window min rule, then a
+    // full-outer fp join classified into added/removed/retained
+    "corpus_drift" ->
+      """WITH b AS (SELECT doc_id, lang, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |len(string_split_regex(trim(text), '\s+'))::BIGINT AS toks FROM documents),
+        |od AS (SELECT fp, lang AS o_lang, toks AS o_toks FROM
+        |  (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS m FROM b WHERE doc_id % 2 = 0) WHERE doc_id = m),
+        |nd AS (SELECT fp, lang AS n_lang, toks AS n_toks FROM
+        |  (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS m FROM b WHERE doc_id % 3 = 0) WHERE doc_id = m),
+        |j AS (SELECT coalesce(n_lang, o_lang) AS lang, (o_lang IS NULL) AS added, (n_lang IS NULL) AS removed, o_toks, n_toks
+        |  FROM od FULL OUTER JOIN nd USING (fp))
+        |SELECT lang,
+        |sum(CASE WHEN added THEN 1 ELSE 0 END)::BIGINT AS n_added,
+        |sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |sum(CASE WHEN NOT added AND NOT removed THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+        |sum(CASE WHEN added THEN n_toks ELSE 0 END)::BIGINT AS tokens_added,
+        |sum(CASE WHEN removed THEN o_toks ELSE 0 END)::BIGINT AS tokens_removed
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),

@@ -74,4 +74,42 @@ object TextPipeline {
       .select(col("doc_id"), col("fp"))
       .orderBy("doc_id")
   }
+
+  /** Snapshot DRIFT report — the per-language summary of what changed
+    * between two corpus snapshots (the review table behind every
+    * "crawl N vs crawl N−1" decision): distinct contents added,
+    * removed, and retained, with token volumes for the added/removed
+    * sides. Keyed on the CONTENT fingerprint like [[contentDelta]],
+    * so re-crawls under fresh ids count as retained, not
+    * added+removed.
+    *
+    * Scale shape: each side is one scan projected to (fp, lang,
+    * tokens), deduped per snapshot by the fingerprint-window min rule
+    * (one fp exchange per side), then a same-key full-outer join —
+    * co-partitioned with the dedup exchanges — and a tiny per-lang
+    * aggregate. All counts integer; deterministic on both engines.
+    */
+  def snapshotDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy("fp")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("doc_id"), col("lang"),
+          graft.functions.TextAnalysis.fingerprintCol(col("text")).as("fp"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .withColumn("m", min("doc_id").over(byFp))
+        .filter(col("doc_id") === col("m"))
+        .select(col("fp"), col("lang").as(s"${tag}_lang"), col("toks").as(s"${tag}_toks"))
+    side(oldDocs, "o").join(side(newDocs, "n"), Seq("fp"), "full_outer")
+      .withColumn("lang", coalesce(col("n_lang"), col("o_lang")))
+      .withColumn("added", col("o_lang").isNull)
+      .withColumn("removed", col("n_lang").isNull)
+      .groupBy("lang")
+      .agg(
+        sum(when(col("added"), 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("added") && !col("removed"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("added"), col("n_toks")).otherwise(0L)).as("tokens_added"),
+        sum(when(col("removed"), col("o_toks")).otherwise(0L)).as("tokens_removed"))
+      .orderBy("lang")
+  }
 }

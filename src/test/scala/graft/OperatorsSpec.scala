@@ -750,6 +750,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))
   }
 
+  test("corpus_drift classifies by content, so a re-crawled id counts as retained") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "en", "kept article text one two three"),
+      (2L, "en", "dropped article text four five six"),
+      (3L, "de", "der alte artikel sieben acht neun"))
+      .toDF("doc_id", "lang", "text")
+    val newSnap = Seq(
+      (10L, "en", "KEPT  Article text one two three"),  // same content, fresh id
+      (11L, "en", "a brand new english article"),
+      (12L, "en", "a brand new english article"))       // in-snapshot dup → one content
+      .toDF("doc_id", "lang", "text")
+    val out = TextPipeline.snapshotDrift(oldSnap, newSnap).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("tokens_added"),
+          r.getAs[Long]("tokens_removed")))).toMap
+    assert(out("en") === ((1L, 1L, 1L, 5L, 6L)))
+    assert(out("de") === ((0L, 1L, 0L, 0L, 6L)))
+  }
+
   test("strip_dup_spans keeps the canonical copy and merges overlapping spans") {
     import spark.implicits._
     val docs = Seq(
