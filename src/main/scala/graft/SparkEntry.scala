@@ -160,6 +160,8 @@ object SparkEntry {
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
+    "vocab_bigrams"     -> ((s, d) => Corpus.bigramTopK(Tables.documents(s, d))),
+    "length_histogram"  -> ((s, d) => Corpus.lengthHistogram(Tables.documents(s, d))),
     "corpus_report"     -> ((s, d) => Corpus.report(Tables.documents(s, d))),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
     "decontaminate_semantic" -> ((s, d) => Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
@@ -941,6 +943,16 @@ object SparkEntry {
       """WITH g AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents)
         |SELECT word, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
         |FROM g GROUP BY 1 ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+    "vocab_bigrams" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM w WHERE len(ws) >= 2)
+        |SELECT gram, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+        |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 30""".stripMargin,
+    "length_histogram" ->
+      """WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\s+'))::BIGINT AS toks FROM documents),
+        |b AS (SELECT lang, least(toks // 16, 8) AS bucket, toks FROM t)
+        |SELECT lang, bucket, bucket * 16 AS bucket_lo, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS total_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "rollup_margins" ->
       """SELECT o_custkey AS entity_id, strftime(o_orderdate, '%Y') AS year,
         |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,

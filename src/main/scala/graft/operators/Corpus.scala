@@ -49,6 +49,43 @@ object Corpus {
         expr("(total_words * 20000 + n_docs) div (2 * n_docs)").cast("double") / 10000)
       .orderBy("lang")
 
+  /** Per-language document-LENGTH histogram in fixed 16-token buckets
+    * (capped at bucket 8 ≡ 128+ tokens) — the length-distribution
+    * table a curation review reads before setting min/max-length
+    * filters, and the before/after evidence that a filter did what
+    * it claimed. All-integer bucketing (`tokens div 16`), so the
+    * histogram is engine-exact; one map-side-combinable aggregate
+    * over a narrow scan, output is |langs| × 9 rows.
+    */
+  def lengthHistogram(documents: DataFrame, bucketWidth: Int = 16,
+                      maxBucket: Int = 8): DataFrame =
+    documents
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .withColumn("bucket", least(expr(s"toks div $bucketWidth"), lit(maxBucket.toLong)))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+      .withColumn("bucket_lo", col("bucket") * bucketWidth)
+      .select("lang", "bucket", "bucket_lo", "n_docs", "total_tokens")
+      .orderBy("lang", "bucket")
+
+  /** Top-k word BIGRAMS by corpus frequency with document frequency —
+    * the first iteration of BPE-style merge-candidate selection (the
+    * most frequent adjacent pair is the next merge), and the
+    * collocation table of corpus exploration. Reuses the compiled
+    * n-gram expression ([[HashExprs.wordNgrams]], n = 2); the same
+    * map-side-combinable tf/df aggregate as [[vocabTopK]], top-k via
+    * TakeOrdered, no global sort.
+    */
+  def bigramTopK(documents: DataFrame, k: Int = 30): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(HashExprs.wordNgrams(TextAnalysis.normalizeWs(col("text")), 2)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("gram"))
+      .limit(k)
+
   /** Per-document top-k terms by tf·idf — the keyword/topic-feature
     * step (the reference's category derivation is a crude fixed-rule
     * version of this). idf is kept RATIONAL (tf·N/df, no logarithm):

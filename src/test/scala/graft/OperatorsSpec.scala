@@ -750,6 +750,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))
   }
 
+  test("length_histogram buckets integer token counts with a cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", (1 to 10).map(_ => "w").mkString(" ")),   // 10 toks → bucket 0
+      (2L, "en", (1 to 17).map(_ => "w").mkString(" ")),   // 17 → bucket 1
+      (3L, "en", (1 to 200).map(_ => "w").mkString(" ")))  // 200 → capped bucket 8
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.lengthHistogram(docs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("bucket_lo"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("total_tokens")))).toMap
+    assert(out(0L) === ((0L, 1L, 10L)))
+    assert(out(1L) === ((16L, 1L, 17L)))
+    assert(out(8L) === ((128L, 1L, 200L)))
+  }
+
+  test("vocab_bigrams ranks the most frequent adjacent pair first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),      // bigrams: ab, ba, ab, bc
+      (2L, "a b x"))          // ab, bx
+      .toDF("doc_id", "text")
+    val rows = Corpus.bigramTopK(docs, k = 3).collect()
+    assert(rows.head.getAs[String]("gram") === "a b")
+    assert(rows.head.getAs[Long]("tf") === 3L)
+    assert(rows.head.getAs[Long]("df") === 2L)
+  }
+
   test("corpus_drift classifies by content, so a re-crawled id counts as retained") {
     import spark.implicits._
     val oldSnap = Seq(
