@@ -177,6 +177,27 @@ class HashExprsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("remove_spans handles empty text, overlap merge, and out-of-range starts") {
+    import spark.implicits._
+    def run(text: String, starts: Seq[Long], n: Int = 3): (String, Long, Long) = {
+      val r = Seq(text).toDF("t")
+        .select(plans.HashExprs.removeSpans(col("t"),
+          lit(starts.toArray), n).as("r"))
+        .select("r.kept_text", "r.n_tokens", "r.n_removed").head()
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    }
+    // empty text: zero tokens, not one empty token
+    assert(run("", Seq(0L)) === (("", 0L, 0L)))
+    // no spans: text passes through
+    assert(run("a b c d e", Seq.empty) === (("a b c d e", 5L, 0L)))
+    // overlapping spans [0,3) and [2,5) merge to [0,5)
+    assert(run("a b c d e f", Seq(0L, 2L)) === (("f", 6L, 5L)))
+    // a start past the last token removes nothing
+    assert(run("a b c", Seq(7L)) === (("a b c", 3L, 0L)))
+    // span overrunning the end clips at the last token
+    assert(run("a b c d", Seq(2L)) === (("a b", 4L, 2L)))
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     // broadcast off so the assertion is about bucketing, not broadcast
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
