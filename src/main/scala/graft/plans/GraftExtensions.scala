@@ -21,6 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `xml_leaf_map(string) -> map<string,string>`
   *  - `word_ngrams(string, n) -> array<string>`
   *  - `repetition_stats(string) -> struct<n_words,n_distinct_words,top_bigram_count>`
+  *  - `remove_spans(string, array<bigint>, n) -> struct<kept_text,n_tokens,n_removed>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -74,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(text) - struct(n_words, n_distinct_words, top_bigram_count) of a single-space-normalized text"),
       (args: Seq[Expression]) => RepetitionStatsExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("remove_spans"),
+      info("remove_spans", "remove_spans(text, starts, n) - drop tokens covered by n-token spans at the sorted start indices"),
+      (args: Seq[Expression]) => RemoveSpansExpr(args(0), args(1), intArg(args(2), "n"))))
   }
 }

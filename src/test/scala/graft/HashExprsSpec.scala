@@ -79,6 +79,10 @@ class HashExprsSpec extends SparkSpec {
       .getStruct(0)
     assert(rs.getAs[Long]("n_words") === 5L)
     assert(rs.getAs[Long]("top_bigram_count") === 2L)
+    val rm = spark.sql("SELECT remove_spans('a b c d e', array(1L), 3) AS r").head()
+      .getStruct(0)
+    assert(rm.getAs[String]("kept_text") === "a e")
+    assert(rm.getAs[Long]("n_removed") === 3L)
   }
 
   test("ivf top-k scores consistently with brute force on shared ids") {
