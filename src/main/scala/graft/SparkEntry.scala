@@ -118,6 +118,7 @@ object SparkEntry {
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
+    "ann_batch_topk"    -> ((s, d) => Similarity.batchTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk"      -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0L, 20)),
     // exact-guarantee IVF (triangle-inequality pruning) — output is
     // provably the true top-k, so the oracle is plain brute force
@@ -827,6 +828,13 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    "ann_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+        |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+        |SELECT query_id, vec_id, cos_sim, rn FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // brute force IS the correct oracle for ivfTopKExact: its bound
     // logic guarantees the true top-k on any corpus
     "ann_ivf_topk" ->

@@ -35,6 +35,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH exact top-k: the k nearest corpus vectors for EVERY vector
+    * in a query batch (here the deterministic `vec_id % queryMod = 0`
+    * slice stands in for an arriving batch) — the corpus-linking form
+    * of retrieval: entity resolution, re-ranking candidates, nearest-
+    * neighbor labeling all consume this shape, not one query at a
+    * time.
+    *
+    * Scale shape: the query batch is BOUNDED (a batch, not the
+    * corpus) and broadcasts; the corpus side is one scan that never
+    * shuffles before scoring, and the per-query top-k is a window the
+    * optimizer executes as WindowGroupLimit (rank-pushdown keeps k
+    * rows per query per partition — no full sort of the scored
+    * cross). The scored row count is |corpus| × |batch|: that is the
+    * honest price of EXACT batch retrieval; the approximate path for
+    * unbounded batches is the LSH/IVF bucket family.
+    */
+  def batchTopK(embeddings: DataFrame, queryMod: Long = 50, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
   /** IVF-bucketed approximate top-k: a small k-means-trained codebook
     * ([[trainCodebook]]) partitions the corpus into inverted lists; a
     * probe scores only the `nProbe` lists nearest the query.

@@ -146,6 +146,19 @@ class HashExprsSpec extends SparkSpec {
     assert(ex === brute)
   }
 
+  test("batch top-k matches single-query brute force per query, with rank pushdown") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val batch = operators.Similarity.batchTopK(emb, queryMod = 50, k = 5)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must push the rank limit into the window:\n$plan")
+    val forQuery0 = batch.filter(col("query_id") === 0L)
+      .select("vec_id", "cos_sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val direct = operators.Similarity.bruteForceTopK(emb, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(forQuery0 === direct)
+  }
+
   test("int8 top-k tracks the float top-k closely (storage-precision recall)") {
     val emb = sources.Tables.embeddings(spark, sfDir)
     val k = 20
