@@ -167,6 +167,7 @@ object SparkEntry {
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
     "decontaminate_semantic" -> ((s, d) => Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
     "corpus_keep_list"  -> ((s, d) => Corpus.keepList(Tables.documents(s, d))),
+    "corpus_curated"    -> ((s, d) => Corpus.curated(Tables.documents(s, d))),
     "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     // deterministic overlapping splits: every doc_id ≡ 0 (mod 6) is in
     // BOTH sides, so the content anti-join has real work to do
@@ -1036,6 +1037,41 @@ object SparkEntry {
     // the curation end product: every signal CTE is the corresponding
     // single-query oracle verbatim (quality_filter, dedup_exact,
     // decontaminate), composed on doc_id
+    // the shipped corpus: keep-list CTEs select the kept ids, strip
+    // CTEs rewrite span-deduplicated text — joined on doc_id
+    "corpus_curated" ->
+      """WITH w AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt,
+        |string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |fp AS (SELECT doc_id, md5(nt) AS f FROM w),
+        |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |  (round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) >= 0.5
+        |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0),
+        |keepd AS (SELECT fp.doc_id FROM fp JOIN canon ON fp.f = canon.f JOIN q ON fp.doc_id = q.doc_id
+        |  LEFT JOIN cont ON fp.doc_id = cont.doc_id
+        |  WHERE q.is_quality AND fp.doc_id = canon.canon_id AND fp.doc_id % 10 <> 0 AND cont.doc_id IS NULL),
+        |tt AS (SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[]) ELSE ws END AS ws FROM w),
+        |g2 AS (SELECT doc_id, u.gpos AS gpos, u.gk AS gk FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+        |    i -> {'gpos': i - 1, 'gk': substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)})) AS u
+        |  FROM tt WHERE len(ws) >= 8)),
+        |own AS (SELECT gk, min(doc_id) AS owner FROM g2 GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+        |rem AS (SELECT g2.doc_id, g2.gpos FROM g2 JOIN own USING (gk) WHERE g2.doc_id <> own.owner),
+        |cov AS (SELECT DISTINCT doc_id, gpos + r.i AS tpos FROM rem, range(8) r(i)),
+        |tok AS (SELECT doc_id, v.tpos AS tpos, v.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+        |    i -> {'tpos': i - 1, 'tok': ws[i]})) AS v FROM tt)),
+        |keptt AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos WHERE cov.tpos IS NULL),
+        |a AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept_text FROM keptt GROUP BY 1),
+        |c2 AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1)
+        |SELECT tt.doc_id, coalesce(a.kept_text, '') AS kept_text, len(tt.ws)::BIGINT AS n_tokens,
+        |coalesce(c2.n_removed, 0)::BIGINT AS n_removed
+        |FROM tt JOIN keepd ON tt.doc_id = keepd.doc_id LEFT JOIN a ON tt.doc_id = a.doc_id
+        |LEFT JOIN c2 ON tt.doc_id = c2.doc_id
+        |ORDER BY tt.doc_id""".stripMargin,
     "corpus_keep_list" ->
       """WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
         |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),

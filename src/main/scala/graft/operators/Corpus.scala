@@ -212,6 +212,24 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The SHIPPED corpus — what actually goes to the tokenizer:
+    * [[keepList]]'s kept documents carrying
+    * [[Dedup.stripDupSpans]]'s span-deduplicated text. Span
+    * ownership/duplication is decided CORPUS-WIDE first (a dropped
+    * near-duplicate still claims no spans — its canonical sibling
+    * owns them), then the keep decision filters rows; doing it in
+    * the other order would let dropped docs' boilerplate survive in
+    * kept ones. Composes two already-scale-shaped operators with one
+    * doc_id join.
+    */
+  def curated(documents: DataFrame, minQuality: Double = 0.5,
+              minWords: Long = 20, n: Int = 8, benchMod: Int = 10): DataFrame =
+    Dedup.stripDupSpans(documents, n)
+      .join(keepList(documents, minQuality, minWords, n, benchMod)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+      .select("doc_id", "kept_text", "n_tokens", "n_removed")
+      .orderBy("doc_id")
+
   /** SEMANTIC decontamination — the embedding-space counterpart of
     * [[decontaminate]]: n-gram matching misses paraphrased benchmark
     * leakage, so flag training vectors whose embedding is

@@ -778,6 +778,23 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("df") === 2L)
   }
 
+  test("corpus_curated ships kept docs with span-deduped text, canonical owns its spans") {
+    import spark.implicits._
+    val t = (1 to 60).map(i => s"t$i").mkString(" ")            // quality, canonical
+    val shared = (10 to 17).map(i => s"t$i").mkString(" ")       // an 8-gram of doc 1
+    val other = shared + " " + (9 to 60).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t), (3L, other)).toDF("doc_id", "text")
+    val out = Corpus.curated(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("kept_text"), r.getAs[Long]("n_removed")))).toMap
+    // doc 2 is the dropped exact duplicate; doc 1 owns every span it
+    // shares (with doc 2 AND doc 3), so its text ships untouched
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === ((t, 0L)))
+    // doc 3 keeps its unique tail; the shared 8-gram is owned by doc 1
+    assert(out(3L) === (((9 to 60).map(i => s"u$i").mkString(" "), 8L)))
+  }
+
   test("corpus_drift classifies by content, so a re-crawled id counts as retained") {
     import spark.implicits._
     val oldSnap = Seq(
