@@ -62,7 +62,18 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"noise":$ns,"errors":$errs,"sf":"$sfDir"}""")
+    // "queries" is the LAST key: a tail-capture that truncates the
+    // line's head loses the summary fields, never the per-query
+    // timings (round 4 lost the timings to exactly that truncation).
+    // The same JSON is also written whole to BENCH_LATEST.json so the
+    // artifact survives any stdout capture policy.
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"noise":$ns,"queries":$qs}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_LATEST.json")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

@@ -204,13 +204,22 @@ object Dedup {
     * pairs' verification.
     */
   def writeMinhashIndex(documents: DataFrame, table: String, numBuckets: Int = 8,
-                        k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit =
+                        k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit = {
     graft.sources.Sinks.writeBucketed(
       bandTable(documents, k, word = false, numPerm, bands),
       // bucket columns = the candidate join's key set EXACTLY: Spark's
       // planner only keeps the bucketed (exchange-free) scan when the
       // join keys match the bucket spec, not a superset of it
       table, Seq("band", "band_hash"), numBuckets)
+    // persist the signature geometry with the table: Spark validates
+    // only the bucket layout on append, so a mismatched (k, numPerm,
+    // bands) append would otherwise succeed silently and corrupt the
+    // index semantics (recall quietly degrades). The properties make
+    // [[appendToMinhashIndex]] able to reject drift as an ERROR.
+    documents.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.minhash.k'='$k','graft.minhash.numPerm'='$numPerm','graft.minhash.bands'='$bands')")
+  }
 
   /** [[minhashLsh]] over a persisted band index: candidates come from
     * the bucketed table (shuffle-free self-join — both sides carry the
@@ -218,6 +227,14 @@ object Dedup {
     * the join keys), and the corpus is consulted only to
     * Jaccard-verify the candidate ids. Same output contract as
     * [[minhashLsh]] (spec-asserted equal).
+    *
+    * CONTRACT: `documents` must cover every doc_id in the index — the
+    * verify step inner-joins candidates to it, so an id present in the
+    * index but missing from the frame (stale index, or an appended
+    * batch not unioned in) is silently dropped from the output. After
+    * [[appendToMinhashIndex]], pass the corpus UNION the appended
+    * batch (as the append spec does); after deletions, rebuild the
+    * index rather than filtering the frame.
     */
   def minhashLshIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                         documents: DataFrame, k: Int = 5,
@@ -231,21 +248,35 @@ object Dedup {
     * the persisted index, completing the ingest lifecycle — build
     * ([[writeMinhashIndex]]) → check the batch
     * ([[minhashLshAgainstIndex]]) → extend (here), so the NEXT batch
-    * is checked against a corpus that includes this one. The append
-    * must use the identical bucket spec; Spark rejects a mismatched
-    * bucketBy on an existing table, so drift is an error, not silent
-    * corruption. Under streaming, call this from `foreachBatch`
-    * alongside the document sink (the
+    * is checked against a corpus that includes this one. Drift is an
+    * error, not silent corruption, on BOTH axes: Spark itself rejects
+    * a mismatched bucketBy, and the signature geometry (k, numPerm,
+    * bands) — which Spark does NOT validate — is checked here against
+    * the table properties stamped by [[writeMinhashIndex]], so an
+    * appender with the wrong band geometry fails fast instead of
+    * quietly degrading dedup recall. Under streaming, call this from
+    * `foreachBatch` alongside the document sink (the
     * [[graft.streaming.StreamingRollups.loadStream]] pattern).
     */
   def appendToMinhashIndex(newDocs: DataFrame, table: String, numBuckets: Int = 8,
-                           k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit =
+                           k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit = {
+    val props = newDocs.sparkSession.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    Seq("graft.minhash.k" -> k, "graft.minhash.numPerm" -> numPerm,
+        "graft.minhash.bands" -> bands).foreach { case (key, expected) =>
+      val stored = props.getOrElse(key, throw new IllegalArgumentException(
+        s"index table $table has no $key property — not written by writeMinhashIndex"))
+      require(stored == expected.toString,
+        s"minhash index geometry drift on $table: $key is $stored in the index, " +
+          s"$expected in the append — rebuild the index or match its geometry")
+    }
     bandTable(newDocs, k, word = false, numPerm, bands)
       .write.mode("append")
       .bucketBy(numBuckets, "band", "band_hash")
       .sortBy("band", "band_hash")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** INCREMENTAL near-dup check: an arriving batch against the
     * persisted corpus index — the batch-ingest workflow (is this

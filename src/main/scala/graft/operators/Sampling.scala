@@ -102,8 +102,16 @@ object Sampling {
     * arithmetic (day diffs, truncating div) — bit-identical in any
     * engine, unlike months_between-style fractional ages.
     * Scan-only: predicate + projection, no shuffle, no state.
+    *
+    * The default asOf sits at the END of the stand-in published range
+    * (2024-01-01..2024-12-30 — [[graft.sources.Ingest
+    * .withPublishedDate]]) so days_old spans 1..365 and the gate
+    * exercises every decay bucket (100, 85, … down to the 10% floor),
+    * not just the floor branch. It must not precede any published
+    * date: a negative days_old truncates toward zero in Spark's `div`
+    * but floors in DuckDB's `//`, splitting the engines.
     */
-  def recency(documents: DataFrame, asOf: String = "2025-06-30"): DataFrame =
+  def recency(documents: DataFrame, asOf: String = "2024-12-31"): DataFrame =
     graft.sources.Ingest.withPublishedDate(documents)
       .withColumn("days_old",
         datediff(to_date(lit(asOf)), to_date(col("published"))))

@@ -905,6 +905,17 @@ case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
     var coveredUntil = -1L
     var j = 0
     var i = 0
+    // remove_spans is a registered SQL function, so the starts array
+    // can carry nulls (array(CAST(NULL AS BIGINT))); reading the slot
+    // anyway would return an undefined value (typically 0) and
+    // silently remove the wrong tokens — reject loudly instead.
+    var chk = 0
+    while (chk < m) {
+      if (starts.isNullAt(chk))
+        throw new IllegalArgumentException(
+          s"remove_spans: null span start at index $chk — span starts must be non-null")
+      chk += 1
+    }
     while (i < nWords) {
       while (j < m && starts.getLong(j) <= i) {
         val end = starts.getLong(j) + n - 1

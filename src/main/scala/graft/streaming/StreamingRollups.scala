@@ -89,10 +89,15 @@ object StreamingRollups {
     *
     * Mechanics: one `dropDuplicatesWithinWatermark` per band, chained
     * (Spark's multiple-stateful-operator support). A document survives
-    * only if EVERY band is novel — i.e. it is dropped iff ≥1 band
-    * matches a kept document, exactly the batch LSH candidate rule. A
-    * dropped document does NOT register its remaining bands, so state
-    * tracks kept (canonical) documents only. State per band is
+    * only if EVERY band is novel. Note the chaining makes drops
+    * TRANSITIVE: a document dropped at the band-j operator has already
+    * registered bands 0..j-1 in the earlier operators, so a later
+    * document can be dropped by colliding with a dropped (non-kept)
+    * document's early bands — the same transitive-cluster semantics as
+    * the batch connected-components path ([[graft.operators.Dedup
+    * .minhashClusters]]), not a strict "collides with a KEPT document"
+    * rule. For dedup that is the desired behavior (every member of a
+    * near-dup cluster is dropped except the first). State per band is
     * (band_hash → expiry) bounded by the watermark; there is no exact
     * Jaccard verify (that would require buffering prior TEXT —
     * unbounded state), so band geometry is the precision knob: 8-lane

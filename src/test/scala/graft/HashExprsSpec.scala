@@ -213,6 +213,16 @@ class HashExprsSpec extends SparkSpec {
     assert(run("a b c", Seq(7L)) === (("a b c", 3L, 0L)))
     // span overrunning the end clips at the last token
     assert(run("a b c d", Seq(2L)) === (("a b", 4L, 2L)))
+    // a null span start must ERROR, not silently remove wrong tokens
+    // (remove_spans is a public SQL function; a null slot would
+    // otherwise read as an undefined value, typically 0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT remove_spans('a b c d e', array(CAST(NULL AS BIGINT)), 3)").head()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("null span start"), s"unexpected error: $e")
   }
 
   test("co-bucketed tables join without a shuffle exchange") {
@@ -390,6 +400,14 @@ class HashExprsSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"append broke the bucket layout:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // geometry drift (different bands than the index was built with)
+    // must be rejected — Spark only validates the bucket layout, so
+    // without the property check this append would succeed and
+    // silently corrupt the index semantics
+    val drift = intercept[IllegalArgumentException] {
+      operators.Dedup.appendToMinhashIndex(batch1, "g_minhash_idx_app", bands = 16, numPerm = 64)
+    }
+    assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
   }
 
   test("persisted ivf index probes with partition pruning, same results as in-query ivf") {
