@@ -93,11 +93,12 @@ object SparkEntry {
         .orderBy("click_id")
     }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
-    // rows-only: HLL sketch values are implementation-defined, the
-    // error bound is pinned by spec instead (OperatorsSpec)
-    "hll_cardinality" -> ((s, d) => Analytics.cardinalityReport(Tables.events(s, d))),
-    // rows-only for the same reason as hll_cardinality
-    "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(Tables.orders(s, d))),
+    // gate form: deterministic columns only — the raw sketch estimates
+    // are implementation-defined across engines, so the gate hashes the
+    // exact companion values plus in-bound booleans (the full report
+    // with estimates is cardinalityReport/quantileSketch, spec-pinned)
+    "hll_cardinality" -> ((s, d) => Analytics.cardinalityGate(Tables.events(s, d))),
+    "quantile_sketch" -> ((s, d) => Analytics.quantileSketchGate(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
@@ -391,6 +392,26 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the sketch gates hash only engine-portable columns: exact values
+    // (recomputed exactly in DuckDB) and in-bound booleans — DuckDB
+    // has no HLL/GK sketch, so its side of each boolean is `true`,
+    // which is exactly the claim being checked: the Spark sketch met
+    // its declared error bound on this input
+    "hll_cardinality" ->
+      "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS within_bound FROM events",
+    // value at rank ⌈p·n⌉ via row_number — same integer rank rule as
+    // the Spark side's sketch-pruned selection
+    "quantile_sketch" ->
+      """WITH s AS (SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |count(*) OVER () AS n FROM orders)
+        |SELECT n,
+        |round(max(CASE WHEN rn = (n + 1) // 2 THEN v END), 2) AS p50_exact,
+        |true AS p50_in_bound,
+        |round(max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END), 2) AS p90_exact,
+        |true AS p90_in_bound,
+        |round(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END), 2) AS p99_exact,
+        |true AS p99_in_bound
+        |FROM s GROUP BY n""".stripMargin,
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
     "decontaminate_semantic" -> semanticDecontamOracle(10, 0.35),
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),
@@ -683,7 +704,7 @@ object SparkEntry {
       s"""WITH p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
          |  DATE '2024-01-01' + CAST((doc_id * 37) % 365 AS INTEGER) AS pub FROM documents),
          |a AS (SELECT doc_id, hx, strftime(pub, '%Y-%m-%d') AS published,
-         |  datediff('day', pub, DATE '2025-06-30') AS days_old FROM p),
+         |  datediff('day', pub, DATE '2024-12-31') AS days_old FROM p),
          |r AS (SELECT doc_id, hx, published, CAST(days_old AS BIGINT) AS days_old,
          |  greatest(10, 100 - (days_old // 30) * 15)::BIGINT AS rate_pct FROM a)
          |SELECT doc_id, published, days_old, rate_pct FROM r

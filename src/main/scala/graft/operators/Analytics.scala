@@ -206,6 +206,81 @@ object Analytics {
       percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)).as("p90"),
       percentile_approx(col("o_totalprice"), lit(0.99), lit(accuracy)).as("p99"))
 
+  /** Oracle-gated form of [[cardinalityReport]]: only the
+    * DETERMINISTIC columns are emitted — the exact distinct count
+    * (checkable in any engine) and a boolean asserting the sketch
+    * landed within 3× its declared rsd (the bound the spec pins). The
+    * raw HLL estimate stays out of the output because sketch values
+    * are implementation-defined across engines; the bound BOOLEAN is
+    * the cross-engine-checkable fact about it.
+    */
+  def cardinalityGate(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    cardinalityReport(events, rsd).select(
+      col("exact_users"),
+      (abs(col("approx_users") - col("exact_users")) <=
+        lit(3 * rsd) * col("exact_users")).as("within_bound"))
+
+  /** Oracle-gated form of [[quantileSketch]]: EXACT rank-based
+    * quantiles (value at rank ⌈p·n⌉ — an integer rank rule identical
+    * in any engine, where interpolated quantiles drift in the last
+    * ulp) plus booleans asserting the GK sketch landed within its
+    * rank-error bound. The exact values come from SKETCH-PRUNED
+    * selection, not a global sort: the sketch estimates a value window
+    * [lo, hi] = [est(p−ε′), est(p+ε′)] guaranteed by the GK rank bound
+    * to contain the target rank; one aggregate then counts rows below
+    * the window and collects only the ~O(ε′·n) in-window values, whose
+    * sorted list yields the exact value at in-window rank (r − below).
+    * Exact global quantiles in two scans + one bounded aggregate, no
+    * total order anywhere. The refine-set size is ~8n/accuracy, so at
+    * larger n grow `accuracy` with n (the 100 TB shape is
+    * accuracy ≈ n/10⁵, a ~10⁵-value refine set).
+    *
+    * The in-bound booleans compare the estimate's exact rank interval
+    * [count(<est)+1, count(≤est)] against the target rank at 2× the
+    * GK guarantee (absorbing the engine's internal target-rank
+    * convention); with accuracy 10⁴ at gate SF that is still a
+    * ±4-rank assertion. The two driver reads (count + pivot row) are
+    * bounded scalar collects — the broadcast-analog the IVF codebooks
+    * use.
+    */
+  def quantileSketchGate(orders: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val v = col("o_totalprice")
+    val ps = Seq(("p50", 0.5, 1L, 2L), ("p90", 0.9, 9L, 10L), ("p99", 0.99, 99L, 100L))
+    val n = orders.count()
+    // window half-width: 3× the GK error, floored at 2/n so the hi
+    // pivot's rank provably clears ⌈p·n⌉ even when n < accuracy
+    val eps = math.max(3.0 / accuracy, if (n > 0) 2.0 / n else 1.0)
+    val pivotAggs = ps.flatMap { case (nm, p, _, _) =>
+      Seq(
+        percentile_approx(v, lit(p), lit(accuracy)).as(s"${nm}_est"),
+        percentile_approx(v, lit(math.max(0.0, p - eps)), lit(accuracy)).as(s"${nm}_lo"),
+        percentile_approx(v, lit(math.min(1.0, p + eps)), lit(accuracy)).as(s"${nm}_hi"))
+    }
+    val piv = orders.agg(pivotAggs.head, pivotAggs.tail: _*).head()
+    val countAggs = count(lit(1)).as("n") +: ps.flatMap { case (nm, _, _, _) =>
+      val est = lit(piv.getAs[Double](s"${nm}_est"))
+      val lo = lit(piv.getAs[Double](s"${nm}_lo"))
+      val hi = lit(piv.getAs[Double](s"${nm}_hi"))
+      Seq(
+        count(when(v < lo, 1)).as(s"${nm}_below"),
+        sort_array(collect_list(when(v >= lo && v <= hi, v))).as(s"${nm}_cand"),
+        count(when(v < est, 1)).as(s"${nm}_lt"),
+        count(when(v <= est, 1)).as(s"${nm}_le"))
+    }
+    val agg = orders.agg(countAggs.head, countAggs.tail: _*)
+    val outCols = col("n") +: ps.flatMap { case (nm, _, num, den) =>
+      // r = ⌈p·n⌉ in pure integer arithmetic — double p·n rounds
+      // differently across engines (0.99 is not a binary fraction)
+      val r = expr(s"(n * $num + $den - 1) div $den")
+      val m = expr(s"2 * (n div $accuracy) + 2")
+      Seq(
+        round(try_element_at(col(s"${nm}_cand"),
+          (r - col(s"${nm}_below")).cast("int")), 2).as(s"${nm}_exact"),
+        (col(s"${nm}_le") >= r - m && col(s"${nm}_lt") < r + m).as(s"${nm}_in_bound"))
+    }
+    agg.select(outCols: _*)
+  }
+
   /** Per-entity z-score outlier flagging (the anomalous-price /
     * anomalous-order monitor): |value − mean| > `sigmas`·std within
     * the entity. One window shuffle on the entity key, no join back —

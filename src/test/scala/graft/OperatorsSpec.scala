@@ -558,6 +558,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sketch gates emit exact deterministic columns with true in-bound flags") {
+    val orders = Tables.orders(spark, sfDir)
+    val g = Analytics.quantileSketchGate(orders).head()
+    val vals = orders.select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    // exact value at rank ceil(p*n), 1-based — the gate's rank rule
+    def exactAt(num: Long, den: Long): Double =
+      BigDecimal(vals(((n * num + den - 1) / den).toInt - 1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g.getAs[Long]("n") === n.toLong)
+    assert(g.getAs[Double]("p50_exact") === exactAt(1, 2))
+    assert(g.getAs[Double]("p90_exact") === exactAt(9, 10))
+    assert(g.getAs[Double]("p99_exact") === exactAt(99, 100))
+    for (c <- Seq("p50_in_bound", "p90_in_bound", "p99_in_bound"))
+      assert(g.getAs[Boolean](c), s"$c false: sketch missed its rank bound")
+    val h = Analytics.cardinalityGate(Tables.events(spark, sfDir)).head()
+    assert(h.getAs[Boolean]("within_bound"))
+  }
+
   test("hll cardinality sketch lands within its error bound") {
     val r = Analytics.cardinalityReport(Tables.events(spark, sfDir), rsd = 0.02).head()
     val exact = r.getAs[Long]("exact_users").toDouble
@@ -618,6 +637,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rates.values.min < 100L)
     val sampledPerLang = out.groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length }
     rates.keys.foreach(l => assert(sampledPerLang.getOrElse(l, 0) > 0, s"$l sampled to zero"))
+  }
+
+  test("recency sample exercises the full decay curve, not just the floor") {
+    val out = Sampling.recency(Tables.documents(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    val rates = out.map(_.getAs[Long]("rate_pct")).toSet
+    // the default asOf must land inside the derived published range so
+    // intermediate decay buckets (between 100 and the 10 floor) are
+    // covered — an asOf past the range collapses every doc to the floor
+    assert(rates.size >= 4, s"decay curve collapsed to $rates")
+    assert(rates.contains(10L) && rates.exists(_ > 10L), rates.toString)
+    // no document may be "from the future" relative to asOf: negative
+    // ages truncate in Spark but floor in DuckDB, splitting the engines
+    assert(out.forall(_.getAs[Long]("days_old") >= 0L))
   }
 
   test("leakage-safe split keeps every near-dup cluster in one split") {
