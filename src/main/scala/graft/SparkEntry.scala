@@ -383,7 +383,8 @@ object SparkEntry {
            .mkString("\n  UNION ALL ")}),
        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
-       |  WHERE x.vec_id % $benchMod <> 0 AND y.vec_id % $benchMod = 0),
+       |  WHERE NOT (x.vec_id % $benchMod = 0 AND x.vec_id < 500)
+       |    AND y.vec_id % $benchMod = 0 AND y.vec_id < 500),
        |hits AS (SELECT a, round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
        |  FROM cand JOIN v va ON cand.a = va.vec_id JOIN v vb ON cand.b = vb.vec_id
        |  WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold)
@@ -851,7 +852,7 @@ object SparkEntry {
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     "ann_batch_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
         |s AS (SELECT q.query_id, e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
@@ -1052,8 +1053,8 @@ object SparkEntry {
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
-        |hits AS (SELECT DISTINCT g.doc_id, g.gram FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0)
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
+        |hits AS (SELECT DISTINCT g.doc_id, g.gram FROM g JOIN bench USING (gram) WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500))
         |SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
     // the curation end product: every signal CTE is the corresponding
     // single-query oracle verbatim (quality_filter, dedup_exact,
@@ -1069,11 +1070,11 @@ object SparkEntry {
         |  (round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) >= 0.5
         |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
-        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500)),
         |keepd AS (SELECT fp.doc_id FROM fp JOIN canon ON fp.f = canon.f JOIN q ON fp.doc_id = q.doc_id
         |  LEFT JOIN cont ON fp.doc_id = cont.doc_id
-        |  WHERE q.is_quality AND fp.doc_id = canon.canon_id AND fp.doc_id % 10 <> 0 AND cont.doc_id IS NULL),
+        |  WHERE q.is_quality AND fp.doc_id = canon.canon_id AND NOT (fp.doc_id % 10 = 0 AND fp.doc_id < 500) AND cont.doc_id IS NULL),
         |tt AS (SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[]) ELSE ws END AS ws FROM w),
         |g2 AS (SELECT doc_id, u.gpos AS gpos, u.gk AS gk FROM (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
@@ -1101,13 +1102,13 @@ object SparkEntry {
         |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
         |w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
-        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0)
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500))
         |SELECT d.doc_id, q.is_quality,
         |  (d.doc_id = c.canon_id) AS is_canonical,
-        |  (d.doc_id % 10 = 0) AS is_benchmark,
+        |  (d.doc_id % 10 = 0 AND d.doc_id < 500) AS is_benchmark,
         |  (cont.doc_id IS NOT NULL) AS is_contaminated,
-        |  (q.is_quality AND d.doc_id = c.canon_id AND d.doc_id % 10 <> 0 AND cont.doc_id IS NULL) AS keep
+        |  (q.is_quality AND d.doc_id = c.canon_id AND NOT (d.doc_id % 10 = 0 AND d.doc_id < 500) AND cont.doc_id IS NULL) AS keep
         |FROM documents d
         |JOIN fp ON d.doc_id = fp.doc_id
         |JOIN canon c ON fp.f = c.f

@@ -81,6 +81,13 @@ object TextAnalysis {
     * and the streaming source monitor (a formula drifting between
     * consumers would make their decisions incomparable).
     */
+  /** Whitespace word count as a column — the `word_count` of
+    * [[qualityScore]], exposed for operators that fold the quality
+    * gate into a wider single-scan projection ([[graft.operators
+    * .Corpus.curated]]).
+    */
+  def wordCountCol(c: Column): Column = size(words(c)).cast("long")
+
   def qualityCol(c: Column): Column = {
     val nChars = length(c)
     val wcount = size(words(c))

@@ -50,10 +50,19 @@ object Similarity {
     * cross). The scored row count is |corpus| × |batch|: that is the
     * honest price of EXACT batch retrieval; the approximate path for
     * unbounded batches is the LSH/IVF bucket family.
+    *
+    * The stand-in batch is CAPPED (`vec_id < queryCap` on top of the
+    * mod slice) so the broadcast side is constant-size at any scale
+    * factor — a mod slice alone is a fixed FRACTION of the corpus,
+    * which would quietly turn |corpus|×|batch| into |corpus|²/mod as
+    * SF grows. A real run supplies a bounded batch table in place of
+    * the slice.
     */
-  def batchTopK(embeddings: DataFrame, queryMod: Long = 50, k: Int = 5): DataFrame = {
+  def batchTopK(embeddings: DataFrame, queryMod: Long = 50, k: Int = 5,
+                queryCap: Long = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = embeddings.filter(col("vec_id") % queryMod === 0)
+    val queries = embeddings
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < queryCap)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     embeddings.crossJoin(broadcast(queries))

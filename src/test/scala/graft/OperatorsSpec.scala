@@ -811,6 +811,21 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("df") === 2L)
   }
 
+  test("curated scans the corpus at most twice and equals the composed operators") {
+    val docs = Tables.documents(spark, sfDir)
+    val cur = Corpus.curated(docs)
+    // the one-pass shape: gram scan + document scan, nothing else —
+    // the composed stripDupSpans ⋈ keepList form re-scans ~6×
+    val plan = cur.queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans <= 2, s"curated plans $scans corpus scans")
+    val composed = Dedup.stripDupSpans(docs)
+      .join(Corpus.keepList(docs).filter(col("keep")).select("doc_id"), "doc_id")
+      .select("doc_id", "kept_text", "n_tokens", "n_removed")
+      .orderBy("doc_id")
+    assert(cur.collect().toSeq === composed.collect().toSeq)
+  }
+
   test("corpus_curated ships kept docs with span-deduped text, canonical owns its spans") {
     import spark.implicits._
     val t = (1 to 60).map(i => s"t$i").mkString(" ")            // quality, canonical

@@ -33,4 +33,34 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"scale-shape violations:\n${offenders.mkString("\n")}")
   }
+
+  test("corpus-derived stand-in broadcast sides carry a constant-size id cap") {
+    // These queries derive their "small side" (benchmark grams,
+    // benchmark vectors, query batch) from a mod-slice of the corpus
+    // itself. A bare mod slice is a fixed FRACTION of the corpus, so
+    // without a cap the broadcast build side would grow with SF; the
+    // id cap (`< 500`) keeps it constant-size at any scale factor.
+    // AQE off so executedPlan is the raw physical tree and the
+    // BroadcastExchange subtrees are collectable.
+    // (corpus_curated is not here: its one-pass form folds
+    // contamination into the gram window — no broadcast side exists;
+    // its bench cap is a row-local predicate, asserted by its own
+    // scan-count spec)
+    val capped = Seq("decontaminate", "decontaminate_semantic", "ann_batch_topk",
+      "corpus_keep_list")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      capped.foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        val broadcasts = plan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        assert(broadcasts.nonEmpty, s"$name: expected a broadcast build side")
+        // the cap must sit INSIDE a broadcast subtree (the corpus side
+        // carries only the negated form inside a NOT)
+        assert(broadcasts.exists(b => b.toString.contains("< 500")),
+          s"$name: no id cap on any broadcast side:\n${broadcasts.map(_.toString).mkString("\n")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
