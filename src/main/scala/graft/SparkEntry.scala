@@ -25,6 +25,51 @@ object SparkEntry {
   private def orderSeries(s: SparkSession, d: String): DataFrame =
     Rollups.series(Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")
 
+  // ---- persisted-index gate plumbing -------------------------------
+  // The index artifacts are built ONCE per (session, sf dir) — the
+  // "computed at ingest" half of the index lifecycle — and the gate
+  // queries exercise the probe/consumer side. That way the gate
+  // value-checks the at-scale shape (index reuse, not rebuild), and
+  // the bench's median-of-3 times the PROBE: only the first rep pays
+  // the build.
+  private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val indexLock = new Object
+
+  private def ensureTable(s: SparkSession, name: String)(build: => Unit): String =
+    indexLock.synchronized {
+      if (!s.catalog.tableExists(name)) {
+        // a stale managed-table location (killed run) blocks CREATE
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val dir = new java.io.File(wh, name)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (dir.exists()) rm(dir)
+        build
+      }
+      name
+    }
+
+  private def minhashIdx(s: SparkSession, d: String): String = {
+    val t = s"g_gate_minhash_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeMinhashIndex(Tables.documents(s, d), t))
+  }
+
+  private def clusterIdx(s: SparkSession, d: String): String = {
+    val t = s"g_gate_cluster_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeClusterIndex(Tables.documents(s, d), t))
+  }
+
+  private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
+    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
+      Similarity.writeIvfIndex(Tables.embeddings(s, d), path)
+    path
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — A. rollups —
     "rollup_daily"    -> ((s, d) => Rollups.daily(orderSeries(s, d))),
@@ -115,6 +160,15 @@ object SparkEntry {
     "quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
+    // the persisted-index twins: build the index once (ingest-time
+    // artifact), then run the consumer — same oracles as the direct
+    // forms, zero-exchange plans spec-asserted in HashExprsSpec
+    "dedup_minhash_lsh_indexed" -> ((s, d) =>
+      Dedup.minhashLshIndexed(s, minhashIdx(s, d), Tables.documents(s, d))),
+    "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
+    "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
+    "ann_ivf_indexed" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfIdx(s, d), 7L, 20)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -390,6 +444,24 @@ object SparkEntry {
        |  WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold)
        |SELECT a AS vec_id, count(*) AS n_bench_hits, max(cosine) AS max_cosine
        |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** Oracle for the leakage-safe split (direct and indexed forms):
+    * brute-force components + md5 bucket of the CLUSTER id.
+    */
+  private def leakageSplitOracle: String = {
+    val hv = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" +\n")
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |h AS (SELECT doc_id, cluster_id, md5(CAST(cluster_id AS VARCHAR)) AS hx FROM cl),
+       |b AS (SELECT doc_id, cluster_id, CAST(($hv) % 100 AS INTEGER) AS bucket FROM h)
+       |SELECT doc_id, cluster_id,
+       |CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -681,20 +753,19 @@ object SparkEntry {
     // same recursive-CTE components as dedup_cluster, split by the
     // md5 bucket of the CLUSTER id (near-dups share a split by
     // construction)
-    "split_leakage_safe" -> {
-      val hv = (0 until 8).map { i =>
-        val mult = 1L << (4 * (7 - i))
-        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
-      }.mkString(" +\n")
-      s"""WITH RECURSIVE $clusterCtes,
-         |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
-         |h AS (SELECT doc_id, cluster_id, md5(CAST(cluster_id AS VARCHAR)) AS hx FROM cl),
-         |b AS (SELECT doc_id, cluster_id, CAST(($hv) % 100 AS INTEGER) AS bucket FROM h)
-         |SELECT doc_id, cluster_id,
-         |CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-         |FROM b ORDER BY doc_id""".stripMargin
-    },
+    "split_leakage_safe" -> leakageSplitOracle,
+    // the persisted-index twins: IDENTICAL oracles — the index path
+    // must reproduce the direct computation exactly
+    "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
+    "dedup_keep_best_indexed" -> keepBestOracle,
+    "split_from_index" -> leakageSplitOracle,
+    // exact-guarantee probe over the persisted IVF index → brute
+    // force is the correct oracle, same as ann_ivf_topk
+    "ann_ivf_indexed" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     // day diffs and truncating div only — integer-exact on both
     // engines; published is the api_search ingest derivation
     "sample_recency" -> {

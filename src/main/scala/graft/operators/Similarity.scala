@@ -256,25 +256,53 @@ object Similarity {
   def ivfTopKExact(embeddings: DataFrame, queryId: Long, k: Int,
                    nCentroids: Int = 16, nProbe: Int = 4,
                    trainIters: Int = 3): DataFrame = {
-    val eps = 1e-9
     val cents =
       if (trainIters <= 0) seedCodebook(embeddings, nCentroids)
       else trainCodebook(embeddings, nCentroids, trainIters, sampleMod = 4)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    // cached: the assigned table feeds FOUR actions below (radii,
-    // query lookup, phase-1 scoring, phase-2 scoring) — without the
-    // cache each one re-scans the corpus and re-runs the centroid
-    // assignment. This is the in-memory stand-in for what a real
-    // deployment materializes at ingest (the list-partitioned index).
+    // cached: the assigned table feeds FOUR actions in the probe
+    // (radii, query lookup, phase-1 scoring, phase-2 scoring) —
+    // without the cache each one re-scans the corpus and re-runs the
+    // centroid assignment. This is the in-memory stand-in for what a
+    // real deployment materializes at ingest ([[writeIvfIndex]]'s
+    // list-partitioned table, probed by [[ivfTopKExactIndexed]]).
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
       .cache()
+    exactProbe(assigned, cents, queryId, k, nProbe)
+  }
+
+  /** [[ivfTopKExact]] over the PERSISTED index ([[writeIvfIndex]]):
+    * no training, no assignment pass — the codebook is kilobytes read
+    * to the driver and the probe phases filter on list_id, which the
+    * list-partitioned layout turns into partition-pruned reads. Same
+    * triangle-inequality guarantee, so its gate oracle is plain brute
+    * force, exactly like the in-query exact path. The per-list radii
+    * are recomputed here in one pass over the index; a real
+    * deployment persists them at ingest as index metadata next to the
+    * codebook.
+    */
+  def ivfTopKExactIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/codebook")
+      .orderBy("list_id").collect().map(vecOf(_, "cent"))
+    exactProbe(spark.read.parquet(s"$path/assigned"), cents, queryId, k, nProbe)
+  }
+
+  /** The exact-guarantee probe shared by [[ivfTopKExact]] (cached
+    * in-query index) and [[ivfTopKExactIndexed]] (persisted index).
+    * `assigned` carries (vec_id, embedding, list_id); it is
+    * unpersisted before returning (a no-op when it was never cached).
+    */
+  private def exactProbe(assigned: DataFrame, cents: Array[Array[Double]],
+                         queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val eps = 1e-9
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val qRows = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding")).take(1)
     if (qRows.isEmpty) {
       assigned.unpersist()
-      return embeddings.filter(lit(false))
+      return assigned.filter(lit(false))
         .select(col("vec_id"), lit(0.0).as("cos_sim"))
     }
     val qVec = vecOf(qRows(0), "embedding")

@@ -410,6 +410,17 @@ class HashExprsSpec extends SparkSpec {
     assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
   }
 
+  test("persisted exact-ivf probe returns the true top-k (equals brute force)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    operators.Similarity.writeIvfIndex(emb, path)
+    val out = operators.Similarity.ivfTopKExactIndexed(spark, path, 7L, 10)
+    // the triangle-inequality guarantee must hold over the persisted
+    // index exactly as in-query: brute force is the ground truth
+    val bf = operators.Similarity.bruteForceTopK(emb, 7L, 10)
+    assert(out.collect().toSeq === bf.collect().toSeq)
+  }
+
   test("persisted ivf index probes with partition pruning, same results as in-query ivf") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val emb = sources.Tables.embeddings(spark, sfDir)
