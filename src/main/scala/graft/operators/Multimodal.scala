@@ -79,6 +79,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual-hash NEAR-DUP over the binary media column — the
+    * image/audio analog of [[Dedup.simhash]]: re-encoded, resized, or
+    * lightly edited copies of the same media differ in bytes but
+    * barely in decoded features, so exact fingerprints miss them.
+    *
+    * Pipeline: decode → feature vector ([[extractFeatures]]; the stub
+    * histogram here, a real pHash/chromaprint after the codec swap) →
+    * 64-bit sign-projection hash (one bit per fixed hyperplane — a
+    * small feature perturbation flips few bits) → 8×8-bit band
+    * buckets → candidate pairs within buckets → exact hamming verify.
+    *
+    * Pigeonhole-EXACT recall, like the text simhash: two hashes
+    * within hamming ≤ 7 differ in at most 7 of the 8 bands, so at
+    * least one band matches and the pair is a candidate — no recall
+    * assumption on the data. No all-pairs comparison anywhere: the
+    * only shuffle is the (band, bucket) candidate join, and the
+    * verify is a bit_count on the two longs already riding the pair
+    * row (no join back to payloads). Pairs are compared within the
+    * same modality only — an image histogram colliding with an audio
+    * one is noise, not a duplicate.
+    */
+  def mediaNearDup(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "pigeonhole recall over 8 bands holds only for hamming <= 7")
+    val phash = graft.plans.HashExprs.signProjBits(
+      col("features"), Dedup.hyperplanes(64, histSize))
+    val hashed = extractFeatures(media)
+      .select(col("media_id"), col("modality"), phash.as("phash"))
+    val banded = hashed.select(col("media_id"), col("modality"), col("phash"),
+      posexplode(array((0 until 8).map(b =>
+        shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .toDF("media_id", "modality", "phash", "band", "bucket")
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.modality") === col("y.modality") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   /** Deterministic frame sampling: every `stride`-th byte window of the
     * payload becomes a "frame" (the video frame-sample pattern with the
     * codec stubbed — a real pipeline swaps the byte slice for a decoded

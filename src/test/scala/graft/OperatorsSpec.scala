@@ -513,6 +513,30 @@ class OperatorsSpec extends SparkSpec {
     assert(top.forall(r => r.getAs[Double]("cos_sim") <= 1.0 + 1e-9))
   }
 
+  test("media near-dup closes a lightly-edited binary pair, not unrelated media") {
+    import spark.implicits._
+    // A and B: same byte distribution with a small edit (a re-encode /
+    // light-edit stand-in); C: a differently-distributed payload
+    val a = Array.tabulate(4096)(i => (i % 251).toByte)
+    val b = a.clone(); (0 until 8).foreach(i => b(i * 100) = (b(i * 100) + 40).toByte)
+    val c = Array.tabulate(4096)(i => (i % 97).toByte)
+    val media = Seq((1L, "image", a), (2L, "image", b), (3L, "image", c))
+      .toDF("media_id", "modality", "payload")
+    val out = Multimodal.mediaNearDup(media)
+    val pairs = out.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical pair not closed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated payload flagged: $pairs")
+    // banded candidates, never all-pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"media near-dup must not plan an all-pairs join:\n$plan")
+    // cross-modality collisions are excluded by construction
+    val mixed = Seq((1L, "image", a), (2L, "audio", a))
+      .toDF("media_id", "modality", "payload")
+    assert(Multimodal.mediaNearDup(mixed).count() === 0)
+  }
+
   test("funnel respects event ORDER, not mere co-occurrence") {
     import spark.implicits._
     import java.sql.Timestamp
