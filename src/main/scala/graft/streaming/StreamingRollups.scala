@@ -150,6 +150,28 @@ object StreamingRollups {
       .withColumn("alert", col("mean_quality") < minQuality)
       .drop("q4sum")
 
+  /** Streaming windowed CARDINALITY monitor — approximate distinct
+    * values (HLL sketch) per (event-time window, key): the streaming
+    * analog of [[graft.operators.Analytics.cardinalityReport]], and
+    * the sketch companion to [[sourceMonitor]] (volume/quality watch
+    * distinct-user reach the same way). EXACT windowed distinct in a
+    * stream means state proportional to the number of distinct values
+    * per open window — unbounded for id-like columns; the HLL sketch
+    * holds per-(window, key) state at kilobytes for the declared rsd,
+    * and the watermark expires closed windows, so state stays bounded
+    * on an unbounded stream. The sketch merges associatively, which
+    * is exactly what incremental micro-batch aggregation needs.
+    */
+  def cardinalityMonitor(stream: DataFrame, keyCol: String, distinctCol: String,
+                         window: String, watermark: String,
+                         rsd: Double = 0.02): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
+      .agg(
+        approx_count_distinct(distinctCol, rsd).as("approx_distinct"),
+        count(lit(1)).as("n_events"))
+
   /** Stream-STREAM interval join: pair each left event with the right
     * events of the same entity whose timestamp falls within
     * [left.ts − before, left.ts + after]. Both sides carry watermarks

@@ -225,6 +225,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows("spam") === ((2L, 0.05, true)))
   }
 
+  test("streaming cardinality monitor tracks windowed distinct users within the sketch bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // window 1: 40 distinct users, 10 of them seen twice (50 events —
+    // distinct must not count repeats); window 2: 5 distinct users
+    val w1 = (1 to 40).map(u => (u.toLong, ts("2024-01-01 00:02:00"), "wire")) ++
+      (1 to 10).map(u => (u.toLong, ts("2024-01-01 00:05:00"), "wire"))
+    val w2 = (1 to 5).map(u => (u.toLong, ts("2024-01-01 00:12:00"), "wire"))
+    input.addData(w1 ++ w2: _*)
+    val mon = StreamingRollups.cardinalityMonitor(
+      input.toDF().toDF("user_id", "ts", "source"),
+      "source", "user_id", "10 minutes", "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("cardmon")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("cardmon").collect().map { r =>
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[Timestamp]("start").toString ->
+        ((r.getAs[Long]("approx_distinct"), r.getAs[Long]("n_events")))
+    }.toMap
+    assert(rows.size === 2, rows.toString)
+    val (a1, n1) = rows("2024-01-01 00:00:00.0")
+    val (a2, n2) = rows("2024-01-01 00:10:00.0")
+    assert(n1 === 50L && n2 === 5L)
+    // 3x the declared rsd (0.02): the same bound the batch gate pins
+    assert(math.abs(a1 - 40L) <= math.ceil(40 * 0.06).toLong, s"w1 approx $a1")
+    assert(math.abs(a2 - 5L) <= 1L, s"w2 approx $a2")
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
