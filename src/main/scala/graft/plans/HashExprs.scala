@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types._
@@ -20,8 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * loops), which is the idiomatic Spark extension point for a scalar
   * function the builtins can't express efficiently.
   *
-  * They are CodegenFallback: the op itself is a tight compiled loop,
-  * so codegen would only save the row-level dispatch.
+  * Most are CodegenFallback: the op itself is a tight compiled loop,
+  * so codegen would only save the row-level dispatch — for an
+  * expression that appears ALONE in its projection. The two hottest
+  * scan-path expressions ([[MinHashTextExpr]], [[StopwordHitsExpr]])
+  * implement `doGenCode` instead: a CodegenFallback anywhere in a
+  * projection knocks the WHOLE enclosing stage out of whole-stage
+  * codegen, taxing every other expression in it. Their generated code
+  * is one virtual call into the same compiled loop (the
+  * `addReferenceObj` pattern builtin regex expressions use), so the
+  * stage stays fused while the loop itself is unchanged.
   */
 object HashExprs {
 
@@ -270,7 +278,7 @@ object HashExprs {
   * higher-order path — O(len × cost(norm)) per row.
   */
 case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -283,8 +291,9 @@ case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolea
 
   @transient private lazy val ab = HashExprs.perms(numPerm)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
     val mins = Array.fill(numPerm)(Long.MaxValue)
     HashExprs.foreachShingleHash(s, k, word) { h =>
       var p = 0
@@ -295,6 +304,18 @@ case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolea
       }
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // NOT CodegenFallback: signature computation sits in the scan-side
+  // projection of every dedup pipeline, and a fallback expression
+  // would un-fuse the whole stage (normalization, banding, the works).
+  // The generated code is a single call into the compiled loop above.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashTextExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashTextExpr =
@@ -660,7 +681,7 @@ case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
   * length/char mismatch.
   */
 case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -677,8 +698,9 @@ case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(input: UTF8String): Int = {
+    val s = input.toString
     val len = s.length
     var hits = 0
     var i = 0
@@ -703,6 +725,17 @@ case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
       }
     }
     hits
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // NOT CodegenFallback: lang_id/quality scoring stack several
+  // stopword profiles in ONE projection — a fallback here un-fuses
+  // all of them plus the surrounding regex/length expressions.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordExpr", this, classOf[StopwordHitsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =

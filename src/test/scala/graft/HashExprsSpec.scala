@@ -194,6 +194,28 @@ class HashExprsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("minhash and stopword expressions stay inside whole-stage codegen") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val df = docs.select(col("doc_id"),
+      plans.HashExprs.minhashText(
+        graft.functions.TextAnalysis.normalizeWs(col("text")), 5, 16, word = false).as("sig"),
+      plans.HashExprs.stopwordHits(lower(col("text")), Seq("the", "a", "of")).as("hits"),
+      length(col("text")).as("len"))
+    val plan = df.queryExecution.executedPlan.toString
+    // a CodegenFallback anywhere in the projection would print the
+    // Project OUTSIDE any codegen stage (no "*(n)" marker) and un-fuse
+    // the surrounding expressions with it
+    val projLine = plan.linesIterator.find(_.contains("minhash_text")).getOrElse("")
+    assert(projLine.trim.startsWith("*("),
+      s"projection with custom expressions fell out of whole-stage codegen:\n$plan")
+    // generated path must produce byte-identical values to interpreted
+    val gen = df.orderBy("doc_id").collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try df.orderBy("doc_id").collect()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(gen.toSeq === interp.toSeq)
+  }
+
   test("remove_spans handles empty text, overlap merge, and out-of-range starts") {
     import spark.implicits._
     def run(text: String, starts: Seq[Long], n: Int = 3): (String, Long, Long) = {
