@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types._
@@ -20,16 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * loops), which is the idiomatic Spark extension point for a scalar
   * function the builtins can't express efficiently.
   *
-  * Most are CodegenFallback: the op itself is a tight compiled loop,
-  * so codegen would only save the row-level dispatch — for an
-  * expression that appears ALONE in its projection. The two hottest
-  * scan-path expressions ([[MinHashTextExpr]], [[StopwordHitsExpr]])
-  * implement `doGenCode` instead: a CodegenFallback anywhere in a
-  * projection knocks the WHOLE enclosing stage out of whole-stage
-  * codegen, taxing every other expression in it. Their generated code
-  * is one virtual call into the same compiled loop (the
+  * Every expression here implements `doGenCode` (none is
+  * CodegenFallback): a fallback anywhere in a projection knocks the
+  * WHOLE enclosing stage out of whole-stage codegen, taxing every
+  * other expression in it — at scan-dominated corpus scale that was
+  * the single biggest remaining throughput tax. The generated code is
+  * one virtual call into the same compiled loop (the
   * `addReferenceObj` pattern builtin regex expressions use), so the
-  * stage stays fused while the loop itself is unchanged.
+  * stage stays fused while the loop itself is unchanged; `compute` is
+  * public on each class because generated Java calls it directly.
   */
 object HashExprs {
 
@@ -329,7 +328,7 @@ case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolea
   * is negligible at corpus scale). Runs only on LSH candidates.
   */
 case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -340,9 +339,10 @@ case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Bo
         s"jaccard_text expects (string, string), got $other")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = HashExprs.shingleHashSet(a.asInstanceOf[UTF8String].toString, k, word)
-    val sb = HashExprs.shingleHashSet(b.asInstanceOf[UTF8String].toString, k, word)
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val sa = HashExprs.shingleHashSet(a.toString, k, word)
+    val sb = HashExprs.shingleHashSet(b.toString, k, word)
     var i = 0; var j = 0; var inter = 0
     while (i < sa.length && j < sb.length) {
       if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
@@ -351,6 +351,14 @@ case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Bo
     }
     val union = sa.length + sb.length - inter
     if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccardExpr", this, classOf[JaccardTextExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardTextExpr =
@@ -366,15 +374,15 @@ case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Bo
   * digest — see SparkEntry's dedup_simhash oracle.
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
     HashExprs.checkStringArray(child.dataType, "simhash64")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
@@ -395,6 +403,14 @@ case class SimHash64Expr(child: Expression)
     sim
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64Expr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 
@@ -403,7 +419,7 @@ case class SimHash64Expr(child: Expression)
 
 /** Cosine similarity of two numeric arrays (compiled single pass). */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -417,9 +433,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
   @transient private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(va: ArrayData, vb: ArrayData): Double = {
     val n = math.min(va.numElements(), vb.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -433,6 +448,14 @@ case class CosineSimExpr(left: Expression, right: Expression)
     if (d == 0.0) 0.0 else dot / d
   }
 
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineExpr", this, classOf[CosineSimExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
 
@@ -444,7 +467,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * table (IVF codebooks are kilobytes, broadcast-sized).
   */
 case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(centroids.nonEmpty, "at least one centroid")
 
@@ -456,8 +479,8 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(v: ArrayData): Int = {
     val n = v.numElements()
     var best = 0
     var bestDist = Double.MaxValue
@@ -478,6 +501,14 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
     best
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidExpr", this, classOf[NearestCentroidExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
     copy(child = newChild)
 
@@ -490,7 +521,7 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
   * a storage pipeline would emit the q array itself the same way.
   */
 case class QuantizeI8StatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
@@ -508,8 +539,8 @@ case class QuantizeI8StatsExpr(child: Expression)
   @inline private def roundAway(y: Double): Double =
     if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = v.numElements()
     var amax = 0.0
     var i = 0
@@ -533,6 +564,14 @@ case class QuantizeI8StatsExpr(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(scale, l1, qmax, qmin)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qi8StatsExpr", this, classOf[QuantizeI8StatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): QuantizeI8StatsExpr =
     copy(child = newChild)
 
@@ -547,7 +586,7 @@ case class QuantizeI8StatsExpr(child: Expression)
   * matching C/DuckDB `round(double)`).
   */
 case class QuantizeI8Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
 
@@ -560,8 +599,8 @@ case class QuantizeI8Expr(child: Expression)
   @inline private def roundAway(y: Double): Double =
     if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     var amax = 0.0
     var i = 0
@@ -582,6 +621,14 @@ case class QuantizeI8Expr(child: Expression)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(q)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qi8Expr", this, classOf[QuantizeI8Expr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): QuantizeI8Expr =
     copy(child = newChild)
 
@@ -596,7 +643,7 @@ case class QuantizeI8Expr(child: Expression)
   * on any engine, which is what lets the gate value-compare it.
   */
 case class CosineSimI8Expr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -610,9 +657,8 @@ case class CosineSimI8Expr(left: Expression, right: Expression)
     if (l.isFailure) l else chk(right.dataType)
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(va: ArrayData, vb: ArrayData): Double = {
     val n = math.min(va.numElements(), vb.numElements())
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
@@ -626,6 +672,14 @@ case class CosineSimI8Expr(left: Expression, right: Expression)
     if (d == 0.0) 0.0 else dot.toDouble / d
   }
 
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineI8Expr", this, classOf[CosineSimI8Expr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimI8Expr =
     copy(left = newLeft, right = newRight)
 
@@ -634,7 +688,7 @@ case class CosineSimI8Expr(left: Expression, right: Expression)
 
 /** Sign-random-projection LSH bits: bit i = (v · planes(i) >= 0). */
 case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(planes.length <= 64, "at most 64 projection planes")
 
@@ -646,8 +700,8 @@ case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(v: ArrayData): Long = {
     val n = v.numElements()
     var bits = 0L
     var p = 0
@@ -661,6 +715,14 @@ case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
       p += 1
     }
     bits
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signProjExpr", this, classOf[SignProjBitsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignProjBitsExpr =
@@ -765,7 +827,7 @@ case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
   */
 case class LangSegmentsExpr(child: Expression, window: Int,
                             profiles: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(window > 0, "window must be positive")
   require(profiles.nonEmpty, "at least one language profile")
@@ -789,8 +851,9 @@ case class LangSegmentsExpr(child: Expression, window: Int,
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
     val len = s.length
     val nProf = vocabChars.length
     val hits = new Array[Int](nProf)
@@ -856,6 +919,14 @@ case class LangSegmentsExpr(child: Expression, window: Int,
     new GenericArrayData(out)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langSegExpr", this, classOf[LangSegmentsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): LangSegmentsExpr =
     copy(child = newChild)
 
@@ -870,7 +941,7 @@ case class LangSegmentsExpr(child: Expression, window: Int,
   * Texts with fewer than n words yield an empty array.
   */
 case class WordNgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -881,8 +952,9 @@ case class WordNgramsExpr(child: Expression, n: Int)
         s"word_ngrams expects string, got ${other.simpleString}")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
     val starts = HashExprs.wordStarts(s)
     val nWords = if (starts == null) 0 else starts.length - 1
     if (nWords < n) return new GenericArrayData(Array.empty[Any])
@@ -893,6 +965,14 @@ case class WordNgramsExpr(child: Expression, n: Int)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramsExpr", this, classOf[WordNgramsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
@@ -911,7 +991,7 @@ case class WordNgramsExpr(child: Expression, n: Int)
   * split-based count would report one empty token).
   */
 case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   require(n > 0, "span length must be positive")
 
@@ -927,11 +1007,11 @@ case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
         s"remove_spans expects (string, array<bigint>), got (${l.simpleString}, ${r.simpleString})")
     }
 
-  override protected def nullSafeEval(textAny: Any, startsAny: Any): Any = {
-    val s = textAny.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(text: UTF8String, starts: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
     val ws = HashExprs.wordStarts(s)
     val nWords = if (ws == null) 0 else ws.length - 1
-    val starts = startsAny.asInstanceOf[ArrayData]
     val m = starts.numElements()
     val sb = new java.lang.StringBuilder
     var removed = 0L
@@ -965,6 +1045,14 @@ case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
       UTF8String.fromString(sb.toString), nWords.toLong, removed)
   }
 
+  override protected def nullSafeEval(textAny: Any, startsAny: Any): Any =
+    compute(textAny.asInstanceOf[UTF8String], startsAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("removeSpansExpr", this, classOf[RemoveSpansExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): RemoveSpansExpr =
     copy(left = newLeft, right = newRight)
@@ -982,7 +1070,7 @@ case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
   * rows per document; this is shuffle-free scan work.
   */
 case class RepetitionStatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
@@ -996,8 +1084,9 @@ case class RepetitionStatsExpr(child: Expression)
         s"repetition_stats expects string, got ${other.simpleString}")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
     val starts = HashExprs.wordStarts(s)
     if (starts == null) {
       return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L)
@@ -1022,6 +1111,14 @@ case class RepetitionStatsExpr(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(nWords.toLong, distinct.size.toLong, top.toLong)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStatsExpr", this, classOf[RepetitionStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 
@@ -1035,7 +1132,7 @@ case class RepetitionStatsExpr(child: Expression)
   * order. Zero vectors normalize to zero vectors.
   */
 case class L2NormalizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -1045,8 +1142,8 @@ case class L2NormalizeExpr(child: Expression)
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     var ss = 0.0
     var i = 0
@@ -1059,6 +1156,14 @@ case class L2NormalizeExpr(child: Expression)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2NormExpr", this, classOf[L2NormalizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =

@@ -6,8 +6,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,7 +52,7 @@ object XmlExprs {
   * tolerant parser).
   */
 case class XmlLeafMapExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     MapType(StringType, StringType, valueContainsNull = false)
@@ -74,8 +74,9 @@ case class XmlLeafMapExpr(child: Expression)
   @transient private lazy val attrPat: Pattern = Pattern.compile(
     """(?:[A-Za-z_][\w.\-]*:)?([A-Za-z_][\w.\-]*)\s*=\s*"([^"]*)"""")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(input: UTF8String): MapData = {
+    val s = input.toString
     val m = new java.util.LinkedHashMap[String, String]()
     val open = openPat.matcher(s)
     while (open.find()) {
@@ -99,6 +100,17 @@ case class XmlLeafMapExpr(child: Expression)
       i += 1
     }
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // Same rationale as every expression in [[HashExprs]]: a
+  // CodegenFallback here would un-fuse the whole extraction
+  // projection (this parse + the element_at lookups around it).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("xmlMapExpr", this, classOf[XmlLeafMapExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): XmlLeafMapExpr =

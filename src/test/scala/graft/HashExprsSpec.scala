@@ -194,26 +194,55 @@ class HashExprsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
-  test("minhash and stopword expressions stay inside whole-stage codegen") {
+  test("every custom expression stays inside whole-stage codegen") {
+    // a CodegenFallback anywhere in a projection prints the Project
+    // OUTSIDE any codegen stage (no "*(n)" marker) and un-fuses every
+    // other expression in it — so each family is stacked into ONE
+    // projection and the plan must still carry the fused marker
+    def assertFused(df: org.apache.spark.sql.DataFrame, marker: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val projLine = plan.linesIterator.find(_.contains(marker)).getOrElse("")
+      assert(projLine.trim.startsWith("*("),
+        s"projection with $marker fell out of whole-stage codegen:\n$plan")
+      // generated path must produce byte-identical values to interpreted
+      val gen = df.collect().sortBy(_.getLong(0))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = try df.collect().sortBy(_.getLong(0))
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(gen.toSeq === interp.toSeq)
+    }
+
     val docs = sources.Tables.documents(spark, sfDir)
-    val df = docs.select(col("doc_id"),
-      plans.HashExprs.minhashText(
-        graft.functions.TextAnalysis.normalizeWs(col("text")), 5, 16, word = false).as("sig"),
+    val nt = graft.functions.TextAnalysis.normalizeWs(col("text"))
+    // filter, not orderBy+limit: TakeOrderedAndProject hosts its
+    // projection outside codegen and would mask the thing under test
+    val textProj = docs.filter(col("doc_id") < 50).select(col("doc_id"),
+      plans.HashExprs.minhashText(nt, 5, 16, word = false).as("sig"),
       plans.HashExprs.stopwordHits(lower(col("text")), Seq("the", "a", "of")).as("hits"),
+      plans.HashExprs.jaccardText(nt, reverse(nt), k = 5, word = false).as("jac"),
+      plans.HashExprs.simhash64(split(lower(nt), " ")).as("sh"),
+      plans.HashExprs.wordNgrams(nt, 3).as("grams"),
+      plans.HashExprs.removeSpans(nt, lit(Array(0L, 4L)), 3).as("spans"),
+      plans.HashExprs.repetitionStats(nt).as("rep"),
+      plans.HashExprs.langSegments(lower(nt), 16,
+        Seq("en" -> Seq("the", "of"), "id" -> Seq("yang", "dan"))).as("segs"),
+      plans.XmlExprs.xmlLeafMap(col("text")).as("xml"),
       length(col("text")).as("len"))
-    val plan = df.queryExecution.executedPlan.toString
-    // a CodegenFallback anywhere in the projection would print the
-    // Project OUTSIDE any codegen stage (no "*(n)" marker) and un-fuse
-    // the surrounding expressions with it
-    val projLine = plan.linesIterator.find(_.contains("minhash_text")).getOrElse("")
-    assert(projLine.trim.startsWith("*("),
-      s"projection with custom expressions fell out of whole-stage codegen:\n$plan")
-    // generated path must produce byte-identical values to interpreted
-    val gen = df.orderBy("doc_id").collect()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val interp = try df.orderBy("doc_id").collect()
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    assert(gen.toSeq === interp.toSeq)
+    assertFused(textProj, "minhash_text")
+
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val planes = Seq(Seq(1.0, -0.5, 0.25), Seq(-1.0, 0.75, 0.5))
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val q8 = plans.HashExprs.quantizeI8(col("embedding"))
+    val vecProj = emb.filter(col("vec_id") < 50).select(col("vec_id"),
+      plans.HashExprs.cosineSim(col("embedding"), reverse(col("embedding"))).as("cos"),
+      plans.HashExprs.signProjBits(col("embedding"), planes).as("bits"),
+      plans.HashExprs.nearestCentroid(col("embedding"), cents).as("cent"),
+      plans.HashExprs.quantizeI8Stats(col("embedding")).as("qstats"),
+      q8.as("q8"),
+      plans.HashExprs.cosineSimI8(q8, q8).as("cos8"),
+      plans.HashExprs.l2Normalize(col("embedding")).as("l2"))
+    assertFused(vecProj, "cosine_sim")
   }
 
   test("remove_spans handles empty text, overlap merge, and out-of-range starts") {
