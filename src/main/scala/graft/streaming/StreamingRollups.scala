@@ -69,6 +69,13 @@ object StreamingRollups {
     * is the content, not the id; duplicates farther apart than the
     * watermark delay age out of state (the at-scale trade: unbounded
     * exact streaming dedup is unbounded state).
+    *
+    * Caveat: a record whose event time ties the CURRENT watermark is
+    * treated as late by the stateful operator and silently dropped —
+    * including the stream's initial epoch-zero watermark, so synthetic
+    * epoch-seconds timestamps starting at 0 lose their first record
+    * (asserted in the batch-parity spec). Real crawl timestamps are
+    * never near the epoch; synthetic replays must offset theirs.
     */
   def dedupContent(docs: DataFrame, watermark: String): DataFrame =
     docs

@@ -32,6 +32,72 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 7.0, 1L)))
   }
 
+  test("streaming windowed rollup and exact dedup reproduce the batch results over the full events table") {
+    // value-level parity with the BATCH engine on the real table, not
+    // a hand-built fixture: the streaming operator replayed over the
+    // whole sf events table must agree with the equivalent batch
+    // aggregation on every (window, entity) group. This is the §2G
+    // analog of the DuckDB oracle gate — the batch path IS the oracle.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id").as("entity_id"), col("ts"), col("value"))
+    val rows = ev.as[Event].collect().toSeq // 1000 rows at sf0.001
+    val input = MemoryStream[Event]
+    input.addData(rows: _*)
+    val agg = StreamingRollups.windowed(input.toDF(), "1 hour", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("parity_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").as("ws"), col("entity_id"),
+        col("sum_value"), col("cnt_value"), col("max_value"), col("min_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val streamed = keyed(spark.table("parity_win"))
+    val batch = keyed(ev
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"), col("entity_id"))
+      .agg(sum("value").as("sum_value"), count(lit(1)).as("cnt_value"),
+        max("value").as("max_value"), min("value").as("min_value")))
+    assert(streamed.keySet === batch.keySet)
+    batch.foreach { case (k, (s, c, mx, mn)) =>
+      val (s2, c2, mx2, mn2) = streamed(k)
+      assert(c2 === c && mx2 === mx && mn2 === mn, s"group $k")
+      // double sums may differ in the last bits with partial-agg order
+      assert(math.abs(s2 - s) <= 1e-9 * math.max(1.0, math.abs(s)), s"sum at $k: $s2 vs $s")
+    }
+    // exact dedup parity: the streaming drop set equals batch dropDuplicates
+    val input2 = MemoryStream[Event]
+    input2.addData(rows: _*)
+    val dd = StreamingRollups.dedup(input2.toDF(), "10 minutes")
+    val q2 = dd.writeStream.format("memory").queryName("parity_dd")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("parity_dd").count() ===
+      ev.dropDuplicates("entity_id", "ts", "value").count())
+    // content dedup parity over the full documents table: the
+    // streaming keep count equals the batch distinct-fingerprint count
+    // ts offset away from epoch zero: the stream's initial watermark
+    // IS the epoch, and a record whose event time ties it is treated
+    // as late by the stateful dedup operator
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        timestamp_seconds(col("doc_id") + 1000000L).as("ts"), col("text"))
+    val docRows = docs.as[(Long, Timestamp, String)].collect().toSeq
+    val input3 = MemoryStream[(Long, Timestamp, String)]
+    input3.addData(docRows: _*)
+    val dc = StreamingRollups.dedupContent(
+      input3.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+    val q3 = dc.writeStream.format("memory").queryName("parity_dc")
+      .outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val batchDistinct = docs
+      .select(graft.functions.TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .distinct().count()
+    assert(spark.table("parity_dc").count() === batchDistinct)
+  }
+
   test("streaming dedup drops late duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
