@@ -171,6 +171,7 @@ object SparkEntry {
       Similarity.ivfTopKExactIndexed(s, ivfIdx(s, d), 7L, 20)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_batch_topk"    -> ((s, d) => Similarity.batchTopK(Tables.embeddings(s, d))),
@@ -293,6 +294,26 @@ object SparkEntry {
        |SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
        |FROM ipair JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
+  }
+
+  /** Brute-force shingle-set CONTAINMENT pairs — oracle for
+    * dedup_containment. Same shingle CTEs as [[jaccardPairsOracle]];
+    * the score divides the intersection by the SMALLER cardinality.
+    * The Spark side is exact (prefix filtering loses nothing), so the
+    * outputs must match row-for-row; the final division is the same
+    * two ints divided in double on both engines → bit-identical.
+    */
+  private def containmentPairsOracle(k: Int, threshold: Double): String = {
+    val shingles =
+      s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, CAST(i AS DOUBLE) / least(ca.n, cb.n) AS containment
+       |FROM ipair JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / least(ca.n, cb.n) >= $threshold""".stripMargin
   }
 
   /** Connected components over the brute-force near-dup pairs
@@ -498,6 +519,7 @@ object SparkEntry {
         |FROM documents)
         |WHERE quality >= 0.5 AND word_count >= 20 ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" -> jaccardPairsOracle(word = true, k = 3, threshold = 0.4),
+    "dedup_containment" -> containmentPairsOracle(k = 5, threshold = 0.8),
     "dedup_cluster" -> clusterOracle,
     "dedup_simhash" -> simhashOracle(3),
     "rollup_daily" ->

@@ -330,6 +330,68 @@ object Dedup {
   def ngramJaccard(documents: DataFrame, k: Int = 3, threshold: Double = 0.4): DataFrame =
     lshPairs(documents, k, word = true, numPerm = 48, bands = 8, threshold)
 
+  /** EXACT set-containment near-dup pairs: C(a, b) = |A∩B| /
+    * min(|A|,|B|) ≥ `threshold` over char-k shingle-hash sets. This is
+    * the asymmetric-duplicate detector the Jaccard family structurally
+    * misses: a short document contained in a longer one (a quoted
+    * article inside a boilerplate wrapper, an abstract inside its
+    * paper) has containment ≈ 1 but Jaccard ≈ |A|/|B| — far below any
+    * LSH knee, so no minhash band ever collides.
+    *
+    * Algorithm: set-similarity join by PREFIX FILTERING (the public
+    * SSJoin/PPJoin family) — exact, not probabilistic. Each document's
+    * shingles are ordered by ascending corpus document frequency
+    * (rarest first; ANY fixed global order is correct — the df order
+    * only minimizes candidates), and a pair with C ≥ τ, where A is the
+    * smaller set, must share ≥1 of A's first ⌊(1-τ)·|A|⌋+1 shingles:
+    * if B missed that whole prefix, |A∩B| ≤ |A| − (⌊(1-τ)·|A|⌋+1)
+    * < τ·|A|. Candidates are therefore prefix-tokens ⋈ full-token
+    * lists (smaller side's prefix against either side), then exact
+    * compiled containment verifies each candidate pair once.
+    *
+    * Scale shape: a df groupBy, one per-doc sort (the groupBy's
+    * sort_array), the prefix⋈full hash join on the shingle hash, and
+    * two id-keyed verify joins — all linear in corpus size, no
+    * all-pairs step anywhere; the prefix join's fan-out is bounded by
+    * the df of the RAREST shingles of each doc, which is what the
+    * rarest-first order is for.
+    */
+  def containmentPairs(documents: DataFrame, k: Int = 5, word: Boolean = false,
+                       threshold: Double = 0.8): DataFrame = {
+    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
+    val sets = base.select(col("doc_id"), HashExprs.shingleHashes(col("nt"), k, word).as("sh"))
+    val tokens = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
+    // rarest-first canonical order per document; (df, h) is a total
+    // order so prefix membership is deterministic
+    val ranked = tokens.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.h)").as("hs"), size(col("ord")).as("n"))
+    val prefixLen = s"cast(floor((1.0d - $threshold) * n) + 1 as int)"
+    val prefix = ranked.select(col("doc_id"), col("n"),
+      explode(expr(s"slice(hs, 1, $prefixLen)")).as("h"))
+    val full = ranked.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    // smaller set's prefix against the other side's full list; ties on
+    // cardinality break by id so each unordered pair is generated once
+    val cand = prefix.as("p").join(full.as("f"),
+        col("p.h") === col("f.h") &&
+          (col("p.n") < col("f.n") ||
+            (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id"))))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("a"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
+      .withColumn("containment",
+        HashExprs.containmentText(col("nt_a"), col("nt_b"), k, word))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+      .orderBy("a", "b")
+  }
+
   /** Near-dup CLUSTERS from the pair list: each doc is assigned the
     * minimum doc_id reachable through near-dup pairs (connected
     * components by iterative min-label propagation). This is the

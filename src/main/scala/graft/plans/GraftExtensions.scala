@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * Registered:
   *  - `cosine_sim(array<float|double>, array<float|double>) -> double`
   *  - `jaccard_text(string, string, k, word) -> double`
+  *  - `containment_text(string, string, k, word) -> double`
+  *  - `shingle_hashes(string, k, word) -> array<bigint>`
   *  - `minhash_text(string, k, numPerm, word) -> array<bigint>`
   *  - `simhash64(array<string>) -> bigint`
   *  - `quantize_i8(array<float|double>) -> array<tinyint>`
@@ -50,6 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaccard_text", "jaccard_text(a, b, k, word) - shingle-set Jaccard of two normalized texts"),
       (args: Seq[Expression]) => JaccardTextExpr(args(0), args(1),
         intArg(args(2), "k"), boolArg(args(3), "word"))))
+    ext.injectFunction((
+      FunctionIdentifier("containment_text"),
+      info("containment_text", "containment_text(a, b, k, word) - shingle-set containment |A∩B|/min(|A|,|B|) of two normalized texts"),
+      (args: Seq[Expression]) => ContainmentTextExpr(args(0), args(1),
+        intArg(args(2), "k"), boolArg(args(3), "word"))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, k, word) - sorted distinct 64-bit shingle hashes of a normalized text"),
+      (args: Seq[Expression]) => ShingleHashesExpr(args(0),
+        intArg(args(1), "k"), boolArg(args(2), "word"))))
     ext.injectFunction((
       FunctionIdentifier("minhash_text"),
       info("minhash_text", "minhash_text(text, k, numPerm, word) - MinHash signature of a normalized text"),

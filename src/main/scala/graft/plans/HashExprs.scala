@@ -65,6 +65,20 @@ object HashExprs {
   def jaccardText(a: Column, b: Column, k: Int, word: Boolean): Column =
     col(JaccardTextExpr(expr(a), expr(b), k, word))
 
+  /** Exact shingle-set CONTAINMENT |A∩B| / min(|A|,|B|) of two
+    * normalized texts (compiled, over 64-bit shingle hashes).
+    */
+  def containmentText(a: Column, b: Column, k: Int, word: Boolean): Column =
+    col(ContainmentTextExpr(expr(a), expr(b), k, word))
+
+  /** Sorted distinct 64-bit shingle-hash set of a normalized text, as
+    * an array<long> column — the set-similarity join's per-document
+    * primitive (cardinality, prefix tokens and overlap all derive
+    * from this one compiled pass).
+    */
+  def shingleHashes(normText: Column, k: Int, word: Boolean): Column =
+    col(ShingleHashesExpr(expr(normText), k, word))
+
   /** 64-bit SimHash of an array<string> token list. */
   def simhash64(tokens: Column): Column = col(SimHash64Expr(expr(tokens)))
 
@@ -365,6 +379,84 @@ case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Bo
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "jaccard_text"
+}
+
+/** Exact shingle-set CONTAINMENT of two normalized texts:
+  * |A ∩ B| / min(|A|, |B|) over 64-bit shingle hashes (sorted-merge
+  * intersection, like [[JaccardTextExpr]]). The asymmetric-duplicate
+  * score: a short document quoted inside a longer one has containment
+  * ≈ 1 while its Jaccard is only |A|/|B|. Runs on prefix-filter
+  * candidates only ([[graft.operators.Dedup.containmentPairs]]).
+  */
+case class ContainmentTextExpr(left: Expression, right: Expression, k: Int, word: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"containment_text expects (string, string), got $other")
+    }
+
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val sa = HashExprs.shingleHashSet(a.toString, k, word)
+    val sb = HashExprs.shingleHashSet(b.toString, k, word)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    val minCard = math.min(sa.length, sb.length)
+    if (minCard == 0) 1.0 else inter.toDouble / minCard
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("containExpr", this, classOf[ContainmentTextExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ContainmentTextExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "containment_text"
+}
+
+/** See [[HashExprs.shingleHashes]]. */
+case class ShingleHashesExpr(child: Expression, k: Int, word: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects string, got ${other.simpleString}")
+    }
+
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(input: UTF8String): ArrayData =
+    new GenericArrayData(HashExprs.shingleHashSet(input.toString, k, word))
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
 }
 
 /** Classic 64-bit SimHash over token hashes: bit b of the result is

@@ -189,6 +189,31 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L))
   }
 
+  test("containment catches a short doc inside a long one that Jaccard LSH misses") {
+    import spark.implicits._
+    val short = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // the short doc verbatim inside ~6x unrelated wrapper text
+    val filler = (1 to 6).map(i =>
+      s"wrapper paragraph number $i about completely different subjects like " +
+        "astronomy geology chemistry botany zoology meteorology and economics")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, short),
+      (2L, s"$filler $short $filler"),
+      (3L, "unrelated third document about maritime navigation and cartography")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, threshold = 0.8).collect()
+    assert(cont.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L
+      && r.getAs[Double]("containment") >= 0.95),
+      s"expected (1,2) containment pair, got ${cont.mkString(", ")}")
+    assert(!cont.exists(r => r.getAs[Long]("b") === 3L || r.getAs[Long]("a") === 3L))
+    // the same pair is invisible to the Jaccard LSH path: J ≈ |A|/|B|
+    // is far below the 8x8 band knee, so no band collides — which is
+    // exactly why the containment operator exists
+    val lsh = Dedup.minhashLsh(docs).collect()
+    assert(!lsh.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L))
+  }
+
   test("ann brute-force: nearest neighbor of a vector's own cluster label") {
     val out = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 0L, 20)
     val rows = out.collect()
