@@ -303,11 +303,15 @@ object SparkEntry {
     * outputs must match row-for-row; the final division is the same
     * two ints divided in double on both engines → bit-identical.
     */
-  private def containmentPairsOracle(k: Int, threshold: Double): String = {
+  private def containmentPairsOracle(word: Boolean, k: Int, threshold: Double): String = {
     val shingles =
-      s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+      if (word)
+        s"CASE WHEN len(w) <= $k THEN [nt] ELSE list_transform(range(1, len(w) - ${k - 2}), i -> array_to_string(list_slice(w, i, i + ${k - 1}), ' ')) END"
+      else
+        s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
     s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
+       |base AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM nrm),
+       |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM base),
        |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
@@ -519,7 +523,7 @@ object SparkEntry {
         |FROM documents)
         |WHERE quality >= 0.5 AND word_count >= 20 ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" -> jaccardPairsOracle(word = true, k = 3, threshold = 0.4),
-    "dedup_containment" -> containmentPairsOracle(k = 5, threshold = 0.8),
+    "dedup_containment" -> containmentPairsOracle(word = true, k = 5, threshold = 0.8),
     "dedup_cluster" -> clusterOracle,
     "dedup_simhash" -> simhashOracle(3),
     "rollup_daily" ->
