@@ -62,6 +62,11 @@ object SparkEntry {
     ensureTable(s, t)(Dedup.writeClusterIndex(Tables.documents(s, d), t))
   }
 
+  private def containmentIdx(s: SparkSession, d: String): String = {
+    val t = s"g_gate_containment_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeContainmentIndex(Tables.documents(s, d), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -172,6 +177,8 @@ object SparkEntry {
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    "dedup_containment_indexed" -> ((s, d) =>
+      Dedup.containmentPairsIndexed(s, containmentIdx(s, d), Tables.documents(s, d))),
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_batch_topk"    -> ((s, d) => Similarity.batchTopK(Tables.embeddings(s, d))),
@@ -524,6 +531,7 @@ object SparkEntry {
         |WHERE quality >= 0.5 AND word_count >= 20 ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" -> jaccardPairsOracle(word = true, k = 3, threshold = 0.4),
     "dedup_containment" -> containmentPairsOracle(word = true, k = 5, threshold = 0.8),
+    "dedup_containment_indexed" -> containmentPairsOracle(word = true, k = 5, threshold = 0.8),
     "dedup_cluster" -> clusterOracle,
     "dedup_simhash" -> simhashOracle(3),
     "rollup_daily" ->

@@ -369,17 +369,7 @@ object Dedup {
     */
   def containmentPairs(documents: DataFrame, k: Int = 5, word: Boolean = true,
                        threshold: Double = 0.8): DataFrame = {
-    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
-    val sets = base.select(col("doc_id"), HashExprs.shingleHashes(col("nt"), k, word).as("sh"))
-    val tokens = sets.select(col("doc_id"), explode(col("sh")).as("h"))
-    val dfreq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
-    // rarest-first canonical order per document; (df, h) is a total
-    // order so prefix membership is deterministic
-    val ranked = tokens.join(dfreq, "h")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-      .select(col("doc_id"),
-        expr("transform(ord, x -> x.h)").as("hs"), size(col("ord")).as("n"))
+    val (base, ranked) = containmentRanked(documents, k, word)
     val prefixLen = s"cast(floor((1.0d - $threshold) * n) + 1 as int)"
     val prefix = ranked.select(col("doc_id"), col("n"),
       explode(expr(s"slice(hs, 1, $prefixLen)")).as("h"))
@@ -401,6 +391,153 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("a", "b", "containment")
       .orderBy("a", "b")
+  }
+
+  /** Shared front half of the containment family: normalized text plus
+    * each document's shingle hashes in rarest-first canonical order
+    * ((df, h) is a total order, so prefix membership is deterministic).
+    */
+  private def containmentRanked(documents: DataFrame, k: Int,
+                                word: Boolean): (DataFrame, DataFrame) = {
+    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
+    val sets = base.select(col("doc_id"), HashExprs.shingleHashes(col("nt"), k, word).as("sh"))
+    val tokens = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = tokens.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.h)").as("hs"), size(col("ord")).as("n"))
+    (base, ranked)
+  }
+
+  /** Persist the containment join's per-document token table —
+    * (doc_id, n, h, in_prefix), bucketed by the shingle hash — the
+    * ingest-time half of [[containmentPairs]], mirroring
+    * [[writeMinhashIndex]]: shingling, the corpus df pass and the
+    * rarest-first ranking are paid ONCE at write time, and `in_prefix`
+    * marks each document's ⌊(1-τ)·n⌋+1 rarest shingles so an
+    * incremental batch check ([[containmentAgainstIndex]]) joins in
+    * either direction without re-deriving corpus dfs. Geometry
+    * (k, word, threshold) rides along as table properties; a check
+    * with a mismatched unit or a LOWER threshold (which would need
+    * longer prefixes than were stored) is rejected as an error.
+    */
+  def writeContainmentIndex(documents: DataFrame, table: String, k: Int = 5,
+                            word: Boolean = true, threshold: Double = 0.8,
+                            numBuckets: Int = 8): Unit = {
+    val (_, ranked) = containmentRanked(documents, k, word)
+    val rows = ranked
+      .select(col("doc_id"), col("n"), posexplode(col("hs")))
+      .toDF("doc_id", "n", "pos", "h")
+      .withColumn("in_prefix",
+        col("pos") < expr(s"cast(floor((1.0d - $threshold) * n) + 1 as int)"))
+      .select("doc_id", "n", "h", "in_prefix")
+    graft.sources.Sinks.writeBucketed(rows, table, Seq("h"), numBuckets)
+    documents.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.containment.k'='$k','graft.containment.word'='$word'," +
+        s"'graft.containment.threshold'='$threshold')")
+  }
+
+  /** Incremental containment check: an arriving batch against the
+    * persisted containment index — "is any part of this re-crawl
+    * already contained in (or containing) a corpus document?" — the
+    * containment analog of [[minhashLshAgainstIndex]]. Only the NEW
+    * documents are shingled (batch-sized work, no corpus df pass: the
+    * prefix pigeonhole holds under ANY fixed per-document order, so
+    * the batch's prefix is simply its smallest hashes); the corpus
+    * side is the pre-bucketed token table. Completeness needs the
+    * smaller set's prefix against the larger set's FULL list, so
+    * candidates are the union of both directions — batch-prefix ⋈
+    * index-full and index-prefix ⋈ batch-full — with cardinality ties
+    * passing through both and deduping. The stored prefixes are long
+    * enough for any `threshold` ≥ the build threshold (checked).
+    * Output: (new_doc_id, corpus_doc_id, containment ≥ threshold) —
+    * empty means the batch is novel. The corpus text frame must cover
+    * every id in the index (same contract as the minhash index).
+    */
+  private def validateContainmentGeometry(spark: org.apache.spark.sql.SparkSession,
+                                          table: String, k: Int, word: Boolean,
+                                          threshold: Double): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    Seq("graft.containment.k" -> k.toString,
+        "graft.containment.word" -> word.toString).foreach { case (key, expected) =>
+      val stored = props.getOrElse(key, throw new IllegalArgumentException(
+        s"index table $table has no $key property — not written by writeContainmentIndex"))
+      require(stored == expected,
+        s"containment index geometry drift on $table: $key is $stored in the index, " +
+          s"$expected in the check — rebuild the index or match its geometry")
+    }
+    val builtThreshold = props("graft.containment.threshold").toDouble
+    require(threshold >= builtThreshold - 1e-12,
+      s"containment check threshold $threshold is below the index build threshold " +
+        s"$builtThreshold on $table — stored prefixes are too short for it; rebuild " +
+        "the index at the lower threshold")
+  }
+
+  /** [[containmentPairs]] over the persisted containment index: the
+    * prefix⋈full candidate join reads BOTH sides from the bucketed
+    * token table — co-bucketed on exactly the join key, so the
+    * candidate join plans zero exchanges — and the corpus text is
+    * consulted only to verify candidates. Identical output to the
+    * direct form (the stored prefixes encode the same rarest-first
+    * order and length).
+    */
+  def containmentPairsIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                              corpus: DataFrame, k: Int = 5, word: Boolean = true,
+                              threshold: Double = 0.8): DataFrame = {
+    validateContainmentGeometry(spark, table, k, word, threshold)
+    val idx = spark.table(table)
+    val cand = idx.filter(col("in_prefix")).as("p")
+      .join(idx.as("f"),
+        col("p.h") === col("f.h") &&
+          (col("p.n") < col("f.n") ||
+            (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id"))))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("a"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("b"))
+      .distinct()
+    val base = corpus.select(col("doc_id"), norm(col("text")).as("nt"))
+    cand
+      .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
+      .withColumn("containment",
+        HashExprs.containmentText(col("nt_a"), col("nt_b"), k, word))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+      .orderBy("a", "b")
+  }
+
+  def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                              newDocs: DataFrame, corpus: DataFrame, k: Int = 5,
+                              word: Boolean = true, threshold: Double = 0.8): DataFrame = {
+    validateContainmentGeometry(spark, table, k, word, threshold)
+    val baseNew = newDocs.select(col("doc_id"), norm(col("text")).as("nt"))
+    val newTok = baseNew
+      .select(col("doc_id").as("nid"),
+        HashExprs.shingleHashes(col("nt"), k, word).as("sh"))
+      .select(col("nid"), size(col("sh")).as("nn"), posexplode(col("sh")))
+      .toDF("nid", "nn", "pos", "h")
+      .withColumn("np",
+        col("pos") < expr(s"cast(floor((1.0d - $threshold) * nn) + 1 as int)"))
+    val idx = spark.table(table)
+    val candA = newTok.filter(col("np"))
+      .join(idx, "h").filter(col("nn") <= col("n"))
+    val candB = newTok
+      .join(idx.filter(col("in_prefix")), "h").filter(col("n") <= col("nn"))
+    val cand = candA.select(col("nid"), col("doc_id").as("cid"))
+      .unionByName(candB.select(col("nid"), col("doc_id").as("cid")))
+      .distinct()
+    cand
+      .join(baseNew.select(col("doc_id").as("nid"), col("nt").as("nt_a")), "nid")
+      .join(corpus.select(col("doc_id").as("cid"), norm(col("text")).as("nt_b")), "cid")
+      .withColumn("containment",
+        HashExprs.containmentText(col("nt_a"), col("nt_b"), k, word))
+      .filter(col("containment") >= threshold)
+      .select(col("nid").as("new_doc_id"), col("cid").as("corpus_doc_id"),
+        col("containment"))
+      .orderBy("new_doc_id", "corpus_doc_id")
   }
 
   /** Near-dup CLUSTERS from the pair list: each doc is assigned the

@@ -214,6 +214,71 @@ class OperatorsSpec extends SparkSpec {
     assert(!lsh.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L))
   }
 
+  test("persisted containment index flags contained and containing batch docs") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS g_containment_idx")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val whDir = new java.io.File(wh, "g_containment_idx")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(whDir)
+    }
+    val corpus = Tables.documents(spark, sfDir)
+    Dedup.writeContainmentIndex(corpus, "g_containment_idx")
+    // the longest corpus doc: its first 12 words arrive as a "new"
+    // snippet (batch doc CONTAINED in the corpus), and the whole text
+    // plus a long tail arrives as a wrapper (batch doc CONTAINING a
+    // corpus doc) — both directions of the asymmetric check
+    val longest = corpus.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .collect().head.getAs[String]("text")
+    val snippet = longest.split("\\s+").take(12).mkString(" ")
+    val tail = (1 to 30).map(i => s"novel$i appended$i trailing$i").mkString(" ")
+    val batch = Seq(
+      (200001L, snippet),
+      (200002L, s"$longest $tail"),
+      (200003L, "entirely novel content about submarine volcano acoustics " +
+        "monitoring stations recording eruption precursors"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.containmentAgainstIndex(
+      spark, "g_containment_idx", batch, corpus).collect()
+    val flagged = hits.map(_.getAs[Long]("new_doc_id")).toSet
+    assert(flagged.contains(200001L), s"snippet not flagged: ${hits.mkString(", ")}")
+    assert(flagged.contains(200002L), s"wrapper not flagged: ${hits.mkString(", ")}")
+    assert(!flagged.contains(200003L))
+    // geometry drift and under-threshold checks are errors, not
+    // silently-wrong results
+    intercept[IllegalArgumentException] {
+      Dedup.containmentAgainstIndex(spark, "g_containment_idx", batch, corpus, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentAgainstIndex(spark, "g_containment_idx", batch, corpus,
+        threshold = 0.5)
+    }
+    // the indexed pairs form: candidate join co-bucketed on the join
+    // key plans zero exchanges, output identical to the direct form
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = spark.table("g_containment_idx")
+      val cand = idx.filter(col("in_prefix")).as("p")
+        .join(idx.as("f"),
+          col("p.h") === col("f.h") &&
+            (col("p.n") < col("f.n") ||
+              (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id"))))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"persisted containment index candidate join should not shuffle:\n$plan")
+      val indexed = Dedup.containmentPairsIndexed(spark, "g_containment_idx", corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = Dedup.containmentPairs(corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(indexed === direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("ann brute-force: nearest neighbor of a vector's own cluster label") {
     val out = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), 0L, 20)
     val rows = out.collect()
