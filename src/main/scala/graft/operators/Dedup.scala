@@ -440,6 +440,39 @@ object Dedup {
         s"'graft.containment.threshold'='$threshold')")
   }
 
+  /** Append an ingested batch to the containment index. The appended
+    * documents' prefixes use their OWN hash order rather than a corpus
+    * df re-pass — correct because the prefix pigeonhole holds under
+    * ANY fixed per-document order (hash order just prunes less than
+    * df order, a performance-only difference confined to the appended
+    * rows). Geometry is validated against the stored table properties;
+    * prefix lengths use the STORED threshold so every row in the index
+    * carries the same prefix-length contract.
+    */
+  def appendToContainmentIndex(newDocs: DataFrame, table: String,
+                               numBuckets: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val k = props.getOrElse("graft.containment.k", throw new IllegalArgumentException(
+      s"index table $table has no graft.containment.k property — not written by " +
+        "writeContainmentIndex")).toInt
+    val word = props("graft.containment.word").toBoolean
+    val threshold = props("graft.containment.threshold").toDouble
+    val rows = newDocs
+      .select(col("doc_id"), HashExprs.shingleHashes(norm(col("text")), k, word).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), posexplode(col("sh")))
+      .toDF("doc_id", "n", "pos", "h")
+      .withColumn("in_prefix",
+        col("pos") < expr(s"cast(floor((1.0d - $threshold) * n) + 1 as int)"))
+      .select("doc_id", "n", "h", "in_prefix")
+    rows.write.mode("append")
+      .bucketBy(numBuckets, "h")
+      .sortBy("h")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Incremental containment check: an arriving batch against the
     * persisted containment index — "is any part of this re-crawl
     * already contained in (or containing) a corpus document?" — the

@@ -232,8 +232,9 @@ class OperatorsSpec extends SparkSpec {
     // snippet (batch doc CONTAINED in the corpus), and the whole text
     // plus a long tail arrives as a wrapper (batch doc CONTAINING a
     // corpus doc) — both directions of the asymmetric check
-    val longest = corpus.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
-      .collect().head.getAs[String]("text")
+    val longestRow = corpus.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .select("doc_id", "text").collect().head
+    val (longestId, longest) = (longestRow.getLong(0), longestRow.getString(1))
     val snippet = longest.split("\\s+").take(12).mkString(" ")
     val tail = (1 to 30).map(i => s"novel$i appended$i trailing$i").mkString(" ")
     val batch = Seq(
@@ -277,6 +278,16 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(indexed === direct)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // append lifecycle: after appending the batch, the indexed pair
+    // join sees batch↔corpus pairs; the verify frame must cover the
+    // appended ids (same contract as the minhash index append)
+    Dedup.appendToContainmentIndex(batch, "g_containment_idx")
+    val union = corpus.select("doc_id", "text").unionByName(batch)
+    val afterAppend = Dedup.containmentPairsIndexed(spark, "g_containment_idx", union)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterAppend.contains((longestId, 200001L)),
+      s"appended snippet pair missing: $afterAppend")
+    assert(afterAppend.contains((longestId, 200002L)))
   }
 
   test("ann brute-force: nearest neighbor of a vector's own cluster label") {
