@@ -370,19 +370,49 @@ object Dedup {
   def containmentPairs(documents: DataFrame, k: Int = 5, word: Boolean = true,
                        threshold: Double = 0.8): DataFrame = {
     val (base, ranked) = containmentRanked(documents, k, word)
-    val prefixLen = s"cast(floor((1.0d - $threshold) * n) + 1 as int)"
-    val prefix = ranked.select(col("doc_id"), col("n"),
-      explode(expr(s"slice(hs, 1, $prefixLen)")).as("h"))
-    val full = ranked.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-    // smaller set's prefix against the other side's full list; ties on
-    // cardinality break by id so each unordered pair is generated once
-    val cand = prefix.as("p").join(full.as("f"),
+    val tokens = prefixFlagged(ranked.select(col("doc_id"), col("hs")), threshold)
+    verifyContainment(containmentCandidates(tokens).distinct(),
+      base, k, word, threshold)
+  }
+
+  /** The (doc_id, n, h, in_prefix) token rows of a containment join,
+    * from per-document hash ARRAYS in the order whose leading elements
+    * should form the prefix (df-ranked for [[containmentPairs]] /
+    * [[writeContainmentIndex]]; plain hash order for appended or
+    * arriving batches, which is equally correct — see the pigeonhole
+    * note on [[containmentPairs]]).
+    */
+  private def prefixFlagged(docsHs: DataFrame, threshold: Double): DataFrame =
+    docsHs
+      .select(col("doc_id"), size(col("hs")).as("n"), posexplode(col("hs")))
+      .toDF("doc_id", "n", "pos", "h")
+      .withColumn("in_prefix", col("pos") < expr(prefixLenSql(threshold, "n")))
+      .select("doc_id", "n", "h", "in_prefix")
+
+  /** Candidate (a, b) pairs over a prefix-flagged token table: the
+    * smaller set's prefix against the other side's full list, ties on
+    * cardinality breaking by id so each unordered pair is generated
+    * once. NOT distinct — a pair sharing several prefix tokens appears
+    * once per share; callers dedupe (same convention as
+    * [[bucketCandidates]]). Package-visible so the plan-shape spec
+    * asserts THIS join — the production one — plans zero exchanges
+    * over the bucketed persisted index.
+    */
+  private[graft] def containmentCandidates(tokens: DataFrame): DataFrame =
+    tokens.filter(col("in_prefix")).as("p")
+      .join(tokens.as("f"),
         col("p.h") === col("f.h") &&
           (col("p.n") < col("f.n") ||
             (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id"))))
       .select(least(col("p.doc_id"), col("f.doc_id")).as("a"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("b"))
-      .distinct()
+
+  /** Exact-containment verification of candidate pairs (the analog of
+    * [[verifyJaccard]]): join the normalized text back for candidates
+    * only, score with one compiled pass per pair.
+    */
+  private def verifyContainment(cand: DataFrame, base: DataFrame, k: Int,
+                                word: Boolean, threshold: Double): DataFrame =
     cand
       .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
       .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
@@ -391,7 +421,6 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("a", "b", "containment")
       .orderBy("a", "b")
-  }
 
   /** Shared front half of the containment family: normalized text plus
     * each document's shingle hashes in rarest-first canonical order
@@ -427,12 +456,7 @@ object Dedup {
                             word: Boolean = true, threshold: Double = 0.8,
                             numBuckets: Int = 8): Unit = {
     val (_, ranked) = containmentRanked(documents, k, word)
-    val rows = ranked
-      .select(col("doc_id"), col("n"), posexplode(col("hs")))
-      .toDF("doc_id", "n", "pos", "h")
-      .withColumn("in_prefix",
-        col("pos") < expr(s"cast(floor((1.0d - $threshold) * n) + 1 as int)"))
-      .select("doc_id", "n", "h", "in_prefix")
+    val rows = prefixFlagged(ranked.select(col("doc_id"), col("hs")), threshold)
     graft.sources.Sinks.writeBucketed(rows, table, Seq("h"), numBuckets)
     documents.sparkSession.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES " +
@@ -452,20 +476,9 @@ object Dedup {
   def appendToContainmentIndex(newDocs: DataFrame, table: String,
                                numBuckets: Int = 8): Unit = {
     val spark = newDocs.sparkSession
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val k = props.getOrElse("graft.containment.k", throw new IllegalArgumentException(
-      s"index table $table has no graft.containment.k property — not written by " +
-        "writeContainmentIndex")).toInt
-    val word = props("graft.containment.word").toBoolean
-    val threshold = props("graft.containment.threshold").toDouble
-    val rows = newDocs
-      .select(col("doc_id"), HashExprs.shingleHashes(norm(col("text")), k, word).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"), posexplode(col("sh")))
-      .toDF("doc_id", "n", "pos", "h")
-      .withColumn("in_prefix",
-        col("pos") < expr(s"cast(floor((1.0d - $threshold) * n) + 1 as int)"))
-      .select("doc_id", "n", "h", "in_prefix")
+    val (k, word, threshold) = containmentGeometry(spark, table)
+    val rows = prefixFlagged(newDocs.select(col("doc_id"),
+      HashExprs.shingleHashes(norm(col("text")), k, word).as("hs")), threshold)
     rows.write.mode("append")
       .bucketBy(numBuckets, "h")
       .sortBy("h")
@@ -490,20 +503,43 @@ object Dedup {
     * empty means the batch is novel. The corpus text frame must cover
     * every id in the index (same contract as the minhash index).
     */
+  /** Prefix length ⌊(1-τ)·n⌋+1 as SQL, with a nudge ABOVE the exact
+    * value before the floor: (1-τ) is not exact in IEEE doubles
+    * ((1.0-0.8)*5 = 0.9999999999999998), and flooring one short of the
+    * true integer would shorten the prefix below the pigeonhole
+    * minimum — silently losing pairs at exactly the threshold
+    * (regression-tested). The nudge can only ever LENGTHEN the prefix
+    * (more candidates, same exactness), never shorten it.
+    */
+  private def prefixLenSql(threshold: Double, n: String): String =
+    s"cast(floor((1.0d - $threshold) * $n + 1e-9) + 1 as int)"
+
+  /** The stored (k, word, threshold) geometry of a containment index,
+    * with a descriptive error for any table writeContainmentIndex did
+    * not produce.
+    */
+  private def containmentGeometry(spark: org.apache.spark.sql.SparkSession,
+                                  table: String): (Int, Boolean, Double) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def get(key: String): String = props.getOrElse(s"graft.containment.$key",
+      throw new IllegalArgumentException(
+        s"index table $table has no graft.containment.$key property — not written " +
+          "by writeContainmentIndex"))
+    (get("k").toInt, get("word").toBoolean, get("threshold").toDouble)
+  }
+
   private def validateContainmentGeometry(spark: org.apache.spark.sql.SparkSession,
                                           table: String, k: Int, word: Boolean,
                                           threshold: Double): Unit = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    Seq("graft.containment.k" -> k.toString,
-        "graft.containment.word" -> word.toString).foreach { case (key, expected) =>
-      val stored = props.getOrElse(key, throw new IllegalArgumentException(
-        s"index table $table has no $key property — not written by writeContainmentIndex"))
-      require(stored == expected,
-        s"containment index geometry drift on $table: $key is $stored in the index, " +
-          s"$expected in the check — rebuild the index or match its geometry")
+    val (storedK, storedWord, builtThreshold) = containmentGeometry(spark, table)
+    Seq("k" -> (storedK.toString, k.toString),
+        "word" -> (storedWord.toString, word.toString)).foreach {
+      case (key, (stored, expected)) =>
+        require(stored == expected,
+          s"containment index geometry drift on $table: $key is $stored in the index, " +
+            s"$expected in the check — rebuild the index or match its geometry")
     }
-    val builtThreshold = props("graft.containment.threshold").toDouble
     require(threshold >= builtThreshold - 1e-12,
       s"containment check threshold $threshold is below the index build threshold " +
         s"$builtThreshold on $table — stored prefixes are too short for it; rebuild " +
@@ -522,24 +558,8 @@ object Dedup {
                               corpus: DataFrame, k: Int = 5, word: Boolean = true,
                               threshold: Double = 0.8): DataFrame = {
     validateContainmentGeometry(spark, table, k, word, threshold)
-    val idx = spark.table(table)
-    val cand = idx.filter(col("in_prefix")).as("p")
-      .join(idx.as("f"),
-        col("p.h") === col("f.h") &&
-          (col("p.n") < col("f.n") ||
-            (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id"))))
-      .select(least(col("p.doc_id"), col("f.doc_id")).as("a"),
-        greatest(col("p.doc_id"), col("f.doc_id")).as("b"))
-      .distinct()
-    val base = corpus.select(col("doc_id"), norm(col("text")).as("nt"))
-    cand
-      .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
-      .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
-      .withColumn("containment",
-        HashExprs.containmentText(col("nt_a"), col("nt_b"), k, word))
-      .filter(col("containment") >= threshold)
-      .select("a", "b", "containment")
-      .orderBy("a", "b")
+    verifyContainment(containmentCandidates(spark.table(table)).distinct(),
+      corpus.select(col("doc_id"), norm(col("text")).as("nt")), k, word, threshold)
   }
 
   def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
@@ -547,13 +567,9 @@ object Dedup {
                               word: Boolean = true, threshold: Double = 0.8): DataFrame = {
     validateContainmentGeometry(spark, table, k, word, threshold)
     val baseNew = newDocs.select(col("doc_id"), norm(col("text")).as("nt"))
-    val newTok = baseNew
-      .select(col("doc_id").as("nid"),
-        HashExprs.shingleHashes(col("nt"), k, word).as("sh"))
-      .select(col("nid"), size(col("sh")).as("nn"), posexplode(col("sh")))
-      .toDF("nid", "nn", "pos", "h")
-      .withColumn("np",
-        col("pos") < expr(s"cast(floor((1.0d - $threshold) * nn) + 1 as int)"))
+    val newTok = prefixFlagged(baseNew.select(col("doc_id"),
+        HashExprs.shingleHashes(col("nt"), k, word).as("hs")), threshold)
+      .toDF("nid", "nn", "h", "np")
     val idx = spark.table(table)
     val candA = newTok.filter(col("np"))
       .join(idx, "h").filter(col("nn") <= col("n"))

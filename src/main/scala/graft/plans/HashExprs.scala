@@ -266,6 +266,19 @@ object HashExprs {
     starts
   }
 
+  /** Sorted-merge intersection size of two sorted distinct arrays —
+    * shared by the Jaccard and containment scorers.
+    */
+  private[plans] def intersectCount(sa: Array[Long], sb: Array[Long]): Int = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Sorted distinct shingle-hash array of a normalized text. */
   private[plans] def shingleHashSet(s: String, k: Int, word: Boolean): Array[Long] = {
     val buf = scala.collection.mutable.ArrayBuilder.make[Long]
@@ -283,6 +296,32 @@ object HashExprs {
   }
 }
 
+/** Shared `doGenCode` for expressions whose eval is one compiled
+  * loop: the generated code is a single virtual call into the
+  * expression's public `compute` via `addReferenceObj` (the pattern
+  * builtin regex expressions use), so the enclosing stage stays in
+  * whole-stage codegen while the loop itself is unchanged. Every
+  * mixer must expose a public `compute` whose parameter/return Java
+  * types match its child/data types — the generated call is compiled
+  * by janino against the concrete class, so a mismatch fails loudly
+  * at codegen time, and the codegen spec pins generated ==
+  * interpreted values.
+  */
+private[plans] trait UnaryComputeCodegen extends UnaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+}
+
+/** Binary-expression analog of [[UnaryComputeCodegen]]. */
+private[plans] trait BinaryComputeCodegen extends BinaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+}
+
 /** MinHash signature computed straight from normalized text: one
   * compiled pass does shingling, hashing and all `numPerm` permutation
   * minima. Exists because expressing shingling with `transform(
@@ -291,7 +330,7 @@ object HashExprs {
   * higher-order path — O(len × cost(norm)) per row.
   */
 case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -322,15 +361,6 @@ case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolea
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  // NOT CodegenFallback: signature computation sits in the scan-side
-  // projection of every dedup pipeline, and a fallback expression
-  // would un-fuse the whole stage (normalization, banding, the works).
-  // The generated code is a single call into the compiled loop above.
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashTextExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): MinHashTextExpr =
     copy(child = newChild)
 
@@ -342,7 +372,7 @@ case class MinHashTextExpr(child: Expression, k: Int, numPerm: Int, word: Boolea
   * is negligible at corpus scale). Runs only on LSH candidates.
   */
 case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Boolean)
-    extends BinaryExpression {
+    extends BinaryExpression with BinaryComputeCodegen {
 
   override def dataType: DataType = DoubleType
 
@@ -357,23 +387,13 @@ case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Bo
   def compute(a: UTF8String, b: UTF8String): Double = {
     val sa = HashExprs.shingleHashSet(a.toString, k, word)
     val sb = HashExprs.shingleHashSet(b.toString, k, word)
-    var i = 0; var j = 0; var inter = 0
-    while (i < sa.length && j < sb.length) {
-      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-      else if (sa(i) < sb(j)) i += 1
-      else j += 1
-    }
+    val inter = HashExprs.intersectCount(sa, sb)
     val union = sa.length + sb.length - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("jaccardExpr", this, classOf[JaccardTextExpr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
-  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardTextExpr =
     copy(left = newLeft, right = newRight)
@@ -389,7 +409,7 @@ case class JaccardTextExpr(left: Expression, right: Expression, k: Int, word: Bo
   * candidates only ([[graft.operators.Dedup.containmentPairs]]).
   */
 case class ContainmentTextExpr(left: Expression, right: Expression, k: Int, word: Boolean)
-    extends BinaryExpression {
+    extends BinaryExpression with BinaryComputeCodegen {
 
   override def dataType: DataType = DoubleType
 
@@ -404,23 +424,13 @@ case class ContainmentTextExpr(left: Expression, right: Expression, k: Int, word
   def compute(a: UTF8String, b: UTF8String): Double = {
     val sa = HashExprs.shingleHashSet(a.toString, k, word)
     val sb = HashExprs.shingleHashSet(b.toString, k, word)
-    var i = 0; var j = 0; var inter = 0
-    while (i < sa.length && j < sb.length) {
-      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-      else if (sa(i) < sb(j)) i += 1
-      else j += 1
-    }
+    val inter = HashExprs.intersectCount(sa, sb)
     val minCard = math.min(sa.length, sb.length)
     if (minCard == 0) 1.0 else inter.toDouble / minCard
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("containExpr", this, classOf[ContainmentTextExpr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
-  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ContainmentTextExpr =
     copy(left = newLeft, right = newRight)
@@ -430,7 +440,7 @@ case class ContainmentTextExpr(left: Expression, right: Expression, k: Int, word
 
 /** See [[HashExprs.shingleHashes]]. */
 case class ShingleHashesExpr(child: Expression, k: Int, word: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -448,11 +458,6 @@ case class ShingleHashesExpr(child: Expression, k: Int, word: Boolean)
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleHashesExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 
@@ -466,7 +471,7 @@ case class ShingleHashesExpr(child: Expression, k: Int, word: Boolean)
   * digest — see SparkEntry's dedup_simhash oracle.
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = LongType
 
@@ -498,11 +503,6 @@ case class SimHash64Expr(child: Expression)
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64Expr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 
@@ -511,7 +511,7 @@ case class SimHash64Expr(child: Expression)
 
 /** Cosine similarity of two numeric arrays (compiled single pass). */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with BinaryComputeCodegen {
 
   override def dataType: DataType = DoubleType
 
@@ -543,11 +543,6 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cosineExpr", this, classOf[CosineSimExpr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
-  }
-
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
 
@@ -559,7 +554,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * table (IVF codebooks are kilobytes, broadcast-sized).
   */
 case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   require(centroids.nonEmpty, "at least one centroid")
 
@@ -596,11 +591,6 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("centroidExpr", this, classOf[NearestCentroidExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
     copy(child = newChild)
 
@@ -613,7 +603,7 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
   * a storage pipeline would emit the q array itself the same way.
   */
 case class QuantizeI8StatsExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
@@ -659,11 +649,6 @@ case class QuantizeI8StatsExpr(child: Expression)
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("qi8StatsExpr", this, classOf[QuantizeI8StatsExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): QuantizeI8StatsExpr =
     copy(child = newChild)
 
@@ -678,7 +663,7 @@ case class QuantizeI8StatsExpr(child: Expression)
   * matching C/DuckDB `round(double)`).
   */
 case class QuantizeI8Expr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
 
@@ -716,11 +701,6 @@ case class QuantizeI8Expr(child: Expression)
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("qi8Expr", this, classOf[QuantizeI8Expr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): QuantizeI8Expr =
     copy(child = newChild)
 
@@ -735,7 +715,7 @@ case class QuantizeI8Expr(child: Expression)
   * on any engine, which is what lets the gate value-compare it.
   */
 case class CosineSimI8Expr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with BinaryComputeCodegen {
 
   override def dataType: DataType = DoubleType
 
@@ -767,11 +747,6 @@ case class CosineSimI8Expr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cosineI8Expr", this, classOf[CosineSimI8Expr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
-  }
-
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimI8Expr =
     copy(left = newLeft, right = newRight)
 
@@ -780,7 +755,7 @@ case class CosineSimI8Expr(left: Expression, right: Expression)
 
 /** Sign-random-projection LSH bits: bit i = (v · planes(i) >= 0). */
 case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   require(planes.length <= 64, "at most 64 projection planes")
 
@@ -812,11 +787,6 @@ case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("signProjExpr", this, classOf[SignProjBitsExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): SignProjBitsExpr =
     copy(child = newChild)
 
@@ -835,7 +805,7 @@ case class SignProjBitsExpr(child: Expression, planes: Array[Array[Double]])
   * length/char mismatch.
   */
 case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = IntegerType
 
@@ -884,14 +854,6 @@ case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  // NOT CodegenFallback: lang_id/quality scoring stack several
-  // stopword profiles in ONE projection — a fallback here un-fuses
-  // all of them plus the surrounding regex/length expressions.
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("stopwordExpr", this, classOf[StopwordHitsExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
     copy(child = newChild)
 
@@ -919,7 +881,7 @@ case class StopwordHitsExpr(child: Expression, vocab: Seq[String])
   */
 case class LangSegmentsExpr(child: Expression, window: Int,
                             profiles: Seq[(String, Seq[String])])
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   require(window > 0, "window must be positive")
   require(profiles.nonEmpty, "at least one language profile")
@@ -1014,11 +976,6 @@ case class LangSegmentsExpr(child: Expression, window: Int,
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("langSegExpr", this, classOf[LangSegmentsExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): LangSegmentsExpr =
     copy(child = newChild)
 
@@ -1033,7 +990,7 @@ case class LangSegmentsExpr(child: Expression, window: Int,
   * Texts with fewer than n words yield an empty array.
   */
 case class WordNgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -1062,11 +1019,6 @@ case class WordNgramsExpr(child: Expression, n: Int)
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ngramsExpr", this, classOf[WordNgramsExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
     copy(child = newChild)
 
@@ -1083,7 +1035,7 @@ case class WordNgramsExpr(child: Expression, n: Int)
   * split-based count would report one empty token).
   */
 case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with BinaryComputeCodegen {
 
   require(n > 0, "span length must be positive")
 
@@ -1140,11 +1092,6 @@ case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
   override protected def nullSafeEval(textAny: Any, startsAny: Any): Any =
     compute(textAny.asInstanceOf[UTF8String], startsAny.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("removeSpansExpr", this, classOf[RemoveSpansExpr].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
-  }
-
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): RemoveSpansExpr =
     copy(left = newLeft, right = newRight)
@@ -1162,7 +1109,7 @@ case class RemoveSpansExpr(left: Expression, right: Expression, n: Int)
   * rows per document; this is shuffle-free scan work.
   */
 case class RepetitionStatsExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
@@ -1206,11 +1153,6 @@ case class RepetitionStatsExpr(child: Expression)
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("repStatsExpr", this, classOf[RepetitionStatsExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 
@@ -1224,7 +1166,7 @@ case class RepetitionStatsExpr(child: Expression)
   * order. Zero vectors normalize to zero vectors.
   */
 case class L2NormalizeExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -1252,11 +1194,6 @@ case class L2NormalizeExpr(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("l2NormExpr", this, classOf[L2NormalizeExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
     copy(child = newChild)

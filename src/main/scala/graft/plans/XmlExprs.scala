@@ -6,7 +6,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,7 +51,7 @@ object XmlExprs {
   * tolerant parser).
   */
 case class XmlLeafMapExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with UnaryComputeCodegen {
 
   override def dataType: DataType =
     MapType(StringType, StringType, valueContainsNull = false)
@@ -104,14 +103,6 @@ case class XmlLeafMapExpr(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
-
-  // Same rationale as every expression in [[HashExprs]]: a
-  // CodegenFallback here would un-fuse the whole extraction
-  // projection (this parse + the element_at lookups around it).
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("xmlMapExpr", this, classOf[XmlLeafMapExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): XmlLeafMapExpr =
     copy(child = newChild)

@@ -199,7 +199,15 @@ class HashExprsSpec extends SparkSpec {
     // OUTSIDE any codegen stage (no "*(n)" marker) and un-fuses every
     // other expression in it — so each family is stacked into ONE
     // projection and the plan must still carry the fused marker
-    def assertFused(df: org.apache.spark.sql.DataFrame, marker: String): Unit = {
+    // build is BY-NAME and re-invoked for the interpreted run: a
+    // Dataset caches its executedPlan, so collecting the same instance
+    // under a flipped conf would silently reuse the codegen'd plan and
+    // compare the generated path to itself. NO_CODEGEN additionally
+    // forces InterpretedUnsafeProjection (with wholeStage off alone,
+    // expression-level codegen still runs), so the second collect
+    // really exercises nullSafeEval.
+    def assertFused(build: => org.apache.spark.sql.DataFrame, marker: String): Unit = {
+      val df = build
       val plan = df.queryExecution.executedPlan.toString
       val projLine = plan.linesIterator.find(_.contains(marker)).getOrElse("")
       assert(projLine.trim.startsWith("*("),
@@ -207,16 +215,26 @@ class HashExprsSpec extends SparkSpec {
       // generated path must produce byte-identical values to interpreted
       val gen = df.collect().sortBy(_.getLong(0))
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      val interp = try df.collect().sortBy(_.getLong(0))
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = try {
+        val fresh = build
+        val freshPlan = fresh.queryExecution.executedPlan.toString
+        assert(!freshPlan.linesIterator.exists(_.trim.startsWith("*(")),
+          s"interpreted run still planned whole-stage codegen:\n$freshPlan")
+        fresh.collect().sortBy(_.getLong(0))
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
       assert(gen.toSeq === interp.toSeq)
     }
 
     val docs = sources.Tables.documents(spark, sfDir)
     val nt = graft.functions.TextAnalysis.normalizeWs(col("text"))
     // filter, not orderBy+limit: TakeOrderedAndProject hosts its
-    // projection outside codegen and would mask the thing under test
-    val textProj = docs.filter(col("doc_id") < 50).select(col("doc_id"),
+    // projection outside codegen and would mask the thing under test.
+    // defs, not vals: assertFused re-builds for the interpreted run
+    def textProj = docs.filter(col("doc_id") < 50).select(col("doc_id"),
       plans.HashExprs.minhashText(nt, 5, 16, word = false).as("sig"),
       plans.HashExprs.stopwordHits(lower(col("text")), Seq("the", "a", "of")).as("hits"),
       plans.HashExprs.jaccardText(nt, reverse(nt), k = 5, word = false).as("jac"),
@@ -234,7 +252,7 @@ class HashExprsSpec extends SparkSpec {
     val planes = Seq(Seq(1.0, -0.5, 0.25), Seq(-1.0, 0.75, 0.5))
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
     val q8 = plans.HashExprs.quantizeI8(col("embedding"))
-    val vecProj = emb.filter(col("vec_id") < 50).select(col("vec_id"),
+    def vecProj = emb.filter(col("vec_id") < 50).select(col("vec_id"),
       plans.HashExprs.cosineSim(col("embedding"), reverse(col("embedding"))).as("cos"),
       plans.HashExprs.signProjBits(col("embedding"), planes).as("bits"),
       plans.HashExprs.nearestCentroid(col("embedding"), cents).as("cent"),

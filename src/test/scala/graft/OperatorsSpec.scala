@@ -214,6 +214,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!lsh.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L))
   }
 
+  test("containment finds pairs at exactly the threshold (prefix-length boundary)") {
+    import spark.implicits._
+    // adversarial boundary case: with word-1 shingles both docs have
+    // n=5 distinct tokens sharing exactly 4, so containment is exactly
+    // 4/5 = threshold, and the one MISSED token is each doc's rarest
+    // (df=1 vs df=2 for the shared four) — i.e. the single token a
+    // floating-point-underflowed prefix of length ⌊0.99..⌋+1 = 1 would
+    // consist of. The correct ⌊(1-0.8)·5⌋+1 = 2 prefix must also carry
+    // one SHARED token, which is what generates the candidate.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique1"),
+      (2L, "alpha beta gamma delta unique2"),
+      (3L, "wholly disjoint vocabulary entirely separate")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, k = 1, word = true, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0.8)),
+      s"threshold-boundary pair missed: ${pairs.mkString(", ")}")
+  }
+
   test("persisted containment index flags contained and containing batch docs") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS g_containment_idx")
@@ -263,12 +283,9 @@ class OperatorsSpec extends SparkSpec {
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val idx = spark.table("g_containment_idx")
-      val cand = idx.filter(col("in_prefix")).as("p")
-        .join(idx.as("f"),
-          col("p.h") === col("f.h") &&
-            (col("p.n") < col("f.n") ||
-              (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id"))))
+      // the PRODUCTION candidate join (not a copy — a drift in
+      // containmentPairsIndexed's join keys must fail this assertion)
+      val cand = Dedup.containmentCandidates(spark.table("g_containment_idx"))
       val plan = cand.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"persisted containment index candidate join should not shuffle:\n$plan")
