@@ -38,6 +38,14 @@ object Bench {
     val reps = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
+      // the *_indexed gates build their persisted index on first touch
+      // (ensureTable); that one-time build is ingest work, not the
+      // probe being timed — left in rep 1 it turns the noise ratio
+      // into a permanent build/probe ratio that masks real host
+      // contention. One untimed warmup rep absorbs the build; other
+      // queries skip it so the bench doesn't grow a 4th rep.
+      if (name.endsWith("_indexed") || name == "split_from_index")
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()

@@ -32,7 +32,11 @@ object SparkEntry {
   // value-checks the at-scale shape (index reuse, not rebuild), and
   // the bench's median-of-3 times the PROBE: only the first rep pays
   // the build.
-  private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+  // lowercased because Spark lowercases managed-table directory names;
+  // a mixed-case tag would make ensureTable's stale-location cleanup
+  // look for a directory that never exists on a case-sensitive FS
+  private def tag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
 
   private val indexLock = new Object
 
@@ -67,11 +71,19 @@ object SparkEntry {
     ensureTable(s, t)(Dedup.writeContainmentIndex(Tables.documents(s, d), t))
   }
 
+  // built-once tracking is PER JVM (like the catalog check the table
+  // indexes use): a bare _SUCCESS probe would reuse a stale tmpdir
+  // index across sessions after the fixtures (or the index writer's
+  // defaults) changed, silently probing old vectors
+  private val ivfBuilt = scala.collection.mutable.Set.empty[String]
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
-    if (!new java.io.File(s"$path/assigned/_SUCCESS").exists())
+    if (!ivfBuilt.contains(path)) {
       Similarity.writeIvfIndex(Tables.embeddings(s, d), path)
+      ivfBuilt += path
+    }
     path
   }
 

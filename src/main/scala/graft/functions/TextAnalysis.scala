@@ -75,12 +75,6 @@ object TextAnalysis {
       .orderBy("doc_id", "seg_idx")
   }
 
-  /** The bounded composite quality score as a standalone column — ONE
-    * definition of "document quality" shared by the batch feature
-    * table ([[qualityScore]]), the per-source reputation aggregate,
-    * and the streaming source monitor (a formula drifting between
-    * consumers would make their decisions incomparable).
-    */
   /** Whitespace word count as a column — the `word_count` of
     * [[qualityScore]], exposed for operators that fold the quality
     * gate into a wider single-scan projection ([[graft.operators
@@ -88,6 +82,12 @@ object TextAnalysis {
     */
   def wordCountCol(c: Column): Column = size(words(c)).cast("long")
 
+  /** The bounded composite quality score as a standalone column — ONE
+    * definition of "document quality" shared by the batch feature
+    * table ([[qualityScore]]), the per-source reputation aggregate,
+    * and the streaming source monitor (a formula drifting between
+    * consumers would make their decisions incomparable).
+    */
   def qualityCol(c: Column): Column = {
     val nChars = length(c)
     val wcount = size(words(c))

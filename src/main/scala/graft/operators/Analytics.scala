@@ -239,24 +239,35 @@ object Analytics {
     * [count(<est)+1, count(≤est)] against the target rank at 2× the
     * GK guarantee (absorbing the engine's internal target-rank
     * convention); with accuracy 10⁴ at gate SF that is still a
-    * ±4-rank assertion. The two driver reads (count + pivot row) are
-    * bounded scalar collects — the broadcast-analog the IVF codebooks
-    * use.
+    * ±4-rank assertion. The driver reads (the pivot row, which
+    * carries n inline, plus a re-widened pivot only when the 2/n
+    * floor is active) are bounded scalar collects — the
+    * broadcast-analog the IVF codebooks use.
     */
   def quantileSketchGate(orders: DataFrame, accuracy: Int = 10000): DataFrame = {
     val v = col("o_totalprice")
     val ps = Seq(("p50", 0.5, 1L, 2L), ("p90", 0.9, 9L, 10L), ("p99", 0.99, 99L, 100L))
-    val n = orders.count()
     // window half-width: 3× the GK error, floored at 2/n so the hi
     // pivot's rank provably clears ⌈p·n⌉ even when n < accuracy
-    val eps = math.max(3.0 / accuracy, if (n > 0) 2.0 / n else 1.0)
-    val pivotAggs = ps.flatMap { case (nm, p, _, _) =>
+    def pivotAggs(eps: Double) = ps.flatMap { case (nm, p, _, _) =>
       Seq(
         percentile_approx(v, lit(p), lit(accuracy)).as(s"${nm}_est"),
         percentile_approx(v, lit(math.max(0.0, p - eps)), lit(accuracy)).as(s"${nm}_lo"),
         percentile_approx(v, lit(math.min(1.0, p + eps)), lit(accuracy)).as(s"${nm}_hi"))
     }
-    val piv = orders.agg(pivotAggs.head, pivotAggs.tail: _*).head()
+    // n rides the percentile aggregate — no dedicated count scan on
+    // the at-scale path; only a corpus smaller than 2·accuracy/3
+    // rows (where the 2/n floor widens the window beyond 3/accuracy)
+    // pays a second, re-widened pivot scan
+    val eps0 = 3.0 / accuracy
+    val firstAggs = count(lit(1)).as("n") +: pivotAggs(eps0)
+    val first = orders.agg(firstAggs.head, firstAggs.tail: _*).head()
+    val n = first.getAs[Long]("n")
+    val eps = math.max(eps0, if (n > 0) 2.0 / n else 1.0)
+    val piv = if (eps > eps0) {
+      val wide = pivotAggs(eps)
+      orders.agg(wide.head, wide.tail: _*).head()
+    } else first
     val countAggs = count(lit(1)).as("n") +: ps.flatMap { case (nm, _, _, _) =>
       val est = lit(piv.getAs[Double](s"${nm}_est"))
       val lo = lit(piv.getAs[Double](s"${nm}_lo"))

@@ -48,6 +48,7 @@ class PlanGuardSpec extends SparkSpec {
     // scan-count spec)
     val capped = Seq("decontaminate", "decontaminate_semantic", "ann_batch_topk",
       "corpus_keep_list")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       capped.foreach { name =>
@@ -61,6 +62,6 @@ class PlanGuardSpec extends SparkSpec {
         assert(broadcasts.exists(b => b.toString.contains("< 500")),
           s"$name: no id cap on any broadcast side:\n${broadcasts.map(_.toString).mkString("\n")}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
