@@ -232,6 +232,7 @@ object SparkEntry {
     "sample_target_mix" -> ((s, d) => Sampling.targetMix(Tables.documents(s, d))),
     "sample_recency"    -> ((s, d) => Sampling.recency(Tables.documents(s, d))),
     "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
+    "train_shards"      -> ((s, d) => Sampling.trainShards(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
@@ -800,6 +801,21 @@ object SparkEntry {
     // md5 bucket of the CLUSTER id (near-dups share a split by
     // construction)
     "split_leakage_safe" -> leakageSplitOracle,
+    // same per-digit hex→int arithmetic as sample_stratified, applied
+    // to md5('1:' || doc_id); pos ranks the full hex key within the
+    // shard (ties impossible, but doc_id tiebreak keeps both engines'
+    // sorts total)
+    "train_shards" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH h AS (SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |s AS (SELECT doc_id, hx, CAST(($hv) % 8 AS INTEGER) AS shard FROM h)
+         |SELECT doc_id, shard,
+         |CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // the persisted-index twins: IDENTICAL oracles — the index path
     // must reproduce the direct computation exactly
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),

@@ -139,4 +139,41 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("rate_pct"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic epoch-shuffled training ORDER — the step after
+    * curation and packing: training wants the corpus in a
+    * pseudo-random order that is (a) reproducible bit-for-bit across
+    * runs and engines (no `rand()`, no partition-order dependence),
+    * (b) different per epoch, and (c) writable as a bounded number of
+    * shard files whose concatenation IS the epoch order.
+    *
+    * The shuffle key is md5(seed ":" doc_id): a new seed is a fresh
+    * independent permutation (epoch reshuffle), and the key is a pure
+    * function of the record, so re-partitioning or re-running never
+    * changes the order. `shard` is the key's top 32 bits mod
+    * numShards, `pos` ranks the key within its shard — the global
+    * epoch order is (shard asc, pos asc), materialized shard-by-shard
+    * with NO global sort.
+    *
+    * Scale shape: one hash exchange on shard + a per-shard sort —
+    * parallelism equals numShards, so a real run sizes numShards to
+    * the cluster (thousands of shard files for 100 TB, keeping each
+    * shard's sort in-memory); there is no single-partition stage and
+    * nothing crosses the driver. A global row_number would serialize
+    * the corpus through one partition — (shard, pos) is the
+    * distributed total order that avoids it.
+    */
+  def trainShards(documents: DataFrame, numShards: Int = 8, seed: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    documents
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id"))).as("shuffle_key"))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
+          % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
 }

@@ -179,6 +179,25 @@ object StreamingRollups {
         approx_count_distinct(distinctCol, rsd).as("approx_distinct"),
         count(lit(1)).as("n_events"))
 
+  /** Stateless in-stream benchmark decontamination — flag each
+    * arriving document that shares any word n-gram with the held-out
+    * benchmark set, as it arrives (the streaming admission guard in
+    * front of the batch [[graft.operators.Corpus.decontaminate]]
+    * audit). The benchmark grams are collected once on the driver
+    * (eval suites are bounded — the same broadcast-analog contract as
+    * the IVF codebooks) and ride the plan as an array literal, so the
+    * check is a pure per-row `arrays_overlap` projection: NO state,
+    * no watermark, no shuffle — it cannot fall behind the stream.
+    */
+  def decontaminateFlag(docs: DataFrame, benchGrams: Seq[String], n: Int = 8): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      coalesce(
+        arrays_overlap(
+          graft.plans.HashExprs.wordNgrams(
+            graft.functions.TextAnalysis.normalizeWs(col("text")), n),
+          lit(benchGrams.toArray)),
+        lit(false)).as("contaminated"))
+
   /** Stream-STREAM interval join: pair each left event with the right
     * events of the same entity whose timestamp falls within
     * [left.ts − before, left.ts + after]. Both sides carry watermarks

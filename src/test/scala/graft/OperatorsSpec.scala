@@ -809,6 +809,29 @@ class OperatorsSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") + bySplit("test"))
   }
 
+  test("train shards: reproducible total order, seed reshuffles, contiguous positions") {
+    val docs = Tables.documents(spark, sfDir)
+    val e1 = Sampling.trainShards(docs).collect()
+    val e1again = Sampling.trainShards(docs).collect()
+    assert(e1.toSeq === e1again.toSeq) // pure function of (seed, doc_id)
+    // every doc placed exactly once, shard within bounds
+    assert(e1.length === docs.count())
+    assert(e1.map(_.getAs[Long]("doc_id")).distinct.length === e1.length)
+    assert(e1.forall { r => val s = r.getAs[Int]("shard"); s >= 0 && s < 8 })
+    // positions are 1..n_s within each shard — concatenating shard
+    // files in (shard, pos) order yields a gap-free epoch order
+    e1.groupBy(_.getAs[Int]("shard")).foreach { case (s, rows) =>
+      val ps = rows.map(_.getAs[Long]("pos")).sorted
+      assert(ps.toSeq === (1L to rows.length).toSeq, s"shard $s positions not contiguous")
+    }
+    // a different seed is a genuinely different permutation: some doc
+    // must land in a different (shard, pos) slot
+    val e2 = Sampling.trainShards(docs, seed = 2).collect()
+    val slot1 = e1.map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("shard"), r.getAs[Long]("pos")))).toMap
+    val moved = e2.count(r => slot1(r.getAs[Long]("doc_id")) != ((r.getAs[Int]("shard"), r.getAs[Long]("pos"))))
+    assert(moved > e1.length / 2, s"only $moved docs moved between epochs")
+  }
+
   test("semantic decontamination flags near-copies of bench vectors, not orthogonal ones") {
     import spark.implicits._
     // vec_id % 10 == 0 → benchmark member. 11 ≈ bench vector 10 (one

@@ -321,6 +321,36 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(a2 - 5L) <= 1L, s"w2 approx $a2")
   }
 
+  test("streaming decontamination flags a benchmark-overlapping doc statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // "benchmark": one eval question; its grams collected the way a
+    // real caller would (explode the bounded bench table, distinct)
+    val benchText = "what is the capital of france and when was it founded by the romans"
+    val benchGrams = spark.createDataset(Seq(benchText))
+      .select(org.apache.spark.sql.functions.explode(
+        graft.plans.HashExprs.wordNgrams(
+          graft.functions.TextAnalysis.normalizeWs(
+            org.apache.spark.sql.functions.col("value")), 8)).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      // contains a verbatim 8-gram from the bench question
+      (1L, "trivia dump: what is the capital of france and when was it " +
+        "founded remains a common interview question"),
+      // same vocabulary but no shared 8-gram
+      (2L, "paris is the capital of france"),
+      (3L, "completely unrelated text about spark shuffles and partitions"))
+    val flagged = StreamingRollups.decontaminateFlag(
+      input.toDF().toDF("doc_id", "text"), benchGrams)
+    val q = flagged.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val byId = spark.table("decon").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(byId === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
