@@ -245,6 +245,7 @@ object SparkEntry {
     "corpus_keep_list"  -> ((s, d) => Corpus.keepList(Tables.documents(s, d))),
     "corpus_curated"    -> ((s, d) => Corpus.curated(Tables.documents(s, d))),
     "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
+    "bm25_topk"         -> ((s, d) => Corpus.bm25TopK(Tables.documents(s, d))),
     // deterministic overlapping splits: every doc_id ≡ 0 (mod 6) is in
     // BOTH sides, so the content anti-join has real work to do
     "content_delta"     -> ((s, d) => {
@@ -1147,6 +1148,34 @@ object SparkEntry {
         |z AS (SELECT o_orderkey, entity_id, round(o_totalprice, 2) AS total,
         |round((o_totalprice - sum_d/n)/std, 4) AS z FROM c WHERE std > 0)
         |SELECT * FROM z WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+    // same fixed-point rational BM25 as Corpus.bm25TopK (terms must
+    // match the operator's default query; all-integer, so the scores
+    // are engine-exact)
+    "bm25_topk" -> {
+      val terms = Seq("spark", "table", "scan")
+      val tfDefs = terms.indices.map { i =>
+        s"CAST(len(list_filter(ws, x -> x = '${terms(i)}')) AS BIGINT) AS tf_$i"
+      }.mkString(",\n")
+      val dfDefs = terms.indices.map { i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+      }.mkString(",\n")
+      val scoreSum = terms.indices.map { i =>
+        s"(((2*n - 2*df_$i + 1) * 1000) // (2*df_$i + 1)) * " +
+          s"((22*tf_$i*avgdl_x*1000) // (10*tf_$i*avgdl_x + 3*avgdl_x + 900*dl))"
+      }.mkString(" +\n")
+      val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         |$tfDefs FROM b),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s,
+         |$dfDefs,
+         |(100 * sum(dl)::BIGINT) // count(*)::BIGINT AS avgdl_x FROM t),
+         |sc AS (SELECT doc_id, dl, $tfOut,
+         |CAST($scoreSum AS BIGINT) AS score_fp
+         |FROM t CROSS JOIN st)
+         |SELECT doc_id, score_fp, $tfOut FROM sc WHERE score_fp > 0
+         |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
+    },
     "tfidf_top_terms" ->
       """WITH wds AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM wds GROUP BY 1, 2),

@@ -143,6 +143,59 @@ object Corpus {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25-family lexical top-k retrieval — score every document
+    * against a bag-of-words query and return the k best: the text
+    * twin of the embedding ANN family ([[graft.operators
+    * .Similarity]]), and the retrieval use of the tf/df statistics
+    * [[tfidfTopTerms]] ranks with.
+    *
+    * The scoring is Okapi BM25 (k1 = 1.2, b = 0.75) with the
+    * Robertson log-idf replaced by its rational core
+    * (2N − 2df + 1)/(2df + 1) and every division done in scaled
+    * integer arithmetic — the same log-free fixed-point trick as
+    * [[tfidfTopTerms]], so the score is bit-identical in any engine
+    * (doubles would drift in the last ulp and flake verification).
+    * Both factors carry scale 10³, so a score term has scale 10⁶;
+    * magnitudes stay in int64 up to ~10¹² documents: idf_fp ≤ 2N·10³,
+    * and sat_fp depends only on DOCUMENT length (avgdl is
+    * pre-truncated to centitokens), not corpus size.
+    *
+    * Plan shape for 100 TB: per-term tf is size(words) −
+    * size(array_remove(words, term)) — native codegen'd array ops,
+    * no explode, no HOF lambda; corpus-wide stats (N, Σdl, per-term
+    * df) are ONE single-row aggregate cross-joined back (broadcast
+    * of a scalar row); the result is a TakeOrdered top-k. Two corpus
+    * scans, ZERO corpus shuffle — retrieval at scan speed.
+    */
+  def bm25TopK(documents: DataFrame, query: String = "spark table scan",
+               k: Int = 10): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val ws = split(TextAnalysis.normalizeWs(col("text")), " ")
+    def tfCol(t: String): org.apache.spark.sql.Column =
+      size(ws) - size(array_remove(ws, t))
+    val base = documents.select(
+      col("doc_id") +: size(ws).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfCol(t).cast("long").as(s"tf_$i") }: _*)
+    val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("s") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      .withColumn("avgdl_x", expr("(100 * s) div n"))
+    val termScore = terms.indices.map { i =>
+      expr(s"(((2 * n - 2 * df_$i + 1) * 1000) div (2 * df_$i + 1)) * " +
+        s"((22 * tf_$i * avgdl_x * 1000) div " +
+        s"(10 * tf_$i * avgdl_x + 3 * avgdl_x + 900 * dl))")
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_fp", termScore)
+      .filter(col("score_fp") > 0)
+      .select((col("doc_id") +: col("score_fp").as("score_fp") +:
+        terms.indices.map(i => col(s"tf_$i"))): _*)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination — flag corpus documents that share any
     * word n-gram with a held-out benchmark/eval set (here the
     * deterministic doc_id % benchMod == 0 slice stands in for the

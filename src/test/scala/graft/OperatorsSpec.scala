@@ -809,6 +809,35 @@ class OperatorsSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") + bySplit("test"))
   }
 
+  test("bm25 retrieval ranks by saturated tf with idf weighting, scan-only plan") {
+    import spark.implicits._
+    // equal-length docs so only tf/df drive the ranking: "rare"
+    // appears in one doc, "common" in three — the rare-term doc must
+    // outrank a common-term doc with the same tf
+    val docs = Seq(
+      (1L, "rare pad pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "common common pad pad"),
+      (4L, "common pad zzz yyy"),
+      (5L, "pad pad pad pad")).toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(docs, query = "rare common", k = 10).collect()
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.toSet === Set(1L, 2L, 3L, 4L), "only matching docs returned")
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_fp")).toMap
+    assert(score(1L) > score(3L), "one rare hit outranks two common hits")
+    assert(score(3L) > score(2L), "tf=2 outranks tf=1 for the same term")
+    assert(score(2L) === score(4L), "same tf/dl ⇒ identical fixed-point score")
+    // saturation: doubling tf must NOT double the score (k1 caps it)
+    assert(score(3L) < 2L * score(2L), "tf term must saturate")
+    // scale shape: no corpus shuffle anywhere — scans, a one-row
+    // stats broadcast, and a TakeOrdered only
+    val plan = Corpus.bm25TopK(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bm25 must not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+  }
+
   test("train shards: reproducible total order, seed reshuffles, contiguous positions") {
     val docs = Tables.documents(spark, sfDir)
     val e1 = Sampling.trainShards(docs).collect()

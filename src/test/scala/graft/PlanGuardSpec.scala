@@ -17,10 +17,12 @@ class PlanGuardSpec extends SparkSpec {
   //  - sample_target_mix: window over the L-row language-count frame
   //  - tfidf_top_terms: the one-row global doc count (idf numerator),
   //    broadcast back — the final reduce of a count is one row
+  //  - bm25_topk: the one-row corpus stats aggregate (N, Σdl, per-term
+  //    df) — one partial-agg row per partition into the final reduce
   private val singlePartitionOk = Set(
     "hll_cardinality", "quantile_sketch",
     "api_paginate", "api_report_list",
-    "sample_target_mix", "tfidf_top_terms")
+    "sample_target_mix", "tfidf_top_terms", "bm25_topk")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
