@@ -71,6 +71,11 @@ object SparkEntry {
     ensureTable(s, t)(Dedup.writeContainmentIndex(Tables.documents(s, d), t))
   }
 
+  private def bm25Idx(s: SparkSession, d: String): String = {
+    val t = s"g_gate_bm25_${tag(d)}"
+    ensureTable(s, t)(Corpus.writeBm25Index(Tables.documents(s, d), t))
+  }
+
   // built-once tracking is PER JVM (like the catalog check the table
   // indexes use): a bare _SUCCESS probe would reuse a stale tmpdir
   // index across sessions after the fixtures (or the index writer's
@@ -246,6 +251,7 @@ object SparkEntry {
     "corpus_curated"    -> ((s, d) => Corpus.curated(Tables.documents(s, d))),
     "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     "bm25_topk"         -> ((s, d) => Corpus.bm25TopK(Tables.documents(s, d))),
+    "bm25_indexed"      -> ((s, d) => Corpus.bm25FromIndex(s, bm25Idx(s, d))),
     // deterministic overlapping splits: every doc_id ≡ 0 (mod 6) is in
     // BOTH sides, so the content anti-join has real work to do
     "content_delta"     -> ((s, d) => {
@@ -490,6 +496,37 @@ object SparkEntry {
        |  WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold)
        |SELECT a AS vec_id, count(*) AS n_bench_hits, max(cosine) AS max_cosine
        |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** Oracle for BM25 retrieval (scan and indexed forms): the same
+    * fixed-point rational scoring in DuckDB (all-integer, so the
+    * scores are engine-exact). Terms must match the operators'
+    * default query.
+    */
+  private def bm25Oracle: String = {
+    val terms = Seq("spark", "table", "scan")
+    val tfDefs = terms.indices.map { i =>
+      s"CAST(len(list_filter(ws, x -> x = '${terms(i)}')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n")
+    val dfDefs = terms.indices.map { i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+    }.mkString(",\n")
+    val scoreSum = terms.indices.map { i =>
+      s"(((2*n - 2*df_$i + 1) * 1000) // (2*df_$i + 1)) * " +
+        s"((22*tf_$i*avgdl_x*1000) // (10*tf_$i*avgdl_x + 3*avgdl_x + 900*dl))"
+    }.mkString(" +\n")
+    val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
+    s"""WITH b AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |$tfDefs FROM b),
+       |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s,
+       |$dfDefs,
+       |(100 * sum(dl)::BIGINT) // count(*)::BIGINT AS avgdl_x FROM t),
+       |sc AS (SELECT doc_id, dl, $tfOut,
+       |CAST($scoreSum AS BIGINT) AS score_fp
+       |FROM t CROSS JOIN st)
+       |SELECT doc_id, score_fp, $tfOut FROM sc WHERE score_fp > 0
+       |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
   }
 
   /** Oracle for the leakage-safe split (direct and indexed forms):
@@ -1148,34 +1185,13 @@ object SparkEntry {
         |z AS (SELECT o_orderkey, entity_id, round(o_totalprice, 2) AS total,
         |round((o_totalprice - sum_d/n)/std, 4) AS z FROM c WHERE std > 0)
         |SELECT * FROM z WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+    // the indexed probe must reproduce the scan path bit-for-bit
+    // (shared scoring formula) — one oracle for both
+    "bm25_indexed" -> bm25Oracle,
     // same fixed-point rational BM25 as Corpus.bm25TopK (terms must
     // match the operator's default query; all-integer, so the scores
     // are engine-exact)
-    "bm25_topk" -> {
-      val terms = Seq("spark", "table", "scan")
-      val tfDefs = terms.indices.map { i =>
-        s"CAST(len(list_filter(ws, x -> x = '${terms(i)}')) AS BIGINT) AS tf_$i"
-      }.mkString(",\n")
-      val dfDefs = terms.indices.map { i =>
-        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$i"
-      }.mkString(",\n")
-      val scoreSum = terms.indices.map { i =>
-        s"(((2*n - 2*df_$i + 1) * 1000) // (2*df_$i + 1)) * " +
-          s"((22*tf_$i*avgdl_x*1000) // (10*tf_$i*avgdl_x + 3*avgdl_x + 900*dl))"
-      }.mkString(" +\n")
-      val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
-      s"""WITH b AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws FROM documents),
-         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
-         |$tfDefs FROM b),
-         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s,
-         |$dfDefs,
-         |(100 * sum(dl)::BIGINT) // count(*)::BIGINT AS avgdl_x FROM t),
-         |sc AS (SELECT doc_id, dl, $tfOut,
-         |CAST($scoreSum AS BIGINT) AS score_fp
-         |FROM t CROSS JOIN st)
-         |SELECT doc_id, score_fp, $tfOut FROM sc WHERE score_fp > 0
-         |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "bm25_topk" -> bm25Oracle,
     "tfidf_top_terms" ->
       """WITH wds AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM wds GROUP BY 1, 2),

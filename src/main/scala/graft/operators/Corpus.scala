@@ -167,6 +167,17 @@ object Corpus {
     * of a scalar row); the result is a TakeOrdered top-k. Two corpus
     * scans, ZERO corpus shuffle — retrieval at scan speed.
     */
+  /** The scale-10⁶ fixed-point BM25 term contribution — ONE formula
+    * shared by the scan path ([[bm25TopK]]) and the index probe
+    * ([[bm25FromIndex]]); expects columns n, avgdl_x, dl, tf_i, df_i
+    * in scope. The two paths MUST agree bit-for-bit (the indexed gate
+    * reuses the direct gate's oracle).
+    */
+  private def bm25TermFp(i: Int): org.apache.spark.sql.Column =
+    expr(s"(((2 * n - 2 * df_$i + 1) * 1000) div (2 * df_$i + 1)) * " +
+      s"((22 * tf_$i * avgdl_x * 1000) div " +
+      s"(10 * tf_$i * avgdl_x + 3 * avgdl_x + 900 * dl))")
+
   def bm25TopK(documents: DataFrame, query: String = "spark table scan",
                k: Int = 10): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
@@ -182,15 +193,83 @@ object Corpus {
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
       .withColumn("avgdl_x", expr("(100 * s) div n"))
-    val termScore = terms.indices.map { i =>
-      expr(s"(((2 * n - 2 * df_$i + 1) * 1000) div (2 * df_$i + 1)) * " +
-        s"((22 * tf_$i * avgdl_x * 1000) div " +
-        s"(10 * tf_$i * avgdl_x + 3 * avgdl_x + 900 * dl))")
-    }.reduce(_ + _)
+    val termScore = terms.indices.map(i => bm25TermFp(i)).reduce(_ + _)
     base.crossJoin(broadcast(stats))
       .withColumn("score_fp", termScore)
       .filter(col("score_fp") > 0)
       .select((col("doc_id") +: col("score_fp").as("score_fp") +:
+        terms.indices.map(i => col(s"tf_$i"))): _*)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Persist the INVERTED INDEX behind [[bm25FromIndex]]: posting
+    * rows (word, doc_id, tf, dl) bucketed on `word` — the probe's
+    * join/window key — with the corpus stats (N, Σdl) stamped as
+    * table properties so a probe touches NOTHING but the index.
+    * dl rides each posting (denormalized) so scoring needs no
+    * doc-side join. Ingest-time cost: one explode + one (word,
+    * doc_id) aggregation + one stats scan — paid once; every query
+    * thereafter reads only the buckets its terms hash to.
+    */
+  def writeBm25Index(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val ws = split(TextAnalysis.normalizeWs(col("text")), " ")
+    val postings = documents
+      .select(col("doc_id"), size(ws).cast("long").as("dl"), explode(ws).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    graft.sources.Sinks.writeBucketed(postings, table, Seq("word"), numBuckets)
+    val st = documents
+      .agg(count(lit(1)).as("n"), sum(size(ws).cast("long")).as("s")).head()
+    documents.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.bm25.n'='${st.getAs[Long]("n")}','graft.bm25.s'='${st.getAs[Long]("s")}')")
+  }
+
+  /** [[bm25TopK]] over the persisted inverted index — the at-scale
+    * shape for REPEATED lexical queries: the scan path reads the
+    * whole corpus per query; this reads only the posting lists of
+    * the query's terms. Bucket pruning on `word IN (terms)` means
+    * the scan touches ≤ q of the index's buckets; per-term df is a
+    * window over `word` (satisfied by the bucket layout — NO
+    * exchange); the only shuffle is the per-doc score aggregation
+    * over CANDIDATES (docs containing ≥1 query term), not the
+    * corpus. Corpus stats come from the table properties stamped at
+    * build — scoring is bit-identical to [[bm25TopK]] by shared
+    * formula ([[bm25TermFp]]), so both paths share one oracle.
+    *
+    * CONTRACT: the index must be current — a doc absent from the
+    * index cannot be retrieved; rebuild (or extend postings +
+    * restamp stats) on corpus change.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    query: String = "spark table scan", k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val n = props.getOrElse("graft.bm25.n", throw new IllegalArgumentException(
+      s"index table $table has no graft.bm25.n property — not written by writeBm25Index")).toLong
+    val s = props("graft.bm25.s").toLong
+    val avgdlX = (100L * s) / n
+    val p = spark.table(table).filter(col("word").isin(terms: _*))
+      .withColumn("dfw", count(lit(1)).over(Window.partitionBy("word")))
+    val aggs = first(col("dl")).as("dl") +:
+      terms.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("word") === t, col("tf")).otherwise(0L)).as(s"tf_$i"),
+        // df is only consulted when tf > 0 (a zero tf zeroes the
+        // saturation factor), so the 0 fill for absent terms is inert
+        coalesce(max(when(col("word") === t, col("dfw"))), lit(0L)).as(s"df_$i"))
+      }
+    val cand = p.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", lit(n))
+      .withColumn("avgdl_x", lit(avgdlX))
+    cand
+      .withColumn("score_fp", terms.indices.map(i => bm25TermFp(i)).reduce(_ + _))
+      .filter(col("score_fp") > 0)
+      .select((col("doc_id") +: col("score_fp") +:
         terms.indices.map(i => col(s"tf_$i"))): _*)
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(k)

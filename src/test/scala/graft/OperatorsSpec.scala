@@ -838,6 +838,41 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
   }
 
+  test("bm25 index probe matches the scan path and reads only its terms' buckets") {
+    spark.sql("DROP TABLE IF EXISTS g_bm25_idx")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val whDir = new java.io.File(wh, "g_bm25_idx")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(whDir)
+    }
+    val corpus = Tables.documents(spark, sfDir)
+    Corpus.writeBm25Index(corpus, "g_bm25_idx")
+    val direct = Corpus.bm25TopK(corpus).collect().toSeq
+    val probe = Corpus.bm25FromIndex(spark, "g_bm25_idx").collect().toSeq
+    assert(probe === direct, "indexed probe must reproduce the scan path bit-for-bit")
+    // missing stats stamp is an error, not silently-wrong idf
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE IF NOT EXISTS g_bm25_bare (word STRING) USING parquet")
+      try Corpus.bm25FromIndex(spark, "g_bm25_bare")
+      finally spark.sql("DROP TABLE g_bm25_bare")
+    }
+    // scale shape: bucket pruning limits the scan to the terms'
+    // buckets, the df window rides the bucket layout exchange-free,
+    // and the only exchange is the candidate (doc_id) aggregation
+    val plan = Corpus.bm25FromIndex(spark, "g_bm25_idx")
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d) out of 8".r.findFirstMatchIn(plan)
+      .exists(_.group(1).toInt <= 3), s"bucket pruning missing:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("doc_id")),
+      s"only the candidate agg may shuffle, got: $exchanges")
+  }
+
   test("train shards: reproducible total order, seed reshuffles, contiguous positions") {
     val docs = Tables.documents(spark, sfDir)
     val e1 = Sampling.trainShards(docs).collect()
