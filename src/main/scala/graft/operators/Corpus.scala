@@ -212,19 +212,57 @@ object Corpus {
     * doc_id) aggregation + one stats scan — paid once; every query
     * thereafter reads only the buckets its terms hash to.
     */
-  def writeBm25Index(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+  /** Posting rows + the (n, Σdl) stats row for a document frame —
+    * ONE tokenization shared by index build and append (a drift
+    * between them would skew tf/df for appended batches only).
+    */
+  private def bm25Postings(documents: DataFrame): (DataFrame, (Long, Long)) = {
     val ws = split(TextAnalysis.normalizeWs(col("text")), " ")
     val postings = documents
       .select(col("doc_id"), size(ws).cast("long").as("dl"), explode(ws).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word", "doc_id")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
-    graft.sources.Sinks.writeBucketed(postings, table, Seq("word"), numBuckets)
     val st = documents
       .agg(count(lit(1)).as("n"), sum(size(ws).cast("long")).as("s")).head()
+    (postings, (st.getAs[Long]("n"), st.getAs[Long]("s")))
+  }
+
+  def writeBm25Index(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val (postings, (n, s)) = bm25Postings(documents)
+    graft.sources.Sinks.writeBucketed(postings, table, Seq("word"), numBuckets)
     documents.sparkSession.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('graft.bm25.n'='${st.getAs[Long]("n")}','graft.bm25.s'='${st.getAs[Long]("s")}')")
+        s"('graft.bm25.n'='$n','graft.bm25.s'='$s')")
+  }
+
+  /** Index MAINTENANCE: append an arriving batch's postings to the
+    * persisted inverted index and restamp the corpus stats —
+    * completing the same build → probe → extend lifecycle as the
+    * minhash and containment indexes, so a growing corpus never
+    * pays a full posting rebuild. The df side needs no maintenance
+    * at all: [[bm25FromIndex]] derives df from the posting rows at
+    * probe time, so appended postings are counted automatically.
+    *
+    * CONTRACT: the batch must be NEW doc_ids — re-appending an
+    * indexed document would duplicate its postings (and double its
+    * tf); on updates or deletions, rebuild. Missing stats stamp
+    * (table not written by [[writeBm25Index]]) is an error.
+    */
+  def appendToBm25Index(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val n0 = props.getOrElse("graft.bm25.n", throw new IllegalArgumentException(
+      s"index table $table has no graft.bm25.n property — not written by writeBm25Index")).toLong
+    val s0 = props("graft.bm25.s").toLong
+    val (postings, (n1, s1)) = bm25Postings(newDocs)
+    postings.write.mode("append")
+      .bucketBy(numBuckets, "word").sortBy("word")
+      .format("parquet").saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.bm25.n'='${n0 + n1}','graft.bm25.s'='${s0 + s1}')")
   }
 
   /** [[bm25TopK]] over the persisted inverted index — the at-scale

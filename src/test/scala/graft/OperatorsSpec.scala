@@ -873,6 +873,34 @@ class OperatorsSpec extends SparkSpec {
       s"only the candidate agg may shuffle, got: $exchanges")
   }
 
+  test("bm25 index append extends retrieval and restamps the corpus stats") {
+    spark.sql("DROP TABLE IF EXISTS g_bm25_app")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val whDir = new java.io.File(wh, "g_bm25_app")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(whDir)
+    }
+    val corpus = Tables.documents(spark, sfDir)
+    // build on half the corpus, append the other half: the probe must
+    // equal the scan path over the FULL corpus — df comes from the
+    // posting rows (no maintenance), idf's N/avgdl from the restamp
+    Corpus.writeBm25Index(corpus.filter(col("doc_id") % 2 === 0), "g_bm25_app")
+    Corpus.appendToBm25Index(corpus.filter(col("doc_id") % 2 =!= 0), "g_bm25_app")
+    val probe = Corpus.bm25FromIndex(spark, "g_bm25_app").collect().toSeq
+    val direct = Corpus.bm25TopK(corpus).collect().toSeq
+    assert(probe === direct, "post-append probe must equal the full-corpus scan path")
+    // appending into a table writeBm25Index didn't stamp is an error
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE IF NOT EXISTS g_bm25_bare2 (word STRING) USING parquet")
+      try Corpus.appendToBm25Index(corpus.limit(1), "g_bm25_bare2")
+      finally spark.sql("DROP TABLE g_bm25_bare2")
+    }
+  }
+
   test("train shards: reproducible total order, seed reshuffles, contiguous positions") {
     val docs = Tables.documents(spark, sfDir)
     val e1 = Sampling.trainShards(docs).collect()
