@@ -76,6 +76,44 @@ object SparkEntry {
     ensureTable(s, t)(Corpus.writeBm25Index(Tables.documents(s, d), t))
   }
 
+  /** Fixed tokenizer for the `bpe_encode` gate — the gate verifies the
+    * ENCODER's application convention (chained merges, multi-level
+    * tokens, word isolation), so the merge list is a pinned artifact,
+    * not a training output: merge chains that assemble whole corpus
+    * words (table, scan) next to partial ones (que+ry), plus merges
+    * whose parts collide as prefixes/suffixes of other merges. The
+    * DuckDB oracle replays the SAME list as a chain of string
+    * replacements over a delimiter-wrapped symbol representation
+    * (see [[bpeOracleSql]]) — convention-exact on both engines.
+    */
+  private val bpeGateMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "q" -> "u", "qu" -> "e", "r" -> "y",
+    "o" -> "w", "i" -> "n")
+
+  /** The DuckDB replay of [[bpeGateMerges]]: each word character is
+    * wrapped as US||c||US (US = chr(31), absent from the corpus), so a
+    * merge (l, r) is one non-overlapping left-to-right
+    * `replace(US||l||US || US||r||US -> US||lr||US)` — the same
+    * single-sweep convention as the compiled encoder; the doubled
+    * delimiter between symbols keeps consecutive matches independent
+    * (with a SHARED delimiter, 'a a a a' would merge only once — the
+    * match would consume the next pair's leading separator).
+    */
+  private def bpeOracleSql: String = {
+    val wrapped = bpeGateMerges.foldLeft("r") { case (acc, (l, r)) =>
+      s"replace($acc, chr(31)||'$l'||chr(31)||chr(31)||'$r'||chr(31), chr(31)||'$l$r'||chr(31))"
+    }
+    s"""WITH nt AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |rep AS (SELECT doc_id, regexp_replace(t, '([^ ])', chr(31)||'\\1'||chr(31), 'g') AS r FROM nt),
+       |m AS (SELECT doc_id, $wrapped AS r2 FROM rep)
+       |SELECT doc_id,
+       |  trim(regexp_replace(replace(r2, chr(31), ' '), ' +', ' ', 'g')) AS encoded,
+       |  ((len(r2) - len(replace(r2, chr(31), ''))) // 2)::BIGINT AS n_tokens
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // built-once tracking is PER JVM (like the catalog check the table
   // indexes use): a bare _SUCCESS probe would reuse a stale tmpdir
   // index across sessions after the fixtures (or the index writer's
@@ -243,6 +281,9 @@ object SparkEntry {
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     "vocab_bigrams"     -> ((s, d) => Corpus.bigramTopK(Tables.documents(s, d))),
+    "bpe_pair_counts"   -> ((s, d) => Corpus.bpePairCounts(Tables.documents(s, d))),
+    "bpe_encode"        -> ((s, d) =>
+      Corpus.bpeEncodeDocs(Tables.documents(s, d), bpeGateMerges)),
     "length_histogram"  -> ((s, d) => Corpus.lengthHistogram(Tables.documents(s, d))),
     "corpus_report"     -> ((s, d) => Corpus.report(Tables.documents(s, d))),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
@@ -1150,6 +1191,14 @@ object SparkEntry {
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM w WHERE len(ws) >= 2)
         |SELECT gram, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
         |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 30""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
+        |f AS (SELECT word, count(*)::BIGINT AS freq FROM w WHERE word <> '' GROUP BY 1),
+        |p AS (SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, freq
+        |      FROM f, unnest(generate_series(1, len(word) - 1)) AS t(i) WHERE len(word) >= 2)
+        |SELECT left_sym, right_sym, sum(freq)::BIGINT AS pair_count
+        |FROM p GROUP BY 1, 2 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 40""".stripMargin,
+    "bpe_encode" -> bpeOracleSql,
     "length_histogram" ->
       """WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\s+'))::BIGINT AS toks FROM documents),
         |b AS (SELECT lang, least(toks // 16, 8) AS bucket, toks FROM t)

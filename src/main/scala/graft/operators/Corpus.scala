@@ -86,6 +86,124 @@ object Corpus {
       .orderBy(col("tf").desc, col("gram"))
       .limit(k)
 
+  /** Corpus word-frequency table (word, freq) — the bounded statistic
+    * every tokenizer-induction step runs on: one corpus scan, one
+    * map-side-combinable aggregate keyed by word (the exchange
+    * carries ≈ |vocab| × partitions rows, not corpus tokens).
+    */
+  private def wordFreq(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Character-pair statistics of the corpus — BPE training's FIRST
+    * iteration, exactly: adjacent character-pair counts weighted by
+    * corpus word frequency, top-k by count with lexicographic
+    * tie-break. The top row IS the first merge [[bpeTrain]] learns
+    * (spec-asserted), which makes the distributed statistic behind
+    * tokenizer induction oracle-checkable even though the full merge
+    * LOOP is iterative. Scale shape: the pair explode runs over the
+    * aggregated VOCAB table (|vocab| rows, not corpus tokens), so the
+    * corpus itself is scanned once by [[wordFreq]] and never again.
+    */
+  def bpePairCounts(documents: DataFrame, k: Int = 40): DataFrame =
+    wordFreq(documents)
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substr(word, i, 1)").as("left_sym"),
+        expr("substr(word, i + 1, 1)").as("right_sym"), col("freq"))
+      .groupBy("left_sym", "right_sym")
+      .agg(sum("freq").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(k)
+
+  /** One learned BPE merge: `left + right -> left+right`, with the
+    * weighted pair count that selected it at `rank`.
+    */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+                            pairCount: Long)
+
+  /** Learn `nMerges` BPE merges from the corpus — tokenizer induction
+    * as a first-class corpus operator. The distributed part is ONE
+    * corpus scan into the word-frequency aggregate; the merge loop
+    * then runs on the collected vocabulary, which is bounded by
+    * `maxVocab` (frequency-ranked trim, deterministic (freq desc,
+    * word) order — the standard tokenizer-training practice: rare
+    * tail words cannot move top-merge counts materially). The
+    * collected table is the same bounded-artifact contract as the IVF
+    * codebooks: |vocab| ≤ maxVocab rows regardless of corpus size, so
+    * the driver never holds corpus-proportional state. Each iteration
+    * recounts pairs from the current segmentations (O(vocab chars))
+    * and picks the max-count pair, ties broken lexicographically on
+    * (left, right) — fully deterministic, engine-independent.
+    *
+    * Training applies each learned merge as a single left-to-right
+    * sweep per word — the SAME convention [[HashExprs.bpeEncode]]
+    * replays, so encode(trained merges) segments training words
+    * identically to how training left them (spec-asserted).
+    */
+  def bpeTrain(documents: DataFrame, nMerges: Int = 16,
+               maxVocab: Int = 65536): Seq[BpeMerge] = {
+    val vocab = wordFreq(documents)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val words = vocab.map { case (w, f) =>
+      (scala.collection.mutable.ArrayBuffer[String](w.map(String.valueOf): _*), f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += BpeMerge(rank, l, r, c)
+        val merged = l + r
+        words.foreach { case (syms, _) =>
+          var si = 0
+          var oi = 0
+          while (si < syms.length) {
+            if (si + 1 < syms.length && syms(si) == l && syms(si + 1) == r) {
+              syms(oi) = merged; si += 2
+            } else { syms(oi) = syms(si); si += 1 }
+            oi += 1
+          }
+          syms.remove(oi, syms.length - oi)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Encode every document with an ordered merge list — the corpus
+    * form of [[HashExprs.bpeEncode]]: (doc_id, encoded, n_tokens),
+    * scan-speed compiled work, merges riding the plan as a bounded
+    * closure (no shuffle, no join).
+    */
+  def bpeEncodeDocs(documents: DataFrame,
+                    merges: Seq[(String, String)]): DataFrame =
+    documents
+      .select(col("doc_id"),
+        HashExprs.bpeEncode(TextAnalysis.normalizeWs(col("text")), merges).as("e"))
+      .select(col("doc_id"), col("e.encoded").as("encoded"),
+        col("e.n_tokens").as("n_tokens"))
+      .orderBy("doc_id")
+
   /** Per-document top-k terms by tf·idf — the keyword/topic-feature
     * step (the reference's category derivation is a crude fixed-rule
     * version of this). idf is kept RATIONAL (tf·N/df, no logarithm):

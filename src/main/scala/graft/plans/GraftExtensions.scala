@@ -24,6 +24,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `word_ngrams(string, n) -> array<string>`
   *  - `repetition_stats(string) -> struct<n_words,n_distinct_words,top_bigram_count>`
   *  - `remove_spans(string, array<bigint>, n) -> struct<kept_text,n_tokens,n_removed>`
+  *  - `bpe_encode(string, array<string>) -> struct<encoded,n_tokens>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -37,6 +38,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Boolean, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be a boolean literal, got $other")
+  }
+
+  /** Ordered merge list from a SQL literal array of "left right"
+    * strings (symbols never contain spaces — they are concatenations
+    * of word characters), accepting both the folded Literal form and
+    * the unfolded `array('t a', ...)` CreateArray form.
+    */
+  private def mergesArg(e: Expression, what: String): Seq[(String, String)] = {
+    val strings: Seq[String] = e match {
+      case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                   org.apache.spark.sql.types.ArrayType(
+                     org.apache.spark.sql.types.StringType, _)) =>
+        v.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+      case arr: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+        arr.children.map {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"$what elements must be string literals, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array<string> literal of 'left right' pairs, got $other")
+    }
+    strings.map { s =>
+      val sp = s.indexOf(' ')
+      if (sp <= 0 || sp != s.lastIndexOf(' ') || sp == s.length - 1)
+        throw new IllegalArgumentException(
+          s"$what: each merge must be 'left right' with exactly one space, got '$s'")
+      (s.substring(0, sp), s.substring(sp + 1))
+    }
   }
 
   private def info(name: String, usage: String) =
@@ -91,5 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("remove_spans"),
       info("remove_spans", "remove_spans(text, starts, n) - drop tokens covered by n-token spans at the sorted start indices"),
       (args: Seq[Expression]) => RemoveSpansExpr(args(0), args(1), intArg(args(2), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      info("bpe_encode", "bpe_encode(text, merges) - BPE-encode a normalized text with an ordered array of 'left right' merges"),
+      (args: Seq[Expression]) => BpeEncodeExpr(args(0), mergesArg(args(1), "merges"))))
   }
 }

@@ -145,6 +145,13 @@ object HashExprs {
   /** L2 (unit-norm) normalization of a vector. */
   def l2Normalize(v: Column): Column = col(L2NormalizeExpr(expr(v)))
 
+  /** BPE-encode a single-space-normalized text with an ordered merge
+    * list: struct(encoded, n_tokens) in one compiled pass — see
+    * [[BpeEncodeExpr]] for the application convention.
+    */
+  def bpeEncode(normText: Column, merges: Seq[(String, String)]): Column =
+    col(BpeEncodeExpr(expr(normText), merges))
+
   /** Cosine similarity of two int8-quantized vectors
     * (array<tinyint>) — integer dot and norms, one double division.
     */
@@ -1199,4 +1206,117 @@ case class L2NormalizeExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "l2_normalize"
+}
+
+/** BPE encoding of a single-space-normalized text against an ordered
+  * merge list, in ONE compiled pass per row: struct(encoded, n_tokens)
+  * where `encoded` is the token stream space-joined and `n_tokens`
+  * counts tokens across all words.
+  *
+  * Application convention — TRAINING-TIME, rank order: each merge
+  * (left, right) is applied exactly once, in list order, as a single
+  * left-to-right non-overlapping sweep over every word's symbol
+  * sequence (symbols start as characters; merges never cross word
+  * boundaries). This is the convention under which learned-rank-order
+  * application and iterative min-rank-first encoding coincide for a
+  * consistently trained merge list (a merge's parts always predate
+  * it), and — unlike min-rank-first — it is reproducible in any engine
+  * as a fixed chain of string replacements, which is what makes the
+  * encoder ORACLE-CHECKABLE (the DuckDB side is a nested `replace`
+  * over a delimiter-wrapped symbol representation).
+  *
+  * Cost: O(merges) set-membership pre-checks per word skip the sweeps
+  * of merges whose parts aren't even present, so non-applicable
+  * merges are O(1) and each applicable merge is one O(|word|) sweep.
+  * The merge list rides the expression into the plan (closure
+  * broadcast) — production tokenizers are ≤50k merges ≈ single-digit
+  * MBs, the same bounded-artifact contract as the IVF codebooks.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with UnaryComputeCodegen {
+
+  require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
+    "bpe_encode: merge parts must be non-empty")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("encoded", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val lefts: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rights: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val joined: Array[String] =
+    merges.map { case (l, r) => l + r }.toArray
+
+  /** Public: called from generated code ([[doGenCode]]). */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val len = s.length
+    val sb = new java.lang.StringBuilder
+    var nTokens = 0L
+    var syms = new Array[String](16)
+    val present = new java.util.HashSet[String]()
+    var wStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        val wlen = i - wStart
+        if (wlen > 0) {
+          if (syms.length < wlen) syms = new Array[String](wlen)
+          present.clear()
+          var j = 0
+          while (j < wlen) {
+            val c = String.valueOf(s.charAt(wStart + j))
+            syms(j) = c
+            present.add(c)
+            j += 1
+          }
+          var cnt = wlen
+          var m = 0
+          while (m < lefts.length && cnt >= 2) {
+            // the presence set can hold stale symbols after a sweep
+            // consumed them — that only costs a wasted O(|word|) sweep,
+            // never a wrong merge (the sweep re-checks adjacency)
+            if (present.contains(lefts(m)) && present.contains(rights(m))) {
+              var oi = 0
+              var si = 0
+              var mergedAny = false
+              while (si < cnt) {
+                if (si + 1 < cnt && syms(si) == lefts(m) && syms(si + 1) == rights(m)) {
+                  syms(oi) = joined(m); si += 2; mergedAny = true
+                } else { syms(oi) = syms(si); si += 1 }
+                oi += 1
+              }
+              if (mergedAny) { cnt = oi; present.add(joined(m)) }
+            }
+            m += 1
+          }
+          var t = 0
+          while (t < cnt) {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(syms(t))
+            nTokens += 1
+            t += 1
+          }
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(sb.toString), nTokens)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
 }

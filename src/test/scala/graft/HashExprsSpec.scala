@@ -83,6 +83,14 @@ class HashExprsSpec extends SparkSpec {
       .getStruct(0)
     assert(rm.getAs[String]("kept_text") === "a e")
     assert(rm.getAs[Long]("n_removed") === 3L)
+    val bp = spark.sql("SELECT bpe_encode('tab scan', array('t a', 'ta b')) AS b")
+      .head().getStruct(0)
+    assert(bp.getAs[String]("encoded") === "tab s c a n")
+    assert(bp.getAs[Long]("n_tokens") === 5L)
+    // malformed merge strings must fail loudly, not mis-split
+    intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', array('a b c')) AS b").head()
+    }
   }
 
   test("ivf top-k scores consistently with brute force on shared ids") {
@@ -242,6 +250,8 @@ class HashExprsSpec extends SparkSpec {
       plans.HashExprs.wordNgrams(nt, 3).as("grams"),
       plans.HashExprs.removeSpans(nt, lit(Array(0L, 4L)), 3).as("spans"),
       plans.HashExprs.repetitionStats(nt).as("rep"),
+      plans.HashExprs.bpeEncode(nt,
+        Seq("t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e")).as("bpe"),
       plans.HashExprs.langSegments(lower(nt), 16,
         Seq("en" -> Seq("the", "of"), "id" -> Seq("yang", "dan"))).as("segs"),
       plans.XmlExprs.xmlLeafMap(col("text")).as("xml"),

@@ -901,6 +901,52 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpe training learns the hand-worked merges and encode replays them") {
+    import spark.implicits._
+    // vocab: low×2, lower×1. Pair counts iter 1: (l,o)=3, (o,w)=3,
+    // (w,e)=1, (e,r)=1 — tie at 3 broken lexicographically → (l,o).
+    // iter 2: (lo,w)=3. iter 3: (low,e)=1 vs (e,r)=1 → (e,r).
+    // iter 4: (low,er)=1.
+    val docs = Seq((1L, "low low lower"), (2L, "")).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, nMerges = 4)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) ===
+      Seq(("l", "o", 3L), ("lo", "w", 3L), ("e", "r", 1L), ("low", "er", 1L)))
+    // encode with the trained merges segments exactly as training left
+    // the vocab: 'low'→[low], 'lower'→[low,er]→[lower] (merge 4
+    // applied); empty text → 0 tokens
+    val enc = Corpus.bpeEncodeDocs(docs, merges.map(m => (m.left, m.right)))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(enc(1L) === (("low low lower", 3L)))
+    assert(enc(2L) === (("", 0L)))
+  }
+
+  test("bpe pair counts equal training's first iteration; merges never cross words") {
+    val docs = Tables.documents(spark, sfDir)
+    val top = Corpus.bpePairCounts(docs, k = 1).head()
+    val first = Corpus.bpeTrain(docs, nMerges = 1).head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) ===
+      ((first.left, first.right, first.pairCount)))
+    import spark.implicits._
+    // (a,b) is the dominant pair but 'a b' sits across a word
+    // boundary — only the in-word occurrence may merge
+    val bound = Seq((1L, "a b ab")).toDF("doc_id", "text")
+    val enc = Corpus.bpeEncodeDocs(bound, Seq("a" -> "b")).head()
+    assert(enc.getString(1) === "a b ab")
+    assert(enc.getLong(2) === 3L)
+    // consecutive pairs merge left-to-right non-overlapping in ONE
+    // sweep: aaaa → [aa, aa], aaa → [aa, a]
+    val run = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val enc2 = Corpus.bpeEncodeDocs(run, Seq("a" -> "a")).head()
+    assert(enc2.getString(1) === "aa aa aa a")
+    assert(enc2.getLong(2) === 4L)
+    // rank order is strict: a merge whose parts only appear AFTER a
+    // later merge ran does not get a second chance (training-time
+    // convention — matches the nested-replace oracle exactly)
+    val strict = Seq((1L, "abc")).toDF("doc_id", "text")
+    val enc3 = Corpus.bpeEncodeDocs(strict, Seq("ab" -> "c", "a" -> "b")).head()
+    assert(enc3.getString(1) === "ab c")
+  }
+
   test("train shards: reproducible total order, seed reshuffles, contiguous positions") {
     val docs = Tables.documents(spark, sfDir)
     val e1 = Sampling.trainShards(docs).collect()
