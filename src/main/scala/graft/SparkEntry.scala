@@ -274,6 +274,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Sampling.stratified(Tables.documents(s, d))),
     "sample_target_mix" -> ((s, d) => Sampling.targetMix(Tables.documents(s, d))),
     "sample_recency"    -> ((s, d) => Sampling.recency(Tables.documents(s, d))),
+    "sample_temperature" -> ((s, d) => Sampling.temperatureMix(Tables.documents(s, d))),
     "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "train_shards"      -> ((s, d) => Sampling.trainShards(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
@@ -872,6 +873,22 @@ object SparkEntry {
          |h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
          |b AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS bucket FROM h)
          |SELECT b.doc_id, b.lang, CAST(r.rate_pct AS BIGINT) AS rate_pct
+         |FROM b JOIN r USING (lang)
+         |WHERE b.bucket < r.rate_pct
+         |ORDER BY doc_id""".stripMargin
+    },
+    // α=½ temperature mix: sqrt is correctly rounded by IEEE spec in
+    // both engines, so the floor'd rate is engine-exact
+    "sample_temperature" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+         |r AS (SELECT lang, CAST(floor(100 * sqrt((SELECT min(cnt) FROM c)::DOUBLE / cnt::DOUBLE)) AS BIGINT) AS rate_pct FROM c),
+         |h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |b AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS bucket FROM h)
+         |SELECT b.doc_id, b.lang, r.rate_pct
          |FROM b JOIN r USING (lang)
          |WHERE b.bucket < r.rate_pct
          |ORDER BY doc_id""".stripMargin

@@ -140,6 +140,40 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-flattened language mix (α = ½) — the PARTIAL
+    * re-weighting between "keep the natural distribution" (α = 1) and
+    * [[targetMix]]'s full flattening (α = 0): sampling weights
+    * n_lang^α give per-doc keep rates ∝ n_lang^(α−1) = 1/√n_lang,
+    * normalized so the SMALLEST language keeps 100% —
+    * rate_pct = ⌊100·√(n_min/n_lang)⌋. The standard multi-domain
+    * pre-training recipe (temperature sampling): dominant domains are
+    * thinned, rare ones kept, without collapsing to uniform.
+    *
+    * α = ½ keeps the gate engine-exact without logarithms or pow():
+    * n_min/n_lang is one IEEE division of exactly-representable
+    * longs and sqrt is correctly rounded by spec in every IEEE
+    * engine, so both sides compute bit-identical doubles and the
+    * floor'd integer rate matches exactly. Scale shape is
+    * [[targetMix]]'s: an L-row count aggregate broadcast back, the
+    * corpus itself one scan with the deterministic md5-bucket
+    * predicate.
+    */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val rates = documents.groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_min", min("cnt").over(w))
+      .select(col("lang"),
+        floor(lit(100d) * sqrt(col("n_min").cast("double") / col("cnt").cast("double")))
+          .as("rate_pct"))
+    documents.join(broadcast(rates), "lang")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("lang"), col("rate_pct"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic epoch-shuffled training ORDER — the step after
     * curation and packing: training wants the corpus in a
     * pseudo-random order that is (a) reproducible bit-for-bit across

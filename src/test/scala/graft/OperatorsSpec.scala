@@ -901,6 +901,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix thins by inverse sqrt of language share, smallest keeps all") {
+    val docs = Tables.documents(spark, sfDir)
+    val natural = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = natural.values.min
+    val rates = Sampling.temperatureMix(docs)
+      .select("lang", "rate_pct").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate replays the closed form; the smallest language keeps 100%
+    rates.foreach { case (lang, r) =>
+      assert(r === math.floor(100.0 * math.sqrt(nMin.toDouble / natural(lang))).toLong)
+    }
+    assert(rates(natural.minBy { case (l, n) => (n, l) }._1) === 100L)
+    // α=½ sits strictly between natural (α=1: no thinning) and
+    // uniform (α=0: rate ∝ 1/n): for the largest language,
+    // sqrt-thinning keeps MORE than full flattening would
+    val (maxLang, maxN) = natural.maxBy(_._2)
+    if (maxN > nMin) {
+      val flat = 100L * nMin / maxN
+      assert(rates(maxLang) > flat && rates(maxLang) < 100L)
+    }
+  }
+
   test("bpe training learns the hand-worked merges and encode replays them") {
     import spark.implicits._
     // vocab: low×2, lower×1. Pair counts iter 1: (l,o)=3, (o,w)=3,
