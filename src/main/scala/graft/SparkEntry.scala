@@ -220,6 +220,7 @@ object SparkEntry {
     "quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
+    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
     // the persisted-index twins: build the index once (ingest-time
     // artifact), then run the consumer — same oracles as the direct
     // forms, zero-exchange plans spec-asserted in HashExprsSpec
@@ -408,6 +409,18 @@ object SparkEntry {
        |coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id,
        |(coalesce(least(l.mr, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
+
+  /** Oracle for dedup_cluster_stats: the [[clusterOracle]] components
+    * aggregated twice — per-cluster size, then size histogram.
+    */
+  private def clusterStatsOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       |  (cluster_size * count(*))::BIGINT AS n_docs
+       |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Oracle for dedup_keep_best: brute-force components (same CTEs as
     * [[clusterOracle]]) joined to the quality expression of the
@@ -626,6 +639,7 @@ object SparkEntry {
     "dedup_containment" -> containmentPairsOracle(word = true, k = 5, threshold = 0.8),
     "dedup_containment_indexed" -> containmentPairsOracle(word = true, k = 5, threshold = 0.8),
     "dedup_cluster" -> clusterOracle,
+    "dedup_cluster_stats" -> clusterStatsOracle,
     "dedup_simhash" -> simhashOracle(3),
     "rollup_daily" ->
       """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS period_key, 'day' AS agg_type,

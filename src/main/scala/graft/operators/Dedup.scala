@@ -607,6 +607,21 @@ object Dedup {
     clusterPairs(minhashLsh(documents).select("a", "b"),
       documents.select("doc_id"), maxIter)
 
+  /** Cluster-SIZE histogram — the dedup-effectiveness report a
+    * curation review reads before shipping: how many near-dup
+    * clusters of each size exist and how many documents they hold
+    * (singletons = unique docs; the tail row is the template/boiler-
+    * plate family). Mass-conserving by construction: Σ n_docs equals
+    * the corpus count (spec-asserted). Two tiny aggregates over the
+    * (doc, cluster) assignment — output is ≤ |distinct sizes| rows.
+    */
+  def clusterStats(documents: DataFrame, maxIter: Int = 8): DataFrame =
+    minhashClusters(documents, maxIter)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
   /** The end product of the dedup pipeline: ONE kept document per
     * near-dup cluster, chosen by QUALITY (not min id — dropping the
     * better-written duplicate is a real training-data loss), with a

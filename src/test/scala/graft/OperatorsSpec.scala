@@ -901,6 +901,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cluster stats conserve document mass and count real dup families") {
+    val docs = Tables.documents(spark, sfDir)
+    val stats = Dedup.clusterStats(docs).collect()
+    assert(stats.map(r => r.getAs[Long]("n_docs")).sum === docs.count())
+    // n_docs is definitionally size × clusters
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("temperature mix thins by inverse sqrt of language share, smallest keeps all") {
     val docs = Tables.documents(spark, sfDir)
     val natural = docs.groupBy("lang").count()
