@@ -227,6 +227,7 @@ object SparkEntry {
     "dedup_minhash_lsh_indexed" -> ((s, d) =>
       Dedup.minhashLshIndexed(s, minhashIdx(s, d), Tables.documents(s, d))),
     "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
+    "cluster_stats_indexed" -> ((s, d) => Dedup.clusterStatsFromIndex(s, clusterIdx(s, d))),
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
     "ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfIdx(s, d), 7L, 20)),
@@ -930,6 +931,7 @@ object SparkEntry {
     // must reproduce the direct computation exactly
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_keep_best_indexed" -> keepBestOracle,
+    "cluster_stats_indexed" -> clusterStatsOracle,
     "split_from_index" -> leakageSplitOracle,
     // exact-guarantee probe over the persisted IVF index → brute
     // force is the correct oracle, same as ann_ivf_topk

@@ -684,6 +684,21 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** [[clusterStats]] over the persisted cluster index — at scale the
+    * histogram is a report you re-read after every ingest batch, so it
+    * should never re-run LSH: two aggregates over the bucketed
+    * assignment, with the per-cluster size grouping satisfied
+    * exchange-free by the cluster_id bucketing. Identical output to
+    * the direct path (same assignment).
+    */
+  def clusterStatsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String): DataFrame =
+    spark.table(table)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Connected components over an (a, b) near-dup pair list: every doc
     * in `allDocs` gets the min doc_id of its component (docs without
     * edges are their own singleton). Public so any pair source

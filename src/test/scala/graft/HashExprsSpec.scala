@@ -400,6 +400,13 @@ class HashExprsSpec extends SparkSpec {
     assert(!spPlan.contains("Exchange hashpartitioning"),
       s"indexed split should not hash-shuffle:\n$spPlan")
     assert(sp.collect().toSeq === operators.Sampling.leakageSafeSplit(docs).collect().toSeq)
+    // the size histogram: the per-cluster count is bucket-local; the
+    // only hash exchange left is the |clusters|-row size regroup
+    val cs = operators.Dedup.clusterStatsFromIndex(spark, "g_cluster_idx")
+    val csPlan = cs.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(cluster_id".r.findAllIn(csPlan).isEmpty,
+      s"indexed cluster stats must not shuffle the assignment:\n$csPlan")
+    assert(cs.collect().toSeq === operators.Dedup.clusterStats(docs).collect().toSeq)
   }
 
   test("incremental dedup flags a re-crawled batch against the persisted index") {
