@@ -280,6 +280,8 @@ object SparkEntry {
     "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "train_shards"      -> ((s, d) => Sampling.trainShards(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
+    "chunk_documents"   -> ((s, d) => Corpus.chunkDocuments(Tables.documents(s, d))),
+    "rarity_score"      -> ((s, d) => Corpus.rarityScore(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
@@ -975,6 +977,30 @@ object SparkEntry {
          |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin
     },
+    // below-mean-frequency token rate: the rare/common cut is an
+    // integer cross-multiply (tf·|vocab| < total), engine-exact
+    "rarity_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE word <> ''),
+        |vocab AS (SELECT word, count(*)::BIGINT AS tf FROM t2 GROUP BY 1),
+        |st AS (SELECT sum(tf)::BIGINT AS total, count(*)::BIGINT AS v FROM vocab)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN vocab.tf * st.v < st.total THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+        |  ((10000 * sum(CASE WHEN vocab.tf * st.v < st.total THEN 1 ELSE 0 END)) // count(*))::BIGINT AS rare_bp
+        |FROM t2 JOIN vocab USING (word), st
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sliding-window chunking: all-integer boundaries; DuckDB list
+    // slice ws[a:b] is 1-based inclusive = Spark slice(ws, a, 32)
+    "chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CASE WHEN ws = [''] THEN 0 ELSE len(ws) END AS nw FROM w),
+        |c AS (SELECT doc_id, ws, nw, unnest(generate_series(0,
+        |  CASE WHEN nw <= 32 THEN 0 ELSE (nw - 32 + 24 - 1) // 24 END)) AS chunk_idx
+        |  FROM n WHERE nw > 0)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |  array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text,
+        |  least(32, nw - chunk_idx * 24)::BIGINT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "top_k" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -735,4 +735,76 @@ object Corpus {
         expr(s"(token_offset + greatest(n_tokens, 1L) - 1L) div $budgetTokens"))
       .orderBy("doc_id")
   }
+
+  /** Sliding-window document CHUNKING — the retrieval/embedding prep
+    * staple: fixed `chunkTokens`-token windows advancing by `stride`
+    * (stride < chunkTokens ⇒ overlap, so a passage split across a
+    * boundary still appears whole in some chunk). A chunk is emitted
+    * only if it covers at least one token beyond the previous
+    * chunk's end — the last chunk may be short, but a tail window
+    * fully CONTAINED in its predecessor is redundant and skipped
+    * (n ≤ chunkTokens ⇒ exactly one chunk); an empty document yields
+    * none. Per-row explode + slice — scan work, no shuffle (the
+    * output sort is presentation only); all-integer boundaries, so
+    * both engines cut identical chunks.
+    */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32,
+                     stride: Int = 24): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunk and stride must be positive")
+    require(stride <= chunkTokens, "stride beyond the chunk width would drop tokens")
+    // last emitted idx: 0 if n ≤ chunk, else the smallest k covering
+    // the last token = ceil((n − chunk)/stride) — integer-exact
+    val lastIdx =
+      expr(s"if(nw <= $chunkTokens, 0, (nw - $chunkTokens + $stride - 1) div $stride)")
+    documents
+      .select(col("doc_id"),
+        split(TextAnalysis.normalizeWs(col("text")), " ").as("ws"))
+      .withColumn("nw",
+        when(col("ws") === array(lit("")), lit(0)).otherwise(size(col("ws"))))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), col("ws"), col("nw"),
+        explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("ws"),
+          col("chunk_idx") * stride + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens).cast("long"),
+          (col("nw") - col("chunk_idx") * stride).cast("long")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Per-document lexical RARITY — the corpus-relative quality signal
+    * the per-document scores ([[graft.functions.TextAnalysis]]) can't
+    * see: the fraction of token occurrences whose corpus frequency is
+    * below the corpus mean (tf·|vocab| < total_tokens, an integer
+    * cross-multiply — no division, engine-exact). High rare_bp flags
+    * OOV-heavy noise (mojibake, id strings, boilerplate soup) the
+    * way a unigram-LM surprisal filter would, without the
+    * cross-engine drift a log-probability would introduce.
+    *
+    * Scale shape (the tfidf contract): per-doc tf is one
+    * map-side-combinable (doc, word) aggregate; corpus tf is a
+    * window over the word key of that aggregated table (≪ corpus
+    * tokens); the corpus-wide (total, |vocab|) pair is a one-row
+    * broadcast. Nothing corpus-proportional is ever collected or
+    * broadcast.
+    */
+  def rarityScore(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = documents
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val withTf = perDoc.withColumn("tf", sum("cnt").over(Window.partitionBy("word")))
+    val stats = perDoc.groupBy("word").agg(sum("cnt").as("tf"))
+      .agg(sum("tf").as("total"), count(lit(1)).as("v"))
+    withTf.crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(when(col("tf") * col("v") < col("total"), col("cnt"))
+          .otherwise(lit(0L))).as("n_rare"))
+      .withColumn("rare_bp", expr("(10000 * n_rare) div n_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -901,6 +901,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("chunking overlaps by stride, covers every token once past each boundary") {
+    import spark.implicits._
+    // 40 words: chunk 0 = words 0..31, chunk 1 = words 24..39 (16
+    // tokens); 30 words fit one window — the contained tail window
+    // words 24..29 must NOT be emitted; empty doc yields nothing
+    val w40 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val w30 = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, w40), (2L, w30), (3L, "")).toDF("doc_id", "text")
+    val chunks = Corpus.chunkDocuments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(chunks.keySet === Set((1L, 0L), (1L, 1L), (2L, 0L)))
+    assert(chunks((1L, 0L))._1.startsWith("w0 w1 ") && chunks((1L, 0L))._2 === 32L)
+    assert(chunks((1L, 1L))._1 === (24 until 40).map(i => s"w$i").mkString(" "))
+    assert(chunks((1L, 1L))._2 === 16L)
+    assert(chunks((2L, 0L))._2 === 30L)
+    // overlap: the straddling passage w24..w31 appears whole in BOTH
+    assert(chunks((1L, 0L))._1.endsWith("w30 w31"))
+    assert(chunks((1L, 1L))._1.startsWith("w24"))
+  }
+
+  test("rarity score counts below-mean-frequency token mass, integer-exact") {
+    import spark.implicits._
+    // tf: common=6, rare=2 over v=2 words, total=8, mean=4:
+    // 'rare' is below mean (2·2 < 8), 'common' is not (6·2 > 8)
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common common common rare")).toDF("doc_id", "text")
+    val r = Corpus.rarityScore(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((4L, 1L, 2500L)))
+    assert(r(2L) === ((4L, 1L, 2500L)))
+    // a uniform corpus has no below-mean word: rare mass is zero
+    val flat = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    val fr = Corpus.rarityScore(flat).head()
+    assert(fr.getLong(2) === 0L && fr.getLong(3) === 0L)
+  }
+
   test("cluster stats conserve document mass and count real dup families") {
     val docs = Tables.documents(spark, sfDir)
     val stats = Dedup.clusterStats(docs).collect()
