@@ -14,15 +14,19 @@ class PlanGuardSpec extends SparkSpec {
   //    (kilobytes into the final reduce)
   //  - api_paginate / api_report_list: page-bounded rn assignment
   //    (≤ page·limit rows on the single partition, by construction)
-  //  - sample_target_mix: window over the L-row language-count frame
+  //  - sample_target_mix / sample_temperature: window over the L-row
+  //    language-count frame
   //  - tfidf_top_terms: the one-row global doc count (idf numerator),
   //    broadcast back — the final reduce of a count is one row
   //  - bm25_topk: the one-row corpus stats aggregate (N, Σdl, per-term
   //    df) — one partial-agg row per partition into the final reduce
+  //  - rarity_score: the one-row (total, |vocab|) corpus stats reduce
+  //    off the vocab aggregate, broadcast back
   private val singlePartitionOk = Set(
     "hll_cardinality", "quantile_sketch",
     "api_paginate", "api_report_list",
-    "sample_target_mix", "tfidf_top_terms", "bm25_topk")
+    "sample_target_mix", "sample_temperature",
+    "tfidf_top_terms", "bm25_topk", "rarity_score")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
