@@ -977,16 +977,16 @@ object SparkEntry {
          |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin
     },
-    // below-mean-frequency token rate: the rare/common cut is an
-    // integer cross-multiply (tf·|vocab| < total), engine-exact
+    // below-mean-frequency token rate: the rare/common cut is
+    // tf < ceil(total/|vocab|) — integer, overflow-free, engine-exact
     "rarity_score" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
         |t2 AS (SELECT * FROM toks WHERE word <> ''),
         |vocab AS (SELECT word, count(*)::BIGINT AS tf FROM t2 GROUP BY 1),
-        |st AS (SELECT sum(tf)::BIGINT AS total, count(*)::BIGINT AS v FROM vocab)
+        |st AS (SELECT ((sum(tf) + count(*) - 1) // count(*))::BIGINT AS mean_ceil FROM vocab)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |  sum(CASE WHEN vocab.tf * st.v < st.total THEN 1 ELSE 0 END)::BIGINT AS n_rare,
-        |  ((10000 * sum(CASE WHEN vocab.tf * st.v < st.total THEN 1 ELSE 0 END)) // count(*))::BIGINT AS rare_bp
+        |  sum(CASE WHEN vocab.tf < st.mean_ceil THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+        |  ((10000 * sum(CASE WHEN vocab.tf < st.mean_ceil THEN 1 ELSE 0 END)) // count(*))::BIGINT AS rare_bp
         |FROM t2 JOIN vocab USING (word), st
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sliding-window chunking: all-integer boundaries; DuckDB list

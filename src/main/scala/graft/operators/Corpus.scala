@@ -152,9 +152,19 @@ object Corpus {
       .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val words = vocab.map { case (w, f) =>
-      (scala.collection.mutable.ArrayBuffer[String](w.map(String.valueOf): _*), f)
+    // one symbol per CODEPOINT, matching [[HashExprs.bpeEncode]] and
+    // the character counting of [[bpePairCounts]]'s substr oracle
+    def cpSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < w.length) {
+        val step = Character.charCount(w.codePointAt(j))
+        out += w.substring(j, j + step)
+        j += step
+      }
+      out
     }
+    val words = vocab.map { case (w, f) => (cpSyms(w), f) }
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var rank = 0
     var exhausted = false
@@ -321,15 +331,6 @@ object Corpus {
       .limit(k)
   }
 
-  /** Persist the INVERTED INDEX behind [[bm25FromIndex]]: posting
-    * rows (word, doc_id, tf, dl) bucketed on `word` — the probe's
-    * join/window key — with the corpus stats (N, Σdl) stamped as
-    * table properties so a probe touches NOTHING but the index.
-    * dl rides each posting (denormalized) so scoring needs no
-    * doc-side join. Ingest-time cost: one explode + one (word,
-    * doc_id) aggregation + one stats scan — paid once; every query
-    * thereafter reads only the buckets its terms hash to.
-    */
   /** Posting rows + the (n, Σdl) stats row for a document frame —
     * ONE tokenization shared by index build and append (a drift
     * between them would skew tf/df for appended batches only).
@@ -346,6 +347,15 @@ object Corpus {
     (postings, (st.getAs[Long]("n"), st.getAs[Long]("s")))
   }
 
+  /** Persist the INVERTED INDEX behind [[bm25FromIndex]]: posting
+    * rows (word, doc_id, tf, dl) bucketed on `word` — the probe's
+    * join/window key — with the corpus stats (N, Σdl) stamped as
+    * table properties so a probe touches NOTHING but the index.
+    * dl rides each posting (denormalized) so scoring needs no
+    * doc-side join. Ingest-time cost: one explode + one (word,
+    * doc_id) aggregation + one stats scan — paid once; every query
+    * thereafter reads only the buckets its terms hash to.
+    */
   def writeBm25Index(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
     val (postings, (n, s)) = bm25Postings(documents)
     graft.sources.Sinks.writeBucketed(postings, table, Seq("word"), numBuckets)
@@ -366,6 +376,14 @@ object Corpus {
     * indexed document would duplicate its postings (and double its
     * tf); on updates or deletions, rebuild. Missing stats stamp
     * (table not written by [[writeBm25Index]]) is an error.
+    * SINGLE WRITER, like every index append here: the posting
+    * append and the stats restamp are two catalog operations, not
+    * one transaction (plain parquet tables have no multi-writer
+    * story). A crash between them — or two concurrent appenders
+    * racing the read-modify-write restamp — leaves postings and
+    * stats inconsistent; serialize appends (the foreachBatch sink
+    * pattern does) and run [[repairBm25Stats]] after a suspected
+    * partial append.
     */
   def appendToBm25Index(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
     val spark = newDocs.sparkSession
@@ -375,12 +393,33 @@ object Corpus {
       s"index table $table has no graft.bm25.n property — not written by writeBm25Index")).toLong
     val s0 = props("graft.bm25.s").toLong
     val (postings, (n1, s1)) = bm25Postings(newDocs)
-    postings.write.mode("append")
-      .bucketBy(numBuckets, "word").sortBy("word")
-      .format("parquet").saveAsTable(table)
+    graft.sources.Sinks.appendBucketed(postings, table, Seq("word"), numBuckets)
     spark.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('graft.bm25.n'='${n0 + n1}','graft.bm25.s'='${s0 + s1}')")
+  }
+
+  /** Recompute the (N, Σdl) stamp from the index's own posting rows
+    * and rewrite it — the recovery path for a crash between
+    * [[appendToBm25Index]]'s posting append and its stats restamp
+    * (the stamp is DERIVABLE from the postings: N = distinct docs,
+    * Σdl = sum of each doc's dl). One full index scan — a
+    * maintenance op, not a probe-path cost. Returns the repaired
+    * (n, s). Caveat: a ZERO-token document leaves no posting rows,
+    * so it is visible to the build-time stamp but not to this
+    * recomputation — run curation's empty-doc filter before
+    * indexing (as the pipeline does) and the two agree exactly.
+    */
+  def repairBm25Stats(spark: org.apache.spark.sql.SparkSession,
+                      table: String): (Long, Long) = {
+    val st = spark.table(table)
+      .groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    val (n, s) = (st.getAs[Long]("n"), st.getAs[Long]("s"))
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.bm25.n'='$n','graft.bm25.s'='$s')")
+    (n, s)
   }
 
   /** [[bm25TopK]] over the persisted inverted index — the at-scale
@@ -775,8 +814,11 @@ object Corpus {
   /** Per-document lexical RARITY — the corpus-relative quality signal
     * the per-document scores ([[graft.functions.TextAnalysis]]) can't
     * see: the fraction of token occurrences whose corpus frequency is
-    * below the corpus mean (tf·|vocab| < total_tokens, an integer
-    * cross-multiply — no division, engine-exact). High rare_bp flags
+    * below the corpus mean — tf < ⌈total/|vocab|⌉ in pure integer
+    * arithmetic, the overflow-free equivalent of the cross-multiply
+    * tf·|vocab| < total (which would wrap Long at web scale: a stop
+    * word's tf ~10¹² times a 10⁸-word vocabulary exceeds 2⁶³ — the
+    * most common words would come back flagged RARE). High rare_bp flags
     * OOV-heavy noise (mojibake, id strings, boilerplate soup) the
     * way a unigram-LM surprisal filter would, without the
     * cross-engine drift a log-probability would introduce.
@@ -802,7 +844,7 @@ object Corpus {
     withTf.crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"),
-        sum(when(col("tf") * col("v") < col("total"), col("cnt"))
+        sum(when(col("tf") < expr("(total + v - 1) div v"), col("cnt"))
           .otherwise(lit(0L))).as("n_rare"))
       .withColumn("rare_bp", expr("(10000 * n_rare) div n_tokens"))
       .orderBy("doc_id")

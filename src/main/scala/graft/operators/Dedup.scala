@@ -270,12 +270,9 @@ object Dedup {
         s"minhash index geometry drift on $table: $key is $stored in the index, " +
           s"$expected in the append — rebuild the index or match its geometry")
     }
-    bandTable(newDocs, k, word = false, numPerm, bands)
-      .write.mode("append")
-      .bucketBy(numBuckets, "band", "band_hash")
-      .sortBy("band", "band_hash")
-      .format("parquet")
-      .saveAsTable(table)
+    graft.sources.Sinks.appendBucketed(
+      bandTable(newDocs, k, word = false, numPerm, bands),
+      table, Seq("band", "band_hash"), numBuckets)
   }
 
   /** INCREMENTAL near-dup check: an arriving batch against the
@@ -479,11 +476,7 @@ object Dedup {
     val (k, word, threshold) = containmentGeometry(spark, table)
     val rows = prefixFlagged(newDocs.select(col("doc_id"),
       HashExprs.shingleHashes(norm(col("text")), k, word).as("hs")), threshold)
-    rows.write.mode("append")
-      .bucketBy(numBuckets, "h")
-      .sortBy("h")
-      .format("parquet")
-      .saveAsTable(table)
+    graft.sources.Sinks.appendBucketed(rows, table, Seq("h"), numBuckets)
   }
 
   /** Incremental containment check: an arriving batch against the
@@ -616,7 +609,14 @@ object Dedup {
     * (doc, cluster) assignment — output is ≤ |distinct sizes| rows.
     */
   def clusterStats(documents: DataFrame, maxIter: Int = 8): DataFrame =
-    minhashClusters(documents, maxIter)
+    sizeHistogram(minhashClusters(documents, maxIter))
+
+  /** The histogram aggregation itself, shared by the direct and
+    * indexed forms — ONE definition, so the two can never diverge on
+    * the "identical output" contract their shared oracle checks.
+    */
+  private def sizeHistogram(assignment: DataFrame): DataFrame =
+    assignment
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
@@ -693,11 +693,7 @@ object Dedup {
     */
   def clusterStatsFromIndex(spark: org.apache.spark.sql.SparkSession,
                             table: String): DataFrame =
-    spark.table(table)
-      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
-      .orderBy("cluster_size")
+    sizeHistogram(spark.table(table))
 
   /** Connected components over an (a, b) near-dup pair list: every doc
     * in `allDocs` gets the min doc_id of its component (docs without

@@ -1216,8 +1216,10 @@ case class L2NormalizeExpr(child: Expression)
   * Application convention — TRAINING-TIME, rank order: each merge
   * (left, right) is applied exactly once, in list order, as a single
   * left-to-right non-overlapping sweep over every word's symbol
-  * sequence (symbols start as characters; merges never cross word
-  * boundaries). This is the convention under which learned-rank-order
+  * sequence (symbols start as Unicode CODEPOINTS — not UTF-16 code
+  * units, so astral characters are one symbol, matching how
+  * `substr`/`length` count characters in Spark SQL and DuckDB;
+  * merges never cross word boundaries). This is the convention under which learned-rank-order
   * application and iterative min-rank-first encoding coincide for a
   * consistently trained merge list (a merge's parts always predate
   * it), and — unlike min-rank-first — it is reproducible in any engine
@@ -1269,14 +1271,17 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
         if (wlen > 0) {
           if (syms.length < wlen) syms = new Array[String](wlen)
           present.clear()
-          var j = 0
-          while (j < wlen) {
-            val c = String.valueOf(s.charAt(wStart + j))
-            syms(j) = c
+          // one symbol per CODEPOINT (cnt ≤ wlen, so capacity holds)
+          var cnt = 0
+          var j = wStart
+          while (j < i) {
+            val step = Character.charCount(s.codePointAt(j))
+            val c = s.substring(j, j + step)
+            syms(cnt) = c
             present.add(c)
-            j += 1
+            cnt += 1
+            j += step
           }
-          var cnt = wlen
           var m = 0
           while (m < lefts.length && cnt >= 2) {
             // the presence set can hold stale symbols after a sweep

@@ -100,7 +100,22 @@ object Sinks {
     */
   def writeBucketed(df: DataFrame, table: String,
                     bucketCols: Seq[String], numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    bucketed(df, table, bucketCols, numBuckets, "overwrite")
+
+  /** Append-mode companion of [[writeBucketed]] — every index append
+    * goes through here so a table's build and its incremental appends
+    * share ONE bucket/sort spec and can never drift in layout (Spark
+    * rejects a mismatched bucketBy at append time, but that check
+    * only protects the axes both paths actually declare the same
+    * way).
+    */
+  def appendBucketed(df: DataFrame, table: String,
+                     bucketCols: Seq[String], numBuckets: Int): Unit =
+    bucketed(df, table, bucketCols, numBuckets, "append")
+
+  private def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                       numBuckets: Int, mode: String): Unit =
+    df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

@@ -893,6 +893,15 @@ class OperatorsSpec extends SparkSpec {
     val probe = Corpus.bm25FromIndex(spark, "g_bm25_app").collect().toSeq
     val direct = Corpus.bm25TopK(corpus).collect().toSeq
     assert(probe === direct, "post-append probe must equal the full-corpus scan path")
+    // crash recovery: recomputing the stamp from the postings must
+    // reproduce it exactly (every fixture doc has ≥1 token), and the
+    // probe must be unchanged afterwards
+    val stamped = spark.sql("SHOW TBLPROPERTIES g_bm25_app").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val (rn, rs) = Corpus.repairBm25Stats(spark, "g_bm25_app")
+    assert(rn === stamped("graft.bm25.n").toLong)
+    assert(rs === stamped("graft.bm25.s").toLong)
+    assert(Corpus.bm25FromIndex(spark, "g_bm25_app").collect().toSeq === direct)
     // appending into a table writeBm25Index didn't stamp is an error
     intercept[IllegalArgumentException] {
       spark.sql("CREATE TABLE IF NOT EXISTS g_bm25_bare2 (word STRING) USING parquet")
@@ -923,8 +932,8 @@ class OperatorsSpec extends SparkSpec {
 
   test("rarity score counts below-mean-frequency token mass, integer-exact") {
     import spark.implicits._
-    // tf: common=6, rare=2 over v=2 words, total=8, mean=4:
-    // 'rare' is below mean (2·2 < 8), 'common' is not (6·2 > 8)
+    // tf: common=6, rare=2 over v=2 words, total=8, ⌈mean⌉=4:
+    // 'rare' is below the mean (2 < 4), 'common' is not (6 ≥ 4)
     val docs = Seq(
       (1L, "common common common rare"),
       (2L, "common common common rare")).toDF("doc_id", "text")
@@ -1016,6 +1025,18 @@ class OperatorsSpec extends SparkSpec {
     val strict = Seq((1L, "abc")).toDF("doc_id", "text")
     val enc3 = Corpus.bpeEncodeDocs(strict, Seq("ab" -> "c", "a" -> "b")).head()
     assert(enc3.getString(1) === "ab c")
+    // symbols are CODEPOINTS: an astral char (2 UTF-16 units) is one
+    // symbol — never split into lone surrogates — in encode, in
+    // training, and in the pair-count statistic alike
+    val emoji = "😀" // 😀
+    val astral = Seq((1L, s"x$emoji x$emoji")).toDF("doc_id", "text")
+    val enc4 = Corpus.bpeEncodeDocs(astral, Seq("x" -> emoji)).head()
+    assert(enc4.getString(1) === s"x$emoji x$emoji")
+    assert(enc4.getLong(2) === 2L)
+    val m = Corpus.bpeTrain(astral, nMerges = 1).head
+    assert((m.left, m.right, m.pairCount) === (("x", emoji, 2L)))
+    val pc = Corpus.bpePairCounts(astral, k = 1).head()
+    assert((pc.getString(0), pc.getString(1), pc.getLong(2)) === (("x", emoji, 2L)))
   }
 
   test("train shards: reproducible total order, seed reshuffles, contiguous positions") {
