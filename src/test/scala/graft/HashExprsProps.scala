@@ -212,4 +212,40 @@ object HashExprsProps extends Properties("HashExprs") {
       su.indices.forall(i => su(i) <= sa(i) && su(i) <= sb(i)) &&
         sig(a).sameElements(sig(a))
     }
+
+  // independent rank-order BPE: per word, each merge once in order,
+  // one left-to-right non-overlapping sweep (the documented contract)
+  private def naiveBpe(text: String, merges: Seq[(String, String)]): Seq[String] =
+    text.split(" ", -1).filter(_.nonEmpty).toSeq.flatMap { w =>
+      var syms = w.map(String.valueOf(_)).toList
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+          case a :: tail => out += a; rest = tail
+          case Nil => ()
+        }
+        syms = out.toList
+      }
+      syms
+    }
+
+  private val mergeList: Gen[Seq[(String, String)]] = for {
+    n <- Gen.choose(0, 6)
+    ms <- Gen.listOfN(n, for {
+      l <- Gen.choose(1, 2).flatMap(k =>
+        Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString))
+      r <- Gen.alphaLowerChar.map(String.valueOf(_))
+    } yield (l, r))
+  } yield ms
+
+  property("bpe_encode equals the naive rank-order sweep, token-count consistent") =
+    forAll(text, mergeList) { (t, merges) =>
+      val row = BpeEncodeExpr(str(t), merges).eval(InternalRow.empty)
+        .asInstanceOf[InternalRow]
+      val expected = naiveBpe(t, merges)
+      row.getUTF8String(0).toString == expected.mkString(" ") &&
+        row.getLong(1) == expected.length.toLong
+    }
 }
