@@ -157,6 +157,27 @@ object StreamingRollups {
       .withColumn("alert", col("mean_quality") < minQuality)
       .drop("q4sum")
 
+  /** Streaming TOKEN-throughput monitor — windowed token volume per
+    * source under a FIXED tokenizer: the compiled BPE encoder
+    * ([[graft.plans.HashExprs.bpeEncode]], merges from an offline
+    * [[graft.operators.Corpus.bpeTrain]]) runs as a stateless per-row
+    * projection, then the same watermark-bounded windowed aggregate
+    * as [[sourceMonitor]]. This is the capacity-planning view of an
+    * ingest stream (tokens, not documents, are what a training run
+    * consumes) — and because the encoder is plain scan work, it adds
+    * NO state beyond the windowed sums.
+    */
+  def tokenMonitor(docs: DataFrame, merges: Seq[(String, String)],
+                   window: String, watermark: String): DataFrame =
+    docs
+      .withColumn("n_tokens",
+        graft.plans.HashExprs.bpeEncode(
+          graft.functions.TextAnalysis.normalizeWs(col("text")), merges)
+          .getField("n_tokens"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+
   /** Streaming windowed CARDINALITY monitor — approximate distinct
     * values (HLL sketch) per (event-time window, key): the streaming
     * analog of [[graft.operators.Analytics.cardinalityReport]], and

@@ -291,6 +291,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows("spam") === ((2L, 0.05, true)))
   }
 
+  test("streaming token monitor sums BPE tokens per source and window, stateless encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    input.addData(
+      // 'table scan' under the merges below → [table, scan] = 2 tokens
+      (1L, ts("2024-01-01 00:01:00"), "wire", "table scan"),
+      (2L, ts("2024-01-01 00:03:00"), "wire", "table"), // 1 token
+      (3L, ts("2024-01-01 00:12:00"), "wire", "big query")) // [b,i,g] + [qu,e,r,y] = 7
+    val merges = Seq("t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "s" -> "c", "sc" -> "a", "sca" -> "n", "q" -> "u")
+    val mon = StreamingRollups.tokenMonitor(
+      input.toDF().toDF("doc_id", "ts", "source", "text"),
+      merges, "10 minutes", "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("tokmon")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("tokmon").collect().map { r =>
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[Timestamp]("start").toString ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens")))
+    }.toMap
+    assert(rows("2024-01-01 00:00:00.0") === ((2L, 3L)))
+    assert(rows("2024-01-01 00:10:00.0") === ((1L, 7L)))
+  }
+
   test("streaming cardinality monitor tracks windowed distinct users within the sketch bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
