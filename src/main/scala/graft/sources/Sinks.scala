@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Load-stage sinks: partitioned parquet layout.
   *
@@ -88,6 +89,27 @@ object Sinks {
     val p = new org.apache.hadoop.fs.Path(path)
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  /** Materialize a training EPOCH on disk: documents joined to their
+    * [[graft.operators.Sampling.trainShards]] order, written
+    * `shard=N`-partitioned with rows pos-sorted inside each shard's
+    * single file — reading shard directories in shard order and rows
+    * in file order IS the epoch permutation (parquet preserves row
+    * order within a file; the hash-repartition on `shard` lands each
+    * shard in one task → one file per directory). Training-side
+    * parallelism and file count both equal `numShards` — size it to
+    * the cluster, the way [[compact]] sizes files; a new `seed` is a
+    * fresh epoch written the same way.
+    */
+  def writeShards(documents: DataFrame, path: String,
+                  numShards: Int = 8, seed: Int = 1): Unit = {
+    val order = graft.operators.Sampling
+      .trainShards(documents, numShards, seed)
+    documents.join(order, "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
   /** Save as a bucketed table: rows are hash-clustered into `numBuckets`

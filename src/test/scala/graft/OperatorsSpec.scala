@@ -1039,6 +1039,32 @@ class OperatorsSpec extends SparkSpec {
     assert((pc.getString(0), pc.getString(1), pc.getLong(2)) === (("x", emoji, 2L)))
   }
 
+  test("written shards materialize the epoch order: file row order is pos order") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_shards_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.Sinks.writeShards(docs, dir.toString, numShards = 4)
+    // one data file per shard directory (the one-task-per-shard claim)
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(dir, s"shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s should be one file, got ${files.length}")
+    }
+    // raw FILE ORDER (no sort on read) must be the epoch's pos order,
+    // and the shard's membership must match the logical order table
+    val order = Sampling.trainShards(docs, numShards = 4).collect()
+      .filter(_.getAs[Int]("shard") == 2)
+      .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id")).toSeq
+    val read = spark.read.parquet(new java.io.File(dir, "shard=2").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(read === order, "file row order must replay the epoch permutation")
+    rm(dir)
+  }
+
   test("train shards: reproducible total order, seed reshuffles, contiguous positions") {
     val docs = Tables.documents(spark, sfDir)
     val e1 = Sampling.trainShards(docs).collect()
