@@ -200,6 +200,31 @@ object Corpus {
     out.toSeq
   }
 
+  /** Persist a trained merge list as a durable MODEL artifact —
+    * tokenizers are trained once and then consumed by every encode
+    * job, batch or streaming, so the merges belong on disk next to
+    * the indexes, not in a driver variable: rows (rank, left, right,
+    * pair_count), rank being the application order. Kilobytes at any
+    * vocabulary size (≤50k merges).
+    */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[BpeMerge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "pair_count")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted BPE model back into application order —
+    * the (bounded) artifact read every encode job starts with.
+    */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq
+
   /** Encode every document with an ordered merge list — the corpus
     * form of [[HashExprs.bpeEncode]]: (doc_id, encoded, n_tokens),
     * scan-speed compiled work, merges riding the plan as a bounded

@@ -1039,6 +1039,25 @@ class OperatorsSpec extends SparkSpec {
     assert((pc.getString(0), pc.getString(1), pc.getLong(2)) === (("x", emoji, 2L)))
   }
 
+  test("bpe model roundtrips through disk preserving application order") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_bpe_model")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    val docs = Tables.documents(spark, sfDir)
+    val trained = Corpus.bpeTrain(docs, nMerges = 6)
+    Corpus.writeBpeModel(spark, trained, dir.toString)
+    val loaded = Corpus.loadBpeModel(spark, dir.toString)
+    assert(loaded === trained.map(m => (m.left, m.right)))
+    // encoding with the loaded model is byte-identical to the
+    // in-memory merges — the artifact is the tokenizer
+    assert(Corpus.bpeEncodeDocs(docs, loaded).collect().toSeq ===
+      Corpus.bpeEncodeDocs(docs, trained.map(m => (m.left, m.right))).collect().toSeq)
+    rm(dir)
+  }
+
   test("written shards materialize the epoch order: file row order is pos order") {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_shards_spec")
     def rm(f: java.io.File): Unit = {
