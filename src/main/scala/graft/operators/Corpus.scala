@@ -152,19 +152,12 @@ object Corpus {
       .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    // one symbol per CODEPOINT, matching [[HashExprs.bpeEncode]] and
-    // the character counting of [[bpePairCounts]]'s substr oracle
-    def cpSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var j = 0
-      while (j < w.length) {
-        val step = Character.charCount(w.codePointAt(j))
-        out += w.substring(j, j + step)
-        j += step
-      }
-      out
+    // one symbol per CODEPOINT — the SAME splitter the compiled
+    // encoder uses, so trained merges and encode-time symbols agree
+    val words = vocab.map { case (w, f) =>
+      (scala.collection.mutable.ArrayBuffer[String](
+        HashExprs.codepointSymbols(w, 0, w.length): _*), f)
     }
-    val words = vocab.map { case (w, f) => (cpSyms(w), f) }
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var rank = 0
     var exhausted = false
@@ -440,7 +433,13 @@ object Corpus {
     val st = spark.table(table)
       .groupBy("doc_id").agg(first("dl").as("dl"))
       .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
-    val (n, s) = (st.getAs[Long]("n"), st.getAs[Long]("s"))
+    val n = st.getAs[Long]("n")
+    // an empty index has sum→null (unboxing would stamp s=0 silently,
+    // and n=0 would make every probe divide by zero) — repair must
+    // point at an index with committed postings
+    require(n > 0, s"repairBm25Stats: $table has no posting rows — " +
+      "wrong table, or the posting append itself never committed")
+    val s = st.getAs[Long]("s")
     spark.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('graft.bm25.n'='$n','graft.bm25.s'='$s')")
@@ -864,12 +863,14 @@ object Corpus {
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
     val withTf = perDoc.withColumn("tf", sum("cnt").over(Window.partitionBy("word")))
+    // mean_ceil computed ONCE in the one-row aggregate (mirroring the
+    // oracle's st CTE), not per (doc, word) row
     val stats = perDoc.groupBy("word").agg(sum("cnt").as("tf"))
-      .agg(sum("tf").as("total"), count(lit(1)).as("v"))
+      .agg(expr("(sum(tf) + count(1) - 1) div count(1)").as("mean_ceil"))
     withTf.crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"),
-        sum(when(col("tf") < expr("(total + v - 1) div v"), col("cnt"))
+        sum(when(col("tf") < col("mean_ceil"), col("cnt"))
           .otherwise(lit(0L))).as("n_rare"))
       .withColumn("rare_bp", expr("(10000 * n_rare) div n_tokens"))
       .orderBy("doc_id")

@@ -197,17 +197,31 @@ object Sampling {
     * the corpus through one partition — (shard, pos) is the
     * distributed total order that avoids it.
     */
-  def trainShards(documents: DataFrame, numShards: Int = 8, seed: Int = 1): DataFrame = {
+  def trainShards(documents: DataFrame, numShards: Int = 8, seed: Int = 1): DataFrame =
+    withShardOrder(documents.select("doc_id"), numShards, seed)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
+  /** The shard/pos assignment itself, appended to whatever columns
+    * `df` carries — ONE definition of the epoch-order key shared by
+    * [[trainShards]] (the order table) and
+    * [[graft.sources.Sinks.writeShards]] (the physical epoch write,
+    * which needs the documents' payload columns alongside the order
+    * WITHOUT a corpus self-join back onto the order table). Output
+    * rows come out hash-partitioned by `shard` and sorted
+    * (shard, pos) within each partition — exactly the layout a
+    * shard-partitioned write needs, so no further exchange follows.
+    */
+  private[graft] def withShardOrder(df: DataFrame, numShards: Int,
+                                    seed: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    documents
-      .select(col("doc_id"),
-        md5(concat_ws(":", lit(seed), col("doc_id"))).as("shuffle_key"))
+    df
+      .withColumn("shuffle_key", md5(concat_ws(":", lit(seed), col("doc_id"))))
       .withColumn("shard",
         (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
           % numShards).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select("doc_id", "shard", "pos")
-      .orderBy("doc_id")
+      .drop("shuffle_key")
   }
 }

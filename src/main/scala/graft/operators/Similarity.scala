@@ -268,8 +268,18 @@ object Similarity {
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
       .cache()
+    lastIndexCache.set(assigned)
     exactProbe(assigned, cents, queryId, k, nProbe)
   }
+
+  /** The calling THREAD's most recent [[ivfTopKExact]] in-query index
+    * cache — a spec observability hook: its release is asserted
+    * per-handle (`storageLevel == NONE`) instead of via the
+    * session-global cache manager, and thread-locally so concurrent
+    * suites (or gate runs) never observe each other's in-flight
+    * caches.
+    */
+  private[graft] val lastIndexCache = new ThreadLocal[DataFrame]
 
   /** [[ivfTopKExact]] over the PERSISTED index ([[writeIvfIndex]]):
     * no training, no assignment pass — the codebook is kilobytes read

@@ -152,6 +152,26 @@ object HashExprs {
   def bpeEncode(normText: Column, merges: Seq[(String, String)]): Column =
     col(BpeEncodeExpr(expr(normText), merges))
 
+  /** One string per Unicode CODEPOINT of s[from, until) — the initial
+    * BPE symbol alphabet. ONE definition shared by the compiled
+    * encoder ([[BpeEncodeExpr]]) and the driver-side trainer
+    * ([[graft.operators.Corpus.bpeTrain]]), so the two can never
+    * diverge on surrogate handling (the train/encode equivalence the
+    * specs pin depends on identical symbol boundaries).
+    */
+  def codepointSymbols(s: String, from: Int, until: Int): Array[String] = {
+    val out = new Array[String](until - from)
+    var cnt = 0
+    var j = from
+    while (j < until) {
+      val step = Character.charCount(s.codePointAt(j))
+      out(cnt) = s.substring(j, j + step)
+      cnt += 1
+      j += step
+    }
+    if (cnt == out.length) out else java.util.Arrays.copyOf(out, cnt)
+  }
+
   /** Cosine similarity of two int8-quantized vectors
     * (array<tinyint>) — integer dot and norms, one double division.
     */
@@ -1261,7 +1281,6 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     val len = s.length
     val sb = new java.lang.StringBuilder
     var nTokens = 0L
-    var syms = new Array[String](16)
     val present = new java.util.HashSet[String]()
     var wStart = 0
     var i = 0
@@ -1269,19 +1288,11 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
       if (i == len || s.charAt(i) == ' ') {
         val wlen = i - wStart
         if (wlen > 0) {
-          if (syms.length < wlen) syms = new Array[String](wlen)
+          val syms = HashExprs.codepointSymbols(s, wStart, i)
           present.clear()
-          // one symbol per CODEPOINT (cnt ≤ wlen, so capacity holds)
-          var cnt = 0
-          var j = wStart
-          while (j < i) {
-            val step = Character.charCount(s.codePointAt(j))
-            val c = s.substring(j, j + step)
-            syms(cnt) = c
-            present.add(c)
-            cnt += 1
-            j += step
-          }
+          var cnt = syms.length
+          var p = 0
+          while (p < cnt) { present.add(syms(p)); p += 1 }
           var m = 0
           while (m < lefts.length && cnt >= 2) {
             // the presence set can hold stale symbols after a sweep

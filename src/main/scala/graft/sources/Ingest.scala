@@ -28,6 +28,13 @@ object Ingest {
       * Lazy re-use of either frame afterwards recomputes the parse.
       */
     def unpersist(): Unit = { cachedParse.unpersist(); () }
+
+    /** True while the shared parse is pinned — THIS result's cache
+      * lifecycle, observable without asserting on the session-global
+      * cache manager (which other concurrently-running work shares).
+      */
+    def parseCached: Boolean =
+      cachedParse.storageLevel != org.apache.spark.storage.StorageLevel.NONE
   }
 
   private def split(raw: DataFrame): IngestResult = {

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
 /** Load-stage sinks: partitioned parquet layout.
   *
@@ -91,26 +90,28 @@ object Sinks {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
 
-  /** Materialize a training EPOCH on disk: documents joined to their
-    * [[graft.operators.Sampling.trainShards]] order, written
-    * `shard=N`-partitioned with rows pos-sorted inside each shard's
-    * single file — reading shard directories in shard order and rows
-    * in file order IS the epoch permutation (parquet preserves row
-    * order within a file; the hash-repartition on `shard` lands each
-    * shard in one task → one file per directory). Training-side
-    * parallelism and file count both equal `numShards` — size it to
-    * the cluster, the way [[compact]] sizes files; a new `seed` is a
-    * fresh epoch written the same way.
+  /** Materialize a training EPOCH on disk: the documents with their
+    * [[graft.operators.Sampling.trainShards]] order computed INLINE
+    * (shared [[graft.operators.Sampling.withShardOrder]] projection —
+    * shard/pos are pure functions of doc_id, so joining the corpus
+    * back onto the order table would pay a second corpus scan plus a
+    * doc_id shuffle for nothing), written `shard=N`-partitioned with
+    * rows pos-sorted inside each shard's single file — reading shard
+    * directories in shard order and rows in file order IS the epoch
+    * permutation (parquet preserves row order within a file). One
+    * corpus scan, one exchange (the window's shard partitioning,
+    * whose output order already satisfies the partitioned writer — no
+    * re-sort). One file per shard directory; parallelism is ≤
+    * numShards (distinct shards can hash into the same reducer, so a
+    * task may write two shard files serially) — size numShards
+    * comfortably above the cluster's cores, as a real run does anyway
+    * (thousands of shards at 100 TB). A new `seed` is a fresh epoch
+    * written the same way.
     */
   def writeShards(documents: DataFrame, path: String,
-                  numShards: Int = 8, seed: Int = 1): Unit = {
-    val order = graft.operators.Sampling
-      .trainShards(documents, numShards, seed)
-    documents.join(order, "doc_id")
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "pos")
+                  numShards: Int = 8, seed: Int = 1): Unit =
+    graft.operators.Sampling.withShardOrder(documents, numShards, seed)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-  }
 
   /** Save as a bucketed table: rows are hash-clustered into `numBuckets`
     * files per partition on `bucketCols`. Joins/aggregations on the

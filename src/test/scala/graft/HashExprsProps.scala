@@ -214,10 +214,14 @@ object HashExprsProps extends Properties("HashExprs") {
     }
 
   // independent rank-order BPE: per word, each merge once in order,
-  // one left-to-right non-overlapping sweep (the documented contract)
+  // one left-to-right non-overlapping sweep (the documented contract);
+  // symbols are CODEPOINTS, split here via the java.util.stream API —
+  // a different mechanism than the expression's charCount loop, so
+  // the two implementations stay independent witnesses
   private def naiveBpe(text: String, merges: Seq[(String, String)]): Seq[String] =
     text.split(" ", -1).filter(_.nonEmpty).toSeq.flatMap { w =>
-      var syms = w.map(String.valueOf(_)).toList
+      var syms = w.codePoints().toArray.toList
+        .map(cp => new String(Character.toChars(cp)))
       merges.foreach { case (l, r) =>
         val out = scala.collection.mutable.ListBuffer.empty[String]
         var rest = syms
@@ -231,6 +235,25 @@ object HashExprsProps extends Properties("HashExprs") {
       syms
     }
 
+  // BPE-specific text: words mixing ASCII letters with ASTRAL chars
+  // (2 UTF-16 units each), so the property fails if either side ever
+  // splits symbols on code units instead of codepoints. Kept separate
+  // from the shared `word` gen — the char-shingle naive references
+  // above intentionally count code units.
+  private val bpeText: Gen[String] = {
+    val sym = Gen.frequency(
+      9 -> Gen.alphaLowerChar.map(String.valueOf(_)),
+      1 -> Gen.oneOf("😀", "𝕏"))
+    val w = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, sym)
+    } yield cs.mkString
+    for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, w)
+    } yield ws.mkString(" ")
+  }
+
   private val mergeList: Gen[Seq[(String, String)]] = for {
     n <- Gen.choose(0, 6)
     ms <- Gen.listOfN(n, for {
@@ -241,7 +264,7 @@ object HashExprsProps extends Properties("HashExprs") {
   } yield ms
 
   property("bpe_encode equals the naive rank-order sweep, token-count consistent") =
-    forAll(text, mergeList) { (t, merges) =>
+    forAll(bpeText, mergeList) { (t, merges) =>
       val row = BpeEncodeExpr(str(t), merges).eval(InternalRow.empty)
         .asInstanceOf[InternalRow]
       val expected = naiveBpe(t, merges)

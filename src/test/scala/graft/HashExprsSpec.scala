@@ -188,18 +188,19 @@ class HashExprsSpec extends SparkSpec {
   }
 
   test("ivf exact releases its cached index once the result is materialized") {
-    spark.catalog.clearCache()
     val emb = sources.Tables.embeddings(spark, sfDir)
     val res = operators.Similarity.ivfTopKExact(emb, 0L, 10, nProbe = 2)
     assert(res.count() === 10)
     // the in-query index cache is an ingest-time stand-in; it must not
     // outlive the call (a long-lived session would pin one corpus copy
-    // per query otherwise)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "ivfTopKExact left its corpus index pinned after returning")
+    // per query otherwise). Asserted on THIS call's handle, not the
+    // session-global cache manager (concurrent suites share it)
+    def released(): Boolean = Option(operators.Similarity.lastIndexCache.get())
+      .forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(released(), "ivfTopKExact left its corpus index pinned after returning")
     // missing query id: the empty-result early return must release too
     assert(operators.Similarity.ivfTopKExact(emb, -1L, 10).count() === 0)
-    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(released())
   }
 
   test("every custom expression stays inside whole-stage codegen") {

@@ -26,10 +26,12 @@ class IngestSpec extends SparkSpec {
     assert(bad.exists(_.contains("broken")))
     assert(bad.contains("not json at all"))
     // the caller owns the shared parse cache: releasing it must leave
-    // no pinned storage behind
+    // no pinned storage behind. Assert THIS result's entry, not the
+    // session-global cache manager — suites run concurrently in one
+    // session, so a global isEmpty races other suites' caches
+    assert(r.parseCached, "ingest should pin the shared parse until released")
     r.unpersist()
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "ingest left a pinned cache after unpersist()")
+    assert(!r.parseCached, "ingest left a pinned cache after unpersist()")
   }
 
   test("schema-drifted table reads merged, normalize fills the old files' gap") {
