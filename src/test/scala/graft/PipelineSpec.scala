@@ -60,4 +60,29 @@ class PipelineSpec extends SparkSpec {
       cleaned.filter(col("doc_id") === 2L), finalDocs)
     assert(delta.count() === 0)
   }
+
+  test("tokenizer lifecycle: train → persist → load → encode → shard the epoch") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    // train on the corpus, persist the model artifact
+    val modelDir = Files.createTempDirectory("graft_pipe_bpe").toString + "/model"
+    val trained = operators.Corpus.bpeTrain(docs, nMerges = 8)
+    assert(trained.size === 8)
+    operators.Corpus.writeBpeModel(spark, trained, modelDir)
+    // a separate job loads the artifact and encodes the corpus
+    val merges = operators.Corpus.loadBpeModel(spark, modelDir)
+    val encoded = operators.Corpus.bpeEncodeDocs(docs, merges)
+    val total = encoded.agg(sum("n_tokens")).head().getLong(0)
+    val chars = docs.select(sum(length(
+      TextAnalysis.normalizeWs(col("text"))))).head().getLong(0)
+    assert(total > 0 && total < chars,
+      "trained merges must compress below character count")
+    // the encoded corpus shards into a written epoch whose row order
+    // replays the permutation (writeShards consumes any doc_id frame)
+    val epochDir = Files.createTempDirectory("graft_pipe_epoch").toString + "/e0"
+    sources.Sinks.writeShards(
+      encoded.withColumnRenamed("encoded", "text"), epochDir, numShards = 2)
+    val back = spark.read.parquet(epochDir)
+    assert(back.count() === docs.count())
+    assert(back.columns.toSet === Set("doc_id", "text", "n_tokens", "shard", "pos"))
+  }
 }
