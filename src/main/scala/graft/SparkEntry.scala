@@ -101,17 +101,44 @@ object SparkEntry {
     * (with a SHARED delimiter, 'a a a a' would merge only once — the
     * match would consume the next pair's leading separator).
     */
-  private def bpeOracleSql: String = {
-    val wrapped = bpeGateMerges.foldLeft("r") { case (acc, (l, r)) =>
+  /** One merge of the chain = one non-overlapping replace; shared by
+    * the encode oracle and the BPE pack oracle so both replay the
+    * same [[bpeGateMerges]].
+    */
+  private def bpeReplaceChain(inner: String): String =
+    bpeGateMerges.foldLeft(inner) { case (acc, (l, r)) =>
       s"replace($acc, chr(31)||'$l'||chr(31)||chr(31)||'$r'||chr(31), chr(31)||'$l$r'||chr(31))"
     }
+
+  private def bpeOracleSql: String =
     s"""WITH nt AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
        |rep AS (SELECT doc_id, regexp_replace(t, '([^ ])', chr(31)||'\\1'||chr(31), 'g') AS r FROM nt),
-       |m AS (SELECT doc_id, $wrapped AS r2 FROM rep)
+       |m AS (SELECT doc_id, ${bpeReplaceChain("r")} AS r2 FROM rep)
        |SELECT doc_id,
        |  trim(regexp_replace(replace(r2, chr(31), ' '), ' +', ' ', 'g')) AS encoded,
        |  ((len(r2) - len(replace(r2, chr(31), ''))) // 2)::BIGINT AS n_tokens
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** pack_sequences' oracle under the BPE token count: the same
+    * nested-replace token derivation as [[bpeOracleSql]] feeding the
+    * same sharded pack window as the whitespace pack oracle.
+    */
+  private def bpePackOracleSql: String = {
+    val hv = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" +\n")
+    s"""WITH nt AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |rep AS (SELECT doc_id, lang, hx, regexp_replace(t, '([^ ])', chr(31)||'\\1'||chr(31), 'g') AS r FROM nt),
+       |m AS (SELECT doc_id, lang, hx, ${bpeReplaceChain("r")} AS r2 FROM rep),
+       |tok AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS shard,
+       |  ((len(r2) - len(replace(r2, chr(31), ''))) // 2)::BIGINT AS n_tokens FROM m),
+       |o AS (SELECT doc_id, lang, shard, n_tokens,
+       |CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM tok)
+       |SELECT doc_id, lang, shard, n_tokens, token_offset,
+       |token_offset // 512 AS seq_first,
+       |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
+       |FROM o ORDER BY doc_id""".stripMargin
   }
 
   // built-once tracking is PER JVM (like the catalog check the table
@@ -280,6 +307,8 @@ object SparkEntry {
     "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "train_shards"      -> ((s, d) => Sampling.trainShards(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
+    "pack_sequences_bpe" -> ((s, d) =>
+      Corpus.packSequencesBpe(Tables.documents(s, d), bpeGateMerges)),
     "chunk_documents"   -> ((s, d) => Corpus.chunkDocuments(Tables.documents(s, d))),
     "rarity_score"      -> ((s, d) => Corpus.rarityScore(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
@@ -989,6 +1018,7 @@ object SparkEntry {
         |  ((10000 * sum(CASE WHEN vocab.tf < st.mean_ceil THEN 1 ELSE 0 END)) // count(*))::BIGINT AS rare_bp
         |FROM t2 JOIN vocab USING (word), st
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pack_sequences_bpe" -> bpePackOracleSql,
     // sliding-window chunking: all-integer boundaries; DuckDB list
     // slice ws[a:b] is 1-based inclusive = Spark slice(ws, a, 32)
     "chunk_documents" ->

@@ -781,14 +781,36 @@ object Corpus {
     * moves a document, and the md5 bucket is reproducible in any
     * engine ([[Sampling.hashBucket]]).
     */
-  def packSequences(documents: DataFrame, budgetTokens: Int = 512): DataFrame = {
+  def packSequences(documents: DataFrame, budgetTokens: Int = 512): DataFrame =
+    packBy(documents,
+      size(split(trim(col("text")), "\\s+")).cast("long"), budgetTokens)
+
+  /** [[packSequences]] under a REAL tokenizer: token counts come from
+    * the compiled BPE encoder with a trained merge list instead of
+    * the whitespace proxy — what a training pipeline actually packs
+    * by (sequence budgets are model-tokenizer tokens; whitespace
+    * counts mis-size every sequence by the fertility ratio). Same
+    * sharded window, same integer offset arithmetic; the encoder is
+    * scan work, so the packing cost profile is unchanged.
+    */
+  def packSequencesBpe(documents: DataFrame, merges: Seq[(String, String)],
+                       budgetTokens: Int = 512): DataFrame =
+    packBy(documents,
+      HashExprs.bpeEncode(TextAnalysis.normalizeWs(col("text")), merges)
+        .getField("n_tokens"), budgetTokens)
+
+  /** The packing window shared by the whitespace and BPE forms — one
+    * definition of the offset/sequence-range arithmetic.
+    */
+  private def packBy(documents: DataFrame, tokenCount: org.apache.spark.sql.Column,
+                     budgetTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     documents
       .select(col("doc_id"), col("lang"),
         Sampling.hashBucket(col("doc_id")).as("shard"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        tokenCount.as("n_tokens"))
       .withColumn("token_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
       // non-negative longs: div truncation == floor on both engines.
       // greatest(n_tokens, 1) keeps a zero-token doc pinned to the
