@@ -265,6 +265,7 @@ object SparkEntry {
       Dedup.containmentPairsIndexed(s, containmentIdx(s, d), Tables.documents(s, d))),
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
+    "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_batch_topk"    -> ((s, d) => Similarity.batchTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk"      -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 0L, 20)),
     // exact-guarantee IVF (triangle-inequality pruning) — output is
@@ -1152,6 +1153,12 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    "ann_filtered_topk" ->
+      """SELECT e.vec_id, e.label,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding, label FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0 AND e.label = q.label
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
         |s AS (SELECT q.query_id, e.vec_id,

@@ -35,6 +35,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** FILTERED vector search — exact top-k restricted to a metadata
+    * predicate (here: same `label` as the query): the
+    * vector-database pattern every retrieval product exposes
+    * ("nearest within this tenant/category/date range"). PRE-filter,
+    * not post-filter: the predicate restricts candidates BEFORE the
+    * top-k, so a selective filter makes the query cheaper and always
+    * returns k matches — a post-filtered global top-k would both
+    * over-read and under-return (k results thinned to fewer). Here
+    * the label comes from the query row at runtime, so it rides the
+    * broadcast join condition; a caller with a LITERAL predicate
+    * (known tenant) should filter the corpus frame directly, which
+    * pushes to the parquet scan. Same scan + broadcast-query +
+    * TakeOrdered shape as [[bruteForceTopK]] (spec-asserted
+    * shuffle-free); for the persisted IVF index, compose the
+    * predicate with the list-pruned read the same way.
+    */
+  def filteredTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"), col("label").as("q_label"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(col("label") === col("q_label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** BATCH exact top-k: the k nearest corpus vectors for EVERY vector
     * in a query batch (here the deterministic `vec_id % queryMod = 0`
     * slice stands in for an arriving batch) — the corpus-linking form

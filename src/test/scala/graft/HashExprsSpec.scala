@@ -167,6 +167,29 @@ class HashExprsSpec extends SparkSpec {
     assert(forQuery0 === direct)
   }
 
+  test("filtered vector search equals brute force restricted to the predicate subset") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val qLabel = emb.filter(col("vec_id") === 0L).head().getAs[Int]("label")
+    val filtered = operators.Similarity.filteredTopK(emb, 0L, 10).collect()
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_.getAs[Int]("label") == qLabel),
+      "every result must satisfy the metadata predicate")
+    // pre-filter == brute force over the predicate subset (never a
+    // post-filtered global top-k, which would under-return)
+    val subset = operators.Similarity
+      .bruteForceTopK(emb.filter(col("label") === qLabel), 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(filtered.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Double]("cos_sim"))).toSeq === subset)
+    // plan shape: one corpus scan, broadcast query row, top-k as
+    // TakeOrdered — no corpus shuffle
+    val plan = operators.Similarity.filteredTopK(emb, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"filtered search must not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("int8 top-k tracks the float top-k closely (storage-precision recall)") {
     val emb = sources.Tables.embeddings(spark, sfDir)
     val k = 20
