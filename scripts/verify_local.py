@@ -41,10 +41,25 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
+    def load_json(fname, default):
+        p = os.path.join(out_dir, fname)
+        return json.load(open(p)) if os.path.exists(p) else default
+
+    # Artifacts written by graft.Verify: the full registered key set and
+    # per-query Spark-side errors. A query that ERRORS during the dump
+    # must fail THIS gate loudly, not silently vanish from the compare
+    # (round 5 shipped 12 broken queries exactly that way).
+    registered = load_json("registered_queries.json", [])
+    verify_errors = load_json("verify_errors.json", {})
+
     results = {}
+    for name, err in verify_errors.items():
+        results[name] = f"FAIL (spark error: {err})"
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
+            continue
+        if name in results:   # errored query with a stale/partial dump dir
             continue
         try:
             spark_df = pd.read_parquet(qdir)
@@ -80,8 +95,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                              f"spark={a[c][i]!r} duck={b[c][i]!r}")
         results[name] = "PASS" if not diffs else "FAIL " + "; ".join(diffs[:3])
 
-    # queries that produced no output dir at all
-    for name in oracle:
+    # queries that produced no output dir at all — checked against BOTH
+    # the oracle key set and the full registered key set, so a query
+    # that was registered but never dumped (crash, skip, rename drift)
+    # cannot pass unnoticed.
+    for name in set(oracle) | set(registered):
         if name not in results:
             results[name] = "FAIL (no spark output)"
 
@@ -89,6 +107,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         print(f"{'✅' if v.startswith(('PASS', 'rows-only')) and 'FAIL' not in v else '❌'} {name}: {v}")
     bad = sum(1 for v in results.values() if "FAIL" in v)
     print(f"\n{len(results) - bad}/{len(results)} OK")
+    if verify_errors:
+        print(f"SPARK-SIDE ERRORS ({len(verify_errors)}): "
+              + ", ".join(sorted(verify_errors)))
+    if registered and set(registered) - set(results):
+        print("UNCOVERED REGISTERED QUERIES: "
+              + ", ".join(sorted(set(registered) - set(results))))
     return 1 if bad else 0
 
 

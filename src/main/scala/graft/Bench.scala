@@ -8,9 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores ts as TIMESTAMP(NANOS); surface it as a
-      // nanos long (see graft.sources.Tables.events). Session-wide by
-      // design — set here, at session build, not as a loader side effect.
+      // If events.parquet ships the historical TIMESTAMP(NANOS) encoding,
+      // surface it as a nanos long (graft.sources.Tables.events dispatches
+      // on the actual type; this conf is a no-op for micros columns).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -70,13 +70,19 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _, _) => v }.sum
-    // "queries" is the LAST key: a tail-capture that truncates the
-    // line's head loses the summary fields, never the per-query
-    // timings (round 4 lost the timings to exactly that truncation).
-    // The same JSON is also written whole to BENCH_LATEST.json so the
-    // artifact survives any stdout capture policy.
+    // "queries" then "errors_count"/"error_keys" are the LAST keys: a
+    // tail-capture that truncates the line's head loses the summary
+    // fields, never the timings (round 4) — and round 5 lost the
+    // mid-line "errors" object to the same truncation, so error
+    // VISIBILITY now also lives at the tail as a count + key list
+    // (small, bounded by the query count; full messages stay in the
+    // head "errors" object and in BENCH_LATEST.json, which is always
+    // written whole).
+    val errKeys = results.collect { case (k, _, _, Some(_)) => jstr(k) }
+      .mkString("[", ",", "]")
+    val nErrs = results.count(_._4.isDefined)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"noise":$ns,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"noise":$ns,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LATEST.json")
       try w.println(json) finally w.close()

@@ -11,8 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // TIMESTAMP(NANOS) parquet columns surface as nanos longs
-      // (required by graft.sources.Tables.events; set at session build)
+      // Historical TIMESTAMP(NANOS) encodings surface as nanos longs
+      // (Tables.events dispatches on the actual type; no-op for micros)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -21,6 +21,7 @@ object Verify {
     // optional 3rd arg: comma-separated subset of query names
     val subset: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (subset.isEmpty || subset(name)) {
         val t0 = System.nanoTime()
@@ -29,6 +30,8 @@ object Verify {
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
         } catch { case e: Throwable =>
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -48,6 +51,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Coverage + error artifacts: a query that ERRORS must be loudly
+    // visible, not silently absent from the compare (round 5 shipped 12
+    // broken queries because erroring keys simply vanished from the
+    // gate). verify_local.py cross-checks registered_queries.json
+    // against the produced outputs and prints verify_errors.json.
+    Files.writeString(Paths.get(s"$outDir/registered_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Loud on stderr but exit 0: the driver invokes this main and then
+    // runs its own DuckDB compare over whatever outputs exist — a
+    // non-zero exit here could abort that compare and zero the round.
+    // The hard non-zero gate lives in scripts/verify_local.py.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} QUERIES ERRORED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

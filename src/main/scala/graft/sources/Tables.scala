@@ -22,23 +22,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which the vectorized
-    * parquet reader rejects; read it as a nanos long and convert to a
-    * micros timestamp (integer division — nanos-since-epoch exceeds
-    * double precision). The corpus' min inter-event gap is ~59 ms, so
-    * micros truncation never reorders events.
+  /** Schema-adaptive events loader. The corpus' `ts` column has shipped
+    * in two physical encodings over time, and real upstream feeds drift
+    * the same way — so dispatch on the type the scan actually reports
+    * rather than assuming one:
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true`, set at
-    * session build time (Bench / Verify / Explain / the test base do) —
-    * it is session-wide, so it is NOT set here as a read side effect;
-    * fail fast with a pointer instead of a confusing reader error.
+    *  - `TIMESTAMP(MICROS, isAdjustedToUTC=false)` → Spark reads
+    *    `TimestampNTZType`; cast to the session-TZ `TimestampType` so
+    *    every downstream consumer (epoch-second gap math, `date_format`
+    *    period keys) sees the same semantics as the historical encoding.
+    *    Sessions here run with `spark.sql.session.timeZone=UTC`, so the
+    *    cast is value-preserving on the underlying micros.
+    *  - `TIMESTAMP(MICROS/MILLIS, adjusted)` → already `TimestampType`,
+    *    use as-is.
+    *  - `TIMESTAMP(NANOS)` surfaces as a nanos-since-epoch `LongType`
+    *    (only when `spark.sql.legacy.parquet.nanosAsLong=true`; the
+    *    vectorized reader rejects nanos otherwise — fail fast with a
+    *    pointer in that branch). Convert with integer division
+    *    (nanos-since-epoch exceeds double precision); the corpus' min
+    *    inter-event gap is ~59 ms, so micros truncation never reorders.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true; " +
-        "set it on the SparkSession builder (session-wide by design)")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "events.ts is a nanos long; Tables.events needs " +
+            "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession builder")
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected timestamp or nanos long")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
