@@ -234,6 +234,12 @@ object SparkEntry {
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
+    // incremental maintenance: monthly rebuilt from day-grain
+    // algebraic partials — must equal rollup_monthly exactly (same
+    // oracle), proving the merge path a recurring 100 TB rollup runs
+    "rollup_incremental" -> ((s, d) =>
+      Rollups.monthlyFromDaily(Rollups.dailyPartials(orderSeries(s, d)))),
+    "event_transitions" -> ((s, d) => Analytics.eventTransitions(Tables.events(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
@@ -305,6 +311,8 @@ object SparkEntry {
     "sample_target_mix" -> ((s, d) => Sampling.targetMix(Tables.documents(s, d))),
     "sample_recency"    -> ((s, d) => Sampling.recency(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => Sampling.temperatureMix(Tables.documents(s, d))),
+    "mix_token_budget"  -> ((s, d) => Sampling.tokenBudgetMix(Tables.documents(s, d))),
+    "curriculum_order"  -> ((s, d) => Corpus.curriculumOrder(Tables.documents(s, d))),
     "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "train_shards"      -> ((s, d) => Sampling.trainShards(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
@@ -678,6 +686,19 @@ object SparkEntry {
       """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS period_key, 'day' AS agg_type,
         |o_custkey AS entity_id, round(o_totalprice, 2) AS value FROM orders""".stripMargin,
     "rollup_monthly" -> grainOracle("%Y-%m", "month"),
+    // IDENTICAL oracle to rollup_monthly: the partials-merge path must
+    // reproduce the direct grain to the bit (the incremental-
+    // maintenance guarantee the operator exists to prove)
+    "rollup_incremental" -> grainOracle("%Y-%m", "month"),
+    // adjacent-pair transitions off one lag window; all counts
+    "event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |FROM events)
+        |SELECT from_type, event_type AS to_type,
+        |count(*) AS n_transitions, count(DISTINCT user_id) AS n_users
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rollup_multi" ->
       """SELECT l_suppkey AS entity_id, strftime(l_shipdate, '%Y-%m') AS period_key, 'month' AS agg_type,
         |round(sum(l_quantity), 2) AS sum_qty,
@@ -940,6 +961,39 @@ object SparkEntry {
          |WHERE b.bucket < r.rate_pct
          |ORDER BY doc_id""".stripMargin
     },
+    // single-window form of the two-phase prefix sum: per-lang
+    // exclusive cumsum in (shard, doc_id) order — shard offsets +
+    // local windows decompose to exactly this (integer sums), so the
+    // scalable Spark shape and this direct form are value-identical
+    "mix_token_budget" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH t AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS shard, n_tokens FROM t),
+         |g AS (SELECT CAST(sum(n_tokens) // (2 * count(DISTINCT lang)) AS BIGINT) AS budget FROM s),
+         |o AS (SELECT doc_id, lang, n_tokens,
+         |CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before FROM s)
+         |SELECT doc_id, lang, n_tokens, tokens_before FROM o, g
+         |WHERE tokens_before < budget ORDER BY doc_id""".stripMargin
+    },
+    // integer basis-point scores → histogram cum-counts → tie-sharing
+    // tertile thresholds; round(q*10000) never lands on .5 (q is
+    // already 4dp), so HALF_UP vs half-even cannot split the engines
+    "curriculum_order" ->
+      """WITH q AS (SELECT doc_id,
+        |CAST(round(round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) * 10000, 0) AS BIGINT) AS q_bp
+        |FROM documents),
+        |h AS (SELECT q_bp, count(*) AS cnt FROM q GROUP BY 1),
+        |c AS (SELECT q_bp, sum(cnt) OVER (ORDER BY q_bp DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       (SELECT sum(cnt) FROM h) AS total FROM h),
+        |th AS (SELECT max(CASE WHEN cum >= (total + 2) // 3 THEN q_bp END) AS b1,
+        |              max(CASE WHEN cum >= (2 * total + 2) // 3 THEN q_bp END) AS b2 FROM c)
+        |SELECT doc_id, q_bp,
+        |CAST(CASE WHEN q_bp >= b1 THEN 1 WHEN q_bp >= b2 THEN 2 ELSE 3 END AS BIGINT) AS phase
+        |FROM q, th ORDER BY doc_id""".stripMargin,
     // same recursive-CTE components as dedup_cluster, split by the
     // md5 bucket of the CLUSTER id (near-dups share a split by
     // construction)

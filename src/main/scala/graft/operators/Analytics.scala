@@ -384,6 +384,33 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Per-user event-type TRANSITION counts — the first-order Markov
+    * view of the event stream (what funnels and next-action models
+    * consume): each user's events ordered by (ts, event_id) form a
+    * path, every adjacent (prev → next) pair is one transition.
+    * Output: (from_type, to_type, n_transitions, n_users).
+    *
+    * Scale shape: one shuffle partitions by user (the same window
+    * sort [[sessionize]] and [[movingAvg]] pay — on a real cluster
+    * all three share it via a common repartition); the transition
+    * aggregate map-side-combines down to a T×T matrix (kilobytes for
+    * any realistic event-type vocabulary), and the distinct-user
+    * count shuffles (from, to, user) triples already reduced to one
+    * row per user per cell. All counts — engine-exact.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Global top-k: order-by + limit. Spark executes this as a
     * per-partition TakeOrdered + driver merge of k rows — no global
     * sort shuffle.

@@ -897,4 +897,50 @@ object Corpus {
       .withColumn("rare_bp", expr("(10000 * n_rare) div n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** CURRICULUM phase assignment — order the corpus into quality
+    * tertiles (easy/high-quality first is the standard curriculum
+    * recipe): phase 1 = top third by the shared quality composite
+    * ([[graft.functions.TextAnalysis.qualityCol]]), phase 2 = middle,
+    * phase 3 = rest. Thresholds use TIE-SHARING semantics: documents
+    * equal to a boundary score all take the earlier phase, so the
+    * assignment is a pure function of the score (no positional
+    * tie-break, identical in any engine; phase sizes are ⌈N/3⌉ up to
+    * ties).
+    *
+    * Scale shape: a global quantile normally means a global sort —
+    * instead the 4dp composite is mapped to an INTEGER basis-point
+    * score (round(q·10⁴) — exact, the composite is already
+    * 4dp-rounded), whose BOUNDED domain (≤ 10001 distinct values)
+    * makes the score HISTOGRAM a constant-size table at any corpus
+    * size. Tertile boundaries b1/b2 fall out of one cumulative window
+    * over that histogram (single partition, but ≤ 10001 rows by
+    * construction — the [[rarityScore]] bounded-reduce contract) and
+    * broadcast back; the corpus itself is scored and phased in one
+    * scan-speed pass.
+    */
+  def curriculumOrder(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(col("doc_id"),
+      round(TextAnalysis.qualityCol(col("text")) * 10000, 0).cast("long").as("q_bp"))
+    val hist = scored.groupBy("q_bp").agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum("cnt").as("total"))
+    val wDesc = Window.orderBy(col("q_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("cnt").over(wDesc))
+      .agg(
+        // b_k = the k-th tertile boundary: the largest score whose
+        // ≥-score cumulative count reaches ⌈kN/3⌉ — exactly the k·N/3-th
+        // largest document's score, ties collapsed
+        max(when(col("cum") >= expr("(total + 2) div 3"), col("q_bp"))).as("b1"),
+        max(when(col("cum") >= expr("(2 * total + 2) div 3"), col("q_bp"))).as("b2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("phase",
+        when(col("q_bp") >= col("b1"), lit(1L))
+          .when(col("q_bp") >= col("b2"), lit(2L))
+          .otherwise(lit(3L)))
+      .select(col("doc_id"), col("q_bp"), col("phase"))
+      .orderBy("doc_id")
+  }
 }

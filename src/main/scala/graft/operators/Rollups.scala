@@ -56,22 +56,20 @@ object Rollups {
       round(col("value"), 2).as("value")
     ).distinct()
 
-  /** One aggregated grain (month or year). Single shuffle on
-    * (entity_id, period_key); partial aggregation happens map-side so
-    * the shuffle carries one row per (entity, period) per mapper, not
-    * raw data — the property that keeps this viable at 100 TB.
+  /** The ALGEBRAIC PARTIALS of one grain: exact decimal sums, sum of
+    * squares, max/min, count per (entity, period). This is the
+    * mergeable half of the rollup — every statistic the final grain
+    * derives is a pure function of these five columns, and each of
+    * the five re-aggregates losslessly (sums add, max of maxes,
+    * count of counts), which is what makes [[monthlyFromDaily]]'s
+    * incremental maintenance EXACT rather than approximate.
+    *
+    * Values sum as decimals: double sums drift in the last ulp with
+    * partitioning/merge order, fatal for a value-level oracle compare
+    * and irreproducible on a cluster.
     */
-  private def grain(s: DataFrame, fmt: String, tag: String): DataFrame = {
-    // Values are exact 2-decimal quantities; summing them as decimals
-    // keeps every aggregate exact and order-independent (double sums
-    // drift in the last ulp with partitioning/merge order, which is
-    // fatal for a value-level oracle compare and irreproducible on a
-    // cluster). avg and stddev are derived from the exact sums with a
-    // fixed double expression tree, so they are bit-reproducible too.
+  private def partials(s: DataFrame, fmt: String): DataFrame = {
     val v = col("value").cast("decimal(18,2)")
-    val n = col("cnt_value")
-    val sumD = col("sum_d").cast("double")
-    val sumsqD = col("sumsq_d").cast("double")
     s.groupBy(
         col("entity_id"),
         date_format(col("ts"), fmt).as("period_key"))
@@ -81,6 +79,17 @@ object Rollups {
         max(v).as("max_d"),
         min(v).as("min_d"),
         count(lit(1)).as("cnt_value"))
+  }
+
+  /** Derive the published grain statistics from the algebraic
+    * partials. avg and stddev come from the exact sums with a fixed
+    * double expression tree, so they are bit-reproducible.
+    */
+  private def derive(g: DataFrame, tag: String): DataFrame = {
+    val n = col("cnt_value")
+    val sumD = col("sum_d").cast("double")
+    val sumsqD = col("sumsq_d").cast("double")
+    g
       // 4dp average in exact integer math — round(S/(100·n), 4)·10^4 =
       // (200·|S| + n) div (2·n) with S in cents, sign reapplied
       // (half away from zero; series() accepts signed values). Same
@@ -102,8 +111,50 @@ object Rollups {
         n)
   }
 
+  /** One aggregated grain (month or year). Single shuffle on
+    * (entity_id, period_key); partial aggregation happens map-side so
+    * the shuffle carries one row per (entity, period) per mapper, not
+    * raw data — the property that keeps this viable at 100 TB.
+    */
+  private def grain(s: DataFrame, fmt: String, tag: String): DataFrame =
+    derive(partials(s, fmt), tag)
+
   def monthly(s: DataFrame): DataFrame = grain(s, "yyyy-MM", "month")
   def yearly(s: DataFrame): DataFrame  = grain(s, "yyyy", "year")
+
+  /** Day-grain algebraic partials as a PUBLIC artifact — what an
+    * ingest job persists per day so coarser grains never rescan raw
+    * data (see [[monthlyFromDaily]]).
+    */
+  def dailyPartials(s: DataFrame): DataFrame = partials(s, "yyyy-MM-dd")
+
+  /** INCREMENTAL rollup maintenance: the monthly grain rebuilt from
+    * persisted day partials instead of raw data — merge the five
+    * algebraic columns up a grain (sums add, max of maxes, min of
+    * mins, counts add) and derive the same statistics. Output is
+    * value-identical to [[monthly]] (decimal sums are associative, so
+    * merge order cannot move a cent) and the gate pins it to the SAME
+    * oracle as `rollup_monthly`.
+    *
+    * This is the 100 TB shape for recurring rollups: a day's close
+    * re-aggregates yesterday's partials (≪ raw events) rather than
+    * rescanning the corpus, and the month/year grains are one tiny
+    * merge job over the day table. The month key is the day key's
+    * string prefix — same value `date_format(ts, "yyyy-MM")` yields,
+    * with no timestamp re-parse.
+    */
+  def monthlyFromDaily(daily: DataFrame): DataFrame =
+    derive(
+      daily.groupBy(
+          col("entity_id"),
+          substring(col("period_key"), 1, 7).as("period_key"))
+        .agg(
+          sum("sum_d").as("sum_d"),
+          sum("sumsq_d").as("sumsq_d"),
+          max("max_d").as("max_d"),
+          min("min_d").as("min_d"),
+          sum("cnt_value").as("cnt_value")),
+      "month")
 
   /** Multi-metric monthly rollup — the reference's OHLCV shape
     * (TransForm_Load_Yfinance.py:231-248: one groupBy computing

@@ -122,6 +122,57 @@ object Sampling {
         col("rate_pct"))
       .orderBy("doc_id")
 
+  /** TOKEN-BUDGET data mixing — the recipe step that [[targetMix]]'s
+    * doc-count flattening can't express: training mixes are specified
+    * in TOKENS per language/domain, and long-doc languages would blow
+    * a doc-count quota. Each language gets the same token budget,
+    * `total_corpus_tokens div (2·L)` (a half-size corpus split evenly
+    * across L languages); documents are admitted in deterministic
+    * (md5 bucket, doc_id) order until the budget fills. A document is
+    * kept iff the tokens BEFORE it are under budget — so the boundary
+    * document overflows rather than truncates (training pipelines
+    * trim the final sequence, not the selection), and every language
+    * admits at least one document.
+    *
+    * Scale shape: the admission order needs a per-language PREFIX SUM,
+    * which at 100 TB must not become one sequential window per
+    * language (5 languages = 5-way parallelism forever). It runs as
+    * the classic two-phase distributed scan: per-(lang, shard) token
+    * sums (an L×100-row frame) get exclusive shard offsets from one
+    * tiny window, broadcast back; each shard then computes a LOCAL
+    * doc-order window and adds its offset — identical arithmetic to
+    * the global window (integer sums decompose exactly), parallelism
+    * = shard count. The one-row global budget aggregate is a
+    * kilobyte reduce ([[graft.operators.Corpus.rarityScore]]'s stats
+    * contract).
+    */
+  def tokenBudgetMix(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(
+      col("doc_id"), col("lang"),
+      hashBucket(col("doc_id")).as("shard"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val budget = toks.agg(
+      expr("sum(n_tokens) div (2 * count(DISTINCT lang))").as("budget"))
+    val shardSums = toks.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardSums
+      .withColumn("shard_offset", coalesce(sum("shard_tokens").over(wOff), lit(0L)))
+      .select("lang", "shard", "shard_offset")
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("local_before", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .crossJoin(broadcast(budget))
+      .withColumn("tokens_before", col("shard_offset") + col("local_before"))
+      .filter(col("tokens_before") < col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tokens_before"))
+      .orderBy("doc_id")
+  }
+
   def targetMix(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the window runs over the L-row counts frame, not the corpus —

@@ -1357,4 +1357,82 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(kept === Seq(4L, 5L))
   }
+
+  test("incremental monthly rollup from day partials equals the direct grain") {
+    val s = orderSeries
+    val direct = Rollups.monthly(s).orderBy("entity_id", "period_key").collect()
+    val merged = Rollups.monthlyFromDaily(Rollups.dailyPartials(s))
+      .orderBy("entity_id", "period_key").collect()
+    // value-identical, not approximately: the algebraic partials merge
+    // exactly (decimal sums), so every derived stat matches to the bit
+    assert(merged.length === direct.length)
+    merged.zip(direct).foreach { case (m, d) => assert(m === d) }
+  }
+
+  test("event transitions count adjacent pairs per user in (ts, event_id) order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // user 1: view→click→view ; user 2: view→click ; user 3: single
+    // event (no transition). click→view only from user 1.
+    val ev = Seq(
+      (1L, 10L, t(100), "view"), (1L, 11L, t(200), "click"), (1L, 12L, t(300), "view"),
+      (2L, 20L, t(100), "view"), (2L, 21L, t(150), "click"),
+      (3L, 30L, t(100), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      ("view", "click") -> ((2L, 2L)),   // both users 1 and 2
+      ("click", "view") -> ((1L, 1L))))  // user 1 only; user 3 contributes nothing
+  }
+
+  test("token-budget mix admits a deterministic per-lang prefix, boundary doc overflows") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.tokenBudgetMix(docs)
+    val rows = out.collect()
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    // every language admits at least one document (tokens_before
+    // starts at 0 < any positive budget)
+    assert(rows.map(_.getAs[String]("lang")).toSet === langs)
+    // global budget from first principles
+    val budget = docs.select(
+      expr("sum(CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)) div (2 * count(DISTINCT lang))"))
+      .head().getLong(0)
+    assert(rows.forall(_.getAs[Long]("tokens_before") < budget))
+    // admitted set per lang is a PREFIX of the (md5 bucket, doc_id)
+    // admission order: tokens_before is the exclusive running sum, so
+    // within a lang the kept docs' offsets must be consecutive sums
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Long]("tokens_before"))
+      inOrder.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tokens_before") + a.getAs[Long]("n_tokens")
+            === b.getAs[Long]("tokens_before"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("curriculum phases are quality-monotonic tertiles with tie-sharing") {
+    val out = Corpus.curriculumOrder(Tables.documents(spark, sfDir)).collect()
+    val n = out.length
+    val byPhase = out.groupBy(_.getAs[Long]("phase"))
+    assert(byPhase.keySet === Set(1L, 2L, 3L))
+    // same score ⇒ same phase (the assignment is a pure function of q_bp)
+    out.groupBy(_.getAs[Long]("q_bp")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("phase")).toSet.size === 1)
+    }
+    // monotonic: every phase-1 score ≥ every phase-2 score ≥ phase-3
+    def scores(p: Long) = byPhase(p).map(_.getAs[Long]("q_bp"))
+    assert(scores(1L).min >= scores(2L).max)
+    assert(scores(2L).min >= scores(3L).max)
+    // tertile targets hit up to tie-sharing: phase 1 holds ≥ ⌈N/3⌉
+    // docs, but dropping its boundary-score docs would fall under
+    val k1 = (n + 2) / 3
+    val p1 = byPhase(1L)
+    assert(p1.length >= k1)
+    val b1 = scores(1L).min
+    assert(p1.count(_.getAs[Long]("q_bp") > b1) < k1)
+  }
 }

@@ -22,11 +22,17 @@ class PlanGuardSpec extends SparkSpec {
   //    df) — one partial-agg row per partition into the final reduce
   //  - rarity_score: the one-row (total, |vocab|) corpus stats reduce
   //    off the vocab aggregate, broadcast back
+  //  - mix_token_budget: the one-row global budget aggregate (total
+  //    tokens, n_langs) — same bounded-reduce contract as rarity_score
+  //  - curriculum_order: the cumulative window over the basis-point
+  //    score HISTOGRAM — ≤ 10001 rows by domain construction (q_bp ∈
+  //    [0, 10000]), constant-size at any corpus scale
   private val singlePartitionOk = Set(
     "hll_cardinality", "quantile_sketch",
     "api_paginate", "api_report_list",
     "sample_target_mix", "sample_temperature",
-    "tfidf_top_terms", "bm25_topk", "rarity_score")
+    "tfidf_top_terms", "bm25_topk", "rarity_score",
+    "mix_token_budget", "curriculum_order")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
