@@ -326,6 +326,67 @@ object StreamingRollups {
       }
   }
 
+  case class TypedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                        event_type: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+                        ts: java.sql.Timestamp)
+  // NOT private: the state encoder's generated code instantiates this
+  // class from outside the package (the SessionState contract).
+  case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  /** Streaming TRANSITION extraction — the incremental form of
+    * [[graft.operators.Analytics.eventTransitions]]: per-user state
+    * holds only the LAST event (a few bytes per active user), and each
+    * arriving event emits one (prev → next) transition row. Downstream
+    * a windowed `groupBy(from_type, to_type).count` turns the emitted
+    * rows into the live transition matrix; the parity spec pins the
+    * per-pair counts to the batch operator on the same data.
+    *
+    * Ordering: events are sorted by (ts, event_id) WITHIN each batch
+    * before folding (flatMapGroupsWithState hands groups unordered),
+    * so intra-batch disorder is corrected exactly as the batch window
+    * sort does. ACROSS batches the stored last-event is final — an
+    * event arriving in a later batch but timestamped before the
+    * stored one still transitions FROM the stored event (the
+    * streaming-inherent trade; the upstream watermark bounds how
+    * stale such arrivals can be). State ages out `idleMs` past the
+    * user's last event once the WATERMARK passes it — an evicted
+    * user's next event starts a fresh path instead of fabricating a
+    * months-later transition.
+    */
+  def transitions(events: Dataset[TypedEvent], watermarkDelay: String,
+                  idleMs: Long = 3600L * 1000): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[Transition]
+            var last = state.getOption
+            sorted.foreach { e =>
+              last.foreach(l => out += Transition(user, l.event_type, e.event_type, e.ts))
+              last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              // evict when the watermark passes last-event + idle; the
+              // timestamp must sit above the current watermark or the
+              // engine throws on an already-stale group
+              state.setTimeoutTimestamp(
+                math.max(l.ts + idleMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Session windows via flatMapGroupsWithState: a session closes after
     * `gapMs` of inactivity (processing-time timeout). Custom state
     * keyed by entity — the Spark-native replacement for the

@@ -98,6 +98,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("parity_dc").count() === batchDistinct)
   }
 
+  test("streaming transitions reproduce the batch transition matrix over the full events table") {
+    // same §2G parity contract as the windowed rollup above: the
+    // streaming per-user last-event fold replayed over the whole sf
+    // events table must produce exactly the batch lag-window's
+    // transition matrix — pairs, counts, AND distinct users.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val rows = ev.as[StreamingRollups.TypedEvent].collect().toSeq
+    val input = MemoryStream[StreamingRollups.TypedEvent]
+    input.addData(rows: _*)
+    val tr = StreamingRollups.transitions(input.toDS(), "10 minutes")
+    val q = tr.writeStream.format("memory").queryName("parity_tr")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val streamed = keyed(spark.table("parity_tr")
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"), countDistinct("user_id").as("n_users")))
+    val batch = keyed(operators.Analytics.eventTransitions(ev))
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops late duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
