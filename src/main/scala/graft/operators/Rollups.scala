@@ -156,6 +156,33 @@ object Rollups {
           sum("cnt_value").as("cnt_value")),
       "month")
 
+  /** Persist the day partials partitioned BY MONTH — the ingest half
+    * of the incremental-rollup lifecycle (the [[graft.operators.Dedup]]
+    * index-twin contract applied to aggregation): a recurring rollup
+    * job appends/overwrites the affected day partitions
+    * ([[graft.sources.Sinks.upsertPartitions]] is the per-day form)
+    * and coarser grains rebuild from this table, never from raw data.
+    * Decimal and long columns round-trip parquet exactly, so a merge
+    * after a read is as bit-exact as the in-memory one.
+    */
+  def writeDailyPartials(s: DataFrame, path: String): Unit =
+    graft.sources.Sinks.writePartitioned(
+      dailyPartials(s).withColumn("month", substring(col("period_key"), 1, 7)),
+      path, Seq("month"))
+
+  /** Monthly grain off the PERSISTED partials table. `month` scopes
+    * the rebuild to one month — a PARTITION-PRUNED scan (the
+    * recurring-job shape: month-close touches that month's directory,
+    * nothing else, spec-asserted); `None` merges every month — the
+    * gate form, value-identical to [[monthly]] under the same oracle.
+    */
+  def monthlyFromPartialsTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                               month: Option[String] = None): DataFrame = {
+    val t = graft.sources.Sinks.readPartitioned(spark, path)
+    val scoped = month.fold(t)(m => t.filter(col("month") === m))
+    monthlyFromDaily(scoped.drop("month"))
+  }
+
   /** Multi-metric monthly rollup — the reference's OHLCV shape
     * (TransForm_Load_Yfinance.py:231-248: one groupBy computing
     * avg/max/min/std for each of Open/High/Low/Close/Volume plus

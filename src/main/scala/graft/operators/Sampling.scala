@@ -152,10 +152,13 @@ object Sampling {
       col("doc_id"), col("lang"),
       hashBucket(col("doc_id")).as("shard"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val budget = toks.agg(
-      expr("sum(n_tokens) div (2 * count(DISTINCT lang))").as("budget"))
     val shardSums = toks.groupBy("lang", "shard")
       .agg(sum("n_tokens").as("shard_tokens"))
+    // budget off the SHARD SUMS, not a third corpus scan: the shard
+    // sums partition the corpus exactly, so their total and lang set
+    // are the corpus' own
+    val budget = shardSums.agg(
+      expr("sum(shard_tokens) div (2 * count(DISTINCT lang))").as("budget"))
     val wOff = Window.partitionBy("lang").orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = shardSums

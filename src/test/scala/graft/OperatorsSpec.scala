@@ -1369,6 +1369,28 @@ class OperatorsSpec extends SparkSpec {
     merged.zip(direct).foreach { case (m, d) => assert(m === d) }
   }
 
+  test("persisted day partials rebuild one month partition-pruned, value-identical") {
+    val s = orderSeries
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_partials").toString
+    Rollups.writeDailyPartials(s, path)
+    val direct = Rollups.monthly(s).orderBy("entity_id", "period_key").collect()
+    val fromTable = Rollups.monthlyFromPartialsTable(spark, path)
+      .orderBy("entity_id", "period_key").collect()
+    assert(fromTable.length === direct.length)
+    fromTable.zip(direct).foreach { case (a, b) => assert(a === b) }
+    // month-scoped rebuild: the scan is partition-pruned to that month
+    val m = direct.head.getAs[String]("period_key")
+    val one = Rollups.monthlyFromPartialsTable(spark, path, Some(m))
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains(m),
+      s"expected a month=$m partition filter in:\n$scan")
+    val expected = direct.filter(_.getAs[String]("period_key") == m)
+    val got = one.orderBy("entity_id").collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("event transitions count adjacent pairs per user in (ts, event_id) order") {
     import spark.implicits._
     import java.sql.Timestamp
