@@ -235,6 +235,18 @@ object SparkEntry {
           round(sum("b_val"), 2).cast("double").as("purchase_total"))
         .orderBy("click_id")
     }),
+    // linear multi-touch attribution over the same click/purchase
+    // framing as range_join_2t: value split equally per preceding
+    // click, remainder to the earliest
+    "attribution_linear" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("event_id").as("a_key"), col("ts").as("a_date"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("event_id").as("b_key"), col("ts").as("b_date"),
+          col("value").cast("decimal(18,4)").as("b_val"))
+      Temporal.attributionLinear(clicks, purchases, 7)
+    }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     // gate form: deterministic columns only — the raw sketch estimates
     // are implementation-defined across engines, so the gate hashes the
@@ -913,6 +925,25 @@ object SparkEntry {
         |CAST(round(sum(p.v), 2) AS DOUBLE) AS purchase_total
         |FROM c JOIN p ON c.user_id = p.user_id AND p.pts >= c.ts AND p.pts < c.ts + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // equal-split attribution in scaled-integer units; div/% on |units|
+    // with sign reapplied (Spark div truncates, DuckDB // floors —
+    // they agree only on non-negatives), remainder to the earliest
+    // click so per-purchase shares conserve the purchase value exactly
+    "attribution_linear" ->
+      """WITH c AS (SELECT user_id AS key, event_id AS a_key, ts AS a_date FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS key, event_id AS b_key, ts AS b_date, CAST(value AS DECIMAL(18,4)) AS b_val FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.a_key, c.a_date, p.b_key, CAST(p.b_val * 10000 AS BIGINT) AS units
+        |  FROM c JOIN p ON c.key = p.key AND p.b_date >= c.a_date AND p.b_date < c.a_date + INTERVAL 7 DAY),
+        |w AS (SELECT a_key, units,
+        |  count(*) OVER (PARTITION BY b_key) AS n_clicks,
+        |  row_number() OVER (PARTITION BY b_key ORDER BY a_date, a_key) AS rk FROM j),
+        |s AS (SELECT a_key,
+        |  (CASE WHEN units < 0 THEN -1 ELSE 1 END) * (abs(units) // n_clicks)
+        |  + CASE WHEN rk = 1 THEN (CASE WHEN units < 0 THEN -1 ELSE 1 END) * (abs(units) % n_clicks) ELSE 0 END AS share_units
+        |  FROM w)
+        |SELECT a_key AS click_id, count(*)::BIGINT AS n_purchases,
+        |CAST(sum(share_units) AS DOUBLE) / 10000 AS attributed
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // staleness tolerance over DuckDB's native ASOF: matches older
     // than 12h are nulled by CASE, exactly the Spark-side predicate
     "asof_join_tolerance" ->

@@ -130,6 +130,44 @@ object Temporal {
     * Expects `intervals(key, a_key, a_date)` and
     * `points(key, b_date, b_val)`; emits one row per joined pair.
     */
+  /** LINEAR multi-touch attribution — the credit-assignment step after
+    * [[rangeJoinPairs]]'s click→purchase pairing: each purchase's value
+    * splits EQUALLY across every click in its preceding `days` window,
+    * and a click's attributed revenue sums its shares over all the
+    * purchases it influenced. (The single-pair form, `range_join_2t`,
+    * is first/any-touch; marketing attribution wants the split.)
+    *
+    * Exactness: the split is integer arithmetic in 10⁻⁴ value units —
+    * `units div n` per click with the REMAINDER assigned to the
+    * earliest click (ties by id), so per-purchase shares sum to the
+    * purchase value exactly (mass conservation, spec-asserted) and no
+    * engine's rounding mode is involved. Truncating `div`/`%` match
+    * DuckDB's floor `//` only for non-negative operands, so both
+    * factors ride on |units| with the sign reapplied (the
+    * [[Rollups]] signed-average lesson).
+    *
+    * Scale shape: the bucketed range join's one hash shuffle, then two
+    * windows over the PAIRS table partitioned by purchase id (pairs ≪
+    * raw events — bounded by clicks-per-window), then one map-side-
+    * combinable aggregate to per-click rows.
+    */
+  def attributionLinear(clicks: DataFrame, purchases: DataFrame, days: Int): DataFrame = {
+    val perPurchase = Window.partitionBy("b_key")
+    val order = Window.partitionBy("b_key").orderBy("a_date", "a_key")
+    rangeJoinPairs(clicks, purchases, days)
+      .withColumn("units", (col("b_val") * 10000).cast("long"))
+      .withColumn("n_clicks", count(lit(1)).over(perPurchase))
+      .withColumn("rk", row_number().over(order))
+      .withColumn("share_units", expr(
+        "if(units < 0, -1L, 1L) * (abs(units) div n_clicks) + " +
+          "if(rk = 1, if(units < 0, -1L, 1L) * (abs(units) % n_clicks), 0L)"))
+      .groupBy(col("a_key").as("click_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        (sum("share_units").cast("double") / 10000).as("attributed"))
+      .orderBy("click_id")
+  }
+
   def rangeJoinPairs(intervals: DataFrame, points: DataFrame, days: Int): DataFrame = {
     val a = intervals
       .withColumn("bucket", explode(sequence(

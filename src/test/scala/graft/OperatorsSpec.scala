@@ -1409,6 +1409,45 @@ class OperatorsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1L))))  // user 1 only; user 3 contributes nothing
   }
 
+  test("linear attribution conserves purchase value and splits equally") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // purchase 100 at day 5: clicks 1,2 in window (day 1, 3) — 3rd click
+    // at day 20 outside. value 100.0001 → 1000001 units: 500000 each,
+    // remainder 1 to the EARLIEST click (id 1).
+    val clicks = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00")),
+      (1L, 2L, t("2024-01-03 00:00:00")),
+      (1L, 3L, t("2024-01-20 00:00:00"))
+    ).toDF("key", "a_key", "a_date")
+    val purchases = Seq(
+      (1L, 10L, t("2024-01-05 00:00:00"), BigDecimal("100.0001"))
+    ).toDF("key", "b_key", "b_date", "b_val")
+      .withColumn("b_val", col("b_val").cast("decimal(18,4)"))
+    val out = Temporal.attributionLinear(clicks, purchases, 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 50.0001)),   // 500001 units — floor share + the 1-unit remainder
+      2L -> ((1L, 50.0))))
+    // mass conservation on the real table: total attributed equals the
+    // total value of every purchase that has at least one click in
+    // window (integer shares sum exactly per purchase)
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("event_id").as("a_key"), col("ts").as("a_date"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("event_id").as("b_key"), col("ts").as("b_date"),
+        col("value").cast("decimal(18,4)").as("b_val"))
+    val attributed = Temporal.attributionLinear(c, p, 7)
+      .agg(sum(round(col("attributed") * 10000).cast("long"))).head().getLong(0)
+    val covered = Temporal.rangeJoinPairs(c, p, 7)
+      .select(col("b_key"), (col("b_val") * 10000).cast("long").as("u"))
+      .dropDuplicates("b_key")
+      .agg(sum("u")).head().getLong(0)
+    assert(attributed === covered)
+  }
+
   test("token-budget mix admits a deterministic per-lang prefix, boundary doc overflows") {
     val docs = Tables.documents(spark, sfDir)
     val out = Sampling.tokenBudgetMix(docs)
