@@ -269,6 +269,9 @@ object SparkEntry {
     "rollup_partials_indexed" -> ((s, d) =>
       Rollups.monthlyFromPartialsTable(s, partialsPath(s, d))),
     "event_transitions" -> ((s, d) => Analytics.eventTransitions(Tables.events(s, d))),
+    "user_rfm" -> ((s, d) => Analytics.userRfm(Tables.events(s, d))),
+    "dq_report" -> ((s, d) => DataQuality.report(Tables.orders(s, d),
+      Tables.lineitem(s, d), Tables.customer(s, d), Tables.events(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
@@ -720,6 +723,46 @@ object SparkEntry {
     // maintenance guarantee the operator exists to prove)
     "rollup_incremental" -> grainOracle("%Y-%m", "month"),
     "rollup_partials_indexed" -> grainOracle("%Y-%m", "month"),
+    // fixed integer tier thresholds; as-of = the corpus' own max day
+    "user_rfm" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) AS as_of FROM events),
+        |u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS n_events,
+        |  coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) * 100 AS BIGINT), 0) AS cents
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT user_id, CAST(datediff('day', last_day, as_of) AS BIGINT) AS days_since,
+        |  n_events, cents FROM u, a)
+        |SELECT user_id, days_since, n_events, CAST(cents AS DOUBLE) / 100 AS monetary,
+        |'R' || (CASE WHEN days_since <= 2 THEN 3 WHEN days_since <= 7 THEN 2 ELSE 1 END)
+        ||| 'F' || (CASE WHEN n_events >= 20 THEN 3 WHEN n_events >= 10 THEN 2 ELSE 1 END)
+        ||| 'M' || (CASE WHEN cents >= 50000 THEN 3 WHEN cents >= 10000 THEN 2 WHEN cents > 0 THEN 1 ELSE 0 END) AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
+    // one aggregate per table, FK as a count over the dim-joined scan
+    "dq_report" ->
+      """WITH o AS (SELECT count(*) AS n, count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) AS v1,
+        |  count(*) FILTER (o_orderdate IS NULL) AS v2,
+        |  count(*) FILTER (c.c_custkey IS NULL) AS v3
+        |  FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey),
+        |l AS (SELECT count(*) AS n,
+        |  count(*) FILTER (l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 50) AS v1,
+        |  count(*) FILTER (l_discount IS NULL OR l_discount < 0 OR l_discount > 1) AS v2,
+        |  count(*) FILTER (l_extendedprice IS NULL OR l_extendedprice <= 0) AS v3
+        |  FROM lineitem),
+        |e AS (SELECT count(*) AS n,
+        |  count(*) FILTER (event_type NOT IN ('click','view','purchase','signup','error')) AS v1,
+        |  count(*) FILTER (value IS NULL OR value < 0) AS v2,
+        |  count(*) FILTER (user_id IS NULL) AS v3
+        |  FROM events)
+        |SELECT "check", n_checked, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'orders_total_positive' AS "check", n AS n_checked, v1 AS n_violations FROM o
+        |  UNION ALL SELECT 'orders_date_present', n, v2 FROM o
+        |  UNION ALL SELECT 'orders_customer_fk', n, v3 FROM o
+        |  UNION ALL SELECT 'lineitem_qty_range', n, v1 FROM l
+        |  UNION ALL SELECT 'lineitem_discount_range', n, v2 FROM l
+        |  UNION ALL SELECT 'lineitem_price_positive', n, v3 FROM l
+        |  UNION ALL SELECT 'events_type_enum', n, v1 FROM e
+        |  UNION ALL SELECT 'events_value_nonneg', n, v2 FROM e
+        |  UNION ALL SELECT 'events_user_present', n, v3 FROM e)
+        |ORDER BY "check"""".stripMargin,
     // adjacent-pair transitions off one lag window; all counts
     "event_transitions" ->
       """WITH t AS (SELECT user_id, event_type,

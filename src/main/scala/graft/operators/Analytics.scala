@@ -384,6 +384,40 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Per-user RFM (recency / frequency / monetary) profile — the
+    * classic customer-segmentation rollup: days since last activity
+    * (vs the CORPUS' own max day, a one-row broadcast — no wall-clock
+    * dependence, so replays are deterministic), event count, and
+    * purchase revenue, scored into fixed integer tiers and a compact
+    * "R_F_M_" segment label. Tier thresholds are FIXED integers (not
+    * data quantiles) so the assignment is a pure per-row function —
+    * engine-exact, and stable as the corpus grows (a user's segment
+    * never moves because someone else's data changed).
+    *
+    * Scale: one groupBy(user) with map-side partials; the as-of date
+    * is a one-row reduce broadcast back; monetary rides as exact
+    * cents (decimal sum → long), divided once at the end.
+    */
+  def userRfm(events: DataFrame): DataFrame = {
+    val asOf = events.agg(max(to_date(col("ts"))).as("as_of"))
+    val per = events.groupBy("user_id").agg(
+      max(to_date(col("ts"))).as("last_day"),
+      count(lit(1)).as("n_events"),
+      sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)"))).as("monetary_d"))
+    val r = when(col("days_since") <= 2, 3L).when(col("days_since") <= 7, 2L).otherwise(1L)
+    val f = when(col("n_events") >= 20, 3L).when(col("n_events") >= 10, 2L).otherwise(1L)
+    val m = when(col("cents") >= 50000L, 3L).when(col("cents") >= 10000L, 2L)
+      .when(col("cents") > 0L, 1L).otherwise(0L)
+    per.crossJoin(broadcast(asOf))
+      .withColumn("days_since", datediff(col("as_of"), col("last_day")).cast("long"))
+      .withColumn("cents", coalesce((col("monetary_d") * 100).cast("long"), lit(0L)))
+      .select(col("user_id"), col("days_since"), col("n_events"),
+        (col("cents").cast("double") / 100).as("monetary"),
+        concat(lit("R"), r, lit("F"), f, lit("M"), m).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** Per-user event-type TRANSITION counts — the first-order Markov
     * view of the event stream (what funnels and next-action models
     * consume): each user's events ordered by (ts, event_id) form a

@@ -1409,6 +1409,53 @@ class OperatorsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1L))))  // user 1 only; user 3 contributes nothing
   }
 
+  test("user_rfm tiers on fixed thresholds with corpus-max as-of") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // corpus max day = 2024-01-30 (user 2's last event).
+    // user 1: last 2024-01-29 (1 day → R3), 2 events (F1), $600 purchases (M3)
+    // user 2: last 2024-01-30 (0 days → R3), 1 event, no purchase (M0)
+    val ev = Seq(
+      (1L, t("2024-01-20 10:00:00"), "purchase", 100.0),
+      (1L, t("2024-01-29 10:00:00"), "purchase", 500.0),
+      (2L, t("2024-01-30 10:00:00"), "view", 3.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Analytics.userRfm(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getString(4)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 600.0, "R3F1M3")),
+      2L -> ((0L, 0.0, "R3F1M0"))))
+  }
+
+  test("dq_report counts injected violations per named check") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, java.sql.Date.valueOf("2024-01-01"), 100.0),
+      (2L, 99L, null.asInstanceOf[java.sql.Date], -5.0) // bad FK, null date, non-positive
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val lineitem = Seq(
+      (1L, 10.0, 0.05, 100.0),
+      (2L, 99.0, 1.5, 0.0)  // qty > 50, discount > 1, price <= 0
+    ).toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val events = Seq(
+      (1L, "click", 1.0), (2L, "bogus", -1.0) // bad enum, negative value
+    ).toDF("user_id", "event_type", "value")
+    val rep = DataQuality.report(orders, lineitem, customer, events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep("orders_total_positive") === ((2L, 1L, false)))
+    assert(rep("orders_date_present") === ((2L, 1L, false)))
+    assert(rep("orders_customer_fk") === ((2L, 1L, false)))
+    assert(rep("lineitem_qty_range") === ((2L, 1L, false)))
+    assert(rep("lineitem_discount_range") === ((2L, 1L, false)))
+    assert(rep("lineitem_price_positive") === ((2L, 1L, false)))
+    assert(rep("events_type_enum") === ((2L, 1L, false)))
+    assert(rep("events_value_nonneg") === ((2L, 1L, false)))
+    assert(rep("events_user_present") === ((2L, 0L, true)))
+    assert(rep.size === 9)
+  }
+
   test("linear attribution conserves purchase value and splits equally") {
     import spark.implicits._
     import java.sql.Timestamp

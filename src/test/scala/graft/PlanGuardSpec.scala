@@ -27,12 +27,16 @@ class PlanGuardSpec extends SparkSpec {
   //  - curriculum_order: the cumulative window over the basis-point
   //    score HISTOGRAM — ≤ 10001 rows by domain construction (q_bp ∈
   //    [0, 10000]), constant-size at any corpus scale
+  //  - user_rfm: the one-row as-of date reduce, broadcast back
+  //  - dq_report: one single-row aggregate per table (three) — the
+  //    report itself is a constant 9 rows
   private val singlePartitionOk = Set(
     "hll_cardinality", "quantile_sketch",
     "api_paginate", "api_report_list",
     "sample_target_mix", "sample_temperature",
     "tfidf_top_terms", "bm25_topk", "rarity_score",
-    "mix_token_budget", "curriculum_order")
+    "mix_token_budget", "curriculum_order",
+    "user_rfm", "dq_report")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
