@@ -255,6 +255,26 @@ object SparkEntry {
     "hll_cardinality" -> ((s, d) => Analytics.cardinalityGate(Tables.events(s, d))),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketchGate(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
+    "funnel_steps" -> ((s, d) => Analytics.funnelSteps(Tables.events(s, d))),
+    // point-in-time dim join over a two-version synthetic SCD2
+    // dimension derived from customer (segment rotates at 1996-01-01)
+    "scd2_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val dim = cust.select(col("c_custkey").as("dim_key"),
+          explode(array(
+            struct(lit("1992-01-01").cast("date").as("valid_from"),
+              lit("1996-01-01").cast("date").as("valid_to"),
+              col("c_mktsegment").as("segment")),
+            struct(lit("1996-01-01").cast("date").as("valid_from"),
+              lit("9999-12-31").cast("date").as("valid_to"),
+              concat(col("c_mktsegment"), lit("_V2")).as("segment")))).as("v"))
+        .select(col("dim_key"), col("v.valid_from"), col("v.valid_to"), col("v.segment"))
+      Temporal.scd2Join(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          dim, "o_custkey", "o_orderdate")
+        .select(col("o_orderkey"), col("segment"))
+        .orderBy("o_orderkey")
+    }),
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
     // incremental maintenance: monthly rebuilt from day-grain
@@ -355,6 +375,7 @@ object SparkEntry {
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
+    "oov_rate"          -> ((s, d) => Corpus.oovRate(Tables.documents(s, d), 25)),
     "vocab_bigrams"     -> ((s, d) => Corpus.bigramTopK(Tables.documents(s, d))),
     "bpe_pair_counts"   -> ((s, d) => Corpus.bpePairCounts(Tables.documents(s, d))),
     "bpe_encode"        -> ((s, d) =>
@@ -723,6 +744,28 @@ object SparkEntry {
     // maintenance guarantee the operator exists to prove)
     "rollup_incremental" -> grainOracle("%Y-%m", "month"),
     "rollup_partials_indexed" -> grainOracle("%Y-%m", "month"),
+    // sequential strictly-after min-time chaining, counts one-row
+    "funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name, count(*)::BIGINT AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    // equi-key + residual validity window, half-open intervals
+    "scd2_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS dim_key, DATE '1992-01-01' AS vf, DATE '1996-01-01' AS vt,
+        |    c_mktsegment AS segment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '1996-01-01', DATE '9999-12-31', c_mktsegment || '_V2' FROM customer)
+        |SELECT o_orderkey, segment FROM orders JOIN dim
+        |ON o_custkey = dim_key AND o_orderdate >= vf AND o_orderdate < vt
+        |ORDER BY o_orderkey""".stripMargin,
     // fixed integer tier thresholds; as-of = the corpus' own max day
     "user_rfm" ->
       """WITH a AS (SELECT max(CAST(ts AS DATE)) AS as_of FROM events),
@@ -1384,6 +1427,17 @@ object SparkEntry {
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // vocab = top-25 by (tf desc, word) — same deterministic ranking
+    // as vocab_topk; oov_bp is integer basis points
+    "oov_rate" ->
+      """WITH t AS (SELECT lang, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
+        |tok AS (SELECT lang, word FROM t WHERE word <> ''),
+        |v AS (SELECT word FROM (SELECT word, count(*) AS tf FROM tok GROUP BY 1)
+        |      ORDER BY tf DESC, word LIMIT 25)
+        |SELECT lang, count(*)::BIGINT AS n_tokens,
+        |count(*) FILTER (word NOT IN (SELECT word FROM v))::BIGINT AS n_oov,
+        |(10000 * count(*) FILTER (word NOT IN (SELECT word FROM v))) // count(*) AS oov_bp
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
     "text_clean" ->
       """SELECT doc_id,
         |trim(regexp_replace(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text,

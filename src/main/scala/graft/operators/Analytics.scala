@@ -176,6 +176,37 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Multi-step ORDERED funnel — [[funnel]]'s 2-step conversion
+    * generalized to an arbitrary step sequence: a user reaches step k
+    * iff a step-k event STRICTLY follows their step-(k−1) time (first
+    * qualifying occurrence; strict ordering so one timestamp can't
+    * satisfy two steps). Output: one row per step with the surviving
+    * user count — the drop-off table every product funnel reads.
+    *
+    * Scale shape: one filtered pass + one (user) aggregate per step —
+    * each pass scans only its step's events (type predicate pushed to
+    * the scan; a type-partitioned events table turns it into a
+    * partition read), joined to the shrinking survivor frame on the
+    * user key. The per-step count reduces are one-row.
+    */
+  def funnelSteps(events: DataFrame,
+                  steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val survivors = steps.tail.scanLeft(steps.head -> first) {
+      case ((_, prev), st) =>
+        st -> events.filter(col("event_type") === st)
+          .join(prev.select("user_id", "t"), "user_id")
+          .filter(col("ts") > col("t"))
+          .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    survivors.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("step")
+  }
+
   /** Sketch-aggregate cardinality: HyperLogLog++ approximate distinct
     * next to the exact count. Exact distinct is a full shuffle of
     * every key occurrence; the HLL sketch is kilobytes per partition

@@ -31,6 +31,35 @@ object Corpus {
       .orderBy(col("tf").desc, col("word"))
       .limit(k)
 
+  /** Tokenizer-coverage (OOV) report per language: the fraction of
+    * token OCCURRENCES outside the corpus' own top-`vocabSize` terms —
+    * the table that sizes a vocabulary (or flags a language a shared
+    * vocab underserves) before committing to a tokenizer. `oov_bp` is
+    * integer basis points, engine-exact.
+    *
+    * Scale shape: the vocab is the [[vocabTopK]] aggregate's top-k via
+    * TakeOrdered — a BOUNDED artifact (`vocabSize` rows, the codebook
+    * contract), broadcast back; the corpus token stream then joins the
+    * broadcast vocab and reduces per language. Two corpus scans, no
+    * corpus-sized shuffle beyond the word aggregate's map-side-combined
+    * exchange.
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = documents
+      .select(col("lang"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word")).limit(vocabSize)
+      .select(col("word"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("(10000 * n_oov) div n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Per-language corpus composition report — the first table every
     * corpus curation review asks for: document counts, token/char
     * volume, and mean document length per language. One map-side

@@ -130,6 +130,31 @@ object Temporal {
     * Expects `intervals(key, a_key, a_date)` and
     * `points(key, b_date, b_val)`; emits one row per joined pair.
     */
+  /** Point-in-time (SCD type-2) dimension join — the warehouse
+    * staple the as-of join can't express when the dimension carries
+    * EXPLICIT validity intervals: each fact row joins the dimension
+    * version whose `[valid_from, valid_to)` window contains the fact
+    * timestamp, so historical facts read historical attributes (no
+    * time-travel leakage of today's dimension into yesterday's
+    * report).
+    *
+    * Plan shape: an EQUI-join on the dimension key with the validity
+    * window as a residual filter — never a range-only join (which
+    * Spark would plan as a nested loop). The per-key fan-out before
+    * the filter is the key's version count, small by SCD nature
+    * (versions accrue per real-world change), so the join carries
+    * ≈ |facts| × avg-versions rows. Dim side broadcasts when small;
+    * at warehouse scale both sides hash-partition on the key.
+    *
+    * Contract: `dim` carries `dim_key`, `valid_from`, `valid_to`
+    * (half-open) + attribute columns; intervals per key should not
+    * overlap (overlaps produce one row per covering version).
+    */
+  def scd2Join(facts: DataFrame, dim: DataFrame, key: String, ts: String): DataFrame =
+    facts.join(dim,
+      facts(key) === dim("dim_key") &&
+        facts(ts) >= dim("valid_from") && facts(ts) < dim("valid_to"))
+
   /** LINEAR multi-touch attribution — the credit-assignment step after
     * [[rangeJoinPairs]]'s click→purchase pairing: each purchase's value
     * splits EQUALLY across every click in its preceding `days` window,

@@ -1409,6 +1409,55 @@ class OperatorsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1L))))  // user 1 only; user 3 contributes nothing
   }
 
+  test("funnel_steps requires strict event-time ordering through every step") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // user 1 completes signup→click→purchase in order; user 2 clicks
+    // BEFORE signing up (click doesn't count); user 3 signup only.
+    // user 4's click shares the signup timestamp — strict > rejects it.
+    val ev = Seq(
+      (1L, t(100), "signup"), (1L, t(200), "click"), (1L, t(300), "purchase"),
+      (2L, t(100), "click"), (2L, t(200), "signup"),
+      (3L, t(100), "signup"),
+      (4L, t(100), "signup"), (4L, t(100), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnelSteps(ev).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("signup" -> 4L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("scd2 join picks the dimension version valid at the fact timestamp") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, 10L, java.sql.Date.valueOf("1995-06-01")),
+      (2L, 10L, java.sql.Date.valueOf("1997-06-01")),
+      (3L, 10L, java.sql.Date.valueOf("1991-01-01"))  // before any version
+    ).toDF("fact_id", "cust", "fact_date")
+    val dim = Seq(
+      (10L, java.sql.Date.valueOf("1992-01-01"), java.sql.Date.valueOf("1996-01-01"), "OLD"),
+      (10L, java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("9999-12-31"), "NEW")
+    ).toDF("dim_key", "valid_from", "valid_to", "segment")
+    val out = Temporal.scd2Join(facts, dim, "cust", "fact_date")
+      .select("fact_id", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "OLD", 2L -> "NEW"))  // fact 3 has no valid version
+  }
+
+  test("oov_rate counts occurrences outside the top-V vocab, full vocab means zero OOV") {
+    val docs = Tables.documents(spark, sfDir)
+    val tight = Corpus.oovRate(docs, vocabSize = 5).collect()
+    assert(tight.nonEmpty)
+    tight.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("oov_bp") ===
+        10000L * r.getAs[Long]("n_oov") / r.getAs[Long]("n_tokens"))
+    }
+    // a vocab covering every distinct word leaves nothing OOV
+    val loose = Corpus.oovRate(docs, vocabSize = 100000).collect()
+    assert(loose.forall(_.getAs[Long]("n_oov") === 0L))
+  }
+
   test("user_rfm tiers on fixed thresholds with corpus-max as-of") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -36,7 +36,9 @@ class PlanGuardSpec extends SparkSpec {
     "sample_target_mix", "sample_temperature",
     "tfidf_top_terms", "bm25_topk", "rarity_score",
     "mix_token_budget", "curriculum_order",
-    "user_rfm", "dq_report")
+    "user_rfm", "dq_report",
+    // funnel_steps: one-row per-step count reduces (3 rows total)
+    "funnel_steps")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
