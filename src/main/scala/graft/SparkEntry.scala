@@ -277,6 +277,7 @@ object SparkEntry {
     }),
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     "rollup_median"   -> ((s, d) => Analytics.medianByEntity(Tables.orders(s, d))),
+    "percentiles_entity" -> ((s, d) => Analytics.percentilesByEntity(Tables.orders(s, d))),
     // incremental maintenance: monthly rebuilt from day-grain
     // algebraic partials — must equal rollup_monthly exactly (same
     // oracle), proving the merge path a recurring 100 TB rollup runs
@@ -744,6 +745,17 @@ object SparkEntry {
     // maintenance guarantee the operator exists to prove)
     "rollup_incremental" -> grainOracle("%Y-%m", "month"),
     "rollup_partials_indexed" -> grainOracle("%Y-%m", "month"),
+    // nearest-rank percentile vector: value at rank ⌈p·n/100⌉, ties
+    // broken by orderkey — rank selection, no interpolation
+    "percentiles_entity" ->
+      """WITH r AS (SELECT o_custkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n FROM orders),
+        |p AS (SELECT unnest([25, 50, 75, 90]) AS p)
+        |SELECT o_custkey AS entity_id, CAST(p.p AS BIGINT) AS p,
+        |round(o_totalprice, 2) AS value, n AS n_orders
+        |FROM r, p WHERE rn = (p.p * n + 99) // 100
+        |ORDER BY entity_id, p""".stripMargin,
     // sequential strictly-after min-time chaining, counts one-row
     "funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -528,6 +528,30 @@ object Analytics {
       .orderBy("entity_id")
   }
 
+  /** [[medianByEntity]] generalized to a percentile VECTOR: the p-th
+    * percentile is the value at rank ⌈p·n/100⌉ (nearest-rank
+    * convention, integer arithmetic — engine-exact where interpolated
+    * percentiles drift), one output row per (entity, p). The same
+    * single (entity)-partitioned sort serves every requested
+    * percentile: ranks ride once, the small `ps` array explodes per
+    * row and the rank filter keeps |ps| rows per entity.
+    */
+  def percentilesByEntity(orders: DataFrame,
+                          ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100), "percentiles in [1,100]")
+    val byEntity = Window.partitionBy("o_custkey")
+    val w = byEntity.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byEntity))
+      .select(col("o_custkey"), col("o_totalprice"), col("rn"), col("n"),
+        explode(array(ps.map(p => lit(p)): _*)).as("p"))
+      .filter(col("rn") === expr("(p * n + 99) div 100"))
+      .select(col("o_custkey").as("entity_id"), col("p").cast("long").as("p"),
+        round(col("o_totalprice"), 2).as("value"), col("n").as("n_orders"))
+      .orderBy("entity_id", "p")
+  }
+
   def topK(orders: DataFrame, k: Int): DataFrame =
     orders
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))

@@ -1409,6 +1409,25 @@ class OperatorsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1L))))  // user 1 only; user 3 contributes nothing
   }
 
+  test("percentile vector picks nearest-rank values, p100 is the max") {
+    import spark.implicits._
+    // 4 values: p25→rank 1, p50→rank 2, p75→rank 3, p100→rank 4
+    val orders = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0), (4L, 1L, 40.0)
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Analytics.percentilesByEntity(orders, Seq(25, 50, 75, 100))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out === Map(25L -> 10.0, 50L -> 20.0, 75L -> 30.0, 100L -> 40.0))
+    // median agreement with the dedicated operator on the real table
+    val real = Tables.orders(spark, sfDir)
+    val p50 = Analytics.percentilesByEntity(real, Seq(50))
+      .select(col("entity_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val med = Analytics.medianByEntity(real)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p50 === med)
+  }
+
   test("funnel_steps requires strict event-time ordering through every step") {
     import spark.implicits._
     import java.sql.Timestamp
