@@ -248,6 +248,8 @@ object SparkEntry {
       Temporal.attributionLinear(clicks, purchases, 7)
     }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
+    "skew_report" -> ((s, d) => Analytics.skewReport(Tables.events(s, d))),
+    "embed_drift" -> ((s, d) => Similarity.embedDrift(Tables.embeddings(s, d))),
     // gate form: deterministic columns only — the raw sketch estimates
     // are implementation-defined across engines, so the gate hashes the
     // exact companion values plus in-bound booleans (the full report
@@ -745,6 +747,31 @@ object SparkEntry {
     // maintenance guarantee the operator exists to prove)
     "rollup_incremental" -> grainOracle("%Y-%m", "month"),
     "rollup_partials_indexed" -> grainOracle("%Y-%m", "month"),
+    // top-k hot keys with integer-bp share of total rows
+    "skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT user_id, cnt, CAST((10000 * cnt) // total AS BIGINT) AS share_bp
+        |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+    // same int8 quantization as embed_quantize_values; snapshot halves
+    // by the drift family's vec_id mod slices; cross-multiplied mean
+    // difference in HUGEINT/decimal(38) — overflow-proof and exact
+    "embed_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, r.i AS pos,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[r.i + 1] / scale) END AS BIGINT) AS q
+        |  FROM (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+        |  range(64) r(i) WHERE r.i < len(v)),
+        |a AS (SELECT label, pos, sum(q) AS sa FROM q WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |b AS (SELECT label, pos, sum(q) AS sb FROM q WHERE vec_id % 3 = 0 GROUP BY 1, 2),
+        |na AS (SELECT label, count(*) AS n_old FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+        |nb AS (SELECT label, count(*) AS n_new FROM embeddings WHERE vec_id % 3 = 0 GROUP BY 1),
+        |j AS (SELECT a.label, abs(CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old) AS d, n_old, n_new
+        |  FROM a JOIN b ON a.label = b.label AND a.pos = b.pos
+        |  JOIN na ON a.label = na.label JOIN nb ON a.label = nb.label)
+        |SELECT label, n_old, n_new,
+        |CAST((sum(d) * 10000) // (CAST(n_old AS HUGEINT) * n_new) AS BIGINT) AS shift_mq
+        |FROM j GROUP BY 1, 2, 3 ORDER BY label""".stripMargin,
     // nearest-rank percentile vector: value at rank ⌈p·n/100⌉, ties
     // broken by orderkey — rank selection, no interpolation
     "percentiles_entity" ->

@@ -507,6 +507,21 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Hot-key SKEW diagnostic — the report you read before reaching for
+    * [[saltedAgg]] or AQE skew hints: the k heaviest keys with their
+    * share of total rows in integer basis points. One
+    * map-side-combined count aggregate, a one-row total broadcast
+    * back, TakeOrdered for the top-k — nothing corpus-sized moves.
+    */
+  def skewReport(events: DataFrame, k: Int = 10): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("(10000 * cnt) div total"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(k)
+      .select("user_id", "cnt", "share_bp")
+  }
+
   /** Exact per-entity median by RANK, not interpolation: the lower
     * median is the ((n+1) div 2)-th smallest value (ties broken by
     * orderkey, so the picked ROW is unique). Rank-based selection is

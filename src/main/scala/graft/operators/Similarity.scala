@@ -465,4 +465,50 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Embedding-space DRIFT between two corpus snapshots — the
+    * [[graft.operators.TextPipeline.corpusDrift]] analog for the
+    * vector side: per label, the L1 distance between the snapshots'
+    * mean vectors, computed ENTIRELY in integers so the report is
+    * engine-exact (float mean vectors drift with summation order —
+    * useless as a cross-engine or cross-run comparison baseline).
+    *
+    * Mechanics: vectors quantize through the shared int8 expression
+    * ([[graft.plans.HashExprs.quantizeI8]]), per-(label, dim) SUMS
+    * and per-label counts aggregate per snapshot, and the mean
+    * difference |sa/na − sb/nb| rides as the cross-multiplied
+    * |sa·nb − sb·na| over a decimal(38) cast (overflow-proof at any
+    * corpus size). Output per label: snapshot sizes and the L1 shift
+    * in milli-quant units, `(10⁴·Σ_dims |sa·nb − sb·na|) div (na·nb)`.
+    * Labels present in only one snapshot are omitted (no mean to
+    * compare against).
+    *
+    * Scale: two narrow aggregates per snapshot (L×dims and L rows),
+    * broadcast-joined — the corpus is scanned twice, shuffled never.
+    * Snapshots here are the deterministic vec_id mod slices the drift
+    * family uses as its two-crawl stand-in.
+    */
+  def embedDrift(embeddings: DataFrame): DataFrame = {
+    def snap(m: Int) = embeddings.filter(pmod(col("vec_id"), lit(m)) === 0)
+    def comps(df: DataFrame) = df
+      .select(col("label"), posexplode(HashExprs.quantizeI8(col("embedding"))))
+      .select(col("label"), col("pos"), col("col").cast("long").as("q"))
+      .groupBy("label", "pos").agg(sum("q").as("s"))
+    def counts(df: DataFrame, as: String) =
+      df.groupBy("label").agg(count(lit(1)).as(as))
+    comps(snap(2)).withColumnRenamed("s", "sa")
+      .join(comps(snap(3)).withColumnRenamed("s", "sb"), Seq("label", "pos"))
+      .join(broadcast(counts(snap(2), "n_old")), "label")
+      .join(broadcast(counts(snap(3), "n_new")), "label")
+      .groupBy("label")
+      .agg(
+        first("n_old").as("n_old"),
+        first("n_new").as("n_new"),
+        sum(abs(col("sa").cast("decimal(38,0)") * col("n_new") -
+          col("sb").cast("decimal(38,0)") * col("n_old"))).as("l1x"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        expr("CAST((l1x * 10000) div (CAST(n_old AS DECIMAL(38,0)) * n_new) AS BIGINT)")
+          .as("shift_mq"))
+      .orderBy("label")
+  }
 }

@@ -1409,6 +1409,41 @@ class OperatorsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1L))))  // user 1 only; user 3 contributes nothing
   }
 
+  test("skew_report ranks hottest keys with conserved basis-point shares") {
+    val out = Analytics.skewReport(Tables.events(spark, sfDir), 5).collect()
+    assert(out.length === 5)
+    // descending by count, ties by key
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cnt") > b.getAs[Long]("cnt") ||
+          (a.getAs[Long]("cnt") === b.getAs[Long]("cnt") &&
+            a.getAs[Long]("user_id") < b.getAs[Long]("user_id")))
+      case _ => ()
+    }
+    val total = Tables.events(spark, sfDir).count()
+    out.foreach(r =>
+      assert(r.getAs[Long]("share_bp") === 10000L * r.getAs[Long]("cnt") / total))
+  }
+
+  test("embed_drift is zero against an identical snapshot pair and integer-stable") {
+    import spark.implicits._
+    // identical snapshots (ids divisible by 6 appear in BOTH the mod-2
+    // and mod-3 slice): a label whose every vector is in both slices
+    // must show zero shift
+    val emb = Seq(
+      (6L, Array(1.0f, 2.0f, 3.0f, 4.0f), 1),
+      (12L, Array(4.0f, 3.0f, 2.0f, 1.0f), 1),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 2),   // only in mod-2
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2)    // only in mod-3
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedDrift(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) === ((2L, 2L, 0L)))   // same two vectors both sides → no drift
+    // label 2: means are the two orthogonal unit vectors, quantized to
+    // ±127 at two positions → L1 = 127+127 = 254 quant units = 2540000 mq
+    assert(out(2) === ((1L, 1L, 2540000L)))
+  }
+
   test("percentile vector picks nearest-rank values, p100 is the max") {
     import spark.implicits._
     // 4 values: p25→rank 1, p50→rank 2, p75→rank 3, p100→rank 4

@@ -38,7 +38,9 @@ class PlanGuardSpec extends SparkSpec {
     "mix_token_budget", "curriculum_order",
     "user_rfm", "dq_report",
     // funnel_steps: one-row per-step count reduces (3 rows total)
-    "funnel_steps")
+    "funnel_steps",
+    // skew_report: the one-row grand-total reduce off the key counts
+    "skew_report")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
