@@ -76,6 +76,40 @@ object SparkEntry {
     ensureTable(s, t)(Corpus.writeBm25Index(Tables.documents(s, d), t))
   }
 
+  /** Co-bucketed fact pair: orders and lineitem both bucketed on the
+    * join key at ingest, so every later orderkey join/aggregate plans
+    * ZERO exchanges (the 100 TB answer for a fact⋈fact key joined
+    * repeatedly — shuffling terabytes per query vs once at write).
+    */
+  private def cobucketTables(s: SparkSession, d: String): (String, String) = {
+    val to = s"g_gate_orders_bkt_${tag(d)}"
+    val tl = s"g_gate_lineitem_bkt_${tag(d)}"
+    ensureTable(s, to)(graft.sources.Sinks.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+      to, Seq("o_orderkey"), 8))
+    ensureTable(s, tl)(graft.sources.Sinks.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      tl, Seq("l_orderkey"), 8))
+    (to, tl)
+  }
+
+  /** The co-bucketed join's consumer — per-order item count + revenue
+    * (decimal-exact), shared by the gate query and the zero-exchange
+    * plan spec.
+    */
+  def cobucketedRevenue(s: SparkSession, d: String): DataFrame = {
+    val (to, tl) = cobucketTables(s, d)
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val one = lit(1).cast("decimal(4,2)")
+    s.table(to).join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(price * (one - disc).cast("decimal(4,2)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
   /** Fixed tokenizer for the `bpe_encode` gate — the gate verifies the
     * ENCODER's application convention (chained merges, multi-level
     * tokens, word isolation), so the merge list is a pinned artifact,
@@ -249,6 +283,9 @@ object SparkEntry {
     }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     "skew_report" -> ((s, d) => Analytics.skewReport(Tables.events(s, d))),
+    // fact⋈fact over the co-bucketed pair: join AND per-key aggregate
+    // ride the bucket partitioning, zero exchanges (spec-asserted)
+    "join_bucketed_indexed" -> ((s, d) => cobucketedRevenue(s, d)),
     "embed_drift" -> ((s, d) => Similarity.embedDrift(Tables.embeddings(s, d))),
     // gate form: deterministic columns only — the raw sketch estimates
     // are implementation-defined across engines, so the gate hashes the
@@ -747,6 +784,13 @@ object SparkEntry {
     // maintenance guarantee the operator exists to prove)
     "rollup_incremental" -> grainOracle("%Y-%m", "month"),
     "rollup_partials_indexed" -> grainOracle("%Y-%m", "month"),
+    // the bucketed copies carry identical data, so the oracle is the
+    // plain raw-table join
+    "join_bucketed_indexed" ->
+      """SELECT o_orderkey, count(*)::BIGINT AS n_items,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // top-k hot keys with integer-bp share of total rows
     "skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

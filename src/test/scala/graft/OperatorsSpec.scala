@@ -1409,6 +1409,30 @@ class OperatorsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1L))))  // user 1 only; user 3 contributes nothing
   }
 
+  test("co-bucketed fact join plans zero exchanges through join and aggregate") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    // small-SF tables fit under the broadcast threshold, which would
+    // bypass the bucketed sort-merge path this spec pins; AQE off so
+    // executedPlan is the raw tree
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.cobucketedRevenue(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket-aligned join+agg with no exchange:\n$plan")
+      // the bucketed copies carry the raw tables' data
+      val rawPairs = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+        .count()
+      assert(df.agg(sum("n_items")).head().getLong(0) === rawPairs)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("skew_report ranks hottest keys with conserved basis-point shares") {
     val out = Analytics.skewReport(Tables.events(spark, sfDir), 5).collect()
     assert(out.length === 5)
