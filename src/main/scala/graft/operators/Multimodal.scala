@@ -126,6 +126,24 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
+  /** EXACT media dedup by payload digest — the cheap first pass in
+    * front of [[mediaNearDup]] (byte-identical re-uploads are the
+    * bulk of media duplication; the perceptual pass only needs to see
+    * digest-distinct survivors). Hash-groupBy on md5(payload), keep
+    * the lowest id as canonical — the [[Dedup.exact]] contract on the
+    * binary column. One shuffle on the digest; payload bytes never
+    * move (the digest is computed scan-side).
+    */
+  def mediaExactDup(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    media
+      .select(col("media_id"), col("modality"), md5(col("payload")).as("digest"))
+      .withColumn("canonical_id",
+        min("media_id").over(Window.partitionBy("digest")))
+      .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+      .orderBy("media_id")
+  }
+
   /** Deterministic frame sampling: every `stride`-th byte window of the
     * payload becomes a "frame" (the video frame-sample pattern with the
     * codec stubbed — a real pipeline swaps the byte slice for a decoded

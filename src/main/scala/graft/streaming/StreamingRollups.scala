@@ -200,6 +200,48 @@ object StreamingRollups {
         approx_count_distinct(distinctCol, rsd).as("approx_distinct"),
         count(lit(1)).as("n_events"))
 
+  /** Streaming HOT-KEY monitor — windowed per-key event counts with
+    * an absolute alert threshold: the live companion of the batch
+    * [[graft.operators.Analytics.skewReport]] (the batch report reads
+    * history; this flags a key going hot WHILE it hammers the
+    * ingest). Same watermark-bounded windowed aggregate as
+    * [[sourceMonitor]]; the threshold is absolute rather than a share
+    * of the window total because the total is itself still open while
+    * the window accumulates — an absolute per-window count is the
+    * alarm a capacity plan actually sets.
+    */
+  def hotKeyMonitor(stream: DataFrame, keyCol: String, window: String,
+                    watermark: String, maxPerWindow: Long): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("alert", col("n_events") > maxPerWindow)
+
+  /** Streaming DATA-QUALITY monitor — windowed violation counts per
+    * check: the live form of [[graft.operators.DataQuality.report]]
+    * for an events ingest (the batch report audits the loaded table;
+    * this watches the stream as it loads). Violations are STATELESS
+    * per-row projections (enum/null/range predicates) feeding one
+    * watermark-bounded windowed sum — no state beyond the open
+    * windows, and adding a check is one more conditional-sum column.
+    */
+  def dqMonitor(events: DataFrame, window: String, watermark: String,
+                validTypes: Seq[String] =
+                  Seq("click", "view", "purchase", "signup", "error")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(!col("event_type").isin(validTypes.map(v => v: Any): _*), 1L)
+          .otherwise(0L)).as("bad_type"),
+        sum(when(col("value").isNull || col("value") < 0, 1L).otherwise(0L))
+          .as("bad_value"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("missing_user"))
+      .withColumn("alert",
+        col("bad_type") + col("bad_value") + col("missing_user") > 0)
+
   /** Stateless in-stream benchmark decontamination — flag each
     * arriving document that shares any word n-gram with the held-out
     * benchmark set, as it arrives (the streaming admission guard in

@@ -485,6 +485,19 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "frame"))
   }
 
+  test("multimodal exact dedup collapses byte-identical payloads to the lowest id") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", Array[Byte](1, 2, 3)),
+      (2L, "image", Array[Byte](1, 2, 3)),   // byte-identical re-upload
+      (3L, "audio", Array[Byte](9, 9))
+    ).toDF("media_id", "modality", "payload")
+    val out = Multimodal.mediaExactDup(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((3L, false))))
+  }
+
   test("repetition stats: hand-checked counts and exact 4dp ratios") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a"), (2L, "x y z w"), (3L, "q")).toDF("doc_id", "text")

@@ -98,6 +98,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("parity_dc").count() === batchDistinct)
   }
 
+  test("streaming hot-key monitor alerts on a key exceeding its window budget") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // entity 1: three events in one minute window; entity 2: one
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:10"), 1.0),
+      Event(1L, ts("2024-01-01 00:00:20"), 1.0),
+      Event(1L, ts("2024-01-01 00:00:30"), 1.0),
+      Event(2L, ts("2024-01-01 00:00:40"), 1.0))
+    val mon = StreamingRollups.hotKeyMonitor(
+      input.toDF(), "entity_id", "1 minute", "10 seconds", maxPerWindow = 2L)
+    val q = mon.writeStream.format("memory").queryName("hot")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("hot")
+      .collect().map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Boolean]("alert")))).toMap
+    assert(rows === Map(1L -> ((3L, true)), 2L -> ((1L, false))))
+  }
+
+  test("streaming dq monitor counts windowed violations statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    input.addData(
+      (1L, ts("2024-01-01 00:00:10"), "click", 1.0),
+      (2L, ts("2024-01-01 00:00:20"), "bogus", 2.0),   // bad enum
+      (3L, ts("2024-01-01 00:00:30"), "view", -1.0))   // negative value
+    val mon = StreamingRollups.dqMonitor(
+      input.toDF().toDF("user_id", "ts", "event_type", "value"),
+      "1 minute", "10 seconds")
+    val q = mon.writeStream.format("memory").queryName("dqmon")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.table("dqmon").head()
+    assert(r.getAs[Long]("n_events") === 3L)
+    assert(r.getAs[Long]("bad_type") === 1L)
+    assert(r.getAs[Long]("bad_value") === 1L)
+    assert(r.getAs[Long]("missing_user") === 0L)
+    assert(r.getAs[Boolean]("alert"))
+  }
+
   test("streaming transitions reproduce the batch transition matrix over the full events table") {
     // same §2G parity contract as the windowed rollup above: the
     // streaming per-user last-event fold replayed over the whole sf
