@@ -283,6 +283,15 @@ object SparkEntry {
     }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     "skew_report" -> ((s, d) => Analytics.skewReport(Tables.events(s, d))),
+    // bounded-memory Misra-Gries summary; k=8 over the 5-value type
+    // domain never evicts, so counts are exact THROUGH the
+    // multi-partition merge path (eviction is spec-pinned)
+    "heavy_hitters" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(graft.plans.SketchAggs.heavyHitters(col("event_type"), 8).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))),
     // fact⋈fact over the co-bucketed pair: join AND per-key aggregate
     // ride the bucket partitioning, zero exchanges (spec-asserted)
     "join_bucketed_indexed" -> ((s, d) => cobucketedRevenue(s, d)),
@@ -791,6 +800,10 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MG summary with capacity above the domain = exact type counts
+    "heavy_hitters" ->
+      """SELECT event_type AS item, count(*)::BIGINT AS cnt
+        |FROM events GROUP BY 1 ORDER BY cnt DESC, item""".stripMargin,
     // top-k hot keys with integer-bp share of total rows
     "skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

@@ -126,6 +126,22 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
+  /** "Resize" stage over the feature column — the stub analog of image
+    * downsampling (a real pipeline resizes decoded pixels; the stub
+    * re-bins the histogram features by summing adjacent bins, which is
+    * exactly what area-average downsampling does to a distribution).
+    * Columnar (`aggregate` over index slices — codegen'd, no UDF), so
+    * the stage adds scan work only; output width = histSize / factor.
+    */
+  def resizeFeatures(feats: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor > 0 && histSize % factor == 0,
+      s"factor must divide the feature width $histSize")
+    val out = histSize / factor
+    feats.withColumn("features_resized",
+      expr(s"transform(sequence(0, ${out - 1}), b -> " +
+        s"aggregate(slice(features, b * $factor + 1, $factor), 0.0D, (acc, x) -> acc + x))"))
+  }
+
   /** EXACT media dedup by payload digest — the cheap first pass in
     * front of [[mediaNearDup]] (byte-identical re-uploads are the
     * bulk of media duplication; the perceptual pass only needs to see

@@ -705,4 +705,27 @@ class HashExprsSpec extends SparkSpec {
     assert(got.getString(5) === "second")
     assert(got.isNullAt(6) && got.isNullAt(7))
   }
+
+  test("misra-gries summary is exact under capacity, bounded under eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // exact path: distinct keys ≤ k → counts exact through merges
+    val small = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_))
+      .toDF("key").repartition(4)
+    val exact = small.agg(graft.plans.SketchAggs.heavyHitters(col("key"), 8).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.item", "e.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // eviction path: key "hot" 60×, 20 singletons, k = 4, N = 80 —
+    // the MG guarantee: any key with true count > N/(k+1) = 16
+    // survives, reported within N/(k+1) BELOW its true count
+    val rows = (Seq.fill(60)("hot") ++ (1 to 20).map(i => s"r$i")).map(Tuple1(_))
+    val skewed = rows.toDF("key").repartition(8)
+    val out = skewed.agg(graft.plans.SketchAggs.heavyHitters(col("key"), 4).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.item", "e.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.contains("hot"), s"heavy key evicted: $out")
+    assert(out("hot") <= 60L && out("hot") >= 60L - 16L, s"bound violated: $out")
+    assert(out.size <= 4)
+  }
 }

@@ -483,6 +483,11 @@ class OperatorsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, stride = 8, frameLen = 8)
     assert(frames.count() > 0)
     assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "frame"))
+    // resize: adjacent-bin sums preserve total mass at half the width
+    val resized = Multimodal.resizeFeatures(feats, 2).head()
+    val rv = resized.getAs[scala.collection.Seq[Double]]("features_resized")
+    assert(rv.length === 8)
+    assert(math.abs(rv.sum - 1.0) < 1e-9)
   }
 
   test("multimodal exact dedup collapses byte-identical payloads to the lowest id") {

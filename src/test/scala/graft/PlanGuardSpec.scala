@@ -40,7 +40,10 @@ class PlanGuardSpec extends SparkSpec {
     // funnel_steps: one-row per-step count reduces (3 rows total)
     "funnel_steps",
     // skew_report: the one-row grand-total reduce off the key counts
-    "skew_report")
+    "skew_report",
+    // heavy_hitters: the k-entry sketch's final merge is one row of
+    // bounded bytes per partition into the reduce
+    "heavy_hitters")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
