@@ -283,6 +283,13 @@ object SparkEntry {
     }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     "skew_report" -> ((s, d) => Analytics.skewReport(Tables.events(s, d))),
+    // the Z-curve key itself, value-gated (the layout writer rides on
+    // it — writeZOrdered's disjoint-file property is spec-asserted)
+    "zorder_key" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        graft.sources.Sinks.zorderKey(
+          col("user_id"), floor(col("value")).cast("long")).as("z"))
+        .orderBy("event_id")),
     // bounded-memory Misra-Gries summary; k=8 over the 5-value type
     // domain never evicts, so counts are exact THROUGH the
     // multi-partition merge path (eviction is spec-pinned)
@@ -800,6 +807,14 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same 16-bit interleave expanded to SQL bit arithmetic
+    "zorder_key" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((user_id >> $i) & 1) << ${2 * i})",
+        s"(((CAST(floor(value) AS BIGINT) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT event_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+         |FROM events ORDER BY event_id""".stripMargin
+    },
     // MG summary with capacity above the domain = exact type counts
     "heavy_hitters" ->
       """SELECT event_type AS item, count(*)::BIGINT AS cnt

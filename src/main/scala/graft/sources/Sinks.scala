@@ -113,6 +113,41 @@ object Sinks {
     graft.operators.Sampling.withShardOrder(documents, numShards, seed)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Z-ORDER curve key: interleave the low `bits` of two non-negative
+    * long dimensions so rows close in BOTH dimensions get close curve
+    * keys. Sorting a table by this key clusters multi-dimensional
+    * locality into contiguous file ranges — parquet min/max stats
+    * then prune a two-dimensional range predicate the way a
+    * single-column sort can only prune one dimension (the lakehouse
+    * Z-ORDER BY). Composed from builtin bit expressions, so the whole
+    * key stays inside whole-stage codegen; integer-exact in any
+    * engine.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits > 0 && bits <= 31, "bits per dimension must be in [1, 31]")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` laid out along the Z-curve of (xCol, yCol):
+    * range-partitioned then sorted by the curve key, so every output
+    * file covers a DISJOINT curve interval (spec-asserted) and a
+    * reader filtering on either dimension skips files by min/max
+    * stats. The curve key rides with the data — it IS the pruning
+    * column.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numFiles: Int = 8): Unit =
+    df.withColumn("z", zorderKey(df(xCol), df(yCol)))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(path)
+
   /** Save as a bucketed table: rows are hash-clustered into `numBuckets`
     * files per partition on `bucketCols`. Joins/aggregations on the
     * bucket columns between co-bucketed tables skip the shuffle

@@ -490,6 +490,33 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(rv.sum - 1.0) < 1e-9)
   }
 
+  test("zorder key interleaves bits; zordered files cover disjoint curve ranges") {
+    import spark.implicits._
+    // x=3 (0b11), y=1 (0b01): bit layout z = y1 x1 y0 x0 = 0 1 1 1 = 7
+    val hand = Seq((3L, 1L)).toDF("x", "y")
+      .select(graft.sources.Sinks.zorderKey(col("x"), col("y")).as("z"))
+      .head().getLong(0)
+    assert(hand === 7L)
+    // layout property: every written file covers a disjoint z interval
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_zorder").toString
+    graft.sources.Sinks.writeZOrdered(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+        .withColumn("vb", floor(col("value")).cast("long")),
+      path, "user_id", "vb", numFiles = 4)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("z"), max("z")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $ranges")
+      case _ => ()
+    }
+  }
+
   test("multimodal exact dedup collapses byte-identical payloads to the lowest id") {
     import spark.implicits._
     val media = Seq(
