@@ -25,6 +25,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `repetition_stats(string) -> struct<n_words,n_distinct_words,top_bigram_count>`
   *  - `remove_spans(string, array<bigint>, n) -> struct<kept_text,n_tokens,n_removed>`
   *  - `bpe_encode(string, array<string>) -> struct<encoded,n_tokens>`
+  *  - `heavy_hitters(string, k) -> array<struct<item,cnt>>` (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -127,5 +128,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_encode"),
       info("bpe_encode", "bpe_encode(text, merges) - BPE-encode a normalized text with an ordered array of 'left right' merges"),
       (args: Seq[Expression]) => BpeEncodeExpr(args(0), mergesArg(args(1), "merges"))))
+    // aggregate function: the analyzer wraps a bare AggregateFunction
+    // into its AggregateExpression, same as the builtin registry
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(key, k) - bounded-memory Misra-Gries heavy-hitter summary as array<struct<item, cnt>>"),
+      (args: Seq[Expression]) => MisraGries(args(0), intArg(args(1), "k"))))
   }
 }

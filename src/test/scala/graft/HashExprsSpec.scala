@@ -706,6 +706,17 @@ class HashExprsSpec extends SparkSpec {
     assert(got.isNullAt(6) && got.isNullAt(7))
   }
 
+  test("heavy_hitters works as a registered SQL aggregate") {
+    import spark.implicits._
+    Seq("a", "a", "b").map(Tuple1(_)).toDF("key").createOrReplaceTempView("hh_in")
+    val out = spark.sql("SELECT heavy_hitters(key, 4) AS hh FROM hh_in")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("hh")).as("e"))
+      .select("e.item", "e.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("misra-gries summary is exact under capacity, bounded under eviction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
