@@ -420,6 +420,7 @@ object SparkEntry {
     "sample_recency"    -> ((s, d) => Sampling.recency(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => Sampling.temperatureMix(Tables.documents(s, d))),
     "mix_token_budget"  -> ((s, d) => Sampling.tokenBudgetMix(Tables.documents(s, d))),
+    "sample_fixed_k"    -> ((s, d) => Sampling.fixedK(Tables.documents(s, d))),
     "curriculum_order"  -> ((s, d) => Corpus.curriculumOrder(Tables.documents(s, d))),
     "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "train_shards"      -> ((s, d) => Sampling.trainShards(Tables.documents(s, d))),
@@ -1207,6 +1208,14 @@ object SparkEntry {
          |WHERE b.bucket < r.rate_pct
          |ORDER BY doc_id""".stripMargin
     },
+    // single-window oracle of the two-phase distributed top-k: the
+    // per-lang global rank over (md5 hex, doc_id) — the shard
+    // decomposition picks exactly these rows
+    "sample_fixed_k" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk FROM h)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
     // single-window form of the two-phase prefix sum: per-lang
     // exclusive cumsum in (shard, doc_id) order — shard offsets +
     // local windows decompose to exactly this (integer sums), so the

@@ -176,6 +176,36 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** FIXED-SIZE per-stratum sample — exactly `k` documents per
+    * language (the eval-set / few-shot-pool recipe: a fixed budget
+    * per stratum, not a rate). The "reservoir" is deterministic: the
+    * k smallest (md5 hex, doc_id) keys per language — a pure function
+    * of content, so re-runs, re-partitioning, and other engines pick
+    * the same k documents (a true random reservoir is neither).
+    *
+    * Scale shape: an exact per-group top-k normally means one sort
+    * per group key (5 languages = 5-task parallelism forever). This
+    * runs the distributed top-k decomposition instead: per-(lang,
+    * md5-shard) LOCAL top-k windows (100-way parallel within every
+    * language), then the global per-lang window over the ≤ 100·k
+    * shard winners — a constant-size frame at any corpus scale. The
+    * two-level rank is exact because a language's global top-k is
+    * contained in the union of its shards' top-ks.
+    */
+  def fixedK(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = documents.select(col("doc_id"), col("lang"),
+      md5(col("doc_id").cast("string")).as("hk"),
+      hashBucket(col("doc_id")).as("shard"))
+    val wShard = Window.partitionBy("lang", "shard").orderBy("hk", "doc_id")
+    val wLang = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    keyed
+      .withColumn("lrk", row_number().over(wShard)).filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(wLang)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy("doc_id")
+  }
+
   def targetMix(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the window runs over the L-row counts frame, not the corpus —

@@ -1667,6 +1667,21 @@ class OperatorsSpec extends SparkSpec {
     assert(attributed === covered)
   }
 
+  test("fixed-k sample takes exactly k per language via the two-phase top-k") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.fixedK(docs, 7).collect()
+    val perLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) === math.min(7L, n).toInt, lang)
+    }
+    // ranks are 1..k contiguous within each language
+    out.groupBy(_.getAs[String]("lang")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   test("token-budget mix admits a deterministic per-lang prefix, boundary doc overflows") {
     val docs = Tables.documents(spark, sfDir)
     val out = Sampling.tokenBudgetMix(docs)
