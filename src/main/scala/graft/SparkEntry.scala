@@ -311,6 +311,18 @@ object SparkEntry {
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketchGate(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "funnel_steps" -> ((s, d) => Analytics.funnelSteps(Tables.events(s, d))),
+    // symmetric interval overlap: 1h click windows × 2h purchase
+    // windows per user
+    "interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("event_id").as("a_key"),
+          col("ts").as("a_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("a_end"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("event_id").as("b_key"),
+          col("ts").as("b_start"), (col("ts") + expr("INTERVAL 2 HOURS")).as("b_end"))
+      Temporal.intervalJoin(a, b)
+    }),
     // point-in-time dim join over a two-version synthetic SCD2
     // dimension derived from customer (segment rotates at 1996-01-01)
     "scd2_join" -> ((s, d) => {
@@ -868,6 +880,16 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    // plain overlap join; overlap in integer epoch seconds
+    "interval_join" ->
+      """WITH a AS (SELECT user_id AS key, event_id AS a_key, ts AS a_start,
+        |  ts + INTERVAL 1 HOUR AS a_end FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id AS key, event_id AS b_key, ts AS b_start,
+        |  ts + INTERVAL 2 HOUR AS b_end FROM events WHERE event_type = 'purchase')
+        |SELECT a.key, a_key, b_key,
+        |(epoch_us(least(a_end, b_end)) - epoch_us(greatest(a_start, b_start))) // 1000000 AS overlap_secs
+        |FROM a JOIN b ON a.key = b.key AND a_start < b_end AND b_start < a_end
+        |ORDER BY a_key, b_key""".stripMargin,
     // equi-key + residual validity window, half-open intervals
     "scd2_join" ->
       """WITH dim AS (

@@ -130,6 +130,36 @@ object Temporal {
     * Expects `intervals(key, a_key, a_date)` and
     * `points(key, b_date, b_val)`; emits one row per joined pair.
     */
+  /** Symmetric interval-OVERLAP join — both sides are INTERVALS (the
+    * [[rangeJoinPairs]] contract covers interval × point; this covers
+    * session × campaign, outage × deploy — any two windows that must
+    * intersect). Same coarse-bucket rewrite: both sides explode into
+    * the day buckets their interval covers (bounded: ⌈span/1d⌉+1
+    * rows per interval), equi-join on (key, bucket), residual
+    * half-open overlap predicate `a_start < b_end ∧ b_start < a_end`.
+    * A pair straddling several shared buckets matches more than once,
+    * so the pair set dedupes on (a_key, b_key) — the one extra
+    * distinct the point-side form doesn't need. Emits overlap_secs
+    * (integer epoch arithmetic, engine-exact).
+    *
+    * Expects `a(key, a_key, a_start, a_end)` and
+    * `b(key, b_key, b_start, b_end)`, half-open intervals.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    def bucketize(df: DataFrame, s: String, e: String) =
+      df.withColumn("bucket", explode(sequence(
+        date_trunc("day", col(s)), date_trunc("day", col(e)),
+        expr("INTERVAL 1 DAY"))))
+    bucketize(a, "a_start", "a_end")
+      .join(bucketize(b, "b_start", "b_end"), Seq("key", "bucket"))
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("key"), col("a_key"), col("b_key"),
+        expr("(unix_micros(least(a_end, b_end)) - unix_micros(greatest(a_start, b_start))) div 1000000")
+          .as("overlap_secs"))
+      .distinct()
+      .orderBy("a_key", "b_key")
+  }
+
   /** Point-in-time (SCD type-2) dimension join — the warehouse
     * staple the as-of join can't express when the dimension carries
     * EXPLICIT validity intervals: each fact row joins the dimension

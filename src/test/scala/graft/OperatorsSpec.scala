@@ -1550,6 +1550,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map("signup" -> 4L, "click" -> 1L, "purchase" -> 1L))
   }
 
+  test("interval join finds each overlap once, even straddling bucket boundaries") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // a1 spans midnight (2 day-buckets) and overlaps b1 in both — the
+    // distinct must emit the pair ONCE. b2 touches a1 only at the open
+    // endpoint (no overlap); b3 is a different user.
+    val a = Seq((1L, 10L, t("2024-01-01 22:00:00"), t("2024-01-02 02:00:00")))
+      .toDF("key", "a_key", "a_start", "a_end")
+    val b = Seq(
+      (1L, 20L, t("2024-01-01 23:00:00"), t("2024-01-02 03:00:00")),
+      (1L, 21L, t("2024-01-02 02:00:00"), t("2024-01-02 04:00:00")),
+      (2L, 22L, t("2024-01-01 23:00:00"), t("2024-01-02 03:00:00"))
+    ).toDF("key", "b_key", "b_start", "b_end")
+    val out = Temporal.intervalJoin(a, b).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out === Map((10L, 20L) -> 10800L)) // 23:00..02:00 = 3h overlap
+  }
+
   test("scd2 join picks the dimension version valid at the fact timestamp") {
     import spark.implicits._
     val facts = Seq(
