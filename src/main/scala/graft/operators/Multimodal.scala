@@ -103,19 +103,63 @@ object Multimodal {
   def mediaNearDup(media: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
       "pigeonhole recall over 8 bands holds only for hamming <= 7")
-    val phash = graft.plans.HashExprs.signProjBits(
-      col("features"), Dedup.hyperplanes(64, histSize))
-    val hashed = extractFeatures(media)
-      .select(col("media_id"), col("modality"), phash.as("phash"))
-    val banded = hashed.select(col("media_id"), col("modality"), col("phash"),
-      posexplode(array((0 until 8).map(b =>
-        shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
-      .toDF("media_id", "modality", "phash", "band", "bucket")
+    val banded = bandedPhash(media)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.modality") === col("y.modality") &&
           col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
+  /** The banded phash table [[mediaNearDup]] joins on, factored out so
+    * the in-query form and the persisted index share one definition.
+    */
+  private def bandedPhash(media: DataFrame): DataFrame = {
+    val phash = graft.plans.HashExprs.signProjBits(
+      col("features"), Dedup.hyperplanes(64, histSize))
+    extractFeatures(media)
+      .select(col("media_id"), col("modality"), phash.as("phash"))
+      .select(col("media_id"), col("modality"), col("phash"),
+        posexplode(array((0 until 8).map(b =>
+          shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .toDF("media_id", "modality", "phash", "band", "bucket")
+  }
+
+  /** Persist the banded perceptual-hash table bucketed on the
+    * candidate join key — the media analog of
+    * [[Dedup.writeMinhashIndex]]: decode + phash paid once at ingest,
+    * every later near-dup check joins co-bucketed files. Geometry
+    * (band count, hamming bound) is fixed by the 8×8 split, so there
+    * is no drift axis to validate beyond Spark's own bucket check.
+    */
+  def writeMediaPhashIndex(media: DataFrame, table: String, numBuckets: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketed(
+      bandedPhash(media), table, Seq("band", "bucket"), numBuckets)
+
+  /** Incremental near-dup check of an ARRIVING media batch against the
+    * persisted corpus index ([[Dedup.minhashLshAgainstIndex]]'s
+    * contract on the binary column): only the batch is decoded and
+    * hashed; candidates come from the bucket join against the index,
+    * verified by exact hamming on the pair's two longs. Empty output
+    * means the whole batch is novel.
+    */
+  def mediaNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                               newMedia: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "pigeonhole recall over 8 bands holds only for hamming <= 7")
+    bandedPhash(newMedia).as("x")
+      .join(spark.table(table).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.modality") === col("y.modality") &&
+          col("x.media_id") =!= col("y.media_id"))
       .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
         col("x.phash").as("pa"), col("y.phash").as("pb"))
       .distinct()

@@ -700,6 +700,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mediaNearDup(mixed).count() === 0)
   }
 
+  test("media phash index: batch-vs-index check matches the direct pair and stays novel-silent") {
+    import spark.implicits._
+    val a = Array.tabulate(4096)(i => (i % 251).toByte)
+    val b = a.clone(); (0 until 8).foreach(i => b(i * 100) = (b(i * 100) + 40).toByte)
+    val c = Array.tabulate(4096)(i => (i % 97).toByte)
+    val corpus = Seq((1L, "image", a)).toDF("media_id", "modality", "payload")
+    val table = "g_test_media_phash_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Multimodal.writeMediaPhashIndex(corpus, table)
+    // a lightly-edited re-upload collides with the indexed original
+    val batch = Seq((2L, "image", b), (3L, "image", c))
+      .toDF("media_id", "modality", "payload")
+    val hits = Multimodal.mediaNearDupAgainstIndex(spark, table, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((2L, 1L)))
+    // an all-novel batch reports nothing
+    val novel = Seq((4L, "image", c)).toDF("media_id", "modality", "payload")
+    assert(Multimodal.mediaNearDupAgainstIndex(spark, table, novel).count() === 0L)
+  }
+
   test("funnel respects event ORDER, not mere co-occurrence") {
     import spark.implicits._
     import java.sql.Timestamp
