@@ -708,6 +708,14 @@ class OperatorsSpec extends SparkSpec {
     val corpus = Seq((1L, "image", a)).toDF("media_id", "modality", "payload")
     val table = "g_test_media_phash_idx"
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a previous JVM's managed-table directory survives the in-memory
+    // catalog; saveAsTable refuses a fresh CREATE over it
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(wh, table))
     Multimodal.writeMediaPhashIndex(corpus, table)
     // a lightly-edited re-upload collides with the indexed original
     val batch = Seq((2L, "image", b), (3L, "image", c))
