@@ -357,9 +357,11 @@ object SparkEntry {
     "rollup_partials_indexed" -> ((s, d) =>
       Rollups.monthlyFromPartialsTable(s, partialsPath(s, d))),
     "event_transitions" -> ((s, d) => Analytics.eventTransitions(Tables.events(s, d))),
+    "transition_probs" -> ((s, d) => Analytics.transitionProbs(Tables.events(s, d))),
     "user_rfm" -> ((s, d) => Analytics.userRfm(Tables.events(s, d))),
     "dq_report" -> ((s, d) => DataQuality.report(Tables.orders(s, d),
       Tables.lineitem(s, d), Tables.customer(s, d), Tables.events(s, d))),
+    "table_profile" -> ((s, d) => DataQuality.profileOrders(Tables.orders(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
@@ -940,6 +942,33 @@ object SparkEntry {
         |  UNION ALL SELECT 'events_value_nonneg', n, v2 FROM e
         |  UNION ALL SELECT 'events_user_present', n, v3 FROM e)
         |ORDER BY "check"""".stripMargin,
+    // transitions normalized per source row in integer basis points
+    "transition_probs" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |FROM events),
+        |c AS (SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+        |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |CAST((10000 * n_transitions) // (sum(n_transitions) OVER (PARTITION BY from_type)) AS BIGINT) AS prob_bp
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // one single-row aggregate, stacked per column; numeric min/max
+    // as doubles, non-numerics null — no cross-engine string rendering
+    "table_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |count(*) FILTER (o_custkey IS NULL) AS ck_null, count(DISTINCT o_custkey) AS ck_distinct,
+        |CAST(min(o_custkey) AS DOUBLE) AS ck_min, CAST(max(o_custkey) AS DOUBLE) AS ck_max,
+        |count(*) FILTER (o_totalprice IS NULL) AS tp_null, count(DISTINCT o_totalprice) AS tp_distinct,
+        |CAST(min(o_totalprice) AS DOUBLE) AS tp_min, CAST(max(o_totalprice) AS DOUBLE) AS tp_max,
+        |count(*) FILTER (o_orderdate IS NULL) AS od_null, count(DISTINCT o_orderdate) AS od_distinct,
+        |count(*) FILTER (o_orderstatus IS NULL) AS os_null, count(DISTINCT o_orderstatus) AS os_distinct
+        |FROM orders)
+        |SELECT "column", n, n_null, n_distinct, min_v, max_v FROM (
+        |  SELECT 'o_custkey' AS "column", n, ck_null AS n_null, ck_distinct AS n_distinct, ck_min AS min_v, ck_max AS max_v FROM a
+        |  UNION ALL SELECT 'o_totalprice', n, tp_null, tp_distinct, tp_min, tp_max FROM a
+        |  UNION ALL SELECT 'o_orderdate', n, od_null, od_distinct, NULL, NULL FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n, os_null, os_distinct, NULL, NULL FROM a)
+        |ORDER BY "column"""".stripMargin,
     // adjacent-pair transitions off one lag window; all counts
     "event_transitions" ->
       """WITH t AS (SELECT user_id, event_type,

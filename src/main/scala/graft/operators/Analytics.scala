@@ -176,6 +176,21 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** [[eventTransitions]] normalized to per-source probabilities in
+    * integer basis points — the actual Markov MATRIX (rows sum to
+    * ~10⁴ up to truncation): `prob_bp = (10⁴·n) div Σ_from n`. The
+    * normalizing window runs over the T×T transition table, not the
+    * corpus — constant-size at any scale.
+    */
+  def transitionProbs(events: DataFrame): DataFrame = {
+    val byFrom = Window.partitionBy("from_type")
+    eventTransitions(events)
+      .withColumn("from_total", sum("n_transitions").over(byFrom))
+      .withColumn("prob_bp", expr("(10000 * n_transitions) div from_total"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"), col("prob_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Multi-step ORDERED funnel — [[funnel]]'s 2-step conversion
     * generalized to an arbitrary step sequence: a user reaches step k
     * iff a step-k event STRICTLY follows their step-(k−1) time (first

@@ -37,6 +37,44 @@ object DataQuality {
 
   private def vio(c: Column): Column = sum(when(c, 1L).otherwise(0L))
 
+  /** Per-column PROFILE of the orders table — the discovery companion
+    * of [[report]] (expectations check known rules; the profile is
+    * where the rules come from): row count, nulls, exact distinct,
+    * numeric min/max per column. One single-row aggregate over one
+    * scan (every column's stats are more aggregate expressions in the
+    * same pass), stacked to a bounded row-per-column table. Non-numeric
+    * columns carry null min/max (engine-portable — cross-type string
+    * rendering of doubles/dates is NOT), and dates profile as
+    * null/distinct only.
+    */
+  def profileOrders(orders: DataFrame): DataFrame = {
+    val agged = orders.agg(
+      count(lit(1)).as("n"),
+      vio(col("o_custkey").isNull).as("ck_null"),
+      count_distinct(col("o_custkey")).as("ck_distinct"),
+      min(col("o_custkey")).cast("double").as("ck_min"),
+      max(col("o_custkey")).cast("double").as("ck_max"),
+      vio(col("o_totalprice").isNull).as("tp_null"),
+      count_distinct(col("o_totalprice")).as("tp_distinct"),
+      min(col("o_totalprice")).cast("double").as("tp_min"),
+      max(col("o_totalprice")).cast("double").as("tp_max"),
+      vio(col("o_orderdate").isNull).as("od_null"),
+      count_distinct(col("o_orderdate")).as("od_distinct"),
+      vio(col("o_orderstatus").isNull).as("os_null"),
+      count_distinct(col("o_orderstatus")).as("os_distinct"))
+    agged.select(
+      expr("""stack(4,
+        'o_custkey',    ck_null, ck_distinct, ck_min, ck_max,
+        'o_totalprice', tp_null, tp_distinct, tp_min, tp_max,
+        'o_orderdate',  od_null, od_distinct, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        'o_orderstatus', os_null, os_distinct, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))""")
+        .as(Seq("column", "n_null", "n_distinct", "min_v", "max_v")),
+      col("n"))
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"))
+      .orderBy("column")
+  }
+
   def report(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
              events: DataFrame): DataFrame = {
     val ordersChecked = stackChecks(

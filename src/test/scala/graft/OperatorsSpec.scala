@@ -1628,6 +1628,29 @@ class OperatorsSpec extends SparkSpec {
     assert(loose.forall(_.getAs[Long]("n_oov") === 0L))
   }
 
+  test("transition probabilities normalize each source row to ~10000 bp") {
+    val out = Analytics.transitionProbs(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).values.foreach { rs =>
+      val total = rs.map(_.getAs[Long]("prob_bp")).sum
+      // floor division truncates at most (T-1) bp across a row
+      assert(total <= 10000L && total > 10000L - rs.length, s"row sums to $total")
+    }
+  }
+
+  test("table profile reports per-column nulls, distincts, and numeric ranges") {
+    val prof = DataQuality.profileOrders(Tables.orders(spark, sfDir)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = Tables.orders(spark, sfDir).count()
+    assert(prof.keySet === Set("o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"))
+    prof.values.foreach(r => assert(r.getAs[Long]("n") === n))
+    assert(prof("o_custkey").getAs[Double]("min_v") >= 0.0)
+    assert(prof("o_totalprice").getAs[Double]("max_v") >
+      prof("o_totalprice").getAs[Double]("min_v"))
+    assert(prof("o_orderdate").isNullAt(4) && prof("o_orderdate").isNullAt(5))
+    assert(prof("o_orderstatus").getAs[Long]("n_distinct") <= 3L)
+  }
+
   test("user_rfm tiers on fixed thresholds with corpus-max as-of") {
     import spark.implicits._
     import java.sql.Timestamp

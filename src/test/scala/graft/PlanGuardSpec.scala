@@ -43,7 +43,9 @@ class PlanGuardSpec extends SparkSpec {
     "skew_report",
     // heavy_hitters: the k-entry sketch's final merge is one row of
     // bounded bytes per partition into the reduce
-    "heavy_hitters")
+    "heavy_hitters",
+    // table_profile: one single-row stats reduce over the table
+    "table_profile")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
