@@ -424,6 +424,7 @@ object SparkEntry {
         .select(col("vec_id"), col("pos"), round(col("col"), 6).as("nv"))
         .orderBy("vec_id", "pos")),
     "lang_id"           -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "lang_confusion"    -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     "lang_segments"     -> ((s, d) => TextAnalysis.langSegments(Tables.documents(s, d))),
     "quality_score"     -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"       -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -1585,6 +1586,22 @@ object SparkEntry {
         |WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
         |WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same per-language stopword argmax as the lang_id oracle, joined
+    // to the label column and normalized per true-lang row
+    "lang_confusion" ->
+      """WITH p AS (SELECT doc_id, lang,
+        |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS en_hits,
+        |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('el','la','de','en','es','los','que'))) AS BIGINT) AS es_hits,
+        |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de_hits
+        |FROM documents),
+        |c AS (SELECT lang,
+        |CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS lang_pred FROM p),
+        |g AS (SELECT lang, lang_pred, count(*) AS n FROM c GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |CAST((10000 * n) // (sum(n) OVER (PARTITION BY lang)) AS BIGINT) AS row_bp
+        |FROM g ORDER BY lang, lang_pred""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS word_count,

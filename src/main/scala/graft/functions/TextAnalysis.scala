@@ -43,6 +43,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[langId]] evaluated against the corpus' ground-truth labels —
+    * the CONFUSION MATRIX every classifier audit starts with: one row
+    * per (true lang, predicted lang) with count and the true-lang row
+    * share in integer basis points. Catches where the heuristic
+    * actually leaks (which true language gets mislabeled as what),
+    * which the aggregate accuracy number hides. The matrix is
+    * L×(L+1) rows — constant-size; the window normalizes over it, not
+    * the corpus.
+    */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTrue = Window.partitionBy("lang")
+    documents.select(col("doc_id"), col("lang"))
+      .join(langId(documents).select(col("doc_id"), col("lang_pred")), "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(byTrue))
+      .withColumn("row_bp", expr("(10000 * n) div row_total"))
+      .select(col("lang"), col("lang_pred"), col("n"), col("row_bp"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Default lang_segments window: long enough for a stopword signal,
     * short enough to catch paragraph-level language switches.
     */

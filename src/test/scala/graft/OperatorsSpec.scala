@@ -1628,6 +1628,18 @@ class OperatorsSpec extends SparkSpec {
     assert(loose.forall(_.getAs[Long]("n_oov") === 0L))
   }
 
+  test("lang confusion rows conserve per-language doc counts and sum to ~10000 bp") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.langConfusion(docs).collect()
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum === perLang(lang), lang)
+      val bp = rs.map(_.getAs[Long]("row_bp")).sum
+      assert(bp <= 10000L && bp > 10000L - rs.length, s"$lang row sums to $bp")
+    }
+  }
+
   test("transition probabilities normalize each source row to ~10000 bp") {
     val out = Analytics.transitionProbs(Tables.events(spark, sfDir)).collect()
     assert(out.nonEmpty)
