@@ -95,13 +95,19 @@ def main(sf_dir: str, out_dir: str) -> int:
                              f"spark={a[c][i]!r} duck={b[c][i]!r}")
         results[name] = "PASS" if not diffs else "FAIL " + "; ".join(diffs[:3])
 
-    # queries that produced no output dir at all — checked against BOTH
-    # the oracle key set and the full registered key set, so a query
-    # that was registered but never dumped (crash, skip, rename drift)
-    # cannot pass unnoticed.
-    for name in set(oracle) | set(registered):
+    # queries that produced no output dir at all. registered_queries.json
+    # now lists only the keys this Verify invocation ATTEMPTED (a subset
+    # run records its subset), so the coverage check is scoped to it:
+    # a registered-but-never-dumped query (crash, skip, rename drift)
+    # fails loudly, while a deliberate subset run doesn't drown in
+    # "no spark output" noise for keys it never tried. Oracle keys only
+    # count when no registry artifact exists (older dumps).
+    expected = set(registered) if registered else set(oracle)
+    for name in expected:
         if name not in results:
             results[name] = "FAIL (no spark output)"
+    results = {k: v for k, v in results.items()
+               if not registered or k in set(registered)}
 
     for name, v in sorted(results.items()):
         print(f"{'✅' if v.startswith(('PASS', 'rows-only')) and 'FAIL' not in v else '❌'} {name}: {v}")

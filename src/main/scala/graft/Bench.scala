@@ -36,16 +36,21 @@ object Bench {
     // published as "noise" so a contended run is visible as high
     // noise rather than a fake regression.
     val reps = 3
+    // Every query gets 2 DISCARDED warm-up reps at the TARGET sf before
+    // its timed reps (not just the sf0.001 JIT pass above): round-6
+    // numbers showed a one-directional 2-4× drift on a cluster of
+    // documents-side queries whose code had not changed — first-touch
+    // effects (page cache, codegen cache eviction by the preceding
+    // index builds, broadcast cleanup) land on rep 1 and a median of 3
+    // cannot absorb two cold samples. The warm-ups also subsume the
+    // old indexed-build-absorbing rep (*_indexed first-touch builds
+    // happen inside warm-up, never in a timed rep).
+    val warmups = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      // the *_indexed gates build their persisted index on first touch
-      // (ensureTable); that one-time build is ingest work, not the
-      // probe being timed — left in rep 1 it turns the noise ratio
-      // into a permanent build/probe ratio that masks real host
-      // contention. One untimed warmup rep absorbs the build; other
-      // queries skip it so the bench doesn't grow a 4th rep.
-      if (name.endsWith("_indexed") || name == "split_from_index")
+      (1 to warmups).foreach { _ =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -56,20 +61,25 @@ object Bench {
       }.sorted
       val median = samples(reps / 2)
       val noise = if (samples.head > 0) samples.last / samples.head else 1.0
-      (name, median, noise, err)
+      (name, median, samples.head, noise, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val ns = results.map { case (k, _, n, _) => jstr(k) + ":" + f"$n%.2f" }
+    // per-query MIN alongside the median: min is the least-contended
+    // sample (the closest this host gets to a clean measurement), so
+    // median-vs-min separates real plan cost from scheduler noise
+    val mins = results.map { case (k, _, m, _, _) => jstr(k) + ":" + m }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val ns = results.map { case (k, _, _, n, _) => jstr(k) + ":" + f"$n%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v, _, _) => v }.sum
+    val errs = results.collect { case (k, _, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _, _, _) => v }.sum
     // "queries" then "errors_count"/"error_keys" are the LAST keys: a
     // tail-capture that truncates the line's head loses the summary
     // fields, never the timings (round 4) — and round 5 lost the
@@ -78,11 +88,11 @@ object Bench {
     // (small, bounded by the query count; full messages stay in the
     // head "errors" object and in BENCH_LATEST.json, which is always
     // written whole).
-    val errKeys = results.collect { case (k, _, _, Some(_)) => jstr(k) }
+    val errKeys = results.collect { case (k, _, _, _, Some(_)) => jstr(k) }
       .mkString("[", ",", "]")
-    val nErrs = results.count(_._4.isDefined)
+    val nErrs = results.count(_._5.isDefined)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"noise":$ns,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"noise":$ns,"min":$mins,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LATEST.json")
       try w.println(json) finally w.close()

@@ -221,14 +221,23 @@ object SparkEntry {
     "api_period_keys" -> ((s, d) => ApiSurface.periodKeys(Rollups.monthly(orderSeries(s, d)), 1L)),
     "api_data_range"  -> ((s, d) =>
       ApiSurface.dataRange(Rollups.monthly(orderSeries(s, d)), 1L, "1996-01", "1998-12")),
+    // probe period derived from the data (entity 1's first month) so
+    // the gate can never pass vacuously on 0 rows after a testdata
+    // regeneration moves the period inventory
     "api_data_point"  -> ((s, d) =>
-      ApiSurface.dataPoint(Rollups.monthly(orderSeries(s, d)), 1L, "1996-03")),
+      ApiSurface.dataPointFirst(Rollups.monthly(orderSeries(s, d)), 1L)),
     "api_report_list" -> ((s, d) => ApiSurface.reportList(Tables.customer(s, d), "1", 2, 9)),
     "api_search"      -> ((s, d) => ApiSurface.search(Tables.documents(s, d), "join")),
     "api_paginate"    -> ((s, d) => ApiSurface.paginate(Tables.customer(s, d), page = 2, limit = 9)),
     "api_detail"      -> ((s, d) => ApiSurface.detail(Tables.part(s, d), 42L)),
     // — C. text pipeline —
     "news_transform"  -> ((s, d) => TextPipeline.transform(Tables.documents(s, d)).orderBy("doc_id")),
+    // token-BUDGET truncation with the compiled BPE encoder (the
+    // reference truncates by tokenizer.encode token count, not
+    // whitespace words); merges pinned to the bpe_encode gate list so
+    // the oracle replays the same nested-replace convention
+    "news_transform_bpe" -> ((s, d) =>
+      TextPipeline.transformBpe(Tables.documents(s, d), bpeGateMerges)),
     "news_dedup"      -> ((s, d) => TextPipeline.dedupByTitle(Tables.documents(s, d), 8)),
     // — D. extraction —
     "kv_extract"        -> ((s, d) => Extraction.kvExtract(Tables.events(s, d))),
@@ -1016,8 +1025,9 @@ object SparkEntry {
          |WHERE entity_id = 1 AND period_key >= '1996-01' AND period_key <= '1998-12'
          |ORDER BY period_key""".stripMargin,
     "api_data_point" ->
-      s"""SELECT * FROM (${grainOracle("%Y-%m", "month")})
-         |WHERE entity_id = 1 AND period_key = '1996-03'""".stripMargin,
+      s"""WITH g AS (${grainOracle("%Y-%m", "month")})
+         |SELECT * FROM g WHERE entity_id = 1
+         |AND period_key = (SELECT min(period_key) FROM g WHERE entity_id = 1)""".stripMargin,
     "api_report_list" ->
       """SELECT c_custkey, c_name, rn, total_count FROM (
         |SELECT c_custkey, c_name,
@@ -1047,6 +1057,32 @@ object SparkEntry {
         |CAST(len(string_split(array_to_string(list_slice(string_split(substring(text, 1, 500), ' '), 1, 64), ' '), ' ')) AS BIGINT) AS word_count,
         |CAST(len(string_split(array_to_string(list_slice(string_split(substring(text, 1, 500), ' '), 1, 24), ' '), ' ')) AS BIGINT) AS summary_length
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // BPE-budget truncation replay: per-word token counts via the SAME
+    // nested-replace chain as the bpe_encode oracle applied inside a
+    // list lambda, a running-sum window over the word index, and the
+    // kept prefix re-joined. Monotone counts (each word ≥1 token) make
+    // "cum ≤ budget" identical to the engine's first-overflow stop.
+    "news_transform_bpe" -> {
+      val wordChain = bpeReplaceChain(
+        "regexp_replace(w, '([^ ])', chr(31)||'\\1'||chr(31), 'g')")
+      val tokCount = s"((len($wordChain) - len(replace($wordChain, chr(31), ''))) // 2)"
+      s"""WITH nt AS (SELECT doc_id, lang, source,
+         |  lower(regexp_replace(trim(substring(text, 1, 500)), '\\s+', ' ', 'g')) AS c FROM documents),
+         |t AS (SELECT doc_id, lang, source, string_split(c, ' ') AS ws,
+         |  list_transform(string_split(c, ' '), w -> $tokCount) AS tc FROM nt),
+         |u AS (SELECT doc_id, ws, tc, unnest(generate_series(1, len(ws))) AS i FROM t),
+         |cum AS (SELECT doc_id, i, ws[i] AS w,
+         |  sum(tc[i]) OVER (PARTITION BY doc_id ORDER BY i) AS ct FROM u),
+         |k AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS content,
+         |  CAST(max(ct) AS BIGINT) AS n_tokens FROM cum WHERE ct <= ${TextPipeline.TokenLimit} GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(k.content, '') AS content,
+         |  CAST(coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_aggregate(tc, 'sum'), 0) AS BIGINT) AS n_tokens_full,
+         |  (coalesce(list_aggregate(tc, 'sum'), 0) > ${TextPipeline.TokenLimit}) AS truncated,
+         |  CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 'market_news' ELSE 'stock_news' END AS category,
+         |  lang
+         |FROM t LEFT JOIN k ON t.doc_id = k.doc_id ORDER BY t.doc_id""".stripMargin
+    },
     "news_dedup" ->
       """SELECT doc_id, title FROM (
         |SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,

@@ -44,6 +44,21 @@ object ApiSurface {
   def dataPoint(grainFrame: DataFrame, entityId: Long, periodKey: String): DataFrame =
     grainFrame.filter(col("entity_id") === entityId && col("period_key") === periodKey)
 
+  /** [[dataPoint]] probing the entity's EARLIEST period, derived from
+    * the data itself rather than pinned by the caller — the gate form.
+    * A hard-coded probe key goes vacuous the moment the dataset
+    * regenerates without that (entity, period); deriving it keeps the
+    * gate exercising a real row forever. Shape: the one-row min
+    * aggregate broadcasts back onto the series — a point lookup plus
+    * one bounded reduce, no shuffle of the data.
+    */
+  def dataPointFirst(grainFrame: DataFrame, entityId: Long): DataFrame = {
+    val series = grainFrame.filter(col("entity_id") === entityId)
+    val probe = series.agg(min(col("period_key")).as("period_key"))
+    series.join(broadcast(probe), Seq("period_key"))
+      .select(series.columns.map(col): _*)
+  }
+
   /** GET /api/reports/list/<year>/<period>?search=&page=&limit= —
     * substring search + deterministic pagination + the response's
     * total_count (api/app.py:213-286).

@@ -43,6 +43,59 @@ object TextPipeline {
       size(split(summary, " ")).cast("long").as("summary_length"))
   }
 
+  /** Transform stage with a REAL token budget: the reference truncates
+    * content by the MODEL TOKENIZER's token count
+    * (`tokenizer.encode(..., max_length=...)`,
+    * transform_iqplus_news_dags.py:118-124), not by whitespace words —
+    * whitespace mis-sizes the budget by the tokenizer's fertility
+    * ratio (sub-word splits make n_tokens ≥ n_words). This form keeps
+    * the longest WORD PREFIX of the (char-truncated, whitespace-
+    * normalized) content whose summed BPE token count fits
+    * `tokenBudget`, using the same compiled encoder convention as
+    * `bpe_encode` ([[graft.plans.HashExprs.bpeEncode]]) with a pinned
+    * merge list. The budget-crossing word is dropped whole (never
+    * split) — deterministic, and replayable in SQL via the
+    * nested-replace convention the bpe_encode oracle uses.
+    *
+    * Scale shape: per-word token counts ride a `transform` lambda over
+    * the split array and the prefix is one `aggregate` fold — all
+    * row-local compiled work inside the scan, no shuffle, no explode
+    * of the corpus into words. Word token counts are ≥1 (words are
+    * nonempty after normalization), so the running sum is strictly
+    * increasing and "first overflow stops" ≡ "keep while cumulative ≤
+    * budget" — the property the SQL window replay relies on.
+    */
+  def transformBpe(documents: DataFrame, merges: Seq[(String, String)],
+                   tokenBudget: Int = TokenLimit): DataFrame = {
+    val content = graft.functions.TextAnalysis.normalizeWs(
+      substring(col("text"), 1, CharLimit))
+    val words = split(content, " ")
+    val counts = org.apache.spark.sql.functions.transform(words,
+      w => graft.plans.HashExprs.bpeEncode(w, merges).getField("n_tokens"))
+    val zero = struct(lit(0L).as("tok"), lit(0).as("nw"), lit(false).as("stop"))
+    val fold = aggregate(counts, zero, (a, c) => {
+      val overflow = a.getField("stop") || (a.getField("tok") + c > tokenBudget)
+      struct(
+        when(overflow, a.getField("tok")).otherwise(a.getField("tok") + c).as("tok"),
+        when(overflow, a.getField("nw")).otherwise(a.getField("nw") + 1).as("nw"),
+        overflow.as("stop"))
+    })
+    val category = when(
+      substring(col("source"), -1, 1).isin("0", "2", "4", "6", "8"),
+      lit("market_news")).otherwise(lit("stock_news"))
+    documents
+      .select(col("doc_id"), col("lang"), category.as("category"),
+        words.as("ws"), counts.as("tc"), fold.as("f"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", slice(col("ws"), lit(1), col("f.nw"))).as("content"),
+        col("f.tok").as("n_tokens"),
+        aggregate(col("tc"), lit(0L), (a, c) => a + c).as("n_tokens_full"),
+        (aggregate(col("tc"), lit(0L), (a, c) => a + c) > tokenBudget).as("truncated"),
+        col("category"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** First-occurrence dedup by "title" (leading words), reference
     * `find_one({"judul": title})` insert guard (:144,156). Window
     * row_number keeps the earliest doc per title in one shuffle.

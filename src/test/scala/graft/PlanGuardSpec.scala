@@ -45,7 +45,27 @@ class PlanGuardSpec extends SparkSpec {
     // bounded bytes per partition into the reduce
     "heavy_hitters",
     // table_profile: one single-row stats reduce over the table
-    "table_profile")
+    "table_profile",
+    // api_data_point: the one-row min(period_key) probe reduce over
+    // ONE entity's series, broadcast back — bounded by construction
+    "api_data_point")
+
+  // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
+  // each with a bounded-size argument. BNLJ is the third classic
+  // scale-killer (after cartesians and global single partitions): a
+  // range-predicate join that misses its equi-key rewrite silently
+  // plans as stream-side × broadcast-side with no hash lookup. It is
+  // only acceptable when the BROADCAST side is provably O(1) rows —
+  // e.g. a one-row stats frame cross-joined back onto data.
+  private val bnljOk = Set(
+    // api_report_list: the one-row total_count frame cross-joined onto
+    // the ≤ page·limit result page
+    "api_report_list",
+    // tfidf_top_terms / rarity_score / mix_token_budget / user_rfm /
+    // bm25_topk: one-row corpus-stats frames cross-joined back (the
+    // same bounded reduces allowlisted for SinglePartition above)
+    "tfidf_top_terms", "rarity_score", "mix_token_budget",
+    "user_rfm", "bm25_topk")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
@@ -55,6 +75,8 @@ class PlanGuardSpec extends SparkSpec {
         offenders += s"$name: CartesianProduct"
       if (plan.contains("Exchange SinglePartition") && !singlePartitionOk(name))
         offenders += s"$name: Exchange SinglePartition"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+        offenders += s"$name: BroadcastNestedLoopJoin"
     }
     assert(offenders.isEmpty, s"scale-shape violations:\n${offenders.mkString("\n")}")
   }
