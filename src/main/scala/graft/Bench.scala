@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // local mode: driver-side listing of a few hundred partition
+      // dirs is microseconds; the default threshold (32) launches a
+      // distributed file-listing JOB per partitioned-table read, a
+      // fixed ~0.3 s tax that dwarfs the actual probe on persisted
+      // index tables (cluster deployments want the default back)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       // If events.parquet ships the historical TIMESTAMP(NANOS) encoding,
       // surface it as a nanos long (graft.sources.Tables.events dispatches
       // on the actual type; this conf is a no-op for micros columns).
@@ -46,7 +52,14 @@ object Bench {
     // old indexed-build-absorbing rep (*_indexed first-touch builds
     // happen inside warm-up, never in a timed rep).
     val warmups = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated subset of query names (targeted
+    // perf iteration; the driver runs the full surface with no args)
+    val subset: Set[String] =
+      if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSet else Set.empty
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .map { case (name, fn) =>
+
       var err: Option[String] = None
       (1 to warmups).foreach { _ =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

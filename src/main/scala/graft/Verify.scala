@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // local mode: driver-side listing of a few hundred partition
+      // dirs is microseconds; the default threshold (32) launches a
+      // distributed file-listing JOB per partitioned-table read, a
+      // fixed ~0.3 s tax that dwarfs the actual probe on persisted
+      // index tables (cluster deployments want the default back)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       // Historical TIMESTAMP(NANOS) encodings surface as nanos longs
       // (Tables.events dispatches on the actual type; no-op for micros)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

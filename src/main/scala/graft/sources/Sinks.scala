@@ -39,6 +39,7 @@ object Sinks {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+
   /** Read a table whose schema DRIFTED across its ingest history
     * (columns added over time): `mergeSchema` unions the per-file
     * schemas, and [[graft.operators.Rollups.normalize]] downstream

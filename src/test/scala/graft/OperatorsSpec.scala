@@ -1477,6 +1477,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed catalog partials merge is zero-exchange and value-identical") {
+    val s = orderSeries
+    val tbl = "test_partials_bkt"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, tbl)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Rollups.writeDailyPartialsTable(s, tbl)
+    val merged = Rollups.monthlyFromPartialsCatalog(spark, tbl)
+    // shuffle-free: entity_id bucketing satisfies the (entity, month)
+    // aggregate's clustering, so the plan carries NO Exchange at all —
+    // the pay-the-shuffle-at-ingest contract, spec-pinned
+    assert(!merged.queryExecution.executedPlan.toString.contains("Exchange"),
+      merged.queryExecution.executedPlan.toString)
+    val direct = Rollups.monthly(s).orderBy("entity_id", "period_key").collect()
+    val got = merged.orderBy("entity_id", "period_key").collect()
+    assert(got.length === direct.length)
+    got.zip(direct).foreach { case (a, b) => assert(a === b) }
+    // month-scoped probe off the same table, value-identical
+    val m = direct.head.getAs[String]("period_key")
+    val one = Rollups.monthlyFromPartialsCatalog(spark, tbl, Some(m))
+      .orderBy("entity_id").collect()
+    val expected = direct.filter(_.getAs[String]("period_key") == m)
+    assert(one.length === expected.length)
+    one.zip(expected).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("range join candidate fan-out is bounded near 2x true pairs on the gate data") {
     val ev = Tables.events(spark, sfDir)
     val days = 7
