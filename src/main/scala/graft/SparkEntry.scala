@@ -179,6 +179,17 @@ object SparkEntry {
   // indexes use): a bare _SUCCESS probe would reuse a stale tmpdir
   // index across sessions after the fixtures (or the index writer's
   // defaults) changed, silently probing old vectors
+  /** Deterministic status table for the lifecycle gates: every third
+    * document "loaded", the next third "transformed", the rest absent
+    * (implicitly "new") — a pure function of doc_id so the DuckDB
+    * oracle rebuilds the identical table.
+    */
+  private def gateStatus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("loaded"))
+          .when(col("doc_id") % 3 === 1, lit("transformed")).as("status"))
+      .filter(col("status").isNotNull)
+
   private val ivfBuilt = scala.collection.mutable.Set.empty[String]
 
   // catalog table like every other persisted index twin: the catalog
@@ -236,6 +247,19 @@ object SparkEntry {
     "news_transform_bpe" -> ((s, d) =>
       TextPipeline.transformBpe(Tables.documents(s, d), bpeGateMerges)),
     "news_dedup"      -> ((s, d) => TextPipeline.dedupByTitle(Tables.documents(s, d), 8)),
+    // ingest-status lifecycle: pending-work view + per-status inventory
+    // over a deterministic synthetic status table (doc_id mod 3 —
+    // derived from the data so both engines build the identical table)
+    "status_pending" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Lifecycle.pendingWork(
+          docs.select("doc_id", "lang", "source"), gateStatus(docs), "loaded")
+        .orderBy("doc_id")
+    }),
+    "status_counts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Lifecycle.statusCounts(docs, gateStatus(docs))
+    }),
     // — D. extraction —
     "kv_extract"        -> ((s, d) => Extraction.kvExtract(Tables.events(s, d))),
     "kv_extract_xml"    -> ((s, d) => Extraction.kvExtractXml(Tables.events(s, d))),
@@ -1080,6 +1104,25 @@ object SparkEntry {
          |  lang
          |FROM t LEFT JOIN k ON t.doc_id = k.doc_id ORDER BY t.doc_id""".stripMargin
     },
+    // lifecycle gates share one synthetic status CTE (doc_id mod 3);
+    // "below loaded on the ladder" ≡ "status <> loaded" since loaded
+    // tops the ladder
+    "status_pending" ->
+      """WITH st AS (SELECT doc_id,
+        |CASE WHEN doc_id % 3 = 0 THEN 'loaded' ELSE 'transformed' END AS status
+        |FROM documents WHERE doc_id % 3 IN (0, 1))
+        |SELECT d.doc_id, d.lang, d.source, coalesce(st.status, 'new') AS status
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |WHERE coalesce(st.status, 'new') <> 'loaded'
+        |ORDER BY d.doc_id""".stripMargin,
+    "status_counts" ->
+      """WITH st AS (SELECT doc_id,
+        |CASE WHEN doc_id % 3 = 0 THEN 'loaded' ELSE 'transformed' END AS status
+        |FROM documents WHERE doc_id % 3 IN (0, 1))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |SELECT coalesce(st.status, 'new') AS status
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id)
+        |GROUP BY status ORDER BY status""".stripMargin,
     "news_dedup" ->
       """SELECT doc_id, title FROM (
         |SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS title,

@@ -145,11 +145,21 @@ object Temporal {
     * Expects `a(key, a_key, a_start, a_end)` and
     * `b(key, b_key, b_start, b_end)`, half-open intervals.
     */
-  def intervalJoin(a: DataFrame, b: DataFrame): DataFrame = {
+  /** `bucketUnit` (day/week/month — any `date_trunc` unit) is the
+    * fan-out knob: an interval explodes into ⌈span/bucketUnit⌉+1 rows
+    * BEFORE the join, so the default day grain is right for spans of
+    * hours-to-days (sessions, incidents) but a months-long interval
+    * (a campaign, a quarter-wide outage window) fans out to hundreds
+    * of rows per input — pick the unit so typical spans cover a
+    * handful of buckets. Coarser buckets trade explode rows for
+    * residual-filter selectivity; the result is identical either way.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   bucketUnit: String = "day"): DataFrame = {
+    val step = expr(s"INTERVAL 1 ${bucketUnit.toUpperCase}")
     def bucketize(df: DataFrame, s: String, e: String) =
       df.withColumn("bucket", explode(sequence(
-        date_trunc("day", col(s)), date_trunc("day", col(e)),
-        expr("INTERVAL 1 DAY"))))
+        date_trunc(bucketUnit, col(s)), date_trunc(bucketUnit, col(e)), step)))
     bucketize(a, "a_start", "a_end")
       .join(bucketize(b, "b_start", "b_end"), Seq("key", "bucket"))
       .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))

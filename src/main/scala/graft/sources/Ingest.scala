@@ -82,6 +82,28 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path))
 
+  /** Permissive XML read with the same quarantine contract — the
+    * extract side of the reference's IDX pipeline, which unzips
+    * downloaded archives and parses one XBRL instance FILE per report
+    * (reference: airflow/dags/idx/idx_extraction_script.py). Spark's
+    * native XML source (4.x) splits files into one row per `rowTag`
+    * element against the EXPLICIT schema (nested structs/arrays
+    * allowed — the parsed rows feed the same downstream shaping as
+    * the `kv_extract_nested` column path), and a malformed element
+    * lands in the quarantine frame instead of failing the batch or
+    * silently nulling — the same contract as the JSON/CSV readers.
+    * Distributed like any file scan: one row-group of files per task,
+    * no driver-side parsing.
+    */
+  def xmlWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        rowTag: String): IngestResult =
+    split(spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .xml(path))
+
   /** Permissive CSV read with the same quarantine contract. */
   def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
                         header: Boolean = true, sep: String = ","): IngestResult =

@@ -128,10 +128,23 @@ object Sinks {
                 bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     require(bits > 0 && bits <= 31, "bits per dimension must be in [1, 31]")
+    // Out-of-range inputs FAIL, never silently alias: a dimension with
+    // set bits above `bits` would truncate onto the same curve position
+    // as its low-bits twin, quietly destroying the disjoint-file
+    // pruning property writeZOrdered promises (and identically in any
+    // engine, so an oracle can't catch it). The branch is row-local
+    // codegen'd work; size `bits` to the dimension's domain instead of
+    // relying on truncation.
+    val cap = 1L << bits
+    def checked(c: org.apache.spark.sql.Column, nm: String) =
+      when(c < 0 || c >= cap, raise_error(concat(
+        lit(s"zorderKey: $nm outside [0, $cap) for bits=$bits, got "),
+        c.cast("string")))).otherwise(c)
+    val (cx, cy) = (checked(x, "x"), checked(y, "y"))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftrightunsigned(cx, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(cy, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
   }
 

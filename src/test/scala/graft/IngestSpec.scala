@@ -51,6 +51,39 @@ class IngestSpec extends SparkSpec {
     assert(byId(2L) === 0.9) // new file: preserved
   }
 
+  test("xml file ingest parses nested facts and quarantines malformed elements") {
+    val dir = Files.createTempDirectory("graft_xml").toString
+    // XBRL-ish instance files: one <report> per filing, nested facts
+    Files.write(java.nio.file.Paths.get(dir, "filing1.xml"), java.util.Arrays.asList(
+      "<filings>",
+      "<report><entity>AAAA</entity><period>2024-Q1</period>",
+      "<facts><revenue>1000</revenue><assets>5000</assets></facts></report>",
+      "<report><entity>BBBB</entity><period>2024-Q1</period>",
+      "<facts><revenue>2000</revenue><assets>7500</assets></facts></report>",
+      "</filings>"))
+    Files.write(java.nio.file.Paths.get(dir, "filing2.xml"), java.util.Arrays.asList(
+      "<filings>",
+      "<report><entity>CCCC</entity><period>2024-Q2</period>",
+      "<facts><revenue>not-a-number</revenue><assets>100</assets></facts></report>",
+      "</filings>"))
+    val schema = StructType(Seq(
+      StructField("entity", StringType),
+      StructField("period", StringType),
+      StructField("facts", StructType(Seq(
+        StructField("revenue", LongType),
+        StructField("assets", LongType))))))
+    val r = Ingest.xmlWithQuarantine(spark, dir, schema, rowTag = "report")
+    val good = r.good.collect()
+      .map(x => x.getAs[String]("entity") ->
+        x.getAs[org.apache.spark.sql.Row]("facts").getAs[Long]("revenue")).toMap
+    assert(good === Map("AAAA" -> 1000L, "BBBB" -> 2000L))
+    // the malformed element is quarantined with its raw text, the
+    // batch survives, and nothing is silently nulled into `good`
+    val bad = r.quarantined.collect().map(_.getAs[String]("raw"))
+    assert(bad.length === 1 && bad.head.contains("not-a-number"))
+    r.unpersist()
+  }
+
   test("csv ingest quarantines type-mismatched rows") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(dir, "feed.csv"), java.util.Arrays.asList(

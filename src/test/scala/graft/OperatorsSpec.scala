@@ -1507,6 +1507,47 @@ class OperatorsSpec extends SparkSpec {
     one.zip(expected).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("status lifecycle: pending view, monotone idempotent advance, partition upsert") {
+    import spark.implicits._
+    val status = Seq((1L, "extracted"), (2L, "transformed"), (3L, "loaded"))
+      .toDF("doc_id", "status")
+    val incoming = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    // pending-for-load: everything below "loaded"; unseen doc 4 is "new"
+    val pending = Lifecycle.pendingWork(incoming, status, "loaded")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(pending.toSeq === Seq(1L -> "extracted", 2L -> "transformed", 4L -> "new"))
+    // a crashed-midway doc below the queried stage still shows as
+    // pending for a LATER stage (generalized, not equality on one status)
+    val pendingT = Lifecycle.pendingWork(incoming, status, "transformed")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(pendingT.toSeq === Seq(1L, 4L))
+    // advance is idempotent (replay-safe) and monotone (cannot regress)
+    val batch = Seq(1L, 4L).toDF("doc_id")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val adv1 = Lifecycle.advance(status, batch, "transformed")
+    assert(snap(adv1) === Seq(1L -> "transformed", 2L -> "transformed",
+      3L -> "loaded", 4L -> "transformed"))
+    assert(snap(Lifecycle.advance(adv1, batch, "transformed")) === snap(adv1))
+    val regress = Lifecycle.advance(adv1, Seq(3L).toDF("doc_id"), "extracted")
+    assert(snap(regress).find(_._1 == 3L).get._2 === "loaded")
+    // persisted form: status-partitioned table, re-runnable upsert,
+    // emptied partition directories actually disappear
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_status").toString
+    Lifecycle.writeStatus(status, path)
+    Lifecycle.upsertAdvance(spark, path, batch, "transformed")
+    val after1 = snap(spark.read.parquet(path)
+      .select(col("doc_id"), col("status").cast("string")))
+    assert(after1 === Seq(1L -> "transformed", 2L -> "transformed",
+      3L -> "loaded", 4L -> "transformed"))
+    Lifecycle.upsertAdvance(spark, path, batch, "transformed") // replay
+    assert(snap(spark.read.parquet(path)
+      .select(col("doc_id"), col("status").cast("string"))) === after1)
+    // doc 1 left "extracted" and no one remains: the directory is gone
+    assert(!new java.io.File(path, "status=extracted").exists())
+  }
+
   test("range join candidate fan-out is bounded near 2x true pairs on the gate data") {
     val ev = Tables.events(spark, sfDir)
     val days = 7

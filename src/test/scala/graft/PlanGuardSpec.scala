@@ -58,6 +58,21 @@ class PlanGuardSpec extends SparkSpec {
   // only acceptable when the BROADCAST side is provably O(1) rows —
   // e.g. a one-row stats frame cross-joined back onto data.
   private val bnljOk = Set(
+    // ann_* brute/batch/int8/lsh: the BROADCAST side is the query
+    // batch, hard-capped at a constant row count (`< 500` id cap,
+    // itself machine-checked by the broadcast-cap spec below) — the
+    // corpus side streams once past the constant-size build side,
+    // which is exactly the scan-shaped plan brute-force retrieval
+    // wants; the candidate-bucketed variants (ivf/indexed) carry
+    // equi-keys and plan hash joins instead
+    "ann_cosine_topk", "ann_batch_topk", "ann_int8_topk", "ann_lsh_topk",
+    // curriculum_order: the broadcast side is the score HISTOGRAM,
+    // ≤ 10001 rows by domain construction (same bound as its
+    // SinglePartition allowlist entry)
+    "curriculum_order",
+    // skew_report: the one-row grand-total frame cross-joined back
+    // onto the per-key counts
+    "skew_report",
     // api_report_list: the one-row total_count frame cross-joined onto
     // the ≤ page·limit result page
     "api_report_list",
