@@ -233,15 +233,77 @@ object Dedup {
     * index but missing from the frame (stale index, or an appended
     * batch not unioned in) is silently dropped from the output. After
     * [[appendToMinhashIndex]], pass the corpus UNION the appended
-    * batch (as the append spec does); after deletions, rebuild the
-    * index rather than filtering the frame.
+    * batch (as the append spec does); deletions are handled by the
+    * index itself ([[deleteFromMinhashIndex]] tombstones, honored
+    * here via [[liveIndexRows]]).
     */
   def minhashLshIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                         documents: DataFrame, k: Int = 5,
                         threshold: Double = 0.5): DataFrame = {
     val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
-    val cand = bucketCandidates(spark.table(table)).distinct()
+    val cand = bucketCandidates(liveIndexRows(spark, table)).distinct()
     verifyJaccard(cand, base, k, word = false, threshold)
+  }
+
+  /** Tombstone side-table name for a persisted index — the
+    * merge-on-read delete mechanism (below). */
+  private def tombstoneTable(table: String): String = s"${table}_tombstones"
+
+  /** The index rows still LIVE after deletions: the band table minus
+    * every tombstoned doc_id. The anti-join's build side is the
+    * (tiny) tombstone table, broadcast — a broadcast join preserves
+    * the streamed side's bucket partitioning, so the downstream
+    * candidate self-join STAYS exchange-free (spec-asserted).
+    */
+  private[graft] def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
+                                   table: String): DataFrame = {
+    val t = spark.table(table)
+    if (spark.catalog.tableExists(tombstoneTable(table)))
+      t.join(broadcast(spark.table(tombstoneTable(table)).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else t
+  }
+
+  /** Index DELETION (takedown/right-to-be-forgotten): MERGE-ON-READ
+    * tombstones, the Delta/Iceberg delete strategy re-expressed on
+    * plain bucketed parquet. Deleting by rewriting the band files that
+    * contain the ids would rewrite an O(corpus) table for an O(batch)
+    * request — at 100 TB a takedown must cost what the takedown
+    * touches. Instead the ids append to a side table; every probe
+    * anti-joins it (kilobytes broadcast, bucket layout untouched), and
+    * [[compactMinhashIndex]] folds tombstones into the data files out
+    * of band, exactly like parquet small-file compaction. Idempotent:
+    * deleting an id twice appends a duplicate tombstone row, which the
+    * anti-join ignores and compaction clears.
+    */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(tombstoneTable(table))
+
+  /** Fold accumulated tombstones into the index's data files: rewrite
+    * the live rows into a fresh bucketed table (same bucket spec, same
+    * geometry properties), swap it in, drop the tombstones. Run out of
+    * band when the tombstone set has grown enough to matter — the
+    * probe-time anti-join costs a broadcast of the tombstone ids, so
+    * compaction is about bounding that side table, not correctness.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, numBuckets: Int = 8): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .filter { case (key, _) => key.startsWith("graft.minhash.") }
+    val tmp = s"${table}_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    graft.sources.Sinks.writeBucketed(
+      liveIndexRows(spark, table), tmp, Seq("band", "band_hash"), numBuckets)
+    if (props.nonEmpty) spark.sql(
+      s"ALTER TABLE $tmp SET TBLPROPERTIES " +
+        props.map { case (key, v) => s"'$key'='$v'" }.mkString("(", ",", ")"))
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
   }
 
   /** Index MAINTENANCE: append an arriving batch's band signatures to
@@ -292,7 +354,7 @@ object Dedup {
                              threshold: Double = 0.5): DataFrame = {
     val newBands = bandTable(newDocs, k, word = false, numPerm, bands)
     val cand = newBands.as("x")
-      .join(spark.table(table).as("y"),
+      .join(liveIndexRows(spark, table).as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

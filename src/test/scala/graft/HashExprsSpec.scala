@@ -433,6 +433,69 @@ class HashExprsSpec extends SparkSpec {
     assert(cs.collect().toSeq === operators.Dedup.clusterStats(docs).collect().toSeq)
   }
 
+  test("tombstone delete hides a doc from the index; compaction folds it in") {
+    import spark.implicits._
+    val tbl = "g_minhash_idx_del"
+    Seq(tbl, s"${tbl}_tombstones", s"${tbl}_compact_tmp").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val corpus = sources.Tables.documents(spark, sfDir)
+    operators.Dedup.writeMinhashIndex(corpus, tbl)
+    val before = operators.Dedup.minhashLshIndexed(spark, tbl, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty)
+    val victim = before.head._1
+    // takedown: tombstone the victim — every pair it participated in
+    // disappears from the indexed dedup, nothing else moves
+    operators.Dedup.deleteFromMinhashIndex(spark, tbl, Seq(victim).toDF("doc_id"))
+    val after = operators.Dedup.minhashLshIndexed(spark, tbl, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before.filterNot(p => p._1 == victim || p._2 == victim))
+    // a re-crawl of the deleted text no longer matches the victim id
+    // (the takedown holds against incremental checks too)
+    val victimText = corpus.filter(col("doc_id") === victim)
+      .head().getAs[String]("text")
+    val recrawl = Seq((900001L, victimText)).toDF("doc_id", "text")
+    val hits = operators.Dedup
+      .minhashLshAgainstIndex(spark, tbl, recrawl, corpus)
+      .collect().map(_.getAs[Long]("b")).toSet
+    assert(!hits.contains(victim), s"deleted doc still matched: $hits")
+    // idempotent: deleting again changes nothing
+    operators.Dedup.deleteFromMinhashIndex(spark, tbl, Seq(victim).toDF("doc_id"))
+    assert(operators.Dedup.minhashLshIndexed(spark, tbl, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === after)
+    // the tombstone anti-join must not cost the bucket layout: the
+    // candidate self-join still plans no HASH exchange (the broadcast
+    // exchange of the kilobyte tombstone table is the design)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val live = operators.Dedup.liveIndexRows(spark, tbl)
+      val plan = operators.Dedup.bucketCandidates(live)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"tombstoned index self-join should not hash-shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // compaction folds tombstones into the files: side table gone,
+    // results identical, geometry properties preserved for appends
+    operators.Dedup.compactMinhashIndex(spark, tbl)
+    assert(!spark.catalog.tableExists(s"${tbl}_tombstones"))
+    assert(operators.Dedup.minhashLshIndexed(spark, tbl, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === after)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.minhash.k").contains("5"))
+  }
+
   test("incremental dedup flags a re-crawled batch against the persisted index") {
     spark.sql("DROP TABLE IF EXISTS g_minhash_idx_inc")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
