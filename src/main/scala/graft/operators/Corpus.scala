@@ -421,7 +421,8 @@ object Corpus {
     *
     * CONTRACT: the batch must be NEW doc_ids — re-appending an
     * indexed document would duplicate its postings (and double its
-    * tf); on updates or deletions, rebuild. Missing stats stamp
+    * tf); on updates, rebuild (deletions go through
+    * [[deleteFromBm25Index]] tombstones). Missing stats stamp
     * (table not written by [[writeBm25Index]]) is an error.
     * SINGLE WRITER, like every index append here: the posting
     * append and the stats restamp are two catalog operations, not
@@ -475,6 +476,33 @@ object Corpus {
     (n, s)
   }
 
+  /** Takedown for the BM25 postings — merge-on-read tombstones
+    * ([[graft.sources.IndexMaintenance]]): the deleted document's
+    * postings vanish from every probe (it can never be retrieved, and
+    * per-term df — a window over live rows — adjusts immediately),
+    * while the stamped collection stats (N, Σdl) stay at their
+    * pre-delete values until [[compactBm25Index]] — exactly Lucene's
+    * deleted-docs semantics, where doc counts include deletions until
+    * segments merge. Ranking among live docs drifts only by the
+    * stale N/avgdl constants, never by ghost results.
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          table: String, ids: DataFrame): Unit =
+    graft.sources.IndexMaintenance.tombstone(spark, table, ids)
+
+  /** Fold BM25 tombstones in and RESTAMP (N, Σdl) from the surviving
+    * postings ([[repairBm25Stats]] logic) — after this, scoring
+    * constants reflect the post-delete collection exactly.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.IndexMaintenance.compact(spark, table) { (live, tmp) =>
+      graft.sources.Sinks.writeBucketed(live, tmp, Seq("word"), numBuckets)
+    }
+    repairBm25Stats(spark, table)
+    ()
+  }
+
   /** [[bm25TopK]] over the persisted inverted index — the at-scale
     * shape for REPEATED lexical queries: the scan path reads the
     * whole corpus per query; this reads only the posting lists of
@@ -502,7 +530,8 @@ object Corpus {
       s"index table $table has no graft.bm25.n property — not written by writeBm25Index")).toLong
     val s = props("graft.bm25.s").toLong
     val avgdlX = (100L * s) / n
-    val p = spark.table(table).filter(col("word").isin(terms: _*))
+    val p = graft.sources.IndexMaintenance.liveRows(spark, table)
+      .filter(col("word").isin(terms: _*))
       .withColumn("dfw", count(lit(1)).over(Window.partitionBy("word")))
     val aggs = first(col("dl")).as("dl") +:
       terms.zipWithIndex.flatMap { case (t, i) => Seq(

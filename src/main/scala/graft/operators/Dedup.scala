@@ -245,66 +245,66 @@ object Dedup {
     verifyJaccard(cand, base, k, word = false, threshold)
   }
 
-  /** Tombstone side-table name for a persisted index — the
-    * merge-on-read delete mechanism (below). */
-  private def tombstoneTable(table: String): String = s"${table}_tombstones"
-
-  /** The index rows still LIVE after deletions: the band table minus
-    * every tombstoned doc_id. The anti-join's build side is the
-    * (tiny) tombstone table, broadcast — a broadcast join preserves
-    * the streamed side's bucket partitioning, so the downstream
-    * candidate self-join STAYS exchange-free (spec-asserted).
+  /** The minhash index rows still LIVE after deletions (see
+    * [[graft.sources.IndexMaintenance]] — the shared merge-on-read
+    * tombstone mechanism). The anti-join's build side is the (tiny)
+    * tombstone table, broadcast — a broadcast join preserves the
+    * streamed side's bucket partitioning, so the downstream candidate
+    * self-join STAYS exchange-free (spec-asserted).
     */
   private[graft] def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
-                                   table: String): DataFrame = {
-    val t = spark.table(table)
-    if (spark.catalog.tableExists(tombstoneTable(table)))
-      t.join(broadcast(spark.table(tombstoneTable(table)).select("doc_id")),
-        Seq("doc_id"), "left_anti")
-    else t
-  }
+                                   table: String): DataFrame =
+    graft.sources.IndexMaintenance.liveRows(spark, table)
 
-  /** Index DELETION (takedown/right-to-be-forgotten): MERGE-ON-READ
-    * tombstones, the Delta/Iceberg delete strategy re-expressed on
-    * plain bucketed parquet. Deleting by rewriting the band files that
-    * contain the ids would rewrite an O(corpus) table for an O(batch)
-    * request — at 100 TB a takedown must cost what the takedown
-    * touches. Instead the ids append to a side table; every probe
-    * anti-joins it (kilobytes broadcast, bucket layout untouched), and
-    * [[compactMinhashIndex]] folds tombstones into the data files out
-    * of band, exactly like parquet small-file compaction. Idempotent:
-    * deleting an id twice appends a duplicate tombstone row, which the
-    * anti-join ignores and compaction clears.
+  /** Index DELETION (takedown/right-to-be-forgotten) for the minhash
+    * band index: merge-on-read tombstones via
+    * [[graft.sources.IndexMaintenance.tombstone]] — O(batch) cost,
+    * idempotent, honored by [[minhashLshIndexed]] and
+    * [[minhashLshAgainstIndex]].
     */
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                              table: String, ids: DataFrame): Unit =
-    ids.select(col("doc_id")).distinct()
-      .write.mode("append").format("parquet")
-      .saveAsTable(tombstoneTable(table))
+    graft.sources.IndexMaintenance.tombstone(spark, table, ids)
 
-  /** Fold accumulated tombstones into the index's data files: rewrite
-    * the live rows into a fresh bucketed table (same bucket spec, same
-    * geometry properties), swap it in, drop the tombstones. Run out of
-    * band when the tombstone set has grown enough to matter — the
-    * probe-time anti-join costs a broadcast of the tombstone ids, so
-    * compaction is about bounding that side table, not correctness.
+  /** Fold accumulated tombstones into the band files (same bucket
+    * spec, geometry properties carried over) — see
+    * [[graft.sources.IndexMaintenance.compact]].
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                          table: String, numBuckets: Int = 8): Unit = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-      .filter { case (key, _) => key.startsWith("graft.minhash.") }
-    val tmp = s"${table}_compact_tmp"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    graft.sources.Sinks.writeBucketed(
-      liveIndexRows(spark, table), tmp, Seq("band", "band_hash"), numBuckets)
-    if (props.nonEmpty) spark.sql(
-      s"ALTER TABLE $tmp SET TBLPROPERTIES " +
-        props.map { case (key, v) => s"'$key'='$v'" }.mkString("(", ",", ")"))
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
-  }
+                          table: String, numBuckets: Int = 8): Unit =
+    graft.sources.IndexMaintenance.compact(spark, table) { (live, tmp) =>
+      graft.sources.Sinks.writeBucketed(live, tmp, Seq("band", "band_hash"), numBuckets)
+    }
+
+  /** Takedown for the containment token index — same tombstone
+    * mechanism, honored by [[containmentPairsIndexed]] and
+    * [[containmentAgainstIndex]].
+    */
+  def deleteFromContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, ids: DataFrame): Unit =
+    graft.sources.IndexMaintenance.tombstone(spark, table, ids)
+
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, numBuckets: Int = 8): Unit =
+    graft.sources.IndexMaintenance.compact(spark, table) { (live, tmp) =>
+      graft.sources.Sinks.writeBucketed(live, tmp, Seq("h"), numBuckets)
+    }
+
+  /** Takedown for the cluster assignment index — honored by
+    * [[keepBestIndexed]], [[clusterStatsFromIndex]], and
+    * [[graft.operators.Sampling.splitFromIndex]]. Removing a cluster's
+    * former keeper promotes the next-best member automatically (the
+    * argmax runs over live rows).
+    */
+  def deleteFromClusterIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, ids: DataFrame): Unit =
+    graft.sources.IndexMaintenance.tombstone(spark, table, ids)
+
+  def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, numBuckets: Int = 8): Unit =
+    graft.sources.IndexMaintenance.compact(spark, table) { (live, tmp) =>
+      graft.sources.Sinks.writeBucketed(live, tmp, Seq("cluster_id"), numBuckets)
+    }
 
   /** Index MAINTENANCE: append an arriving batch's band signatures to
     * the persisted index, completing the ingest lifecycle — build
@@ -613,7 +613,7 @@ object Dedup {
                               corpus: DataFrame, k: Int = 5, word: Boolean = true,
                               threshold: Double = 0.8): DataFrame = {
     validateContainmentGeometry(spark, table, k, word, threshold)
-    verifyContainment(containmentCandidates(spark.table(table)).distinct(),
+    verifyContainment(containmentCandidates(liveIndexRows(spark, table)).distinct(),
       corpus.select(col("doc_id"), norm(col("text")).as("nt")), k, word, threshold)
   }
 
@@ -625,7 +625,7 @@ object Dedup {
     val newTok = prefixFlagged(baseNew.select(col("doc_id"),
         HashExprs.shingleHashes(col("nt"), k, word).as("hs")), threshold)
       .toDF("nid", "nn", "h", "np")
-    val idx = spark.table(table)
+    val idx = liveIndexRows(spark, table)
     val candA = newTok.filter(col("np"))
       .join(idx, "h").filter(col("nn") <= col("n"))
     val candB = newTok
@@ -737,7 +737,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val byCluster = Window.partitionBy("cluster_id")
     val w = byCluster.orderBy(col("quality").desc, col("doc_id"))
-    spark.table(table)
+    liveIndexRows(spark, table)
       .withColumn("rn", row_number().over(w))
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .filter(col("rn") === 1)
@@ -755,7 +755,7 @@ object Dedup {
     */
   def clusterStatsFromIndex(spark: org.apache.spark.sql.SparkSession,
                             table: String): DataFrame =
-    sizeHistogram(spark.table(table))
+    sizeHistogram(liveIndexRows(spark, table))
 
   /** Connected components over an (a, b) near-dup pair list: every doc
     * in `allDocs` gets the min doc_id of its component (docs without

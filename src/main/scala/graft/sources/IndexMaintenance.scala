@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-ON-READ deletion for every persisted index twin — one
+  * mechanism shared by the minhash band index, the containment token
+  * index, the cluster assignment, the BM25 postings, and any future
+  * doc_id-keyed index table.
+  *
+  * A takedown (right-to-be-forgotten, licensing retraction, abuse
+  * removal) must cost what it touches: rewriting the band/posting
+  * files that contain the ids would rewrite an O(corpus) table for an
+  * O(batch) request. Instead the deleted ids append to a `_tombstones`
+  * side table; probes anti-join it (a kilobyte broadcast that
+  * PRESERVES the streamed side's bucket partitioning, so the
+  * zero-exchange plans the indexes were built for survive deletion);
+  * and [[compact]] folds tombstones into fresh files out of band —
+  * the Delta/Iceberg/Lucene deleted-docs strategy on plain bucketed
+  * parquet. Deletes are idempotent: duplicate tombstone rows are
+  * inert under the anti-join and cleared by compaction.
+  */
+object IndexMaintenance {
+
+  def tombstoneTable(table: String): String = s"${table}_tombstones"
+
+  /** Tombstone `ids` (a frame with a `doc_id` column) against
+    * `table`. O(batch): one append of the distinct ids.
+    */
+  def tombstone(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(tombstoneTable(table))
+
+  /** The index rows still live after deletions — every probe path
+    * reads the index through this. No tombstones → the bare table
+    * (zero overhead).
+    */
+  def liveRows(spark: SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    if (spark.catalog.tableExists(tombstoneTable(table)))
+      t.join(broadcast(spark.table(tombstoneTable(table)).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else t
+  }
+
+  /** Fold accumulated tombstones into the data files: `rewrite`
+    * materializes the live rows into a fresh table (each index family
+    * supplies its own bucket spec), the `graft.*` table properties
+    * carry over, the fresh table swaps in, the tombstones drop. Run
+    * out of band when the tombstone set has grown enough to matter —
+    * the probe-time cost is the broadcast of the tombstone ids, so
+    * compaction bounds that side table; correctness never needs it.
+    * Single-writer like every index maintenance op here (plain
+    * parquet catalogs have no multi-writer story).
+    */
+  def compact(spark: SparkSession, table: String)
+             (rewrite: (DataFrame, String) => Unit): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .filter { case (key, _) => key.startsWith("graft.") }
+    val tmp = s"${table}_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    rewrite(liveRows(spark, table), tmp)
+    if (props.nonEmpty) spark.sql(
+      s"ALTER TABLE $tmp SET TBLPROPERTIES " +
+        props.map { case (key, v) => s"'$key'='$v'" }.mkString("(", ",", ")"))
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
+  }
+}

@@ -496,6 +496,82 @@ class HashExprsSpec extends SparkSpec {
     assert(props.get("graft.minhash.k").contains("5"))
   }
 
+  test("tombstone deletes work uniformly across containment, cluster, and bm25 indexes") {
+    import spark.implicits._
+    def reset(ts: String*): Unit = ts.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val corpus = sources.Tables.documents(spark, sfDir)
+
+    // containment: a tombstoned doc drops out of the indexed pairs
+    val ct = "g_cont_idx_del"
+    reset(ct, s"${ct}_tombstones", s"${ct}_compact_tmp")
+    operators.Dedup.writeContainmentIndex(corpus, ct)
+    val cBefore = operators.Dedup.containmentPairsIndexed(spark, ct, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cBefore.nonEmpty)
+    val cVictim = cBefore.head._1
+    operators.Dedup.deleteFromContainmentIndex(spark, ct, Seq(cVictim).toDF("doc_id"))
+    val cAfter = operators.Dedup.containmentPairsIndexed(spark, ct, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cAfter === cBefore.filterNot(p => p._1 == cVictim || p._2 == cVictim))
+    operators.Dedup.compactContainmentIndex(spark, ct)
+    assert(!spark.catalog.tableExists(s"${ct}_tombstones"))
+    assert(operators.Dedup.containmentPairsIndexed(spark, ct, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === cAfter)
+
+    // cluster: deleting a keeper promotes the next-best member, the
+    // split stops emitting the deleted doc
+    val kt = "g_clu_idx_del"
+    reset(kt, s"${kt}_tombstones", s"${kt}_compact_tmp")
+    operators.Dedup.writeClusterIndex(corpus, kt)
+    val keepers = operators.Dedup.keepBestIndexed(spark, kt).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_members")))
+      .toMap
+    val (multiCluster, (keeper, members)) =
+      keepers.find(_._2._2 > 1).getOrElse(fail("no multi-member cluster"))
+    operators.Dedup.deleteFromClusterIndex(spark, kt, Seq(keeper).toDF("doc_id"))
+    val keepersAfter = operators.Dedup.keepBestIndexed(spark, kt).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_members")))
+      .toMap
+    val (newKeeper, newMembers) = keepersAfter(multiCluster)
+    assert(newKeeper !== keeper)
+    assert(newMembers === members - 1)
+    assert(!operators.Sampling.splitFromIndex(spark, kt)
+      .filter(col("doc_id") === keeper).head(1).nonEmpty)
+
+    // bm25: the deleted doc can never be retrieved; compaction
+    // restamps (N, Σdl) to the live collection
+    val bt = "g_bm25_idx_del"
+    reset(bt, s"${bt}_tombstones", s"${bt}_compact_tmp")
+    operators.Corpus.writeBm25Index(corpus, bt)
+    val top = operators.Corpus.bm25FromIndex(spark, bt).collect()
+    assert(top.nonEmpty)
+    val bVictim = top.head.getAs[Long]("doc_id")
+    operators.Corpus.deleteFromBm25Index(spark, bt, Seq(bVictim).toDF("doc_id"))
+    val topAfter = operators.Corpus.bm25FromIndex(spark, bt).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(!topAfter.contains(bVictim))
+    operators.Corpus.compactBm25Index(spark, bt)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val liveN = spark.table(bt).select("doc_id").distinct().count()
+    assert(props("graft.bm25.n").toLong === liveN)
+    assert(operators.Corpus.bm25FromIndex(spark, bt).collect()
+      .map(_.getAs[Long]("doc_id")).toSet.contains(bVictim) === false)
+  }
+
   test("incremental dedup flags a re-crawled batch against the persisted index") {
     spark.sql("DROP TABLE IF EXISTS g_minhash_idx_inc")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
