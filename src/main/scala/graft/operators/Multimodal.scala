@@ -151,12 +151,28 @@ object Multimodal {
     * verified by exact hamming on the pair's two longs. Empty output
     * means the whole batch is novel.
     */
+  /** Media takedown for the phash index — merge-on-read tombstones
+    * (the shared [[graft.sources.IndexMaintenance]] mechanism, keyed
+    * on media_id): the payload's bands drop out of every later
+    * near-dup check at O(batch) cost.
+    */
+  def deleteFromMediaPhashIndex(spark: org.apache.spark.sql.SparkSession,
+                                table: String, ids: DataFrame): Unit =
+    graft.sources.IndexMaintenance.tombstone(spark, table, ids, "media_id")
+
+  /** Fold phash tombstones into the bucketed band files. */
+  def compactMediaPhashIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, numBuckets: Int = 8): Unit =
+    graft.sources.IndexMaintenance.compact(spark, table, "media_id") { (live, tmp) =>
+      graft.sources.Sinks.writeBucketed(live, tmp, Seq("band", "bucket"), numBuckets)
+    }
+
   def mediaNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                                newMedia: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
       "pigeonhole recall over 8 bands holds only for hamming <= 7")
     bandedPhash(newMedia).as("x")
-      .join(spark.table(table).as("y"),
+      .join(graft.sources.IndexMaintenance.liveRows(spark, table, "media_id").as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.modality") === col("y.modality") &&
           col("x.media_id") =!= col("y.media_id"))

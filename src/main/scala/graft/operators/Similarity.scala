@@ -255,9 +255,37 @@ object Similarity {
                      queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
     val cents = spark.read.parquet(s"$path/codebook")
       .orderBy("list_id").collect().map(vecOf(_, "cent"))
-    val assigned = spark.read.parquet(s"$path/assigned")
-    probeTopK(assigned, cents, queryId, k, nProbe)
+    probeTopK(liveAssigned(spark, path), cents, queryId, k, nProbe)
   }
+
+  /** The persisted assignment honoring tombstone deletes
+    * ([[deleteFromIvfIndex]]) — list_id partition pruning pushes past
+    * the broadcast anti-join, so probes stay partition-pruned reads.
+    */
+  private def liveAssigned(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    graft.sources.IndexMaintenance.liveRowsAt(
+      spark, s"$path/assigned", path, "vec_id")
+
+  /** Embedding takedown for the persisted IVF index — merge-on-read
+    * tombstones (the [[graft.sources.IndexMaintenance]] mechanism,
+    * path form): the vector drops out of every probe immediately at
+    * O(batch) cost; the codebook keeps its trained centroids (a
+    * deleted vector's influence on k-means means is history, not
+    * index content — the standard IVF delete semantics).
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame): Unit =
+    graft.sources.IndexMaintenance.tombstoneAt(spark, path, ids, "vec_id")
+
+  /** Fold IVF tombstones into the list-partitioned files (same
+    * layout, codebook untouched). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    graft.sources.IndexMaintenance.compactAt(
+      spark, s"$path/assigned", path, "vec_id") { (live, tmp) =>
+      live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    }
 
   /** IVF top-k with an EXACT-recall guarantee (triangle-inequality
     * list pruning). Works in the normalized-vector geometry where
@@ -323,7 +351,7 @@ object Similarity {
                           queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
     val cents = spark.read.parquet(s"$path/codebook")
       .orderBy("list_id").collect().map(vecOf(_, "cent"))
-    exactProbe(spark.read.parquet(s"$path/assigned"), cents, queryId, k, nProbe)
+    exactProbe(liveAssigned(spark, path), cents, queryId, k, nProbe)
   }
 
   /** The exact-guarantee probe shared by [[ivfTopKExact]] (cached

@@ -24,11 +24,12 @@ object IndexMaintenance {
 
   def tombstoneTable(table: String): String = s"${table}_tombstones"
 
-  /** Tombstone `ids` (a frame with a `doc_id` column) against
-    * `table`. O(batch): one append of the distinct ids.
+  /** Tombstone `ids` (a frame carrying `idCol`) against `table`.
+    * O(batch): one append of the distinct ids.
     */
-  def tombstone(spark: SparkSession, table: String, ids: DataFrame): Unit =
-    ids.select(col("doc_id")).distinct()
+  def tombstone(spark: SparkSession, table: String, ids: DataFrame,
+                idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol)).distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(tombstoneTable(table))
 
@@ -36,12 +37,55 @@ object IndexMaintenance {
     * reads the index through this. No tombstones → the bare table
     * (zero overhead).
     */
-  def liveRows(spark: SparkSession, table: String): DataFrame = {
+  def liveRows(spark: SparkSession, table: String,
+               idCol: String = "doc_id"): DataFrame = {
     val t = spark.table(table)
     if (spark.catalog.tableExists(tombstoneTable(table)))
-      t.join(broadcast(spark.table(tombstoneTable(table)).select("doc_id")),
-        Seq("doc_id"), "left_anti")
+      t.join(broadcast(spark.table(tombstoneTable(table)).select(idCol)),
+        Seq(idCol), "left_anti")
     else t
+  }
+
+  // — PATH-BASED twins, for indexes that live as parquet directories
+  // rather than catalog tables (the IVF index's codebook/assigned
+  // layout). Same mechanism: a `tombstones` subdirectory of ids.
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  def tombstoneAt(spark: SparkSession, indexDir: String, ids: DataFrame,
+                  idCol: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** Live rows of `dataDir`, honoring `indexDir/tombstones` if present.
+    * A filter on the streamed side (e.g. the IVF probe's list_id
+    * partition pruning) still pushes past the broadcast anti-join.
+    */
+  def liveRowsAt(spark: SparkSession, dataDir: String, indexDir: String,
+                 idCol: String): DataFrame = {
+    val t = spark.read.parquet(dataDir)
+    val tomb = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (fs(spark).exists(tomb))
+      t.join(broadcast(spark.read.parquet(tomb.toString).select(idCol)),
+        Seq(idCol), "left_anti")
+    else t
+  }
+
+  /** Fold a path-based index's tombstones in: `rewrite` materializes
+    * the live rows to a sibling tmp dir (the caller's layout —
+    * partitioning etc), which then swaps in; the tombstones drop.
+    */
+  def compactAt(spark: SparkSession, dataDir: String, indexDir: String,
+                idCol: String)(rewrite: (DataFrame, String) => Unit): Unit = {
+    val tmp = s"${dataDir.stripSuffix("/")}_compact_tmp"
+    val f = fs(spark)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    rewrite(liveRowsAt(spark, dataDir, indexDir, idCol), tmp)
+    f.delete(new org.apache.hadoop.fs.Path(dataDir), true)
+    f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dataDir))
+    f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
   }
 
   /** Fold accumulated tombstones into the data files: `rewrite`
@@ -54,14 +98,14 @@ object IndexMaintenance {
     * Single-writer like every index maintenance op here (plain
     * parquet catalogs have no multi-writer story).
     */
-  def compact(spark: SparkSession, table: String)
+  def compact(spark: SparkSession, table: String, idCol: String = "doc_id")
              (rewrite: (DataFrame, String) => Unit): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
       .filter { case (key, _) => key.startsWith("graft.") }
     val tmp = s"${table}_compact_tmp"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    rewrite(liveRows(spark, table), tmp)
+    rewrite(liveRows(spark, table, idCol), tmp)
     if (props.nonEmpty) spark.sql(
       s"ALTER TABLE $tmp SET TBLPROPERTIES " +
         props.map { case (key, v) => s"'$key'='$v'" }.mkString("(", ",", ")"))

@@ -685,6 +685,22 @@ class HashExprsSpec extends SparkSpec {
     // persisted index reproduces the in-query probe exactly
     val direct = operators.Similarity.ivfTopK(emb, qid, 10)
     assert(indexed.collect().toSeq === direct.collect().toSeq)
+    // embedding takedown: tombstone the top hit — it drops out of the
+    // probe, the list_id partition pruning survives the anti-join,
+    // and compaction folds the delete into the partitioned files
+    import spark.implicits._
+    val victim = indexed.collect().head.getAs[Long]("vec_id")
+    operators.Similarity.deleteFromIvfIndex(spark, path, Seq(victim).toDF("vec_id"))
+    val afterDel = operators.Similarity.ivfTopKIndexed(spark, path, qid, 10)
+    assert("""PartitionFilters: \[[^\]]*list_id""".r
+      .findFirstIn(afterDel.queryExecution.executedPlan.toString).nonEmpty,
+      "tombstone anti-join must not break partition pruning")
+    val afterIds = afterDel.collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(!afterIds.contains(victim))
+    operators.Similarity.compactIvfIndex(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(operators.Similarity.ivfTopKIndexed(spark, path, qid, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq === afterIds)
   }
 
   test("partitioned sink writes per-period directories and prunes on read") {

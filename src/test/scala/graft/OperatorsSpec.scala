@@ -726,6 +726,16 @@ class OperatorsSpec extends SparkSpec {
     // an all-novel batch reports nothing
     val novel = Seq((4L, "image", c)).toDF("media_id", "modality", "payload")
     assert(Multimodal.mediaNearDupAgainstIndex(spark, table, novel).count() === 0L)
+    // media takedown: tombstoning the indexed original silences the
+    // re-upload check; compaction folds the delete into the band files
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
+    rm(new java.io.File(wh, s"${table}_tombstones"))
+    rm(new java.io.File(wh, s"${table}_compact_tmp"))
+    Multimodal.deleteFromMediaPhashIndex(spark, table, Seq(1L).toDF("media_id"))
+    assert(Multimodal.mediaNearDupAgainstIndex(spark, table, batch).count() === 0L)
+    Multimodal.compactMediaPhashIndex(spark, table)
+    assert(!spark.catalog.tableExists(s"${table}_tombstones"))
+    assert(Multimodal.mediaNearDupAgainstIndex(spark, table, batch).count() === 0L)
   }
 
   test("funnel respects event ORDER, not mere co-occurrence") {
