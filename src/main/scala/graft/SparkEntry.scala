@@ -200,6 +200,11 @@ object SparkEntry {
     ensureTable(s, t)(Rollups.writeDailyPartialsTable(orderSeries(s, d), t))
   }
 
+  private def hllSketchTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_hllsk_${tag(d)}"
+    ensureTable(s, t)(Analytics.writeUserSketchRollup(Tables.events(s, d), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -338,6 +343,20 @@ object SparkEntry {
     // exact companion values plus in-bound booleans (the full report
     // with estimates is cardinalityReport/quantileSketch, spec-pinned)
     "hll_cardinality" -> ((s, d) => Analytics.cardinalityGate(Tables.events(s, d))),
+    // re-aggregatable distinct off the PERSISTED day-sketch table:
+    // per-type users from a kilobyte sketch merge, gated like
+    // hll_cardinality (exact count + in-bound boolean — raw sketch
+    // estimates are implementation-defined across engines)
+    "hll_rollup_indexed" -> ((s, d) => {
+      val approx = Analytics.cardinalityFromSketches(s, hllSketchTable(s, d))
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("within_bound"))
+        .orderBy("event_type")
+    }),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketchGate(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "funnel_steps" -> ((s, d) => Analytics.funnelSteps(Tables.events(s, d))),
@@ -806,6 +825,9 @@ object SparkEntry {
     // its declared error bound on this input
     "hll_cardinality" ->
       "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS within_bound FROM events",
+    "hll_rollup_indexed" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+        |true AS within_bound FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // value at rank ⌈p·n⌉ via row_number — same integer rank rule as
     // the Spark side's sketch-pruned selection
     "quantile_sketch" ->

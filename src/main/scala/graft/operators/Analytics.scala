@@ -266,6 +266,45 @@ object Analytics {
       (abs(col("approx_users") - col("exact_users")) <=
         lit(3 * rsd) * col("exact_users")).as("within_bound"))
 
+  /** Persist per-(day, event_type) HLL SKETCHES (Apache DataSketches
+    * via Spark's `hll_sketch_agg`) — the RE-AGGREGATABLE distinct
+    * index, and the reason sketches beat exact counts at 100 TB
+    * beyond the one-pass saving: a persisted exact daily distinct
+    * CANNOT roll up (distincts don't add across days — the same user
+    * appears in many), so every ad-hoc grain change re-scans raw
+    * events; persisted sketches merge losslessly along ANY axis
+    * (days → months, types → total) with kilobytes of I/O. This is
+    * the ingest half; [[cardinalityFromSketches]] is the probe. One
+    * raw scan per daily close, every later cardinality question is a
+    * sketch-table merge.
+    *
+    * lgK 14 → 16 KiB per sketch, relative error ≈ 1.04/√2¹⁴ ≈ 0.8%;
+    * the union of same-lgK sketches carries the same bound.
+    */
+  def writeUserSketchRollup(events: DataFrame, table: String, lgK: Int = 14): Unit =
+    events.groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sketch"))
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** Distinct users per group off the PERSISTED day sketches — a
+    * kilobyte merge (`hll_union_agg` + estimate), never a raw-event
+    * scan. `groupCols` picks the roll-up axis: `Seq("event_type")`
+    * collapses days per type, `Nil` gives the global total,
+    * month-prefix expressions re-grain time — all from the same
+    * table, which is the re-aggregation property the index exists
+    * for.
+    */
+  def cardinalityFromSketches(spark: org.apache.spark.sql.SparkSession,
+                              table: String,
+                              groupCols: Seq[String] = Seq("event_type")): DataFrame = {
+    val t = spark.table(table)
+    val merged = expr("hll_sketch_estimate(hll_union_agg(sketch))").as("approx_users")
+    if (groupCols.isEmpty) t.agg(merged)
+    else t.groupBy(groupCols.map(col): _*).agg(merged)
+  }
+
   /** Oracle-gated form of [[quantileSketch]]: EXACT rank-based
     * quantiles (value at rank ⌈p·n⌉ — an integer rank rule identical
     * in any engine, where interpolated quantiles drift in the last

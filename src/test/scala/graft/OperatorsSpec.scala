@@ -1517,6 +1517,42 @@ class OperatorsSpec extends SparkSpec {
     one.zip(expected).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("persisted day sketches re-aggregate along any axis within the HLL bound") {
+    val tbl = "test_hll_sketches"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(wh, tbl))
+    val ev = Tables.events(spark, sfDir)
+    Analytics.writeUserSketchRollup(ev, tbl)
+    def exactBy(cols: org.apache.spark.sql.Column*): Map[Seq[Any], Long] =
+      ev.groupBy(cols: _*).agg(countDistinct("user_id").as("x")).collect()
+        .map(r => (0 until r.length - 1).map(r.get) -> r.getLong(r.length - 1)).toMap
+    def near(approx: Long, exact: Long): Boolean =
+      math.abs(approx - exact) <= 0.05 * exact
+    // axis 1: collapse days per type
+    val byType = Analytics.cardinalityFromSketches(spark, tbl).collect()
+      .map(r => Seq(r.get(0)) -> r.getLong(1)).toMap
+    val exactType = exactBy(col("event_type"))
+    assert(byType.keySet === exactType.keySet)
+    byType.foreach { case (k, a) => assert(near(a, exactType(k)), s"$k: $a vs ${exactType(k)}") }
+    // axis 2: global total (every sketch merged)
+    val total = Analytics.cardinalityFromSketches(spark, tbl, Nil).head().getLong(0)
+    val exactTotal = ev.agg(countDistinct("user_id")).head().getLong(0)
+    assert(near(total, exactTotal), s"$total vs $exactTotal")
+    // axis 3: re-grain time — month cardinality from DAY sketches
+    // (the merge exact daily counts cannot do: distincts don't add)
+    val byMonth = spark.table(tbl)
+      .groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("a"))
+      .collect().map(r => Seq(r.get(0)) -> r.getLong(1)).toMap
+    val exactMonth = exactBy(date_format(col("ts"), "yyyy-MM"))
+    assert(byMonth.keySet === exactMonth.keySet)
+    byMonth.foreach { case (k, a) => assert(near(a, exactMonth(k)), s"$k: $a vs ${exactMonth(k)}") }
+  }
+
   test("status lifecycle: pending view, monotone idempotent advance, partition upsert") {
     import spark.implicits._
     val status = Seq((1L, "extracted"), (2L, "transformed"), (3L, "loaded"))
