@@ -93,7 +93,14 @@ def main(sf_dir: str, out_dir: str) -> int:
                 i = neq.idxmax()
                 diffs.append(f"col {c}: {int(neq.sum())} diffs, first@{i}: "
                              f"spark={a[c][i]!r} duck={b[c][i]!r}")
-        results[name] = "PASS" if not diffs else "FAIL " + "; ".join(diffs[:3])
+        if not diffs:
+            # a 0-row PASS is vacuous unless emptiness IS the semantics
+            # under test (round 6: api_data_point went green for a
+            # round while verifying nothing after a testdata regen
+            # moved its probe key) — annotate so it can't hide
+            results[name] = "PASS (0 rows - check gate vacuity)" if len(a) == 0 else "PASS"
+        else:
+            results[name] = "FAIL " + "; ".join(diffs[:3])
 
     # queries that produced no output dir at all. registered_queries.json
     # now lists only the keys this Verify invocation ATTEMPTED (a subset

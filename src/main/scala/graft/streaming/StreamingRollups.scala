@@ -298,6 +298,26 @@ object StreamingRollups {
         graft.sources.Sinks.upsertPartitions(batch, path, partitionCols)
       }
 
+  /** The streaming TAKEDOWN stage: a deletion-request stream (rows
+    * carrying the index's id column) tombstones each micro-batch
+    * against a persisted index via
+    * [[graft.sources.IndexMaintenance.tombstone]] — compliance
+    * deletions land within one trigger interval of the request, at
+    * O(batch) cost, while compaction stays an out-of-band batch job.
+    * Replay-safe the way the mechanism itself is: a redelivered batch
+    * appends duplicate tombstone rows, which the probe-time anti-join
+    * ignores and the next compaction clears.
+    */
+  def takedownStream(requests: DataFrame, indexTable: String,
+                     checkpoint: String, idCol: String = "doc_id")
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.IndexMaintenance.tombstone(
+          batch.sparkSession, indexTable, batch, idCol)
+      }
+
   /** Shared per-batch session merge: fold this batch's (sorted) events
     * into the open session, emitting sessions closed INLINE by a
     * same-key event arriving past the gap. Late (out-of-order) events

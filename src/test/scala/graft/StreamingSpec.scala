@@ -497,4 +497,35 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(rows === Set((1L, 9.0), (2L, 2.0)))
   }
+
+  test("streaming takedown tombstones an index within one trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tbl = "g_stream_takedown_idx"
+    Seq(tbl, s"${tbl}_tombstones").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(wh, t))
+    }
+    val corpus = sources.Tables.documents(spark, sfDir)
+    operators.Dedup.writeMinhashIndex(corpus, tbl)
+    val before = operators.Dedup.minhashLshIndexed(spark, tbl, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty)
+    val victim = before.head._1
+    // the deletion-request stream: one micro-batch carrying the id
+    val requests = MemoryStream[Long]
+    requests.addData(victim)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_takedown_ck").toString
+    val q = StreamingRollups.takedownStream(
+      requests.toDF().withColumnRenamed("value", "doc_id"), tbl, ckpt)
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    val after = operators.Dedup.minhashLshIndexed(spark, tbl, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before.filterNot(p => p._1 == victim || p._2 == victim))
+  }
 }
