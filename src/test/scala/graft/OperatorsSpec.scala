@@ -1517,6 +1517,40 @@ class OperatorsSpec extends SparkSpec {
     one.zip(expected).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("bpe budget truncation: within budget, maximal prefix, exact when untruncated") {
+    // invariants hold for ANY merge list — use one unrelated to the
+    // gate's so the spec isn't coupled to it
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "i" -> "s")
+    val budget = 16
+    val docs = Tables.documents(spark, sfDir)
+    val norm = graft.functions.TextAnalysis.normalizeWs(
+      substring(col("text"), 1, TextPipeline.CharLimit))
+    val out = TextPipeline.transformBpe(docs, merges, budget)
+      .join(docs.select(col("doc_id"), norm.as("norm")), "doc_id")
+      .withColumn("ws", split(col("norm"), " "))
+      .withColumn("nw", size(split(col("content"), " ")))
+    val checked = out.select(
+      // the kept prefix fits the budget, exactly counted
+      (col("n_tokens") <= budget).as("fits"),
+      // untruncated ⟺ everything kept
+      (!col("truncated") === (col("n_tokens") === col("n_tokens_full"))).as("exact_iff"),
+      // content is a WORD prefix of the normalized text
+      (col("content") === concat_ws(" ", slice(col("ws"), lit(1),
+        when(col("content") === "", 0).otherwise(col("nw"))))).as("is_prefix"),
+      // maximality: the next word would overflow the budget
+      (!col("truncated") ||
+        col("n_tokens") + graft.plans.HashExprs.bpeEncode(
+          element_at(col("ws"),
+            when(col("content") === "", 1).otherwise(col("nw") + 1)), merges)
+          .getField("n_tokens") > budget).as("maximal"))
+    val bad = checked.filter(
+      !col("fits") || !col("exact_iff") || !col("is_prefix") || !col("maximal"))
+    assert(bad.count() === 0, bad.head(3).mkString("\n"))
+    // the budget actually bites on this corpus (non-vacuous spec)
+    assert(TextPipeline.transformBpe(docs, merges, budget)
+      .filter(col("truncated")).count() > 0)
+  }
+
   test("persisted day sketches re-aggregate along any axis within the HLL bound") {
     val tbl = "test_hll_sketches"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
