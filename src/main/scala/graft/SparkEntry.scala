@@ -504,6 +504,7 @@ object SparkEntry {
     "length_histogram"  -> ((s, d) => Corpus.lengthHistogram(Tables.documents(s, d))),
     "corpus_report"     -> ((s, d) => Corpus.report(Tables.documents(s, d))),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
+    "contamination_report" -> ((s, d) => Corpus.contaminationReport(Tables.documents(s, d))),
     "decontaminate_semantic" -> ((s, d) => Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
     "corpus_keep_list"  -> ((s, d) => Corpus.keepList(Tables.documents(s, d))),
     "corpus_curated"    -> ((s, d) => Corpus.curated(Tables.documents(s, d))),
@@ -1865,6 +1866,21 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
         |hits AS (SELECT DISTINCT g.doc_id, g.gram FROM g JOIN bench USING (gram) WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500))
         |SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the per-benchmark leak report: decontaminate's gram CTEs with
+    // the aggregation flipped to the benchmark side; zero-leak bench
+    // docs keep a row of zeros via the left join
+    "contamination_report" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
+        |hits AS (SELECT DISTINCT b.bench_id, g.gram, g.doc_id FROM g JOIN bench b USING (gram)
+        |  WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500)),
+        |agg AS (SELECT bench_id, count(DISTINCT gram) AS nl, count(DISTINCT doc_id) AS nd FROM hits GROUP BY 1),
+        |base AS (SELECT bench_id, count(*) AS ng FROM bench GROUP BY 1)
+        |SELECT base.bench_id, CAST(base.ng AS BIGINT) AS n_grams,
+        |CAST(coalesce(agg.nl, 0) AS BIGINT) AS n_leaked_grams,
+        |CAST(coalesce(agg.nd, 0) AS BIGINT) AS n_corpus_docs
+        |FROM base LEFT JOIN agg USING (bench_id) ORDER BY 1""".stripMargin,
     // the curation end product: every signal CTE is the corresponding
     // single-query oracle verbatim (quality_filter, dedup_exact,
     // decontaminate), composed on doc_id

@@ -585,6 +585,43 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The per-BENCHMARK leak report — [[decontaminate]]'s dual view.
+    * Dropping contaminated corpus docs answers "is my training set
+    * clean"; this answers the eval owner's question: WHICH benchmark
+    * items leaked, how much of each (leaked grams / total grams), and
+    * how widely (how many corpus docs carry them) — the table that
+    * decides whether an eval split is still trustworthy or needs
+    * replacing. A benchmark doc with zero leaks still reports (0s):
+    * absence of a row and absence of leakage must be distinguishable.
+    *
+    * Scale shape: same as [[decontaminate]] — benchmark grams are
+    * bounded and broadcast, the corpus side is one scan + broadcast
+    * join with NO corpus shuffle; only matched (bench, gram, doc)
+    * triples reach the distinct + aggregates. Integer columns only
+    * (rates are the reader's division — emitting them would trade
+    * engine-exactness for convenience).
+    */
+  def contaminationReport(documents: DataFrame, n: Int = 8, benchMod: Int = 10,
+                          benchCap: Long = 500): DataFrame = {
+    val grams = documents.select(col("doc_id"),
+      explode(HashExprs.wordNgrams(TextAnalysis.normalizeWs(col("text")), n)).as("gram"))
+    val isBench = col("doc_id") % benchMod === 0 && col("doc_id") < benchCap
+    val bench = grams.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("gram")).distinct()
+    val hits = grams.filter(!isBench)
+      .join(broadcast(bench), "gram")
+      .select("bench_id", "gram", "doc_id").distinct()
+      .groupBy("bench_id")
+      .agg(countDistinct("gram").as("n_leaked_grams"),
+        countDistinct("doc_id").as("n_corpus_docs"))
+    bench.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+      .orderBy("bench_id")
+  }
+
   /** The curation pipeline's END PRODUCT: one row per document with
     * the keep/drop decision and WHY — quality gate
     * ([[graft.functions.TextAnalysis.qualityScore]] thresholds),
