@@ -278,6 +278,17 @@ object SparkEntry {
     "q5_region_revenue"  -> ((s, d) =>
       Analytics.regionRevenue(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // canonical semi/anti join shapes: EXISTS dedups inside the hash
+    // join (no fan-out), NOT EXISTS decides absence with no null-padded
+    // outer rows — the two join types every decontaminate/keep-list op
+    // builds on, gated here in their bare form
+    "q4_order_priority" -> ((s, d) =>
+      Analytics.latePriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q22_no_orders" -> ((s, d) =>
+      Analytics.inactiveCustomers(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.nation(s, d))),
+    // compaction/changelog current-state view: one max_by shuffle
+    "latest_by_key" -> ((s, d) => Analytics.latestByKey(Tables.events(s, d))),
     "window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d), 3)),
     "moving_avg"  -> ((s, d) => Analytics.movingAvg(Tables.events(s, d), 7)),
     "sessionize"  -> ((s, d) => Analytics.sessionize(Tables.events(s, d), 30000L)),
@@ -412,6 +423,7 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.customer(s, d), Tables.events(s, d))),
     "table_profile" -> ((s, d) => DataQuality.profileOrders(Tables.orders(s, d))),
     "rollup_margins"      -> ((s, d) => Rollups.rollupMargins(Tables.orders(s, d))),
+    "cube_margins"        -> ((s, d) => Rollups.cubeMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
     // — F. LLM-data-pipeline ops —
@@ -501,6 +513,10 @@ object SparkEntry {
     "bpe_pair_counts"   -> ((s, d) => Corpus.bpePairCounts(Tables.documents(s, d))),
     "bpe_encode"        -> ((s, d) =>
       Corpus.bpeEncodeDocs(Tables.documents(s, d), bpeGateMerges)),
+    // tokens-per-word by (lang, source) — the word→token budget
+    // converter; same pinned merge list as bpe_encode
+    "fertility_report"  -> ((s, d) =>
+      Corpus.fertilityReport(Tables.documents(s, d), bpeGateMerges)),
     "length_histogram"  -> ((s, d) => Corpus.lengthHistogram(Tables.documents(s, d))),
     "corpus_report"     -> ((s, d) => Corpus.report(Tables.documents(s, d))),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
@@ -1216,6 +1232,26 @@ object SparkEntry {
         |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_no_orders" ->
+      """SELECT n_name, count(*)::BIGINT AS n_customers,
+        |CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "latest_by_key" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |event_type, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
         |SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1782,6 +1818,18 @@ object SparkEntry {
         |SELECT left_sym, right_sym, sum(freq)::BIGINT AS pair_count
         |FROM p GROUP BY 1, 2 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 40""".stripMargin,
     "bpe_encode" -> bpeOracleSql,
+    // same nested-replace replay as bpe_encode, aggregated to the
+    // (lang, source) fertility ratio via the integer HALF_UP identity
+    "fertility_report" ->
+      s"""WITH nt AS (SELECT lang, source, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         |w AS (SELECT lang, source, len(string_split(t, ' '))::BIGINT AS ws,
+         |regexp_replace(t, '([^ ])', chr(31)||'\\1'||chr(31), 'g') AS r FROM nt),
+         |m AS (SELECT lang, source, ws, ${bpeReplaceChain("r")} AS r2 FROM w),
+         |tok AS (SELECT lang, source, ws, ((len(r2) - len(replace(r2, chr(31), ''))) // 2)::BIGINT AS bpe FROM m),
+         |a AS (SELECT lang, source, count(*)::BIGINT AS n_docs, sum(ws)::BIGINT AS total_words, sum(bpe)::BIGINT AS total_tokens FROM tok GROUP BY 1, 2)
+         |SELECT lang, source, n_docs, total_words, total_tokens,
+         |((total_tokens * 20000 + total_words) // (total_words * 2)) / 10000.0 AS fertility
+         |FROM a ORDER BY lang, source""".stripMargin,
     "length_histogram" ->
       """WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\s+'))::BIGINT AS toks FROM documents),
         |b AS (SELECT lang, least(toks // 16, 8) AS bucket, toks FROM t)
@@ -1795,6 +1843,14 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_custkey, strftime(o_orderdate, '%Y'))
         |ORDER BY lvl, entity_id, year""".stripMargin,
+    "cube_margins" ->
+      """SELECT o_orderpriority AS priority, strftime(o_orderdate, '%Y') AS year,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+        |count(*)::BIGINT AS cnt,
+        |CAST(GROUPING(o_orderpriority, strftime(o_orderdate, '%Y')) AS BIGINT) AS lvl
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, strftime(o_orderdate, '%Y'))
+        |ORDER BY lvl, priority, year""".stripMargin,
     "series_fill_forward" ->
       """WITH m AS (SELECT o_custkey AS entity_id, date_trunc('month', o_orderdate) AS mo, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v FROM orders GROUP BY 1, 2),
         |s AS (SELECT entity_id, min(mo) AS mn, max(mo) AS mx FROM m GROUP BY 1),

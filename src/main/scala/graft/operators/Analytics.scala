@@ -626,4 +626,73 @@ object Analytics {
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))
       .orderBy(col("total").desc, col("o_orderkey"))
       .limit(k)
+
+  /** TPC-H Q4-shaped EXISTS: orders in a quarter that had at least one
+    * late shipment (l_shipdate > o_orderdate + `lateDays`), counted per
+    * priority. The canonical LEFT SEMI join — the build side dedups
+    * per key inside the hash join, so a 7-lineitem order contributes
+    * ONE semi match, never a 7× fan-out that a join+distinct would
+    * materialize before collapsing. Equi part (orderkey) hashes; the
+    * date comparison rides as the join residual. Both sides shuffle on
+    * orderkey once; the priority agg is a few-row map-side partial.
+    */
+  def latePriority(orders: DataFrame, lineitem: DataFrame,
+                   lo: String = "1996-01-01", hi: String = "1996-04-01",
+                   lateDays: Int = 30): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+      col("o_orderdate") < lit(hi).cast("timestamp"))
+    o.join(lineitem,
+        o("o_orderkey") === lineitem("l_orderkey") &&
+          lineitem("l_shipdate") > o("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q22-shaped NOT EXISTS: customers with no orders in a year
+    * (lapsed accounts), rolled up per nation. The canonical LEFT ANTI
+    * join — the probe side streams, the year-filtered order build side
+    * carries only o_custkey (filter + column pruning reach the scan),
+    * and absence is decided inside the hash join with no null-padded
+    * outer rows to re-filter. nation is dim-sized → broadcast; the
+    * only shuffle is customer⋈orders on custkey. The window keeps the
+    * gate non-vacuous on data where every customer has SOME order.
+    */
+  def inactiveCustomers(customer: DataFrame, orders: DataFrame,
+                        nation: DataFrame,
+                        lo: String = "1997-01-01", hi: String = "1998-01-01"): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_acctbal"))
+      .orderBy("n_name")
+
+  /** Latest record per key — the compaction/changelog-view staple
+    * (upsert streams, CDC snapshots, "current state" reads). max_by
+    * over a (ts, event_id) struct: ONE shuffle with a map-side partial
+    * that keeps a single row per key per partition — the row_number
+    * window formulation shuffles every raw row and sorts whole
+    * partitions just to discard all but rank 1. The (ts, event_id)
+    * tie-break struct makes the winner total-ordered (event_id is
+    * unique), so the result is deterministic under any merge order.
+    */
+  def latestByKey(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("last.event_type").as("event_type"),
+        // pass-through, no arithmetic: the winning row's stored double
+        // is bit-identical in any engine; re-rounding could only
+        // introduce a half-convention divergence
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
 }

@@ -261,6 +261,39 @@ object Corpus {
         col("e.n_tokens").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Token-fertility report per (lang, source): BPE tokens vs
+    * whitespace words and the fertility ratio (tokens per word) —
+    * the number that converts a word-count data budget into a real
+    * token budget per slice of the mix (fertility varies by language
+    * and source register, so a corpus-global constant mis-sizes
+    * every non-English slice; this is the measurement behind
+    * [[graft.operators.TextPipeline]]'s BPE-budget truncation).
+    * One compiled encode pass over the corpus (merges ride the plan
+    * as a bounded closure, no join), then a few-group aggregate —
+    * map-side partials make the shuffle rows-per-slice, not
+    * rows-per-doc. Ratio at 4dp via the integer HALF_UP identity
+    * (decimal(38,0) sums: token totals at 100 TB pass 2^63).
+    */
+  def fertilityReport(documents: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame =
+    documents
+      .select(col("lang"), col("source"),
+        size(split(graft.functions.TextAnalysis.normalizeWs(col("text")), " "))
+          .cast("long").as("ws"),
+        HashExprs.bpeEncode(graft.functions.TextAnalysis.normalizeWs(col("text")),
+          merges).getField("n_tokens").as("bpe"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("total_words_l"), sum("bpe").as("total_tokens_l"))
+      .withColumn("w_l", col("total_words_l").cast("decimal(38,0)"))
+      .withColumn("t_l", col("total_tokens_l").cast("decimal(38,0)"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_words_l").as("total_words"),
+        col("total_tokens_l").as("total_tokens"),
+        (expr("(t_l * 20000 + w_l) div (w_l * 2)").cast("double") / 10000)
+          .as("fertility"))
+      .orderBy("lang", "source")
+
   /** Per-document top-k terms by tf·idf — the keyword/topic-feature
     * step (the reference's category derivation is a crude fixed-rule
     * version of this). idf is kept RATIONAL (tf·N/df, no logarithm):

@@ -300,6 +300,27 @@ object Rollups {
         grouping_id().cast("long").as("lvl"))
       .orderBy("lvl", "entity_id", "year")
 
+  /** Full CUBE over (priority, year): every marginal of the two
+    * dimensions — detail, per-priority, per-year, grand total — in
+    * ONE Expand + hash-aggregate pass (4 grouping sets = 4× the
+    * map-side rows, collapsed by the partial agg before the single
+    * shuffle). [[rollupMargins]] walks one hierarchy; `cube` is the
+    * cross-dim dashboard matrix (any cell addressable by `lvl`
+    * bitmask, the SQL GROUPING() id). Grouping keys here are
+    * low-cardinality dims — CUBE over a high-cardinality key pair
+    * would multiply the shuffle by 2^dims and wants pre-aggregation
+    * first.
+    */
+  def cubeMargins(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy").as("year"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+      .cube("priority", "year")
+      .agg(round(sum("v"), 2).cast("double").as("sum_value"),
+        count(lit(1)).as("cnt"),
+        grouping_id().cast("long").as("lvl"))
+      .orderBy("lvl", "priority", "year")
+
   /** Gap-filled monthly series (forward fill): every month in each
     * entity's [first, last] span gets a row, months with no data carry
     * the previous month's sum — the standard series-densification

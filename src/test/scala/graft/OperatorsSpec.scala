@@ -2005,4 +2005,87 @@ class OperatorsSpec extends SparkSpec {
     val b1 = scores(1L).min
     assert(p1.count(_.getAs[Long]("q_bp") > b1) < k1)
   }
+
+  test("semi join counts orders once regardless of matching-lineitem multiplicity") {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Analytics.latePriority(orders, li)
+    val total = out.agg(sum("order_count")).head().getLong(0)
+    assert(total > 0)
+    // reference formulation: inner join + distinct orderkey — the
+    // fan-out the semi join never materializes
+    val expected = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(total === expected)
+    // the plan is a real semi join, not join+aggregate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi in:\n$plan")
+  }
+
+  test("anti join keeps exactly the customers with no in-window order") {
+    val cust = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val out = Analytics.inactiveCustomers(cust, orders, Tables.nation(spark, sfDir))
+    val n = out.agg(sum("n_customers")).head().getLong(0)
+    assert(n > 0, "gate must not be vacuous on the test corpus")
+    val active = orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct().count()
+    assert(n === cust.count() - active)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
+  }
+
+  test("latest_by_key equals the rank-1 window row per user") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.latestByKey(ev)
+    assert(out.count() === ev.select("user_id").distinct().count())
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_type"), col("value").as("last_value"))
+    assert(out.except(viaWindow).isEmpty && viaWindow.except(out).isEmpty)
+    // the at-scale property: a partial (map-side) aggregate, no window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "latest_by_key must aggregate, not window-sort")
+  }
+
+  test("cube margins: every marginal reconciles with the detail cells") {
+    val out = Rollups.cubeMargins(Tables.orders(spark, sfDir)).collect()
+    def lvl(l: Long) = out.filter(_.getAs[Long]("lvl") === l)
+    val detail = lvl(0L)
+    assert(detail.nonEmpty && lvl(1L).nonEmpty && lvl(2L).nonEmpty)
+    val grand = lvl(3L)
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("cnt") === detail.map(_.getAs[Long]("cnt")).sum)
+    // per-priority margin (year rolled up, lvl=1) = sum of its detail row counts
+    val byPriority = detail.groupBy(_.getAs[String]("priority"))
+      .view.mapValues(_.map(_.getAs[Long]("cnt")).sum).toMap
+    lvl(1L).foreach { r =>
+      assert(r.getAs[Long]("cnt") === byPriority(r.getAs[String]("priority")))
+    }
+  }
+
+  test("fertility report totals reconcile and fertility >= 1") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Seq("t" -> "a", "ta" -> "b")
+    val out = Corpus.fertilityReport(docs, merges).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // each word is >= 1 token, so tokens/words >= 1 always
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Long]("total_tokens") >= r.getAs[Long]("total_words"))
+    }
+    // corpus-wide word total matches the token_count op's ws column
+    val wsTotal = TextAnalysis.tokenCount(docs)
+      .agg(sum("ws_tokens")).head().getLong(0)
+    assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
+  }
 }
