@@ -290,6 +290,17 @@ object SparkEntry {
     // compaction/changelog current-state view: one max_by shuffle
     "latest_by_key" -> ((s, d) => Analytics.latestByKey(Tables.events(s, d))),
     "window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d), 3)),
+    // same result as window_rank via the bounded-heap top-k AGGREGATE
+    // (graft.plans.TopKByOrd): shuffles ≤ k rows per (group ×
+    // partition) with no partition sort — the at-scale form of
+    // top-n-per-key; the window twin stays as the oracle anchor
+    "window_rank_agg" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(graft.plans.SketchAggs.topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.payload").as("o_orderkey"),
+          round(col("col.ord"), 2).as("total"), (col("pos") + 1).as("rn"))
+        .orderBy("o_custkey", "rn")),
     "moving_avg"  -> ((s, d) => Analytics.movingAvg(Tables.events(s, d), 7)),
     "sessionize"  -> ((s, d) => Analytics.sessionize(Tables.events(s, d), 30000L)),
     "top_k"       -> ((s, d) => Analytics.topK(Tables.orders(s, d), 100)),
@@ -1253,6 +1264,13 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
     "window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // identical result set to window_rank — the aggregate formulation
+    // must be value-equal to the window one
+    "window_rank_agg" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -26,6 +26,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `remove_spans(string, array<bigint>, n) -> struct<kept_text,n_tokens,n_removed>`
   *  - `bpe_encode(string, array<string>) -> struct<encoded,n_tokens>`
   *  - `heavy_hitters(string, k) -> array<struct<item,cnt>>` (aggregate)
+  *  - `top_k_by(ord, payload, k) -> array<struct<payload,ord>>` (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -134,5 +135,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters", "heavy_hitters(key, k) - bounded-memory Misra-Gries heavy-hitter summary as array<struct<item, cnt>>"),
       (args: Seq[Expression]) => MisraGries(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      info("top_k_by", "top_k_by(ord, payload, k) - exact bounded-heap top-k: array<struct<payload, ord>> of the k highest-ord rows, ties to the smaller payload"),
+      (args: Seq[Expression]) => TopKByOrd(args(0), args(1), intArg(args(2), "k"))))
   }
 }

@@ -125,6 +125,110 @@ case class MisraGries(child: Expression, k: Int,
   override def prettyName: String = "heavy_hitters"
 }
 
+/** Bounded-heap TOP-K per group as a custom
+  * [[TypedImperativeAggregate]] — the aggregate form of "top n rows
+  * per key".
+  *
+  * Why it exists: the row_number-window formulation
+  * ([[graft.operators.Analytics.topOrdersPerCustomer]]) shuffles
+  * EVERY raw row to its key's partition and sorts whole partitions,
+  * only to discard all but k rows — at 100 TB that is a full-data
+  * exchange plus a full sort to keep a few rows per key. This
+  * aggregate keeps a k-element min-heap per group per partition
+  * (map-side partial), so the shuffle carries ≤ k rows per (group ×
+  * partition) and nothing is ever globally sorted. Exact, not a
+  * sketch: top-k under a total order is associatively mergeable.
+  *
+  * Ordering: higher `ord` wins; ties break to the SMALLER `payload`
+  * (payload ids are unique), making the result total-ordered and
+  * deterministic under any partition merge order. `eval` emits
+  * array<struct<payload, ord>> best-first.
+  */
+case class TopKByOrd(ord: Expression, payload: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, "top-k capacity must be positive")
+
+  // max-of-ordering = WORST kept entry, so the heap head is the
+  // eviction candidate: smaller ord is worse; same ord, larger
+  // payload is worse
+  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def offer(buf: mutable.PriorityQueue[(Double, Long)],
+                    pair: (Double, Long)): Unit =
+    if (buf.size < k) buf.enqueue(pair)
+    else if (worstFirst.compare(pair, buf.head) < 0) { buf.dequeue(); buf.enqueue(pair) }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val o = ord.eval(input)
+    val p = payload.eval(input)
+    if (o != null && p != null)
+      offer(buf, (o.asInstanceOf[Double], p.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(b1: mutable.PriorityQueue[(Double, Long)],
+                     b2: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    b2.foreach(offer(b1, _))
+    b1
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    // ascending under worstFirst = best first (the ordering's max is
+    // the worst entry)
+    val best = buf.toSeq.sorted(worstFirst)
+    new GenericArrayData(best.map { case (o, p) =>
+      InternalRow(p, o)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (o, p) => out.writeDouble(o); out.writeLong(p) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByOrd =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByOrd =
+    copy(inputAggBufferOffset = newOffset)
+  override def left: Expression = ord
+  override def right: Expression = payload
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): TopKByOrd =
+    copy(ord = newLeft, payload = newRight)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("payload", LongType, nullable = false),
+    StructField("ord", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_k_by"
+}
+
 object SketchAggs {
   /** Column form: `heavyHitters(col("event_type"), 8)` aggregates to
     * the sorted array<struct<item, cnt>> summary.
@@ -132,4 +236,13 @@ object SketchAggs {
   def heavyHitters(c: Column, k: Int): Column =
     GraftSqlBridge.column(
       MisraGries(GraftSqlBridge.expression(c), k).toAggregateExpression())
+
+  /** Column form: `topKBy(ord, payload, k)` aggregates to the
+    * best-first array<struct<payload, ord>> of the k rows with the
+    * highest `ord` (ties to the smaller payload).
+    */
+  def topKBy(ord: Column, payload: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKByOrd(GraftSqlBridge.expression(ord.cast("double")),
+        GraftSqlBridge.expression(payload.cast("long")), k).toAggregateExpression())
 }

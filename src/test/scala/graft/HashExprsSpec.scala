@@ -894,4 +894,32 @@ class HashExprsSpec extends SparkSpec {
     assert(out("hot") <= 60L && out("hot") >= 60L - 16L, s"bound violated: $out")
     assert(out.size <= 4)
   }
+
+  test("top_k_by keeps exactly the k best with deterministic tie-breaks across merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ties on ord resolve to the SMALLER payload; many partitions
+    // force the serialize/merge path
+    val rows = Seq(
+      (5.0, 10L), (5.0, 3L), (9.0, 7L), (1.0, 1L), (9.0, 11L), (2.0, 2L), (5.0, 4L))
+    val df = rows.toDF("v", "id").repartition(6)
+    val got = df.agg(graft.plans.SketchAggs.topKBy(col("v"), col("id"), 4).as("t"))
+      .select(explode(col("t")).as("e")).select("e.payload", "e.ord").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // best-first: (9,7) beats (9,11); the three 5.0s keep ids 3 then 4
+    assert(got === Seq((7L, 9.0), (11L, 9.0), (3L, 5.0), (4L, 5.0)))
+  }
+
+  test("top_k_by works as a registered SQL aggregate and matches a sort") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => ((i * 37 % 100).toDouble, i.toLong))
+    rows.toDF("v", "id").createOrReplaceTempView("tk_in")
+    val got = spark.sql(
+      "SELECT top_k_by(v, id, 5) AS t FROM tk_in")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("t")).as("e"))
+      .select("e.payload").collect().map(_.getLong(0)).toSeq
+    val expected = rows.sortBy { case (v, id) => (-v, id) }.take(5).map(_._2)
+    assert(got === expected)
+  }
 }

@@ -2057,6 +2057,17 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Window"), "latest_by_key must aggregate, not window-sort")
   }
 
+  test("window_rank_agg equals the window formulation without a Window sort") {
+    val out = SparkEntry.queries("window_rank_agg")(spark, sfDir)
+    val win = Analytics.topOrdersPerCustomer(Tables.orders(spark, sfDir), 3)
+      .withColumn("rn", col("rn").cast("int"))
+    assert(out.withColumn("rn", col("rn").cast("int")).except(win).isEmpty &&
+      win.except(out.withColumn("rn", col("rn").cast("int"))).isEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bounded-heap top-k must not plan a window")
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg in:\n$plan")
+  }
+
   test("cube margins: every marginal reconciles with the detail cells") {
     val out = Rollups.cubeMargins(Tables.orders(spark, sfDir)).collect()
     def lvl(l: Long) = out.filter(_.getAs[Long]("lvl") === l)
