@@ -339,6 +339,10 @@ object SparkEntry {
       Temporal.attributionLinear(clicks, purchases, 7)
     }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
+    // hot-key-partial salted join: value-identical to the plain join
+    // for any hot list; the skew-spreading property is spec-pinned
+    "skew_salted_join" -> ((s, d) =>
+      Analytics.saltedJoinRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "skew_report" -> ((s, d) => Analytics.skewReport(Tables.events(s, d))),
     // the Z-curve key itself, value-gated (the layout writer rides on
     // it — writeZOrdered's disjoint-file property is spec-asserted)
@@ -1556,6 +1560,13 @@ object SparkEntry {
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
         |round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // plain join+group — salting must be value-invisible
+    "skew_salted_join" ->
+      """SELECT o_orderpriority,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
+        |count(*)::BIGINT AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // rank-based lower median: same integer selection rule on both
     // engines (interpolated medians diverge in the last double ulp)
     "rollup_median" ->

@@ -673,6 +673,59 @@ object Analytics {
           .as("total_acctbal"))
       .orderBy("n_name")
 
+  /** Skew-safe salted equi-join, hot keys only — the join-side
+    * companion to [[saltedAgg]]. A hot join key (one order carrying a
+    * double-digit share of a 100 TB fact table) lands every matching
+    * row on ONE reducer of a shuffled join; AQE's skew split can help
+    * per-partition, but the canonical engine-level fix is salting:
+    * hot fact rows get `salt = pmod(hash(rows' unique cols), salts)`,
+    * the MATCHING dim rows replicate `salts` times (one per salt
+    * value), and the join key becomes (key, salt). Salting everything
+    * would replicate the whole dim side `salts`× — so only the
+    * declared hot keys salt; cold keys keep salt 0 with a single dim
+    * copy. One union per side, ONE shuffled join on (key, salt) —
+    * never a second join to merge hot/cold results.
+    *
+    * `hotKeys` is a small driver-known list (in production: the
+    * output of a heavy-hitter pass, kilobytes — see
+    * [[graft.plans.SketchAggs.heavyHitters]]); results are identical
+    * to the unsalted join for ANY list, the list only steers the
+    * partitioning. The salt derives from hash of the fact row's
+    * columns, not rand(): deterministic, and task retries re-salt
+    * identically.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String,
+                 hotKeys: Seq[Long], salts: Int = 8): DataFrame = {
+    require(salts > 1, "salts must exceed 1")
+    val hot = hotKeys.map(lit(_))
+    val factSalted = fact.withColumn("salt",
+      when(col(factKey).isin(hot: _*),
+        pmod(hash(fact.columns.map(col): _*), lit(salts))).otherwise(lit(0)))
+    // generators can't sit inside CASE: explode a conditionally-built
+    // array instead — salts entries for hot dim keys, [0] for cold
+    val dimSalted = dim.withColumn("salt",
+      explode(when(col(dimKey).isin(hot: _*),
+        array((0 until salts).map(lit): _*)).otherwise(array(lit(0)))))
+    factSalted.join(dimSalted,
+      col(factKey) === col(dimKey) && factSalted("salt") === dimSalted("salt"))
+      .drop("salt")
+  }
+
+  /** Gate form of [[saltedJoin]]: lineitem⋈orders revenue per
+    * priority. The hot list is a fixed low-orderkey slice — the gate
+    * checks value-identity under salting (which holds for ANY hot
+    * list), while the skew-spreading property is spec-pinned.
+    */
+  def saltedJoinRevenue(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey",
+      hotKeys = (1L to 32L).toSeq, salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2)
+        .cast("double").as("sum_price"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("o_orderpriority")
+
   /** Latest record per key — the compaction/changelog-view staple
     * (upsert streams, CDC snapshots, "current state" reads). max_by
     * over a (ts, event_id) struct: ONE shuffle with a map-side partial

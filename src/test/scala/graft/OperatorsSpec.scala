@@ -2068,6 +2068,29 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg in:\n$plan")
   }
 
+  test("salted join is value-identical to the plain join and spreads hot keys") {
+    val li = Tables.lineitem(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val out = Analytics.saltedJoinRevenue(li, orders)
+    val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2)
+        .cast("double").as("sum_price"), count(lit(1)).as("n_lineitems"))
+    assert(out.except(plain).isEmpty && plain.except(out).isEmpty)
+    // spreading: a hot fact key's rows carry > 1 distinct salt (the
+    // whole point), cold keys exactly one; dim replicates hot keys
+    // `salts` times and cold keys once — so the join itself stays 1:1
+    // per (key, salt)
+    val salted = Analytics.saltedJoin(li, orders, "l_orderkey", "o_orderkey",
+      hotKeys = Seq(1L, 2L), salts = 8)
+    val n = salted.count()
+    assert(n === li.join(orders, col("l_orderkey") === col("o_orderkey")).count())
+    val hotSalts = li.filter(col("l_orderkey") === 1L)
+      .withColumn("salt", pmod(hash(li.columns.map(col): _*), lit(8)))
+      .select("salt").distinct().count()
+    assert(hotSalts > 1, "hot key must spread over multiple salts")
+  }
+
   test("cube margins: every marginal reconciles with the detail cells") {
     val out = Rollups.cubeMargins(Tables.orders(spark, sfDir)).collect()
     def lvl(l: Long) = out.filter(_.getAs[Long]("lvl") === l)
