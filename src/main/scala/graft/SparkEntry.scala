@@ -205,6 +205,11 @@ object SparkEntry {
     ensureTable(s, t)(Analytics.writeUserSketchRollup(Tables.events(s, d), t))
   }
 
+  private def histTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_hist_${tag(d)}"
+    ensureTable(s, t)(Analytics.writeValueHistogramRollup(Tables.orders(s, d), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -384,6 +389,11 @@ object SparkEntry {
         .orderBy("event_type")
     }),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketchGate(Tables.orders(s, d))),
+    // EXACT percentiles off the persisted month×bin histogram partials
+    // (the re-aggregatable quantile index): kilobyte bin merge + one
+    // bounded in-bin refine per percentile, no raw re-aggregation
+    "quantile_rollup_indexed" -> ((s, d) =>
+      Analytics.quantilesFromHistogram(s, histTable(s, d), Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "funnel_steps" -> ((s, d) => Analytics.funnelSteps(Tables.events(s, d))),
     // symmetric interval overlap: 1h click windows × 2h purchase
@@ -873,6 +883,17 @@ object SparkEntry {
         |round(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END), 2) AS p99_exact,
         |true AS p99_in_bound
         |FROM s GROUP BY n""".stripMargin,
+    // exact values recomputed by rank; the Spark-side within_bound
+    // (refined value landed in the histogram-predicted bin) is `true`
+    // here — the claim under test
+    "quantile_rollup_indexed" ->
+      """WITH s AS (SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |count(*) OVER () AS n FROM orders),
+        |t(p) AS (VALUES (50), (90), (99))
+        |SELECT p::BIGINT AS p, n::BIGINT AS n,
+        |round(max(CASE WHEN rn = (p * n + 99) // 100 THEN v END), 2) AS exact_value,
+        |true AS within_bound
+        |FROM s CROSS JOIN t GROUP BY p, n ORDER BY p""".stripMargin,
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
     "decontaminate_semantic" -> semanticDecontamOracle(10, 0.35),
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),

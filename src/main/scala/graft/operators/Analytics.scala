@@ -288,6 +288,67 @@ object Analytics {
       .coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(table)
 
+  /** Persisted VALUE-HISTOGRAM rollup — the re-aggregatable quantile
+    * partial, the [[writeUserSketchRollup]] move applied to a holistic
+    * aggregate: exact per-month quantiles cannot merge into a yearly
+    * quantile (quantiles aren't distributive), but fixed-bin COUNTS
+    * are — (month, bin, cnt) partials add along any axis, and the
+    * merged histogram localizes any percentile to one `binWidth`-wide
+    * bin without rescanning raw data. Bin count is domain/binWidth
+    * (bounded, kilobytes); size binWidth so in-bin populations fit
+    * the probe's bounded refine (the 100 TB shape: binWidth ≈
+    * domain/10⁴).
+    */
+  def writeValueHistogramRollup(orders: DataFrame, table: String,
+                                binWidth: Int = 25000): Unit =
+    orders.groupBy(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** EXACT percentiles off the persisted histogram: the merged bins
+    * (kilobyte driver collect, the codebook-analog contract) give each
+    * target rank's bin and the count below it; ONE bounded refine per
+    * percentile (TakeOrdered of the in-bin rank prefix) yields the
+    * exact value — no global sort, no raw re-aggregation. The
+    * within_bound boolean asserts the refined exact value landed in
+    * the histogram-predicted bin — the consistency claim the gate
+    * checks (DuckDB recomputes the exact value by rank; its side of
+    * the boolean is `true`).
+    */
+  def quantilesFromHistogram(spark: org.apache.spark.sql.SparkSession,
+                             table: String, orders: DataFrame,
+                             ps: Seq[Int] = Seq(50, 90, 99),
+                             binWidth: Int = 25000): DataFrame = {
+    import spark.implicits._
+    val hist = spark.table(table).groupBy("bin")
+      .agg(sum("cnt").as("cnt")).orderBy("bin")
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
+    val n = hist.map(_._2).sum
+    val rows = ps.map { p =>
+      val r = (p.toLong * n + 99) / 100
+      var below = 0L
+      var bin = hist.head._1
+      var found = false
+      hist.foreach { case (b, c) =>
+        if (!found) {
+          if (below + c >= r) { bin = b; found = true } else below += c
+        }
+      }
+      val exact = orders
+        .filter(floor(col("o_totalprice") / binWidth).cast("long") === bin)
+        .select(col("o_totalprice"))
+        .orderBy("o_totalprice")
+        .limit((r - below).toInt)
+        .agg(max("o_totalprice")).head().getDouble(0)
+      val inBin = exact >= bin * binWidth.toLong && exact < (bin + 1) * binWidth.toLong
+      (p.toLong, n, BigDecimal(exact).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, inBin)
+    }
+    rows.toDF("p", "n", "exact_value", "within_bound").orderBy("p")
+  }
+
   /** Distinct users per group off the PERSISTED day sketches — a
     * kilobyte merge (`hll_union_agg` + estimate), never a raw-event
     * scan. `groupCols` picks the roll-up axis: `Seq("event_type")`

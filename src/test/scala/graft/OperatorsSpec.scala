@@ -2107,6 +2107,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("histogram partials merge along any axis and refine to exact percentiles") {
+    val orders = Tables.orders(spark, sfDir)
+    val t = "g_spec_hist"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Analytics.writeValueHistogramRollup(orders, t)
+    // partials add: per-month bins collapse to the global histogram
+    val merged = spark.table(t).groupBy("bin").agg(sum("cnt").as("cnt"))
+    val direct = orders.groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+    // the probe's refined percentile equals the rank-based exact value
+    val out = Analytics.quantilesFromHistogram(spark, t, orders).collect()
+    assert(out.forall(_.getAs[Boolean]("within_bound")))
+    val n = orders.count()
+    val sorted = orders.select("o_totalprice").orderBy("o_totalprice")
+      .collect().map(_.getDouble(0))
+    out.foreach { r =>
+      val p = r.getAs[Long]("p")
+      val exact = sorted(((p * n + 99) / 100 - 1).toInt)
+      assert(math.abs(r.getAs[Double]("exact_value") - exact) < 0.005,
+        s"p$p: ${r.getAs[Double]("exact_value")} vs $exact")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("fertility report totals reconcile and fertility >= 1") {
     val docs = Tables.documents(spark, sfDir)
     val merges = Seq("t" -> "a", "ta" -> "b")
