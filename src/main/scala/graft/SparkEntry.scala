@@ -34,9 +34,23 @@ object SparkEntry {
   // the build.
   // lowercased because Spark lowercases managed-table directory names;
   // a mixed-case tag would make ensureTable's stale-location cleanup
-  // look for a directory that never exists on a case-sensitive FS
-  private def tag(d: String): String =
-    d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+  // look for a directory that never exists on a case-sensitive FS.
+  // The tag carries a DATA FINGERPRINT (max mtime + total size of the
+  // dir's parquet files): a testdata regeneration mid-session changes
+  // the fingerprint, so every per-(session, data) cached artifact —
+  // tables, IVF/partials/cobucket builds — rebuilds instead of
+  // silently serving the previous generation's index.
+  private def tag(d: String): String = {
+    val fp = {
+      val fs = Option(new java.io.File(d).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      val m = if (fs.isEmpty) 0L else fs.map(_.lastModified()).max
+      val sz = fs.map(_.length()).sum
+      java.lang.Long.toHexString(m ^ java.lang.Long.rotateLeft(sz, 21))
+    }
+    (d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp).toLowerCase
+  }
 
   private val indexLock = new Object
 
