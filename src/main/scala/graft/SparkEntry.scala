@@ -465,6 +465,13 @@ object SparkEntry {
     "cube_margins"        -> ((s, d) => Rollups.cubeMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
+    // market-data family: the upstream (tick → bar → signal) half of
+    // the reference's OHLCV pipeline that YFinance pre-computes for it
+    "ohlc_resample" -> ((s, d) => Finance.ohlcResample(Tables.events(s, d))),
+    "returns_daily" -> ((s, d) => Finance.returns(Tables.events(s, d))),
+    "sma_crossover" -> ((s, d) => Finance.smaCrossover(Tables.events(s, d))),
+    "max_drawdown"  -> ((s, d) => Finance.maxDrawdown(Tables.events(s, d))),
+    "vwap_monthly"  -> ((s, d) => Finance.vwap(Tables.lineitem(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dup_spans"         -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
@@ -1937,6 +1944,65 @@ object SparkEntry {
         |z AS (SELECT o_orderkey, entity_id, round(o_totalprice, 2) AS total,
         |round((o_totalprice - sum_d/n)/std, 4) AS z FROM c WHERE std > 0)
         |SELECT * FROM z WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+    // first/last-in-time via min_by/max_by over a composite
+    // lexicographic key (epoch micros ‖ event id, both zero-padded) —
+    // DuckDB's min_by cannot order by a struct; decimal sum for the
+    // turnover so partial-aggregation order can't drift the hash
+    "ohlc_resample" ->
+      """WITH s AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS period_key,
+        |  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey,
+        |  value FROM events)
+        |SELECT user_id, period_key,
+        |  round(min_by(value, okey), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max_by(value, okey), 2) AS close,
+        |  count(*) AS n_obs,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, period_key""".stripMargin,
+    "returns_daily" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+        |SELECT user_id, event_id, round(value / prev - 1.0, 6) AS ret
+        |FROM s WHERE prev IS NOT NULL AND prev <> 0 ORDER BY user_id, event_id""".stripMargin,
+    // exact decimal frame sums + cross-multiplied compare: no float
+    // SMA ever exists, so segment-tree (DuckDB) vs sequential (Spark)
+    // window summation cannot flip the signal
+    "sma_crossover" ->
+      """WITH s AS (SELECT user_id, event_id, ts, CAST(round(value, 2) AS DECIMAL(18,2)) AS vd FROM events),
+        |w AS (SELECT user_id, event_id,
+        |  sum(vd) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7,
+        |  sum(vd) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS c28,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |f AS (SELECT user_id, event_id, rn, (s7 * c28 > s28 * c7) AS above,
+        |  lag(s7 * c28 > s28 * c7) OVER (PARTITION BY user_id ORDER BY rn) AS prev_above
+        |  FROM w WHERE rn >= 28)
+        |SELECT user_id, event_id, CASE WHEN above THEN 'golden' ELSE 'death' END AS signal
+        |FROM f WHERE prev_above IS NOT NULL AND above <> prev_above
+        |ORDER BY user_id, event_id""".stripMargin,
+    "max_drawdown" ->
+      """WITH p AS (SELECT user_id, value,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM events),
+        |d AS (SELECT user_id, round((peak - value) / peak, 6) AS dd FROM p WHERE peak > 0)
+        |SELECT user_id, max(dd) AS max_drawdown, count(*) AS n_obs
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // exact 4dp HALF_UP of N/Q via floor((2·N·10⁴+Q)/2Q) on cent-scaled
+    // BIGINTs — round(double,4) is engine-divergent at half boundaries
+    "vwap_monthly" ->
+      """WITH g AS (SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS period_key,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS notional_d,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(notional_d * 100 AS BIGINT) AS n_c, CAST(qty_d * 100 AS BIGINT) AS q_c
+        |  FROM g WHERE qty_d > 0)
+        |SELECT l_suppkey, period_key,
+        |  CAST((n_c * 20000 + q_c) // (q_c * 2) AS DOUBLE) / 10000.0 AS vwap,
+        |  CAST(notional_d AS DOUBLE) AS notional
+        |FROM c ORDER BY l_suppkey, period_key""".stripMargin,
     // the indexed probe must reproduce the scan path bit-for-bit
     // (shared scoring formula) — one oracle for both
     "bm25_indexed" -> bm25Oracle,

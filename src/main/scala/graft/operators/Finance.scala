@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-data analytics the reference's OHLCV pipeline implies but
+  * never computes (reference: airflow/dags/yfinance/
+  * TransForm_Load_Yfinance.py:210-349 aggregates avg/sum/max/min/std
+  * of already-daily Open/High/Low/Close columns — it has no tick →
+  * bar resample, no returns, no signals, because YFinance hands it
+  * pre-built daily bars). A user switching a stock backend onto this
+  * engine needs the upstream half too: tick-level events → candlestick
+  * bars, per-series returns, moving-average signals, drawdown, VWAP.
+  * All of it is one-shuffle grouped/window work over (series, time) —
+  * the series key is a grouping column, so 10 or 10 million series
+  * cost the same three shuffles (the reference loops stocks in driver
+  * Python, its scale ceiling; see Rollups for the same argument).
+  *
+  * Determinism conventions (the DuckDB oracle compares float values
+  * EXACTLY, see scripts/verify_local.py):
+  *   - first/last-in-time are `min_by`/`max_by` over a composite
+  *     lexicographic order key (zero-padded epoch-micros ‖ event id)
+  *     because DuckDB's min_by cannot order by a struct — no windows,
+  *     no fan-out, plain map-side-combinable aggregates;
+  *   - grouped sums go through decimal, never double (double addition
+  *     is order-dependent across partitions);
+  *   - comparisons between two running averages are cross-multiplied
+  *     decimal integer comparisons (s_a·c_b > s_b·c_a), never a
+  *     divide-then-compare that an ulp can flip;
+  *   - each emitted float is a SINGLE double division of deterministic
+  *     operands, then `round(_, n)`.
+  */
+object Finance {
+
+  /** Composite time-order key: zero-padded epoch micros ‖ id. String
+    * compare == (ts, id) compare; both engines build it byte-identically.
+    */
+  private def orderKey(ts: Column, id: Column): Column =
+    concat(lpad(unix_micros(ts).cast("string"), 20, "0"),
+      lpad(id.cast("string"), 12, "0"))
+
+  /** Tick → daily candlestick resample: per (series, day) the first /
+    * max / min / last tick value plus tick count and exact decimal
+    * turnover. The open/close use `min_by`/`max_by` over the composite
+    * order key — ONE hash aggregate with map-side partials, no window,
+    * no per-partition sort; at 100 TB of ticks this is the only shape
+    * that survives (a row_number window would sort every tick).
+    * Reference analog: the daily grain its YFinance feed arrives at
+    * (TransForm_Load_Yfinance.py:210-226 treats day bars as given).
+    */
+  def ohlcResample(events: DataFrame): DataFrame = {
+    val okey = orderKey(col("ts"), col("event_id"))
+    events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("period_key"))
+      .agg(
+        round(min_by(col("value"), okey), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), okey), 2).as("close"),
+        count(lit(1)).as("n_obs"),
+        sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "period_key")
+  }
+
+  /** Per-series simple returns: value / previous value − 1 over the
+    * (ts, id) order. One window shuffle partitioned by series — never
+    * a global sort. The division is a single double op on raw parquet
+    * values, so it is bit-identical in any engine; rounded to 6dp.
+    */
+  def returns(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") / col("prev") - 1.0, 6).as("ret"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Moving-average crossover signals (golden/death cross): rows where
+    * the short SMA crosses the long SMA. Both SMAs are EXACT decimal
+    * frame sums (2dp-quantized ticks), and "short above long" is the
+    * cross-multiplied integer comparison s_short·c_long > s_long·c_short
+    * — no float average ever exists, so the signal cannot flip on an
+    * ulp the way divide-then-compare would (DuckDB evaluates window
+    * sums via segment trees, Spark sequentially; only exact arithmetic
+    * makes their comparison identical). One window shuffle per series.
+    */
+  def smaCrossover(events: DataFrame, shortN: Int = 7, longN: Int = 28): DataFrame = {
+    require(shortN < longN, s"short window $shortN must be < long window $longN")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def frame(n: Int) = w.rowsBetween(-(n - 1), Window.currentRow)
+    val vd = round(col("value"), 2).cast("decimal(18,2)")
+    val above = col("s_short") * col("c_long") > col("s_long") * col("c_short")
+    events
+      .withColumn("s_short", sum(vd).over(frame(shortN)))
+      .withColumn("c_short", count(lit(1)).over(frame(shortN)))
+      .withColumn("s_long", sum(vd).over(frame(longN)))
+      .withColumn("c_long", count(lit(1)).over(frame(longN)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= longN) // long frame full: signal is meaningful
+      .withColumn("above", above)
+      .withColumn("prev_above", lag(col("above"), 1)
+        .over(Window.partitionBy("user_id").orderBy("rn")))
+      .filter(col("prev_above").isNotNull && col("above") =!= col("prev_above"))
+      .select(col("user_id"), col("event_id"),
+        when(col("above"), lit("golden")).otherwise(lit("death")).as("signal"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-series maximum drawdown: running peak via a window max (exact
+    * — max of doubles has no accumulation), drawdown = (peak − v) /
+    * peak as a single rounded division, then the per-series max of the
+    * ROUNDED drawdowns (again exact). Two shuffles: one window, one
+    * group — both on the series key.
+    */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("peak", max(col("value")).over(w))
+      .filter(col("peak") > 0.0)
+      .withColumn("dd", round((col("peak") - col("value")) / col("peak"), 6))
+      .groupBy("user_id")
+      .agg(max(col("dd")).as("max_drawdown"), count(lit(1)).as("n_obs"))
+      .orderBy("user_id")
+  }
+
+  /** Volume-weighted average price per (supplier, ship month): exact
+    * decimal sums of notional and quantity, ONE double division at the
+    * end. Plain hash aggregate with map-side partials — the 100 TB
+    * shape. (VWAP is the canonical "don't average the averages"
+    * aggregate: the reference's avg-of-Close columns cannot express
+    * it.)
+    */
+  def vwap(lineitem: DataFrame): DataFrame = {
+    // exact 4dp HALF_UP of N/Q via the integer identity
+    // floor((2·N·10⁴ + Q) / 2Q) — `round(double, 4)` is engine-divergent
+    // exactly at half boundaries (Spark rounds the decimal expansion of
+    // the double, DuckDB rounds a scaled float); the identity never
+    // materializes a float until the final single division by 10⁴
+    lineitem
+      .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM").as("period_key"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("notional_d"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qty_d"))
+      .filter(col("qty_d") > 0)
+      .withColumn("n_c", (col("notional_d") * 100).cast("long"))
+      .withColumn("q_c", (col("qty_d") * 100).cast("long"))
+      .select(col("l_suppkey"), col("period_key"),
+        (expr("(n_c * 20000 + q_c) DIV (q_c * 2)").cast("double") / 10000.0).as("vwap"),
+        col("notional_d").cast("double").as("notional"))
+      .orderBy("l_suppkey", "period_key")
+  }
+}

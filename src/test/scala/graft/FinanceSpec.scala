@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Finance
+
+/** Market-data family semantics (value-level parity is the DuckDB
+  * gate; these pin the invariants the gate's hash can't articulate).
+  */
+class FinanceSpec extends SparkSpec {
+
+  import java.sql.Timestamp
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("ohlc_resample: open/close follow (ts, id) order incl. same-ts tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      // same day, out-of-order insertion; two ticks share a timestamp
+      (3L, t("2024-01-02 10:00:00"), 5L, 30.0),
+      (1L, t("2024-01-02 09:00:00"), 5L, 10.0),
+      (2L, t("2024-01-02 09:00:00"), 5L, 99.0), // same ts as id=1 → id breaks tie
+      (4L, t("2024-01-03 09:00:00"), 5L, 7.0)   // different day
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.ohlcResample(df).collect()
+    assert(r.length === 2)
+    val d2 = r(0)
+    assert(d2.getAs[String]("period_key") === "2024-01-02")
+    assert(d2.getAs[Double]("open") === 10.0)   // id=1 wins the ts tie
+    assert(d2.getAs[Double]("close") === 30.0)
+    assert(d2.getAs[Double]("high") === 99.0)
+    assert(d2.getAs[Double]("low") === 10.0)
+    assert(d2.getAs[Long]("n_obs") === 3L)
+    assert(d2.getAs[Double]("sum_value") === 139.0)
+  }
+
+  test("ohlc_resample plans a single hash aggregate — no window sort") {
+    val plan = Finance.ohlcResample(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "OHLC must not use a window operator")
+  }
+
+  test("returns: consecutive ratio minus one, first row and zero-prev dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, 100.0),
+      (2L, t("2024-01-01 00:01:00"), 1L, 110.0),
+      (3L, t("2024-01-01 00:02:00"), 1L, 0.0),
+      (4L, t("2024-01-01 00:03:00"), 1L, 50.0)   // prev is 0 → dropped
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.returns(df).collect()
+    assert(r.map(_.getAs[Long]("event_id")).toSeq === Seq(2L, 3L))
+    assert(r(0).getAs[Double]("ret") === 0.1)
+    assert(r(1).getAs[Double]("ret") === -1.0)
+  }
+
+  test("sma_crossover: detects the sign change of short-vs-long SMA") {
+    import spark.implicits._
+    // short=2, long=3; series rises then crashes: 10,10,10,40,1,1
+    val vals = Seq(10.0, 10.0, 10.0, 40.0, 1.0, 1.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, t(f"2024-01-01 00:0$i:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.smaCrossover(df, shortN = 2, longN = 3).collect()
+    // rn>=3: frames full from event 2 (0-based). sma2 vs sma3:
+    // e2: 10 vs 10 → equal (not above); e3: 25 vs 20 → golden flip;
+    // e4: 20.5 vs 17 → above stays; e5: 1 vs 14 → death flip
+    assert(r.map(x => (x.getAs[Long]("event_id"), x.getAs[String]("signal"))).toSeq
+      === Seq((3L, "golden"), (5L, "death")))
+  }
+
+  test("max_drawdown: peak-relative trough, per series") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, 100.0),
+      (2L, t("2024-01-01 00:01:00"), 1L, 150.0),
+      (3L, t("2024-01-01 00:02:00"), 1L, 75.0),  // dd = 0.5 from peak 150
+      (4L, t("2024-01-01 00:03:00"), 1L, 140.0), // recovery, dd shrinks
+      (5L, t("2024-01-01 00:00:00"), 2L, 10.0)   // flat series → dd 0
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.maxDrawdown(df).collect()
+    assert(r(0).getAs[Double]("max_drawdown") === 0.5)
+    assert(r(1).getAs[Double]("max_drawdown") === 0.0)
+  }
+
+  test("vwap: exact 4dp half-up of notional/qty, half boundary included") {
+    import spark.implicits._
+    // N/Q = 24.69 / 8 = 3.086250 — the exact 4dp half case. The
+    // integer identity gives HALF_UP 3.0863; a float round of the
+    // double 3.08625 ≈ 3.08624999… would truncate to 3.0862.
+    val df = Seq(
+      (1L, t("1995-03-15 00:00:00"), 24.69, 8.0)
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    val r = Finance.vwap(df).collect()
+    assert(r(0).getAs[Double]("vwap") === 3.0863)
+    assert(r(0).getAs[Double]("notional") === 24.69)
+  }
+
+  test("vwap groups by supplier-month with decimal-exact sums") {
+    val r = Finance.vwap(Tables.lineitem(spark, sfDir))
+    assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
+    val row = r.head()
+    assert(row.getAs[String]("period_key").matches("\\d{4}-\\d{2}"))
+    assert(row.getAs[Double]("vwap") > 0)
+  }
+}
