@@ -306,6 +306,18 @@ object SparkEntry {
     "q22_no_orders" -> ((s, d) =>
       Analytics.inactiveCustomers(Tables.customer(s, d), Tables.orders(s, d),
         Tables.nation(s, d))),
+    // Q13-shaped: left-outer join so zero-order customers hit the 0
+    // bucket; second-stage histogram is bounded by max order count
+    "q13_order_dist" -> ((s, d) =>
+      Analytics.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    // Q18-shaped: HAVING aggregate on the fact first, survivors join back
+    "q18_large_orders" -> ((s, d) =>
+      Analytics.largeOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    // Q2-shaped argmin join: cheapest supplier per part via min_by —
+    // no window sort, deterministic suppkey tie-break
+    "argmin_cheapest" -> ((s, d) =>
+      Analytics.cheapestSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
     // compaction/changelog current-state view: one max_by shuffle
     "latest_by_key" -> ((s, d) => Analytics.latestByKey(Tables.events(s, d))),
     "window_rank" -> ((s, d) => Analytics.topOrdersPerCustomer(Tables.orders(s, d), 3)),
@@ -1944,6 +1956,32 @@ object SparkEntry {
         |z AS (SELECT o_orderkey, entity_id, round(o_totalprice, 2) AS total,
         |round((o_totalprice - sum_d/n)/std, 4) AS z FROM c WHERE std > 0)
         |SELECT * FROM z WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+    "q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_d
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty_d > 250)
+        |SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  round(o_totalprice, 2) AS total_price, CAST(total_qty_d AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_date, o_orderkey LIMIT 100""".stripMargin,
+    // cents key via decimal (double*100→BIGINT casts truncate in Spark
+    // but round in DuckDB); suppkey breaks exact-cents price ties
+    "argmin_cheapest" ->
+      """WITH k AS (SELECT l_partkey, l_suppkey, l_extendedprice,
+        |  lpad(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 14, '0')
+        |    || lpad(CAST(l_suppkey AS VARCHAR), 12, '0') AS okey
+        |  FROM lineitem),
+        |b AS (SELECT l_partkey, min_by(l_suppkey, okey) AS suppkey,
+        |  round(min(l_extendedprice), 2) AS best_price FROM k GROUP BY l_partkey)
+        |SELECT l_partkey, suppkey, s_name, best_price
+        |FROM b JOIN supplier ON suppkey = s_suppkey ORDER BY l_partkey""".stripMargin,
     // first/last-in-time via min_by/max_by over a composite
     // lexicographic key (epoch micros ‖ event id, both zero-padded) —
     // DuckDB's min_by cannot order by a struct; decimal sum for the

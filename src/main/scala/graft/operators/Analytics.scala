@@ -809,4 +809,69 @@ object Analytics {
         // introduce a half-convention divergence
         col("last.value").as("last_value"))
       .orderBy("user_id")
+
+  /** TPC-H Q13-shaped customer distribution: orders-per-customer via a
+    * LEFT OUTER join (customers with zero orders count as 0 — an inner
+    * join would silently drop the most interesting bucket), then the
+    * count-of-counts histogram. Two shuffles: one join+agg on custkey,
+    * then a second aggregate over at most max-order-count distinct
+    * groups — the second stage is bounded regardless of table size,
+    * which is what makes the histogram safe at 100 TB.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             excludePriority: String = "4-NOT SPECIFIED"): DataFrame = {
+    val o = orders.filter(col("o_orderpriority") =!= excludePriority)
+    customer.join(o, customer("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(customer("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls: 0 for no-order
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18-shaped large-order report: orders whose total line
+    * quantity exceeds `minQty`. The HAVING aggregate runs FIRST on
+    * lineitem alone (one shuffle on orderkey, map-side partials), and
+    * only the surviving keys join back — at scale the survivor set is
+    * tiny, so AQE turns the back-join into a broadcast. Joining first
+    * and filtering later would shuffle the full fact twice.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  minQty: Double = 250.0): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty_d"))
+      .filter(col("total_qty_d") > minQty)
+    big
+      .join(orders, big("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        col("total_qty_d").cast("double").as("total_qty"))
+      .orderBy(col("total_price").desc, col("o_date"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q2-shaped ARGMIN join: the cheapest supplier per part, decided
+    * INSIDE one hash aggregate via min_by over a composite
+    * (cents-scaled price ‖ suppkey) order key — the window-rank form
+    * would sort every lineitem row per part; this shuffles only
+    * per-(part × partition) partials. Tie on price breaks to the
+    * lowest suppkey, making the result total-order deterministic.
+    */
+  def cheapestSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    // cents via decimal, not double*100→long: Spark's double→long cast
+    // truncates while DuckDB's rounds, and 12.34*100 is 1233.999… in
+    // binary — the decimal route is exact and identical in both
+    val okey = concat(
+      lpad((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").cast("string"), 14, "0"),
+      lpad(col("l_suppkey").cast("string"), 12, "0"))
+    val best = lineitem.groupBy(col("l_partkey"))
+      .agg(min_by(col("l_suppkey"), okey).as("s_suppkey"),
+        round(min(col("l_extendedprice")), 2).as("best_price"))
+    best.join(supplier, best("s_suppkey") === supplier("s_suppkey"))
+      .select(col("l_partkey"), best("s_suppkey").as("suppkey"),
+        col("s_name"), col("best_price"))
+      .orderBy("l_partkey")
+  }
 }

@@ -2041,6 +2041,47 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
   }
 
+  test("q13 distribution: zero-order customers land in the 0 bucket") {
+    val cust = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val out = Analytics.orderCountDistribution(cust, orders).cache()
+    // histogram masses sum to the customer count — nothing dropped
+    assert(out.agg(sum("custdist")).head().getLong(0) === cust.count())
+    val zeroBucket = out.filter(col("c_count") === 0)
+      .select("custdist").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().headOption.getOrElse(0L)
+    val noOrder = cust.join(
+      orders.filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+      col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(zeroBucket === noOrder, "0 bucket must equal the anti-join count")
+    out.unpersist()
+  }
+
+  test("q18 large orders: every row's quantity clears the threshold, top-100 total order") {
+    val out = Analytics.largeOrders(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(out.forall(_.getAs[Double]("total_qty") > 250.0))
+    val prices = out.map(_.getAs[Double]("total_price"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b },
+      "rows must be price-descending")
+  }
+
+  test("argmin join: per-part minimum price with suppkey tie-break, no window") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Analytics.cheapestSupplier(li, Tables.supplier(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "argmin must aggregate, not window-sort")
+    // spot-check one part against the brute-force window form
+    val some = out.limit(5).collect()
+    val byPart = li.groupBy("l_partkey").agg(min("l_extendedprice").as("mn"))
+      .collect().map(r => r.getAs[Long]("l_partkey") ->
+        BigDecimal(r.getAs[Double]("mn")).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    some.foreach { r =>
+      assert(r.getAs[Double]("best_price") === byPart(r.getAs[Long]("l_partkey")))
+    }
+  }
+
   test("latest_by_key equals the rank-1 window row per user") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sfDir)
