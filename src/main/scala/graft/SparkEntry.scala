@@ -564,6 +564,14 @@ object SparkEntry {
     "chunk_documents"   -> ((s, d) => Corpus.chunkDocuments(Tables.documents(s, d))),
     "rarity_score"      -> ((s, d) => Corpus.rarityScore(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    // Gopher-style named rule gate: per-rule booleans + keep, all
+    // integer basis points — the reason histogram is the tuning artifact
+    "gopher_rules"      -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // unigram entropy / corpus-unigram logprob (perplexity proxy):
+    // log terms rounded to 6dp then summed as exact DECIMAL — a double
+    // sum of logs is merge-order-dependent and would flake the hash
+    "doc_entropy"       -> ((s, d) => Corpus.docEntropy(Tables.documents(s, d))),
+    "doc_logprob"       -> ((s, d) => Corpus.docLogprob(Tables.documents(s, d))),
     "pii_scrub"         -> ((s, d) => TextAnalysis.piiScrub(Tables.customer(s, d))),
     "vocab_topk"        -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     "oov_rate"          -> ((s, d) => Corpus.oovRate(Tables.documents(s, d), 25)),
@@ -1956,6 +1964,47 @@ object SparkEntry {
         |z AS (SELECT o_orderkey, entity_id, round(o_totalprice, 2) AS total,
         |round((o_totalprice - sum_d/n)/std, 4) AS z FROM c WHERE std > 0)
         |SELECT * FROM z WHERE abs(z) > 2 ORDER BY o_orderkey""".stripMargin,
+    "gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws,
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents),
+        |s AS (SELECT doc_id, len(ws)::BIGINT AS n_words, len(list_distinct(ws))::BIGINT AS n_distinct,
+        |  length(nt)::BIGINT AS nt_len,
+        |  length(regexp_replace(nt, '[a-z0-9 ]', '', 'g'))::BIGINT AS n_symbols FROM w),
+        |r AS (SELECT doc_id, n_words,
+        |  ((nt_len - (n_words - 1)) * 100) // n_words AS awl_c,
+        |  ((n_words - n_distinct) * 10000) // n_words AS dup_bp,
+        |  (n_symbols * 10000) // nt_len AS symbol_bp
+        |  FROM s WHERE n_words > 0)
+        |SELECT doc_id, n_words, awl_c, dup_bp, symbol_bp,
+        |  n_words >= 30 AND n_words <= 100000 AS rule_word_count,
+        |  awl_c >= 300 AND awl_c <= 1000 AS rule_mean_word_len,
+        |  dup_bp <= 6000 AS rule_dup_word,
+        |  symbol_bp <= 1000 AS rule_symbol,
+        |  (n_words >= 30 AND n_words <= 100000 AND awl_c >= 300 AND awl_c <= 1000
+        |    AND dup_bp <= 6000 AND symbol_bp <= 1000) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // log terms rounded to 6dp, summed as DECIMAL (order-independent),
+    // ONE double expression at the end — see Corpus.docEntropy
+    "doc_entropy" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t WHERE word <> '' GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+        |  sum(CAST(round(cnt * log2(cnt), 6) AS DECIMAL(28,6))) AS s_clog FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(log2(n_tokens) - CAST(s_clog AS DOUBLE) / n_tokens, 4) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "doc_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t WHERE word <> '' GROUP BY 1, 2),
+        |v AS (SELECT word, sum(cnt)::BIGINT AS tf FROM c GROUP BY 1),
+        |tot AS (SELECT sum(tf)::BIGINT AS total FROM v),
+        |s AS (SELECT word, CAST(round(ln(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp FROM v, tot),
+        |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * s.lp) AS s_lp
+        |  FROM c JOIN s USING (word) GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) AS avg_logprob
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q13_order_dist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count

@@ -231,6 +231,54 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
 
+  /** Gopher-style named rule filter (the multi-rule document gate of
+    * Rae et al. 2021 §A1.1 / RefinedWeb): each rule is a separate
+    * boolean column so downstream can report WHY a document was
+    * dropped (the reason histogram is the pipeline-tuning artifact),
+    * plus the conjunction `keep`. All signals are integer arithmetic
+    * over one compiled scan ([[graft.plans.HashExprs.repetitionStats]]
+    * + length counters on the whitespace-normalized text) — ratios as
+    * basis points via integer div, so no float ever exists and both
+    * engines agree exactly. Shuffle-free scan work at any scale.
+    *
+    * Mean word length exploits the normalization invariant: after
+    * `normalizeWs` words are single-space separated, so total word
+    * chars = length(nt) − (n_words − 1) — no second tokenize pass.
+    */
+  def gopherRules(documents: DataFrame,
+                  minWords: Long = 30L, maxWords: Long = 100000L,
+                  minAwlC: Long = 300L, maxAwlC: Long = 1000L,
+                  maxDupBp: Long = 6000L, maxSymbolBp: Long = 1000L): DataFrame = {
+    val nt = normalizeWs(col("text"))
+    documents
+      .select(col("doc_id"),
+        graft.plans.HashExprs.repetitionStats(nt).as("s"),
+        length(nt).as("nt_len"),
+        length(regexp_replace(nt, "[a-z0-9 ]", "")).as("n_symbols"))
+      .select(col("doc_id"),
+        col("s.n_words").as("n_words"),
+        col("s.n_distinct_words").as("n_distinct"),
+        col("nt_len"), col("n_symbols"))
+      .filter(col("n_words") > 0)
+      // awl_c: mean word length in centi-chars; dup/symbol in basis points
+      .withColumn("awl_c", expr("((nt_len - (n_words - 1)) * 100) div n_words"))
+      .withColumn("dup_bp", expr("((n_words - n_distinct) * 10000) div n_words"))
+      .withColumn("symbol_bp", expr("(n_symbols * 10000) div nt_len"))
+      .withColumn("rule_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_mean_word_len",
+        col("awl_c") >= minAwlC && col("awl_c") <= maxAwlC)
+      .withColumn("rule_dup_word", col("dup_bp") <= maxDupBp)
+      .withColumn("rule_symbol", col("symbol_bp") <= maxSymbolBp)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_dup_word") && col("rule_symbol"))
+      .select("doc_id", "n_words", "awl_c", "dup_bp", "symbol_bp",
+        "rule_word_count", "rule_mean_word_len", "rule_dup_word",
+        "rule_symbol", "keep")
+      .orderBy("doc_id")
+  }
+
   /** PII pattern in the NANP-ish `nn-nnn-nnn-nnnn` shape. Deliberately
     * anchored with `\b` and written in the regex subset Java and RE2
     * interpret identically, so the redaction is oracle-verifiable.

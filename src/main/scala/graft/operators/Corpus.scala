@@ -1071,4 +1071,68 @@ object Corpus {
       .select(col("doc_id"), col("q_bp"), col("phase"))
       .orderBy("doc_id")
   }
+
+  /** Per-document unigram (word-distribution) entropy — the diversity
+    * signal behind repetition filtering: H = log2(n) − (Σ c·log2 c)/n
+    * over the document's word counts. One (doc, word) aggregate — the
+    * same shuffle shape as [[rarityScore]].
+    *
+    * Float determinism: a double SUM of log terms is merge-order-
+    * dependent, so each term is rounded to 6dp FIRST and summed as an
+    * exact DECIMAL — the sum of rounded terms is order-independent and
+    * engine-identical; only then does one double expression (log2(n),
+    * one division, one subtraction, final 4dp round) run on both
+    * engines' identical operands. The same trick carries every
+    * log-domain aggregate in this file ([[docLogprob]]).
+    */
+  def docEntropy(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+    perDoc.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(round(col("cnt").cast("double") * log2(col("cnt").cast("double")), 6)
+          .cast("decimal(28,6)")).as("s_clog"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log2(col("n_tokens").cast("double")) -
+          col("s_clog").cast("double") / col("n_tokens"), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document average unigram log-probability — the model-free
+    * perplexity proxy (a unigram LM scored on its own corpus; the
+    * kenlm-filter analog every web-scale pipeline runs): score_d =
+    * (Σ_w c_{d,w} · ln p_w)/n_d with p_w = tf_w / total from the WHOLE
+    * corpus. Shapes: one (doc, word) aggregate, one corpus vocab
+    * aggregate, an equi-join on word (the vocab side is the small one
+    * — broadcastable at real scale), one one-row total broadcast.
+    * Rounded-term decimal summation as in [[docEntropy]]: ln p_w is
+    * rounded to 6dp per WORD TYPE, the per-doc weighted sum
+    * Σ c·L_w is exact decimal (c integer), and one final double
+    * division + 4dp round.
+    */
+  def docLogprob(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = perDoc.groupBy("word").agg(sum(col("cnt")).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("tf").cast("double") / col("total")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    perDoc.join(scored, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lp")).as("s_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s_lp").cast("double") / col("n_tokens"), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 }

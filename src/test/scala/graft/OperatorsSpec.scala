@@ -2041,6 +2041,44 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
   }
 
+  test("gopher_rules: per-rule booleans, keep is their conjunction, gate non-vacuous") {
+    val out = TextAnalysis.gopherRules(Tables.documents(spark, sfDir)).cache()
+    val rules = Seq("rule_word_count", "rule_mean_word_len", "rule_dup_word", "rule_symbol")
+    val bad = out.filter(col("keep") =!= rules.map(col).reduce(_ && _)).count()
+    assert(bad === 0, "keep must equal the conjunction of the rules")
+    // thresholds chosen so the corpus actually splits — a rule set
+    // that keeps (or drops) everything verifies nothing
+    assert(out.filter(col("keep")).count() > 0)
+    assert(out.filter(!col("keep")).count() > 0)
+    out.unpersist()
+  }
+
+  test("doc_entropy: uniform doc hits log2(n), constant doc hits 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),      // 4 distinct → H = 2.0
+      (2L, "a a a a"),      // constant → H = 0
+      (3L, "a a b b")       // two × 2 → H = 1.0
+    ).toDF("doc_id", "text")
+    val m = Corpus.docEntropy(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(m(1L) === 2.0 && m(2L) === 0.0 && m(3L) === 1.0)
+  }
+
+  test("doc_logprob: repeated-common-word doc scores higher than rare-word doc") {
+    import spark.implicits._
+    // corpus: 'the' dominates; doc 1 = common words, doc 2 = rare ones
+    val df = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "zyx wvu tsr qpo"),
+      (3L, "the the the the")
+    ).toDF("doc_id", "text")
+    val m = Corpus.docLogprob(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(m(1L) > m(2L), "common-word doc must have higher avg logprob")
+    assert(m(1L) === m(3L), "score is per-token, invariant to doc length")
+  }
+
   test("q13 distribution: zero-order customers land in the 0 bucket") {
     val cust = Tables.customer(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)
