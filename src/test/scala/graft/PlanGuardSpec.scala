@@ -48,7 +48,10 @@ class PlanGuardSpec extends SparkSpec {
     "table_profile",
     // api_data_point: the one-row min(period_key) probe reduce over
     // ONE entity's series, broadcast back — bounded by construction
-    "api_data_point")
+    "api_data_point",
+    // doc_logprob: the one-row corpus token total reduce, broadcast
+    // back onto the vocab — same bounded contract as rarity_score
+    "doc_logprob")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
@@ -80,7 +83,10 @@ class PlanGuardSpec extends SparkSpec {
     // bm25_topk: one-row corpus-stats frames cross-joined back (the
     // same bounded reduces allowlisted for SinglePartition above)
     "tfidf_top_terms", "rarity_score", "mix_token_budget",
-    "user_rfm", "bm25_topk")
+    "user_rfm", "bm25_topk",
+    // doc_logprob: the one-row token-total frame cross-joined onto the
+    // vocab (then a hash join back to (doc, word) counts)
+    "doc_logprob")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
