@@ -314,6 +314,11 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       Analytics.largeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
+    // fact before the semi-join shuffle; exact join culls false
+    // positives, so the oracle is the plain semi join
+    "bloom_prune_join" -> ((s, d) =>
+      Analytics.bloomSemiJoin(Tables.orders(s, d), Tables.customer(s, d))),
     // Q2-shaped argmin join: cheapest supplier per part via min_by —
     // no window sort, deterministic suppkey tie-break
     "argmin_cheapest" -> ((s, d) =>
@@ -2020,6 +2025,14 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_date, o_orderkey LIMIT 100""".stripMargin,
+    // the bloom is a pass-through for correctness: oracle = the exact
+    // semi join the operator ends with
+    "bloom_prune_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // cents key via decimal (double*100→BIGINT casts truncate in Spark
     // but round in DuckDB); suppkey breaks exact-cents price ties
     "argmin_cheapest" ->

@@ -229,6 +229,85 @@ case class TopKByOrd(ord: Expression, payload: Expression, k: Int,
   override def prettyName: String = "top_k_by"
 }
 
+/** BLOOM FILTER build as a custom [[TypedImperativeAggregate]] — the
+  * runtime-filter pattern: aggregate the (small) build side's key set
+  * into a kilobyte bitset, broadcast it, and pre-filter the (huge)
+  * probe side BEFORE its shuffle, so rows that cannot join never leave
+  * their scan task. At 100 TB this is the difference between shuffling
+  * the full fact table into a semi join and shuffling only the ~σ
+  * fraction that might match (false positives are culled by the exact
+  * join after — the bloom never changes results, only bytes moved).
+  *
+  * The child is the PRE-HASHED position array (`pmod(xxhash64(key, i),
+  * numBits)` per hash function, computed by codegen'd built-ins before
+  * the aggregate) rather than the raw key: build and probe evaluate
+  * the IDENTICAL Spark expressions, so the filter needs no Scala-side
+  * reimplementation of xxhash64 that could drift from the engine's.
+  * `update` only sets bits; `merge` ORs words — associative, partial-
+  * aggregation-friendly, constant size.
+  */
+case class BloomAgg(child: Expression, numBits: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+  private def numWords: Int = numBits / 64
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numWords)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val pos = arr.getLong(i)
+        buf((pos >>> 6).toInt) |= (1L << (pos & 63))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numWords) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < numWords) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < numWords) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_agg"
+}
+
 object SketchAggs {
   /** Column form: `heavyHitters(col("event_type"), 8)` aggregates to
     * the sorted array<struct<item, cnt>> summary.
@@ -245,4 +324,37 @@ object SketchAggs {
     GraftSqlBridge.column(
       TopKByOrd(GraftSqlBridge.expression(ord.cast("double")),
         GraftSqlBridge.expression(payload.cast("long")), k).toAggregateExpression())
+
+  import org.apache.spark.sql.functions.{array, element_at, lit, pmod, shiftright, xxhash64}
+
+  /** The k bloom positions of `key` — pmod(xxhash64(key, i), numBits)
+    * per hash index, all codegen'd built-ins. Build and probe BOTH go
+    * through this, so the two sides can never disagree on the hash.
+    */
+  def bloomPositions(key: Column, numBits: Int, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(numBits.toLong))): _*)
+
+  /** Aggregate the build side's keys into an array<long> bitset. */
+  def bloomAgg(key: Column, numBits: Int = 1 << 17, numHashes: Int = 5): Column =
+    GraftSqlBridge.column(
+      BloomAgg(GraftSqlBridge.expression(
+        bloomPositions(key, numBits, numHashes)), numBits).toAggregateExpression())
+
+  /** Probe: true iff every position's bit is set in `bloom` (an
+    * array<long> column) — pure built-in bit math, stays in codegen.
+    * May return true for a non-member (false positive, rate set by
+    * numBits/numHashes); never false for a member.
+    */
+  def bloomMightContain(bloom: Column, key: Column,
+                        numBits: Int = 1 << 17, numHashes: Int = 5): Column =
+    (0 until numHashes).map { i =>
+      val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
+      val word = element_at(bloom, shiftright(pos, 6).cast("int") + 1)
+      // variable-amount shift: the Scala shiftright helper only takes a
+      // literal Int, the SQL function form takes a column
+      org.apache.spark.sql.functions.call_function("shiftright",
+          word, pmod(pos, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
 }

@@ -2105,6 +2105,38 @@ class OperatorsSpec extends SparkSpec {
       "rows must be price-descending")
   }
 
+  test("bloom prune: no false negatives, real pruning, exact result") {
+    import graft.plans.SketchAggs
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val keys = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bloomRow = keys.agg(SketchAggs.bloomAgg(col("c_custkey")).as("bloom"))
+    val pruned = orders.join(broadcast(bloomRow))
+      .filter(SketchAggs.bloomMightContain(col("bloom"), col("o_custkey")))
+    val trueMatch = orders.join(keys,
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val (nPruned, nTrue, nAll) = (pruned.count(), trueMatch.count(), orders.count())
+    assert(nPruned >= nTrue, "bloom must never drop a true match")
+    assert(nPruned < nAll, "bloom must actually prune on a selective build side")
+    // end-to-end result equals the plain semi-join aggregate
+    val out = Analytics.bloomSemiJoin(orders, cust)
+    val plain = trueMatch.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    assert(out.except(plain).isEmpty && plain.except(out.drop()).isEmpty)
+  }
+
+  test("bloom merge path: bitset identical across 1 and many partitions") {
+    import graft.plans.SketchAggs
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("k")
+    val one = ids.coalesce(1).agg(SketchAggs.bloomAgg(col("k")).as("b")).head()
+      .getAs[scala.collection.Seq[Long]]("b").toSeq
+    val many = ids.repartition(13).agg(SketchAggs.bloomAgg(col("k")).as("b")).head()
+      .getAs[scala.collection.Seq[Long]]("b").toSeq
+    assert(one === many, "OR-merge must be partitioning-invariant")
+  }
+
   test("argmin join: per-part minimum price with suppkey tie-break, no window") {
     val li = Tables.lineitem(spark, sfDir)
     val out = Analytics.cheapestSupplier(li, Tables.supplier(spark, sfDir))

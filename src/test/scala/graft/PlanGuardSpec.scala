@@ -51,7 +51,10 @@ class PlanGuardSpec extends SparkSpec {
     "api_data_point",
     // doc_logprob: the one-row corpus token total reduce, broadcast
     // back onto the vocab — same bounded contract as rarity_score
-    "doc_logprob")
+    "doc_logprob",
+    // bloom_prune_join: the one-row kilobyte-bitset bloom reduce,
+    // broadcast across the fact scan (the runtime-filter shape)
+    "bloom_prune_join")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
@@ -86,7 +89,10 @@ class PlanGuardSpec extends SparkSpec {
     "user_rfm", "bm25_topk",
     // doc_logprob: the one-row token-total frame cross-joined onto the
     // vocab (then a hash join back to (doc, word) counts)
-    "doc_logprob")
+    "doc_logprob",
+    // bloom_prune_join: the one-row bloom frame (constant kilobytes)
+    // cross-joined across the fact — the runtime-filter broadcast
+    "bloom_prune_join")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
