@@ -489,6 +489,8 @@ object SparkEntry {
     "sma_crossover" -> ((s, d) => Finance.smaCrossover(Tables.events(s, d))),
     "max_drawdown"  -> ((s, d) => Finance.maxDrawdown(Tables.events(s, d))),
     "vwap_monthly"  -> ((s, d) => Finance.vwap(Tables.lineitem(s, d))),
+    "twap_daily"    -> ((s, d) => Finance.twapDaily(Tables.events(s, d))),
+    "series_beta"   -> ((s, d) => Finance.seriesBeta(Tables.events(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dup_spans"         -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
@@ -2025,6 +2027,36 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_date, o_orderkey LIMIT 100""".stripMargin,
+    // integer cents × duration-micros, decimal sums, exact 4dp integer
+    // identity — TWAP's ~1e17 numerators never touch a double
+    "twap_daily" ->
+      """WITH s AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS period_key, ts, event_id,
+        |  CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, period_key, cents,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id, period_key ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+        |  FROM s),
+        |g AS (SELECT user_id, period_key,
+        |  sum(CAST(cents * dur AS HUGEINT)) AS n_cd,
+        |  100 * sum(dur) AS d_c, count(*) AS n_intervals
+        |  FROM d WHERE dur IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, period_key, n_intervals,
+        |  CAST((n_cd * 20000 + d_c) // (2 * d_c) AS DOUBLE) / 10000.0 AS twap
+        |FROM g ORDER BY user_id, period_key""".stripMargin,
+    // n·Σxy − Σx·Σy over integer cents in HUGEINT; the single final
+    // division is the only float op
+    "series_beta" ->
+      """WITH daily AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |market AS (SELECT day, sum(x) AS y FROM daily GROUP BY 1),
+        |j AS (SELECT user_id, x::HUGEINT AS x, y::HUGEINT AS y
+        |  FROM daily JOIN market USING (day)),
+        |a AS (SELECT user_id, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(y * y) AS syy FROM j GROUP BY 1)
+        |SELECT user_id, n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * syy - sy * sy AS DOUBLE), 6) AS beta
+        |FROM a WHERE n_days >= 2 AND (n_days * syy - sy * sy) <> 0
+        |ORDER BY user_id""".stripMargin,
     // the bloom is a pass-through for correctness: oracle = the exact
     // semi join the operator ends with
     "bloom_prune_join" ->

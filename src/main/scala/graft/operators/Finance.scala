@@ -127,6 +127,66 @@ object Finance {
       .orderBy("user_id")
   }
 
+  /** Time-weighted average price per (series, day): each tick weighted
+    * by its holding duration (micros to the next tick in the day; the
+    * day's last tick carries no duration and drops — the standard
+    * half-open TWAP convention). Every operand is integer until the
+    * end: cents × duration-micros products summed as DECIMAL(38,0),
+    * then the exact 4dp HALF_UP integer identity — no float path at
+    * all, because TWAP's numerator (~1e17 per group) makes double
+    * summation visibly lossy as well as order-dependent. One window
+    * (lead) + one aggregate, both keyed by series.
+    */
+  def twapDaily(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("period_key"),
+        col("ts"), col("event_id"),
+        (round(col("value"), 2).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("dur", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id", "period_key")
+      .agg(sum((col("cents") * col("dur")).cast("decimal(38,0)")).as("n_cd"),
+        sum(col("dur")).as("d_us"), count(lit(1)).as("n_intervals"))
+      .withColumn("d_c", (col("d_us") * 100).cast("decimal(38,0)"))
+      .select(col("user_id"), col("period_key"), col("n_intervals"),
+        (expr("(n_cd * 20000 + d_c) div (2 * d_c)").cast("double") / 10000.0).as("twap"))
+      .orderBy("user_id", "period_key")
+  }
+
+  /** Per-series BETA against the whole-market aggregate: cov(series
+    * daily turnover, market daily turnover) / var(market), the classic
+    * systematic-exposure stat. Shapes: one (series, day) aggregate,
+    * one per-day market aggregate (bounded by the day count —
+    * genuinely broadcastable at any corpus size), a broadcast join,
+    * one per-series aggregate. EVERY sum is integer cents (products as
+    * DECIMAL(38,0)), the covariance/variance identity n·Σxy − Σx·Σy is
+    * evaluated in decimal, and the single final division is the only
+    * float op — bit-identical across engines, no rounded-moments
+    * drift. Series with < 2 days or zero market variance drop.
+    */
+  def seriesBeta(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((round(col("value"), 2).cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    val market = daily.groupBy("day").agg(sum(col("x")).as("y"))
+    daily.join(broadcast(market), "day")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n_days") >= 2 && col("den") =!= 0)
+      .select(col("user_id"), col("n_days"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("beta"))
+      .orderBy("user_id")
+  }
+
   /** Volume-weighted average price per (supplier, ship month): exact
     * decimal sums of notional and quantity, ONE double division at the
     * end. Plain hash aggregate with map-side partials — the 100 TB

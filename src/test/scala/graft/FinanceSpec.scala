@@ -95,6 +95,35 @@ class FinanceSpec extends SparkSpec {
     assert(r(0).getAs[Double]("notional") === 24.69)
   }
 
+  test("twap: duration-weighted, last tick of the day carries no weight") {
+    import spark.implicits._
+    // 10.0 held 60 s, 20.0 held 30 s, 99.0 is the day's last tick
+    val df = Seq(
+      (1L, t("2024-01-02 09:00:00"), 1L, 10.0),
+      (2L, t("2024-01-02 09:01:00"), 1L, 20.0),
+      (3L, t("2024-01-02 09:01:30"), 1L, 99.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.twapDaily(df).collect()
+    assert(r.length === 1)
+    // (10·60 + 20·30) / 90 = 13.3333
+    assert(r(0).getAs[Double]("twap") === 13.3333)
+    assert(r(0).getAs[Long]("n_intervals") === 2L)
+  }
+
+  test("series_beta: a series proportional to the market has beta = its share slope") {
+    import spark.implicits._
+    // two users, u1 = 2 × u2 each day; market m = x1 + x2 = 3·x2.
+    // beta(u1) = cov(2s, 3s)/var(3s) = 2/3; beta(u2) = 1/3
+    val rows = Seq(
+      (1L, "2024-01-01", 1L, 20.0), (2L, "2024-01-02", 1L, 40.0), (3L, "2024-01-03", 1L, 60.0),
+      (4L, "2024-01-01", 2L, 10.0), (5L, "2024-01-02", 2L, 20.0), (6L, "2024-01-03", 2L, 30.0)
+    ).map { case (id, day, u, v) => (id, t(s"$day 12:00:00"), u, v) }
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val m = Finance.seriesBeta(df).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("beta")).toMap
+    assert(m(1L) === 0.666667 && m(2L) === 0.333333)
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
