@@ -271,6 +271,14 @@ object SparkEntry {
     "news_transform_bpe" -> ((s, d) =>
       TextPipeline.transformBpe(Tables.documents(s, d), bpeGateMerges)),
     "news_dedup"      -> ((s, d) => TextPipeline.dedupByTitle(Tables.documents(s, d), 8)),
+    // crawl-side URL canonicalization (scheme/www/query/slash variants
+    // constructed deterministically from doc_id — piiScrub contract)
+    "url_canonical_dedup" -> ((s, d) =>
+      TextPipeline.urlCanonicalDedup(Tables.documents(s, d))),
+    // duplicate-action suppression: dup = same (user, type) within
+    // one hour of its predecessor (non-vacuous on the gate data)
+    "event_dedup_window" -> ((s, d) =>
+      Analytics.eventDedupWindow(Tables.events(s, d))),
     // ingest-status lifecycle: pending-work view + per-status inventory
     // over a deterministic synthetic status table (doc_id mod 3 —
     // derived from the data so both engines build the identical table)
@@ -2027,6 +2035,29 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_date, o_orderkey LIMIT 100""".stripMargin,
+    "url_canonical_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END)
+        |  || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+        |  || source || '.example.com/articles/'
+        |  || (CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 'market_news' ELSE 'stock_news' END)
+        |  || '/item-' || CAST(doc_id % 500 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=daily' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |    '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/$', '') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, min(doc_id) AS keep_doc_id, count(*) AS n_variants
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "event_dedup_window" ->
+      """WITH d AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id, event_type, count(*) AS n_events,
+        |  sum(CASE WHEN prev_us IS NOT NULL AND us - prev_us < 3600000000 THEN 1 ELSE 0 END)::BIGINT AS n_dups
+        |FROM d GROUP BY 1, 2 HAVING n_dups > 0 ORDER BY 1, 2""".stripMargin,
     // integer cents × duration-micros, decimal sums, exact 4dp integer
     // identity — TWAP's ~1e17 numerators never touch a double
     "twap_daily" ->

@@ -852,6 +852,33 @@ object Analytics {
       .limit(100)
   }
 
+  /** Duplicate-event suppression within a time window — the
+    * double-click / retry-storm cleaner every event pipeline runs
+    * before sessionization: an event is a duplicate if the SAME
+    * (user, type) fired within `windowMs` before it (default one
+    * hour — the digest-grade suppression window; tighten to seconds
+    * for click streams dense enough to have sub-second retries). One
+    * lag window
+    * keyed by (user, type); emits the per-(user, type) kept/dropped
+    * inventory. Each event compares to its immediate predecessor, so a
+    * burst with gaps < windowMs collapses onto its FIRST event (the
+    * dedup-not-throttle convention).
+    */
+  def eventDedupWindow(events: DataFrame, windowMs: Long = 3600000L): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_dup",
+        col("prev_us").isNotNull &&
+          unix_micros(col("ts")) - col("prev_us") < windowMs * 1000L)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .filter(col("n_dups") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
   /** Bloom-pruned semi join — the RUNTIME FILTER pattern, hand-rolled
     * so its mechanics are visible and spec-checkable: aggregate the
     * (small, filtered) build side's keys into a kilobyte bitset

@@ -165,4 +165,51 @@ object TextPipeline {
         sum(when(col("removed"), col("o_toks")).otherwise(0L)).as("tokens_removed"))
       .orderBy("lang")
   }
+
+  /** URL canonicalization + first-occurrence dedup — the crawl-side
+    * twin of [[dedupByTitle]]: the same article arrives under
+    * `http://` and `https://`, with and without `www.`, with tracking
+    * query strings and trailing slashes, and exact-dedup by raw URL
+    * misses all of it (the reference keys articles by URL and derives
+    * category from its path, transform_iqplus_news_dags.py:138-141).
+    * Canonical form: lowercase → strip scheme → strip leading `www.`
+    * → strip the query string → strip the trailing slash. One
+    * regexp chain (codegen'd scan work) + one groupBy on the
+    * canonical key.
+    *
+    * The synthetic documents table has no URL column, so the gate
+    * CONSTRUCTS one deterministically from (source, doc_id) with
+    * scheme/www/query/slash variants cycling on doc_id residues and a
+    * path bucket that collides by construction (doc_id mod 500) —
+    * both engines build the identical string; the operator under test
+    * is the canonicalization (same contract as piiScrub's constructed
+    * profiles).
+    */
+  def urlCanonicalDedup(documents: DataFrame): DataFrame = {
+    val ck = col("doc_id")
+    val url = concat(
+      when(ck % 7 === 0, lit("http://")).otherwise(lit("https://")),
+      when(ck % 2 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com/articles/"),
+      when(substring(col("source"), -1, 1).isin("0", "2", "4", "6", "8"),
+        lit("market_news")).otherwise(lit("stock_news")),
+      lit("/item-"), (ck % 500).cast("string"),
+      when(ck % 5 === 0, lit("/")).otherwise(lit("")),
+      when(ck % 3 === 0, lit("?utm_source=feed&utm_campaign=daily")).otherwise(lit("")))
+    val canonical =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "^https?://", ""),
+            "^www\\.", ""),
+          "\\?.*$", ""),
+        "/$", "")
+    documents
+      .select(col("doc_id"), url.as("url"), canonical.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_variants"))
+      .orderBy("canonical_url")
+  }
+
 }

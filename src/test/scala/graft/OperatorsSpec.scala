@@ -2105,6 +2105,50 @@ class OperatorsSpec extends SparkSpec {
       "rows must be price-descending")
   }
 
+  test("url canonicalization folds scheme/www/query/slash variants to one key") {
+    import spark.implicits._
+    // doc_ids chosen so all four variants of one article collide:
+    // 500·k + r hits the same item bucket r
+    val df = Seq(
+      (501L, "acme1"),  // https, no www (501%2=1), no slash, utm (501%3=0)
+      (1001L, "acme1"), // https, no www, no query
+      (2002L, "acme1"), // https, www
+      (2505L, "acme1")  // https, no www, trailing slash (2505%5=0), utm
+    ).map { case (id, s) => (id, s, "x", "en", 1L) }
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+    val r = TextPipeline.urlCanonicalDedup(df).collect()
+    // items 1, 1, 2, 5 → 501 and 1001 collide on item-1
+    val byUrl = r.map(x => x.getAs[String]("canonical_url") ->
+      (x.getAs[Long]("keep_doc_id"), x.getAs[Long]("n_variants"))).toMap
+    assert(byUrl.size === 3)
+    val item1 = byUrl.keys.find(_.endsWith("item-1")).get
+    assert(byUrl(item1) === (501L, 2L))
+    assert(byUrl.keys.forall(u => !u.contains("http") && !u.contains("www.")
+      && !u.contains("?") && !u.endsWith("/")))
+  }
+
+  test("event dedup window: burst collapses onto its first event") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // 3-event burst 10 min apart: 2 dups at the 1 h window
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0, "{}"),
+      // different type, same user: independent
+      (4L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0, "{}"),
+      // gap > 1 h: not a dup (group has 0 dups → filtered out)
+      (5L, ts("2024-01-01 12:00:00"), 2L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 13:30:00"), 2L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.eventDedupWindow(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[String]("event_type") === "click")
+    assert(r(0).getAs[Long]("n_events") === 3L && r(0).getAs[Long]("n_dups") === 2L)
+  }
+
   test("bloom prune: no false negatives, real pruning, exact result") {
     import graft.plans.SketchAggs
     val orders = Tables.orders(spark, sfDir)
