@@ -322,6 +322,13 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       Analytics.largeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    // Q14-shaped: ONE aggregate carries promo + total decimal sums
+    "q14_promo_revenue" -> ((s, d) =>
+      Analytics.promoRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q19-shaped: disjunctive brackets must stay a residual on a hash
+    // join, never a BNLJ (spec-asserted)
+    "q19_bracket_revenue" -> ((s, d) =>
+      Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -2088,6 +2095,29 @@ object SparkEntry {
         |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * syy - sy * sy AS DOUBLE), 6) AS beta
         |FROM a WHERE n_days >= 2 AND (n_days * syy - sy * sy) <> 0
         |ORDER BY user_id""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH j AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |a AS (SELECT coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0) AS promo_d,
+        |  sum(rev) AS total_d FROM j),
+        |c AS (SELECT *, CAST(promo_d * 1000000 AS HUGEINT) AS n_c,
+        |  CAST(total_d * 100 AS HUGEINT) AS d_c FROM a)
+        |SELECT CAST(round(promo_d, 2) AS DOUBLE) AS promo_revenue,
+        |  CAST(round(total_d, 2) AS DOUBLE) AS total_revenue,
+        |  CAST((n_c * 2 + d_c) // (2 * d_c) AS DOUBLE) / 100.0 AS promo_pct
+        |FROM c""".stripMargin,
+    "q19_bracket_revenue" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bloom is a pass-through for correctness: oracle = the exact
     // semi join the operator ends with
     "bloom_prune_join" ->

@@ -914,6 +914,61 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q14-shaped promo-revenue share: one month of lineitem
+    * joined to part (fact shuffles on partkey; part broadcasts when it
+    * fits), ONE aggregate carrying both the conditional (promo) and
+    * total decimal revenue sums, ratio via the exact integer identity.
+    * The one-pass conditional-sum shape is the point: two separate
+    * filtered aggregates would scan and shuffle the month twice.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+                   lo: String = "1996-03-01", hi: String = "1996-04-01"): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        // sum(when(...)) skips the null else-branch: only promo rows
+        // accumulate; coalesce covers the no-promo-rows month
+        coalesce(sum(when(col("p_type") === "PROMO", rev)), lit(0)).as("promo_d"),
+        sum(rev).as("total_d"))
+      .withColumn("n_c", (col("promo_d") * 1000000).cast("decimal(38,0)"))
+      .withColumn("d_c", (col("total_d") * 100).cast("decimal(38,0)"))
+      .select(
+        round(col("promo_d"), 2).cast("double").as("promo_revenue"),
+        round(col("total_d"), 2).cast("double").as("total_revenue"),
+        // 100·promo/total at 4dp HALF_UP, all-integer
+        (expr("(n_c * 2 + d_c) div (2 * d_c)").cast("double") / 100.0).as("promo_pct"))
+  }
+
+  /** TPC-H Q19-shaped bracket join: an equi join on partkey whose
+    * remaining predicate is a DISJUNCTION of (brand, size-range,
+    * qty-range) brackets. The scale property under test: Catalyst
+    * must extract the common partkey equi-key and plan a hash join
+    * with the OR as a residual filter — a planner that fails this
+    * falls to BroadcastNestedLoopJoin over the full fact
+    * (PlanGuard's third scale-killer; spec-asserted not to happen).
+    */
+  def bracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val brackets =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey") && brackets)
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
   /** Q2-shaped ARGMIN join: the cheapest supplier per part, decided
     * INSIDE one hash aggregate via min_by over a composite
     * (cents-scaled price ‖ suppkey) order key — the window-rank form

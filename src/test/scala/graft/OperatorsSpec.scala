@@ -2149,6 +2149,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n_events") === 3L && r(0).getAs[Long]("n_dups") === 2L)
   }
 
+  test("q19 brackets plan a hash join with a residual OR, never BNLJ") {
+    val out = Analytics.bracketRevenue(
+      Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive brackets fell off the equi-key:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), "expected a keyed join")
+    assert(out.collect().nonEmpty, "bracket gate must be non-vacuous")
+  }
+
+  test("q14 promo share: one aggregate, pct consistent with its own sums") {
+    val r = Analytics.promoRevenue(
+      Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir)).head()
+    val (p, t, pct) = (r.getAs[Double]("promo_revenue"),
+      r.getAs[Double]("total_revenue"), r.getAs[Double]("promo_pct"))
+    assert(t > 0 && p > 0 && p < t)
+    assert(math.abs(pct - 100.0 * p / t) < 0.01)
+  }
+
   test("bloom prune: no false negatives, real pruning, exact result") {
     import graft.plans.SketchAggs
     val orders = Tables.orders(spark, sfDir)
