@@ -2157,7 +2157,21 @@ class OperatorsSpec extends SparkSpec {
       s"disjunctive brackets fell off the equi-key:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"), "expected a keyed join")
-    assert(out.collect().nonEmpty, "bracket gate must be non-vacuous")
+    // semantics on synthetic rows (sf0.001 is too small to hit the
+    // brackets; the sf0.01 gate checks non-vacuity on real data):
+    // only the (brand, size, qty)-conjunction rows survive
+    import spark.implicits._
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.0),   // Brand#12, qty in [1,11] → kept
+      (1L, 30.0, 100.0, 0.0),  // Brand#12 but qty out of bracket
+      (2L, 15.0, 200.0, 0.5)   // Brand#23, qty in [10,20] → kept
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pt = Seq(
+      (1L, "Brand#12", 3), (2L, "Brand#23", 9)
+    ).toDF("p_partkey", "p_brand", "p_size")
+    val r = Analytics.bracketRevenue(li, pt).collect()
+      .map(x => x.getAs[String]("p_brand") -> x.getAs[Double]("revenue")).toMap
+    assert(r === Map("Brand#12" -> 100.0, "Brand#23" -> 100.0))
   }
 
   test("q14 promo share: one aggregate, pct consistent with its own sums") {
