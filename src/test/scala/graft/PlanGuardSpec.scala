@@ -54,7 +54,10 @@ class PlanGuardSpec extends SparkSpec {
     "doc_logprob",
     // bloom_prune_join: the one-row kilobyte-bitset bloom reduce,
     // broadcast across the fact scan (the runtime-filter shape)
-    "bloom_prune_join")
+    "bloom_prune_join",
+    // q14_promo_revenue: the whole query IS one global one-row
+    // aggregate (promo + total sums) — same contract as dq_report
+    "q14_promo_revenue")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
