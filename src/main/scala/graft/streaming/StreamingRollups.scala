@@ -33,6 +33,32 @@ object StreamingRollups {
         min("value").as("min_value"),
         count(lit(1)).as("cnt_value"))
 
+  /** Streaming candlestick bars — the live half of
+    * [[graft.operators.Finance.ohlcResample]]: per (event-time window,
+    * series) the first/max/min/last tick plus count, open/close via
+    * min_by/max_by over the same composite (epoch-micros ‖ id) order
+    * key the batch operator uses. Still ONE declarative aggregate —
+    * min_by/max_by are ordinary partial-merge aggregates, so the
+    * streaming state per open bar is a handful of scalars (no tick
+    * buffer, no flatMapGroupsWithState), and the watermark closes bars
+    * exactly like any windowed agg. Batch-vs-stream parity over the
+    * full events table is the §2G oracle analog (spec-pinned).
+    */
+  def ohlcWindowed(events: DataFrame, window: String, watermark: String): DataFrame = {
+    val okey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("user_id"))
+      .agg(
+        round(min_by(col("value"), okey), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), okey), 2).as("close"),
+        count(lit(1)).as("n_obs"))
+  }
+
   /** Streaming exact dedup (the reference's find-one-before-insert
     * guard, transform_iqplus_news_dags.py:144-156, as a streaming
     * primitive): drop duplicate (entity, ts, value) rows, with the
@@ -45,6 +71,7 @@ object StreamingRollups {
       .dropDuplicates("entity_id", "ts", "value")
 
   case class Event(entity_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Tick(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(entity_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
   // NOT private: the state encoder's generated code instantiates this

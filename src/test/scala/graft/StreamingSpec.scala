@@ -498,6 +498,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 9.0), (2L, 2.0)))
   }
 
+  test("streaming OHLC bars reproduce the batch candlesticks over the full events table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val agg = StreamingRollups.ohlcWindowed(input.toDF(), "1 day", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("parity_ohlc")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").as("ws"), col("user_id"),
+        col("open"), col("high"), col("low"), col("close"), col("n_obs"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    val streamed = keyed(spark.table("parity_ohlc"))
+    // the batch oracle: identical grouping + min_by/max_by over the
+    // same composite order key (the ohlcResample machinery windowed)
+    val okey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val batch = keyed(ev
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"), col("user_id"))
+      .agg(round(min_by(col("value"), okey), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), okey), 2).as("close"),
+        count(lit(1)).as("n_obs")))
+    assert(streamed === batch, "stream-vs-batch candlestick parity")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming takedown tombstones an index within one trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
