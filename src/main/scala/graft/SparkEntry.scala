@@ -517,6 +517,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
+    // SoftDeDup downweighting: weight 1/|cluster| instead of dropping
+    "dedup_weights" -> ((s, d) => Dedup.dedupWeights(Tables.documents(s, d))),
     // the persisted-index twins: build the index once (ingest-time
     // artifact), then run the consumer — same oracles as the direct
     // forms, zero-exchange plans spec-asserted in HashExprsSpec
@@ -525,6 +527,8 @@ object SparkEntry {
     "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
     "cluster_stats_indexed" -> ((s, d) => Dedup.clusterStatsFromIndex(s, clusterIdx(s, d))),
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
+    "dedup_weights_indexed" -> ((s, d) =>
+      Dedup.dedupWeightsFromIndex(s, clusterIdx(s, d))),
     "ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfIdx(s, d), 7L, 20)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -741,6 +745,19 @@ object SparkEntry {
        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
        |  (cluster_size * count(*))::BIGINT AS n_docs
        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle for dedup_weights / dedup_weights_indexed: the
+    * [[clusterOracle]] components with weight = floor(10⁶/size)/10⁶
+    * — integer division, so no cross-engine rounding convention.
+    */
+  private def weightsOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
+       |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""".stripMargin
 
   /** Oracle for dedup_keep_best: brute-force components (same CTEs as
     * [[clusterOracle]]) joined to the quality expression of the
@@ -1566,6 +1583,8 @@ object SparkEntry {
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_keep_best_indexed" -> keepBestOracle,
     "cluster_stats_indexed" -> clusterStatsOracle,
+    "dedup_weights" -> weightsOracle,
+    "dedup_weights_indexed" -> weightsOracle,
     "split_from_index" -> leakageSplitOracle,
     // exact-guarantee probe over the persisted IVF index → brute
     // force is the correct oracle, same as ann_ivf_topk

@@ -757,6 +757,37 @@ object Dedup {
                             table: String): DataFrame =
     sizeHistogram(liveIndexRows(spark, table))
 
+  /** SoftDeDup-style duplicate DOWNWEIGHTING — the keep-everything
+    * alternative to [[keepBest]]'s hard drop: every document stays in
+    * the corpus but carries sampling weight 1/|cluster|, so a
+    * 40-member boilerplate family contributes one document's worth of
+    * expected training mass while unique docs keep weight 1. The
+    * weight is floor(10⁶/size)/10⁶ — pure integer division, no float
+    * rounding convention to diverge on. One size aggregate + one join
+    * over the (doc, cluster) assignment.
+    */
+  def softWeights(assignment: DataFrame): DataFrame = {
+    val sizes = assignment.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assignment.select("doc_id", "cluster_id")
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (expr("(1000000 div cluster_size)").cast("double") / 1000000.0).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** Direct form: cluster in-query (oracle anchor). */
+  def dedupWeights(documents: DataFrame): DataFrame =
+    softWeights(minhashClusters(documents).select("doc_id", "cluster_id"))
+
+  /** Indexed form: weights off the PERSISTED cluster assignment — a
+    * narrow read + two small aggregates, no LSH anywhere (the same
+    * cluster-once-reuse-everywhere lifecycle as keepBestIndexed).
+    */
+  def dedupWeightsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String): DataFrame =
+    softWeights(liveIndexRows(spark, table).select("doc_id", "cluster_id"))
+
   /** Connected components over an (a, b) near-dup pair list: every doc
     * in `allDocs` gets the min doc_id of its component (docs without
     * edges are their own singleton). Public so any pair source

@@ -2041,6 +2041,36 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
   }
 
+  test("dedup weights conserve expected mass: sum over a cluster ≈ 1, singletons = 1") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.dedupWeights(docs).cache()
+    assert(out.count() === docs.count(), "soft dedup keeps every document")
+    // singleton weight is exactly 1.0; every cluster's weight sum is
+    // size·floor(1e6/size)/1e6 ∈ (1 − 1e-6·size, 1]
+    assert(out.filter(col("cluster_size") === 1 && col("weight") =!= 1.0).count() === 0)
+    val bad = out.groupBy("cluster_id")
+      .agg(sum("weight").as("mass"), max("cluster_size").as("sz"))
+      .filter(col("mass") > 1.0 + 1e-9 ||
+        col("mass") <= lit(1.0) - col("sz") * 1e-6 - lit(1e-9))
+      .count()
+    assert(bad === 0, "per-cluster mass must be within the floor-division band")
+    // indexed twin returns the identical frame off a fresh index
+    spark.sql("DROP TABLE IF EXISTS g_weights_idx")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val whDir = new java.io.File(wh, "g_weights_idx")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(whDir)
+    }
+    Dedup.writeClusterIndex(docs, "g_weights_idx")
+    val idx = Dedup.dedupWeightsFromIndex(spark, "g_weights_idx")
+    assert(out.except(idx).isEmpty && idx.except(out).isEmpty)
+    out.unpersist()
+  }
+
   test("gopher_rules: per-rule booleans, keep is their conjunction, gate non-vacuous") {
     val out = TextAnalysis.gopherRules(Tables.documents(spark, sfDir)).cache()
     val rules = Seq("rule_word_count", "rule_mean_word_len", "rule_dup_word", "rule_symbol")
