@@ -322,6 +322,11 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       Analytics.largeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    // ISO weekday profile (weekday()+1: the engines' dayofweek
+    // disagree on Sunday; ISO is ISO everywhere)
+    "dow_seasonality" -> ((s, d) => Analytics.dowSeasonality(Tables.orders(s, d))),
+    // funnel state-machine DQ: first purchase before first signup
+    "dq_sequence" -> ((s, d) => Analytics.dqSequence(Tables.events(s, d))),
     // Q14-shaped: ONE aggregate carries promo + total decimal sums
     "q14_promo_revenue" -> ((s, d) =>
       Analytics.promoRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
@@ -2113,6 +2118,26 @@ object SparkEntry {
         |SELECT user_id, n_days,
         |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * syy - sy * sy AS DOUBLE), 6) AS beta
         |FROM a WHERE n_days >= 2 AND (n_days * syy - sy * sy) <> 0
+        |ORDER BY user_id""".stripMargin,
+    "dow_seasonality" ->
+      """WITH g AS (SELECT isodow(o_orderdate) AS iso_dow, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT *, CAST(rev_d * 100 AS HUGEINT) AS cents FROM g)
+        |SELECT iso_dow, n_orders, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST((cents * 200 + n_orders) // (n_orders * 2) AS DOUBLE) / 10000 AS avg_order
+        |FROM c ORDER BY iso_dow""".stripMargin,
+    "dq_sequence" ->
+      """WITH a AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |  count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, strftime(first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+        |  CASE WHEN first_signup IS NULL THEN 'missing_signup'
+        |       ELSE 'purchase_before_signup' END AS violation, n_events
+        |FROM a WHERE first_purchase IS NOT NULL
+        |  AND (first_signup IS NULL OR first_purchase < first_signup)
         |ORDER BY user_id""".stripMargin,
     "q14_promo_revenue" ->
       """WITH j AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -914,6 +914,50 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Day-of-week seasonality profile — the dashboard row under every
+    * "when do users buy" question: per ISO weekday (1 = Monday), order
+    * count, exact decimal revenue, and the 4dp integer-identity
+    * average. ISO numbering via `weekday()+1` because the engines'
+    * default `dayofweek` disagree on where Sunday lives (Spark 1,
+    * DuckDB 0) while ISO is ISO everywhere. Seven-group hash
+    * aggregate with map-side partials — constant output at any scale.
+    */
+  def dowSeasonality(orders: DataFrame): DataFrame =
+    orders
+      .groupBy((weekday(col("o_orderdate")) + 1).as("iso_dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+      .withColumn("cents", (col("rev_d") * 100).cast("decimal(38,0)"))
+      .select(col("iso_dow"), col("n_orders"),
+        col("rev_d").cast("double").as("revenue"),
+        (expr("(cents * 200 + n_orders) div (n_orders * 2)").cast("double") / 10000)
+          .as("avg_order"))
+      .orderBy("iso_dow")
+
+  /** Sequence-validity data-quality check — the state-machine rule a
+    * funnel pipeline must enforce before trusting its own numbers:
+    * users whose first `purchase` precedes their first `signup` (or
+    * who purchased with no signup at all). ONE aggregate builds each
+    * user's per-type first-seen timestamps via conditional mins — no
+    * window, no self-join; the violation predicate is a row-local
+    * comparison after the shuffle.
+    */
+  def dqSequence(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        count(lit(1)).as("n_events"))
+      .filter(col("first_purchase").isNotNull &&
+        (col("first_signup").isNull || col("first_purchase") < col("first_signup")))
+      .select(col("user_id"),
+        date_format(col("first_purchase"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"),
+        when(col("first_signup").isNull, lit("missing_signup"))
+          .otherwise(lit("purchase_before_signup")).as("violation"),
+        col("n_events"))
+      .orderBy("user_id")
+
   /** TPC-H Q14-shaped promo-revenue share: one month of lineitem
     * joined to part (fact shuffles on partkey; part broadcasts when it
     * fits), ONE aggregate carrying both the conditional (promo) and

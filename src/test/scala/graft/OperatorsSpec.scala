@@ -2179,6 +2179,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n_events") === 3L && r(0).getAs[Long]("n_dups") === 2L)
   }
 
+  test("dow seasonality: ISO weekday numbering, mass-conserving") {
+    val orders = Tables.orders(spark, sfDir)
+    val out = Analytics.dowSeasonality(orders).collect()
+    assert(out.map(_.getAs[Int]("iso_dow")).toSet.subsetOf((1 to 7).toSet))
+    assert(out.map(_.getAs[Long]("n_orders")).sum === orders.count())
+    // pin the ISO convention on a known date: 2024-01-01 is a Monday
+    import spark.implicits._
+    val monday = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(Analytics.dowSeasonality(monday).head().getAs[Int]("iso_dow") === 1)
+  }
+
+  test("dq_sequence flags exactly purchase-without/before-signup users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 0.0, "{}"), // no signup
+      (2L, ts("2024-01-01 09:00:00"), 2L, "purchase", 0.0, "{}"), // before signup
+      (3L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, "{}"),
+      (4L, ts("2024-01-01 08:00:00"), 3L, "signup", 0.0, "{}"),   // legal
+      (5L, ts("2024-01-01 09:00:00"), 3L, "purchase", 0.0, "{}"),
+      (6L, ts("2024-01-01 09:00:00"), 4L, "click", 0.0, "{}")     // no purchase
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.dqSequence(df).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[String]("violation")).toMap
+    assert(r === Map(1L -> "missing_signup", 2L -> "purchase_before_signup"))
+  }
+
   test("q19 brackets plan a hash join with a residual OR, never BNLJ") {
     val out = Analytics.bracketRevenue(
       Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
