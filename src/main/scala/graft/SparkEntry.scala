@@ -510,6 +510,9 @@ object SparkEntry {
     "max_drawdown"  -> ((s, d) => Finance.maxDrawdown(Tables.events(s, d))),
     "vwap_monthly"  -> ((s, d) => Finance.vwap(Tables.lineitem(s, d))),
     "twap_daily"    -> ((s, d) => Finance.twapDaily(Tables.events(s, d))),
+    // LTTB-family chart downsampling: ≤ nBuckets points per series,
+    // all-integer triangle areas, bucket-mean anchors (parallel form)
+    "series_downsample" -> ((s, d) => Finance.lttbDownsample(Tables.events(s, d))),
     "series_beta"   -> ((s, d) => Finance.seriesBeta(Tables.events(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -2104,6 +2107,40 @@ object SparkEntry {
         |SELECT user_id, period_key, n_intervals,
         |  CAST((n_cd * 20000 + d_c) // (2 * d_c) AS DOUBLE) / 10000.0 AS twap
         |FROM g ORDER BY user_id, period_key""".stripMargin,
+    // the parallel LTTB (bucket-mean anchors): integer cross-product
+    // areas scaled by n_p²·n_n, argmax via a composite order string
+    "series_downsample" ->
+      """WITH b0 AS (SELECT user_id, event_id, ts,
+        |  CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n,
+        |  epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS x
+        |  FROM events),
+        |bb AS (SELECT * FROM b0 WHERE n >= 3),
+        |mids AS (SELECT *, 1 + ((rn - 2) * 8) // (n - 2) AS bucket FROM bb WHERE rn > 1 AND rn < n),
+        |bs AS (SELECT user_id, bucket, sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |  count(*)::HUGEINT AS nb FROM mids GROUP BY 1, 2),
+        |firstpt AS (SELECT user_id, 0 AS bucket, x::HUGEINT AS sx, y::HUGEINT AS sy,
+        |  1::HUGEINT AS nb FROM bb WHERE rn = 1),
+        |lastpt AS (SELECT user_id, 9 AS bucket, x::HUGEINT AS sx, y::HUGEINT AS sy,
+        |  1::HUGEINT AS nb FROM bb WHERE rn = n),
+        |pa AS (SELECT * FROM bs UNION ALL SELECT * FROM firstpt),
+        |na AS (SELECT * FROM bs UNION ALL SELECT * FROM lastpt),
+        |cand AS (SELECT m.user_id, m.bucket, m.event_id, m.y,
+        |  abs((p.sx * q.nb - q.sx * p.nb) * (m.y * p.nb - p.sy)
+        |    - (p.sx - m.x * p.nb) * (q.sy * p.nb - p.sy * q.nb)) AS a2
+        |  FROM mids m
+        |  JOIN pa p ON m.user_id = p.user_id AND p.bucket = m.bucket - 1
+        |  JOIN na q ON m.user_id = q.user_id AND q.bucket = m.bucket + 1),
+        |ch AS (SELECT user_id, bucket,
+        |  max_by(event_id, lpad(CAST(a2 AS VARCHAR), 40, '0') || lpad(CAST(999999999999 - event_id AS VARCHAR), 12, '0')) AS event_id,
+        |  max_by(y, lpad(CAST(a2 AS VARCHAR), 40, '0') || lpad(CAST(999999999999 - event_id AS VARCHAR), 12, '0')) AS y_sel
+        |  FROM cand GROUP BY 1, 2),
+        |ep AS (SELECT user_id, CASE WHEN rn = 1 THEN 0 ELSE 9 END AS bucket,
+        |  event_id, y AS y_sel FROM bb WHERE rn = 1 OR rn = n)
+        |SELECT user_id, bucket, event_id, CAST(y_sel AS DOUBLE) / 100.0 AS value
+        |FROM (SELECT * FROM ch UNION ALL SELECT * FROM ep)
+        |ORDER BY user_id, bucket""".stripMargin,
     // n·Σxy − Σx·Σy over integer cents in HUGEINT; the single final
     // division is the only float op
     "series_beta" ->

@@ -187,6 +187,91 @@ object Finance {
       .orderBy("user_id")
   }
 
+  /** Chart-grade series DOWNSAMPLING — largest-triangle selection per
+    * bucket (the LTTB family): each series keeps its endpoints plus,
+    * per interior bucket, the point forming the largest triangle with
+    * the NEIGHBOR BUCKET MEANS. Classic LTTB anchors on the previously
+    * *selected* point, a sequential dependency that cannot parallelize;
+    * the bucket-mean-anchor variant (Steinarsson 2013 §4.2's
+    * LTTB-with-fixed-anchors) is embarrassingly parallel — every
+    * bucket decides independently — and visually equivalent for
+    * dashboard rendering. Shapes: two series-keyed windows (rank,
+    * rebase), one bucket aggregate, two small neighbor joins, one
+    * argmax aggregate. Output is ≤ nBuckets rows per series however
+    * many ticks exist — the point of the operator.
+    *
+    * Exactness: x is epoch-micros REBASED to the series start (keeps
+    * products inside decimal(38)), y is integer cents; the triangle
+    * area comparison is the cross product scaled by n_prev²·n_next —
+    * every operand integer, so the argmax (with an id tie-break via a
+    * composite order string) is engine-identical. No float exists
+    * anywhere in the operator.
+    */
+  def lttbDownsample(events: DataFrame, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 3, "need first + last + at least one interior bucket")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (round(col("value"), 2).cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("x", unix_micros(col("ts")) - min(unix_micros(col("ts"))).over(wAll))
+      .filter(col("n") >= 3)
+    // interior points spread over buckets 1 .. nBuckets-2; endpoints
+    // own buckets 0 and nBuckets-1 (the classic LTTB convention)
+    val mids = base.filter(col("rn") > 1 && col("rn") < col("n"))
+      .withColumn("bucket",
+        lit(1) + expr(s"((rn - 2) * ${nBuckets - 2}) div (n - 2)"))
+    val bSums = mids.groupBy(col("user_id"), col("bucket"))
+      .agg(sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        count(lit(1)).as("nb"))
+    val p = bSums.select(col("user_id").as("p_uid"), col("bucket").as("p_bucket"),
+      col("sx").as("sx_p"), col("sy").as("sy_p"), col("nb").as("n_p"))
+    val nx = bSums.select(col("user_id").as("n_uid"), col("bucket").as("n_bucket"),
+      col("sx").as("sx_n"), col("sy").as("sy_n"), col("nb").as("n_n"))
+    // first/last interior bucket anchor on the series endpoints
+    // (a one-point "bucket": sums = the endpoint, count = 1)
+    val firstPt = base.filter(col("rn") === 1).select(
+      col("user_id").as("p_uid"), lit(0).as("p_bucket"),
+      col("x").cast("decimal(38,0)").as("sx_p"),
+      col("y").cast("decimal(38,0)").as("sy_p"), lit(1L).as("n_p"))
+    val lastPt = base.filter(col("rn") === col("n")).select(
+      col("user_id").as("n_uid"), lit(nBuckets - 1).as("n_bucket"),
+      col("x").cast("decimal(38,0)").as("sx_n"),
+      col("y").cast("decimal(38,0)").as("sy_n"), lit(1L).as("n_n"))
+    val prevAll = p.unionByName(firstPt)
+    val nextAll = nx.unionByName(lastPt)
+    val cand = mids
+      .join(prevAll, col("user_id") === col("p_uid") &&
+        col("p_bucket") === col("bucket") - 1)
+      .join(nextAll, col("user_id") === col("n_uid") &&
+        col("n_bucket") === col("bucket") + 1)
+    // 2·area·n_p²·n_n = |(Sx_p·n_n − Sx_n·n_p)(y·n_p − Sy_p)
+    //                   − (Sx_p − x·n_p)(Sy_n·n_p − Sy_p·n_n)|
+    val a2 = abs(
+      (col("sx_p") * col("n_n") - col("sx_n") * col("n_p")) *
+        (col("y") * col("n_p") - col("sy_p")) -
+      (col("sx_p") - col("x") * col("n_p")) *
+        (col("sy_n") * col("n_p") - col("sy_p") * col("n_n")))
+      .cast("decimal(38,0)")
+    val okey = concat(lpad(a2.cast("string"), 40, "0"),
+      lpad((lit(999999999999L) - col("event_id")).cast("string"), 12, "0"))
+    val chosen = cand.groupBy(col("user_id"), col("bucket"))
+      .agg(max_by(col("event_id"), okey).as("event_id"),
+        max_by(col("y"), okey).as("y_sel"))
+    val endpoints = base.filter(col("rn") === 1 || col("rn") === col("n"))
+      .select(col("user_id"),
+        when(col("rn") === 1, lit(0)).otherwise(lit(nBuckets - 1)).as("bucket"),
+        col("event_id"), col("y").as("y_sel"))
+    chosen.unionByName(endpoints)
+      .select(col("user_id"), col("bucket"), col("event_id"),
+        (col("y_sel").cast("double") / 100.0).as("value"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Volume-weighted average price per (supplier, ship month): exact
     * decimal sums of notional and quantity, ONE double division at the
     * end. Plain hash aggregate with map-side partials — the 100 TB

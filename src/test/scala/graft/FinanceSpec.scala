@@ -124,6 +124,27 @@ class FinanceSpec extends SparkSpec {
     assert(m(1L) === 0.666667 && m(2L) === 0.333333)
   }
 
+  test("lttb downsample: keeps endpoints, ≤ nBuckets points, picks the spike") {
+    import spark.implicits._
+    // 30 flat points with one big spike; the spike's bucket must pick it
+    val rows = (1 to 30).map { i =>
+      val v = if (i == 17) 500.0 else 10.0 + (i % 3) * 0.5
+      (i.toLong, t(f"2024-01-01 ${8 + i / 60}%02d:${i % 60}%02d:00"), 1L, v)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = Finance.lttbDownsample(df, nBuckets = 6).collect()
+    assert(out.length <= 6)
+    val byBucket = out.map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("event_id")).toMap
+    assert(byBucket(0) === 1L, "first endpoint kept")
+    assert(byBucket(5) === 30L, "last endpoint kept")
+    assert(out.map(_.getAs[Long]("event_id")).contains(17L),
+      "the spike must survive downsampling")
+    // downsampled sizes hold on the real table too: ≤ 10 per series
+    val real = Finance.lttbDownsample(Tables.events(spark, sfDir))
+    val maxPer = real.groupBy("user_id").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 10)
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
