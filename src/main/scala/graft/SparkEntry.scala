@@ -420,6 +420,8 @@ object SparkEntry {
     // ride the bucket partitioning, zero exchanges (spec-asserted)
     "join_bucketed_indexed" -> ((s, d) => cobucketedRevenue(s, d)),
     "embed_drift" -> ((s, d) => Similarity.embedDrift(Tables.embeddings(s, d))),
+    // bit-reproducible per-(label, dim) quantized centroid report
+    "label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     // gate form: deterministic columns only — the raw sketch estimates
     // are implementation-defined across engines, so the gate hashes the
     // exact companion values plus in-bound booleans (the full report
@@ -1037,6 +1039,16 @@ object SparkEntry {
     // same int8 quantization as embed_quantize_values; snapshot halves
     // by the drift family's vec_id mod slices; cross-multiplied mean
     // difference in HUGEINT/decimal(38) — overflow-proof and exact
+    "label_centroids" ->
+      """WITH q AS (SELECT label, r.i AS pos,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[r.i + 1] / scale) END AS BIGINT) AS q
+        |  FROM (SELECT label, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |  range(64) r(i) WHERE r.i < len(v)),
+        |a AS (SELECT label, pos, sum(q)::BIGINT AS s, count(*)::BIGINT AS n FROM q GROUP BY 1, 2)
+        |SELECT label, pos, s, n,
+        |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((abs(s) * 20000 + n) // (2 * n)) AS DOUBLE) / 10000.0 AS mean_q
+        |FROM a ORDER BY label, pos""".stripMargin,
     "embed_drift" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id, label, r.i AS pos,

@@ -516,6 +516,30 @@ object Similarity {
     * Snapshots here are the deterministic vec_id mod slices the drift
     * family uses as its two-crawl stand-in.
     */
+  /** Per-label centroid report over int8-QUANTIZED components — the
+    * cluster-health readout next to [[embedDrift]]: for every (label,
+    * dimension) the exact quantized component sum, member count, and
+    * the 4dp integer-identity mean (sign split: the bare div identity
+    * is HALF_UP only for non-negative sums, and quantized components
+    * are signed). Float centroids are summation-order-dependent —
+    * useless as a cross-run artifact; the integer form is
+    * bit-reproducible, which is what makes it diffable between
+    * ingests. One explode + one (label, dim) aggregate, map-side
+    * combinable; output is |labels| × dims rows, constant in corpus
+    * size.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(HashExprs.quantizeI8(col("embedding"))))
+      .select(col("label"), col("pos"), col("col").cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_q",
+        (when(col("s") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(s) * 20000 + n) div (2 * n)")).cast("double") / 10000.0)
+      .select(col("label"), col("pos"), col("s"), col("n"), col("mean_q"))
+      .orderBy("label", "pos")
+
   def embedDrift(embeddings: DataFrame): DataFrame = {
     def snap(m: Int) = embeddings.filter(pmod(col("vec_id"), lit(m)) === 0)
     def comps(df: DataFrame) = df

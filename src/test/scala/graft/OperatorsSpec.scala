@@ -2041,6 +2041,26 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
   }
 
+  test("label centroids: constant row count, exact means incl. negative half-case") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.labelCentroids(emb).cache()
+    val nLabels = emb.select("label").distinct().count()
+    val dims = emb.selectExpr("size(embedding) d").head().getInt(0)
+    assert(out.count() === nLabels * dims, "exactly |labels| × dims rows")
+    // mean sign follows the sum; the identity rounds half AWAY from zero
+    assert(out.filter(col("s") < 0 && col("mean_q") > 0).count() === 0)
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Array(127.0f, -127.0f), 7),
+      (2L, Array(127.0f, -126.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.labelCentroids(tiny).collect()
+      .map(r => r.getAs[Int]("pos") -> r.getAs[Double]("mean_q")).toMap
+    // dim 0: (127+127)/2 = 127; dim 1: (-127 + -126)/2 = -126.5 → away from zero
+    assert(m(0) === 127.0 && m(1) === -126.5)
+    out.unpersist()
+  }
+
   test("dedup weights conserve expected mass: sum over a cluster ≈ 1, singletons = 1") {
     val docs = Tables.documents(spark, sfDir)
     val out = Dedup.dedupWeights(docs).cache()
