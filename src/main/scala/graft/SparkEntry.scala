@@ -504,6 +504,8 @@ object SparkEntry {
     "cube_margins"        -> ((s, d) => Rollups.cubeMargins(Tables.orders(s, d))),
     "series_fill_forward" -> ((s, d) => Rollups.fillForwardMonthly(Tables.orders(s, d))),
     "zscore_outliers"     -> ((s, d) => Analytics.zscoreOutliers(Tables.orders(s, d))),
+    // heavy-tail-robust twin: all-integer rank medians + MAD flag
+    "mad_outliers"        -> ((s, d) => Analytics.madOutliers(Tables.orders(s, d))),
     // market-data family: the upstream (tick → bar → signal) half of
     // the reference's OHLCV pipeline that YFinance pre-computes for it
     "ohlc_resample" -> ((s, d) => Finance.ohlcResample(Tables.events(s, d))),
@@ -2230,6 +2232,21 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS best_price FROM k GROUP BY l_partkey)
         |SELECT l_partkey, suppkey, s_name, best_price
         |FROM b JOIN supplier ON suppkey = s_suppkey ORDER BY l_partkey""".stripMargin,
+    "mad_outliers" ->
+      """WITH b AS (SELECT o_custkey AS entity_id, o_orderkey, o_totalprice,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY cents, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY entity_id) AS n FROM b),
+        |med AS (SELECT entity_id, cents AS med_c, n FROM r WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT b.entity_id, b.o_orderkey, b.o_totalprice, b.cents,
+        |  abs(b.cents - med.med_c) AS dev_c, med.n
+        |  FROM b JOIN med ON b.entity_id = med.entity_id),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY dev_c, o_orderkey) AS rn FROM dev),
+        |mad AS (SELECT entity_id, dev_c AS mad_c FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.o_orderkey, d.entity_id, round(d.o_totalprice, 2) AS total, d.dev_c, m.mad_c
+        |FROM dev d JOIN mad m ON d.entity_id = m.entity_id
+        |WHERE d.n >= 5 AND m.mad_c > 0 AND d.dev_c > 3 * m.mad_c
+        |ORDER BY d.o_orderkey""".stripMargin,
     // first/last-in-time via min_by/max_by over a composite
     // lexicographic key (epoch micros ‖ event id, both zero-padded) —
     // DuckDB's min_by cannot order by a struct; decimal sum for the

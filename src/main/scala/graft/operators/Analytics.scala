@@ -637,6 +637,42 @@ object Analytics {
       .select("user_id", "cnt", "share_bp")
   }
 
+  /** Robust (MAD-based) outlier flags — the heavy-tail-safe twin of
+    * [[zscoreOutliers]]: a single anomalous order inflates a z-score's
+    * own σ and can mask itself, while the median absolute deviation
+    * barely moves. Entirely INTEGER on cents: rank-based lower medians
+    * (value, then of absolute deviations) with orderkey tie-breaks,
+    * and the flag |x − med| > k·MAD is an integer comparison — no
+    * engine ever rounds anything. Three passes, every one keyed by the
+    * entity: two sorted windows + two small joins back.
+    */
+  def madOutliers(orders: DataFrame, k: Int = 3, minN: Long = 5L): DataFrame = {
+    val byEntity = Window.partitionBy("entity_id")
+    val base = orders.select(
+      col("o_custkey").as("entity_id"), col("o_orderkey"), col("o_totalprice"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val wVal = byEntity.orderBy(col("cents"), col("o_orderkey"))
+    val med = base
+      .withColumn("rn", row_number().over(wVal))
+      .withColumn("n", count(lit(1)).over(byEntity))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("entity_id"), col("cents").as("med_c"), col("n"))
+    val dev = base.join(med, "entity_id")
+      .withColumn("dev_c", abs(col("cents") - col("med_c")))
+    val wDev = byEntity.orderBy(col("dev_c"), col("o_orderkey"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wDev))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("entity_id"), col("dev_c").as("mad_c"))
+    dev.join(mad, "entity_id")
+      .filter(col("n") >= minN && col("mad_c") > 0 &&
+        col("dev_c") > lit(k.toLong) * col("mad_c"))
+      .select(col("o_orderkey"), col("entity_id"),
+        round(col("o_totalprice"), 2).as("total"),
+        col("dev_c"), col("mad_c"))
+      .orderBy("o_orderkey")
+  }
+
   /** Exact per-entity median by RANK, not interpolation: the lower
     * median is the ((n+1) div 2)-th smallest value (ties broken by
     * orderkey, so the picked ROW is unique). Rank-based selection is

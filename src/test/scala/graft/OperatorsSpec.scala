@@ -2199,6 +2199,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n_events") === 3L && r(0).getAs[Long]("n_dups") === 2L)
   }
 
+  test("mad outliers: flags the masked spike a z-score misses at small n") {
+    import spark.implicits._
+    // 9 tight values + one huge spike: MAD stays ~1 cent-scale while
+    // the spike inflates σ; MAD flags it
+    val rows = (1 to 9).map(i => (i.toLong, 1L, 100.0 + i * 0.01)) :+ (10L, 1L, 5000.0)
+    val df = rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = Analytics.madOutliers(df).collect()
+    assert(r.map(_.getAs[Long]("o_orderkey")).toSeq === Seq(10L))
+    assert(r(0).getAs[Long]("mad_c") > 0)
+    // integer invariant: dev > 3 · mad for every flagged row on real data
+    val real = Analytics.madOutliers(Tables.orders(spark, sfDir))
+    assert(real.filter(col("dev_c") <= col("mad_c") * 3).count() === 0)
+  }
+
   test("dow seasonality: ISO weekday numbering, mass-conserving") {
     val orders = Tables.orders(spark, sfDir)
     val out = Analytics.dowSeasonality(orders).collect()
