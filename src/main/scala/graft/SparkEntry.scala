@@ -509,6 +509,16 @@ object SparkEntry {
     // market-data family: the upstream (tick → bar → signal) half of
     // the reference's OHLCV pipeline that YFinance pre-computes for it
     "ohlc_resample" -> ((s, d) => Finance.ohlcResample(Tables.events(s, d))),
+    // weekly bars from DAILY bars, never raw ticks (algebraic merge;
+    // oracle resamples ticks directly — value-identical by contract)
+    "ohlc_weekly_incremental" -> ((s, d) =>
+      Finance.ohlcWeeklyFromDaily(Tables.events(s, d))),
+    // the dashboard range read over the candlestick series
+    "api_series_ohlc" -> ((s, d) =>
+      Finance.ohlcResample(Tables.events(s, d))
+        .filter(col("user_id") === 1 &&
+          col("period_key") >= "2024-01-08" && col("period_key") <= "2024-01-21")
+        .orderBy("period_key")),
     "returns_daily" -> ((s, d) => Finance.returns(Tables.events(s, d))),
     "sma_crossover" -> ((s, d) => Finance.smaCrossover(Tables.events(s, d))),
     "max_drawdown"  -> ((s, d) => Finance.maxDrawdown(Tables.events(s, d))),
@@ -2263,6 +2273,33 @@ object SparkEntry {
         |  count(*) AS n_obs,
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, period_key""".stripMargin,
+    "ohlc_weekly_incremental" ->
+      """WITH s AS (SELECT user_id,
+        |  strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS week_key,
+        |  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey,
+        |  value FROM events)
+        |SELECT user_id, week_key,
+        |  round(min_by(value, okey), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max_by(value, okey), 2) AS close,
+        |  count(*) AS n_obs,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, week_key""".stripMargin,
+    "api_series_ohlc" ->
+      """WITH s AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS period_key,
+        |  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey,
+        |  value FROM events WHERE user_id = 1)
+        |SELECT user_id, period_key,
+        |  round(min_by(value, okey), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max_by(value, okey), 2) AS close,
+        |  count(*) AS n_obs,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2
+        |HAVING period_key >= '2024-01-08' AND period_key <= '2024-01-21'
+        |ORDER BY period_key""".stripMargin,
     "returns_daily" ->
       """WITH s AS (SELECT user_id, event_id, value,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)

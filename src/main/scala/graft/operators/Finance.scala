@@ -63,6 +63,32 @@ object Finance {
       .orderBy("user_id", "period_key")
   }
 
+  /** Weekly bars derived ALGEBRAICALLY from daily bars — the
+    * incremental-maintenance property candlesticks share with sums:
+    * open/close carry their order keys, so a coarser bar's open is the
+    * open of the first finer bar (min_by on the bar's own key), high =
+    * max of highs, low = min of lows, counts/turnover add. A recurring
+    * weekly rollup therefore reads |days| rows, never raw ticks —
+    * value-identical to resampling ticks directly (shared oracle
+    * contract, same argument as rollup_incremental). The week key is
+    * the Monday of the ISO week via date_trunc.
+    */
+  def ohlcWeeklyFromDaily(events: DataFrame): DataFrame = {
+    val daily = ohlcResample(events)
+    daily
+      .withColumn("week_key",
+        date_format(date_trunc("week", to_date(col("period_key"))), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("week_key"))
+      .agg(
+        min_by(col("open"), col("period_key")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("period_key")).as("close"),
+        sum(col("n_obs")).as("n_obs"),
+        sum(col("sum_value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "week_key")
+  }
+
   /** Per-series simple returns: value / previous value − 1 over the
     * (ts, id) order. One window shuffle partitioned by series — never
     * a global sort. The division is a single double op on raw parquet

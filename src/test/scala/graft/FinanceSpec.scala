@@ -95,6 +95,25 @@ class FinanceSpec extends SparkSpec {
     assert(r(0).getAs[Double]("notional") === 24.69)
   }
 
+  test("weekly bars from daily partials equal direct weekly resample of ticks") {
+    val ev = Tables.events(spark, sfDir)
+    val fromDaily = Finance.ohlcWeeklyFromDaily(ev)
+    // direct: the same candlestick aggregate at week grain over raw ticks
+    val okey = concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val direct = ev
+      .groupBy(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_key"))
+      .agg(round(min_by(col("value"), okey), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), okey), 2).as("close"),
+        count(lit(1)).as("n_obs"),
+        sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(fromDaily.except(direct).isEmpty && direct.except(fromDaily).isEmpty,
+      "algebraic bar merge must be value-identical to direct resample")
+  }
+
   test("twap: duration-weighted, last tick of the day carries no weight") {
     import spark.implicits._
     // 10.0 held 60 s, 20.0 held 30 s, 99.0 is the day's last tick
