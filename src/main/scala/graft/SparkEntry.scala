@@ -334,6 +334,40 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // all type-pair audience overlaps in ONE pass: per-user type set
+    // (bounded by the type domain), in-row pair explode, one shuffle
+    "audience_overlap" -> ((s, d) =>
+      Analytics.audienceOverlap(Tables.events(s, d))),
+    // gaps-and-islands: consecutive-active-day streaks per user via
+    // the day − row_number island key; user-partitioned windows only
+    "user_streaks" -> ((s, d) => Analytics.userStreaks(Tables.events(s, d))),
+    // source-pair vocabulary Jaccard: word-keyed self-join (work
+    // bounded per word by the source-domain size, not corpus volume)
+    "source_vocab_jaccard" -> ((s, d) =>
+      Corpus.sourceVocabJaccard(Tables.documents(s, d))),
+    // Q7-shaped: nation-pair trade volume; both nation filters pushed
+    // into broadcast dim joins BEFORE the lineitem⋈orders shuffle
+    "q7_nation_volume" -> ((s, d) =>
+      Analytics.nationVolume(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    // Q8-shaped: one nation's market share of a part type in a region,
+    // per year; one aggregate carries conditional + total sums
+    "q8_market_share" -> ((s, d) =>
+      Analytics.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+    // Q15-shaped: max-revenue supplier via one-row broadcast max join,
+    // not a partition-less global window
+    "q15_top_supplier" -> ((s, d) =>
+      Analytics.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // Q17-shaped: decorrelated per-part avg-qty threshold, all-integer
+    // cross-multiplied comparison
+    "q17_small_qty" -> ((s, d) =>
+      Analytics.smallQtyRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q16-shaped: distinct-supplier variety per (brand,type,size) with
+    // the distinct BEFORE the bucket count (no count-distinct shuffle)
+    "q16_supplier_variety" -> ((s, d) =>
+      Analytics.supplierVariety(Tables.lineitem(s, d), Tables.part(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -2223,6 +2257,123 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |j AS (SELECT t1, t2, n_both, sa.n AS n_t1, sb.n AS n_t2,
+        |    sa.n + sb.n - n_both AS n_either
+        |  FROM p JOIN s sa ON t1 = sa.event_type
+        |         JOIN s sb ON t2 = sb.event_type)
+        |SELECT t1, t2, n_both, n_t1, n_t2,
+        |  CAST((n_both * 10000 * 2 + n_either) // (2 * n_either) AS DOUBLE)
+        |    / 10000.0 AS jaccard
+        |FROM j ORDER BY t1, t2""".stripMargin,
+    "user_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+        |      AS island
+        |  FROM d),
+        |g AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, sum(len)::BIGINT AS n_active_days,
+        |  count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "source_vocab_jaccard" ->
+      """WITH sw AS (SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(string_split(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_both
+        |  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |s AS (SELECT source, count(*) AS n FROM sw GROUP BY 1),
+        |j AS (SELECT s1, s2, n_both, sa.n AS n_s1, sb.n AS n_s2,
+        |    sa.n + sb.n - n_both AS n_either
+        |  FROM p JOIN s sa ON s1 = sa.source JOIN s sb ON s2 = sb.source)
+        |SELECT s1, s2, n_both, n_s1, n_s2,
+        |  CAST((n_both * 10000 * 2 + n_either) // (2 * n_either) AS DOUBLE)
+        |    / 10000.0 AS jaccard
+        |FROM j ORDER BY s1, s2""".stripMargin,
+    "q7_nation_volume" ->
+      """WITH nat2 AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |j AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nat2 sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nat2 cn ON c_nationkey = cn.n_nationkey
+        |  WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+        |    AND sn.n_name <> cn.n_name)
+        |SELECT supp_nation, cust_nation, l_year,
+        |  CAST(round(sum(rev), 2) AS DOUBLE) AS revenue, count(*) AS n_lines
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH regnat AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |j AS (SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN regnat ON c_nationkey = regnat.n_nationkey
+        |  WHERE year(o_orderdate) BETWEEN 1995 AND 1997),
+        |a AS (SELECT o_year,
+        |    coalesce(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev END), 0) AS nation_d,
+        |    sum(rev) AS total_d FROM j GROUP BY 1),
+        |c AS (SELECT *, CAST(nation_d * 1000000 AS HUGEINT) AS n_c,
+        |  CAST(total_d * 100 AS HUGEINT) AS d_c FROM a)
+        |SELECT o_year, CAST(round(nation_d, 2) AS DOUBLE) AS nation_revenue,
+        |  CAST(round(total_d, 2) AS DOUBLE) AS total_revenue,
+        |  CAST((n_c * 2 + d_c) // (2 * d_c) AS DOUBLE) / 100.0 AS mkt_share_pct
+        |FROM c ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revs AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT CAST(l_suppkey AS BIGINT) AS suppkey, s_name,
+        |  CAST(round(rev_d, 2) AS DOUBLE) AS total_revenue
+        |FROM revs JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_d = (SELECT max(rev_d) FROM revs)
+        |ORDER BY suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH branded AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |t AS (SELECT l_partkey AS t_partkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS cnt_qty
+        |  FROM branded GROUP BY 1),
+        |f AS (SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS s_d,
+        |    count(*) AS n_small
+        |  FROM branded JOIN t ON l_partkey = t_partkey
+        |  WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty),
+        |c AS (SELECT CAST(s_d * 100 AS HUGEINT) AS cents, n_small FROM f)
+        |SELECT CAST((cents * 2 + 7) // 14 AS DOUBLE) / 100.0 AS avg_yearly,
+        |  n_small FROM c""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt FROM (
+        |  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |    AND p_size IN (1, 4, 7, 10, 13))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     // the bloom is a pass-through for correctness: oracle = the exact
     // semi join the operator ends with
     "bloom_prune_join" ->

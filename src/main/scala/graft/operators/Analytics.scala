@@ -1071,4 +1071,233 @@ object Analytics {
         col("s_name"), col("best_price"))
       .orderBy("l_partkey")
   }
+
+  /** Audience-overlap matrix: for every pair of event types, how many
+    * distinct users did BOTH, plus the exact Jaccard of the two
+    * audiences. The naive form is one self-join per type pair; this
+    * builds ALL pairs in one pass: distinct (user, type) → per-user
+    * type set (bounded by the type-domain size, not by event count) →
+    * in-row pair explode (≤ |types|² per user) → one pair count
+    * shuffle. Audience sizes are a |types|-row broadcast; Jaccard via
+    * inclusion-exclusion in all-integer 4dp.
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(explode(col("types")).as("t1"), col("types"))
+      .select(col("t1"), explode(col("types")).as("t2"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("t1"), col("n").as("n_t1"))), "t1")
+      .join(broadcast(sizes.select(col("event_type").as("t2"), col("n").as("n_t2"))), "t2")
+      .withColumn("n_either", col("n_t1") + col("n_t2") - col("n_both"))
+      .select(col("t1"), col("t2"), col("n_both"), col("n_t1"), col("n_t2"),
+        // Jaccard at 4dp HALF_UP, all-integer: round(10⁴·both/either)
+        (expr("(n_both * 10000 * 2 + n_either) div (2 * n_either)")
+          .cast("double") / 10000.0).as("jaccard"))
+      .orderBy("t1", "t2")
+  }
+
+  /** Gaps-and-islands: consecutive-active-day streaks per user. A
+    * user's distinct active days, grouped into runs of consecutive
+    * dates via the classic `day − row_number` island key — reported as
+    * days active, number of streaks, and the longest streak. All
+    * windows partition BY USER (no global sort); the distinct bounds
+    * window input at one row per (user, day).
+    */
+  def userStreaks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  /** TPC-H Q7-shaped bi-nation volume: revenue shipped between a
+    * nation PAIR (both directions), by supplier nation × customer
+    * nation × ship year. The scale shape: both nation filters are
+    * pushed into broadcast dim joins (supplier⋈nation and
+    * customer⋈nation each prune their fact side BEFORE the fact-fact
+    * shuffle), so the lineitem⋈orders join on orderkey only moves
+    * rows belonging to the two nations — a naive post-join filter
+    * would shuffle the full fact.
+    */
+  def nationVolume(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, supplier: DataFrame,
+                   nation: DataFrame,
+                   natA: String = "NATION_1", natB: String = "NATION_2",
+                   loYear: Int = 1996, hiYear: Int = 1997): DataFrame = {
+    val nat2 = nation.filter(col("n_name").isin(natA, natB))
+    // inner joins against the 2-row nation slice ARE the pushed filter
+    val supN = broadcast(supplier.join(broadcast(nat2),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custN = customer.join(broadcast(nat2),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+        .cast("decimal(4,2)"))
+    lineitem
+      .filter(year(col("l_shipdate")).between(loYear, hiYear))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      // keep only the CROSS-nation directions (a nation shipping to
+      // itself is not "trade between the pair")
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-shaped market share: for one part type sold to one
+    * region's customers, the share of revenue supplied by one nation,
+    * per order year. Plan shape: the part-type filter broadcasts and
+    * prunes lineitem FIRST (highest selectivity), supplier⋈nation
+    * broadcasts unfiltered (every supplier nation participates in the
+    * denominator), the region filter prunes customers via a broadcast
+    * nation⋈region slice. ONE aggregate carries the conditional
+    * (target-nation) and total sums; share is all-integer 4dp.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame, part: DataFrame,
+                  targetRegion: String = "ASIA",
+                  targetNation: String = "NATION_2",
+                  partType: String = "PROMO",
+                  loYear: Int = 1995, hiYear: Int = 1997): DataFrame = {
+    val regNations = broadcast(nation.join(
+        broadcast(region.filter(col("r_name") === targetRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("reg_natkey")))
+    val custReg = customer.join(regNations,
+        col("c_nationkey") === col("reg_natkey"))
+      .select("c_custkey")
+    val supN = broadcast(supplier.join(broadcast(nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+        .cast("decimal(4,2)"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.filter(year(col("o_orderdate")).between(loYear, hiYear))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custReg, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === targetNation, rev)),
+          lit(0)).as("nation_d"),
+        sum(rev).as("total_d"))
+      .withColumn("n_c", (col("nation_d") * 1000000).cast("decimal(38,0)"))
+      .withColumn("d_c", (col("total_d") * 100).cast("decimal(38,0)"))
+      .select(col("o_year"),
+        round(col("nation_d"), 2).cast("double").as("nation_revenue"),
+        round(col("total_d"), 2).cast("double").as("total_revenue"),
+        // 100·nation/total at 4dp HALF_UP, all-integer (promo_pct rule)
+        (expr("(n_c * 2 + d_c) div (2 * d_c)").cast("double") / 100.0)
+          .as("mkt_share_pct"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15-shaped top supplier: revenue per supplier over a
+    * quarter, keep the max-revenue supplier(s). The max is a ONE-ROW
+    * aggregate broadcast back as an equi-join on the exact decimal
+    * cents — never a global window over all suppliers (a window with
+    * no partition key single-partitions the whole supplier set; the
+    * one-row broadcast join is the at-scale form). Ties all survive,
+    * ordered by suppkey, exactly as the spec's view formulation.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  lo: String = "1996-01-01", hi: String = "1996-04-01"): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+        .cast("decimal(4,2)"))
+    val revs = lineitem
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("rev_d"))
+    val top = broadcast(revs.agg(max(col("rev_d")).as("max_d")))
+    revs.join(top, col("rev_d") === col("max_d"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("long").as("suppkey"), col("s_name"),
+        round(col("rev_d"), 2).cast("double").as("total_revenue"))
+      .orderBy("suppkey")
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: average yearly revenue
+    * lost if small orders (qty below 20% of the part's average) were
+    * no longer taken, for one brand. The correlated-subquery threshold
+    * is decorrelated into a per-part aggregate JOINED back to the fact
+    * — and the comparison qty < sum/(5·cnt) is cross-multiplied to
+    * all-integer qty·5·cnt < sum (quantities are integral), so both
+    * engines decide every boundary row identically with zero division.
+    * The brand filter broadcasts and prunes BOTH the aggregate input
+    * and the probe side before any shuffle.
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+                      brand: String = "Brand#12"): DataFrame = {
+    val branded = lineitem.join(
+      broadcast(part.filter(col("p_brand") === brand).select("p_partkey")),
+      col("l_partkey") === col("p_partkey"))
+    val thresholds = branded.groupBy(col("p_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    branded
+      .join(thresholds, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt_qty") < col("sum_qty"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("s_d"),
+        count(lit(1)).as("n_small"))
+      .withColumn("cents", (col("s_d") * 100).cast("decimal(38,0)"))
+      .select(
+        // sum/7.0 rounded 2dp HALF_UP in integer cents: (2c+7) div 14
+        (expr("(cents * 2 + 7) div 14").cast("double") / 100.0)
+          .as("avg_yearly"),
+        col("n_small"))
+  }
+
+  /** TPC-H Q16-shaped supplier variety: how many DISTINCT suppliers
+    * ship each (brand, type, size) bucket, excluding one brand and one
+    * type. partsupp doesn't exist in this schema, so the observed
+    * (partkey, suppkey) pairs in lineitem stand in for it. The
+    * distinct runs on (brand, type, size, suppkey) AFTER the broadcast
+    * part filter prunes the fact — one shuffle, and the final count
+    * per bucket is a plain count over already-distinct rows (no
+    * count-distinct shuffle on top).
+    */
+  def supplierVariety(lineitem: DataFrame, part: DataFrame,
+                      exclBrand: String = "Brand#1",
+                      exclType: String = "PROMO",
+                      sizes: Seq[Int] = Seq(1, 4, 7, 10, 13)): DataFrame = {
+    val dims = broadcast(part
+      .filter(col("p_brand") =!= exclBrand && col("p_type") =!= exclType &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size"))
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(dims, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
 }

@@ -1135,4 +1135,36 @@ object Corpus {
         round(col("s_lp").cast("double") / col("n_tokens"), 4).as("avg_logprob"))
       .orderBy("doc_id")
   }
+
+  /** Pairwise vocabulary Jaccard between sources — the domain-
+    * similarity matrix a mixing recipe reads before merging or
+    * re-weighting crawl sources (two near-identical vocabularies →
+    * candidates for a shared dedup/mixing bucket). One distinct
+    * (source, word) pass, then the pair counts come from a word-keyed
+    * self-join: the shuffle key is the WORD, so the work is
+    * Σ_word |sources(word)|² — bounded by the source-domain size
+    * squared per word, never by corpus volume. Per-source vocabulary
+    * sizes broadcast back; Jaccard all-integer 4dp.
+    */
+  def sourceVocabJaccard(documents: DataFrame): DataFrame = {
+    val sw = documents
+      .select(col("source"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+    val pairs = sw.select(col("source").as("s1"), col("word"))
+      .join(sw.select(col("source").as("s2"), col("word")), "word")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n_s1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n_s2"))), "s2")
+      .withColumn("n_either", col("n_s1") + col("n_s2") - col("n_both"))
+      .select(col("s1"), col("s2"), col("n_both"), col("n_s1"), col("n_s2"),
+        (expr("(n_both * 10000 * 2 + n_either) div (2 * n_either)")
+          .cast("double") / 10000.0).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
 }

@@ -2429,4 +2429,177 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum("ws_tokens")).head().getLong(0)
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
+
+  test("audience overlap: pair counts and Jaccard exact on synthetic users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // users 1,2 did {a,b}; user 3 did {a}; user 4 did {b,c}
+    val ev = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "a"), // dup (1,a) row
+      (4L, 2L, "a"), (5L, 2L, "b"),
+      (6L, 3L, "a"),
+      (7L, 4L, "b"), (8L, 4L, "c"))
+      .map { case (e, u, t) => (e, t0, u, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.audienceOverlap(ev).collect()
+      .map(x => (x.getAs[String]("t1"), x.getAs[String]("t2")) ->
+        (x.getAs[Long]("n_both"), x.getAs[Double]("jaccard"))).toMap
+    // audiences: a={1,2,3}, b={1,2,4}, c={4}
+    // (a,b): both=2, either=4 → 0.5; (b,c): both=1, either=3 → 0.3333
+    assert(r(("a", "b")) === ((2L, 0.5)))
+    assert(r(("b", "c")) === ((1L, 0.3333)))
+    assert(!r.contains(("a", "c")), "no shared user → no row")
+  }
+
+  test("user streaks: islands split exactly on missing days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    // user 1: Jan 1,2,3 then 5 → streaks [3,1]; duplicate same-day
+    // events must not extend a streak. user 2: single day.
+    val ev = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
+      (4L, "2024-01-03"), (5L, "2024-01-05"),
+      (6L, "2024-02-01"))
+      .map { case (e, d) =>
+        (e, ts(d), if (e <= 5) 1L else 2L, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.userStreaks(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_active_days"), x.getAs[Long]("n_streaks"),
+          x.getAs[Long]("longest_streak"))).toMap
+    assert(r(1L) === ((4L, 2L, 3L)))
+    assert(r(2L) === ((1L, 1L, 1L)))
+  }
+
+  test("source vocab jaccard: inclusion-exclusion exact on synthetic sources") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat", "en", "srcA", 11L),   // A vocab {cat, dog}
+      (2L, "dog bird", "en", "srcB", 8L),       // B vocab {dog, bird}
+      (3L, "fish", "en", "srcC", 4L))           // C vocab {fish}
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.sourceVocabJaccard(docs).collect()
+    assert(r.length === 1, "only A∩B share a word")
+    val row = r.head
+    assert((row.getAs[String]("s1"), row.getAs[String]("s2")) === (("srcA", "srcB")))
+    // both=1 (dog), either=3 → 0.3333
+    assert(row.getAs[Long]("n_both") === 1L)
+    assert(row.getAs[Double]("jaccard") === 0.3333)
+  }
+
+  test("q7 nation volume: cross-direction only, exact on synthetic trade") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // supplier 1 in NATION_1, supplier 2 in NATION_2; customer 10 in
+    // NATION_1, customer 20 in NATION_2. Order 100 (cust 20) buys from
+    // supp 1 → (N1 → N2); order 200 (cust 10) from supp 2 → (N2 → N1);
+    // order 300 (cust 10) from supp 1 → same-nation, must be dropped.
+    val nation = Seq((1, "NATION_1", 0), (2, "NATION_2", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, "s1", 1, 0.0), (2L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val customer = Seq((10L, "c10", 1, 0.0, "X"), (20L, "c20", 2, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((100L, 20L), (200L, 10L), (300L, 10L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (100L, 1L, ts("1996-06-01"), 100.0, 0.10),
+      (100L, 1L, ts("1997-06-01"), 50.0, 0.00),
+      (200L, 2L, ts("1996-01-15"), 200.0, 0.50),
+      (300L, 1L, ts("1996-03-01"), 999.0, 0.00),  // same-nation
+      (100L, 1L, ts("1995-01-01"), 777.0, 0.00))  // outside year range
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val r = Analytics.nationVolume(li, orders, customer, supplier, nation)
+      .collect()
+      .map(x => (x.getAs[String]("supp_nation"), x.getAs[String]("cust_nation"),
+        x.getAs[Int]("l_year")) -> x.getAs[Double]("revenue")).toMap
+    assert(r === Map(
+      ("NATION_1", "NATION_2", 1996) -> 90.0,
+      ("NATION_1", "NATION_2", 1997) -> 50.0,
+      ("NATION_2", "NATION_1", 1996) -> 100.0))
+    // real-data sanity: no same-nation groups ever
+    val real = Analytics.nationVolume(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir)).collect()
+    assert(real.forall(x =>
+      x.getAs[String]("supp_nation") != x.getAs[String]("cust_nation")))
+  }
+
+  test("q8 market share: pct consistent with its own sums, bounded") {
+    val rows = Analytics.marketShare(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir), Tables.part(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t, pct) = (r.getAs[Double]("nation_revenue"),
+        r.getAs[Double]("total_revenue"), r.getAs[Double]("mkt_share_pct"))
+      assert(n >= 0 && n <= t)
+      assert(pct >= 0 && pct <= 100)
+      assert(math.abs(pct - 100.0 * n / t) < 0.01)
+    }
+  }
+
+  test("q15 top supplier: all rows carry the global max, no global window") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Analytics.topSupplier(li, Tables.supplier(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "Q15 must broadcast a one-row max, not window")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // recompute the max brute-force over the same quarter
+    val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)"))
+    val best = li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey").agg(round(sum(rev), 2).cast("double").as("r"))
+      .agg(max("r")).head().getDouble(0)
+    rows.foreach(r => assert(r.getAs[Double]("total_revenue") === best))
+  }
+
+  test("q17 small-qty threshold decides boundary rows exactly") {
+    import spark.implicits._
+    // part 1: qtys 1,4,4,4,4,4 → sum=21, cnt=6, avg=3.5, 0.2·avg=0.7 →
+    // only qty<0.7 qualifies: none (qty 1 is NOT < 0.7)… so use a mix
+    // where exactly the qty-1 rows clear the bar: qtys 1,9,9,9,9,9 →
+    // sum=46, cnt=6, 0.2·avg≈1.533 → qty 1 qualifies (1·5·6=30 < 46),
+    // qty 9 doesn't (270 > 46). Boundary: qty·5·cnt == sum must NOT
+    // qualify (strict <): part 2 qtys 2,2,2,2,2 → 2·5·5=50 == sum? sum
+    // =10 → 50<10 false; use part 2 qtys 4,16 → sum=20, cnt=2: qty 4 →
+    // 4·5·2=40 < 20 false; avg=10, 0.2avg=2 → nothing qualifies. Good
+    // as an all-excluded control.
+    val li = Seq(
+      (1L, 1.0, 100.0), (1L, 9.0, 10.0), (1L, 9.0, 10.0),
+      (1L, 9.0, 10.0), (1L, 9.0, 10.0), (1L, 9.0, 10.0),
+      (2L, 4.0, 55.0), (2L, 16.0, 66.0),
+      (3L, 1.0, 999.0)) // Brand#99 part — excluded by the brand filter
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#12"), (2L, "Brand#12"), (3L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+    val r = Analytics.smallQtyRevenue(li, part).head()
+    assert(r.getAs[Long]("n_small") === 1L)
+    // 100.00 / 7 = 14.285714… → cents (2·10000+7) div 14 = 1429 → 14.29
+    assert(r.getAs[Double]("avg_yearly") === 14.29)
+  }
+
+  test("q16 variety counts distinct suppliers once per bucket") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L),   // part 1: suppliers {10, 20}
+      (2L, 10L),                          // part 2 same bucket as 1
+      (3L, 30L))                          // excluded brand
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq(
+      (1L, "Brand#2", "SMALL", 1), (2L, "Brand#2", "SMALL", 1),
+      (3L, "Brand#1", "SMALL", 1))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val r = Analytics.supplierVariety(li, part).collect()
+    assert(r.length === 1)
+    // bucket (Brand#2, SMALL, 1): suppliers {10, 20} — the duplicate
+    // (1,10) row and the second part in the bucket must not inflate
+    assert(r.head.getAs[Long]("supplier_cnt") === 2L)
+  }
 }

@@ -57,7 +57,14 @@ class PlanGuardSpec extends SparkSpec {
     "bloom_prune_join",
     // q14_promo_revenue: the whole query IS one global one-row
     // aggregate (promo + total sums) — same contract as dq_report
-    "q14_promo_revenue")
+    "q14_promo_revenue",
+    // q15_top_supplier: the one-row global max-revenue reduce off the
+    // per-supplier aggregate, broadcast back as the top filter — the
+    // at-scale replacement for a partition-less window
+    "q15_top_supplier",
+    // q17_small_qty: the whole query ends in one global one-row
+    // aggregate (revenue sum + count) — same contract as q14
+    "q17_small_qty")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
