@@ -334,6 +334,28 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // market-basket lift: pair explode bounded by lines-per-order²,
+    // one-row order total + part counts broadcast, TakeOrdered top-k
+    "basket_affinity" -> ((s, d) =>
+      Analytics.basketAffinity(Tables.lineitem(s, d))),
+    // Lorenz curve without a global customer sort: bounded ≤10001-row
+    // basis-point histogram carries the only global window
+    "revenue_concentration" -> ((s, d) =>
+      Analytics.revenueConcentration(Tables.orders(s, d))),
+    // ordered view→click→purchase depth per session: stacked windows
+    // over ONE (user, session) partitioning, constant 4-row output
+    "session_funnel" -> ((s, d) => Analytics.sessionFunnel(Tables.events(s, d))),
+    // exact trailing-28-day MAU via a bounded ×window explode of the
+    // DEDUPLICATED (user, day) table — never a per-day window scan
+    "rolling_active_users" -> ((s, d) =>
+      Analytics.rollingActiveUsers(Tables.events(s, d))),
+    // click→purchase lag histogram: as-of via ONE user-partitioned
+    // window (no self-join), output bounded at 24·maxDays rows
+    "conversion_lag" -> ((s, d) => Analytics.conversionLag(Tables.events(s, d))),
+    // bigram-LM cross-entropy proxy: transition-level doc scoring the
+    // unigram doc_logprob can't see; 6dp-decimal log terms, engine-exact
+    "doc_logprob_bigram" -> ((s, d) =>
+      Corpus.docLogprobBigram(Tables.documents(s, d))),
     // all type-pair audience overlaps in ONE pass: per-user type set
     // (bounded by the type domain), in-row pair explode, one shuffle
     "audience_overlap" -> ((s, d) =>
@@ -2257,6 +2279,106 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "basket_affinity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY 1),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+        |j AS (SELECT p1, p2, n_both, sa.n AS n_p1, sb.n AS n_p2, n_orders
+        |  FROM p JOIN s sa ON p1 = sa.l_partkey
+        |         JOIN s sb ON p2 = sb.l_partkey, t)
+        |SELECT p1, p2, n_both, n_p1, n_p2,
+        |  CAST((n_orders * n_both * 10000 * 2 + n_p1 * n_p2)
+        |    // (2 * n_p1 * n_p2) AS DOUBLE) / 10000.0 AS lift
+        |FROM j ORDER BY n_both DESC, p1, p2 LIMIT 100""".stripMargin,
+    "revenue_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT max(cents) // 10000 + 1 AS bucket_step,
+        |    sum(cents) AS tot_cents, count(*) AS tot_cust FROM rev),
+        |h AS (SELECT cents // bucket_step AS bucket, count(*) AS n_customers,
+        |    sum(cents) AS bucket_cents FROM rev, st GROUP BY 1),
+        |c AS (SELECT bucket, n_customers,
+        |    sum(n_customers) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS cum_customers,
+        |    sum(bucket_cents) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS cum_cents
+        |  FROM h)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_customers,
+        |  CAST(cum_customers AS BIGINT) AS cum_customers,
+        |  CAST((cum_customers * 10000 * 2 + tot_cust) // (2 * tot_cust) AS BIGINT)
+        |    AS cum_cust_bp,
+        |  CAST((cum_cents * 10000 * 2 + tot_cents) // (2 * tot_cents) AS BIGINT)
+        |    AS cum_revenue_bp
+        |FROM c, st ORDER BY bucket""".stripMargin,
+    "session_funnel" ->
+      """WITH lagd AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |sess AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM lagd),
+        |pos AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id) AS rn FROM sess),
+        |vv AS (SELECT *, min(CASE WHEN event_type = 'view' THEN rn END)
+        |    OVER (PARTITION BY user_id, session_id) AS v FROM pos),
+        |cc AS (SELECT *, min(CASE WHEN event_type = 'click' AND rn > v THEN rn END)
+        |    OVER (PARTITION BY user_id, session_id) AS c FROM vv),
+        |pp AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > c THEN rn END)
+        |    OVER (PARTITION BY user_id, session_id) AS p FROM cc),
+        |d AS (SELECT user_id, session_id,
+        |    max(CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2
+        |      WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        |  FROM pp GROUP BY 1, 2)
+        |SELECT depth, count(*) AS n_sessions FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |contrib AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS wday
+        |  FROM ud, generate_series(0, 27) g(x)),
+        |mau AS (SELECT wday AS day, count(*) AS mau FROM contrib GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, mau,
+        |  CAST((dau * 10000 * 2 + mau) // (2 * mau) AS DOUBLE) / 10000.0
+        |    AS stickiness
+        |FROM dau d JOIN mau m USING (day) ORDER BY day""".stripMargin,
+    "conversion_lag" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |m AS (SELECT user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM ev),
+        |l AS (SELECT (epoch_us(ts) - epoch_us(last_click)) // 1000000 AS lag_secs
+        |  FROM m WHERE event_type = 'purchase' AND last_click IS NOT NULL),
+        |f AS (SELECT lag_secs FROM l WHERE lag_secs <= 7 * 86400)
+        |SELECT lag_secs // 3600 AS lag_hours, count(*) AS n_conversions
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_logprob_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, count(*)::BIGINT AS cnt
+        |  FROM g0 GROUP BY 1, 2, 3),
+        |b AS (SELECT w1, w2, sum(cnt)::BIGINT AS c12 FROM c GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM b GROUP BY 1),
+        |s AS (SELECT b.w1, b.w2,
+        |    CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM b JOIN ctx USING (w1)),
+        |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_bigrams,
+        |    sum(c.cnt * s.lp) AS s_lp
+        |  FROM c JOIN s ON c.w1 = s.w1 AND c.w2 = s.w2 GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(s_lp AS DOUBLE) / n_bigrams, 4) AS avg_logprob
+        |FROM d ORDER BY doc_id""".stripMargin,
     "audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both

@@ -1072,6 +1072,167 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Market-basket affinity: for part pairs bought together in the
+    * same order, the co-occurrence count and LIFT (observed co-rate vs
+    * the independence expectation). The pair explode is a self-join on
+    * ORDERKEY — per-order work is bounded by lines-per-order², never
+    * by part-domain² (the naive part×part matrix) — and the output is
+    * a TakeOrdered top-k. Lift is exact-rational at 4dp: the one-row
+    * order total and the per-part order counts broadcast back, and
+    * N·n_both / (n₁·n₂) evaluates in all-integer arithmetic.
+    */
+  def basketAffinity(lineitem: DataFrame, minBoth: Int = 3,
+                     k: Int = 100): DataFrame = {
+    val op = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    val sizes = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val total = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(sizes.select(col("l_partkey").as("p1"), col("n").as("n_p1"))), "p1")
+      .join(broadcast(sizes.select(col("l_partkey").as("p2"), col("n").as("n_p2"))), "p2")
+      .crossJoin(broadcast(total))
+      .select(col("p1"), col("p2"), col("n_both"), col("n_p1"), col("n_p2"),
+        // lift = N·both/(n1·n2) at 4dp HALF_UP, all-integer
+        (expr("(n_orders * n_both * 10000 * 2 + n_p1 * n_p2) div (2 * n_p1 * n_p2)")
+          .cast("double") / 10000.0).as("lift"))
+      .orderBy(col("n_both").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  /** Revenue-concentration (Lorenz) curve at basis-point granularity:
+    * per-customer revenue bucketed into ≤10001 relative-to-max cents
+    * buckets, with cumulative customer and revenue shares. The curve
+    * answers "what share of revenue do the top X% of customers carry"
+    * WITHOUT a global sort of customers: the only global stage is the
+    * cumulative window over the bounded histogram (constant-size at
+    * any customer count — the curriculum_order contract). Bucketing
+    * divides by a max-derived step instead of multiplying cents (no
+    * overflow at any revenue), and every share is all-integer basis
+    * points, so both engines reproduce the curve bit-for-bit.
+    */
+  def revenueConcentration(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    val step = broadcast(rev.agg(
+      (expr("max(cents) div 10000") + lit(1)).as("bucket_step"),
+      sum(col("cents")).as("tot_cents"),
+      count(lit(1)).as("tot_cust")))
+    val hist = rev.crossJoin(step)
+      .groupBy(expr("cents div bucket_step").as("bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("bucket_cents"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_customers", sum("n_customers").over(w))
+      .withColumn("cum_cents", sum("bucket_cents").over(w))
+      .crossJoin(step)
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_customers"), col("cum_customers"),
+        expr("(cum_customers * 10000 * 2 + tot_cust) div (2 * tot_cust)")
+          .cast("long").as("cum_cust_bp"),
+        expr("(cum_cents * 10000 * 2 + tot_cents) div (2 * tot_cents)")
+          .cast("long").as("cum_revenue_bp"))
+      .orderBy("bucket")
+  }
+
+  /** Within-session ordered funnel: how deep each session progresses
+    * through view → click → purchase, IN ORDER (a purchase before the
+    * session's first view-then-click chain doesn't count). Sessions
+    * are the same gap rule as [[sessionize]]; the three sequential
+    * first-occurrence lookups are stacked windows over ONE
+    * (user, session) partitioning — one shuffle, three in-partition
+    * passes, no self-joins. Output is a constant ≤4-row depth table.
+    */
+  def sessionFunnel(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser) > gapSec, 1
+    ).otherwise(0)
+    val sessioned = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("session_id", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id")
+          .orderBy(col("ts"), col("event_id"))))
+    val ws = Window.partitionBy("user_id", "session_id")
+    val staged = sessioned
+      .withColumn("v", min(when(col("event_type") === "view", col("rn"))).over(ws))
+      .withColumn("c", min(when(col("event_type") === "click" &&
+        col("rn") > col("v"), col("rn"))).over(ws))
+      .withColumn("p", min(when(col("event_type") === "purchase" &&
+        col("rn") > col("c"), col("rn"))).over(ws))
+    staged
+      .groupBy("user_id", "session_id")
+      .agg(max(when(col("p").isNotNull, 3)
+        .when(col("c").isNotNull, 2)
+        .when(col("v").isNotNull, 1)
+        .otherwise(0)).as("depth"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("depth")
+  }
+
+  /** Rolling DAU/MAU engagement: per active day, the distinct users
+    * that day (DAU), the distinct users over the trailing `window`
+    * days (MAU), and the DAU/MAU stickiness ratio. Exact trailing
+    * distinct counts without a per-day window scan: each distinct
+    * (user, day) row fans out to the ≤`window` future report days it
+    * participates in — a BOUNDED ×window explode of the already-
+    * deduplicated activity table (not of raw events), then one
+    * distinct + count per day. Days with zero activity are not
+    * reported (inner join with the DAU side).
+    */
+  def rollingActiveUsers(events: DataFrame, window: Int = 28): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), window - 1))).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        // DAU/MAU at 4dp HALF_UP, all-integer
+        (expr("(dau * 10000 * 2 + mau) div (2 * mau)").cast("double") / 10000.0)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Click→purchase conversion-lag histogram: for every purchase, the
+    * time since the user's most recent preceding click (≤ `maxDays`
+    * back), bucketed by hour. The as-of lookup is ONE user-partitioned
+    * window (`last(click_ts) ignoring nulls` over the time-ordered
+    * event stream — no self-join), and the output is a bounded
+    * ≤ 24·maxDays-row histogram at any event volume. Ties at the same
+    * timestamp order by event_id, so click-vs-purchase races resolve
+    * identically in every engine.
+    */
+  def conversionLag(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click").isNotNull)
+      .withColumn("lag_secs",
+        expr("(unix_micros(ts) - unix_micros(last_click)) div 1000000"))
+      .filter(col("lag_secs") <= maxDays.toLong * 86400L)
+      .groupBy(expr("lag_secs div 3600").as("lag_hours"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("lag_hours")
+  }
+
   /** Audience-overlap matrix: for every pair of event types, how many
     * distinct users did BOTH, plus the exact Jaccard of the two
     * audiences. The naive form is one self-join per type pair; this

@@ -1136,6 +1136,49 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM document scoring — the KenLM-filter analog one order up
+    * from [[docLogprob]]: per-doc average conditional bigram
+    * log-probability log c(w₁w₂)/c(w₁·) under the corpus' own bigram
+    * counts. Context totals c(w₁·) come FROM the bigram table (so the
+    * conditional distribution sums to 1 over observed continuations),
+    * making the score a proper cross-entropy proxy: low = the doc's
+    * word transitions are unusual for the corpus (gibberish, shuffled
+    * text, wrong domain) even when every individual word is common —
+    * exactly what unigram scoring can't see. Same engine-exactness
+    * rule as docLogprob: log rounded to 6dp decimal per bigram, so
+    * summation order can't drift the result.
+    *
+    * Scale shape: one (doc, bigram) aggregate (the corpus token
+    * stream's only shuffle), corpus bigram/context counts derived from
+    * it by re-aggregation, and a word-keyed join back — no
+    * corpus-sized driver state, nothing quadratic.
+    */
+  def docLogprobBigram(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"),
+        split(TextAnalysis.normalizeWs(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> named_struct('w1', ws[i], 'w2', ws[i + 1]))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+    val bigrams = grams.groupBy("w1", "w2").agg(sum(col("cnt")).as("c12"))
+    val contexts = bigrams.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val scored = bigrams.join(contexts, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c12").cast("double") / col("c1")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    grams.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lp")).as("s_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s_lp").cast("double") / col("n_bigrams"), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Pairwise vocabulary Jaccard between sources — the domain-
     * similarity matrix a mixing recipe reads before merging or
     * re-weighting crawl sources (two near-identical vocabularies →

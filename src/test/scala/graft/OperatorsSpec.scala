@@ -2430,6 +2430,144 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("basket affinity: pair counts, lift, and min-support exact") {
+    import spark.implicits._
+    // orders: {1,2} ×3 (lift support), {1,3} ×1 (below minBoth)
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 1L), // dup line must not double-count
+      (200L, 1L), (200L, 2L),
+      (300L, 1L), (300L, 2L),
+      (400L, 1L), (400L, 3L),
+      (500L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Analytics.basketAffinity(li, minBoth = 3, k = 10).collect()
+    assert(r.length === 1, "only the {1,2} pair clears min support")
+    val row = r.head
+    assert((row.getAs[Long]("p1"), row.getAs[Long]("p2")) === ((1L, 2L)))
+    assert(row.getAs[Long]("n_both") === 3L)
+    // N=5 orders, n1=4, n2=3 → lift = 5·3/(4·3) = 1.25
+    assert(row.getAs[Double]("lift") === 1.25)
+  }
+
+  test("revenue concentration: cumulative shares reach 100% and are monotone") {
+    val out = Analytics.revenueConcentration(Tables.orders(spark, sfDir)).collect()
+    assert(out.nonEmpty && out.length <= 10001)
+    val last = out.last
+    assert(last.getAs[Long]("cum_cust_bp") === 10000L)
+    assert(last.getAs[Long]("cum_revenue_bp") === 10000L)
+    // Lorenz property: sorted ascending by revenue bucket, the
+    // revenue share can never exceed the customer share
+    out.foreach { r =>
+      assert(r.getAs[Long]("cum_revenue_bp") <= r.getAs[Long]("cum_cust_bp") + 1,
+        s"bucket ${r.getAs[Long]("bucket")}")
+    }
+    val cum = out.map(_.getAs[Long]("cum_customers"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+  }
+
+  test("session funnel: order-sensitive depth on synthetic sessions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(secs: Long) = new Timestamp(t0.getTime + secs * 1000)
+    val ev = Seq(
+      // user 1 session A: view → click → purchase (depth 3)
+      (1L, plus(0), 1L, "view"), (2L, plus(10), 1L, "click"),
+      (3L, plus(20), 1L, "purchase"),
+      // user 1 session B (gap > 1800 s): purchase BEFORE view→click —
+      // order matters: depth is 2 (view→click), not 3
+      (4L, plus(4000), 1L, "purchase"), (5L, plus(4010), 1L, "view"),
+      (6L, plus(4020), 1L, "click"),
+      // user 2: error only → depth 0
+      (7L, plus(0), 2L, "error"),
+      // user 3: click then view, no click after view → depth 1
+      (8L, plus(0), 3L, "click"), (9L, plus(10), 3L, "view"))
+      .map { case (e, t, u, ty) => (e, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.sessionFunnel(ev).collect()
+      .map(x => x.getAs[Int]("depth") -> x.getAs[Long]("n_sessions")).toMap
+    assert(r === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("rolling DAU/MAU: window expiry and stickiness exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    // user 1 active Jan 1 and Feb 9 (39 days later — outside the
+    // 28-day window); user 2 active Jan 1 only. Feb 9's MAU must NOT
+    // count user 1's January activity.
+    val ev = Seq(
+      (1L, ts("2024-01-01"), 1L), (2L, ts("2024-01-01"), 1L), // same-day dup
+      (3L, ts("2024-01-01"), 2L),
+      (4L, ts("2024-02-09"), 1L))
+      .map { case (e, t, u) => (e, t, u, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.rollingActiveUsers(ev).collect()
+      .map(x => x.getAs[String]("day") ->
+        (x.getAs[Long]("dau"), x.getAs[Long]("mau"),
+          x.getAs[Double]("stickiness"))).toMap
+    assert(r("2024-01-01") === ((2L, 2L, 1.0)))
+    assert(r("2024-02-09") === ((1L, 1L, 1.0)))
+    assert(r.size === 2, "only days with activity are reported")
+    // a second user inside the window changes MAU but not DAU
+    val ev2 = ev.union(Seq((5L, ts("2024-01-20"), 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r2 = Analytics.rollingActiveUsers(ev2).collect()
+      .map(x => x.getAs[String]("day") ->
+        (x.getAs[Long]("dau"), x.getAs[Long]("mau"),
+          x.getAs[Double]("stickiness"))).toMap
+    // Feb 9: user 2 active Jan 20 (20 days back, inside 28) → MAU 2
+    assert(r2("2024-02-09") === ((1L, 2L, 0.5)))
+  }
+
+  test("conversion lag: as-of window, cutoffs, and hour buckets exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(secs: Long) = new Timestamp(t0.getTime + secs * 1000)
+    val ev = Seq(
+      // user 1: click, purchase 90 min later → bucket 1
+      (1L, t0, 1L, "click"), (2L, plus(5400), 1L, "purchase"),
+      // user 2: purchase with NO prior click → dropped
+      (3L, t0, 2L, "purchase"),
+      // user 3: click then purchase 8 days later → outside 7d cutoff
+      (4L, t0, 3L, "click"), (5L, plus(8L * 86400), 3L, "purchase"),
+      // user 4: click and purchase at the SAME ts (click's event_id
+      // lower → visible) → lag 0, bucket 0
+      (6L, t0, 4L, "click"), (7L, t0, 4L, "purchase"),
+      // user 5: two clicks then purchase — lag from the LATEST click
+      (8L, t0, 5L, "click"), (9L, plus(7200), 5L, "click"),
+      (10L, plus(7200 + 60), 5L, "purchase")) // 60 s after 2nd click → bucket 0
+      .map { case (e, t, u, ty) => (e, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.conversionLag(ev).collect()
+      .map(x => x.getAs[Long]("lag_hours") -> x.getAs[Long]("n_conversions")).toMap
+    assert(r === Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("bigram logprob: conditional transitions exact on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a c", "en", "s", 3L),
+      (3L, "solo", "en", "s", 4L)) // single token → no bigrams → excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.docLogprobBigram(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_logprob"))).toMap
+    // corpus bigrams: (a,b)=2, (b,a)=1, (a,c)=1 → ctx a=3, b=1
+    // lp(a,b)=ln(2/3), lp(b,a)=ln(1/1)=0, lp(a,c)=ln(1/3), each 6dp
+    val lpAB = BigDecimal(math.log(2.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAC = BigDecimal(math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L) === ((3L, r4((2 * lpAB + 0.0) / 3))))
+    assert(r(2L) === ((1L, r4(lpAC))))
+  }
+
   test("audience overlap: pair counts and Jaccard exact on synthetic users") {
     import spark.implicits._
     import java.sql.Timestamp

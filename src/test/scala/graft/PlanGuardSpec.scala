@@ -64,7 +64,14 @@ class PlanGuardSpec extends SparkSpec {
     "q15_top_supplier",
     // q17_small_qty: the whole query ends in one global one-row
     // aggregate (revenue sum + count) — same contract as q14
-    "q17_small_qty")
+    "q17_small_qty",
+    // basket_affinity: the one-row order-total reduce (broadcast back
+    // for the lift denominator) + the TakeOrdered top-k tail
+    "basket_affinity",
+    // revenue_concentration: the one-row (step, totals) reduce and the
+    // cumulative window over the ≤10001-row basis-point histogram —
+    // constant-size at any customer count (curriculum_order contract)
+    "revenue_concentration")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
@@ -102,7 +109,10 @@ class PlanGuardSpec extends SparkSpec {
     "doc_logprob",
     // bloom_prune_join: the one-row bloom frame (constant kilobytes)
     // cross-joined across the fact — the runtime-filter broadcast
-    "bloom_prune_join")
+    "bloom_prune_join",
+    // basket_affinity / revenue_concentration: one-row totals frames
+    // cross-joined back (same bounded contract as skew_report)
+    "basket_affinity", "revenue_concentration")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
