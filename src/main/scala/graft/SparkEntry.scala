@@ -334,6 +334,19 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q6-shaped predicate-only scan: the purest pushdown probe
+    "q6_forecast_revenue" -> ((s, d) =>
+      Analytics.forecastRevenue(Tables.lineitem(s, d))),
+    // Q9-shaped profit by (supplier nation, year) with the explicit
+    // 0.5·retail·qty cost convention (no partsupp in this schema)
+    "q9_profit_nation" -> ((s, d) =>
+      Analytics.profitByNation(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.part(s, d))),
+    // MoM growth per region: region-partitioned lag window, signed
+    // growth via positive-operand integer identity
+    "region_mom_growth" -> ((s, d) =>
+      Analytics.regionMomGrowth(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d))),
     // market-basket lift: pair explode bounded by lines-per-order²,
     // one-row order total + part counts broadcast, TakeOrdered top-k
     "basket_affinity" -> ((s, d) =>
@@ -478,6 +491,14 @@ object SparkEntry {
     "embed_drift" -> ((s, d) => Similarity.embedDrift(Tables.embeddings(s, d))),
     // bit-reproducible per-(label, dim) quantized centroid report
     "label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // distributed PCA: power iteration with d-element driver state and
+    // per-step 6dp re-sync (engine trajectories re-lock every rounding)
+    "embed_pca_power" -> ((s, d) =>
+      Similarity.embedPcaPower(Tables.embeddings(s, d))),
+    // contrastive-training hard negatives: ANN top-k minus any
+    // candidate sharing a word 8-gram with the query document
+    "hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.documents(s, d), Tables.embeddings(s, d))),
     // gate form: deterministic columns only — the raw sketch estimates
     // are implementation-defined across engines, so the gate hashes the
     // exact companion values plus in-bound booleans (the full report
@@ -914,6 +935,35 @@ object SparkEntry {
     * projection bits, pair join within buckets, exact-cosine verify —
     * the Spark plan re-expressed over DuckDB primitives.
     */
+  /** Unrolled power-iteration oracle: `iters` chained CTE blocks, each
+    * replaying one Spark iteration — sequential-fold dot (list_reduce
+    * starts at the first element; Spark's 0.0-seeded fold adds an
+    * exact 0.0+x first step, so the float sequences are identical),
+    * 6dp-rounded per-row contributions summed as exact DECIMAL, and a
+    * 6dp re-normalized vector. The per-step rounding is what makes an
+    * 8-step float trajectory hash-comparable across engines.
+    */
+  private def pcaPowerOracle(iters: Int, d: Int): String = {
+    val v0 = java.math.BigDecimal.valueOf(1.0 / math.sqrt(d.toDouble))
+      .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+    val sb = new StringBuilder
+    sb.append("WITH emb AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n")
+    sb.append(s"v0 AS MATERIALIZED (SELECT CAST(x AS INTEGER) AS dim, CAST($v0 AS DOUBLE) AS v FROM generate_series(0, ${d - 1}) g0(x))")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(s""",
+        |vl$t AS MATERIALIZED (SELECT list(v ORDER BY dim) AS vl FROM v$p),
+        |d$t AS MATERIALIZED (SELECT e, round(list_reduce(list_transform(generate_series(1, $d), i -> e[i] * vl[i]), (a, b) -> a + b), 6) AS dot FROM emb, vl$t),
+        |w$t AS MATERIALIZED (SELECT CAST(i - 1 AS INTEGER) AS dim, sum(CAST(round(e[i] * dot, 6) AS DECIMAL(28,6))) AS w FROM d$t, generate_series(1, $d) gs$t(i) GROUP BY 1),
+        |n$t AS MATERIALIZED (SELECT sqrt(sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS nrm FROM w$t),
+        |v$t AS MATERIALIZED (SELECT dim, round(CAST(w AS DOUBLE) / nrm, 6) AS v FROM w$t, n$t)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT dim, v AS component, round(nrm, 4) AS eigenvalue
+      |FROM v$iters, n$iters ORDER BY dim""".stripMargin)
+    sb.toString
+  }
+
   private def embedNearDupOracle(threshold: Double): String = {
     def bucket(c: Int): String =
       (0 until 4).map(j => s"${1 << j} * b${4 * c + j}").mkString(" + ")
@@ -1053,6 +1103,25 @@ object SparkEntry {
         |true AS within_bound
         |FROM s CROSS JOIN t GROUP BY p, n ORDER BY p""".stripMargin,
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
+    "embed_pca_power" -> pcaPowerOracle(8, 64),
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |qg AS (SELECT DISTINCT doc_id AS query_id, gram FROM g
+        |  WHERE doc_id % 50 = 0 AND doc_id < 500),
+        |ov AS (SELECT DISTINCT qg.query_id, g.doc_id AS vec_id
+        |  FROM g JOIN qg USING (gram) WHERE g.doc_id <> qg.query_id),
+        |f AS (SELECT s.query_id, s.vec_id, s.cos_sim FROM s
+        |  ANTI JOIN ov ON s.query_id = ov.query_id AND s.vec_id = ov.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM f)
+        |SELECT query_id, vec_id, cos_sim, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
     "decontaminate_semantic" -> semanticDecontamOracle(10, 0.35),
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),
     "dedup_minhash_lsh" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
@@ -2279,6 +2348,46 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue_delta,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q9_profit_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) *
+        |    CAST(l_quantity AS DECIMAL(3,0)) * CAST(0.5 AS DECIMAL(2,1))), 2)
+        |    AS DOUBLE) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "region_mom_growth" ->
+      """WITH m AS (SELECT r_name, strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |l AS (SELECT *, lag(cents) OVER (PARTITION BY r_name ORDER BY month)
+        |    AS prev_cents FROM m)
+        |SELECT r_name, month,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(prev_cents AS DOUBLE) / 100.0 AS prev_revenue,
+        |  CASE WHEN prev_cents IS NOT NULL THEN
+        |    CAST((cents * 10000 * 2 + prev_cents) // (2 * prev_cents) AS BIGINT)
+        |      - 10000 END AS growth_bp
+        |FROM l ORDER BY r_name, month""".stripMargin,
     "basket_affinity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both

@@ -1072,6 +1072,93 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** TPC-H Q6-shaped forecast-revenue delta: ONE predicate-only scan
+    * (no joins) summing price·discount over a date / discount-band /
+    * quantity slice — the canonical "how much revenue would a policy
+    * change move" probe, and the purest pushdown test in the suite:
+    * every filter must reach the parquet reader, and the aggregate is
+    * one map-side-combined row.
+    */
+  def forecastRevenue(lineitem: DataFrame,
+                      lo: String = "1996-01-01", hi: String = "1997-01-01",
+                      discLo: String = "0.05", discHi: String = "0.07",
+                      qtyMax: Int = 24): DataFrame = {
+    val disc = col("l_discount").cast("decimal(4,2)")
+    lineitem
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp") &&
+        disc.between(lit(discLo).cast("decimal(4,2)"), lit(discHi).cast("decimal(4,2)")) &&
+        col("l_quantity") < qtyMax)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") * disc), 2)
+        .cast("double").as("revenue_delta"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q9-shaped product-line profit by (supplier nation, year).
+    * The schema has no partsupp cost table, so cost is the explicit
+    * convention 0.5 · p_retailprice · l_quantity (both engines state
+    * it identically — the join/aggregate shape is what's under test,
+    * not the costing model). Part-name filter broadcasts and prunes
+    * the fact first; supplier⋈nation broadcasts; the only fact-fact
+    * shuffle is lineitem⋈orders on orderkey for the order year. All
+    * money stays decimal.
+    */
+  def profitByNation(lineitem: DataFrame, orders: DataFrame,
+                     supplier: DataFrame, nation: DataFrame, part: DataFrame,
+                     namePattern: String = "%widget%"): DataFrame = {
+    val supN = broadcast(supplier.join(broadcast(nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    val profit =
+      col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+          .cast("decimal(4,2)") -
+      col("p_retailprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(3,0)") * lit("0.5").cast("decimal(2,1)")
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profit), 2).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Month-over-month growth per region: regional monthly revenue with
+    * the previous month's value and signed basis-point growth. The lag
+    * window partitions BY REGION (never a global sort), and growth is
+    * the all-integer identity (cur·10⁴·2 + prev) div (2·prev) − 10⁴ —
+    * positive operands only, so floor- vs truncate-division engines
+    * can't disagree on negative growth months.
+    */
+  def regionMomGrowth(region: DataFrame, nation: DataFrame,
+                      customer: DataFrame, orders: DataFrame): DataFrame = {
+    val dims = broadcast(customer.join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name")))
+    val monthly = orders
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    val w = Window.partitionBy("r_name").orderBy("month")
+    monthly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("r_name"), col("month"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        (col("prev_cents").cast("double") / 100.0).as("prev_revenue"),
+        when(col("prev_cents").isNotNull,
+          expr("(cents * 10000 * 2 + prev_cents) div (2 * prev_cents)") - 10000L)
+          .as("growth_bp"))
+      .orderBy("r_name", "month")
+  }
+
   /** Market-basket affinity: for part pairs bought together in the
     * same order, the co-occurrence count and LIFT (observed co-rate vs
     * the independence expectation). The pair explode is a self-join on

@@ -563,4 +563,98 @@ object Similarity {
           .as("shift_mq"))
       .orderBy("label")
   }
+
+  /** Distributed top principal component via POWER ITERATION — PCA
+    * without ever materializing the d×d gram matrix or shipping rows
+    * to the driver: each iteration is one scan computing
+    * w = Σᵢ xᵢ·(xᵢ·v), and the only driver state is the d-element
+    * vector itself (kilobytes — the codebook contract), so the same
+    * loop runs unchanged over 10¹¹ rows. Engine-exactness is by
+    * PER-STEP RE-SYNC: the per-row dot is a sequential left fold
+    * rounded to 6dp, each row's per-dimension contribution is rounded
+    * to 6dp DECIMAL before the (order-independent, exact) sum, and the
+    * normalized vector re-rounds to 6dp each iteration — both engines
+    * re-lock to identical state at every rounding point, so float
+    * summation order can never drift the trajectory. Uncentered (the
+    * dominant direction of the raw second moment); `eigenvalue` is
+    * ‖w‖ of the final step — the second-moment operator norm estimate.
+    */
+  def embedPcaPower(embeddings: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embeddings.select(col("embedding").cast("array<double>").as("e"))
+    val d = emb.select(size(col("e"))).head().getInt(0)
+    // deterministic start: the uniform unit direction, 6dp
+    var v: Array[Double] = Array.fill(d)(
+      BigDecimal.valueOf(1.0 / math.sqrt(d.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    var eig = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit(_)): _*)
+      val dots = emb.withColumn("dot",
+        round(aggregate(zip_with(col("e"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6))
+      // bounded d-row aggregate; the ONLY thing that leaves the cluster
+      val w: Array[java.math.BigDecimal] = dots
+        .select(col("dot"), posexplode(col("e")).as(Seq("dim", "x")))
+        .select(col("dim"),
+          round(col("x") * col("dot"), 6).cast("decimal(28,6)").as("c"))
+        .groupBy("dim").agg(sum("c").as("w"))
+        .orderBy("dim").collect()
+        .map(_.getDecimal(1))
+      // norm over the d decimal components, summed in dim order (the
+      // same left-to-right fold the oracle's 64-row sum performs)
+      val normSq = w.foldLeft(0.0)((acc, x) => acc + x.doubleValue * x.doubleValue)
+      val norm = math.sqrt(normSq)
+      eig = norm
+      v = w.map(x => BigDecimal.valueOf(x.doubleValue / norm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val eigR = BigDecimal.valueOf(eig)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    v.zipWithIndex.map { case (c, i) => (i, c, eigR) }
+      .toSeq.toDF("dim", "component", "eigenvalue")
+      .orderBy("dim")
+  }
+
+  /** Hard-negative mining for retrieval training: for each query
+    * document, the top-k embedding-nearest documents that share NO
+    * word n-gram with it — semantically close but lexically disjoint,
+    * exactly the negatives a contrastive ranker learns most from
+    * (lexical near-copies would be false negatives). Composition of
+    * the ANN scan shape with the decontamination overlap join: the
+    * query batch and its gram set are both CONSTANT-size broadcasts
+    * (id-capped — the ann_batch contract), the corpus side is scanned
+    * once for similarities and once for grams, and only matching
+    * (query, candidate) gram hits reach the anti-join.
+    */
+  def hardNegatives(documents: DataFrame, embeddings: DataFrame,
+                    n: Int = 8, k: Int = 5, queryMod: Long = 50,
+                    queryCap: Long = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isQuery = col("vec_id") % queryMod === 0 && col("vec_id") < queryCap
+    val queries = embeddings.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val sims = embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+    def gramsOf(df: DataFrame) = df.select(col("doc_id"),
+      explode(HashExprs.wordNgrams(
+        graft.functions.TextAnalysis.normalizeWs(col("text")), n)).as("gram"))
+    val grams = gramsOf(documents)
+    // query docs filtered BEFORE the explode — the broadcast build side
+    // never pays the full-corpus gram fan-out
+    val queryGrams = gramsOf(documents
+      .filter(col("doc_id") % queryMod === 0 && col("doc_id") < queryCap))
+      .select(col("doc_id").as("query_id"), col("gram")).distinct()
+    val overlaps = grams.join(broadcast(queryGrams), "gram")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("vec_id")).distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.join(overlaps, Seq("query_id", "vec_id"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
 }

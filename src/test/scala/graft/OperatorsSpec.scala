@@ -2430,6 +2430,105 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("q6 filter-only aggregate: filters reach the parquet scan") {
+    val out = Analytics.forecastRevenue(Tables.lineitem(spark, sfDir))
+    val r = out.head()
+    assert(r.getAs[Long]("n_lines") > 0)
+    assert(r.getAs[Double]("revenue_delta") > 0)
+    // pushdown probe: the scan node must carry pushed filters
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("IsNotNull(l_shipdate)"),
+      s"expected pushed parquet filters in:\n$plan")
+  }
+
+  test("q9 profit: synthetic-cost convention exact on known rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq((1L, 1L, 10L, 2.0, 100.0, 0.10),
+                 (1L, 2L, 10L, 1.0, 50.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val part = Seq((1L, "red widget", 30.0), (2L, "blue bolt", 10.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val supplier = Seq((10L, "s", 7, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nation = Seq((7, "NATION_7", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val orders = Seq((1L, ts("1996-05-01"))).toDF("o_orderkey", "o_orderdate")
+    val r = Analytics.profitByNation(li, orders, supplier, nation, part).collect()
+    // only the widget row: 100·0.9 − 30·2·0.5 = 90 − 30 = 60
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("nation") === "NATION_7")
+    assert(r.head.getAs[Int]("o_year") === 1996)
+    assert(r.head.getAs[Double]("profit") === 60.0)
+  }
+
+  test("region MoM growth: signed basis points against its own columns") {
+    val rows = Analytics.regionMomGrowth(Tables.region(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    val firstByRegion = rows.groupBy(_.getAs[String]("r_name"))
+      .map { case (k, rs) => k -> rs.minBy(_.getAs[String]("month")) }
+    firstByRegion.values.foreach(r =>
+      assert(r.isNullAt(r.fieldIndex("growth_bp")), "first month has no prev"))
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      val (cur, prev, bp) = (r.getAs[Double]("revenue"),
+        r.getAs[Double]("prev_revenue"), r.getAs[Long]("growth_bp"))
+      assert(math.abs(bp / 10000.0 - (cur - prev) / prev) < 0.001,
+        s"$cur $prev $bp")
+    }
+  }
+
+  test("power iteration recovers the dominant axis of a stretched cloud") {
+    import spark.implicits._
+    // 2-D synthetic: points hugging the x-axis (variance 100:1) — the
+    // top component must be ±e_x within rounding
+    val pts = (1 to 50).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(s * 10.0f + i * 0.01f, s * 0.1f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.embedPcaPower(pts, iters = 8).collect()
+    assert(r.length === 2)
+    val comp = r.map(x => x.getAs[Int]("dim") -> x.getAs[Double]("component")).toMap
+    assert(math.abs(math.abs(comp(0)) - 1.0) < 0.01,
+      s"dominant axis should be ~±1 on dim 0, got ${comp(0)}")
+    assert(math.abs(comp(1)) < 0.05, s"dim 1 should be ~0, got ${comp(1)}")
+    val eig = r.head.getAs[Double]("eigenvalue")
+    assert(eig > 0)
+    // determinism: a different partitioning yields the identical result
+    val r2 = Similarity.embedPcaPower(pts.repartition(7), iters = 8).collect()
+    assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq,
+      "per-step decimal re-sync must make the trajectory partitioning-invariant")
+  }
+
+  test("hard negatives excludes gram-overlapping candidates, keeps top-k shape") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.hardNegatives(docs, emb).collect()
+    assert(out.nonEmpty)
+    // per-query: rn is 1..k dense, sims are non-increasing
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq === (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // no returned candidate shares an 8-gram with its query
+    import graft.plans.HashExprs
+    import graft.functions.TextAnalysis
+    val grams = docs.select(col("doc_id"),
+      explode(HashExprs.wordNgrams(TextAnalysis.normalizeWs(col("text")), 8)).as("gram"))
+    val gramSets = grams.collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("gram")).toSet }
+    out.foreach { r =>
+      val (q, v) = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      val shared = gramSets.getOrElse(q, Set.empty) intersect gramSets.getOrElse(v, Set.empty)
+      assert(shared.isEmpty, s"candidate $v shares grams with query $q")
+    }
+  }
+
   test("basket affinity: pair counts, lift, and min-support exact") {
     import spark.implicits._
     // orders: {1,2} ×3 (lift support), {1,3} ×1 (below minBoth)

@@ -68,6 +68,9 @@ class PlanGuardSpec extends SparkSpec {
     // basket_affinity: the one-row order-total reduce (broadcast back
     // for the lift denominator) + the TakeOrdered top-k tail
     "basket_affinity",
+    // q6_forecast_revenue: the whole query IS one global one-row
+    // aggregate over a predicate-only scan — same contract as q14
+    "q6_forecast_revenue",
     // revenue_concentration: the one-row (step, totals) reduce and the
     // cumulative window over the ≤10001-row basis-point histogram —
     // constant-size at any customer count (curriculum_order contract)
@@ -112,7 +115,10 @@ class PlanGuardSpec extends SparkSpec {
     "bloom_prune_join",
     // basket_affinity / revenue_concentration: one-row totals frames
     // cross-joined back (same bounded contract as skew_report)
-    "basket_affinity", "revenue_concentration")
+    "basket_affinity", "revenue_concentration",
+    // hard_negatives: the broadcast side is the id-capped query batch
+    // (same constant-size contract as ann_batch_topk)
+    "hard_negatives")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
