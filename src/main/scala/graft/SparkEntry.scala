@@ -334,6 +334,14 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q10-shaped returned-revenue report: returnflag rides the fact
+    // scan, quarter prunes orders pre-shuffle, TakeOrdered top-20
+    "q10_returned_items" -> ((s, d) =>
+      Analytics.returnedItems(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
+    // day-N retention: users × offsets probe rows against the
+    // distinct-activity table; cohort size one-row broadcast
+    "dn_retention" -> ((s, d) => Analytics.dnRetention(Tables.events(s, d))),
     // Q6-shaped predicate-only scan: the purest pushdown probe
     "q6_forecast_revenue" -> ((s, d) =>
       Analytics.forecastRevenue(Tables.lineitem(s, d))),
@@ -2348,6 +2356,38 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_items" ->
+      """WITH r AS (SELECT o_custkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS rev_d,
+        |    count(*) AS n_lines
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name,
+        |  CAST(round(rev_d, 2) AS DOUBLE) AS returned_revenue, n_lines,
+        |  round(c_acctbal, 2) AS c_acctbal
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY returned_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "dn_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |anchors AS (SELECT user_id, min(day) AS anchor FROM active GROUP BY 1),
+        |probes AS (SELECT a.user_id, anchor, x AS day_offset,
+        |    anchor + CAST(x AS INTEGER) AS probe_day
+        |  FROM anchors a, (VALUES (1), (7), (14), (28)) v(x)),
+        |ret AS (SELECT day_offset, count(*) AS n_retained FROM probes p
+        |  WHERE EXISTS (SELECT 1 FROM active ac
+        |    WHERE ac.user_id = p.user_id AND ac.day = p.probe_day)
+        |  GROUP BY 1),
+        |coh AS (SELECT count(*) AS n_cohort FROM anchors)
+        |SELECT CAST(day_offset AS INTEGER) AS day_offset, n_retained, n_cohort,
+        |  CAST((n_retained * 10000 * 2 + n_cohort) // (2 * n_cohort) AS BIGINT)
+        |    AS retention_bp
+        |FROM ret, coh ORDER BY day_offset""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |    CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue_delta,

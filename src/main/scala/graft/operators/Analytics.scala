@@ -1072,6 +1072,65 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** TPC-H Q10-shaped returned-item report: which customers returned
+    * the most revenue in a quarter — the churn-risk page every
+    * commerce dashboard runs. The returnflag filter rides the
+    * lineitem scan, the quarter filter prunes orders BEFORE the
+    * orderkey shuffle, the customer join shuffles only surviving
+    * orders, nation broadcasts, and the top-20 is a TakeOrdered with
+    * a custkey tie-break (never a global sort of all customers).
+    */
+  def returnedItems(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, nation: DataFrame,
+                    lo: String = "1996-01-01", hi: String = "1996-04-01",
+                    k: Int = 20): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+        .cast("decimal(4,2)"))
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(rev).as("rev_d"), count(lit(1)).as("n_lines"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("rev_d"), 2).cast("double").as("returned_revenue"),
+        col("n_lines"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("returned_revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Day-N retention: of all users, how many were active again
+    * exactly N days after their FIRST activity day, for the standard
+    * offsets. One distinct (user, day) pass; the anchor (first day)
+    * is a per-user min; each anchor fans out to |offsets| probe rows
+    * joined back against the distinct activity — work is
+    * users × offsets, never days × users. Retention in integer basis
+    * points against the one-row cohort size.
+    */
+  def dnRetention(events: DataFrame,
+                  offsets: Seq[Int] = Seq(1, 7, 14, 28)): DataFrame = {
+    val active = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val anchors = active.groupBy("user_id").agg(min("day").as("anchor"))
+    val probes = anchors.select(col("user_id"), col("anchor"),
+        explode(lit(offsets.toArray)).as("day_offset"))
+      .withColumn("probe_day", expr("date_add(anchor, day_offset)"))
+    val retained = probes.join(active,
+        probes("user_id") === active("user_id") &&
+          col("probe_day") === col("day"), "left_semi")
+      .groupBy("day_offset").agg(count(lit(1)).as("n_retained"))
+    val cohort = broadcast(anchors.agg(count(lit(1)).as("n_cohort")))
+    retained.crossJoin(cohort)
+      .select(col("day_offset"), col("n_retained"), col("n_cohort"),
+        expr("(n_retained * 10000 * 2 + n_cohort) div (2 * n_cohort)")
+          .as("retention_bp"))
+      .orderBy("day_offset")
+  }
+
   /** TPC-H Q6-shaped forecast-revenue delta: ONE predicate-only scan
     * (no joins) summing price·discount over a date / discount-band /
     * quantity slice — the canonical "how much revenue would a policy

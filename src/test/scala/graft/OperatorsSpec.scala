@@ -2430,6 +2430,51 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("q10 returned items: only R lines count, top-k ordered") {
+    val out = Analytics.returnedItems(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.nation(spark, sfDir)).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val revs = out.map(_.getAs[Double]("returned_revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // cross-check one customer brute-force
+    val c = out.head.getAs[Long]("c_custkey")
+    val brute = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === c)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")), 2)
+        .cast("double")).head().getDouble(0)
+    assert(out.head.getAs[Double]("returned_revenue") === brute)
+  }
+
+  test("dn retention: anchored offsets exact on synthetic users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 09:00:00")
+    // user 1: anchor Jan 1, back on Jan 2 (d1) and Jan 8 (d7)
+    // user 2: anchor Jan 1 only
+    // user 3: anchor Jan 5, back Feb 2 (d28)
+    val ev = Seq(
+      (1L, "2024-01-01", 1L), (2L, "2024-01-02", 1L), (3L, "2024-01-08", 1L),
+      (4L, "2024-01-01", 2L),
+      (5L, "2024-01-05", 3L), (6L, "2024-02-02", 3L))
+      .map { case (e, d, u) => (e, ts(d), u, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.dnRetention(ev).collect()
+      .map(x => x.getAs[Int]("day_offset") ->
+        (x.getAs[Long]("n_retained"), x.getAs[Long]("n_cohort"),
+          x.getAs[Long]("retention_bp"))).toMap
+    assert(r(1) === ((1L, 3L, 3333L)))
+    assert(r(7) === ((1L, 3L, 3333L)))
+    assert(r(28) === ((1L, 3L, 3333L)))
+    assert(!r.contains(14), "no user returns at exactly d14")
+  }
+
   test("q6 filter-only aggregate: filters reach the parquet scan") {
     val out = Analytics.forecastRevenue(Tables.lineitem(spark, sfDir))
     val r = out.head()

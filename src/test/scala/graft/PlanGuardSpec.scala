@@ -71,6 +71,8 @@ class PlanGuardSpec extends SparkSpec {
     // q6_forecast_revenue: the whole query IS one global one-row
     // aggregate over a predicate-only scan — same contract as q14
     "q6_forecast_revenue",
+    // dn_retention: the one-row cohort-count reduce, broadcast back
+    "dn_retention",
     // revenue_concentration: the one-row (step, totals) reduce and the
     // cumulative window over the ≤10001-row basis-point histogram —
     // constant-size at any customer count (curriculum_order contract)
@@ -118,7 +120,10 @@ class PlanGuardSpec extends SparkSpec {
     "basket_affinity", "revenue_concentration",
     // hard_negatives: the broadcast side is the id-capped query batch
     // (same constant-size contract as ann_batch_topk)
-    "hard_negatives")
+    "hard_negatives",
+    // dn_retention: the one-row cohort-size frame cross-joined onto
+    // the ≤|offsets|-row retention table
+    "dn_retention")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
