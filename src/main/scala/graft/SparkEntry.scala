@@ -334,6 +334,11 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // order→ship latency per priority: integer day lags, bounded output
+    "fulfillment_latency" -> ((s, d) =>
+      Analytics.fulfillmentLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // vocab-size sizing curve: TakeOrdered top-max(k), bounded window
+    "vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(Tables.documents(s, d))),
     // Q10-shaped returned-revenue report: returnflag rides the fact
     // scan, quarter prunes orders pre-shuffle, TakeOrdered top-20
     "q10_returned_items" -> ((s, d) =>
@@ -2356,6 +2361,34 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fulfillment_latency" ->
+      """WITH l AS (SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+        |      AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (SELECT o_orderpriority, count(*) AS n_lines,
+        |    sum(CAST(lag_days AS BIGINT)) AS sum_days,
+        |    min(lag_days) AS min_days, max(lag_days) AS max_days
+        |  FROM l GROUP BY 1)
+        |SELECT o_orderpriority, n_lines,
+        |  CAST((sum_days * 100 * 2 + n_lines) // (2 * n_lines) AS DOUBLE) / 100.0
+        |    AS avg_days,
+        |  CAST(min_days AS INTEGER) AS min_days,
+        |  CAST(max_days AS INTEGER) AS max_days
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+    "vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
+        |c AS (SELECT word, count(*) AS tf FROM t WHERE word <> '' GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS total_tokens FROM c),
+        |top AS (SELECT word, tf FROM c ORDER BY tf DESC, word LIMIT 50),
+        |r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, word) AS rank,
+        |    sum(tf) OVER (ORDER BY tf DESC, word ROWS UNBOUNDED PRECEDING) AS cum_tf
+        |  FROM top)
+        |SELECT CAST(rank AS INTEGER) AS k, CAST(cum_tf AS BIGINT) AS covered_tokens,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST((cum_tf * 10000 * 2 + total_tokens) // (2 * total_tokens) AS BIGINT)
+        |    AS coverage_bp
+        |FROM r, tot WHERE rank IN (5, 10, 25, 50) ORDER BY k""".stripMargin,
     "q10_returned_items" ->
       """WITH r AS (SELECT o_custkey,
         |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -1072,6 +1072,31 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Fulfillment latency per order priority: order-date → ship-date
+    * lag in whole days, aggregated as count / exact-integer average
+    * (×100 basis) / min / max per priority bucket. One fact-fact
+    * shuffle on orderkey; the output is bounded by the priority
+    * domain. Day lags are integers, so the average is the all-integer
+    * identity — no float day math anywhere.
+    */
+  def fulfillmentLatency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("lag_days").cast("long")).as("sum_days"),
+        min("lag_days").as("min_days"), max("lag_days").as("max_days"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        // avg at 2dp HALF_UP, all-integer
+        (expr("(sum_days * 100 * 2 + n_lines) div (2 * n_lines)")
+          .cast("double") / 100.0).as("avg_days"),
+        col("min_days"), col("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q10-shaped returned-item report: which customers returned
     * the most revenue in a quarter — the churn-risk page every
     * commerce dashboard runs. The returnflag filter rides the

@@ -1136,6 +1136,39 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage curve: what fraction of corpus TOKEN MASS the
+    * top-k vocabulary covers, at each candidate k — the table that
+    * sizes a tokenizer's vocab (coverage plateaus ⇒ k is big enough;
+    * the complement of [[oovRate]]'s fixed-size view). The ranking
+    * never globally sorts the vocabulary: TakeOrdered keeps only the
+    * max(ks) top terms (a bounded artifact — the codebook contract),
+    * the cumulative window runs over those ≤max(ks) rows, and the
+    * corpus total is a one-row broadcast. Coverage in integer basis
+    * points.
+    */
+  def vocabCoverage(documents: DataFrame,
+                    ks: Seq[Int] = Seq(5, 10, 25, 50)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+    val total = broadcast(counts.agg(sum(col("tf")).as("total_tokens")))
+    val top = counts.orderBy(col("tf").desc, col("word")).limit(ks.max)
+    val w = Window.orderBy(col("tf").desc, col("word"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tf", sum("tf").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank").isin(ks.map(Integer.valueOf): _*))
+      .crossJoin(total)
+      .select(col("rank").as("k"), col("cum_tf").as("covered_tokens"),
+        col("total_tokens"),
+        expr("(cum_tf * 10000 * 2 + total_tokens) div (2 * total_tokens)")
+          .as("coverage_bp"))
+      .orderBy("k")
+  }
+
   /** Bigram-LM document scoring — the KenLM-filter analog one order up
     * from [[docLogprob]]: per-doc average conditional bigram
     * log-probability log c(w₁w₂)/c(w₁·) under the corpus' own bigram

@@ -59,6 +59,27 @@ object StreamingRollups {
         count(lit(1)).as("n_obs"))
   }
 
+  /** Native session-window sessionization — the DECLARATIVE twin of
+    * the flatMapGroupsWithState sessionizer below: Spark's
+    * `session_window` merges events within `gap` into one window
+    * whose bounds extend as members arrive, entirely inside the
+    * windowed-aggregation operator — per open session the state is
+    * the aggregate's scalars (no event buffer), and the watermark
+    * closes sessions exactly like any windowed agg. Use this form
+    * whenever the per-session output IS an aggregate; the
+    * flatMapGroupsWithState twin stays for custom in-session logic
+    * (ordered transition extraction). Batch parity spec-pinned.
+    */
+  def sessionWindowed(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("entity_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("entity_id"), col("n_events"), col("total_value"))
+
   /** Streaming exact dedup (the reference's find-one-before-insert
     * guard, transform_iqplus_news_dags.py:144-156, as a streaming
     * primitive): drop duplicate (entity, ts, value) rows, with the

@@ -2430,6 +2430,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("vocab coverage: monotone curve reaching full mass at full vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c", "en", "s", 11L),
+      (2L, "a d", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // tf: a=4, b=2, c=1, d=1 (ties break by word) → total 8
+    val r = Corpus.vocabCoverage(docs, ks = Seq(1, 2, 4)).collect()
+      .map(x => x.getAs[Int]("k") ->
+        (x.getAs[Long]("covered_tokens"), x.getAs[Long]("coverage_bp"))).toMap
+    assert(r(1) === ((4L, 5000L)))
+    assert(r(2) === ((6L, 7500L)))
+    assert(r(4) === ((8L, 10000L)))
+    // real-data: curve is monotone and k=max covers the most
+    val real = Corpus.vocabCoverage(Tables.documents(spark, sfDir)).collect()
+    val bps = real.sortBy(_.getAs[Int]("k")).map(_.getAs[Long]("coverage_bp"))
+    assert(bps.zip(bps.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("fulfillment latency: integer-day averages consistent per priority") {
+    val rows = Analytics.fulfillmentLatency(Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, avg, mn, mx) = (r.getAs[Long]("n_lines"), r.getAs[Double]("avg_days"),
+        r.getAs[Int]("min_days"), r.getAs[Int]("max_days"))
+      assert(n > 0 && mn <= mx)
+      assert(avg >= mn - 0.01 && avg <= mx + 0.01)
+    }
+  }
+
   test("q10 returned items: only R lines count, top-k ordered") {
     val out = Analytics.returnedItems(Tables.customer(spark, sfDir),
       Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),

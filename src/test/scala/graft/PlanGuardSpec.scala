@@ -73,6 +73,9 @@ class PlanGuardSpec extends SparkSpec {
     "q6_forecast_revenue",
     // dn_retention: the one-row cohort-count reduce, broadcast back
     "dn_retention",
+    // vocab_coverage: the one-row corpus-total reduce + the cumulative
+    // window over the TakeOrdered ≤max(ks)-row top-terms artifact
+    "vocab_coverage",
     // revenue_concentration: the one-row (step, totals) reduce and the
     // cumulative window over the ≤10001-row basis-point histogram —
     // constant-size at any customer count (curriculum_order contract)
@@ -123,7 +126,10 @@ class PlanGuardSpec extends SparkSpec {
     "hard_negatives",
     // dn_retention: the one-row cohort-size frame cross-joined onto
     // the ≤|offsets|-row retention table
-    "dn_retention")
+    "dn_retention",
+    // vocab_coverage: the one-row corpus-total frame cross-joined onto
+    // the bounded top-terms curve
+    "vocab_coverage")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]

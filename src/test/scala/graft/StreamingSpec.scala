@@ -32,6 +32,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 7.0, 1L)))
   }
 
+  test("native session_window streaming agg reproduces the batch session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id").as("entity_id"), col("ts"), col("value"))
+    val rows = ev.as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    input.addData(rows: _*)
+    val agg = StreamingRollups.sessionWindowed(input.toDF(), "30 minutes", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("parity_sess")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    val streamed = keyed(spark.table("parity_sess"))
+    val batch = keyed(ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("entity_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("entity_id"), col("n_events"), col("total_value")))
+    assert(streamed.keySet === batch.keySet,
+      s"session bounds differ: ${streamed.size} streamed vs ${batch.size} batch")
+    batch.foreach { case (k, v) => assert(streamed(k) === v, s"at $k") }
+    assert(batch.nonEmpty)
+  }
+
   test("streaming windowed rollup and exact dedup reproduce the batch results over the full events table") {
     // value-level parity with the BATCH engine on the real table, not
     // a hand-built fixture: the streaming operator replayed over the
