@@ -339,6 +339,9 @@ object SparkEntry {
       Analytics.fulfillmentLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
     // vocab-size sizing curve: TakeOrdered top-max(k), bounded window
     "vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(Tables.documents(s, d))),
+    // per-lang perplexity-filter cut points: nearest-rank percentiles
+    // over lang-partitioned windows (no global constant threshold)
+    "logprob_cutoffs" -> ((s, d) => Corpus.logprobCutoffs(Tables.documents(s, d))),
     // Q10-shaped returned-revenue report: returnflag rides the fact
     // scan, quarter prunes orders pre-shuffle, TakeOrdered top-20
     "q10_returned_items" -> ((s, d) =>
@@ -2361,6 +2364,23 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logprob_cutoffs" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t WHERE word <> '' GROUP BY 1, 2),
+        |v AS (SELECT word, sum(cnt)::BIGINT AS tf FROM c GROUP BY 1),
+        |tot AS (SELECT sum(tf)::BIGINT AS total FROM v),
+        |s AS (SELECT word, CAST(round(ln(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp FROM v, tot),
+        |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * s.lp) AS s_lp
+        |  FROM c JOIN s USING (word) GROUP BY 1),
+        |sc AS (SELECT d.doc_id, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) AS avg_logprob, lang
+        |  FROM d JOIN documents USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM sc)
+        |SELECT lang, CAST(p AS BIGINT) AS p, avg_logprob AS cutoff, n AS n_docs
+        |FROM r, (VALUES (10), (25), (50)) v2(p)
+        |WHERE rn = (p * n + 99) // 100
+        |ORDER BY lang, p""".stripMargin,
     "fulfillment_latency" ->
       """WITH l AS (SELECT o_orderpriority,
         |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))

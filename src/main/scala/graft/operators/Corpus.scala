@@ -1136,6 +1136,33 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Per-language perplexity-filter thresholds: the nearest-rank
+    * percentile cut points of [[docLogprob]] per language — the table
+    * a corpus-quality gate reads instead of one global constant (a
+    * threshold tuned on the majority language silently guts minority
+    * languages whose score distribution sits elsewhere). Nearest-rank
+    * on (score, doc_id) ties is engine-exact; the percentile window
+    * partitions BY LANGUAGE, and the output is |langs| × |ps| rows.
+    */
+  def logprobCutoffs(documents: DataFrame,
+                     ps: Seq[Int] = Seq(10, 25, 50)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100), "percentiles in [1,100]")
+    val scored = docLogprob(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = Window.partitionBy("lang")
+    val w = byLang.orderBy(col("avg_logprob"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select(col("lang"), col("avg_logprob"), col("rn"), col("n"),
+        explode(array(ps.map(p => lit(p)): _*)).as("p"))
+      .filter(col("rn") === expr("(p * n + 99) div 100"))
+      .select(col("lang"), col("p").cast("long").as("p"),
+        col("avg_logprob").as("cutoff"), col("n").as("n_docs"))
+      .orderBy("lang", "p")
+  }
+
   /** Vocabulary coverage curve: what fraction of corpus TOKEN MASS the
     * top-k vocabulary covers, at each candidate k — the table that
     * sizes a tokenizer's vocab (coverage plateaus ⇒ k is big enough;

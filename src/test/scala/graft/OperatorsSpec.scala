@@ -2430,6 +2430,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("logprob cutoffs: per-lang nearest-rank thresholds are ordered") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Corpus.logprobCutoffs(docs).collect()
+    assert(out.nonEmpty)
+    val langs = docs.select("lang").distinct().count()
+    // every language with docs gets rows; cut points rise with p
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val byP = rows.sortBy(_.getAs[Long]("p"))
+      val cuts = byP.map(_.getAs[Double]("cutoff"))
+      assert(cuts.zip(cuts.tail).forall { case (a, b) => a <= b },
+        s"cutoffs must be non-decreasing in p: ${cuts.toSeq}")
+    }
+    assert(out.map(_.getAs[String]("lang")).distinct.length === langs)
+    // each cutoff is an actual document score (nearest-rank, not
+    // interpolated)
+    val scores = Corpus.docLogprob(docs).collect()
+      .map(_.getAs[Double]("avg_logprob")).toSet
+    out.foreach(r => assert(scores.contains(r.getAs[Double]("cutoff"))))
+  }
+
   test("vocab coverage: monotone curve reaching full mass at full vocab") {
     import spark.implicits._
     val docs = Seq(

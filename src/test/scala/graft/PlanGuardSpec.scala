@@ -49,9 +49,10 @@ class PlanGuardSpec extends SparkSpec {
     // api_data_point: the one-row min(period_key) probe reduce over
     // ONE entity's series, broadcast back — bounded by construction
     "api_data_point",
-    // doc_logprob: the one-row corpus token total reduce, broadcast
-    // back onto the vocab — same bounded contract as rarity_score
-    "doc_logprob",
+    // doc_logprob (and logprob_cutoffs, which consumes it): the
+    // one-row corpus token total reduce, broadcast back onto the
+    // vocab — same bounded contract as rarity_score
+    "doc_logprob", "logprob_cutoffs",
     // bloom_prune_join: the one-row kilobyte-bitset bloom reduce,
     // broadcast across the fact scan (the runtime-filter shape)
     "bloom_prune_join",
@@ -112,9 +113,10 @@ class PlanGuardSpec extends SparkSpec {
     // same bounded reduces allowlisted for SinglePartition above)
     "tfidf_top_terms", "rarity_score", "mix_token_budget",
     "user_rfm", "bm25_topk",
-    // doc_logprob: the one-row token-total frame cross-joined onto the
-    // vocab (then a hash join back to (doc, word) counts)
-    "doc_logprob",
+    // doc_logprob (and logprob_cutoffs on top of it): the one-row
+    // token-total frame cross-joined onto the vocab (then a hash join
+    // back to (doc, word) counts)
+    "doc_logprob", "logprob_cutoffs",
     // bloom_prune_join: the one-row bloom frame (constant kilobytes)
     // cross-joined across the fact — the runtime-filter broadcast
     "bloom_prune_join",
@@ -182,5 +184,23 @@ class PlanGuardSpec extends SparkSpec {
           s"$name: no id cap on any broadcast side:\n${broadcasts.map(_.toString).mkString("\n")}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("star queries broadcast their dimension sides") {
+    // The positive half of the scale discipline: the guard above bans
+    // the bad shapes; this pins the GOOD one — every TPC-H-shaped
+    // star query must hash-broadcast its (hinted) dimension chain, so
+    // the fact side is pruned in its scan stage instead of shuffling
+    // to meet a dim. `broadcast()` hints make this SF-independent.
+    val starKeys = Seq("q3_top_revenue", "q5_region_revenue",
+      "q7_nation_volume", "q8_market_share", "q9_profit_nation",
+      "q10_returned_items", "q14_promo_revenue", "q17_small_qty",
+      "q19_bracket_revenue")
+    starKeys.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: no BroadcastHashJoin in plan:\n$plan")
+    }
   }
 }
