@@ -334,6 +334,13 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // cohort LTV triangle: cohort-partitioned cumulative window over
+    // the bounded month-offset axis, all-integer cents identities
+    "cohort_ltv" -> ((s, d) => Analytics.cohortLtv(Tables.events(s, d))),
+    // per-label farthest-from-centroid vectors (mislabel QA): integer
+    // cross-multiplied distance to the exact rational centroid
+    "label_outliers" -> ((s, d) =>
+      Similarity.labelOutliers(Tables.embeddings(s, d))),
     // order→ship latency per priority: integer day lags, bounded output
     "fulfillment_latency" -> ((s, d) =>
       Analytics.fulfillmentLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -2364,6 +2371,42 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cohort_ltv" ->
+      """WITH anchors AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |a2 AS (SELECT user_id, year(first_ts) * 12 + month(first_ts) AS m0,
+        |    strftime(first_ts, '%Y-%m') AS cohort_month FROM anchors),
+        |sizes AS (SELECT cohort_month, count(*) AS n_users FROM a2 GROUP BY 1),
+        |rev AS (SELECT cohort_month, (year(ts) * 12 + month(ts)) - m0 AS month_offset,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS HUGEINT) AS rev_cents
+        |  FROM events e JOIN a2 USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |c AS (SELECT *, sum(rev_cents) OVER (PARTITION BY cohort_month
+        |    ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS cum_cents FROM rev)
+        |SELECT cohort_month, CAST(month_offset AS BIGINT) AS month_offset, n_users,
+        |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+        |  CAST((cum_cents * 2 + n_users) // (2 * n_users) AS DOUBLE) / 100.0
+        |    AS cum_ltv_per_user
+        |FROM c JOIN sizes USING (cohort_month)
+        |ORDER BY cohort_month, month_offset""".stripMargin,
+    "label_outliers" ->
+      """WITH q AS (SELECT label, vec_id, r.i AS pos,
+        |    CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[r.i + 1] / scale) END AS BIGINT) AS q
+        |  FROM (SELECT label, vec_id, v,
+        |      list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |    FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |    range(64) r(i) WHERE r.i < len(v)),
+        |c AS (SELECT label, pos, sum(q)::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM q GROUP BY 1, 2),
+        |d AS (SELECT q.label, vec_id,
+        |    sum(CAST(q.q * c.n - c.s AS HUGEINT) * CAST(q.q * c.n - c.s AS HUGEINT))
+        |      AS dist2x
+        |  FROM q JOIN c ON q.label = c.label AND q.pos = c.pos GROUP BY 1, 2),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY dist2x DESC, vec_id) AS rn FROM d)
+        |SELECT label, vec_id, CAST(dist2x AS DOUBLE) AS dist2x, rn
+        |FROM r2 WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
     "logprob_cutoffs" ->
       """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |t AS (SELECT doc_id, unnest(ws) AS word FROM w),

@@ -1072,6 +1072,43 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Cohort LTV triangle: per signup-month cohort, cumulative
+    * purchase revenue per user at each month offset — the
+    * lifetime-value curve a growth team reads next to the retention
+    * triangle. The cohort anchor is each user's first event month (a
+    * per-user min — one shuffle), offsets are integer month
+    * arithmetic (no date floats), revenue stays decimal cents, and
+    * the cumulative window partitions BY COHORT over the bounded
+    * offset axis. Per-user LTV is the all-integer cents identity.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val monthNum = (c: org.apache.spark.sql.Column) =>
+      year(c) * 12 + month(c)
+    val anchors = events.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), monthNum(col("first_ts")).as("m0"),
+        date_format(col("first_ts"), "yyyy-MM").as("cohort_month"))
+    val sizes = anchors.groupBy("cohort_month").agg(count(lit(1)).as("n_users"))
+    val rev = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), monthNum(col("ts")).as("m"),
+        (col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)").as("cents"))
+      .join(anchors, "user_id")
+      .groupBy(col("cohort_month"), (col("m") - col("m0")).as("month_offset"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy("cohort_month").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_cents", sum("rev_cents").over(w))
+      .join(broadcast(sizes), "cohort_month")
+      .select(col("cohort_month"), col("month_offset").cast("long").as("month_offset"),
+        col("n_users"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        (col("cum_cents").cast("double") / 100.0).as("cum_revenue"),
+        // cumulative LTV per cohort user, cents HALF_UP
+        (expr("(cum_cents * 2 + n_users) div (2 * n_users)").cast("double") / 100.0)
+          .as("cum_ltv_per_user"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
   /** Fulfillment latency per order priority: order-date → ship-date
     * lag in whole days, aggregated as count / exact-integer average
     * (×100 basis) / min / max per priority bucket. One fact-fact

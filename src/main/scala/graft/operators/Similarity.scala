@@ -564,6 +564,40 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Label-outlier (mislabel) detection: per label, the k vectors
+    * FARTHEST from their label's centroid — the rows a labeling-QA
+    * pass reviews first. Entirely integer-exact: int8-quantized
+    * components, and the distance to the EXACT RATIONAL centroid s/n
+    * is compared via the cross-multiplied form Σ(q·n − s)² in
+    * decimal(38,0) — no float distance, no rounded mean, so both
+    * engines rank identically down to the vec_id tie-break. The
+    * centroid table is |labels|·d rows — broadcast — and the per-row
+    * distance is one scan pass; top-k per label is a bounded window.
+    */
+  def labelOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(HashExprs.quantizeI8(col("embedding"))))
+      .select(col("label"), col("vec_id"), col("pos"),
+        col("col").cast("long").as("q"))
+    val cent = q.groupBy("label", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val dist = q.join(broadcast(cent), Seq("label", "pos"))
+      .select(col("label"), col("vec_id"),
+        (expr("CAST(q * n - s AS DECIMAL(38,0))") *
+          expr("CAST(q * n - s AS DECIMAL(38,0))")).as("d2"))
+      .groupBy("label", "vec_id")
+      .agg(sum(col("d2")).as("dist2x"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("dist2x").desc, col("vec_id"))
+    dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("label"), col("vec_id"),
+        col("dist2x").cast("double").as("dist2x"), col("rn"))
+      .orderBy("label", "rn")
+  }
+
   /** Distributed top principal component via POWER ITERATION — PCA
     * without ever materializing the d×d gram matrix or shipping rows
     * to the driver: each iteration is one scan computing

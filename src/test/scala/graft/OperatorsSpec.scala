@@ -2430,6 +2430,44 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("cohort LTV: cumulative per-user value exact on synthetic cohorts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    // cohort 2024-01: users 1, 2. user 1 buys $10 in Jan (offset 0)
+    // and $20 in Mar (offset 2); user 2 never buys.
+    // cohort 2024-02: user 3 buys $5 in Feb (offset 0).
+    val ev = Seq(
+      (1L, "2024-01-05", 1L, "signup", 0.0),
+      (2L, "2024-01-06", 1L, "purchase", 10.0),
+      (3L, "2024-03-15", 1L, "purchase", 20.0),
+      (4L, "2024-01-20", 2L, "click", 0.0),
+      (5L, "2024-02-01", 3L, "purchase", 5.0))
+      .map { case (e, d, u, t, v) => (e, ts(d), u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.cohortLtv(ev).collect()
+      .map(x => (x.getAs[String]("cohort_month"), x.getAs[Long]("month_offset")) ->
+        (x.getAs[Long]("n_users"), x.getAs[Double]("cum_revenue"),
+          x.getAs[Double]("cum_ltv_per_user"))).toMap
+    assert(r(("2024-01", 0L)) === ((2L, 10.0, 5.0)))
+    assert(r(("2024-01", 2L)) === ((2L, 30.0, 15.0)))
+    assert(r(("2024-02", 0L)) === ((1L, 5.0, 5.0)))
+    assert(!r.contains(("2024-01", 1L)), "no purchases at offset 1 → no row")
+  }
+
+  test("label outliers: farthest vectors rank first, distances exact integers") {
+    val out = Similarity.labelOutliers(Tables.embeddings(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Int]("label")).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_.getAs[Int]("rn"))
+      val ds = byRn.map(_.getAs[Double]("dist2x"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+        "distance must be non-increasing in rank")
+      // cross-multiplied distances are integers by construction
+      ds.foreach(d => assert(d == math.rint(d)))
+    }
+  }
+
   test("logprob cutoffs: per-lang nearest-rank thresholds are ordered") {
     val docs = Tables.documents(spark, sfDir)
     val out = Corpus.logprobCutoffs(docs).collect()
