@@ -219,6 +219,11 @@ object SparkEntry {
     ensureTable(s, t)(Analytics.writeUserSketchRollup(Tables.events(s, d), t))
   }
 
+  private def activityTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_activity_${tag(d)}"
+    ensureTable(s, t)(Analytics.writeActivityRollup(Tables.events(s, d), t))
+  }
+
   private def histTable(s: SparkSession, d: String): String = {
     val t = s"g_gate_hist_${tag(d)}"
     ensureTable(s, t)(Analytics.writeValueHistogramRollup(Tables.orders(s, d), t))
@@ -385,6 +390,10 @@ object SparkEntry {
     // DEDUPLICATED (user, day) table — never a per-day window scan
     "rolling_active_users" -> ((s, d) =>
       Analytics.rollingActiveUsers(Tables.events(s, d))),
+    // the indexed twin: same curve off the PERSISTED day-partitioned
+    // activity rollup — the corpus-wide distinct is paid at ingest
+    "active_users_indexed" -> ((s, d) =>
+      Analytics.rollingActiveUsersFrom(s.table(activityTable(s, d)))),
     // click→purchase lag histogram: as-of via ONE user-partitioned
     // window (no self-join), output bounded at 24·maxDays rows
     "conversion_lag" -> ((s, d) => Analytics.conversionLag(Tables.events(s, d))),
@@ -958,6 +967,17 @@ object SparkEntry {
     * projection bits, pair join within buckets, exact-cosine verify —
     * the Spark plan re-expressed over DuckDB primitives.
     */
+  private val rollingActiveUsersOracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |contrib AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS wday
+      |  FROM ud, generate_series(0, 27) g(x)),
+      |mau AS (SELECT wday AS day, count(*) AS mau FROM contrib GROUP BY 1)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, mau,
+      |  CAST((dau * 10000 * 2 + mau) // (2 * mau) AS DOUBLE) / 10000.0
+      |    AS stickiness
+      |FROM dau d JOIN mau m USING (day) ORDER BY day""".stripMargin
+
   /** Unrolled power-iteration oracle: `iters` chained CTE blocks, each
     * replaying one Spark iteration — sequential-fold dot (list_reduce
     * starts at the first element; Spark's 0.0-seeded fold adds an
@@ -2583,16 +2603,10 @@ object SparkEntry {
         |      WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS depth
         |  FROM pp GROUP BY 1, 2)
         |SELECT depth, count(*) AS n_sessions FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
-    "rolling_active_users" ->
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
-        |contrib AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS wday
-        |  FROM ud, generate_series(0, 27) g(x)),
-        |mau AS (SELECT wday AS day, count(*) AS mau FROM contrib GROUP BY 1)
-        |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, mau,
-        |  CAST((dau * 10000 * 2 + mau) // (2 * mau) AS DOUBLE) / 10000.0
-        |    AS stickiness
-        |FROM dau d JOIN mau m USING (day) ORDER BY day""".stripMargin,
+    "rolling_active_users" -> rollingActiveUsersOracle,
+    // the indexed twin reads the persisted activity rollup, which is
+    // value-identical to the in-query distinct — same oracle
+    "active_users_indexed" -> rollingActiveUsersOracle,
     "conversion_lag" ->
       """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events
         |  WHERE event_type IN ('click', 'purchase')),

@@ -1399,8 +1399,30 @@ object Analytics {
     * distinct + count per day. Days with zero activity are not
     * reported (inner join with the DAU side).
     */
-  def rollingActiveUsers(events: DataFrame, window: Int = 28): DataFrame = {
-    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+  def rollingActiveUsers(events: DataFrame, window: Int = 28): DataFrame =
+    rollingActiveUsersFrom(
+      events.select(col("user_id"), to_date(col("ts")).as("day")).distinct(), window)
+
+  /** Persisted ACTIVITY rollup — the distinct (user, day) table as an
+    * ingest-time artifact, partitioned by day with one file per
+    * partition. Every engagement consumer (DAU/MAU, streaks,
+    * retention) re-derives this same distinct from raw events; at
+    * 100 TB that distinct is the dominant cost and this pays it once —
+    * a day's partition is closed the day it ends, appends are
+    * partition-local, and a probe reads only the window's partitions.
+    */
+  def writeActivityRollup(events: DataFrame, table: String): Unit =
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").format("parquet")
+      .saveAsTable(table)
+
+  /** [[rollingActiveUsers]] over an already-deduplicated (user, day)
+    * activity table (typically the [[writeActivityRollup]] artifact —
+    * the indexed twin skips the corpus-wide distinct entirely).
+    */
+  def rollingActiveUsersFrom(activity: DataFrame, window: Int = 28): DataFrame = {
+    val ud = activity.select(col("user_id"), col("day").cast("date").as("day"))
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val mau = ud
       .select(col("user_id"),

@@ -2430,6 +2430,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("activity rollup index: one file per day, twin equals direct path") {
+    val t = "t_activity_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val ev = Tables.events(spark, sfDir)
+    Analytics.writeActivityRollup(ev, t)
+    // layout: one parquet file per day partition (small-file discipline
+    // — the r6 partials-index lesson)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dirs = new java.io.File(wh, t).listFiles().filter(_.getName.startsWith("day="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: ${files.length} files")
+    }
+    // value parity with the direct path
+    val direct = Analytics.rollingActiveUsers(ev).collect().map(_.toSeq)
+    val indexed = Analytics.rollingActiveUsersFrom(spark.table(t)).collect().map(_.toSeq)
+    assert(direct.toSeq === indexed.toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("cohort LTV: cumulative per-user value exact on synthetic cohorts") {
     import spark.implicits._
     import java.sql.Timestamp
