@@ -646,6 +646,10 @@ object SparkEntry {
     "dedup_keep_best"   -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
     "quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // sequence-aware second stage: LSH candidates re-scored by
+    // normalized Levenshtein (integer bp) — DP only on candidates
+    "dedup_edit_distance" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d))),
     "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
     // SoftDeDup downweighting: weight 1/|cluster| instead of dropping
@@ -819,6 +823,31 @@ object SparkEntry {
        |SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
        |FROM ipair JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
+  }
+
+  /** Edit-distance refinement oracle: the [[jaccardPairsOracle]]
+    * candidate CTEs (char-5 shingles, jaccard ≥ floor) re-scored by
+    * DuckDB's levenshtein — the same classic DP Spark implements, so
+    * distances and the integer bp identity match exactly.
+    */
+  private def editPairsOracle(k: Int, floor: Double, minSimBp: Long): String = {
+    val shingles =
+      s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |jp AS (SELECT a, b FROM ipair
+       |  JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $floor),
+       |l AS (SELECT a, b, CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS lev,
+       |    CAST(greatest(length(na.nt), length(nb.nt)) AS BIGINT) AS maxlen
+       |  FROM jp JOIN nrm na ON a = na.doc_id JOIN nrm nb ON b = nb.doc_id)
+       |SELECT a, b, lev,
+       |  CAST(((maxlen - lev) * 10000 * 2 + maxlen) // (2 * maxlen) AS BIGINT) AS sim_bp
+       |FROM l WHERE ((maxlen - lev) * 10000 * 2 + maxlen) // (2 * maxlen) >= $minSimBp
+       |ORDER BY a, b""".stripMargin
   }
 
   /** Brute-force shingle-set CONTAINMENT pairs — oracle for
@@ -1168,6 +1197,7 @@ object SparkEntry {
     "decontaminate_semantic" -> semanticDecontamOracle(10, 0.35),
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),
     "dedup_minhash_lsh" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
+    "dedup_edit_distance" -> editPairsOracle(k = 5, floor = 0.5, minSimBp = 7000L),
     "dedup_keep_best" -> keepBestOracle,
     "quality_filter" ->
       """SELECT doc_id, word_count, quality FROM (

@@ -382,6 +382,35 @@ object Dedup {
                  bands: Int = 8, threshold: Double = 0.5): DataFrame =
     lshPairs(documents, k, word = false, numPerm, bands, threshold)
 
+  /** Edit-distance near-dup refinement: the minhash-candidate pairs
+    * re-scored by NORMALIZED LEVENSHTEIN similarity — the sequence-
+    * aware second stage that set-based Jaccard can't provide (Jaccard
+    * sees bags of shingles: a paragraph-order shuffle scores ~1.0;
+    * Levenshtein charges every moved character, separating true
+    * re-publications from reshuffled boilerplate). The O(n·m) DP runs
+    * ONLY on LSH-verified candidates, never all pairs — at 100 TB
+    * bound the per-pair cost with Spark's thresholded
+    * `levenshtein(l, r, max)` once a distance ceiling is fixed.
+    * Similarity is all-integer basis points: both engines implement
+    * the same classic DP, so `lev` (and the bp identity) match
+    * exactly.
+    */
+  def editDistancePairs(documents: DataFrame, jaccardFloor: Double = 0.5,
+                        minSimBp: Long = 7000L): DataFrame = {
+    val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
+    minhashLsh(documents, threshold = jaccardFloor).select("a", "b")
+      .join(base.select(col("doc_id").as("a"), col("nt").as("nt_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("nt").as("nt_b")), "b")
+      .withColumn("lev", levenshtein(col("nt_a"), col("nt_b")).cast("long"))
+      .withColumn("maxlen",
+        greatest(length(col("nt_a")), length(col("nt_b"))).cast("long"))
+      .withColumn("sim_bp",
+        expr("((maxlen - lev) * 10000 * 2 + maxlen) div (2 * maxlen)"))
+      .filter(col("sim_bp") >= minSimBp)
+      .select(col("a"), col("b"), col("lev"), col("sim_bp"))
+      .orderBy("a", "b")
+  }
+
   /** Word n-gram set Jaccard pair scores (LSH-accelerated — exact
     * Jaccard is computed on candidates only). 8 bands × 6 rows:
     * knee at (1/8)^(1/6) ≈ 0.71.

@@ -2430,6 +2430,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("edit distance pairs: order-sensitivity separates shuffles from copies") {
+    import spark.implicits._
+    // doc 2 is doc 1 verbatim (lev 0); doc 3 is doc 1's words REVERSED
+    // — same shingle bag at word level but char-level order damage
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base, "en", "s", base.length.toLong),
+      (3L, base.split(" ").reverse.mkString(" "), "en", "s", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.editDistancePairs(docs, minSimBp = 0L).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")) ->
+        (x.getAs[Long]("lev"), x.getAs[Long]("sim_bp"))).toMap
+    assert(r((1L, 2L)) === ((0L, 10000L)), "identical docs: lev 0, sim 100%")
+    r.get((1L, 3L)).foreach { case (lev, bp) =>
+      assert(lev > 0 && bp < 10000L, "reversed doc must not score as a copy")
+    }
+    // real-data: every surviving pair clears the default floor
+    val real = Dedup.editDistancePairs(Tables.documents(spark, sfDir)).collect()
+    real.foreach(x => assert(x.getAs[Long]("sim_bp") >= 7000L))
+  }
+
   test("activity rollup index: one file per day, twin equals direct path") {
     val t = "t_activity_idx"
     spark.sql(s"DROP TABLE IF EXISTS $t")
