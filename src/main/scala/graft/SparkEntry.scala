@@ -339,6 +339,11 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // SCD2 dimension BUILD: run-length collapse of the change log into
+    // versioned validity intervals — one user-partitioned window pass
+    "scd2_build" -> ((s, d) => Temporal.scd2Build(Tables.events(s, d))),
+    // term-level drift: top terms by old-half→new-half smoothed growth
+    "trending_terms" -> ((s, d) => Corpus.trendingTerms(Tables.documents(s, d))),
     // cohort LTV triangle: cohort-partitioned cumulative window over
     // the bounded month-offset axis, all-integer cents identities
     "cohort_ltv" -> ((s, d) => Analytics.cohortLtv(Tables.events(s, d))),
@@ -2421,6 +2426,38 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_build" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+        |    THEN 1 ELSE 0 END AS changed FROM o),
+        |v AS (SELECT *, sum(changed) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version FROM f),
+        |runs AS (SELECT user_id, version, min(event_type) AS attr,
+        |    min(ts) AS from_ts
+        |  FROM v GROUP BY 1, 2),
+        |b AS (SELECT *, lead(from_ts) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS to_ts FROM runs)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, attr,
+        |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM b ORDER BY user_id, version""".stripMargin,
+    "trending_terms" ->
+      """WITH mid AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+        |t AS (SELECT doc_id >= mid AS is_new,
+        |    unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents, mid),
+        |c AS (SELECT word,
+        |    sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS tf_new,
+        |    sum(CASE WHEN is_new THEN 0 ELSE 1 END)::BIGINT AS tf_old
+        |  FROM t WHERE word <> '' GROUP BY 1)
+        |SELECT word, tf_new, tf_old,
+        |  CAST(((tf_new + 1) * 10000 * 2 + (tf_old + 1)) // (2 * (tf_old + 1))
+        |    AS BIGINT) AS growth_bp
+        |FROM c WHERE tf_new >= 5
+        |ORDER BY growth_bp DESC, word LIMIT 25""".stripMargin,
     "cohort_ltv" ->
       """WITH anchors AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
         |a2 AS (SELECT user_id, year(first_ts) * 12 + month(first_ts) AS m0,

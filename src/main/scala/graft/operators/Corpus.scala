@@ -1136,6 +1136,35 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Trending terms: vocabulary whose frequency GREW most from the
+    * older half of the corpus to the newer half (doc_id as the
+    * ingest-order proxy; a real deployment keys on ingest date) —
+    * the drift view at TERM granularity, where [[graft.operators
+    * .TextPipeline]]'s corpus_drift sees only whole-document
+    * fingerprints. Add-one smoothing keeps new-only terms rankable;
+    * growth is the all-integer bp identity over smoothed counts, and
+    * the top-k is a TakeOrdered. One word aggregate carries both
+    * halves' counts (no second scan).
+    */
+  def trendingTerms(documents: DataFrame, k: Int = 25,
+                    minNew: Long = 5L): DataFrame = {
+    // integer division: float /2 then cast would round-vs-truncate
+    // differently across engines on odd maxima
+    val mid = broadcast(documents.agg(expr("max(doc_id) div 2").as("mid")))
+    documents.crossJoin(mid)
+      .select((col("doc_id") >= col("mid")).as("is_new"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("tf_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("tf_old"))
+      .filter(col("tf_new") >= minNew)
+      .withColumn("growth_bp",
+        expr("((tf_new + 1) * 10000 * 2 + (tf_old + 1)) div (2 * (tf_old + 1))"))
+      .orderBy(col("growth_bp").desc, col("word"))
+      .limit(k)
+  }
+
   /** Per-language perplexity-filter thresholds: the nearest-rank
     * percentile cut points of [[docLogprob]] per language — the table
     * a corpus-quality gate reads instead of one global constant (a

@@ -170,6 +170,37 @@ object Temporal {
       .orderBy("a_key", "b_key")
   }
 
+  /** SCD type-2 dimension BUILD — the other half of [[scd2Join]]:
+    * turn a raw change log into versioned validity intervals. Each
+    * user's events ordered by (ts, event_id) are run-length collapsed
+    * (consecutive equal attributes merge into one version), versions
+    * get `[valid_from, valid_to)` bounds via lead(), and the current
+    * version carries a NULL valid_to. One user-partitioned window
+    * pass + one grouped collapse — no self-joins, no global sort;
+    * this is the ingest step whose output [[scd2Join]] probes.
+    */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("changed",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("version", sum(col("changed")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(first(col("event_type")).as("attr"), min(col("ts")).as("from_ts"))
+    val byVer = Window.partitionBy("user_id").orderBy("version")
+    runs
+      .withColumn("to_ts", lead(col("from_ts"), 1).over(byVer))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("attr"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
   /** Point-in-time (SCD type-2) dimension join — the warehouse
     * staple the as-of join can't express when the dimension carries
     * EXPLICIT validity intervals: each fact row joins the dimension

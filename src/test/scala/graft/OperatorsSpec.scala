@@ -2430,6 +2430,50 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("scd2 build: run-length versions with half-open validity") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(secs: Long) = new Timestamp(t0.getTime + secs * 1000)
+    // user 1: click, click (merged run), view, click — 3 versions
+    val ev = Seq(
+      (1L, plus(0), 1L, "click"), (2L, plus(10), 1L, "click"),
+      (3L, plus(20), 1L, "view"), (4L, plus(30), 1L, "click"),
+      (5L, plus(0), 2L, "signup"))
+      .map { case (e, t, u, ty) => (e, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Temporal.scd2Build(ev).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("version")) ->
+        (x.getAs[String]("attr"), x.getAs[String]("valid_from"),
+          x.getAs[String]("valid_to"))).toMap
+    assert(r.size === 4)
+    assert(r((1L, 1L)) ===
+      (("click", "2024-01-01 00:00:00", "2024-01-01 00:00:20")))
+    assert(r((1L, 2L)) ===
+      (("view", "2024-01-01 00:00:20", "2024-01-01 00:00:30")))
+    assert(r((1L, 3L))._1 === "click")
+    assert(r((1L, 3L))._3 === null, "current version carries NULL valid_to")
+    assert(r((2L, 1L))._3 === null)
+  }
+
+  test("trending terms: growth ranks new-half surges first") {
+    import spark.implicits._
+    // doc_ids 0..9, mid = 4: old half 0..3, new half 4..9.
+    // 'surge' appears 6× only in the new half; 'flat' appears evenly.
+    val docs = (0L to 9L).map { i =>
+      val text = if (i >= 4) "surge flat" else "flat"
+      (i, text, "en", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.trendingTerms(docs, k = 10, minNew = 3L).collect()
+      .map(x => x.getAs[String]("word") ->
+        (x.getAs[Long]("tf_new"), x.getAs[Long]("tf_old"),
+          x.getAs[Long]("growth_bp"))).toMap
+    // surge: new 6, old 0 → (7·10⁴·2+1) div 2 = 70000 bp (7× smoothed)
+    assert(r("surge") === ((6L, 0L, 70000L)))
+    // flat: new 6, old 4 → (7·10⁴·2+5) div 10 = 14000 bp (1.4×)
+    assert(r("flat") === ((6L, 4L, 14000L)))
+  }
+
   test("edit distance pairs: order-sensitivity separates shuffles from copies") {
     import spark.implicits._
     // doc 2 is doc 1 verbatim (lev 0); doc 3 is doc 1's words REVERSED

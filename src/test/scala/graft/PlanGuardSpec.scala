@@ -77,6 +77,9 @@ class PlanGuardSpec extends SparkSpec {
     // vocab_coverage: the one-row corpus-total reduce + the cumulative
     // window over the TakeOrdered ≤max(ks)-row top-terms artifact
     "vocab_coverage",
+    // trending_terms: the one-row corpus-midpoint reduce, broadcast
+    // back across the token stream
+    "trending_terms",
     // revenue_concentration: the one-row (step, totals) reduce and the
     // cumulative window over the ≤10001-row basis-point histogram —
     // constant-size at any customer count (curriculum_order contract)
@@ -131,7 +134,10 @@ class PlanGuardSpec extends SparkSpec {
     "dn_retention",
     // vocab_coverage: the one-row corpus-total frame cross-joined onto
     // the bounded top-terms curve
-    "vocab_coverage")
+    "vocab_coverage",
+    // trending_terms: the one-row midpoint frame cross-joined across
+    // the corpus scan (runtime-filter-style constant broadcast)
+    "trending_terms")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
