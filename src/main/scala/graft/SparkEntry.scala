@@ -399,6 +399,11 @@ object SparkEntry {
     // activity rollup — the corpus-wide distinct is paid at ingest
     "active_users_indexed" -> ((s, d) =>
       Analytics.rollingActiveUsersFrom(s.table(activityTable(s, d)))),
+    // partition-pruned window probe: the range predicate rides the
+    // partition column, so the scan reads ONLY the window's days
+    "dau_window_indexed" -> ((s, d) =>
+      Analytics.dauWindow(s.table(activityTable(s, d)),
+        "2024-01-08", "2024-01-14")),
     // click→purchase lag histogram: as-of via ONE user-partitioned
     // window (no self-join), output bounded at 24·maxDays rows
     "conversion_lag" -> ((s, d) => Analytics.conversionLag(Tables.events(s, d))),
@@ -2674,6 +2679,11 @@ object SparkEntry {
     // the indexed twin reads the persisted activity rollup, which is
     // value-identical to the in-query distinct — same oracle
     "active_users_indexed" -> rollingActiveUsersOracle,
+    "dau_window_indexed" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS dau
+        |FROM ud WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY day ORDER BY day""".stripMargin,
     "conversion_lag" ->
       """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events
         |  WHERE event_type IN ('click', 'purchase')),

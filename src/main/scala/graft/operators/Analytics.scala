@@ -1417,6 +1417,22 @@ object Analytics {
       .write.mode("overwrite").partitionBy("day").format("parquet")
       .saveAsTable(table)
 
+  /** Windowed DAU probe over the [[writeActivityRollup]] artifact:
+    * daily active users for a DATE RANGE, where the range predicate
+    * lands on the PARTITION column — the scan reads only the window's
+    * day partitions (PartitionFilters, spec-pinned to the exact
+    * partition count), so a dashboard's 7-day probe over a year of
+    * activity touches 7/365 of the data. This is the read-path payoff
+    * the day-partitioned layout exists for.
+    */
+  def dauWindow(activity: DataFrame, lo: String, hi: String): DataFrame =
+    activity
+      .filter(col("day") >= lit(lo).cast("date") &&
+        col("day") <= lit(hi).cast("date"))
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"))
+      .orderBy("day")
+
   /** [[rollingActiveUsers]] over an already-deduplicated (user, day)
     * activity table (typically the [[writeActivityRollup]] artifact —
     * the indexed twin skips the corpus-wide distinct entirely).

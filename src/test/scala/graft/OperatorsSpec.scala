@@ -2499,11 +2499,19 @@ class OperatorsSpec extends SparkSpec {
   test("activity rollup index: one file per day, twin equals direct path") {
     val t = "t_activity_idx"
     spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // a killed previous run can leave the managed LOCATION behind with
+    // no catalog entry — CREATE then fails on the stale directory
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll)
+      f.delete()
+    }
+    val stale = new java.io.File(wh, t)
+    if (stale.exists()) rmAll(stale)
     val ev = Tables.events(spark, sfDir)
     Analytics.writeActivityRollup(ev, t)
     // layout: one parquet file per day partition (small-file discipline
     // — the r6 partials-index lesson)
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val dirs = new java.io.File(wh, t).listFiles().filter(_.getName.startsWith("day="))
     assert(dirs.nonEmpty)
     dirs.foreach { d =>
@@ -2514,6 +2522,15 @@ class OperatorsSpec extends SparkSpec {
     val direct = Analytics.rollingActiveUsers(ev).collect().map(_.toSeq)
     val indexed = Analytics.rollingActiveUsersFrom(spark.table(t)).collect().map(_.toSeq)
     assert(direct.toSeq === indexed.toSeq)
+    // window probe: the range predicate must prune to EXACTLY the
+    // window's partitions (7 of the ~30 days present)
+    val probe = Analytics.dauWindow(spark.table(t), "2024-01-08", "2024-01-14")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"range must land on the partition column:\n$plan")
+    assert(plan.contains("InMemoryFileIndex(7 paths)"),
+      s"expected exactly the 7 window partitions read:\n$plan")
+    assert(probe.collect().length === 7)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
