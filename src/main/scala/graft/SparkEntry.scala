@@ -339,6 +339,8 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // A/B report: md5-deterministic arms, integer-bp conversion per arm
+    "ab_test_report" -> ((s, d) => Analytics.abTestReport(Tables.events(s, d))),
     // SCD2 dimension BUILD: run-length collapse of the change log into
     // versioned validity intervals — one user-partitioned window pass
     "scd2_build" -> ((s, d) => Temporal.scd2Build(Tables.events(s, d))),
@@ -2431,6 +2433,29 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ab_test_report" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""WITH pu AS (SELECT DISTINCT user_id, event_type FROM events
+         |  WHERE event_type IN ('view', 'purchase')),
+         |agg AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+         |  FROM pu GROUP BY 1),
+         |h AS (SELECT *, md5(CAST(user_id AS VARCHAR)) AS hx FROM agg),
+         |armed AS (SELECT *, CASE WHEN ($hv) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |  FROM h),
+         |r AS (SELECT arm, count(*) AS n_users, sum(viewed)::BIGINT AS n_viewed,
+         |    sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_converted
+         |  FROM armed GROUP BY 1)
+         |SELECT arm, n_users, n_viewed, n_converted,
+         |  CAST((n_converted * 10000 * 2 + n_viewed) // (2 * n_viewed) AS BIGINT)
+         |    AS conv_bp
+         |FROM r ORDER BY arm""".stripMargin
+    },
     "scd2_build" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1072,6 +1072,36 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** A/B experiment report: users split into deterministic arms by
+    * the engine-reproducible md5 bucket (the [[Sampling]] convention —
+    * re-runs and both engines assign identically; never rand()), then
+    * per arm the view→purchase conversion funnel and the B-vs-A lift.
+    * All rates are integer basis points and the lift is the
+    * positive-operand division identity, so the report hashes
+    * identically everywhere. One distinct + one aggregate per arm
+    * axis; output is a constant 2-row table.
+    */
+  def abTestReport(events: DataFrame): DataFrame = {
+    val bucket =
+      (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2)
+    val perUser = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("viewed"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchased"))
+      .withColumn("arm", when(bucket === 0, "A").otherwise("B"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("viewed").cast("long")).as("n_viewed"),
+        sum(when(col("viewed") === 1 && col("purchased") === 1, 1L)
+          .otherwise(0L)).as("n_converted"))
+      .withColumn("conv_bp",
+        expr("(n_converted * 10000 * 2 + n_viewed) div (2 * n_viewed)"))
+      .orderBy("arm")
+  }
+
   /** Cohort LTV triangle: per signup-month cohort, cumulative
     * purchase revenue per user at each month offset — the
     * lifetime-value curve a growth team reads next to the retention

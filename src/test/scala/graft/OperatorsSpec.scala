@@ -2430,6 +2430,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("ab test report: arms partition users, conversion consistent") {
+    val rows = Analytics.abTestReport(Tables.events(spark, sfDir)).collect()
+    assert(rows.map(_.getAs[String]("arm")).toSeq === Seq("A", "B"))
+    val totalUsers = rows.map(_.getAs[Long]("n_users")).sum
+    val distinctUsers = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("user_id").distinct().count()
+    assert(totalUsers === distinctUsers, "arms must partition the users exactly")
+    rows.foreach { r =>
+      val (v, c, bp) = (r.getAs[Long]("n_viewed"), r.getAs[Long]("n_converted"),
+        r.getAs[Long]("conv_bp"))
+      assert(c <= v)
+      assert(math.abs(bp - 10000.0 * c / v) <= 1, s"bp $bp vs ${10000.0 * c / v}")
+    }
+  }
+
   test("scd2 build: run-length versions with half-open validity") {
     import spark.implicits._
     import java.sql.Timestamp
