@@ -662,6 +662,9 @@ object SparkEntry {
     // normalized Levenshtein (integer bp) — DP only on candidates
     "dedup_edit_distance" -> ((s, d) =>
       Dedup.editDistancePairs(Tables.documents(s, d))),
+    // crawl-ops view: per-source share of docs in ≥1 near-dup pair
+    "dup_rate_by_source" -> ((s, d) =>
+      Dedup.dupRateBySource(Tables.documents(s, d))),
     "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
     // SoftDeDup downweighting: weight 1/|cluster| instead of dropping
@@ -1210,6 +1213,28 @@ object SparkEntry {
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),
     "dedup_minhash_lsh" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_edit_distance" -> editPairsOracle(k = 5, floor = 0.5, minSimBp = 7000L),
+    "dup_rate_by_source" -> {
+      val k = 5
+      val shingles =
+        s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+      s"""WITH nrm AS (SELECT doc_id, source, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
+         |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT a, b FROM ipair
+         |  JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |dd AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT a AS doc_id FROM jp UNION ALL SELECT b FROM jp)),
+         |m AS (SELECT nrm.doc_id, source,
+         |    CASE WHEN dd.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         |  FROM nrm LEFT JOIN dd ON nrm.doc_id = dd.doc_id)
+         |SELECT source, count(*) AS n_docs, sum(is_dup)::BIGINT AS n_dup_docs,
+         |  CAST((sum(is_dup) * 10000 * 2 + count(*)) // (2 * count(*)) AS BIGINT)
+         |    AS dup_bp
+         |FROM m GROUP BY 1 ORDER BY source""".stripMargin
+    },
     "dedup_keep_best" -> keepBestOracle,
     "quality_filter" ->
       """SELECT doc_id, word_count, quality FROM (

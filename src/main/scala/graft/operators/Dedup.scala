@@ -382,6 +382,30 @@ object Dedup {
                  bands: Int = 8, threshold: Double = 0.5): DataFrame =
     lshPairs(documents, k, word = false, numPerm, bands, threshold)
 
+  /** Per-source duplication rate — the crawl-ops dashboard over the
+    * near-dup pass: for each source, how many of its documents sit in
+    * at least one near-duplicate pair, as an integer-bp share. A
+    * source whose rate spikes is re-serving content (mirror, feed
+    * loop, re-crawl misconfig) and should be fixed at the source
+    * rather than paid for in dedup compute forever. Rides the same
+    * LSH pair machinery as [[minhashLsh]]; the per-source rollup adds
+    * one explode of the (already tiny) pair set + one broadcast join.
+    */
+  def dupRateBySource(documents: DataFrame,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(documents, threshold = threshold)
+    val dupDocs = pairs.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+    val marked = documents.select(col("doc_id"), col("source"))
+      .join(dupDocs.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+    marked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_bp",
+        expr("(n_dup_docs * 10000 * 2 + n_docs) div (2 * n_docs)"))
+      .orderBy("source")
+  }
+
   /** Edit-distance near-dup refinement: the minhash-candidate pairs
     * re-scored by NORMALIZED LEVENSHTEIN similarity — the sequence-
     * aware second stage that set-based Jaccard can't provide (Jaccard

@@ -2430,6 +2430,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("dup rate by source: every source reported, rates bounded and consistent") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Dedup.dupRateBySource(docs).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet ===
+      docs.select("source").distinct().collect().map(_.getString(0)).toSet)
+    val totalDup = rows.map(_.getAs[Long]("n_dup_docs")).sum
+    val pairDocs = Dedup.minhashLsh(docs)
+      .select(explode(array(col("a"), col("b")))).distinct().count()
+    assert(totalDup === pairDocs, "dup docs must reconcile with the pair set")
+    rows.foreach { r =>
+      val (n, d, bp) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+        r.getAs[Long]("dup_bp"))
+      assert(d <= n && bp >= 0 && bp <= 10000)
+      assert(math.abs(bp - 10000.0 * d / n) <= 1)
+    }
+  }
+
   test("ab test report: arms partition users, conversion consistent") {
     val rows = Analytics.abTestReport(Tables.events(spark, sfDir)).collect()
     assert(rows.map(_.getAs[String]("arm")).toSeq === Seq("A", "B"))
