@@ -339,6 +339,9 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // seasonal-aware DAU anomalies: per-weekday rank median + MAD
+    // baseline, every day reported with its flag (never vacuous)
+    "dau_anomalies" -> ((s, d) => Analytics.dauAnomalies(Tables.events(s, d))),
     // A/B report: md5-deterministic arms, integer-bp conversion per arm
     "ab_test_report" -> ((s, d) => Analytics.abTestReport(Tables.events(s, d))),
     // SCD2 dimension BUILD: run-length collapse of the change log into
@@ -2458,6 +2461,24 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dau_anomalies" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau,
+        |    CAST(isodow(day) AS INTEGER) AS dow
+        |  FROM ud GROUP BY day),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dow ORDER BY dau, day) AS rn,
+        |    count(*) OVER (PARTITION BY dow) AS n FROM dau),
+        |med AS (SELECT dow, dau AS med_dau, n FROM r WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT dau.day, dau.dow, dau.dau, med.med_dau, med.n,
+        |    abs(dau.dau - med.med_dau) AS dev
+        |  FROM dau JOIN med USING (dow)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY dow ORDER BY dev, day) AS rn
+        |  FROM dv),
+        |mad AS (SELECT dow, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT strftime(dv.day, '%Y-%m-%d') AS day, dv.dow, dv.dau, dv.med_dau,
+        |  dv.dev, mad.mad,
+        |  (dv.n >= 4 AND mad.mad > 0 AND dv.dev > 3 * mad.mad) AS is_anomaly
+        |FROM dv JOIN mad USING (dow) ORDER BY day""".stripMargin,
     "ab_test_report" -> {
       val hv = (0 until 8).map { i =>
         val mult = 1L << (4 * (7 - i))

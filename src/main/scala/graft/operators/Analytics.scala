@@ -1072,6 +1072,41 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** DAU anomaly flags: each day's distinct-user count judged against
+    * its OWN WEEKDAY's robust baseline — the seasonal-aware outage/
+    * bot-spike detector (a quiet Sunday is normal; the same count on
+    * a Tuesday is an incident). Baseline is the per-weekday rank
+    * median and MAD (the [[madOutliers]] convention — all integer,
+    * tie-broken on the day, engine-exact); a day flags when its
+    * deviation exceeds k·MAD. Every day is reported with its flag
+    * (not just anomalies), so the gate can never pass vacuously.
+    */
+  def dauAnomalies(events: DataFrame, k: Int = 3, minN: Long = 4L): DataFrame = {
+    val dau = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+      .withColumn("dow", weekday(col("day")) + 1)
+    val byDow = Window.partitionBy("dow")
+    val wVal = byDow.orderBy(col("dau"), col("day"))
+    val med = dau
+      .withColumn("rn", row_number().over(wVal))
+      .withColumn("n", count(lit(1)).over(byDow))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("dow"), col("dau").as("med_dau"), col("n"))
+    val dev = dau.join(med, "dow")
+      .withColumn("dev", abs(col("dau") - col("med_dau")))
+    val wDev = byDow.orderBy(col("dev"), col("day"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wDev))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("dow"), col("dev").as("mad"))
+    dev.join(mad, "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("dau"), col("med_dau"), col("dev"), col("mad"),
+        (col("n") >= minN && col("mad") > 0 &&
+          col("dev") > lit(k.toLong) * col("mad")).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** A/B experiment report: users split into deterministic arms by
     * the engine-reproducible md5 bucket (the [[Sampling]] convention —
     * re-runs and both engines assign identically; never rand()), then

@@ -2430,6 +2430,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("dau anomalies: weekday baseline flags the spike day only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    // five Mondays with DAU 2,2,3,3,10 → median 3, MAD 1 → only the
+    // 10-user Monday flags (dev 7 > 3·1)
+    val mondays = Seq("2024-01-01" -> 2, "2024-01-08" -> 2,
+      "2024-01-15" -> 3, "2024-01-22" -> 3, "2024-01-29" -> 10)
+    val rows = mondays.zipWithIndex.flatMap { case ((d, n), di) =>
+      (1 to n).map(u => (di * 100L + u, ts(d), u.toLong, "click", 0.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.dauAnomalies(ev).collect()
+      .map(x => x.getAs[String]("day") ->
+        (x.getAs[Long]("dau"), x.getAs[Boolean]("is_anomaly"))).toMap
+    assert(r.size === 5, "every day reported")
+    assert(r("2024-01-29") === ((10L, true)))
+    mondays.init.foreach { case (d, n) => assert(r(d) === ((n.toLong, false))) }
+  }
+
   test("dup rate by source: every source reported, rates bounded and consistent") {
     val docs = Tables.documents(spark, sfDir)
     val rows = Dedup.dupRateBySource(docs).collect()
