@@ -510,6 +510,17 @@ object SparkEntry {
           col("value").cast("decimal(18,4)").as("b_val"))
       Temporal.attributionLinear(clicks, purchases, 7)
     }),
+    // last-touch attribution: full value to the latest in-window
+    // click, decided by one max_by aggregate (no per-purchase sort)
+    "attribution_last_touch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("event_id").as("a_key"), col("ts").as("a_date"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("event_id").as("b_key"), col("ts").as("b_date"),
+          col("value").cast("decimal(18,4)").as("b_val"))
+      Temporal.attributionLastTouch(clicks, purchases, 7)
+    }),
     "skew_salted_agg" -> ((s, d) => Analytics.saltedAgg(Tables.lineitem(s, d))),
     // hot-key-partial salted join: value-identical to the plain join
     // for any hot list; the skew-spreading property is spec-pinned
@@ -1722,6 +1733,19 @@ object SparkEntry {
         |SELECT a_key AS click_id, count(*)::BIGINT AS n_purchases,
         |CAST(sum(share_units) AS DOUBLE) / 10000 AS attributed
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH c AS (SELECT user_id AS key, event_id AS a_key, ts AS a_date FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS key, event_id AS b_key, CAST(value AS DECIMAL(18,4)) AS b_val, ts AS b_date FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.a_key, c.a_date, p.b_key, p.b_val
+        |  FROM c JOIN p ON c.key = p.key AND p.b_date >= c.a_date AND p.b_date < c.a_date + INTERVAL 7 DAY),
+        |last AS (SELECT b_key,
+        |    max_by(a_key, lpad(CAST(epoch_us(a_date) AS VARCHAR), 20, '0')
+        |      || lpad(CAST(a_key AS VARCHAR), 12, '0')) AS click_id,
+        |    min(b_val) AS b_val
+        |  FROM j GROUP BY 1)
+        |SELECT click_id, count(*)::BIGINT AS n_purchases,
+        |  CAST(round(sum(b_val), 2) AS DOUBLE) AS attributed
+        |FROM last GROUP BY 1 ORDER BY 1""".stripMargin,
     // staleness tolerance over DuckDB's native ASOF: matches older
     // than 12h are nulled by CASE, exactly the Spark-side predicate
     "asof_join_tolerance" ->

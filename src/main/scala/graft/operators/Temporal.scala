@@ -264,6 +264,30 @@ object Temporal {
       .orderBy("click_id")
   }
 
+  /** LAST-TOUCH attribution over the same click/purchase framing as
+    * [[attributionLinear]]: each purchase's value goes entirely to
+    * the LATEST click within the window (max (a_date, a_key) per
+    * purchase, decided inside one max_by aggregate over the pair
+    * table — no per-purchase window sort). Linear answers "how did
+    * the journey share credit"; last-touch answers the performance-
+    * marketing default "what closed it". Same window-matched bucket
+    * join, exact decimal cents.
+    */
+  def attributionLastTouch(clicks: DataFrame, purchases: DataFrame,
+                           days: Int): DataFrame = {
+    val okey = concat(
+      lpad(unix_micros(col("a_date")).cast("string"), 20, "0"),
+      lpad(col("a_key").cast("string"), 12, "0"))
+    rangeJoinPairs(clicks, purchases, days)
+      .groupBy(col("b_key"))
+      .agg(max_by(col("a_key"), okey).as("click_id"),
+        first(col("b_val")).as("b_val"))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("b_val")), 2).cast("double").as("attributed"))
+      .orderBy("click_id")
+  }
+
   def rangeJoinPairs(intervals: DataFrame, points: DataFrame, days: Int): DataFrame = {
     // Bucket grain MATCHED to the window: epoch-day `div days` buckets,
     // not calendar months. An interval [a, a+days) spans calendar days

@@ -2430,6 +2430,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("total_words")).sum === wsTotal)
   }
 
+  test("last-touch attribution: latest in-window click takes the full value") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(secs: Long) = new Timestamp(t0.getTime + secs * 1000)
+    val clicks = Seq(
+      (1L, 10L, plus(0)), (1L, 11L, plus(3600)),        // user 1: two clicks
+      (2L, 20L, plus(0)))                               // user 2: stale click
+      .toDF("key", "a_key", "a_date")
+    val purchases = Seq(
+      (1L, 100L, plus(7200), BigDecimal("50.00")),      // latest click = 11
+      (1L, 101L, plus(7300), BigDecimal("25.00")),      // also click 11
+      (2L, 200L, plus(8L * 86400), BigDecimal("99.00")))// outside 7d window
+      .toDF("key", "b_key", "b_date", "b_val")
+    val r = Temporal.attributionLastTouch(clicks, purchases, 7).collect()
+      .map(x => x.getAs[Long]("click_id") ->
+        (x.getAs[Long]("n_purchases"), x.getAs[Double]("attributed"))).toMap
+    assert(r === Map(11L -> ((2L, 75.0))),
+      s"click 11 takes both purchases in full, click 10 nothing: $r")
+  }
+
   test("dau anomalies: weekday baseline flags the spike day only") {
     import spark.implicits._
     import java.sql.Timestamp
