@@ -510,6 +510,17 @@ object SparkEntry {
           col("value").cast("decimal(18,4)").as("b_val"))
       Temporal.attributionLinear(clicks, purchases, 7)
     }),
+    // time-decay attribution: power-of-two day weights keep every
+    // share exact integer; remainder reconciles to the latest click
+    "attribution_time_decay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("event_id").as("a_key"), col("ts").as("a_date"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("event_id").as("b_key"), col("ts").as("b_date"),
+          col("value").cast("decimal(18,4)").as("b_val"))
+      Temporal.attributionTimeDecay(clicks, purchases, 7)
+    }),
     // last-touch attribution: full value to the latest in-window
     // click, decided by one max_by aggregate (no per-purchase sort)
     "attribution_last_touch" -> ((s, d) => {
@@ -1732,6 +1743,23 @@ object SparkEntry {
         |  FROM w)
         |SELECT a_key AS click_id, count(*)::BIGINT AS n_purchases,
         |CAST(sum(share_units) AS DOUBLE) / 10000 AS attributed
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "attribution_time_decay" ->
+      """WITH c AS (SELECT user_id AS key, event_id AS a_key, ts AS a_date FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS key, event_id AS b_key, ts AS b_date, CAST(value AS DECIMAL(18,4)) AS b_val FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.a_key, c.a_date, p.b_key, p.b_date, CAST(p.b_val * 10000 AS BIGINT) AS units
+        |  FROM c JOIN p ON c.key = p.key AND p.b_date >= c.a_date AND p.b_date < c.a_date + INTERVAL 7 DAY),
+        |w0 AS (SELECT *, (epoch_us(b_date) - epoch_us(a_date)) // 86400000000 AS age FROM j),
+        |w1 AS (SELECT *, CAST(1 AS BIGINT) << CAST(6 - age AS INTEGER) AS w FROM w0),
+        |w2 AS (SELECT *, sum(w) OVER (PARTITION BY b_key) AS total_w,
+        |    row_number() OVER (PARTITION BY b_key ORDER BY a_date DESC, a_key DESC) AS rk FROM w1),
+        |w3 AS (SELECT *, (CASE WHEN units < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(units) * w) // total_w) AS share FROM w2),
+        |w4 AS (SELECT *, sum(share) OVER (PARTITION BY b_key) AS given FROM w3),
+        |s AS (SELECT a_key, share + CASE WHEN rk = 1 THEN units - given ELSE 0 END
+        |    AS share_units FROM w4)
+        |SELECT a_key AS click_id, count(*)::BIGINT AS n_purchases,
+        |  CAST(sum(share_units) AS DOUBLE) / 10000 AS attributed
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "attribution_last_touch" ->
       """WITH c AS (SELECT user_id AS key, event_id AS a_key, ts AS a_date FROM events WHERE event_type = 'click'),

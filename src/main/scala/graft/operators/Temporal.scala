@@ -288,6 +288,40 @@ object Temporal {
       .orderBy("click_id")
   }
 
+  /** TIME-DECAY attribution — the third of the family: recent clicks
+    * earn exponentially more credit, with POWER-OF-TWO day weights
+    * (w = 2^(days−1−age)) so every share stays exact integer
+    * arithmetic — no float exp(), no drift. Each purchase's value in
+    * 10⁻⁴ units splits as units·w ÷ Σw per click (integer division),
+    * and the division remainder goes to the LATEST click (the
+    * highest-weight owner), so the per-purchase total reconciles to
+    * the cent. All three passes are windows over ONE b_key
+    * partitioning of the window-matched pair join.
+    */
+  def attributionTimeDecay(clicks: DataFrame, purchases: DataFrame,
+                           days: Int): DataFrame = {
+    val perPurchase = Window.partitionBy("b_key")
+    val latestFirst = Window.partitionBy("b_key")
+      .orderBy(col("a_date").desc, col("a_key").desc)
+    rangeJoinPairs(clicks, purchases, days)
+      .withColumn("units", (col("b_val") * 10000).cast("long"))
+      .withColumn("age_days", expr(
+        "(unix_micros(b_date) - unix_micros(a_date)) div 86400000000"))
+      .withColumn("w", expr(s"CAST(1 AS BIGINT) << (${days - 1} - CAST(age_days AS INT))"))
+      .withColumn("total_w", sum(col("w")).over(perPurchase))
+      .withColumn("share", expr(
+        "if(units < 0, -1L, 1L) * ((abs(units) * w) div total_w)"))
+      .withColumn("given", sum(col("share")).over(perPurchase))
+      .withColumn("rk", row_number().over(latestFirst))
+      .withColumn("share_units",
+        col("share") + when(col("rk") === 1, col("units") - col("given"))
+          .otherwise(lit(0L)))
+      .groupBy(col("a_key").as("click_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum("share_units").cast("double") / 10000).as("attributed"))
+      .orderBy("click_id")
+  }
+
   def rangeJoinPairs(intervals: DataFrame, points: DataFrame, days: Int): DataFrame = {
     // Bucket grain MATCHED to the window: epoch-day `div days` buckets,
     // not calendar months. An interval [a, a+days) spans calendar days

@@ -2451,6 +2451,31 @@ class OperatorsSpec extends SparkSpec {
       s"click 11 takes both purchases in full, click 10 nothing: $r")
   }
 
+  test("time-decay attribution: 2^age weights, remainder to latest click") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(secs: Long) = new Timestamp(t0.getTime + secs * 1000)
+    // clicks at day 0 and day 2; purchase $10.00 at day 2+1h.
+    // ages: click 11 → 0 days (w=64), click 10 → 2 days (w=16).
+    // units=100000: shares 100000·64÷80=80000, 100000·16÷80=20000.
+    val clicks = Seq((1L, 10L, plus(0)), (1L, 11L, plus(2L * 86400)))
+      .toDF("key", "a_key", "a_date")
+    val purchases = Seq((1L, 100L, plus(2L * 86400 + 3600), BigDecimal("10.00")))
+      .toDF("key", "b_key", "b_date", "b_val")
+    val r = Temporal.attributionTimeDecay(clicks, purchases, 7).collect()
+      .map(x => x.getAs[Long]("click_id") -> x.getAs[Double]("attributed")).toMap
+    assert(r === Map(11L -> 8.0, 10L -> 2.0))
+    // remainder reconciliation: odd units split leaves the leftover
+    // with the latest click; totals must equal the purchase exactly
+    val p2 = Seq((1L, 100L, plus(2L * 86400 + 3600), BigDecimal("0.0001")))
+      .toDF("key", "b_key", "b_date", "b_val")
+    val r2 = Temporal.attributionTimeDecay(clicks, p2, 7).collect()
+      .map(x => x.getAs[Long]("click_id") -> x.getAs[Double]("attributed")).toMap
+    assert(r2(11L) + r2(10L) === 0.0001)
+    assert(r2(11L) === 0.0001 && r2(10L) === 0.0, "1-unit value goes whole to latest")
+  }
+
   test("dau anomalies: weekday baseline flags the spike day only") {
     import spark.implicits._
     import java.sql.Timestamp
