@@ -339,6 +339,9 @@ object SparkEntry {
     // join, never a BNLJ (spec-asserted)
     "q19_bracket_revenue" -> ((s, d) =>
       Analytics.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // open-order backlog by 30-day age band, as of the data's own max
+    // date (deterministic replays, no wall clock)
+    "open_order_aging" -> ((s, d) => Analytics.openOrderAging(Tables.orders(s, d))),
     // seasonal-aware DAU anomalies: per-weekday rank median + MAD
     // baseline, every day reported with its flag (never vacuous)
     "dau_anomalies" -> ((s, d) => Analytics.dauAnomalies(Tables.events(s, d))),
@@ -2513,6 +2516,16 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "open_order_aging" ->
+      """WITH a AS (SELECT max(o_orderdate) AS as_of FROM orders),
+        |o AS (SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(as_of AS DATE))
+        |    AS age_days, o_totalprice
+        |  FROM orders, a WHERE o_orderstatus = 'O')
+        |SELECT age_days // 30 AS age_bucket_30d, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS open_value,
+        |  CAST(max(age_days) AS INTEGER) AS max_age_days
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "dau_anomalies" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |dau AS (SELECT day, count(*) AS dau,

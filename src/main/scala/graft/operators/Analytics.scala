@@ -1072,6 +1072,27 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Open-order backlog aging: orders still open, bucketed by 30-day
+    * age bands as of the DATASET'S OWN max order date (a one-row
+    * broadcast — no wall clock, so replays are deterministic), with
+    * counts and exact decimal value per band. The ops report behind
+    * every fulfillment dashboard; output is bounded by the date span
+    * over 30.
+    */
+  def openOrderAging(orders: DataFrame): DataFrame = {
+    val asOf = broadcast(orders.agg(max(col("o_orderdate")).as("as_of")))
+    orders.filter(col("o_orderstatus") === "O")
+      .crossJoin(asOf)
+      .withColumn("age_days",
+        datediff(to_date(col("as_of")), to_date(col("o_orderdate"))))
+      .groupBy(expr("age_days div 30").as("age_bucket_30d"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+          .cast("double").as("open_value"),
+        max(col("age_days")).as("max_age_days"))
+      .orderBy("age_bucket_30d")
+  }
+
   /** DAU anomaly flags: each day's distinct-user count judged against
     * its OWN WEEKDAY's robust baseline — the seasonal-aware outage/
     * bot-spike detector (a quiet Sunday is normal; the same count on

@@ -2451,6 +2451,20 @@ class OperatorsSpec extends SparkSpec {
       s"click 11 takes both purchases in full, click 10 nothing: $r")
   }
 
+  test("open order aging: only open orders, buckets cover max age") {
+    val orders = Tables.orders(spark, sfDir)
+    val rows = Analytics.openOrderAging(orders).collect()
+    assert(rows.nonEmpty)
+    val nOpen = orders.filter(col("o_orderstatus") === "O").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOpen)
+    rows.foreach { r =>
+      val (b, mx) = (r.getAs[Long]("age_bucket_30d"), r.getAs[Int]("max_age_days"))
+      assert(mx >= b * 30 && mx < (b + 1) * 30,
+        s"bucket $b must contain its own max age $mx")
+      assert(r.getAs[Double]("open_value") > 0)
+    }
+  }
+
   test("time-decay attribution: 2^age weights, remainder to latest click") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -80,6 +80,9 @@ class PlanGuardSpec extends SparkSpec {
     // trending_terms: the one-row corpus-midpoint reduce, broadcast
     // back across the token stream
     "trending_terms",
+    // open_order_aging: the one-row as-of date reduce, broadcast back
+    // (the user_rfm contract)
+    "open_order_aging",
     // revenue_concentration: the one-row (step, totals) reduce and the
     // cumulative window over the ≤10001-row basis-point histogram —
     // constant-size at any customer count (curriculum_order contract)
@@ -137,7 +140,10 @@ class PlanGuardSpec extends SparkSpec {
     "vocab_coverage",
     // trending_terms: the one-row midpoint frame cross-joined across
     // the corpus scan (runtime-filter-style constant broadcast)
-    "trending_terms")
+    "trending_terms",
+    // open_order_aging: the one-row as-of frame cross-joined across
+    // the open-order scan
+    "open_order_aging")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
