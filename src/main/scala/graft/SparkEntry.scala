@@ -342,6 +342,13 @@ object SparkEntry {
     // open-order backlog by 30-day age band, as of the data's own max
     // date (deterministic replays, no wall clock)
     "open_order_aging" -> ((s, d) => Analytics.openOrderAging(Tables.orders(s, d))),
+    // discount band → volume/revenue probe; band domain bounds output
+    "discount_elasticity" -> ((s, d) =>
+      Analytics.discountElasticity(Tables.lineitem(s, d))),
+    // exact decimal-moment variance (merge-order independent — float
+    // Welford drifts across partitionings), integer identity, top-k
+    "part_price_variance" -> ((s, d) =>
+      Analytics.partPriceVariance(Tables.lineitem(s, d))),
     // seasonal-aware DAU anomalies: per-weekday rank median + MAD
     // baseline, every day reported with its flag (never vacuous)
     "dau_anomalies" -> ((s, d) => Analytics.dauAnomalies(Tables.events(s, d))),
@@ -2516,6 +2523,27 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "discount_elasticity" ->
+      """SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS discount_pct,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  CAST((sum(CAST(l_quantity AS BIGINT)) * 100 * 2 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "part_price_variance" ->
+      """WITH b AS (SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c
+        |  FROM lineitem),
+        |a AS (SELECT l_partkey, count(*) AS n, sum(c) AS s, sum(c * c) AS s2
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT l_partkey, n, s,
+        |    (n * s2 - s * s) // (n * (n - 1)) AS var_c2 FROM a WHERE n >= 2)
+        |SELECT l_partkey, n, CAST(s AS DOUBLE) / 100.0 AS sum_price,
+        |  CAST(var_c2 AS DOUBLE) AS var_cents2
+        |FROM f ORDER BY var_c2 DESC, l_partkey LIMIT 50""".stripMargin,
     "open_order_aging" ->
       """WITH a AS (SELECT max(o_orderdate) AS as_of FROM orders),
         |o AS (SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(as_of AS DATE))

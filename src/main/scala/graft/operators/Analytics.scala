@@ -1072,6 +1072,56 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Discount elasticity table: per discount band (integer percent),
+    * line count, exact average quantity, and exact decimal revenue —
+    * the merchandising probe "do deeper discounts actually move more
+    * units". One grouped scan; the band domain bounds the output.
+    * Quantities are integral so the average is the all-integer
+    * identity.
+    */
+  def discountElasticity(lineitem: DataFrame): DataFrame = {
+    lineitem
+      .groupBy((col("l_discount").cast("decimal(4,2)") * 100).cast("int")
+        .as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+            .cast("decimal(4,2)")), 2).cast("double").as("revenue"))
+      .withColumn("avg_qty",
+        (expr("(sum_qty * 100 * 2 + n_lines) div (2 * n_lines)")
+          .cast("double") / 100.0))
+      .orderBy("discount_pct")
+  }
+
+  /** Exact distributed price VARIANCE per part, ranked: the numeric
+    * trap this operator exists to dodge is Welford/float-sum variance,
+    * whose result depends on partition merge order — useless as a
+    * cross-run baseline. Here Σc and Σc² accumulate as DECIMAL(38,0)
+    * cents (order-independent, overflow-free at 10⁹ rows per part),
+    * and the sample variance is the integer identity
+    * (n·Σc² − (Σc)²) div (n·(n−1)) in cents² — bit-identical on every
+    * engine and partitioning. Top-k by variance via TakeOrdered.
+    */
+  def partPriceVariance(lineitem: DataFrame, k: Int = 50,
+                        minN: Long = 2L): DataFrame = {
+    lineitem
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)").as("c"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("n") >= minN)
+      .withColumn("var_c2",
+        expr("(n * s2 - s * s) div (n * (n - 1))").cast("decimal(38,0)"))
+      .select(col("l_partkey"), col("n"),
+        (col("s").cast("double") / 100.0).as("sum_price"),
+        col("var_c2").cast("double").as("var_cents2"))
+      .orderBy(col("var_cents2").desc, col("l_partkey"))
+      .limit(k)
+  }
+
   /** Open-order backlog aging: orders still open, bucketed by 30-day
     * age bands as of the DATASET'S OWN max order date (a one-row
     * broadcast — no wall clock, so replays are deterministic), with

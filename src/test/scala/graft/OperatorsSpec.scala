@@ -2451,6 +2451,34 @@ class OperatorsSpec extends SparkSpec {
       s"click 11 takes both purchases in full, click 10 nothing: $r")
   }
 
+  test("discount elasticity: one band per discount, totals reconcile") {
+    val li = Tables.lineitem(spark, sfDir)
+    val rows = Analytics.discountElasticity(li).collect()
+    assert(rows.map(_.getAs[Int]("discount_pct")).toSeq ===
+      rows.map(_.getAs[Int]("discount_pct")).sorted.toSeq)
+    assert(rows.map(_.getAs[Long]("n_lines")).sum === li.count())
+    rows.foreach { r =>
+      val (n, q, avg) = (r.getAs[Long]("n_lines"), r.getAs[Long]("sum_qty"),
+        r.getAs[Double]("avg_qty"))
+      assert(math.abs(avg - q.toDouble / n) < 0.01)
+    }
+  }
+
+  test("part price variance: exact on a hand-computed group, partitioning-invariant") {
+    import spark.implicits._
+    // part 1: cents 100, 300 → n=2, s=400, s2=100000
+    // var = (2·100000 − 160000) div 2 = 20000 cents²
+    val li = Seq((1L, 1.00), (1L, 3.00), (2L, 5.00))
+      .toDF("l_partkey", "l_extendedprice")
+    val r = Analytics.partPriceVariance(li, k = 10).collect()
+    assert(r.length === 1, "singleton part 2 is filtered (n < 2)")
+    assert(r.head.getAs[Long]("l_partkey") === 1L)
+    assert(r.head.getAs[Double]("var_cents2") === 20000.0)
+    // merge-order independence: identical across partitionings
+    val r13 = Analytics.partPriceVariance(li.repartition(13), k = 10).collect()
+    assert(r.map(_.toSeq).toSeq === r13.map(_.toSeq).toSeq)
+  }
+
   test("open order aging: only open orders, buckets cover max age") {
     val orders = Tables.orders(spark, sfDir)
     val rows = Analytics.openOrderAging(orders).collect()
