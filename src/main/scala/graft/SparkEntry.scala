@@ -342,6 +342,8 @@ object SparkEntry {
     // open-order backlog by 30-day age band, as of the data's own max
     // date (deterministic replays, no wall clock)
     "open_order_aging" -> ((s, d) => Analytics.openOrderAging(Tables.orders(s, d))),
+    // exact-moment Pearson corr: decimal moments, ONE float op at end
+    "qty_price_corr" -> ((s, d) => Analytics.qtyPriceCorr(Tables.lineitem(s, d))),
     // discount band → volume/revenue probe; band domain bounds output
     "discount_elasticity" -> ((s, d) =>
       Analytics.discountElasticity(Tables.lineitem(s, d))),
@@ -2523,6 +2525,22 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qty_price_corr" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS HUGEINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny FROM a)
+        |SELECT l_returnflag, n,
+        |  round(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 4) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "discount_elasticity" ->
       """SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS discount_pct,
         |  count(*) AS n_lines,

@@ -1122,6 +1122,37 @@ object Analytics {
       .limit(k)
   }
 
+  /** Exact-moment Pearson correlation (quantity vs price, per return
+    * flag): all five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * DECIMAL — order-independent and overflow-free — and floating
+    * point enters ONCE at the end (the final sqrt/division of two
+    * exact decimals), so the statistic is reproducible across engines
+    * and partitionings where a streaming float corr() is not. The
+    * [[partPriceVariance]] policy applied to a two-variable moment.
+    */
+  def qtyPriceCorr(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(10,0)")
+    val y = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("decimal(20,0)")
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"),
+        sum((y * y).cast("decimal(38,0)")).as("syy"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("decimal(38,0)"))
+      .withColumn("denx", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,0)"))
+      .withColumn("deny", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("decimal(38,0)"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("num").cast("double") /
+          sqrt(col("denx").cast("double") * col("deny").cast("double")), 4)
+          .as("corr"))
+      .orderBy("l_returnflag")
+  }
+
   /** Open-order backlog aging: orders still open, bucketed by 30-day
     * age bands as of the DATASET'S OWN max order date (a one-row
     * broadcast — no wall clock, so replays are deterministic), with

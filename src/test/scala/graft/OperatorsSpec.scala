@@ -2451,6 +2451,23 @@ class OperatorsSpec extends SparkSpec {
       s"click 11 takes both purchases in full, click 10 nothing: $r")
   }
 
+  test("qty-price correlation: exact moments match a hand computation") {
+    import spark.implicits._
+    // perfectly correlated: y = 100x exactly → corr 1.0
+    val li = Seq((1.0, 1.00, "A"), (2.0, 2.00, "A"), (3.0, 3.00, "A"),
+      // anti-correlated pair for flag B
+      (1.0, 2.00, "B"), (2.0, 1.00, "B"))
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag")
+    val r = Analytics.qtyPriceCorr(li).collect()
+      .map(x => x.getAs[String]("l_returnflag") -> x.getAs[Double]("corr")).toMap
+    assert(r("A") === 1.0)
+    assert(r("B") === -1.0)
+    // partitioning invariance (decimal moments)
+    val r2 = Analytics.qtyPriceCorr(li.repartition(7)).collect()
+      .map(x => x.getAs[String]("l_returnflag") -> x.getAs[Double]("corr")).toMap
+    assert(r === r2)
+  }
+
   test("discount elasticity: one band per discount, totals reconcile") {
     val li = Tables.lineitem(spark, sfDir)
     val rows = Analytics.discountElasticity(li).collect()
