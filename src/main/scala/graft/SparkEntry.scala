@@ -344,6 +344,12 @@ object SparkEntry {
     "open_order_aging" -> ((s, d) => Analytics.openOrderAging(Tables.orders(s, d))),
     // exact-moment Pearson corr: decimal moments, ONE float op at end
     "qty_price_corr" -> ((s, d) => Analytics.qtyPriceCorr(Tables.lineitem(s, d))),
+    // OLS demand slope from the same exact moments
+    "price_qty_slope" -> ((s, d) => Analytics.priceQtySlope(Tables.lineitem(s, d))),
+    // integer-cents SES forecast: bounded per-series array fold
+    "ses_forecast" -> ((s, d) =>
+      Analytics.sesForecast(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d))),
     // discount band → volume/revenue probe; band domain bounds output
     "discount_elasticity" -> ((s, d) =>
       Analytics.discountElasticity(Tables.lineitem(s, d))),
@@ -2525,6 +2531,39 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "price_qty_slope" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS HUGEINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |    sx, sy FROM a),
+        |sl AS (SELECT *, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+        |    AS slope FROM m)
+        |SELECT l_returnflag, n, slope,
+        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 2) AS intercept_cents
+        |FROM sl ORDER BY l_returnflag""".stripMargin,
+    "ses_forecast" ->
+      """WITH m AS (SELECT r_name, strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT)
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT r_name, count(*) AS n_months,
+        |    list(cents ORDER BY month) AS cs
+        |  FROM m GROUP BY 1)
+        |SELECT r_name, CAST(n_months AS INTEGER) AS n_months,
+        |  CAST(cs[len(cs)] AS DOUBLE) / 100.0 AS last_actual,
+        |  CAST(list_reduce(cs, (s, e) -> (e + s) // 2) AS DOUBLE) / 100.0
+        |    AS forecast_next
+        |FROM s ORDER BY r_name""".stripMargin,
     "qty_price_corr" ->
       """WITH b AS (SELECT l_returnflag,
         |    CAST(l_quantity AS HUGEINT) AS x,

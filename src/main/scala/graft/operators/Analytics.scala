@@ -1122,6 +1122,70 @@ object Analytics {
       .limit(k)
   }
 
+  /** OLS slope/intercept from the SAME exact decimal moments as
+    * [[qtyPriceCorr]] — a distributed linear regression whose only
+    * float ops are the final two divisions. Fitted here: unit price
+    * (cents) as a function of quantity, per return flag — the demand-
+    * curve probe. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
+    * (Σy − slope·Σx)/n, both from exact integers.
+    */
+  def priceQtySlope(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(10,0)")
+    val y = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("decimal(20,0)")
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("decimal(38,0)"))
+      .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,0)"))
+      .withColumn("slope",
+        round(col("num").cast("double") / col("den").cast("double"), 4))
+      .select(col("l_returnflag"), col("n"), col("slope"),
+        round((col("sy").cast("double") -
+          col("slope") * col("sx").cast("double")) / col("n").cast("double"), 2)
+          .as("intercept_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Next-period forecast by SIMPLE EXPONENTIAL SMOOTHING with α=½ —
+    * in INTEGER cents: s ← (x + s) div 2 folds the ordered monthly
+    * series with integer halving, so the forecast is bit-exact on
+    * every engine (a float α·x + (1−α)·s recursion drifts). The
+    * per-series month array is BOUNDED (the series length — a few
+    * dozen rows per region; codebook contract), collected by
+    * sort_array and folded by a single `aggregate` expression — the
+    * pattern for any bounded-window recursive statistic that windows
+    * can't express.
+    */
+  def sesForecast(region: DataFrame, nation: DataFrame,
+                  customer: DataFrame, orders: DataFrame): DataFrame = {
+    val dims = broadcast(customer.join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name")))
+    orders
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("cents"))
+      .groupBy("r_name")
+      .agg(sort_array(collect_list(struct(col("month"), col("cents"))))
+        .as("series"))
+      .select(col("r_name"), size(col("series")).as("n_months"),
+        (expr("element_at(series, -1).cents").cast("double") / 100.0)
+          .as("last_actual"),
+        // integer SES fold: seed with the first month, halve forward
+        (expr("aggregate(slice(series, 2, size(series) - 1), " +
+          "element_at(series, 1).cents, (s, e) -> (e.cents + s) div 2)")
+          .cast("double") / 100.0).as("forecast_next"))
+      .orderBy("r_name")
+  }
+
   /** Exact-moment Pearson correlation (quantity vs price, per return
     * flag): all five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
     * DECIMAL — order-independent and overflow-free — and floating

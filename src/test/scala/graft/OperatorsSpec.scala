@@ -2451,6 +2451,38 @@ class OperatorsSpec extends SparkSpec {
       s"click 11 takes both purchases in full, click 10 nothing: $r")
   }
 
+  test("price-qty slope: recovers an exact linear relationship") {
+    import spark.implicits._
+    // y_cents = 100·x exactly → slope 100, intercept 0
+    val li = Seq((1.0, 1.00, "A"), (2.0, 2.00, "A"), (3.0, 3.00, "A"))
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag")
+    val r = Analytics.priceQtySlope(li).head()
+    assert(r.getAs[Double]("slope") === 100.0)
+    assert(r.getAs[Double]("intercept_cents") === 0.0)
+  }
+
+  test("SES forecast: integer halving fold exact on a known series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // one region, months with revenue 100, 200, 400 dollars:
+    // cents fold: s=10000 → (20000+10000) div 2 = 15000 →
+    // (40000+15000) div 2 = 27500 → forecast $275.00
+    val region = Seq((0, "R")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "N", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, "c", 0, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, ts("1996-01-15")),
+      (2L, 1L, "O", 200.0, ts("1996-02-15")),
+      (3L, 1L, "O", 400.0, ts("1996-03-15")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val r = Analytics.sesForecast(region, nation, customer, orders).head()
+    assert(r.getAs[Int]("n_months") === 3)
+    assert(r.getAs[Double]("last_actual") === 400.0)
+    assert(r.getAs[Double]("forecast_next") === 275.0)
+  }
+
   test("qty-price correlation: exact moments match a hand computation") {
     import spark.implicits._
     // perfectly correlated: y = 100x exactly → corr 1.0
