@@ -344,6 +344,11 @@ object SparkEntry {
     "open_order_aging" -> ((s, d) => Analytics.openOrderAging(Tables.orders(s, d))),
     // exact-moment Pearson corr: decimal moments, ONE float op at end
     "qty_price_corr" -> ((s, d) => Analytics.qtyPriceCorr(Tables.lineitem(s, d))),
+    // nearest-rank value bands per event type (monitoring band table)
+    "value_bands" -> ((s, d) => Analytics.valueBands(Tables.events(s, d))),
+    // scaled-integer chi² over the FULL (source × lang) grid
+    "source_lang_chi2" -> ((s, d) =>
+      Analytics.sourceLangChi2(Tables.documents(s, d))),
     // OLS demand slope from the same exact moments
     "price_qty_slope" -> ((s, d) => Analytics.priceQtySlope(Tables.lineitem(s, d))),
     // integer-cents SES forecast: bounded per-series array fold
@@ -2531,6 +2536,37 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "value_bands" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type, CAST(p AS BIGINT) AS p,
+        |  CAST(cents AS DOUBLE) / 100.0 AS value, n AS n_events
+        |FROM r, (VALUES (25), (50), (75), (90)) v(p)
+        |WHERE rn = (p * n + 99) // 100
+        |ORDER BY event_type, p""".stripMargin,
+    "source_lang_chi2" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rws AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cls AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_total,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs FROM cells),
+        |grid AS (SELECT rws.source, cls.lang, rws.r, cls.c,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rws CROSS JOIN cls
+        |  LEFT JOIN cells ON rws.source = cells.source AND cls.lang = cells.lang),
+        |k AS (SELECT (CAST(o AS HUGEINT) * n_total - CAST(r AS HUGEINT) * c) *
+        |    (CAST(o AS HUGEINT) * n_total - CAST(r AS HUGEINT) * c) * 10000
+        |    // (CAST(r AS HUGEINT) * c * n_total) AS contrib,
+        |    n_sources, n_langs
+        |  FROM grid, tot)
+        |SELECT CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof,
+        |  CAST(sum(contrib) AS BIGINT) AS chi2_x10000
+        |FROM k GROUP BY n_sources, n_langs""".stripMargin,
     "price_qty_slope" ->
       """WITH b AS (SELECT l_returnflag,
         |    CAST(l_quantity AS HUGEINT) AS x,

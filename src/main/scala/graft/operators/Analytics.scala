@@ -1122,6 +1122,66 @@ object Analytics {
       .limit(k)
   }
 
+  /** Exact percentile BANDS of event value per event type — the
+    * per-type price/latency band table a monitoring page draws. The
+    * nearest-rank convention of [[percentilesByEntity]] applied to
+    * the (type, cents) axis: one type-partitioned sort serves every
+    * requested percentile, values compare as integer cents, and each
+    * band edge is an actual observed value — engine-exact where
+    * interpolated percentiles drift.
+    */
+  def valueBands(events: DataFrame,
+                 ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val w = byType.orderBy(col("cents"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byType))
+      .select(col("event_type"), col("cents"), col("rn"), col("n"),
+        explode(array(ps.map(p => lit(p)): _*)).as("p"))
+      .filter(col("rn") === expr("(p * n + 99) div 100"))
+      .select(col("event_type"), col("p").cast("long").as("p"),
+        (col("cents").cast("double") / 100.0).as("value"), col("n").as("n_events"))
+      .orderBy("event_type", "p")
+  }
+
+  /** Pearson chi-square independence statistic for the (source,
+    * language) contingency table — "is language mix independent of
+    * source" as ONE scaled-integer number both engines reproduce:
+    * each cell contributes (O·N − R·C)²·10⁴ div (R·C·N) in
+    * DECIMAL(38,0) (O observed, R row total, C column total, N grand
+    * total — all exact counts), so the statistic is engine-exact at
+    * 4dp-equivalent scaling with zero float ops. Cell count bounds
+    * the output work; the contingency table itself is one aggregate.
+    */
+  def sourceLangChi2(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("source").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("lang").agg(sum(col("o")).as("c"))
+    val total = cells.agg(sum(col("o")).as("n_total"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    // the FULL row×column grid: a (source, lang) combination that never
+    // occurs still contributes its expected count to the statistic —
+    // dropping zero cells understates chi² exactly when dependence is
+    // strongest. The grid is |sources|·|langs| rows (domain-bounded).
+    broadcast(rows).crossJoin(broadcast(cols))
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(total))
+      .withColumn("contrib", expr(
+        "(CAST(o AS DECIMAL(38,0)) * n_total - CAST(r AS DECIMAL(38,0)) * c) *" +
+          "(CAST(o AS DECIMAL(38,0)) * n_total - CAST(r AS DECIMAL(38,0)) * c) " +
+          "* 10000 div (CAST(r AS DECIMAL(38,0)) * c * n_total)"))
+      .groupBy("n_sources", "n_langs")
+      .agg(sum(col("contrib")).as("chi2_x10000"))
+      .select(
+        ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+        col("chi2_x10000").cast("long").as("chi2_x10000"))
+  }
+
   /** OLS slope/intercept from the SAME exact decimal moments as
     * [[qtyPriceCorr]] — a distributed linear regression whose only
     * float ops are the final two divisions. Fitted here: unit price

@@ -2451,6 +2451,37 @@ class OperatorsSpec extends SparkSpec {
       s"click 11 takes both purchases in full, click 10 nothing: $r")
   }
 
+  test("value bands: band edges are observed values, ordered in p") {
+    val out = Analytics.valueBands(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val byP = rows.sortBy(_.getAs[Long]("p"))
+      val vs = byP.map(_.getAs[Double]("value"))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b },
+        "bands must be non-decreasing in p")
+    }
+  }
+
+  test("chi2: independent table scores ~0, dependent table scores high") {
+    import spark.implicits._
+    // perfectly independent 2×2 (every cell 5) → chi² = 0
+    val indep = (1L to 20L).map { i =>
+      val src = if (i % 2 == 0) "s1" else "s2"
+      val lang = if ((i / 2) % 2 == 0) "en" else "id"
+      (i, "t", lang, src, 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r0 = Analytics.sourceLangChi2(indep).head()
+    assert(r0.getAs[Long]("chi2_x10000") === 0L)
+    assert(r0.getAs[Long]("dof") === 1L)
+    // perfectly dependent: s1→en only, s2→id only → chi² = N = 20
+    val dep = (1L to 20L).map { i =>
+      val src = if (i % 2 == 0) "s1" else "s2"
+      (i, "t", if (src == "s1") "en" else "id", src, 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = Analytics.sourceLangChi2(dep).head()
+    assert(r1.getAs[Long]("chi2_x10000") === 200000L, "chi² = N for a perfect 2×2")
+  }
+
   test("price-qty slope: recovers an exact linear relationship") {
     import spark.implicits._
     // y_cents = 100·x exactly → slope 100, intercept 0

@@ -83,6 +83,9 @@ class PlanGuardSpec extends SparkSpec {
     // open_order_aging: the one-row as-of date reduce, broadcast back
     // (the user_rfm contract)
     "open_order_aging",
+    // source_lang_chi2: the one-row totals reduce + the final one-row
+    // statistic over the |sources|·|langs| grid (domain-bounded)
+    "source_lang_chi2",
     // revenue_concentration: the one-row (step, totals) reduce and the
     // cumulative window over the ≤10001-row basis-point histogram —
     // constant-size at any customer count (curriculum_order contract)
@@ -143,7 +146,10 @@ class PlanGuardSpec extends SparkSpec {
     "trending_terms",
     // open_order_aging: the one-row as-of frame cross-joined across
     // the open-order scan
-    "open_order_aging")
+    "open_order_aging",
+    // source_lang_chi2: domain-bounded row×column grid cross join
+    // (|sources|·|langs| rows) + the one-row totals frame
+    "source_lang_chi2")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
