@@ -344,6 +344,9 @@ object SparkEntry {
     "open_order_aging" -> ((s, d) => Analytics.openOrderAging(Tables.orders(s, d))),
     // exact-moment Pearson corr: decimal moments, ONE float op at end
     "qty_price_corr" -> ((s, d) => Analytics.qtyPriceCorr(Tables.lineitem(s, d))),
+    // inter-arrival CV² per type: organic vs bursty vs cron traffic
+    "interarrival_burstiness" -> ((s, d) =>
+      Analytics.interarrivalBurstiness(Tables.events(s, d))),
     // nearest-rank value bands per event type (monitoring band table)
     "value_bands" -> ((s, d) => Analytics.valueBands(Tables.events(s, d))),
     // scaled-integer chi² over the FULL (source × lang) grid
@@ -2536,6 +2539,22 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "interarrival_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |f AS (SELECT event_type, CAST(gap AS HUGEINT) AS gap FROM g
+        |  WHERE gap IS NOT NULL AND gap > 0),
+        |a AS (SELECT event_type, count(*) AS n, sum(gap) AS sd,
+        |    sum(gap * gap) AS sd2
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST((sd * 2 + n * 1000000) // (2 * n * 1000000) AS BIGINT)
+        |    AS mean_gap_secs,
+        |  CAST((n * sd2 * 10000) // (sd * sd) - 10000 AS BIGINT)
+        |    AS burstiness_bp
+        |FROM a WHERE n >= 10 ORDER BY event_type""".stripMargin,
     "value_bands" ->
       """WITH b AS (SELECT event_type, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -1122,6 +1122,36 @@ object Analytics {
       .limit(k)
   }
 
+  /** Inter-arrival BURSTINESS per event type: the squared coefficient
+    * of variation of the gaps preceding each type's events, as
+    * integer basis points — CV²=10⁴ is Poisson-like, higher is bursty
+    * (retry storms, bot loops), lower is periodic (cron-like). Gaps
+    * are integer micros from ONE user-partitioned lag pass; the CV²
+    * identity n·Σd²/(Σd)² − 1 evaluates from exact decimal moments
+    * with a single integral division, so the flag is reproducible —
+    * the variance-policy answer to "is this traffic organic".
+    */
+  def interarrivalBurstiness(events: DataFrame, minN: Long = 10L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap").isNotNull && col("gap") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap").cast("decimal(38,0)")).as("sd"),
+        sum((col("gap").cast("decimal(38,0)") * col("gap")).cast("decimal(38,0)"))
+          .as("sd2"))
+      .filter(col("n") >= minN)
+      .select(col("event_type"), col("n"),
+        // mean gap in whole seconds, HALF_UP
+        expr("(sd * 2 + n * 1000000) div (2 * n * 1000000)").as("mean_gap_secs"),
+        // CV² in bp: (n·Σd²·10⁴) div (Σd)² − 10⁴
+        (expr("(n * sd2 * 10000) div (sd * sd)") - 10000L).as("burstiness_bp"))
+      .orderBy("event_type")
+  }
+
   /** Exact percentile BANDS of event value per event type — the
     * per-type price/latency band table a monitoring page draws. The
     * nearest-rank convention of [[percentilesByEntity]] applied to

@@ -2451,6 +2451,27 @@ class OperatorsSpec extends SparkSpec {
       s"click 11 takes both purchases in full, click 10 nothing: $r")
   }
 
+  test("burstiness: periodic gaps score 0 bp, bursty gaps score high") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(secs: Long) = new Timestamp(t0.getTime + secs * 1000)
+    // user 1: perfectly periodic 60 s gaps (12 events) → CV² = 0
+    val periodic = (0 until 12).map(i => (i.toLong, plus(i * 60L), 1L, "cron"))
+    // user 2: bursty — ten 1 s gaps then one 3600 s gap
+    val bursty = ((0 until 11).map(i => (100L + i, plus(i.toLong), 2L, "burst")) :+
+      (111L, plus(3610), 2L, "burst"))
+    val ev = (periodic ++ bursty)
+      .map { case (e, t, u, ty) => (e, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Analytics.interarrivalBurstiness(ev, minN = 10L).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("mean_gap_secs"), x.getAs[Long]("burstiness_bp"))).toMap
+    assert(r("cron") === ((60L, 0L)), "constant gaps → CV² exactly 0")
+    val (_, bbp) = r("burst")
+    assert(bbp > 50000L, s"bursty stream must score ≫ 10⁴ bp, got $bbp")
+  }
+
   test("value bands: band edges are observed values, ordered in p") {
     val out = Analytics.valueBands(Tables.events(spark, sfDir)).collect()
     assert(out.nonEmpty)
