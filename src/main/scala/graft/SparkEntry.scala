@@ -716,6 +716,9 @@ object SparkEntry {
     // crawl-ops view: per-source share of docs in ≥1 near-dup pair
     "dup_rate_by_source" -> ((s, d) =>
       Dedup.dupRateBySource(Tables.documents(s, d))),
+    // threshold calibration: candidate-pair Jaccard band histogram
+    "pair_sim_histogram" -> ((s, d) =>
+      Dedup.pairSimHistogram(Tables.documents(s, d))),
     "dedup_cluster"     -> ((s, d) => Dedup.minhashClusters(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(Tables.documents(s, d))),
     // SoftDeDup downweighting: weight 1/|cluster| instead of dropping
@@ -1264,6 +1267,22 @@ object SparkEntry {
     "ann_lsh_topk" -> lshTopKOracle(0L, 20),
     "dedup_minhash_lsh" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_edit_distance" -> editPairsOracle(k = 5, floor = 0.5, minSimBp = 7000L),
+    "pair_sim_histogram" -> {
+      val k = 5
+      val shingles =
+        s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+      s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
+         |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard FROM ipair
+         |  JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5)
+         |SELECT CAST(floor(jaccard * 100) AS INTEGER) AS sim_band_pct,
+         |  count(*) AS n_pairs
+         |FROM jp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "dup_rate_by_source" -> {
       val k = 5
       val shingles =

@@ -382,6 +382,23 @@ object Dedup {
                  bands: Int = 8, threshold: Double = 0.5): DataFrame =
     lshPairs(documents, k, word = false, numPerm, bands, threshold)
 
+  /** Pair-similarity histogram — the threshold-calibration curve for
+    * the near-dup pass: how many candidate pairs fall in each Jaccard
+    * band above the LSH floor. Reading this before picking the dedup
+    * threshold replaces folklore (0.8? 0.85?) with the corpus' own
+    * bimodality: true duplicates pile at the top bands, topical
+    * near-misses at the bottom, and the valley between them IS the
+    * threshold. Bands by floor(j·100) — the same double in both
+    * engines floors identically. Bounded ≤51-row output.
+    */
+  def pairSimHistogram(documents: DataFrame,
+                       floorT: Double = 0.5): DataFrame = {
+    minhashLsh(documents, threshold = floorT)
+      .groupBy(floor(col("jaccard") * 100).cast("int").as("sim_band_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("sim_band_pct")
+  }
+
   /** Per-source duplication rate — the crawl-ops dashboard over the
     * near-dup pass: for each source, how many of its documents sit in
     * at least one near-duplicate pair, as an integer-bp share. A

@@ -2639,6 +2639,18 @@ class OperatorsSpec extends SparkSpec {
     mondays.init.foreach { case (d, n) => assert(r(d) === ((n.toLong, false))) }
   }
 
+  test("pair sim histogram: bands reconcile with the pair set") {
+    val docs = Tables.documents(spark, sfDir)
+    val hist = Dedup.pairSimHistogram(docs).collect()
+    assert(hist.nonEmpty)
+    val nPairs = Dedup.minhashLsh(docs).count()
+    assert(hist.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    hist.foreach { r =>
+      val b = r.getAs[Int]("sim_band_pct")
+      assert(b >= 50 && b <= 100, s"band $b outside the LSH floor range")
+    }
+  }
+
   test("dup rate by source: every source reported, rates bounded and consistent") {
     val docs = Tables.documents(spark, sfDir)
     val rows = Dedup.dupRateBySource(docs).collect()
