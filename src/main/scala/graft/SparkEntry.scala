@@ -419,6 +419,8 @@ object SparkEntry {
     // basis-point histogram carries the only global window
     "revenue_concentration" -> ((s, d) =>
       Analytics.revenueConcentration(Tables.orders(s, d))),
+    // one-number Gini off the same bounded histogram, exact trapezoid
+    "revenue_gini" -> ((s, d) => Analytics.revenueGini(Tables.orders(s, d))),
     // ordered view→click→purchase depth per session: stacked windows
     // over ONE (user, session) partitioning, constant 4-row output
     "session_funnel" -> ((s, d) => Analytics.sessionFunnel(Tables.events(s, d))),
@@ -2947,6 +2949,24 @@ object SparkEntry {
         |  CAST((cum_cents * 10000 * 2 + tot_cents) // (2 * tot_cents) AS BIGINT)
         |    AS cum_revenue_bp
         |FROM c, st ORDER BY bucket""".stripMargin,
+    "revenue_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT max(cents) // 10000 + 1 AS bucket_step FROM rev),
+        |h AS (SELECT cents // bucket_step AS bucket, count(*) AS dc,
+        |    sum(cents) AS bucket_cents FROM rev, st GROUP BY 1),
+        |c AS (SELECT *, sum(bucket_cents) OVER (ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS r_cum FROM h),
+        |c2 AS (SELECT *, coalesce(lag(r_cum) OVER (ORDER BY bucket), 0)
+        |    AS r_prev FROM c),
+        |a AS (SELECT CAST(sum(dc) AS HUGEINT) AS n_customers,
+        |    sum(bucket_cents) AS t_r,
+        |    sum(CAST(dc AS HUGEINT) * (r_cum + r_prev)) AS trap FROM c2)
+        |SELECT CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(((n_customers * t_r - trap) * 10000 * 2 + n_customers * t_r)
+        |    // (2 * n_customers * t_r) AS BIGINT) AS gini_bp
+        |FROM a""".stripMargin,
     "session_funnel" ->
       """WITH lagd AS (SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)

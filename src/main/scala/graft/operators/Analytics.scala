@@ -1672,6 +1672,39 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Gini coefficient of the revenue distribution — the one-number
+    * inequality summary of [[revenueConcentration]]'s curve, computed
+    * by the trapezoid rule over the SAME bounded basis-point
+    * histogram: G = 1 − Σ Δc·(Rᵢ+Rᵢ₋₁)/(T_c·T_r), every term an
+    * exact DECIMAL integer (counts × cumulative cents), one division
+    * at the end via the HALF_UP identity. The bucket granularity is
+    * the only approximation and both engines share it bit-for-bit;
+    * the global window runs over ≤10001 histogram rows.
+    */
+  def revenueGini(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    val step = broadcast(rev.agg(
+      (expr("max(cents) div 10000") + lit(1)).as("bucket_step")))
+    val hist = rev.crossJoin(step)
+      .groupBy(expr("cents div bucket_step").as("bucket"))
+      .agg(count(lit(1)).as("dc"), sum(col("cents")).as("bucket_cents"))
+    val w = Window.orderBy("bucket")
+    hist
+      .withColumn("r_cum", sum("bucket_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r_prev", coalesce(lag(col("r_cum"), 1).over(w), lit(0)))
+      .agg(sum(col("dc")).as("n_customers"),
+        sum(col("bucket_cents")).as("t_r"),
+        sum((col("dc") * (col("r_cum") + col("r_prev"))).cast("decimal(38,0)"))
+          .as("trap"))
+      .select(col("n_customers"),
+        expr("((CAST(n_customers AS DECIMAL(38,0)) * t_r - trap) * 10000 * 2 " +
+          "+ CAST(n_customers AS DECIMAL(38,0)) * t_r) " +
+          "div (2 * CAST(n_customers AS DECIMAL(38,0)) * t_r)").as("gini_bp"))
+  }
+
   /** Within-session ordered funnel: how deep each session progresses
     * through view → click → purchase, IN ORDER (a purchase before the
     * session's first view-then-click chain doesn't count). Sessions

@@ -2639,6 +2639,26 @@ class OperatorsSpec extends SparkSpec {
     mondays.init.foreach { case (d, n) => assert(r(d) === ((n.toLong, false))) }
   }
 
+  test("revenue gini: 0 for equality, high for a monopolist, bounded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("1996-01-01 00:00:00")
+    def orders(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, "O", v, ts)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    // perfectly equal customers → Gini 0 (same bucket, trapezoid exact)
+    val eq = Analytics.revenueGini(orders(Seq.fill(10)(100.0))).head()
+    assert(eq.getAs[Long]("gini_bp") === 0L)
+    // one customer holds ~everything → Gini near 1
+    val mono = Analytics.revenueGini(
+      orders(Seq.fill(9)(0.01) :+ 10000.0)).head()
+    assert(mono.getAs[Long]("gini_bp") > 8500L)
+    // real data: in (0, 10000)
+    val real = Analytics.revenueGini(Tables.orders(spark, sfDir)).head()
+    val g = real.getAs[Long]("gini_bp")
+    assert(g > 0 && g < 10000)
+  }
+
   test("pair sim histogram: bands reconcile with the pair set") {
     val docs = Tables.documents(spark, sfDir)
     val hist = Dedup.pairSimHistogram(docs).collect()

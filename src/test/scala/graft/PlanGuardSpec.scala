@@ -86,10 +86,11 @@ class PlanGuardSpec extends SparkSpec {
     // source_lang_chi2: the one-row totals reduce + the final one-row
     // statistic over the |sources|·|langs| grid (domain-bounded)
     "source_lang_chi2",
-    // revenue_concentration: the one-row (step, totals) reduce and the
-    // cumulative window over the ≤10001-row basis-point histogram —
-    // constant-size at any customer count (curriculum_order contract)
-    "revenue_concentration")
+    // revenue_concentration / revenue_gini: the one-row (step, totals)
+    // reduce and the cumulative window over the ≤10001-row basis-point
+    // histogram — constant-size at any customer count
+    // (curriculum_order contract)
+    "revenue_concentration", "revenue_gini")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
@@ -129,9 +130,9 @@ class PlanGuardSpec extends SparkSpec {
     // bloom_prune_join: the one-row bloom frame (constant kilobytes)
     // cross-joined across the fact — the runtime-filter broadcast
     "bloom_prune_join",
-    // basket_affinity / revenue_concentration: one-row totals frames
-    // cross-joined back (same bounded contract as skew_report)
-    "basket_affinity", "revenue_concentration",
+    // basket_affinity / revenue_concentration / revenue_gini: one-row
+    // totals frames cross-joined back (the skew_report contract)
+    "basket_affinity", "revenue_concentration", "revenue_gini",
     // hard_negatives: the broadcast side is the id-capped query batch
     // (same constant-size contract as ann_batch_topk)
     "hard_negatives",
