@@ -702,6 +702,15 @@ object SparkEntry {
     // all-integer triangle areas, bucket-mean anchors (parallel form)
     "series_downsample" -> ((s, d) => Finance.lttbDownsample(Tables.events(s, d))),
     "series_beta"   -> ((s, d) => Finance.seriesBeta(Tables.events(s, d))),
+    // indicator family over daily closes: all-integer (basis points /
+    // cents), no float σ or float division anywhere except final emits
+    "rsi_cutler"    -> ((s, d) => Finance.rsiCutler(Tables.events(s, d))),
+    "bollinger_breaches" -> ((s, d) =>
+      Finance.bollingerBreaches(Tables.events(s, d))),
+    "obv_daily"     -> ((s, d) => Finance.obvDaily(Tables.events(s, d))),
+    "top_movers"    -> ((s, d) => Finance.topMovers(Tables.events(s, d))),
+    // cross-asset corr matrix bounded by the top-N turnover domain
+    "series_corr_topn" -> ((s, d) => Finance.seriesCorrTopN(Tables.events(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dup_spans"         -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
@@ -3254,6 +3263,102 @@ object SparkEntry {
         |d AS (SELECT user_id, round((peak - value) / peak, 6) AS dd FROM p WHERE peak > 0)
         |SELECT user_id, max(dd) AS max_drawdown, count(*) AS n_obs
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Cutler's RSI: all-integer cent deltas, frame sums, HALF_UP bp
+    // identity — flat frame = 5000 bp by convention
+    "rsi_cutler" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT user_id, day, c - lag(c) OVER (PARTITION BY user_id ORDER BY day) AS delta FROM dc),
+        |f AS (SELECT user_id, day,
+        |  sum(greatest(delta, 0)) OVER w AS g,
+        |  sum(greatest(-delta, 0)) OVER w AS l,
+        |  count(*) OVER w AS nd
+        |  FROM d WHERE delta IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN g + l = 0 THEN 5000
+        |       ELSE (2 * g * 10000 + (g + l)) // (2 * (g + l)) END AS BIGINT) AS rsi_bp
+        |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    // breach test multiplied through by n and squared: dev = c·n − s,
+    // breach iff dev² > k²·(n·s2 − s²) — no float σ ever exists
+    "bollinger_breaches" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, day, c,
+        |  sum(CAST(c AS HUGEINT)) OVER w AS s,
+        |  sum(CAST(c AS HUGEINT) * c) OVER w AS s2,
+        |  count(*) OVER w AS nd
+        |  FROM dc
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT user_id, day, c, s, nd,
+        |  c * 20 - s AS dev,
+        |  s2 * 20 - s * s AS varn2
+        |  FROM f WHERE nd = 20)
+        |SELECT user_id, day, CAST(c AS DOUBLE) / 100.0 AS close,
+        |  CASE WHEN dev > 0 THEN 'upper' ELSE 'lower' END AS band,
+        |  CAST((2 * s * 100 + nd) // (2 * nd) AS DOUBLE) / 10000.0 AS band_mean
+        |FROM g WHERE dev * dev > varn2 * 4 ORDER BY user_id, day""".stripMargin,
+    "obv_daily" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |  count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT user_id, day, n_obs,
+        |  c - lag(c) OVER (PARTITION BY user_id ORDER BY day) AS delta FROM dc),
+        |s AS (SELECT user_id, day,
+        |  CASE WHEN delta IS NULL OR delta = 0 THEN 0
+        |       WHEN delta > 0 THEN n_obs ELSE -n_obs END AS signed FROM d)
+        |SELECT user_id, day,
+        |  CAST(sum(signed) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM s ORDER BY user_id, day""".stripMargin,
+    // signed bp change via the positive-operand HALF_UP identity
+    "top_movers" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT user_id, day, c,
+        |  lag(c) OVER (PARTITION BY user_id ORDER BY day) AS p FROM dc)
+        |SELECT user_id, day, CAST(p AS DOUBLE) / 100.0 AS prev_close,
+        |  CAST(c AS DOUBLE) / 100.0 AS close,
+        |  (2 * c * 10000 + p) // (2 * p) - 10000 AS change_bp
+        |FROM d WHERE p IS NOT NULL AND p > 0 AND c > 0
+        |ORDER BY abs((2 * c * 10000 + p) // (2 * p) - 10000) DESC, user_id, day
+        |LIMIT 20""".stripMargin,
+    // exact decimal moments; the final corr division is the only float
+    "series_corr_topn" ->
+      """WITH daily AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  sum(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |top AS (SELECT user_id FROM (SELECT user_id, sum(CAST(x AS DECIMAL(38,0))) AS total
+        |  FROM daily GROUP BY 1) ORDER BY total DESC, user_id LIMIT 8),
+        |dt AS (SELECT d.* FROM daily d JOIN top t USING (user_id)),
+        |pairs AS (SELECT a.user_id AS u1, b.user_id AS u2,
+        |  count(*) AS n_days,
+        |  sum(CAST(a.x AS DECIMAL(38,0))) AS sx,
+        |  sum(CAST(b.x AS DECIMAL(38,0))) AS sy,
+        |  sum(CAST(a.x AS DECIMAL(38,0)) * b.x) AS sxy,
+        |  sum(CAST(a.x AS DECIMAL(38,0)) * a.x) AS sxx,
+        |  sum(CAST(b.x AS DECIMAL(38,0)) * b.x) AS syy
+        |  FROM dt a JOIN dt b ON a.day = b.day AND a.user_id < b.user_id
+        |  GROUP BY 1, 2)
+        |SELECT u1, u2, n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n_days * syy - sy * sy AS DOUBLE)), 4) AS corr
+        |FROM pairs
+        |WHERE n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+        |ORDER BY u1, u2""".stripMargin,
     // exact 4dp HALF_UP of N/Q via floor((2·N·10⁴+Q)/2Q) on cent-scaled
     // BIGINTs — round(double,4) is engine-divergent at half boundaries
     "vwap_monthly" ->

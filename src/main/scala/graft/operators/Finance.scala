@@ -298,6 +298,170 @@ object Finance {
       .orderBy("user_id", "bucket")
   }
 
+  /** Daily close in integer CENTS per (user, day) — the shared input of
+    * the indicator family below. ONE map-side-combinable hash aggregate
+    * (max_by over the composite order key, the [[ohlcResample]] close
+    * convention); n_obs rides along as the day's tick count, the
+    * volume-analog the OBV indicator consumes.
+    */
+  private def dailyCloses(events: DataFrame): DataFrame = {
+    val okey = orderKey(col("ts"), col("event_id"))
+    events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg((max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
+        .cast("long").as("c"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** Cutler's RSI over daily closes — the SMA form of the relative
+    * strength index (Wilder's original smoothing is an infinite float
+    * recursion, irreproducible across engines; Cutler's simple-average
+    * variant is the standard fix and is EXACTLY computable): per day,
+    * gain/loss = the positive/negative part of the close-to-close cent
+    * delta, summed over the trailing n-delta frame, and
+    * RSI = 100·G/(G+L) emitted in integer BASIS POINTS via the HALF_UP
+    * identity floor((2·G·10⁴ + (G+L)) / (2·(G+L))) — no float division
+    * anywhere. A flat frame (G+L = 0) is RSI 50 by convention (5000 bp).
+    * Shapes: one close aggregate + two series-keyed windows — series
+    * count never multiplies job count.
+    */
+  def rsiCutler(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 2, s"RSI window must be >= 2, got $n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    dailyCloses(events)
+      .withColumn("delta", col("c") - lag(col("c"), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("g", sum(greatest(col("delta"), lit(0L))).over(frame))
+      .withColumn("l", sum(greatest(-col("delta"), lit(0L))).over(frame))
+      .withColumn("nd", count(lit(1)).over(frame))
+      .filter(col("nd") === n) // full frame only: partial RSI is noise
+      .select(col("user_id"), col("day"),
+        when(col("g") + col("l") === 0, lit(5000L))
+          .otherwise(expr("(2 * g * 10000 + (g + l)) div (2 * (g + l))"))
+          .as("rsi_bp"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Bollinger-band BREACHES over daily closes: days where the close
+    * leaves the n-day mean ± k·σ envelope. The breach test never
+    * materializes a float σ — with cent sums s = Σc, s2 = Σc² over the
+    * frame, `close > mean + k·σ_pop` is equivalent (after multiplying
+    * through by n and squaring the positive side) to
+    * `dev > 0 ∧ dev² > k²·(n·s2 − s²)` with dev = c·n − s, every
+    * operand an exact decimal integer — an ulp of float σ cannot flip
+    * a breach the way mean+stddev comparison would. Emits breach rows
+    * only (the alert stream), with the band mean recovered 4dp-exact
+    * via the HALF_UP integer identity. One aggregate + one series-keyed
+    * window.
+    */
+  def bollingerBreaches(events: DataFrame, n: Int = 20, k: Int = 2): DataFrame = {
+    require(n >= 2 && k >= 1, s"need n >= 2, k >= 1; got n=$n k=$k")
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    dailyCloses(events)
+      .withColumn("s", sum(col("c").cast("decimal(38,0)")).over(w))
+      .withColumn("s2", sum((col("c") * col("c")).cast("decimal(38,0)")).over(w))
+      .withColumn("nd", count(lit(1)).over(w))
+      .filter(col("nd") === n)
+      .withColumn("dev", (col("c") * n - col("s")).cast("decimal(38,0)"))
+      .withColumn("varn2", (col("s2") * n - col("s") * col("s")).cast("decimal(38,0)"))
+      .filter(col("dev") * col("dev") > col("varn2") * (k * k))
+      .select(col("user_id"), col("day"),
+        (col("c").cast("double") / 100.0).as("close"),
+        when(col("dev") > 0, lit("upper")).otherwise(lit("lower")).as("band"),
+        (expr("(2 * s * 100 + nd) div (2 * nd)").cast("double") / 10000.0)
+          .as("band_mean"))
+      .orderBy("user_id", "day")
+  }
+
+  /** On-balance volume per (series, day): the running signed-volume
+    * accumulation (up-day adds the day's tick count, down-day subtracts
+    * it, flat contributes zero — n_obs standing in for share volume,
+    * the only volume the tick stream carries). All-integer: cent-close
+    * deltas decide the sign, longs accumulate. Two windows over ONE
+    * series partitioning.
+    */
+  def obvDaily(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    dailyCloses(events)
+      .withColumn("delta", col("c") - lag(col("c"), 1).over(w))
+      .withColumn("signed",
+        when(col("delta").isNull || col("delta") === 0, lit(0L))
+          .when(col("delta") > 0, col("n_obs"))
+          .otherwise(-col("n_obs")))
+      .withColumn("obv", sum(col("signed"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("day"), col("obv"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Top-k daily movers (the gainers/losers dashboard): close-to-close
+    * change per (series, day) in signed integer basis points via the
+    * positive-operand HALF_UP identity floor((2·c·10⁴ + p)/(2p)) − 10⁴
+    * (both closes positive, so no floor-vs-truncate divergence on the
+    * negative CHANGE — the [[region_mom_growth]] convention), ranked by
+    * |change| with a composite (user, day) tie-break. TakeOrdered top-k
+    * — never a global sort of the mover table.
+    */
+  def topMovers(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    dailyCloses(events)
+      .withColumn("p", lag(col("c"), 1).over(w))
+      .filter(col("p").isNotNull && col("p") > 0 && col("c") > 0)
+      .withColumn("change_bp", expr("(2 * c * 10000 + p) div (2 * p) - 10000"))
+      .select(col("user_id"), col("day"),
+        (col("p").cast("double") / 100.0).as("prev_close"),
+        (col("c").cast("double") / 100.0).as("close"),
+        col("change_bp"))
+      .orderBy(abs(col("change_bp")).desc, col("user_id"), col("day"))
+      .limit(k)
+  }
+
+  /** Pairwise correlation MATRIX of the top-N series by total turnover
+    * — the cross-asset dashboard heat-map. The quadratic term is
+    * bounded by N (a TakeOrdered top-N on the per-series totals,
+    * broadcast back — the domain-bounded pair convention of
+    * source_vocab_jaccard), never by series count: the day-keyed
+    * self-join touches N²/2 pairs per day however many series exist.
+    * Moments are exact decimal cent sums ([[seriesBeta]]'s policy);
+    * the single float op is the final corr division. Pairs ordered
+    * u1 < u2; degenerate (zero-variance) pairs drop.
+    */
+  def seriesCorrTopN(events: DataFrame, topN: Int = 8): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((round(col("value"), 2).cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    val top = daily.groupBy("user_id")
+      .agg(sum(col("x").cast("decimal(38,0)")).as("total"))
+      .orderBy(col("total").desc, col("user_id"))
+      .limit(topN)
+      .select(col("user_id"))
+    val dt = daily.join(broadcast(top), "user_id")
+    val a = dt.select(col("user_id").as("u1"), col("day"), col("x").as("xa"))
+    val b = dt.select(col("user_id").as("u2"), col("day"), col("x").as("xb"))
+    a.join(b, Seq("day")).filter(col("u1") < col("u2"))
+      .groupBy("u1", "u2")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("xa").cast("decimal(38,0)")).as("sx"),
+        sum(col("xb").cast("decimal(38,0)")).as("sy"),
+        sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xa") * col("xa")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xb") * col("xb")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("num", (col("n_days") * col("sxy") - col("sx") * col("sy"))
+        .cast("decimal(38,0)"))
+      .withColumn("denx", (col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,0)"))
+      .withColumn("deny", (col("n_days") * col("syy") - col("sy") * col("sy"))
+        .cast("decimal(38,0)"))
+      .filter(col("denx") > 0 && col("deny") > 0)
+      .select(col("u1"), col("u2"), col("n_days"),
+        round(col("num").cast("double") /
+          sqrt(col("denx").cast("double") * col("deny").cast("double")), 4)
+          .as("corr"))
+      .orderBy("u1", "u2")
+  }
+
   /** Volume-weighted average price per (supplier, ship month): exact
     * decimal sums of notional and quantity, ONE double division at the
     * end. Plain hash aggregate with map-side partials — the 100 TB

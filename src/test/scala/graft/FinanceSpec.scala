@@ -164,6 +164,107 @@ class FinanceSpec extends SparkSpec {
     assert(maxPer <= 10)
   }
 
+  test("rsi_cutler: frame gains/losses, half-up bp, flat frame = 5000") {
+    import spark.implicits._
+    // one tick per day → closes 100, 110, 105, 105; deltas +10, −5, 0
+    val rows = Seq(
+      (1L, "2024-01-01", 100.0), (2L, "2024-01-02", 110.0),
+      (3L, "2024-01-03", 105.0), (4L, "2024-01-04", 105.0),
+      // flat series: RSI must be the 5000 bp convention, not a crash
+      (5L, "2024-01-01", 7.0), (6L, "2024-01-02", 7.0), (7L, "2024-01-03", 7.0)
+    ).map { case (id, day, v) =>
+      (id, t(s"$day 12:00:00"), if (id <= 4) 1L else 2L, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.rsiCutler(rows, n = 2).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("day")) -> x.getAs[Long]("rsi_bp"))
+      .toMap
+    // day3: g=1000c, l=500c → round(10⁴·1000/1500) = 6667 (HALF_UP)
+    assert(r((1L, "2024-01-03")) === 6667L)
+    // day4: g=0, l=500 → 0
+    assert(r((1L, "2024-01-04")) === 0L)
+    // flat: g+l = 0 → 5000 by convention
+    assert(r((2L, "2024-01-03")) === 5000L)
+    // day2 has only one delta — frame not full, excluded
+    assert(!r.contains((1L, "2024-01-02")))
+  }
+
+  test("bollinger_breaches: squared integer test, no breach at zero variance") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: 10, 10, 20 → dev=+2000c·… breaches upper at k=1
+      (1L, "2024-01-01", 1L, 10.0), (2L, "2024-01-02", 1L, 10.0),
+      (3L, "2024-01-03", 1L, 20.0),
+      // u2: 10, 10, 4 → lower breach
+      (4L, "2024-01-01", 2L, 10.0), (5L, "2024-01-02", 2L, 10.0),
+      (6L, "2024-01-03", 2L, 4.0),
+      // u3: constant → zero variance, dev=0: 0 > 0 is false, no breach
+      (7L, "2024-01-01", 3L, 5.0), (8L, "2024-01-02", 3L, 5.0),
+      (9L, "2024-01-03", 3L, 5.0)
+    ).map { case (id, day, u, v) => (id, t(s"$day 12:00:00"), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.bollingerBreaches(rows, n = 3, k = 1).collect()
+    val byUser = r.map(x => x.getAs[Long]("user_id") ->
+      (x.getAs[String]("band"), x.getAs[Double]("band_mean"))).toMap
+    assert(r.length === 2)
+    assert(byUser(1L) === (("upper", 13.3333))) // mean 4000c/3 → 13.3333
+    assert(byUser(2L)._1 === "lower")
+    assert(!byUser.contains(3L))
+  }
+
+  test("obv_daily: signed tick-count accumulation, flat day contributes zero") {
+    import spark.implicits._
+    // closes 10, 12, 11, 11 with 2, 3, 4, 5 ticks per day
+    val rows = (for {
+      (day, close, n) <- Seq(("2024-01-01", 10.0), ("2024-01-02", 12.0),
+        ("2024-01-03", 11.0), ("2024-01-04", 11.0)).zip(Seq(2, 3, 4, 5))
+        .map { case ((d, c), n) => (d, c, n) }
+      i <- 1 to n
+    } yield {
+      val id = day.takeRight(2).toLong * 100 + i
+      // last tick of the day carries the close; earlier ticks are noise
+      val v = if (i == n) close else close + 1.0
+      (id, t(s"$day 0$i:00:00"), 1L, v)
+    }).toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.obvDaily(rows).collect()
+      .map(x => x.getAs[String]("day") -> x.getAs[Long]("obv")).toMap
+    assert(r("2024-01-01") === 0L)   // first day: no delta
+    assert(r("2024-01-02") === 3L)   // up day adds its 3 ticks
+    assert(r("2024-01-03") === -1L)  // down day subtracts 4
+    assert(r("2024-01-04") === -1L)  // flat day contributes zero
+  }
+
+  test("top_movers: bp change via the positive-operand identity, k-bounded") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01", 100.0), (2L, "2024-01-02", 110.0), // +1000 bp
+      (3L, "2024-01-03", 99.0)                              // −1000 bp
+    ).map { case (id, day, v) => (id, t(s"$day 12:00:00"), 1L, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.topMovers(rows, k = 1).collect()
+    assert(r.length === 1)
+    // equal |bp|: the (user, day) tie-break keeps the earlier day
+    assert(r(0).getAs[String]("day") === "2024-01-02")
+    assert(r(0).getAs[Long]("change_bp") === 1000L)
+    assert(r(0).getAs[Double]("prev_close") === 100.0)
+  }
+
+  test("series_corr_topn: top-N turnover gate, anti-correlated pair = −1") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1 and u2 perfectly anti-correlated; u3 is tiny and must be
+      // excluded by the top-2 turnover gate
+      (1L, "2024-01-01", 1L, 10.0), (2L, "2024-01-02", 1L, 20.0), (3L, "2024-01-03", 1L, 30.0),
+      (4L, "2024-01-01", 2L, 30.0), (5L, "2024-01-02", 2L, 20.0), (6L, "2024-01-03", 2L, 10.0),
+      (7L, "2024-01-01", 3L, 0.5)
+    ).map { case (id, day, u, v) => (id, t(s"$day 12:00:00"), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.seriesCorrTopN(rows, topN = 2).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("u1") === 1L && r(0).getAs[Long]("u2") === 2L)
+    assert(r(0).getAs[Double]("corr") === -1.0)
+    assert(r(0).getAs[Long]("n_days") === 3L)
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
