@@ -478,6 +478,20 @@ object SparkEntry {
     // the distinct BEFORE the bucket count (no count-distinct shuffle)
     "q16_supplier_variety" -> ((s, d) =>
       Analytics.supplierVariety(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q20-shaped: correlated avail-qty subquery decorrelated into a
+    // per-part aggregate, threshold cross-multiplied to all-integer
+    "q20_excess_suppliers" -> ((s, d) =>
+      Analytics.excessSuppliers(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.part(s, d))),
+    // Q21-shaped: the EXISTS/NOT-EXISTS pair collapsed into one
+    // per-order conditional aggregate (n_supp ≥ 2 ∧ n_late = 1)
+    "q21_late_suppliers" -> ((s, d) =>
+      Analytics.lateSoleSuppliers(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d))),
+    // Benford first-digit conformance: full 9-digit grid, integer bp,
+    // expected shares as pre-rounded constants (no query-time log10)
+    "benford_totalprice" -> ((s, d) =>
+      Analytics.benfordCheck(Tables.orders(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -3156,6 +3170,52 @@ object SparkEntry {
         |    AND p_size IN (1, 4, 7, 10, 13))
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20-shaped: excess = qty·2·n > part_qty·3 (all-integer 1.5×-mean)
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (SELECT l_partkey, l_suppkey,
+        |  sum(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'large%'
+        |    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey AS t_partkey, sum(qty) AS part_qty,
+        |  count(*) AS n_supp FROM shipped GROUP BY 1),
+        |ex AS (SELECT DISTINCT l_suppkey FROM shipped
+        |  JOIN pp ON l_partkey = t_partkey
+        |  WHERE qty * 2 * n_supp > part_qty * 3)
+        |SELECT s_suppkey, s_name, n_name FROM supplier
+        |  JOIN ex ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q21-shaped: sole late shipper in multi-supplier orders
+    "q21_late_suppliers" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY 1, 2),
+        |j AS (SELECT ps.*, (max_ship > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY) AS late
+        |  FROM ps JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (SELECT l_orderkey, count(*) AS n_supp,
+        |  sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late FROM j GROUP BY 1),
+        |c AS (SELECT j.l_suppkey FROM j JOIN po USING (l_orderkey)
+        |  WHERE j.late AND po.n_supp >= 2 AND po.n_late = 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM c JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    // Benford: expected bp are pre-rounded constants; share via the
+    // HALF_UP identity; all nine digits report even at zero count
+    "benford_totalprice" ->
+      """WITH c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
+        |  FROM (SELECT CAST(CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |        FROM orders) WHERE cents > 0),
+        |g AS (SELECT d, count(*) AS n FROM c GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM g),
+        |dg AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10))
+        |SELECT digit, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |  CAST((2 * coalesce(n, 0) * 10000 + total) // (2 * total) AS BIGINT) AS share_bp,
+        |  CAST([3010,1761,1249,969,792,669,580,512,458][digit] AS BIGINT) AS expected_bp,
+        |  CAST((2 * coalesce(n, 0) * 10000 + total) // (2 * total)
+        |    - [3010,1761,1249,969,792,669,580,512,458][digit] AS BIGINT) AS dev_bp
+        |FROM dg LEFT JOIN g ON digit = d CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
     // the bloom is a pass-through for correctness: oracle = the exact
     // semi join the operator ends with
     "bloom_prune_join" ->

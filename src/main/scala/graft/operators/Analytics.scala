@@ -2061,4 +2061,112 @@ object Analytics {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }
+
+  /** TPC-H Q20-shaped excess-supply probe: suppliers who shipped MORE
+    * than 1.5× a part's mean per-supplier annual volume for any
+    * name-matched part. Q20's correlated `0.5·availqty` subquery
+    * (partsupp doesn't exist here) decorrelates identically: the
+    * per-(part, supplier) year aggregate feeds a per-part second
+    * aggregate (narrow — |parts| rows), joined back with the threshold
+    * as the all-integer cross-multiplied comparison qty·2·n > sum·3
+    * (⇔ qty > 1.5·mean, zero division). Survivor suppliers semi-join
+    * into the broadcast supplier⋈nation dim. Shapes: part filter
+    * broadcasts and prunes the fact FIRST; one suppkey-partkey
+    * shuffle; everything after is |parts|- or |suppliers|-bounded.
+    */
+  def excessSuppliers(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, part: DataFrame,
+                      namePrefix: String = "large",
+                      year: String = "1996"): DataFrame = {
+    val matched = broadcast(part
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey"))
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= s"$year-01-01" &&
+        col("l_shipdate") < s"${year.toInt + 1}-01-01")
+      .join(matched, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val perPart = shipped.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("qty")).as("part_qty"), count(lit(1)).as("n_supp"))
+    val excess = shipped
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("qty") * 2 * col("n_supp") > col("part_qty") * 3)
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-shaped sole-blocker report: suppliers who were the ONLY
+    * late shipper in a multi-supplier order (their max ship date
+    * exceeds the order date + `lateDays`; every other supplier in the
+    * order shipped on time) — the waiting-on-you accountability query,
+    * Q21's EXISTS/NOT-EXISTS pair collapsed into one per-order
+    * conditional aggregate: n_supp ≥ 2 ∧ n_late = 1 decides "some
+    * other supplier exists, no other LATE supplier exists" without
+    * either self-semi-join. Shapes: one (orderkey, suppkey) aggregate
+    * over the fact, the orders date broadcast-pruned join, one
+    * orderkey-bounded per-order aggregate joined back, supplier names
+    * via broadcast, top-k via TakeOrdered.
+    */
+  def lateSoleSuppliers(lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame, lateDays: Int = 60,
+                        k: Int = 20): DataFrame = {
+    val perSupp = lineitem
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("max_ship") > date_add(to_date(col("o_orderdate")), lateDays))
+    val perOrder = perSupp.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+    perSupp.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** Benford first-digit conformance of order totals — the classic
+    * fraud/DQ screen (fabricated amounts flunk it; organic multi-scale
+    * money follows log10(1+1/d)). All nine digits report even at zero
+    * count (a missing digit IS the signal — the source_lang_chi2
+    * full-grid argument): a 9-row literal digit axis left-joins the
+    * counts, the one-row total broadcasts back, observed shares use
+    * the HALF_UP bp identity, and the expected shares are the Benford
+    * constants pre-rounded to integer bp — no log10() at query time,
+    * so both engines agree bit-for-bit. One scan + one 9-row join.
+    */
+  def benfordCheck(orders: DataFrame): DataFrame = {
+    val cents = (round(col("o_totalprice"), 2).cast("decimal(12,2)") * 100)
+      .cast("long")
+    val counts = orders.filter(cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum(col("n")).as("total")))
+    val digits = orders.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    // Benford bp constants: round(10⁴·log10(1+1/d)) HALF_UP
+    val expected = expr(
+      "element_at(array(3010, 1761, 1249, 969, 792, 669, 580, 512, 458), digit)")
+    digits
+      .join(counts, col("digit") === col("d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(total)
+      .select(col("digit"), col("n"),
+        expr("(2 * n * 10000 + total) div (2 * total)").as("share_bp"),
+        expected.cast("long").as("expected_bp"))
+      .withColumn("dev_bp", col("share_bp") - col("expected_bp"))
+      .orderBy("digit")
+  }
 }

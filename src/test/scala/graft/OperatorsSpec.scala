@@ -3351,4 +3351,63 @@ class OperatorsSpec extends SparkSpec {
     // (1,10) row and the second part in the bucket must not inflate
     assert(r.head.getAs[Long]("supplier_cnt") === 2L)
   }
+
+  test("q20 excess threshold is strict 1.5×-mean, cross-multiplied") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    // part 1: supplier 10 ships 9, supplier 20 ships 3 → mean 6,
+    // 1.5×mean = 9: 9·2·2 = 36 > 12·3 = 36 is FALSE (strict) — no one
+    // is excess. part 2: 10 ships 10, 20 ships 2 → 10·2·2 = 40 > 36 →
+    // supplier 10 is excess. part 3 fails the name filter.
+    val li = Seq(
+      (1L, 10L, 9.0, t), (1L, 20L, 3.0, t),
+      (2L, 10L, 10.0, t), (2L, 20L, 2.0, t),
+      (3L, 30L, 99.0, t))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val part = Seq((1L, "large bolt"), (2L, "large rod"), (3L, "blue rod"))
+      .toDF("p_partkey", "p_name")
+    val supplier = Seq((10L, "S10", 1L), (20L, "S20", 1L), (30L, "S30", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val r = Analytics.excessSuppliers(li, supplier, nation, part).collect()
+    assert(r.map(_.getAs[Long]("s_suppkey")).toSeq === Seq(10L))
+  }
+
+  test("q21 keeps only the sole late shipper of multi-supplier orders") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // order 1: suppliers 10 (late) + 20 (on time) → 10 counts.
+    // order 2: both late → n_late=2, nobody counts.
+    // order 3: single-supplier late → n_supp=1, doesn't count.
+    val li = Seq(
+      (1L, 10L, d("1996-06-01")), (1L, 20L, d("1996-01-15")),
+      (2L, 10L, d("1996-06-01")), (2L, 20L, d("1996-06-01")),
+      (3L, 10L, d("1996-06-01")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val orders = Seq((1L, d("1996-01-01")), (2L, d("1996-01-01")),
+      (3L, d("1996-01-01"))).toDF("o_orderkey", "o_orderdate")
+    val supplier = Seq((10L, "S10"), (20L, "S20"))
+      .toDF("s_suppkey", "s_name")
+    val r = Analytics.lateSoleSuppliers(li, orders, supplier).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("s_suppkey") === 10L)
+    assert(r.head.getAs[Long]("numwait") === 1L)
+  }
+
+  test("benford reports all nine digits with half-up bp shares") {
+    import spark.implicits._
+    // 2 prices starting with 1, 1 with 9, 1 with 5; zero price dropped
+    val orders = Seq(100.00, 19.99, 9.00, 555.5, 0.0).map(Tuple1(_))
+      .toDF("o_totalprice")
+    val r = Analytics.benfordCheck(orders).collect()
+    assert(r.length === 9)
+    val byDigit = r.map(x => x.getAs[Int]("digit") ->
+      (x.getAs[Long]("n"), x.getAs[Long]("share_bp"))).toMap
+    assert(byDigit(1) === ((2L, 5000L)))
+    assert(byDigit(5) === ((1L, 2500L)))
+    assert(byDigit(9) === ((1L, 2500L)))
+    assert(byDigit(2) === ((0L, 0L))) // absent digit still reports
+    // expected constants sum to ~10⁴ (9999 after rounding)
+    assert(r.map(_.getAs[Long]("expected_bp")).sum === 10000L)
+  }
 }
