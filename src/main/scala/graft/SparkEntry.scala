@@ -390,6 +390,9 @@ object SparkEntry {
     // per-lang perplexity-filter cut points: nearest-rank percentiles
     // over lang-partitioned windows (no global constant threshold)
     "logprob_cutoffs" -> ((s, d) => Corpus.logprobCutoffs(Tables.documents(s, d))),
+    // CCNet head/middle/tail by per-language logprob terciles —
+    // integer rank arithmetic, no float quantiles
+    "ccnet_buckets" -> ((s, d) => Corpus.ccnetBuckets(Tables.documents(s, d))),
     // Q10-shaped returned-revenue report: returnflag rides the fact
     // scan, quarter prunes orders pre-shuffle, TakeOrdered top-20
     "q10_returned_items" -> ((s, d) =>
@@ -776,6 +779,9 @@ object SparkEntry {
     // retrieval at storage precision: top-k over the int8-quantized
     // table (integer dot/norms — the scales cancel in the cosine)
     "ann_int8_topk"     -> ((s, d) => Similarity.int8TopK(Tables.embeddings(s, d), 0L, 20)),
+    // recall@k of int8 retrieval vs exact float cosine — zero-recall
+    // queries still report (left join from the query list)
+    "ann_recall_report" -> ((s, d) => Similarity.recallReport(Tables.embeddings(s, d))),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -2210,6 +2216,33 @@ object SparkEntry {
         |SELECT vec_id,
         |CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE round(dot / (sqrt(na) * sqrt(nb)), 4) END AS cos_sim
         |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    // recall@k: the exact batch top-k and the re-quantized int8 batch
+    // top-k (both 4dp-round + vec_id tie-break), hit-joined per query;
+    // zero-recall queries survive via the LEFT join
+    "ann_recall_report" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |q8 AS (SELECT vec_id, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE round(x / scale) END) AS q FROM s),
+        |qq AS (SELECT vec_id AS query_id, q AS qv8 FROM q8 WHERE vec_id % 50 = 0 AND vec_id < 500),
+        |el AS (SELECT qq.query_id, e.vec_id, e.q[r.i + 1] AS x, qq.qv8[r.i + 1] AS y
+        |  FROM q8 e, qq, range(64) r(i) WHERE r.i < len(e.q) AND e.vec_id <> qq.query_id),
+        |sc AS (SELECT query_id, vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+        |  FROM el GROUP BY 1, 2),
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE round(dot / (sqrt(na) * sqrt(nb)), 4) END) DESC, vec_id) AS rn
+        |  FROM sc) WHERE rn <= 10),
+        |h AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1)
+        |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST((2 * coalesce(h.n_hits, 0) * 10000 + 10) // 20 AS BIGINT) AS recall_bp
+        |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
     // lang_segments oracle: re-derive the windows (16 tokens), the
     // per-window stopword argmax (same tie order as lang_id), and the
     // run-length merge (gaps-and-islands over the window sequence).
@@ -2438,6 +2471,26 @@ object SparkEntry {
         |  FROM c JOIN s USING (word) GROUP BY 1)
         |SELECT doc_id, n_tokens, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) AS avg_logprob
         |FROM d ORDER BY doc_id""".stripMargin,
+    // CCNet terciles: per-lang integer rank thirds over the same
+    // unigram logprob score, boundary docs decided by (score, doc_id)
+    "ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t WHERE word <> '' GROUP BY 1, 2),
+        |v AS (SELECT word, sum(cnt)::BIGINT AS tf FROM c GROUP BY 1),
+        |tot AS (SELECT sum(tf)::BIGINT AS total FROM v),
+        |s AS (SELECT word, CAST(round(ln(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp FROM v, tot),
+        |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * s.lp) AS s_lp
+        |  FROM c JOIN s USING (word) GROUP BY 1),
+        |sc AS (SELECT doc_id, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) AS avg_logprob FROM d),
+        |j AS (SELECT sc.doc_id, sc.avg_logprob, doc.lang
+        |  FROM sc JOIN documents doc USING (doc_id)),
+        |r AS (SELECT doc_id, lang, avg_logprob,
+        |  row_number() OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM j)
+        |SELECT doc_id, lang, avg_logprob,
+        |  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q13_order_dist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count

@@ -1192,6 +1192,34 @@ object Corpus {
       .orderBy("lang", "p")
   }
 
+  /** CCNet-style quality buckets: every document assigned head /
+    * middle / tail by its LANGUAGE'S OWN logprob terciles (Wenzek et
+    * al. 2020 §4.3 — per-language perplexity thirds, so a dominant
+    * language's fluency scale never classifies a minority language's
+    * docs). Higher avg corpus-unigram logprob = more fluent = head.
+    * The tercile is pure integer rank arithmetic ((rn−1)·3 div n over
+    * the (avg_logprob, doc_id)-ordered per-lang rank), so boundary
+    * docs land identically in both engines — no float quantile
+    * anywhere. One lang-keyed window over the already-aggregated
+    * per-doc score table (≪ corpus tokens); the [[logprobCutoffs]]
+    * threshold view reads the same ordering.
+    */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    val w = byLang.orderBy(col("avg_logprob"), col("doc_id"))
+    docLogprob(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("tercile", expr("((rn - 1) * 3) div n"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("tercile") === 0, lit("tail"))
+          .when(col("tercile") === 1, lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage curve: what fraction of corpus TOKEN MASS the
     * top-k vocabulary covers, at each candidate k — the table that
     * sizes a tokenizer's vocab (coverage plateaus ⇒ k is big enough;

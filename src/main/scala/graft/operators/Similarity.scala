@@ -691,4 +691,49 @@ object Similarity {
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")
   }
+
+  /** Recall@k of the int8-quantized retrieval against exact float
+    * cosine — the table that decides whether storage-precision search
+    * is good enough to ship (every vector-DB evaluation's first
+    * column). Both sides run the [[batchTopK]] shape: the query batch
+    * broadcasts, one corpus scan each, per-query WindowGroupLimit
+    * top-k; the hit intersection is a (query, vec) equi-join of two
+    * k·|queries|-row tables. Every query reports — a LEFT join from
+    * the query list keeps zero-recall rows visible (the vacuity
+    * guard), and recall is the HALF_UP integer bp identity. Ranking
+    * ties at depth k break on vec_id in BOTH rankings (the 4dp-round +
+    * vec_id convention), so the hit set is engine-deterministic.
+    */
+  def recallReport(embeddings: DataFrame, queryMod: Long = 50, k: Int = 10,
+                   queryCap: Long = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isQuery = col("vec_id") % queryMod === 0 && col("vec_id") < queryCap
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    def topk(scored: DataFrame) = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val exact = topk(embeddings
+      .crossJoin(broadcast(embeddings.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim")))
+    val quant = embeddings.select(col("vec_id"),
+      HashExprs.quantizeI8(col("embedding")).as("q8"))
+    val approx = topk(quant
+      .crossJoin(broadcast(quant.filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("q8").as("qq8"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(HashExprs.cosineSimI8(col("q8"), col("qq8")), 4).as("cos_sim")))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    embeddings.filter(isQuery).select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("query_id"), lit(k.toLong).as("k"), col("n_hits"),
+        expr(s"(2 * n_hits * 10000 + $k) div (2 * $k)").as("recall_bp"))
+      .orderBy("query_id")
+  }
 }

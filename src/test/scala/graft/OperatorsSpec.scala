@@ -3394,6 +3394,37 @@ class OperatorsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("numwait") === 1L)
   }
 
+  test("ann recall report covers every query and bounds hits by k") {
+    val r = Similarity
+      .recallReport(Tables.embeddings(spark, sfDir), k = 5).collect()
+    // one row per query vector, including any zero-recall query
+    assert(r.length === 10)
+    assert(r.map(_.getAs[Long]("query_id")).toSeq === (0L until 500L by 50L))
+    r.foreach { row =>
+      val hits = row.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L)
+      // bp identity consistency: recall_bp = round(10⁴·hits/5)
+      assert(row.getAs[Long]("recall_bp") === (2 * hits * 10000 + 5) / 10)
+    }
+  }
+
+  test("ccnet buckets: per-lang terciles by corpus-unigram fluency") {
+    import spark.implicits._
+    // en corpus LM: 'the' dominates → the all-'the' doc is most fluent
+    val docs = Seq(
+      (1L, "the the the the", "en"),
+      (2L, "the cat", "en"),
+      (3L, "zxqv qqq", "en"),
+      (4L, "solo", "fr")) // single-doc lang: (rn−1)·3 div 1 = 0 → tail
+      .toDF("doc_id", "text", "lang")
+    val r = Corpus.ccnetBuckets(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("bucket")).toMap
+    assert(r(1L) === "head")
+    assert(r(2L) === "middle")
+    assert(r(3L) === "tail")
+    assert(r(4L) === "tail")
+  }
+
   test("benford reports all nine digits with half-up bp shares") {
     import spark.implicits._
     // 2 prices starting with 1, 1 with 9, 1 with 5; zero price dropped
