@@ -393,6 +393,12 @@ object SparkEntry {
     // CCNet head/middle/tail by per-language logprob terciles —
     // integer rank arithmetic, no float quantiles
     "ccnet_buckets" -> ((s, d) => Corpus.ccnetBuckets(Tables.documents(s, d))),
+    // per-source KL from the corpus unigram LM (mixing/drift screen)
+    "source_kl" -> ((s, d) => Corpus.sourceKl(Tables.documents(s, d))),
+    // Zipf OLS fit over the top-k vocab (the "is this real text" number)
+    "zipf_slope" -> ((s, d) => Corpus.zipfSlope(Tables.documents(s, d))),
+    // DSIR importance log-ratios: target-vs-raw smoothed unigram LMs
+    "dsir_logratio" -> ((s, d) => Corpus.dsirLogratio(Tables.documents(s, d))),
     // Q10-shaped returned-revenue report: returnflag rides the fact
     // scan, quarter prunes orders pre-shuffle, TakeOrdered top-20
     "q10_returned_items" -> ((s, d) =>
@@ -2470,6 +2476,59 @@ object SparkEntry {
         |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * s.lp) AS s_lp
         |  FROM c JOIN s USING (word) GROUP BY 1)
         |SELECT doc_id, n_tokens, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) AS avg_logprob
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // per-source KL: exact decimal products inside the log argument,
+    // 6dp-rounded terms, exact decimal sum, one final division
+    "source_kl" ->
+      """WITH w AS (SELECT source, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT source, unnest(ws) AS word FROM w),
+        |ps AS (SELECT source, word, count(*)::BIGINT AS c FROM t WHERE word <> '' GROUP BY 1, 2),
+        |v AS (SELECT word, sum(c)::BIGINT AS tf FROM ps GROUP BY 1),
+        |tot AS (SELECT source, sum(c)::BIGINT AS n_s FROM ps GROUP BY 1),
+        |bn AS (SELECT sum(tf)::BIGINT AS big_n FROM v),
+        |terms AS (SELECT ps.source, n_s,
+        |  ps.c * CAST(round(ln(CAST(CAST(ps.c AS HUGEINT) * big_n AS DOUBLE) /
+        |    CAST(CAST(n_s AS HUGEINT) * tf AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM ps JOIN v USING (word) JOIN tot USING (source), bn)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(term) AS DOUBLE) / max(n_s), 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // Zipf OLS over the bounded top-k vocab; intercept reuses the
+    // ROUNDED slope exactly as the Spark side does
+    "zipf_slope" ->
+      """WITH w AS (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT unnest(ws) AS word FROM w),
+        |c AS (SELECT word, count(*)::BIGINT AS tf FROM t WHERE word <> '' GROUP BY 1),
+        |top AS (SELECT word, tf FROM c ORDER BY tf DESC, word LIMIT 100),
+        |r AS (SELECT
+        |  CAST(round(ln(CAST(row_number() OVER (ORDER BY tf DESC, word) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |  CAST(round(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y FROM top),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |  sum(CAST(x * x AS DECIMAL(38,12))) AS sxx FROM r)
+        |SELECT n AS n_terms,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        |FROM m""".stripMargin,
+    // DSIR: one 6dp-rounded log term per word from exact smoothed-LM
+    // integer products; per-doc exact decimal sum, one final division
+    "dsir_logratio" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, lang, unnest(ws) AS word FROM w),
+        |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t WHERE word <> '' GROUP BY 1, 2),
+        |raw AS (SELECT word, sum(cnt)::BIGINT AS tf_r FROM c GROUP BY 1),
+        |tgt AS (SELECT word, count(*)::BIGINT AS tf_t FROM t WHERE word <> '' AND lang = 'en' GROUP BY 1),
+        |vo AS (SELECT raw.word, tf_r, coalesce(tf_t, 0) AS tf_t FROM raw LEFT JOIN tgt USING (word)),
+        |st AS (SELECT count(*)::BIGINT AS v, sum(tf_r)::BIGINT AS n_r, sum(tf_t)::BIGINT AS n_t FROM vo),
+        |sc AS (SELECT word, CAST(round(ln(
+        |  CAST(CAST(tf_t + 1 AS HUGEINT) * (n_r + v) AS DOUBLE) /
+        |  CAST(CAST(n_t + v AS HUGEINT) * (tf_r + 1) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+        |  FROM vo, st),
+        |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * sc.lr) AS s_lr
+        |  FROM c JOIN sc USING (word) GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(CAST(s_lr AS DOUBLE) / n_tokens, 4) AS log_ratio
         |FROM d ORDER BY doc_id""".stripMargin,
     // CCNet terciles: per-lang integer rank thirds over the same
     // unigram logprob score, boundary docs decided by (score, doc_id)

@@ -1136,6 +1136,126 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the domain-similarity number behind mixing decisions (a source
+    * whose KL spikes is off-distribution: spam, another language, a
+    * format break). KL(P_s ‖ P_corpus) = Σ (c/n_s)·ln(c·N / (n_s·tf))
+    * computed as Σ c·round₆(ln·) / n_s: the log argument's numerator
+    * and denominator are EXACT decimal integer products cast to double
+    * (correctly rounded at any magnitude — the c·N product overflows
+    * long at web scale but not decimal(38)), each log term rounds to
+    * 6dp decimal before the exact sum (the [[docLogprob]] policy — a
+    * float log-sum is merge-order-dependent), and the single final
+    * division is the only unrounded float op. Shapes: one (source,
+    * word) aggregate, a word-keyed join against the |vocab| table,
+    * source totals broadcast.
+    */
+  def sourceKl(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("source"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val perSource = words.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val vocab = perSource.groupBy("word").agg(sum(col("c")).as("tf"))
+    val totals = perSource.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val bigN = vocab.agg(sum(col("tf")).as("big_n"))
+    val lnArg = (col("c").cast("decimal(38,0)") * col("big_n")).cast("double") /
+      (col("n_s").cast("decimal(38,0)") * col("tf")).cast("double")
+    perSource.join(vocab, "word")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(bigN))
+      .withColumn("term",
+        col("c") * round(log(lnArg), 6).cast("decimal(18,6)"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("s_term"))
+      .select(col("source"), col("n_tokens"),
+        round(col("s_term").cast("double") / col("n_tokens"), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  /** Zipf power-law fit of the vocabulary: OLS slope of ln(tf) on
+    * ln(rank) over the top-k terms — natural language sits near −1,
+    * and a corpus that doesn't is template spam, token soup, or a
+    * parser bug (the one-number "is this real text" screen). The
+    * ranking is a TakeOrdered top-k (bounded codebook artifact — the
+    * [[vocabCoverage]] contract, no global vocab sort); both logs
+    * round to 6dp decimal, the five OLS moments accumulate as EXACT
+    * decimal sums over those ≤k rows, and slope/intercept are the two
+    * final float divisions ([[Analytics.priceQtySlope]]'s shape).
+    * Constant one-row output.
+    */
+  def zipfSlope(documents: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+    val top = counts.orderBy(col("tf").desc, col("word")).limit(k)
+    // single-partition window over ≤k rows — bounded by construction
+    val w = Window.orderBy(col("tf").desc, col("word"))
+    val x = round(log(col("rank").cast("double")), 6).cast("decimal(18,6)")
+    val y = round(log(col("tf").cast("double")), 6).cast("decimal(18,6)")
+    top
+      .withColumn("rank", row_number().over(w))
+      .select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("decimal(38,12)"))
+      .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,12)"))
+      .withColumn("slope",
+        round(col("num").cast("double") / col("den").cast("double"), 6))
+      .select(col("n").as("n_terms"), col("slope"),
+        round((col("sy").cast("double") -
+          col("slope") * col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"))
+  }
+
+  /** DSIR importance log-ratios (Xie et al. 2023): per document, the
+    * average per-token log p_target(w)/p_raw(w) under add-one-smoothed
+    * unigram LMs — the score importance resampling thins by when
+    * steering a raw crawl toward a target domain (here: the corpus'
+    * own `targetLang` slice stands in for the target). One log
+    * argument per WORD — (tf_t+1)·(N_r+V) over (N_t+V)·(tf_r+1) as
+    * exact decimal products cast double — rounded to 6dp decimal
+    * before the exact per-doc sum, so both engines agree bit-for-bit
+    * ([[docLogprob]]'s policy). Shapes: the vocab table (≪ corpus)
+    * carries both LMs, the smoothing stats are a one-row broadcast,
+    * and the per-doc aggregate is word-keyed — nothing
+    * corpus-proportional on the driver.
+    */
+  def dsirLogratio(documents: DataFrame, targetLang: String = "en"): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val raw = perDoc.groupBy("word").agg(sum(col("cnt")).as("tf_r"))
+    val target = documents.filter(col("lang") === targetLang)
+      .select(explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("tf_t"))
+    val vocab = raw.join(target, Seq("word"), "left")
+      .withColumn("tf_t", coalesce(col("tf_t"), lit(0L)))
+    val stats = vocab.agg(count(lit(1)).as("v"),
+      sum(col("tf_r")).as("n_r"), sum(col("tf_t")).as("n_t"))
+    val lnArg =
+      ((col("tf_t") + 1).cast("decimal(38,0)") * (col("n_r") + col("v"))).cast("double") /
+      ((col("n_t") + col("v")).cast("decimal(38,0)") * (col("tf_r") + 1)).cast("double")
+    val scored = vocab.crossJoin(broadcast(stats))
+      .select(col("word"), round(log(lnArg), 6).cast("decimal(18,6)").as("lr"))
+    perDoc.join(scored, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lr")).as("s_lr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s_lr").cast("double") / col("n_tokens"), 4).as("log_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Trending terms: vocabulary whose frequency GREW most from the
     * older half of the corpus to the newer half (doc_id as the
     * ingest-order proxy; a real deployment keys on ingest date) —

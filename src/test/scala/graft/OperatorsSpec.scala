@@ -3425,6 +3425,47 @@ class OperatorsSpec extends SparkSpec {
     assert(r(4L) === "tail")
   }
 
+  test("source_kl: symmetric off-corpus sources score equal positive KL") {
+    import spark.implicits._
+    // corpus: a×3, b×3; s1 leans a, s2 leans b — mirror-image skews
+    val docs = Seq(
+      (1L, "a a b", "en", "s1"),
+      (2L, "a b b", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.sourceKl(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("kl"))).toMap
+    // KL = (2·ln(4/3) + 1·ln(2/3))/3 = 0.056633 for both by symmetry
+    assert(r("s1") === ((3L, 0.056633)))
+    assert(r("s2") === ((3L, 0.056633)))
+  }
+
+  test("zipf_slope recovers −1 on an exact power-law vocabulary") {
+    import spark.implicits._
+    // tf = 12/rank exactly: 12, 6, 4, 3 → ln tf = ln 12 − ln rank
+    val text = (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")).mkString(" ")
+    val docs = Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+    val r = Corpus.zipfSlope(docs).head()
+    assert(r.getAs[Long]("n_terms") === 4L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-4)
+    // intercept ≈ ln 12 = 2.484907
+    assert(math.abs(r.getAs[Double]("intercept") - 2.484907) < 1e-4)
+  }
+
+  test("dsir_logratio: target-only words score up, off-target down") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a", "en"), // target doc: its word is in the target LM
+      (2L, "b b", "fr")) // off-target vocabulary
+      .toDF("doc_id", "text", "lang")
+    val r = Corpus.dsirLogratio(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("log_ratio")).toMap
+    // lr(a) = ln(3·6/(4·3)) = ln 1.5 → 0.4055; lr(b) = ln(1·6/(4·3)) = ln 0.5
+    assert(r(1L) === 0.4055)
+    assert(r(2L) === -0.6931)
+  }
+
   test("benford reports all nine digits with half-up bp shares") {
     import spark.implicits._
     // 2 prices starting with 1, 1 with 9, 1 with 5; zero price dropped

@@ -90,7 +90,19 @@ class PlanGuardSpec extends SparkSpec {
     // reduce and the cumulative window over the ≤10001-row basis-point
     // histogram — constant-size at any customer count
     // (curriculum_order contract)
-    "revenue_concentration", "revenue_gini")
+    "revenue_concentration", "revenue_gini",
+    // benford_totalprice: the one-row digit-count total reduce +
+    // the constant 9-row digit-axis join
+    "benford_totalprice",
+    // ccnet_buckets: inherits doc_logprob's one-row corpus token-total
+    // reduce (same bounded contract)
+    "ccnet_buckets",
+    // source_kl: the one-row corpus-token-total reduce, broadcast back
+    // onto the (source, word) table
+    "source_kl",
+    // dsir_logratio: the one-row (|vocab|, N_target, N_raw) smoothing
+    // stats reduce, broadcast back onto the vocab
+    "dsir_logratio")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
@@ -150,7 +162,18 @@ class PlanGuardSpec extends SparkSpec {
     "open_order_aging",
     // source_lang_chi2: domain-bounded row×column grid cross join
     // (|sources|·|langs| rows) + the one-row totals frame
-    "source_lang_chi2")
+    "source_lang_chi2",
+    // ann_recall_report: both sides' broadcast is the id-capped query
+    // batch (< 500 — the ann_batch_topk contract, twice)
+    "ann_recall_report",
+    // benford_totalprice: the one-row total frame cross-joined onto
+    // the constant 9-row digit table
+    "benford_totalprice",
+    // ccnet_buckets: doc_logprob's one-row token-total frame
+    "ccnet_buckets",
+    // source_kl / dsir_logratio: one-row corpus-stats frames
+    // cross-joined onto the vocab (the doc_logprob contract)
+    "source_kl", "dsir_logratio")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
