@@ -501,6 +501,15 @@ object SparkEntry {
     // expected shares as pre-rounded constants (no query-time log10)
     "benford_totalprice" -> ((s, d) =>
       Analytics.benfordCheck(Tables.orders(s, d))),
+    // Q11-shaped: HAVING against a one-row global total, exact decimal
+    // cross-multiplied threshold
+    "q11_important_parts" -> ((s, d) =>
+      Analytics.importantParts(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    // ATR / stochastic %K: all-integer volatility + channel position
+    // over daily bars (full frames only, HALF_UP identities)
+    "atr_daily" -> ((s, d) => Finance.atr(Tables.events(s, d))),
+    "stochastic_k" -> ((s, d) => Finance.stochasticK(Tables.events(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -3312,6 +3321,55 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM c JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    // Q11-shaped: strict exact-decimal cross-multiplied HAVING vs the
+    // one-row nation total
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1' GROUP BY 1),
+        |t AS (SELECT sum(value_d) AS total_d FROM v)
+        |SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
+        |FROM v, t WHERE value_d * 10000 > total_d * 20
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    // ATR: integer-cents true range, HALF_UP 4dp average
+    "atr_daily" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT user_id, day, h, l,
+        |  lag(c) OVER (PARTITION BY user_id ORDER BY day) AS pc FROM dc),
+        |tr AS (SELECT user_id, day,
+        |  greatest(h - l, abs(h - pc), abs(l - pc)) AS tr
+        |  FROM d WHERE pc IS NOT NULL),
+        |f AS (SELECT user_id, day,
+        |  sum(tr) OVER w AS s_tr, count(*) OVER w AS nd
+        |  FROM tr
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST((2 * s_tr * 100 + nd) // (2 * nd) AS DOUBLE) / 10000.0 AS atr
+        |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    // stochastic %K in bp; flat channel = 5000 by convention
+    "stochastic_k" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, day, c,
+        |  max(h) OVER w AS hh, min(l) OVER w AS ll, count(*) OVER w AS nd
+        |  FROM dc
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN hh = ll THEN 5000
+        |    ELSE (2 * (c - ll) * 10000 + (hh - ll)) // (2 * (hh - ll)) END AS BIGINT) AS k_bp
+        |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
     // Benford: expected bp are pre-rounded constants; share via the
     // HALF_UP identity; all nine digits report even at zero count
     "benford_totalprice" ->

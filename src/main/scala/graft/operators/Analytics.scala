@@ -2137,6 +2137,36 @@ object Analytics {
       .limit(k)
   }
 
+  /** TPC-H Q11-shaped important-parts probe: parts whose shipped value
+    * through ONE nation's suppliers exceeds a basis-point fraction of
+    * that nation's total — Q11's HAVING-against-a-global-scalar shape
+    * (partsupp doesn't exist here; observed lineitem value stands in
+    * for stock value). The global total is a ONE-ROW broadcast reduce
+    * cross-joined back (the q15 contract — never a partition-less
+    * window), and the threshold compare is exact decimal
+    * cross-multiplication `value·10⁴ > total·fracBp` — no float
+    * fraction. Shapes: nation slice broadcasts and prunes the fact
+    * first; one partkey shuffle.
+    */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationName: String = "NATION_1",
+                     fracBp: Long = 20L): DataFrame = {
+    val natSupp = broadcast(supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey"))
+    val valued = lineitem
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value_d"))
+    val total = broadcast(valued.agg(sum(col("value_d")).as("total_d")))
+    valued.crossJoin(total)
+      .filter(col("value_d") * 10000 > col("total_d") * fracBp)
+      .select(col("l_partkey"), col("value_d").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
   /** Benford first-digit conformance of order totals — the classic
     * fraud/DQ screen (fabricated amounts flunk it; organic multi-scale
     * money follows log10(1+1/d)). All nine digits report even at zero

@@ -418,6 +418,72 @@ object Finance {
       .limit(k)
   }
 
+  /** Average True Range over daily bars — the classic volatility
+    * indicator, entirely in integer CENTS: the true range per day is
+    * max(high−low, |high−prev_close|, |low−prev_close|) (gaps count —
+    * the reason TR exists instead of plain high−low), and ATR is its
+    * n-day simple average emitted via the HALF_UP integer identity
+    * (Wilder's recursive smoothing is a float infinite recursion —
+    * the [[rsiCutler]] argument, same fix). One bar aggregate + two
+    * series-keyed windows; full frames only.
+    */
+  def atr(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 1, s"ATR window must be >= 1, got $n")
+    val okey = orderKey(col("ts"), col("event_id"))
+    val bars = events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg((max(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("h"),
+        (min(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("l"),
+        (max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    bars
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("pc").isNotNull)
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+      .withColumn("s_tr", sum(col("tr")).over(frame))
+      .withColumn("nd", count(lit(1)).over(frame))
+      .filter(col("nd") === n)
+      .select(col("user_id"), col("day"),
+        // ATR in price units, 4dp: round(s_tr·100/n) then /10⁴
+        (expr("(2 * s_tr * 100 + nd) div (2 * nd)").cast("double") / 10000.0)
+          .as("atr"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Stochastic oscillator %K over daily bars: where today's close
+    * sits inside the n-day high–low channel, in integer BASIS POINTS
+    * via the HALF_UP identity on cent operands — flat channels (high =
+    * low) emit 5000 bp by convention rather than dividing by zero.
+    * The %K > 80% / < 20% bands are the classic overbought/oversold
+    * screen; emitting the raw bp leaves the banding to the consumer.
+    * Same shapes as [[atr]]: one bar aggregate + one windowed pass.
+    */
+  def stochasticK(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 1, s"stochastic window must be >= 1, got $n")
+    val okey = orderKey(col("ts"), col("event_id"))
+    val bars = events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg((max(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("h"),
+        (min(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("l"),
+        (max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    bars
+      .withColumn("hh", max(col("h")).over(w))
+      .withColumn("ll", min(col("l")).over(w))
+      .withColumn("nd", count(lit(1)).over(w))
+      .filter(col("nd") === n)
+      .select(col("user_id"), col("day"),
+        when(col("hh") === col("ll"), lit(5000L))
+          .otherwise(expr("(2 * (c - ll) * 10000 + (hh - ll)) div (2 * (hh - ll))"))
+          .as("k_bp"))
+      .orderBy("user_id", "day")
+  }
+
   /** Pairwise correlation MATRIX of the top-N series by total turnover
     * — the cross-asset dashboard heat-map. The quadratic term is
     * bounded by N (a TakeOrdered top-N on the per-series totals,

@@ -265,6 +265,42 @@ class FinanceSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n_days") === 3L)
   }
 
+  test("atr: gap days count via prev-close true range, full frames only") {
+    import spark.implicits._
+    val rows = Seq(
+      // d1: 10/12/11 → h=12 l=10 c=11; d2 gaps up to 15; d3 gaps to 9
+      (1L, "2024-01-01 09:00:00", 10.0), (2L, "2024-01-01 10:00:00", 12.0),
+      (3L, "2024-01-01 11:00:00", 11.0),
+      (4L, "2024-01-02 09:00:00", 15.0),
+      (5L, "2024-01-03 09:00:00", 9.0)
+    ).map { case (id, s, v) => (id, t(s), 1L, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.atr(rows, n = 2).collect()
+    // d2's TR=|15−11|=4, d3's TR=|9−15|=6 → ATR(d3) = 5.0; d2 excluded
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("day") === "2024-01-03")
+    assert(r(0).getAs[Double]("atr") === 5.0)
+  }
+
+  test("stochastic %K: channel position in bp, flat channel = 5000") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, 10.0), (2L, "2024-01-01 10:00:00", 1L, 12.0),
+      (3L, "2024-01-01 11:00:00", 1L, 11.0),
+      (4L, "2024-01-02 09:00:00", 1L, 15.0),  // close at channel top
+      (5L, "2024-01-03 09:00:00", 1L, 9.0),   // close at channel bottom
+      // flat series: hh = ll → 5000 by convention
+      (6L, "2024-01-01 09:00:00", 2L, 7.0), (7L, "2024-01-02 09:00:00", 2L, 7.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.stochasticK(rows, n = 2).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("day")) -> x.getAs[Long]("k_bp"))
+      .toMap
+    assert(r((1L, "2024-01-02")) === 10000L) // (15−10)/(15−10)
+    assert(r((1L, "2024-01-03")) === 0L)     // (9−9)/(15−9)
+    assert(r((2L, "2024-01-02")) === 5000L)  // flat channel
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))

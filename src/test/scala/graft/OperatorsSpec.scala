@@ -3466,6 +3466,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) === -0.6931)
   }
 
+  test("q11 important-parts threshold is strict on the boundary") {
+    import spark.implicits._
+    // values 97 and 3 of total 100 at a 3% (300 bp) threshold:
+    // 3·10⁴ = 100·300 exactly — the boundary part must NOT pass
+    val li = Seq((1L, 10L, 97.0), (2L, 10L, 3.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supplier = Seq((10L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val r = Analytics.importantParts(li, supplier, nation,
+      nationName = "N1", fracBp = 300L).collect()
+    assert(r.map(_.getAs[Long]("l_partkey")).toSeq === Seq(1L))
+    assert(r(0).getAs[Double]("part_value") === 97.0)
+  }
+
   test("benford reports all nine digits with half-up bp shares") {
     import spark.implicits._
     // 2 prices starting with 1, 1 with 9, 1 with 5; zero price dropped

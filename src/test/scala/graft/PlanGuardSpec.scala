@@ -102,7 +102,10 @@ class PlanGuardSpec extends SparkSpec {
     "source_kl",
     // dsir_logratio: the one-row (|vocab|, N_target, N_raw) smoothing
     // stats reduce, broadcast back onto the vocab
-    "dsir_logratio")
+    "dsir_logratio",
+    // q11_important_parts: the one-row nation-total reduce, broadcast
+    // back as the HAVING scalar (the q15 contract)
+    "q11_important_parts")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
@@ -173,7 +176,10 @@ class PlanGuardSpec extends SparkSpec {
     "ccnet_buckets",
     // source_kl / dsir_logratio: one-row corpus-stats frames
     // cross-joined onto the vocab (the doc_logprob contract)
-    "source_kl", "dsir_logratio")
+    "source_kl", "dsir_logratio",
+    // q11_important_parts: the one-row total frame cross-joined onto
+    // the per-part values (the skew_report contract)
+    "q11_important_parts")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
