@@ -524,4 +524,81 @@ object StreamingRollups {
           }
       }
   }
+
+  case class Mover(user_id: Long, day: String, prev_close_cents: Long,
+                   close_cents: Long, change_bp: Long)
+  // NOT private: the state encoder instantiates this from outside the
+  // package (the SessionState contract). lastFinal* = the most recent
+  // COMPLETED day's close; open* = the still-accumulating day.
+  case class MoverState(lastFinalDay: String, lastFinalClose: Long,
+                        openDay: String, openOkey: String, openClose: Long)
+
+  /** Streaming day-over-day MOVERS — the incremental form of the batch
+    * [[graft.operators.Finance.topMovers]] change table: per-series
+    * state holds two scalars' worth of day info (the last completed
+    * close and the open day's running close), and the first tick of a
+    * NEW day finalizes the open one, emitting its close-to-close
+    * change in signed integer basis points via the positive-operand
+    * HALF_UP identity — bit-equal to the batch column. The still-open
+    * final day emits nothing (it isn't over), so batch parity holds on
+    * every series' days EXCEPT its last (parity spec pins exactly
+    * that). Intra-batch disorder is sorted away per group; a tick for
+    * an already-finalized day (late beyond the day boundary) is
+    * dropped — the [[transitions]] staleness trade, bounded by the
+    * upstream watermark. Ranking the emitted rows (the live top-k
+    * board) is a downstream windowed aggregate over this bounded
+    * stream.
+    */
+  def movers(ticks: Dataset[Tick], watermarkDelay: String,
+             idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[Mover] = {
+    import ticks.sparkSession.implicits._
+    val dayFmt = "yyyy-MM-dd"
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MoverState, Mover](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[MoverState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat(dayFmt)
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            // full microsecond precision (getTime truncates to ms; the
+            // sub-ms part lives in getNanos) — must match the batch
+            // unix_micros order or same-ms closes could disagree
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = f"${micros(t)}%020d${t.event_id}%012d"
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            val out = Seq.newBuilder[Mover]
+            var st = state.getOption.getOrElse(MoverState(null, 0L, null, null, 0L))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t), openClose = cents(t.value))
+              else if (day > st.openDay) {
+                // the open day is final: emit its change vs the last
+                // completed day, then roll the state forward
+                if (st.lastFinalDay != null && st.lastFinalClose > 0 && st.openClose > 0) {
+                  val p = st.lastFinalClose; val c = st.openClose
+                  out += Mover(user, st.openDay, p, c,
+                    (2 * c * 10000 + p) / (2 * p) - 10000)
+                }
+                st = MoverState(st.openDay, st.openClose,
+                  day, okey(t), cents(t.value))
+              } else if (day == st.openDay && okey(t) > st.openOkey)
+                st = st.copy(openOkey = okey(t), openClose = cents(t.value))
+              // day < openDay: late past the day boundary — dropped
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -563,6 +563,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming movers reproduce the batch change table for all closed days") {
+    // parity contract: replaying the whole events table must emit, for
+    // every series, the close-to-close bp change of every day EXCEPT
+    // the series' final one (still open — a stream can't know a day
+    // ended until a later tick arrives) and its first (no predecessor),
+    // each bit-equal to the batch identity column.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val mv = StreamingRollups.movers(input.toDS(), "10 minutes")
+    val q = mv.writeStream.format("memory").queryName("parity_mv")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("prev_close_cents"), r.getAs[Long]("close_cents"),
+          r.getAs[Long]("change_bp")))).toMap
+    val streamed = keyed(spark.table("parity_mv"))
+    val okey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val daily = ev
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg((max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(daily
+      .withColumn("p", lag(col("c"), 1).over(w))
+      .withColumn("maxd", max(col("day")).over(wAll))
+      .filter(col("p").isNotNull && col("day") < col("maxd") &&
+        col("p") > 0 && col("c") > 0)
+      .select(col("user_id"), col("day"),
+        col("p").as("prev_close_cents"), col("c").as("close_cents"),
+        expr("(2 * c * 10000 + p) div (2 * p) - 10000").as("change_bp")))
+    assert(streamed === batch, "stream-vs-batch movers parity")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming takedown tombstones an index within one trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
