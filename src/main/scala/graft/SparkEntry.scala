@@ -399,6 +399,9 @@ object SparkEntry {
     "zipf_slope" -> ((s, d) => Corpus.zipfSlope(Tables.documents(s, d))),
     // DSIR importance log-ratios: target-vs-raw smoothed unigram LMs
     "dsir_logratio" -> ((s, d) => Corpus.dsirLogratio(Tables.documents(s, d))),
+    // per-doc n-gram novelty vs all earlier docs (one gram shuffle +
+    // gram-key window — the dup_spans contract)
+    "novelty_curve" -> ((s, d) => Corpus.noveltyCurve(Tables.documents(s, d))),
     // Q10-shaped returned-revenue report: returnflag rides the fact
     // scan, quarter prunes orders pre-shuffle, TakeOrdered top-20
     "q10_returned_items" -> ((s, d) =>
@@ -3651,6 +3654,18 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
         |hits AS (SELECT DISTINCT g.doc_id, g.gram FROM g JOIN bench USING (gram) WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500))
         |SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+    // novelty: first-occurrence via a gram-key window min, share via
+    // the HALF_UP bp identity
+    "novelty_curve" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc FROM g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST((2 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000 + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS novelty_bp
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the per-benchmark leak report: decontaminate's gram CTEs with
     // the aggregation flipped to the benchmark side; zero-leak bench
     // docs keep a row of zeros via the left join

@@ -1256,6 +1256,34 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram NOVELTY — the corpus-growth diagnostic: what
+    * share of each document's word n-grams has never appeared in any
+    * EARLIER document (doc_id as the ingest-order proxy). A healthy
+    * crawl's novelty decays slowly; a cliff means the source started
+    * re-serving content, and near-zero novelty marks template spam —
+    * the curve that says when collecting more data stopped adding
+    * information. Shapes: the distinct (doc, gram) table shuffles
+    * ONCE on the gram key, first-occurrence is a window min over that
+    * key (the dup_spans contract — no self-joins, nothing broadcast),
+    * and the share is the HALF_UP bp identity. Docs shorter than n
+    * words carry no grams and are absent by construction.
+    */
+  def noveltyCurve(documents: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents.select(col("doc_id"),
+      explode(HashExprs.wordNgrams(TextAnalysis.normalizeWs(col("text")), n))
+        .as("gram"))
+      .distinct()
+    grams
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("gram")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_new"),
+        expr("(2 * n_new * 10000 + n_grams) div (2 * n_grams)").as("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Trending terms: vocabulary whose frequency GREW most from the
     * older half of the corpus to the newer half (doc_id as the
     * ingest-order proxy; a real deployment keys on ingest date) —

@@ -3480,6 +3480,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("part_value") === 97.0)
   }
 
+  test("novelty curve: first doc owns its grams, a copy scores zero") {
+    import spark.implicits._
+    val eightWords = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, eightWords, "en"),
+      (2L, eightWords, "en"),                       // exact re-crawl: 0 bp
+      (3L, s"$eightWords nine", "en"),              // 2 grams, 1 new
+      (4L, "too short", "en"))                      // < 8 words: absent
+      .toDF("doc_id", "text", "lang")
+    val r = Corpus.noveltyCurve(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_new"),
+          x.getAs[Long]("novelty_bp")))).toMap
+    assert(r(1L) === ((1L, 1L, 10000L)))
+    assert(r(2L) === ((1L, 0L, 0L)))
+    assert(r(3L) === ((2L, 1L, 5000L)))
+    assert(!r.contains(4L))
+  }
+
   test("benford reports all nine digits with half-up bp shares") {
     import spark.implicits._
     // 2 prices starting with 1, 1 with 9, 1 with 5; zero price dropped
