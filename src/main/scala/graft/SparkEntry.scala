@@ -746,6 +746,12 @@ object SparkEntry {
     "top_movers"    -> ((s, d) => Finance.topMovers(Tables.events(s, d))),
     // cross-asset corr matrix bounded by the top-N turnover domain
     "series_corr_topn" -> ((s, d) => Finance.seriesCorrTopN(Tables.events(s, d))),
+    // gaps-and-islands underwater duration (drawdown's time axis)
+    "drawdown_duration" -> ((s, d) => Finance.drawdownDuration(Tables.events(s, d))),
+    // monthly order-status mix in bp (ops lifecycle dashboard)
+    "status_mix_trend" -> ((s, d) => Analytics.statusMixTrend(Tables.orders(s, d))),
+    // dedup threshold PR curve over the verified LSH pair set
+    "dedup_pr_curve" -> ((s, d) => Dedup.dedupPrCurve(Tables.documents(s, d))),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dup_spans"         -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
@@ -1332,6 +1338,59 @@ object SparkEntry {
          |  count(*) AS n_pairs
          |FROM jp GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "dedup_pr_curve" -> {
+      val k = 5
+      val shingles =
+        s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+      s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
+         |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard FROM ipair
+         |  JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |t AS (SELECT CAST(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_true FROM jp),
+         |taus AS (SELECT CAST(50 + 5 * range AS INT) AS tau_pct FROM range(0, 11)),
+         |agg AS (SELECT tau_pct, n_true,
+         |  CAST(sum(CASE WHEN jaccard >= tau_pct / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN jaccard >= tau_pct / 100.0 AND jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+         |  FROM taus CROSS JOIN jp, t GROUP BY 1, 2)
+         |SELECT tau_pct, n_kept, n_tp,
+         |  CAST(CASE WHEN n_kept = 0 THEN 10000 ELSE (2 * n_tp * 10000 + n_kept) // (2 * n_kept) END AS BIGINT) AS precision_bp,
+         |  CAST(CASE WHEN n_true = 0 THEN 10000 ELSE (2 * n_tp * 10000 + n_true) // (2 * n_true) END AS BIGINT) AS recall_bp
+         |FROM agg ORDER BY tau_pct""".stripMargin
+    },
+    "status_mix_trend" ->
+      """WITH g AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders,
+        |  CAST((2 * n_f * 10000 + n_orders) // (2 * n_orders) AS BIGINT) AS f_bp,
+        |  CAST((2 * n_o * 10000 + n_orders) // (2 * n_orders) AS BIGINT) AS o_bp,
+        |  CAST((2 * n_p * 10000 + n_orders) // (2 * n_orders) AS BIGINT) AS p_bp
+        |FROM g ORDER BY month""".stripMargin,
+    "drawdown_duration" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT user_id, day, c,
+        |  max(c) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_days
+        |  FROM dc),
+        |u AS (SELECT user_id, day, n_days,
+        |  rn - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM p WHERE c < peak),
+        |r AS (SELECT user_id, n_days, island, count(*) AS run FROM u GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(max(run) AS BIGINT) AS max_underwater_days, n_days
+        |FROM r GROUP BY user_id, n_days ORDER BY user_id""".stripMargin,
     "dup_rate_by_source" -> {
       val k = 5
       val shingles =

@@ -2137,6 +2137,27 @@ object Analytics {
       .limit(k)
   }
 
+  /** Order-status mix per month — the ops lifecycle dashboard
+    * (fulfilled / open / partial shares over time; a drifting mix is a
+    * fulfillment backlog forming). ONE conditional-sum aggregate per
+    * month carries all three statuses (the dq_report "adding a check
+    * is free" shape), shares via the HALF_UP bp identity; output
+    * bounded by the month span.
+    */
+  def statusMixTrend(orders: DataFrame): DataFrame = {
+    def n(st: String) =
+      sum(when(col("o_orderstatus") === st, 1L).otherwise(0L))
+    orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        n("F").as("n_f"), n("O").as("n_o"), n("P").as("n_p"))
+      .select(col("month"), col("n_orders"),
+        expr("(2 * n_f * 10000 + n_orders) div (2 * n_orders)").as("f_bp"),
+        expr("(2 * n_o * 10000 + n_orders) div (2 * n_orders)").as("o_bp"),
+        expr("(2 * n_p * 10000 + n_orders) div (2 * n_orders)").as("p_bp"))
+      .orderBy("month")
+  }
+
   /** TPC-H Q11-shaped important-parts probe: parts whose shipped value
     * through ONE nation's suppliers exceeds a basis-point fraction of
     * that nation's total — Q11's HAVING-against-a-global-scalar shape

@@ -399,6 +399,42 @@ object Dedup {
       .orderBy("sim_band_pct")
   }
 
+  /** Dedup threshold PRECISION/RECALL curve — the companion of
+    * [[pairSimHistogram]] that turns the band histogram into the
+    * operating table: for each candidate threshold τ, how many pairs
+    * would be kept, how many of those are "true" duplicates (Jaccard ≥
+    * `trueT`), and the resulting precision/recall in integer bp.
+    * Reading this picks τ with its cost made explicit instead of
+    * eyeballing the histogram valley. Rides the verified LSH pair set
+    * (tiny — pairs, not docs), cross-joined with the ≤11-row threshold
+    * axis and a one-row truth total; an empty kept set reports
+    * precision 10000 by convention (vacuously precise). The float
+    * compare `jaccard ≥ τ/100` uses the same literal double in both
+    * engines.
+    */
+  def dedupPrCurve(documents: DataFrame, floorT: Double = 0.5,
+                   trueT: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(documents, threshold = floorT)
+    val nTrue = broadcast(pairs.agg(
+      sum(when(col("jaccard") >= trueT, 1L).otherwise(0L)).as("n_true")))
+    val taus = (50 to 100 by 5).map(t => lit(t))
+    pairs.crossJoin(nTrue)
+      .select(explode(array(taus: _*)).as("tau_pct"), col("jaccard"), col("n_true"))
+      .groupBy("tau_pct", "n_true")
+      .agg(sum(when(col("jaccard") >= col("tau_pct") / 100.0, 1L).otherwise(0L))
+        .as("n_kept"),
+        sum(when(col("jaccard") >= col("tau_pct") / 100.0 &&
+          col("jaccard") >= trueT, 1L).otherwise(0L)).as("n_tp"))
+      .select(col("tau_pct"), col("n_kept"), col("n_tp"),
+        when(col("n_kept") === 0, lit(10000L))
+          .otherwise(expr("(2 * n_tp * 10000 + n_kept) div (2 * n_kept)"))
+          .as("precision_bp"),
+        when(col("n_true") === 0, lit(10000L))
+          .otherwise(expr("(2 * n_tp * 10000 + n_true) div (2 * n_true)"))
+          .as("recall_bp"))
+      .orderBy("tau_pct")
+  }
+
   /** Per-source duplication rate — the crawl-ops dashboard over the
     * near-dup pass: for each source, how many of its documents sit in
     * at least one near-duplicate pair, as an integer-bp share. A

@@ -528,6 +528,33 @@ object Finance {
       .orderBy("u1", "u2")
   }
 
+  /** Longest underwater stretch per series — the DURATION companion of
+    * [[maxDrawdown]]'s depth: the maximum run of consecutive
+    * observation days the daily close sits strictly below its running
+    * peak (recovery risk reads in days, not percent). Gaps-and-islands
+    * over the day sequence ([[user_streaks]]'s `rn − rn_under` island
+    * key applied to the underwater flag), all-integer on cents. Two
+    * windows + one aggregate, all on the series key.
+    */
+  def drawdownDuration(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val peakW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val under = dailyCloses(events)
+      .withColumn("peak", max(col("c")).over(peakW))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_days", count(lit(1))
+        .over(Window.partitionBy("user_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("c") < col("peak"))
+      .withColumn("island", col("rn") - row_number().over(w))
+    under.groupBy(col("user_id"), col("n_days"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("user_id"), col("n_days"))
+      .agg(max(col("run")).as("max_underwater_days"))
+      .select(col("user_id"), col("max_underwater_days"), col("n_days"))
+      .orderBy("user_id")
+  }
+
   /** Volume-weighted average price per (supplier, ship month): exact
     * decimal sums of notional and quantity, ONE double division at the
     * end. Plain hash aggregate with map-side partials — the 100 TB

@@ -301,6 +301,24 @@ class FinanceSpec extends SparkSpec {
     assert(r((2L, "2024-01-02")) === 5000L)  // flat channel
   }
 
+  test("drawdown duration: longest consecutive underwater run, strict below peak") {
+    import spark.implicits._
+    // closes 10, 9, 8, 11, 10 → underwater runs {d2,d3} and {d5}: max 2
+    val rows = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-02", 9.0), (3L, "2024-01-03", 8.0),
+      (4L, "2024-01-04", 11.0), (5L, "2024-01-05", 10.0),
+      // monotonic series never goes underwater → absent from output
+      (6L, "2024-01-01", 5.0), (7L, "2024-01-02", 6.0)
+    ).map { case (id, day, v) =>
+      (id, t(s"$day 12:00:00"), if (id <= 5) 1L else 2L, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.drawdownDuration(rows).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[Long]("max_underwater_days") === 2L)
+    assert(r(0).getAs[Long]("n_days") === 5L)
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))

@@ -3480,6 +3480,39 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("part_value") === 97.0)
   }
 
+  test("dedup PR curve: exact duplicates score 10000/10000 at every threshold") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, body, "en", "s"), (2L, body, "en", "s"),  // jaccard 1.0 pair
+      (3L, "completely different text about unrelated matters here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.dedupPrCurve(docs).collect()
+    assert(r.length === 11)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") === 1L)
+      assert(row.getAs[Long]("n_tp") === 1L)
+      assert(row.getAs[Long]("precision_bp") === 10000L)
+      assert(row.getAs[Long]("recall_bp") === 10000L)
+    }
+    // monotonicity on the real table: raising τ never keeps more pairs
+    val real = Dedup.dedupPrCurve(Tables.documents(spark, sfDir)).collect()
+      .map(_.getAs[Long]("n_kept"))
+    assert(real.zip(real.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("status mix trend: one aggregate carries all three status shares") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf("1996-03-05")
+    val orders = Seq((1L, "F", d), (2L, "F", d), (3L, "O", d))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val r = Analytics.statusMixTrend(orders).head()
+    assert(r.getAs[String]("month") === "1996-03")
+    assert(r.getAs[Long]("f_bp") === 6667L)
+    assert(r.getAs[Long]("o_bp") === 3333L)
+    assert(r.getAs[Long]("p_bp") === 0L)
+  }
+
   test("novelty curve: first doc owns its grams, a copy scores zero") {
     import spark.implicits._
     val eightWords = "one two three four five six seven eight"

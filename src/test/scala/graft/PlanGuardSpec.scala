@@ -105,7 +105,10 @@ class PlanGuardSpec extends SparkSpec {
     "dsir_logratio",
     // q11_important_parts: the one-row nation-total reduce, broadcast
     // back as the HAVING scalar (the q15 contract)
-    "q11_important_parts")
+    "q11_important_parts",
+    // dedup_pr_curve: the one-row truth-total reduce over the (tiny)
+    // verified pair set, cross-joined with the ≤11-row threshold axis
+    "dedup_pr_curve")
 
   // Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
   // each with a bounded-size argument. BNLJ is the third classic
@@ -179,7 +182,10 @@ class PlanGuardSpec extends SparkSpec {
     "source_kl", "dsir_logratio",
     // q11_important_parts: the one-row total frame cross-joined onto
     // the per-part values (the skew_report contract)
-    "q11_important_parts")
+    "q11_important_parts",
+    // dedup_pr_curve: the one-row truth total cross-joined onto the
+    // pair set (pairs, not docs — already candidate-bounded)
+    "dedup_pr_curve")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
