@@ -2115,6 +2115,7 @@ object Analytics {
   def lateSoleSuppliers(lineitem: DataFrame, orders: DataFrame,
                         supplier: DataFrame, lateDays: Int = 60,
                         k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perSupp = lineitem
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("max_ship"))
@@ -2122,12 +2123,15 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("max_ship") > date_add(to_date(col("o_orderdate")), lateDays))
-    val perOrder = perSupp.groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(count(lit(1)).as("n_supp"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
-    perSupp.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
-      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    // per-order stats as a WINDOW over the orderkey the join already
+    // partitioned by — not an aggregate joined back, which would
+    // recompute the whole lineitem subtree for the second consumer
+    // (observed: two full fact scans in the aggregate+join plan)
+    val w = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(when(col("late"), 1L).otherwise(0L)).over(w))
+      .filter(col("late") && col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
