@@ -90,6 +90,11 @@ object SparkEntry {
     ensureTable(s, t)(Corpus.writeBm25Index(Tables.documents(s, d), t))
   }
 
+  private def barsTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_bars_${tag(d)}"
+    ensureTable(s, t)(Finance.writeBarsTable(Tables.events(s, d), t))
+  }
+
   /** Co-bucketed fact pair: orders and lineitem both bucketed on the
     * join key at ingest, so every later orderkey join/aggregate plans
     * ZERO exchanges (the 100 TB answer for a fact⋈fact key joined
@@ -740,6 +745,10 @@ object SparkEntry {
     // indicator family over daily closes: all-integer (basis points /
     // cents), no float σ or float division anywhere except final emits
     "rsi_cutler"    -> ((s, d) => Finance.rsiCutler(Tables.events(s, d))),
+    // the indicator family's indexed twin: same RSI off the PERSISTED
+    // series-bucketed bar table — zero hash exchanges (spec-asserted),
+    // reads |days| bars instead of raw ticks; same oracle as direct
+    "rsi_indexed"   -> ((s, d) => Finance.rsiFromBars(s.table(barsTable(s, d)))),
     "bollinger_breaches" -> ((s, d) =>
       Finance.bollingerBreaches(Tables.events(s, d))),
     "obv_daily"     -> ((s, d) => Finance.obvDaily(Tables.events(s, d))),
@@ -906,6 +915,24 @@ object SparkEntry {
     * sample std via the sum-of-squares identity — mirrors
     * [[graft.operators.Rollups]].grain exactly.
     */
+  private def rsiOracle: String =
+    """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(CAST(max_by(round(value, 2),
+      |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+      |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT user_id, day, c - lag(c) OVER (PARTITION BY user_id ORDER BY day) AS delta FROM dc),
+      |f AS (SELECT user_id, day,
+      |  sum(greatest(delta, 0)) OVER w AS g,
+      |  sum(greatest(-delta, 0)) OVER w AS l,
+      |  count(*) OVER w AS nd
+      |  FROM d WHERE delta IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, day,
+      |  CAST(CASE WHEN g + l = 0 THEN 5000
+      |       ELSE (2 * g * 10000 + (g + l)) // (2 * (g + l)) END AS BIGINT) AS rsi_bp
+      |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin
+
   private def grainOracle(fmt: String, tag: String): String =
     s"""SELECT strftime(o_orderdate, '$fmt') AS period_key, '$tag' AS agg_type, o_custkey AS entity_id,
        |CAST((CASE WHEN sum(v) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(v) * 100 AS HUGEINT)) * 200 + count(*)) // (count(*) * 2)) AS DOUBLE) / 10000 AS avg_value,
@@ -3557,23 +3584,9 @@ object SparkEntry {
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Cutler's RSI: all-integer cent deltas, frame sums, HALF_UP bp
     // identity — flat frame = 5000 bp by convention
-    "rsi_cutler" ->
-      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-        |  CAST(CAST(max_by(round(value, 2),
-        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
-        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |d AS (SELECT user_id, day, c - lag(c) OVER (PARTITION BY user_id ORDER BY day) AS delta FROM dc),
-        |f AS (SELECT user_id, day,
-        |  sum(greatest(delta, 0)) OVER w AS g,
-        |  sum(greatest(-delta, 0)) OVER w AS l,
-        |  count(*) OVER w AS nd
-        |  FROM d WHERE delta IS NOT NULL
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, day,
-        |  CAST(CASE WHEN g + l = 0 THEN 5000
-        |       ELSE (2 * g * 10000 + (g + l)) // (2 * (g + l)) END AS BIGINT) AS rsi_bp
-        |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    "rsi_cutler" -> rsiOracle,
+    // the persisted-bars twin is value-identical by contract
+    "rsi_indexed" -> rsiOracle,
     // breach test multiplied through by n and squared: dev = c·n − s,
     // breach iff dev² > k²·(n·s2 − s²) — no float σ ever exists
     "bollinger_breaches" ->

@@ -298,20 +298,39 @@ object Finance {
       .orderBy("user_id", "bucket")
   }
 
-  /** Daily close in integer CENTS per (user, day) — the shared input of
-    * the indicator family below. ONE map-side-combinable hash aggregate
-    * (max_by over the composite order key, the [[ohlcResample]] close
-    * convention); n_obs rides along as the day's tick count, the
-    * volume-analog the OBV indicator consumes.
+  /** Integer-cent daily bars per (user, day) — the shared input of the
+    * whole indicator family: high/low/close cents (close via max_by
+    * over the composite order key, the [[ohlcResample]] convention)
+    * plus the day's tick count. ONE map-side-combinable hash
+    * aggregate; every indicator adds only series-keyed windows on top.
+    * [[writeBarsTable]] persists this bucketed by the series key so a
+    * recurring indicator run reads |days| bars with ZERO exchanges
+    * instead of re-aggregating raw ticks — the activity-rollup
+    * lifecycle applied to market data.
     */
-  private def dailyCloses(events: DataFrame): DataFrame = {
+  def dailyBars(events: DataFrame): DataFrame = {
     val okey = orderKey(col("ts"), col("event_id"))
     events
       .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg((max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
-        .cast("long").as("c"),
+      .agg((max(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("h"),
+        (min(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("l"),
+        (max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
+          .cast("long").as("c"),
         count(lit(1)).as("n_obs"))
   }
+
+  /** Persist the daily bar table BUCKETED by the series key: the
+    * tick→bar shuffle is paid once at write, and every series-keyed
+    * indicator window over the table plans zero hash exchanges
+    * (spec-asserted). Day grain means |series|·|days| rows — the
+    * compact artifact every indicator consumer shares.
+    */
+  def writeBarsTable(events: DataFrame, table: String, numBuckets: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketed(dailyBars(events), table,
+      Seq("user_id"), numBuckets)
+
+  private def dailyCloses(events: DataFrame): DataFrame =
+    dailyBars(events).select("user_id", "day", "c", "n_obs")
 
   /** Cutler's RSI over daily closes — the SMA form of the relative
     * strength index (Wilder's original smoothing is an infinite float
@@ -325,11 +344,20 @@ object Finance {
     * Shapes: one close aggregate + two series-keyed windows — series
     * count never multiplies job count.
     */
-  def rsiCutler(events: DataFrame, n: Int = 14): DataFrame = {
+  def rsiCutler(events: DataFrame, n: Int = 14): DataFrame =
+    rsiFromBars(dailyCloses(events), n)
+
+  /** [[rsiCutler]] over an already-materialized bar table (the
+    * [[writeBarsTable]] artifact): the series-keyed windows ride the
+    * bucket layout with zero hash exchanges — a recurring indicator
+    * job reads |days| bars, never raw ticks. Same output contract
+    * (shared oracle with the direct form).
+    */
+  def rsiFromBars(bars: DataFrame, n: Int = 14): DataFrame = {
     require(n >= 2, s"RSI window must be >= 2, got $n")
     val w = Window.partitionBy("user_id").orderBy("day")
     val frame = w.rowsBetween(-(n - 1), Window.currentRow)
-    dailyCloses(events)
+    bars
       .withColumn("delta", col("c") - lag(col("c"), 1).over(w))
       .filter(col("delta").isNotNull)
       .withColumn("g", sum(greatest(col("delta"), lit(0L))).over(frame))
@@ -429,13 +457,7 @@ object Finance {
     */
   def atr(events: DataFrame, n: Int = 14): DataFrame = {
     require(n >= 1, s"ATR window must be >= 1, got $n")
-    val okey = orderKey(col("ts"), col("event_id"))
-    val bars = events
-      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg((max(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("h"),
-        (min(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("l"),
-        (max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
-          .cast("long").as("c"))
+    val bars = dailyBars(events)
     val w = Window.partitionBy("user_id").orderBy("day")
     val frame = w.rowsBetween(-(n - 1), Window.currentRow)
     bars
@@ -463,13 +485,7 @@ object Finance {
     */
   def stochasticK(events: DataFrame, n: Int = 14): DataFrame = {
     require(n >= 1, s"stochastic window must be >= 1, got $n")
-    val okey = orderKey(col("ts"), col("event_id"))
-    val bars = events
-      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg((max(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("h"),
-        (min(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("l"),
-        (max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
-          .cast("long").as("c"))
+    val bars = dailyBars(events)
     val w = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(-(n - 1), Window.currentRow)
     bars

@@ -319,6 +319,24 @@ class FinanceSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n_days") === 5L)
   }
 
+  test("rsi over the persisted bar table matches the direct form with zero hash exchanges") {
+    val ev = Tables.events(spark, sfDir)
+    val table = "t_bars_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Finance.writeBarsTable(ev, table)
+    try {
+      val indexed = Finance.rsiFromBars(spark.table(table))
+      // the series-keyed windows must ride the bucket layout
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bar-table RSI must plan zero hash exchanges:\n$plan")
+      // value parity with the tick-scan form (the shared-oracle claim)
+      val direct = Finance.rsiCutler(ev)
+      assert(indexed.except(direct).isEmpty && direct.except(indexed).isEmpty,
+        "persisted-bars RSI must be value-identical to the direct form")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
