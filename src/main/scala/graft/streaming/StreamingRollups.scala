@@ -525,6 +525,77 @@ object StreamingRollups {
       }
   }
 
+  case class RsiPoint(user_id: Long, day: String, rsi_bp: Long)
+  // NOT private (SessionState contract). deltas = the last ≤n
+  // close-to-close cent deltas of COMPLETED days, oldest first.
+  case class RsiState(lastFinalDay: String, lastFinalClose: Long,
+                      openDay: String, openOkey: String, openClose: Long,
+                      deltas: Seq[Long])
+
+  /** Streaming Cutler RSI — a windowed indicator as BOUNDED per-series
+    * state: n delta longs plus the [[movers]] day-tracking scalars,
+    * regardless of tick volume. The first tick of a new day finalizes
+    * the open one; its close-to-close delta rolls into the deque, and
+    * once n deltas exist the finalized day emits its RSI in integer
+    * bp — bit-equal to the batch [[graft.operators.Finance.rsiCutler]]
+    * row (same HALF_UP identity, same flat-frame 5000 convention).
+    * Parity therefore holds on every series day the batch emits EXCEPT
+    * its last (still open; the spec pins exactly that). Late-past-the-
+    * day-boundary ticks drop — the [[movers]] staleness trade.
+    */
+  def rsiStream(ticks: Dataset[Tick], watermarkDelay: String, n: Int = 14,
+                idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[RsiPoint] = {
+    import ticks.sparkSession.implicits._
+    require(n >= 2, s"RSI window must be >= 2, got $n")
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RsiState, RsiPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[RsiState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = f"${micros(t)}%020d${t.event_id}%012d"
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            val out = Seq.newBuilder[RsiPoint]
+            var st = state.getOption
+              .getOrElse(RsiState(null, 0L, null, null, 0L, Seq.empty))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t), openClose = cents(t.value))
+              else if (day > st.openDay) {
+                val deltas =
+                  if (st.lastFinalDay == null) st.deltas
+                  else (st.deltas :+ (st.openClose - st.lastFinalClose)).takeRight(n)
+                if (deltas.size == n) {
+                  val g = deltas.filter(_ > 0).sum
+                  val l = -deltas.filter(_ < 0).sum
+                  val rsi = if (g + l == 0) 5000L
+                  else (2 * g * 10000 + (g + l)) / (2 * (g + l))
+                  out += RsiPoint(user, st.openDay, rsi)
+                }
+                st = RsiState(st.openDay, st.openClose,
+                  day, okey(t), cents(t.value), deltas)
+              } else if (day == st.openDay && okey(t) > st.openOkey)
+                st = st.copy(openOkey = okey(t), openClose = cents(t.value))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class Mover(user_id: Long, day: String, prev_close_cents: Long,
                    close_cents: Long, change_bp: Long)
   // NOT private: the state encoder instantiates this from outside the

@@ -608,6 +608,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming RSI reproduces the batch indicator for every closed day") {
+    // bounded-state windowed indicator: n delta longs per series. The
+    // stream must emit the batch rsi_cutler row for every day the
+    // batch emits except each series' final (still-open) day.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    // n = 5 so sf0.001's short per-series day spans still fill frames
+    val rsi = StreamingRollups.rsiStream(input.toDS(), "10 minutes", n = 5)
+    val q = rsi.writeStream.format("memory").queryName("parity_rsi")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        r.getAs[Long]("rsi_bp")).toMap
+    val streamed = keyed(spark.table("parity_rsi"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.Finance.rsiCutler(ev, n = 5)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "rsi_bp"))
+    assert(streamed === batch, "stream-vs-batch RSI parity")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming takedown tombstones an index within one trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
