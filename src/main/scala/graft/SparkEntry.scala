@@ -759,6 +759,9 @@ object SparkEntry {
     "drawdown_duration" -> ((s, d) => Finance.drawdownDuration(Tables.events(s, d))),
     // monthly order-status mix in bp (ops lifecycle dashboard)
     "status_mix_trend" -> ((s, d) => Analytics.statusMixTrend(Tables.orders(s, d))),
+    // nearest-rank SLA latency bands per priority (the tail view)
+    "latency_bands" -> ((s, d) =>
+      Analytics.latencyBands(Tables.orders(s, d), Tables.lineitem(s, d))),
     // dedup threshold PR curve over the verified LSH pair set
     "dedup_pr_curve" -> ((s, d) => Dedup.dedupPrCurve(Tables.documents(s, d))),
     // — F. LLM-data-pipeline ops —
@@ -1388,6 +1391,18 @@ object SparkEntry {
          |  CAST(CASE WHEN n_true = 0 THEN 10000 ELSE (2 * n_tp * 10000 + n_true) // (2 * n_true) END AS BIGINT) AS recall_bp
          |FROM agg ORDER BY tau_pct""".stripMargin
     },
+    "latency_bands" ->
+      """WITH j AS (SELECT o_orderpriority, l_orderkey, l_linenumber,
+        |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (SELECT o_orderpriority, lag_days,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY lag_days, l_orderkey, l_linenumber) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM j),
+        |e AS (SELECT o_orderpriority, lag_days, rn, n, unnest([50, 90, 99]) AS p FROM r)
+        |SELECT o_orderpriority, CAST(p AS BIGINT) AS p,
+        |  CAST(lag_days AS BIGINT) AS lag_days, n AS n_lines
+        |FROM e WHERE rn = (p * n + 99) // 100
+        |ORDER BY o_orderpriority, p""".stripMargin,
     "status_mix_trend" ->
       """WITH g AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*)::BIGINT AS n_orders,

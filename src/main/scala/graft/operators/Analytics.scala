@@ -1455,6 +1455,33 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Fulfillment-latency SLA bands: nearest-rank p50/p90/p99 of the
+    * order→ship lag per priority — the tail view [[fulfillmentLatency]]'s
+    * averages hide (an SLA is a percentile promise, not a mean). The
+    * [[valueBands]] convention: one priority-partitioned sort serves
+    * every percentile, each band edge is an actual observed lag, ties
+    * break on the line's unique key so both engines pick the same row.
+    * Output bounded by \|priorities\|·\|ps\|.
+    */
+  def latencyBands(orders: DataFrame, lineitem: DataFrame,
+                   ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val byP = Window.partitionBy("o_orderpriority")
+    val w = byP.orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))
+    lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byP))
+      .select(col("o_orderpriority"), col("lag_days"), col("rn"), col("n"),
+        explode(array(ps.map(p => lit(p)): _*)).as("p"))
+      .filter(col("rn") === expr("(p * n + 99) div 100"))
+      .select(col("o_orderpriority"), col("p").cast("long").as("p"),
+        col("lag_days").cast("long").as("lag_days"), col("n").as("n_lines"))
+      .orderBy("o_orderpriority", "p")
+  }
+
   /** TPC-H Q10-shaped returned-item report: which customers returned
     * the most revenue in a quarter — the churn-risk page every
     * commerce dashboard runs. The returnflag filter rides the

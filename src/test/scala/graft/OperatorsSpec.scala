@@ -3480,6 +3480,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("part_value") === 97.0)
   }
 
+  test("latency bands: nearest-rank percentiles are observed lags") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // one priority, lags 1..10 → p50 = rank ceil(50·10/100)=5 → lag 5;
+    // p90 → rank 9 → lag 9; p99 → rank ceil(9.9)=10 → lag 10
+    val orders = (1 to 10).map(i => (i.toLong, d("1996-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = (1 to 10).map(i => (i.toLong, 1L, d(f"1996-01-${1 + i}%02d")))
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+    val r = Analytics.latencyBands(orders, li).collect()
+      .map(x => x.getAs[Long]("p") -> x.getAs[Long]("lag_days")).toMap
+    assert(r === Map(50L -> 5L, 90L -> 9L, 99L -> 10L))
+  }
+
   test("dedup PR curve: exact duplicates score 10000/10000 at every threshold") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog again and again"
