@@ -762,6 +762,9 @@ object SparkEntry {
     // nearest-rank SLA latency bands per priority (the tail view)
     "latency_bands" -> ((s, d) =>
       Analytics.latencyBands(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // sketch-algebra audience intersection (I–E over HLL unions),
+    // gated on the exact overlap + a within-bound boolean
+    "hll_overlap" -> ((s, d) => Analytics.hllOverlap(Tables.events(s, d))),
     // dedup threshold PR curve over the verified LSH pair set
     "dedup_pr_curve" -> ((s, d) => Dedup.dedupPrCurve(Tables.documents(s, d))),
     // — F. LLM-data-pipeline ops —
@@ -1304,6 +1307,20 @@ object SparkEntry {
     "hll_rollup_indexed" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
         |true AS within_bound FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact pairwise overlap + the literal-true bound (hll convention:
+    // an out-of-bound sketch estimate fails the hash compare)
+    "hll_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tp AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM (SELECT DISTINCT event_type FROM events) a,
+        |       (SELECT DISTINCT event_type FROM events) b
+        |  WHERE a.event_type < b.event_type),
+        |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b, count(*)::BIGINT AS exact_overlap
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT tp.type_a, tp.type_b, coalesce(ov.exact_overlap, 0) AS exact_overlap,
+        |  true AS within_bound
+        |FROM tp LEFT JOIN ov USING (type_a, type_b) ORDER BY type_a, type_b""".stripMargin,
     // value at rank ⌈p·n⌉ via row_number — same integer rank rule as
     // the Spark side's sketch-pruned selection
     "quantile_sketch" ->

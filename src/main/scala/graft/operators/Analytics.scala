@@ -1890,6 +1890,49 @@ object Analytics {
       .orderBy("t1", "t2")
   }
 
+  /** SKETCH-algebra audience overlap — the at-scale form of
+    * [[audienceOverlap]]: pairwise |A∩B| estimated by
+    * inclusion–exclusion over HLL sketches (est(A)+est(B)−est(A∪B)),
+    * the only way set INTERSECTIONS survive when the per-type distinct
+    * is itself too large to materialize (sketches union losslessly;
+    * intersections don't sketch directly). One sketch per type
+    * (kilobytes), the T×T pair grid is a domain-bounded cross of the
+    * T-row sketch frame, and the estimate is graded against the exact
+    * overlap in-query: the gate hashes the exact count plus a
+    * within-bound boolean (|err| ≤ boundPct% of the exact union — I–E
+    * compounds three sketch errors, hence the slack), the
+    * [[hll_cardinality]] convention for impl-defined estimates.
+    */
+  def hllOverlap(events: DataFrame, boundPct: Int = 10): DataFrame = {
+    val sk = events.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    val approx = a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        (expr("hll_sketch_estimate(ska)") + expr("hll_sketch_estimate(skb)") -
+          expr("hll_sketch_estimate(hll_union(ska, skb))")).as("approx_overlap"))
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val exact = ut.groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(explode(col("types")).as("type_a"), col("types"))
+      .select(col("type_a"), explode(col("types")).as("type_b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("exact_overlap"))
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    approx
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_overlap"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("approx_overlap") - col("exact_overlap")) <=
+          lit(boundPct / 100.0) * col("exact_union")).as("within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Gaps-and-islands: consecutive-active-day streaks per user. A
     * user's distinct active days, grouped into runs of consecutive
     * dates via the classic `day − row_number` island key — reported as

@@ -3480,6 +3480,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("part_value") === 97.0)
   }
 
+  test("hll overlap: inclusion-exclusion estimate within bound of exact") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // users 1..4 click; users 3..6 view → overlap {3,4} = 2
+    val ev = ((1 to 4).map(u => (u.toLong, "click")) ++
+      (3 to 6).map(u => (u.toLong, "view")))
+      .zipWithIndex.map { case ((u, ty), i) => (i.toLong, t, u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = Analytics.hllOverlap(ev).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("type_a") === "click")
+    assert(r(0).getAs[String]("type_b") === "view")
+    assert(r(0).getAs[Long]("exact_overlap") === 2L)
+    assert(r(0).getAs[Boolean]("within_bound"))
+    // real table: every pair reports and every estimate is in bound
+    val real = Analytics.hllOverlap(Tables.events(spark, sfDir)).collect()
+    assert(real.length === 10) // C(5 types, 2)
+    assert(real.forall(_.getAs[Boolean]("within_bound")))
+  }
+
   test("latency bands: nearest-rank percentiles are observed lags") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)

@@ -185,7 +185,10 @@ class PlanGuardSpec extends SparkSpec {
     "q11_important_parts",
     // dedup_pr_curve: the one-row truth total cross-joined onto the
     // pair set (pairs, not docs — already candidate-bounded)
-    "dedup_pr_curve")
+    "dedup_pr_curve",
+    // hll_overlap: the T×T pair grid is a cross of the T-row sketch
+    // frame (domain-bounded — the source_lang_chi2 contract)
+    "hll_overlap")
 
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
