@@ -271,4 +271,34 @@ object HashExprsProps extends Properties("HashExprs") {
       row.getUTF8String(0).toString == expected.mkString(" ") &&
         row.getLong(1) == expected.length.toLong
     }
+
+  // The HALF_UP integer identity floor((2·n·10⁴ + d) / (2·d)) is the
+  // engine-portable 4dp rounding used by ~30 gate operators (shares,
+  // RSI, VWAP, latency averages). It must equal BigDecimal HALF_UP of
+  // n/d at scale 4 for every non-negative n and positive d — including
+  // exact .00005 halves, where double round() is representation-
+  // dependent and the identity is the whole point.
+  property("half-up bp identity equals BigDecimal HALF_UP for non-negative ratios") =
+    forAll(Gen.choose(0L, 1000000L), Gen.choose(1L, 1000000L)) { (n, d) =>
+      val identity = (2 * n * 10000 + d) / (2 * d)
+      val expected = new java.math.BigDecimal(n)
+        .multiply(new java.math.BigDecimal(10000))
+        .divide(new java.math.BigDecimal(d), 0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+      identity == expected
+    }
+
+  // The signed-change form (2·c·10⁴ + p) div (2·p) − 10⁴ with both
+  // operands positive must equal HALF_UP of (c/p − 1)·10⁴ — the
+  // region_mom_growth / top_movers convention, immune to the
+  // floor-vs-truncate divergence a negative intermediate would hit.
+  property("signed bp change identity equals HALF_UP of the ratio minus one") =
+    forAll(Gen.choose(1L, 1000000L), Gen.choose(1L, 1000000L)) { (c, p) =>
+      val identity = (2 * c * 10000 + p) / (2 * p) - 10000
+      val expected = new java.math.BigDecimal(c)
+        .multiply(new java.math.BigDecimal(10000))
+        .divide(new java.math.BigDecimal(p), 0, java.math.RoundingMode.HALF_UP)
+        .longValueExact() - 10000
+      identity == expected
+    }
 }
