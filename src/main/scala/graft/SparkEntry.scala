@@ -767,6 +767,12 @@ object SparkEntry {
     "hll_overlap" -> ((s, d) => Analytics.hllOverlap(Tables.events(s, d))),
     // dedup threshold PR curve over the verified LSH pair set
     "dedup_pr_curve" -> ((s, d) => Dedup.dedupPrCurve(Tables.documents(s, d))),
+    // SoftDeDup realized: md5-bucket thinning under cluster weights
+    "dedup_weighted_sample" -> ((s, d) =>
+      Dedup.weightedSample(Tables.documents(s, d))),
+    // the LSH geometry's theoretical S-curve (squaring ladder, 6dp
+    // re-round per step — no float pow)
+    "lsh_s_curve" -> ((s, _) => Dedup.lshSCurve(s)),
     // — F. LLM-data-pipeline ops —
     "dedup_exact"       -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dup_spans"         -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
@@ -2118,6 +2124,42 @@ object SparkEntry {
     "dedup_keep_best_indexed" -> keepBestOracle,
     "cluster_stats_indexed" -> clusterStatsOracle,
     "dedup_weights" -> weightsOracle,
+    // SoftDeDup realized: the weights CTEs + the shared md5 bucket
+    // rule, keep iff bucket·10⁴ < ⌊10⁶/size⌋ (all integer)
+    "dedup_weighted_sample" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1),
+         |h AS (SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+         |  md5(CAST(cl.doc_id AS VARCHAR)) AS hx FROM cl JOIN sz USING (cluster_id)),
+         |k AS (SELECT doc_id, cluster_id, cluster_size,
+         |  CAST(($hv) % 100 AS INT) AS bucket FROM h)
+         |SELECT doc_id, cluster_id, cluster_size, bucket FROM k
+         |WHERE bucket * 10000 < 1000000 // cluster_size
+         |ORDER BY doc_id""".stripMargin
+    },
+    // the theoretical S-curve: repeated squarings re-rounded to 6dp
+    // per step (engine-exact — no float pow anywhere)
+    "lsh_s_curve" ->
+      """WITH s AS (SELECT CAST(range * 5 AS INT) AS s_pct,
+        |  CAST(CAST(range * 5 AS DECIMAL(18,6)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,6)) AS x0
+        |  FROM range(1, 21)),
+        |a1 AS (SELECT s_pct, CAST(round(CAST(x0 * x0 AS DECIMAL(38,12)), 6) AS DECIMAL(18,6)) AS x FROM s),
+        |a2 AS (SELECT s_pct, CAST(round(CAST(x * x AS DECIMAL(38,12)), 6) AS DECIMAL(18,6)) AS x FROM a1),
+        |a3 AS (SELECT s_pct, CAST(round(CAST(x * x AS DECIMAL(38,12)), 6) AS DECIMAL(18,6)) AS x FROM a2),
+        |q0 AS (SELECT s_pct, x AS p_band,
+        |  CAST(CAST(1 AS DECIMAL(18,6)) - x AS DECIMAL(18,6)) AS q FROM a3),
+        |b1 AS (SELECT s_pct, p_band, CAST(round(CAST(q * q AS DECIMAL(38,12)), 6) AS DECIMAL(18,6)) AS q FROM q0),
+        |b2 AS (SELECT s_pct, p_band, CAST(round(CAST(q * q AS DECIMAL(38,12)), 6) AS DECIMAL(18,6)) AS q FROM b1),
+        |b3 AS (SELECT s_pct, p_band, CAST(round(CAST(q * q AS DECIMAL(38,12)), 6) AS DECIMAL(18,6)) AS q FROM b2)
+        |SELECT s_pct, CAST(p_band AS DOUBLE) AS p_band,
+        |  CAST(CAST(CAST(1 AS DECIMAL(18,6)) - q AS DECIMAL(18,6)) AS DOUBLE) AS p_candidate
+        |FROM b3 ORDER BY s_pct""".stripMargin,
     "dedup_weights_indexed" -> weightsOracle,
     "split_from_index" -> leakageSplitOracle,
     // exact-guarantee probe over the persisted IVF index → brute

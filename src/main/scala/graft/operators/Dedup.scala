@@ -894,6 +894,58 @@ object Dedup {
                             table: String): DataFrame =
     softWeights(liveIndexRows(spark, table).select("doc_id", "cluster_id"))
 
+  /** SoftDeDup REALIZED: the deterministic sample the [[softWeights]]
+    * table implies — each doc kept iff its content-keyed md5 bucket
+    * falls under its cluster's weight (`bucket·10⁴ < ⌊10⁶/size⌋`, all
+    * integer), so every near-dup family contributes ≈ one doc's
+    * expected mass while WHICH doc survives stays a pure function of
+    * the record (re-runs, re-partitions, and both engines agree — the
+    * sampling-family md5 convention applied to dedup weights). Scan
+    * work on top of the cluster assignment; singletons always keep
+    * (bucket < 100 ≤ weight 10⁶/1).
+    */
+  def weightedSample(documents: DataFrame): DataFrame =
+    softWeights(minhashClusters(documents).select("doc_id", "cluster_id"))
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .filter(col("bucket") * 10000 < col("weight_ppm"))
+      .select("doc_id", "cluster_id", "cluster_size", "bucket")
+      .orderBy("doc_id")
+
+  /** The LSH geometry's theoretical S-CURVE — P(candidate | Jaccard s)
+    * = 1 − (1 − s^r)^b for the production (r rows per band, b bands),
+    * tabulated at 5% steps: the DESIGN table read next to the measured
+    * [[pairSimHistogram]] and [[dedupPrCurve]] (theory says what the
+    * geometry CAN catch; the histogram says what the corpus HAS). No
+    * float pow: both exponentiations are repeated squarings with a 6dp
+    * decimal re-round per step (the embed_pca_power determinism
+    * template), so every value is engine-exact. Constant 20-row
+    * output; r and b must be powers of two for the squaring ladder.
+    */
+  def lshSCurve(spark: org.apache.spark.sql.SparkSession,
+                r: Int = 8, b: Int = 8): DataFrame = {
+    require(r > 0 && (r & (r - 1)) == 0 && b > 0 && (b & (b - 1)) == 0,
+      s"r and b must be powers of two for the squaring ladder, got r=$r b=$b")
+    def sq6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round((c * c).cast("decimal(38,12)"), 6).cast("decimal(18,6)")
+    def pow6(c: org.apache.spark.sql.Column, e: Int): org.apache.spark.sql.Column =
+      (1 to Integer.numberOfTrailingZeros(e)).foldLeft(c)((acc, _) => sq6(acc))
+    // ×0.01 as exact decimal multiplication — decimal DIVISION goes
+    // through double in DuckDB, so the oracle could not mirror it
+    val s6 = (col("s_pct").cast("decimal(18,6)") *
+      lit(java.math.BigDecimal.valueOf(1, 2))).cast("decimal(18,6)")
+    spark.range(1, 21)
+      .select((col("id") * 5).cast("int").as("s_pct"))
+      .withColumn("p_band", pow6(s6, r))
+      .withColumn("p_candidate",
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") -
+          pow6(lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") - col("p_band"), b))
+          .cast("decimal(18,6)"))
+      .select(col("s_pct"), col("p_band").cast("double").as("p_band"),
+        col("p_candidate").cast("double").as("p_candidate"))
+      .orderBy("s_pct")
+  }
+
   /** Connected components over an (a, b) near-dup pair list: every doc
     * in `allDocs` gets the min doc_id of its component (docs without
     * edges are their own singleton). Public so any pair source

@@ -3514,6 +3514,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(50L -> 5L, 90L -> 9L, 99L -> 10L))
   }
 
+  test("weighted sample keeps singletons always, clustered docs by bucket") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, body, "en", "s"), (2L, body, "en", "s"), // near-dup cluster of 2
+      (3L, "a unique document with entirely different content here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = Dedup.weightedSample(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap
+    assert(kept.contains(3L), "singleton must always survive")
+    // cluster {1,2}: weight 0.5 → kept iff md5 bucket < 50
+    val buckets = Seq(1L, 2L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(kept.contains(id) === (buckets(id) < 50),
+        s"doc $id: bucket ${buckets(id)} vs weight 0.5")
+    }
+  }
+
+  test("lsh S-curve is monotone with exact endpoints") {
+    val r = Dedup.lshSCurve(spark).collect()
+    assert(r.length === 20)
+    val ps = r.map(_.getAs[Double]("p_candidate"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "monotone")
+    assert(ps.last === 1.0)
+    assert(r.last.getAs[Double]("p_band") === 1.0)
+    assert(ps.head === 0.0) // s=5%: s^8 rounds to zero at 6dp
+  }
+
   test("dedup PR curve: exact duplicates score 10000/10000 at every threshold") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog again and again"
