@@ -711,6 +711,8 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => Analytics.eventTransitions(Tables.events(s, d))),
     "transition_probs" -> ((s, d) => Analytics.transitionProbs(Tables.events(s, d))),
     "user_rfm" -> ((s, d) => Analytics.userRfm(Tables.events(s, d))),
+    // the report's time axis: per-day violation sums + rate in bp
+    "dq_trend" -> ((s, d) => DataQuality.trend(Tables.events(s, d))),
     "dq_report" -> ((s, d) => DataQuality.report(Tables.orders(s, d),
       Tables.lineitem(s, d), Tables.customer(s, d), Tables.events(s, d))),
     "table_profile" -> ((s, d) => DataQuality.profileOrders(Tables.orders(s, d))),
@@ -1612,6 +1614,16 @@ object SparkEntry {
         ||| 'M' || (CASE WHEN cents >= 50000 THEN 3 WHEN cents >= 10000 THEN 2 WHEN cents > 0 THEN 1 ELSE 0 END) AS segment
         |FROM s ORDER BY user_id""".stripMargin,
     // one aggregate per table, FK as a count over the dim-joined scan
+    "dq_trend" ->
+      """WITH g AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*)::BIGINT AS n_events,
+        |  CAST(count(*) FILTER (event_type NOT IN ('click','view','purchase','signup','error')) AS BIGINT) AS v_type,
+        |  CAST(count(*) FILTER (value IS NULL OR value < 0) AS BIGINT) AS v_value,
+        |  CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS v_user
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_events, v_type, v_value, v_user,
+        |  CAST((2 * (v_type + v_value + v_user) * 10000 + n_events) // (2 * n_events) AS BIGINT) AS violation_bp
+        |FROM g ORDER BY day""".stripMargin,
     "dq_report" ->
       """WITH o AS (SELECT count(*) AS n, count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) AS v1,
         |  count(*) FILTER (o_orderdate IS NULL) AS v2,

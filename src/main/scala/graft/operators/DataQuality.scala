@@ -111,4 +111,27 @@ object DataQuality {
       .unionByName(eventsChecked)
       .orderBy("check")
   }
+
+  /** Data-quality TREND — [[report]]'s time axis: the same conditional
+    * violation sums per event DAY, plus the violation rate in integer
+    * bp. A one-off report says whether the table is clean; the trend
+    * says WHEN it stopped being clean (the deploy that broke an enum
+    * shows up as a step). ONE grouped aggregate (adding a check is
+    * free — the dq_report contract); output bounded by the day span.
+    */
+  def trend(events: DataFrame): DataFrame = {
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        vio(!col("event_type").isin("click", "view", "purchase", "signup", "error"))
+          .as("v_type"),
+        vio(col("value").isNull || col("value") < 0).as("v_value"),
+        vio(col("user_id").isNull).as("v_user"))
+      .withColumn("v_total", col("v_type") + col("v_value") + col("v_user"))
+      .select(col("day"), col("n_events"), col("v_type"), col("v_value"),
+        col("v_user"),
+        expr("(2 * v_total * 10000 + n_events) div (2 * n_events)")
+          .as("violation_bp"))
+      .orderBy("day")
+  }
 }

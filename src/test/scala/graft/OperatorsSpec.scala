@@ -3514,6 +3514,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(50L -> 5L, 90L -> 9L, 99L -> 10L))
   }
 
+  test("dq trend counts per-day violations with a bp rate") {
+    import spark.implicits._
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+    val ev = Seq(
+      (1L, t1, Some(1L), "click", 5.0),
+      (2L, t1, Some(2L), "bogus", 5.0),   // enum violation
+      (3L, t2, Some(3L), "view", -1.0),   // negative value
+      (4L, t2, None: Option[Long], "view", 1.0)) // missing user
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = DataQuality.trend(ev).collect()
+    val byDay = r.map(x => x.getAs[String]("day") ->
+      ((x.getAs[Long]("v_type"), x.getAs[Long]("v_value"),
+        x.getAs[Long]("v_user"), x.getAs[Long]("violation_bp")))).toMap
+    assert(byDay("2024-01-01") === ((1L, 0L, 0L, 5000L)))
+    assert(byDay("2024-01-02") === ((0L, 1L, 1L, 10000L)))
+  }
+
   test("weighted sample keeps singletons always, clustered docs by bucket") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog again and again"
