@@ -808,6 +808,8 @@ object SparkEntry {
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
     "dedup_weights_indexed" -> ((s, d) =>
       Dedup.dedupWeightsFromIndex(s, clusterIdx(s, d))),
+    "weighted_sample_indexed" -> ((s, d) =>
+      Dedup.weightedSampleFromIndex(s, clusterIdx(s, d))),
     "ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfIdx(s, d), 7L, 20)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -929,6 +931,24 @@ object SparkEntry {
     * sample std via the sum-of-squares identity — mirrors
     * [[graft.operators.Rollups]].grain exactly.
     */
+  private def weightedSampleOracle: String = {
+    val hv = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" +\n")
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1),
+       |h AS (SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  md5(CAST(cl.doc_id AS VARCHAR)) AS hx FROM cl JOIN sz USING (cluster_id)),
+       |k AS (SELECT doc_id, cluster_id, cluster_size,
+       |  CAST(($hv) % 100 AS INT) AS bucket FROM h)
+       |SELECT doc_id, cluster_id, cluster_size, bucket FROM k
+       |WHERE bucket * 10000 < 1000000 // cluster_size
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def rsiOracle: String =
     """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
       |  CAST(CAST(max_by(round(value, 2),
@@ -2137,24 +2157,10 @@ object SparkEntry {
     "cluster_stats_indexed" -> clusterStatsOracle,
     "dedup_weights" -> weightsOracle,
     // SoftDeDup realized: the weights CTEs + the shared md5 bucket
-    // rule, keep iff bucket·10⁴ < ⌊10⁶/size⌋ (all integer)
-    "dedup_weighted_sample" -> {
-      val hv = (0 until 8).map { i =>
-        val mult = 1L << (4 * (7 - i))
-        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
-      }.mkString(" +\n")
-      s"""WITH RECURSIVE $clusterCtes,
-         |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
-         |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1),
-         |h AS (SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
-         |  md5(CAST(cl.doc_id AS VARCHAR)) AS hx FROM cl JOIN sz USING (cluster_id)),
-         |k AS (SELECT doc_id, cluster_id, cluster_size,
-         |  CAST(($hv) % 100 AS INT) AS bucket FROM h)
-         |SELECT doc_id, cluster_id, cluster_size, bucket FROM k
-         |WHERE bucket * 10000 < 1000000 // cluster_size
-         |ORDER BY doc_id""".stripMargin
-    },
+    // rule, keep iff bucket·10⁴ < ⌊10⁶/size⌋ (all integer); the
+    // persisted-index twin shares it (value-identical by contract)
+    "dedup_weighted_sample" -> weightedSampleOracle,
+    "weighted_sample_indexed" -> weightedSampleOracle,
     // the theoretical S-curve: repeated squarings re-rounded to 6dp
     // per step (engine-exact — no float pow anywhere)
     "lsh_s_curve" ->

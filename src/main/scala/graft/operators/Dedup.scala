@@ -905,12 +905,23 @@ object Dedup {
     * (bucket < 100 ≤ weight 10⁶/1).
     */
   def weightedSample(documents: DataFrame): DataFrame =
-    softWeights(minhashClusters(documents).select("doc_id", "cluster_id"))
+    weightedSampleOf(minhashClusters(documents).select("doc_id", "cluster_id"))
+
+  private def weightedSampleOf(assignment: DataFrame): DataFrame =
+    softWeights(assignment)
       .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
       .withColumn("weight_ppm", expr("1000000 div cluster_size"))
       .filter(col("bucket") * 10000 < col("weight_ppm"))
       .select("doc_id", "cluster_id", "cluster_size", "bucket")
       .orderBy("doc_id")
+
+  /** [[weightedSample]] off the PERSISTED cluster assignment — the
+    * same narrow-read lifecycle as [[dedupWeightsFromIndex]]: no LSH
+    * in the plan, same oracle as the direct form.
+    */
+  def weightedSampleFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String): DataFrame =
+    weightedSampleOf(liveIndexRows(spark, table).select("doc_id", "cluster_id"))
 
   /** The LSH geometry's theoretical S-CURVE — P(candidate | Jaccard s)
     * = 1 − (1 − s^r)^b for the production (r rows per band, b bands),
