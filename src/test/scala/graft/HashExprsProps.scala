@@ -288,6 +288,15 @@ object HashExprsProps extends Properties("HashExprs") {
       identity == expected
     }
 
+  // The nearest-rank selector (p·n + 99) div 100 must equal ⌈p·n/100⌉
+  // — the percentile convention shared by value_bands, latency_bands,
+  // logprob_cutoffs, and the quantile gates.
+  property("nearest-rank identity equals ceiling of p·n/100") =
+    forAll(Gen.choose(1, 100), Gen.choose(1L, 10000000L)) { (p, n) =>
+      (p * n + 99) / 100 == (p * n + 100 - 1) / 100 &&
+        (p * n + 99) / 100 == math.ceil(p.toDouble * n / 100.0).toLong
+    }
+
   // The signed-change form (2·c·10⁴ + p) div (2·p) − 10⁴ with both
   // operands positive must equal HALF_UP of (c/p − 1)·10⁴ — the
   // region_mom_growth / top_movers convention, immune to the
