@@ -713,6 +713,8 @@ object SparkEntry {
     "user_rfm" -> ((s, d) => Analytics.userRfm(Tables.events(s, d))),
     // the report's time axis: per-day violation sums + rate in bp
     "dq_trend" -> ((s, d) => DataQuality.trend(Tables.events(s, d))),
+    // daily view→purchase conversion in bp (growth dashboard trend)
+    "conversion_trend" -> ((s, d) => Analytics.conversionTrend(Tables.events(s, d))),
     "dq_report" -> ((s, d) => DataQuality.report(Tables.orders(s, d),
       Tables.lineitem(s, d), Tables.customer(s, d), Tables.events(s, d))),
     "table_profile" -> ((s, d) => DataQuality.profileOrders(Tables.orders(s, d))),
@@ -1634,6 +1636,17 @@ object SparkEntry {
         ||| 'M' || (CASE WHEN cents >= 50000 THEN 3 WHEN cents >= 10000 THEN 2 WHEN cents > 0 THEN 1 ELSE 0 END) AS segment
         |FROM s ORDER BY user_id""".stripMargin,
     // one aggregate per table, FK as a count over the dim-joined scan
+    "conversion_trend" ->
+      """WITH ut AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |g AS (SELECT day,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_viewers,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchasers
+        |  FROM ut GROUP BY 1)
+        |SELECT day, n_viewers, n_purchasers,
+        |  CAST(CASE WHEN n_viewers = 0 THEN 0
+        |    ELSE (2 * n_purchasers * 10000 + n_viewers) // (2 * n_viewers) END AS BIGINT) AS conv_bp
+        |FROM g ORDER BY day""".stripMargin,
     "dq_trend" ->
       """WITH g AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  count(*)::BIGINT AS n_events,

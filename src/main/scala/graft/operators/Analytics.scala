@@ -2211,6 +2211,30 @@ object Analytics {
       .limit(k)
   }
 
+  /** Daily view→purchase conversion trend — the growth dashboard's
+    * headline line chart ([[abTestReport]] compares arms; this tracks
+    * the whole funnel over time). Distinct (user, day, type) FIRST
+    * (one row per user-day-type however many raw events), then one
+    * conditional-sum aggregate per day — no count-distinct expansion;
+    * conversion in integer bp over the day's viewers. Days with zero
+    * viewers report 0 bp (guarded division).
+    */
+  def conversionTrend(events: DataFrame): DataFrame = {
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("event_type"))
+      .distinct()
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_viewers"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchasers"))
+      .select(col("day"), col("n_viewers"), col("n_purchasers"),
+        when(col("n_viewers") === 0, lit(0L))
+          .otherwise(expr("(2 * n_purchasers * 10000 + n_viewers) div (2 * n_viewers)"))
+          .as("conv_bp"))
+      .orderBy("day")
+  }
+
   /** Order-status mix per month — the ops lifecycle dashboard
     * (fulfilled / open / partial shares over time; a drifting mix is a
     * fulfillment backlog forming). ONE conditional-sum aggregate per

@@ -3514,6 +3514,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(50L -> 5L, 90L -> 9L, 99L -> 10L))
   }
 
+  test("conversion trend deduplicates users before the daily rate") {
+    import spark.implicits._
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ev = Seq(
+      (1L, t1, 1L, "view"), (2L, t1, 1L, "view"),    // same viewer twice
+      (3L, t1, 2L, "view"), (4L, t1, 3L, "view"),
+      (5L, t1, 1L, "purchase"),
+      (6L, t1, 9L, "click"))                          // other types ignored
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = Analytics.conversionTrend(ev).head()
+    assert(r.getAs[Long]("n_viewers") === 3L)
+    assert(r.getAs[Long]("n_purchasers") === 1L)
+    assert(r.getAs[Long]("conv_bp") === 3333L)
+  }
+
   test("dq trend counts per-day violations with a bp rate") {
     import spark.implicits._
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
