@@ -1218,7 +1218,7 @@ object SparkEntry {
         |v$t AS MATERIALIZED (SELECT dim, round(CAST(w AS DOUBLE) / nrm, 6) AS v FROM w$t, n$t)""".stripMargin)
     }
     sb.append(s"""
-      |SELECT dim, v AS component, round(nrm, 4) AS eigenvalue
+      |SELECT dim, v + 0.0 AS component, round(nrm, 4) AS eigenvalue
       |FROM v$iters, n$iters ORDER BY dim""".stripMargin)
     sb.toString
   }
@@ -1248,7 +1248,7 @@ object SparkEntry {
     s"""WITH $signBitsCte,
        |bk AS (SELECT vec_id, e, ${key(0)} AS k0, ${key(1)} AS k1 FROM bits),
        |q AS (SELECT e AS qe, k0 AS qk0, k1 AS qk1 FROM bk WHERE vec_id = $queryId)
-       |SELECT bk.vec_id, round(list_cosine_similarity(bk.e, q.qe), 4) AS cos_sim
+       |SELECT bk.vec_id, round(list_cosine_similarity(bk.e, q.qe), 4) + 0.0 AS cos_sim
        |FROM bk, q WHERE bk.vec_id <> $queryId
        |AND (bit_count(xor(bk.k0::BIGINT, q.qk0::BIGINT)) <= 1
        |  OR bit_count(xor(bk.k1::BIGINT, q.qk1::BIGINT)) <= 1)
@@ -1381,7 +1381,7 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
         |s AS (SELECT q.query_id, e.vec_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) + 0.0 AS cos_sim
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
         |w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
@@ -2197,7 +2197,7 @@ object SparkEntry {
     // force is the correct oracle, same as ann_ivf_topk
     "ann_ivf_indexed" ->
       """SELECT e.vec_id,
-        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
         |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     // day diffs and truncating div only — integer-exact on both
@@ -2319,7 +2319,7 @@ object SparkEntry {
         |ORDER BY vec_id, pos""".stripMargin,
     "embed_l2_normalize" ->
       """SELECT vec_id, r.i AS pos,
-        |round(CASE WHEN l2 = 0 THEN 0 ELSE v[r.i + 1] / l2 END, 6) AS nv
+        |round(CASE WHEN l2 = 0 THEN 0 ELSE v[r.i + 1] / l2 END, 6) + 0.0 AS nv
         |FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS l2
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
         |range(64) r(i) WHERE r.i < len(v)
@@ -2385,19 +2385,19 @@ object SparkEntry {
         |SELECT doc_id, source, lang FROM documents WHERE source NOT IN (SELECT source FROM blk) ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """SELECT e.vec_id,
-        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     "ann_filtered_topk" ->
       """SELECT e.vec_id, e.label,
-        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding, label FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0 AND e.label = q.label
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
         |s AS (SELECT q.query_id, e.vec_id,
-        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
         |SELECT query_id, vec_id, cos_sim, rn FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
@@ -2405,7 +2405,7 @@ object SparkEntry {
     // logic guarantees the true top-k on any corpus
     "ann_ivf_topk" ->
       """SELECT e.vec_id,
-        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
         |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     // int8 search oracle: re-quantize in SQL (same round-away-from-
@@ -2423,7 +2423,7 @@ object SparkEntry {
         |sc AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
         |  FROM el GROUP BY vec_id)
         |SELECT vec_id,
-        |CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE round(dot / (sqrt(na) * sqrt(nb)), 4) END AS cos_sim
+        |CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE round(dot / (sqrt(na) * sqrt(nb)), 4) END + 0.0 AS cos_sim
         |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
     // recall@k: the exact batch top-k and the re-quantized int8 batch
     // top-k (both 4dp-round + vec_id tie-break), hit-joined per query;
@@ -2667,7 +2667,7 @@ object SparkEntry {
         |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
         |  sum(CAST(round(cnt * log2(cnt), 6) AS DECIMAL(28,6))) AS s_clog FROM c GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        |  round(log2(n_tokens) - CAST(s_clog AS DOUBLE) / n_tokens, 4) AS entropy
+        |  round(log2(n_tokens) - CAST(s_clog AS DOUBLE) / n_tokens, 4) + 0.0 AS entropy
         |FROM a ORDER BY doc_id""".stripMargin,
     "doc_logprob" ->
       """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
@@ -2678,7 +2678,7 @@ object SparkEntry {
         |s AS (SELECT word, CAST(round(ln(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp FROM v, tot),
         |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * s.lp) AS s_lp
         |  FROM c JOIN s USING (word) GROUP BY 1)
-        |SELECT doc_id, n_tokens, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) AS avg_logprob
+        |SELECT doc_id, n_tokens, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) + 0.0 AS avg_logprob
         |FROM d ORDER BY doc_id""".stripMargin,
     // per-source KL: exact decimal products inside the log argument,
     // 6dp-rounded terms, exact decimal sum, one final division
@@ -2694,7 +2694,7 @@ object SparkEntry {
         |    CAST(CAST(n_s AS HUGEINT) * tf AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
         |  FROM ps JOIN v USING (word) JOIN tot USING (source), bn)
         |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(term) AS DOUBLE) / max(n_s), 6) AS kl
+        |  round(CAST(sum(term) AS DOUBLE) / max(n_s), 6) + 0.0 AS kl
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     // Zipf OLS over the bounded top-k vocab; intercept reuses the
     // ROUNDED slope exactly as the Spark side does
@@ -2710,10 +2710,10 @@ object SparkEntry {
         |  sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
         |  sum(CAST(x * x AS DECIMAL(38,12))) AS sxx FROM r)
         |SELECT n AS n_terms,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS slope,
         |  round((CAST(sy AS DOUBLE) -
         |    round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
-        |    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        |    * CAST(sx AS DOUBLE)) / n, 6) + 0.0 AS intercept
         |FROM m""".stripMargin,
     // DSIR: one 6dp-rounded log term per word from exact smoothed-LM
     // integer products; per-doc exact decimal sum, one final division
@@ -2731,7 +2731,7 @@ object SparkEntry {
         |  FROM vo, st),
         |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * sc.lr) AS s_lr
         |  FROM c JOIN sc USING (word) GROUP BY 1)
-        |SELECT doc_id, n_tokens, round(CAST(s_lr AS DOUBLE) / n_tokens, 4) AS log_ratio
+        |SELECT doc_id, n_tokens, round(CAST(s_lr AS DOUBLE) / n_tokens, 4) + 0.0 AS log_ratio
         |FROM d ORDER BY doc_id""".stripMargin,
     // CCNet terciles: per-lang integer rank thirds over the same
     // unigram logprob score, boundary docs decided by (score, doc_id)
@@ -2750,7 +2750,7 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, avg_logprob,
         |  row_number() OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS rn,
         |  count(*) OVER (PARTITION BY lang) AS n FROM j)
-        |SELECT doc_id, lang, avg_logprob,
+        |SELECT doc_id, lang, avg_logprob + 0.0 AS avg_logprob,
         |  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
     "q13_order_dist" ->
@@ -2852,7 +2852,7 @@ object SparkEntry {
         |a AS (SELECT user_id, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
         |  sum(x * y) AS sxy, sum(y * y) AS syy FROM j GROUP BY 1)
         |SELECT user_id, n_days,
-        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * syy - sy * sy AS DOUBLE), 6) AS beta
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * syy - sy * sy AS DOUBLE), 6) + 0.0 AS beta
         |FROM a WHERE n_days >= 2 AND (n_days * syy - sy * sy) <> 0
         |ORDER BY user_id""".stripMargin,
     "dow_seasonality" ->
@@ -2958,9 +2958,9 @@ object SparkEntry {
         |    sx, sy FROM a),
         |sl AS (SELECT *, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
         |    AS slope FROM m)
-        |SELECT l_returnflag, n, slope,
+        |SELECT l_returnflag, n, slope + 0.0 AS slope,
         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE), 2) AS intercept_cents
+        |    / CAST(n AS DOUBLE), 2) + 0.0 AS intercept_cents
         |FROM sl ORDER BY l_returnflag""".stripMargin,
     "ses_forecast" ->
       """WITH m AS (SELECT r_name, strftime(o_orderdate, '%Y-%m') AS month,
@@ -2992,7 +2992,7 @@ object SparkEntry {
         |    n * syy - sy * sy AS deny FROM a)
         |SELECT l_returnflag, n,
         |  round(CAST(num AS DOUBLE) /
-        |    sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 4) AS corr
+        |    sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 4) + 0.0 AS corr
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "discount_elasticity" ->
       """SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER) AS discount_pct,
@@ -3366,7 +3366,7 @@ object SparkEntry {
         |    sum(c.cnt * s.lp) AS s_lp
         |  FROM c JOIN s ON c.w1 = s.w1 AND c.w2 = s.w2 GROUP BY 1)
         |SELECT doc_id, n_bigrams,
-        |  round(CAST(s_lp AS DOUBLE) / n_bigrams, 4) AS avg_logprob
+        |  round(CAST(s_lp AS DOUBLE) / n_bigrams, 4) + 0.0 AS avg_logprob
         |FROM d ORDER BY doc_id""".stripMargin,
     "audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -3660,7 +3660,7 @@ object SparkEntry {
     "returns_daily" ->
       """WITH s AS (SELECT user_id, event_id, value,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
-        |SELECT user_id, event_id, round(value / prev - 1.0, 6) AS ret
+        |SELECT user_id, event_id, round(value / prev - 1.0, 6) + 0.0 AS ret
         |FROM s WHERE prev IS NOT NULL AND prev <> 0 ORDER BY user_id, event_id""".stripMargin,
     // exact decimal frame sums + cross-multiplied compare: no float
     // SMA ever exists, so segment-tree (DuckDB) vs sequential (Spark)
@@ -3765,7 +3765,7 @@ object SparkEntry {
         |SELECT u1, u2, n_days,
         |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
         |    sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
-        |         CAST(n_days * syy - sy * sy AS DOUBLE)), 4) AS corr
+        |         CAST(n_days * syy - sy * sy AS DOUBLE)), 4) + 0.0 AS corr
         |FROM pairs
         |WHERE n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
         |ORDER BY u1, u2""".stripMargin,

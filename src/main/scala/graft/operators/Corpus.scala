@@ -1252,7 +1252,8 @@ object Corpus {
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("lr")).as("s_lr"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("s_lr").cast("double") / col("n_tokens"), 4).as("log_ratio"))
+        (round(col("s_lr").cast("double") / col("n_tokens"), 4) + lit(0.0))
+          .as("log_ratio"))
       .orderBy("doc_id")
   }
 

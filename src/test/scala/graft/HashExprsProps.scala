@@ -310,4 +310,38 @@ object HashExprsProps extends Properties("HashExprs") {
         .longValueExact() - 10000
       identity == expected
     }
+
+  // The signed-zero convention (SURVEY §6): the gate hashes BYTES, and
+  // IEEE −0.0 and +0.0 are value-equal but byte-distinct. Spark's
+  // round() goes through BigDecimal (which has no −0), so every
+  // rounded Spark double that lands on zero is +0.0; DuckDB's round()
+  // preserves −0.0 for tiny negatives, so every float-emitting oracle
+  // appends `+ 0.0` after its final round() (−0.0 + 0.0 = +0.0 under
+  // IEEE 754 round-to-nearest). This property pins both halves: the
+  // Spark path emits +0.0 bits for every tiny value that rounds to
+  // zero, and `+ 0.0` is a bit-exact no-op on every non-zero double
+  // while normalizing both zeros to +0.0.
+  property("rounded tiny values emit +0.0 bits; + 0.0 normalizes signed zero") = {
+    val plusZeroBits = java.lang.Double.doubleToRawLongBits(0.0)
+    val tiny: Gen[(Double, Int)] = for {
+      scale <- Gen.choose(1, 6)
+      // anything with |x| < 0.5·10^-scale rounds to zero at that scale
+      mag <- Gen.choose(0.0, 0.49999 * math.pow(10.0, -scale))
+      sign <- Gen.oneOf(-1.0, 1.0)
+    } yield (sign * mag, scale)
+    val sparkRoundIsPositiveZero = forAll(tiny) { case (x, scale) =>
+      val rounded = BigDecimal.valueOf(x)
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      java.lang.Double.doubleToRawLongBits(rounded) == plusZeroBits
+    }
+    val plusZeroNormalizes = forAll(
+      Gen.oneOf(Gen.const(-0.0), Gen.const(0.0),
+        Gen.choose(-1e9, 1e9).suchThat(v => !v.isNaN))) { v =>
+      val n = v + 0.0
+      if (v == 0.0) java.lang.Double.doubleToRawLongBits(n) == plusZeroBits
+      else java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(v)
+    }
+    sparkRoundIsPositiveZero && plusZeroNormalizes
+  }
 }
