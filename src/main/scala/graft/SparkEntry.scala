@@ -40,7 +40,7 @@ object SparkEntry {
   // the fingerprint, so every per-(session, data) cached artifact —
   // tables, IVF/partials/cobucket builds — rebuilds instead of
   // silently serving the previous generation's index.
-  private def tag(d: String): String = {
+  private[graft] def tag(d: String): String = {
     val fp = {
       val fs = Option(new java.io.File(d).listFiles())
         .getOrElse(Array.empty[java.io.File])
@@ -920,7 +920,24 @@ object SparkEntry {
       TextPipeline.snapshotDrift(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 3 === 0))
-    })
+    }),
+    // §G driver-verified multimodal: the full decode → phash → band →
+    // hamming pipeline over a synthetic binary corpus whose near-dups
+    // are real (shared 32-byte payload + one distinguishing byte per
+    // group of 20); the oracle replays every stage exactly
+    "media_phash_neardup" -> ((s, d) =>
+      Multimodal.mediaNearDup(Multimodal.gateMedia(Tables.documents(s, d)))),
+    // exact media dedup by payload digest: seeds collide by design
+    // (doc_id % 7), so byte-identical payloads really exist and the
+    // canonical-min contract is exercised on real groups. The digest
+    // column is dropped from the gate only because DuckDB's md5()
+    // lacks a BLOB overload — grouping by the seed class is
+    // equivalent (sha256 is injective over the 7 seeds) and the
+    // digest grouping still runs on the Spark side.
+    "media_exact_dup" -> ((s, d) =>
+      Multimodal.mediaExactDup(Multimodal.synthesize(
+        Tables.documents(s, d).withColumn("seed", pmod(col("doc_id"), lit(7))),
+        "doc_id", "seed")).drop("digest"))
   )
 
   // DuckDB-dialect oracles. Conventions shared with the Spark side:
@@ -949,6 +966,56 @@ object SparkEntry {
        |SELECT doc_id, cluster_id, cluster_size, bucket FROM k
        |WHERE bucket * 10000 < 1000000 // cluster_size
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact DuckDB replay of the media phash pipeline over
+    * [[graft.operators.Multimodal.gateMedia]]'s synthetic corpus —
+    * the §G multimodal driver gate. Every stage is re-derived, not
+    * approximated: payload bytes from sha256 hex (histogram bins are
+    * the FIRST hex nibble of each byte, because histSize=16 makes
+    * bin = byte >> 4) plus the one distinguishing byte (doc_id % 256,
+    * bin = //16); features cnt/33.0; the 64 hyperplane dot products
+    * with the SAME LCG constants the Spark expression uses (embedded
+    * as literals at oracle-build time), summed in the same
+    * left-to-right index order so the float trajectories are
+    * bit-identical and sign decisions can never diverge; 8×8-bit
+    * band buckets; candidate pairs within (band, bucket, modality);
+    * exact hamming ≤ 7.
+    */
+  private def phashOracleSql: String = {
+    val planes = graft.operators.Dedup.hyperplanes(64, 16)
+    val hexd = "0123456789abcdef"
+    val cnts = (0 until 16).map { b =>
+      s"len(list_filter(ns, x -> x = '${hexd(b)}')) + CASE WHEN ebin = $b THEN 1 ELSE 0 END AS c$b"
+    }.mkString(", ")
+    val bits = (0 until 64).map { p =>
+      val dot = (0 until 16).map { i =>
+        s"(CAST(c$i AS DOUBLE) / 33.0) * ${java.lang.Double.toString(planes(p)(i))}"
+      }.mkString(" + ")
+      s"CASE WHEN $dot >= 0 THEN 1 ELSE 0 END AS b$p"
+    }.mkString(",\n")
+    val bands = (0 until 8).map { k =>
+      val bucket = (0 until 8).map(j => s"${1 << j} * b${8 * k + j}").mkString(" + ")
+      s"SELECT media_id, mod3, $k AS band, $bucket AS bucket FROM bits"
+    }.mkString("\n  UNION ALL ")
+    val ham = (0 until 64).map(p => s"abs(xa.b$p - xb.b$p)").mkString(" + ")
+    s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mod3,
+       |  sha256(CAST(doc_id // 20 AS VARCHAR)) AS h, (doc_id % 256) // 16 AS ebin FROM documents),
+       |nib AS (SELECT media_id, mod3, ebin,
+       |  list_transform(generate_series(0, 31), i -> substr(h, 2 * i + 1, 1)) AS ns FROM m),
+       |cnt AS (SELECT media_id, mod3, $cnts FROM nib),
+       |bits AS (SELECT media_id, mod3,
+       |$bits
+       |FROM cnt),
+       |band AS ($bands),
+       |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
+       |  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.mod3 = y.mod3 AND x.media_id < y.media_id)
+       |SELECT a, b, hamming FROM (
+       |  SELECT cand.a, cand.b, CAST($ham AS INTEGER) AS hamming
+       |  FROM cand JOIN bits xa ON cand.a = xa.media_id
+       |            JOIN bits xb ON cand.b = xb.media_id)
+       |WHERE hamming <= 7 ORDER BY a, b""".stripMargin
   }
 
   private def rsiOracle: String =
@@ -3916,6 +3983,17 @@ object SparkEntry {
         |JOIN canon c ON fp.f = c.f
         |JOIN q ON d.doc_id = q.doc_id
         |LEFT JOIN cont ON d.doc_id = cont.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // §G multimodal driver gates: full phash near-dup replay (see
+    // phashOracleSql) and the digest-dedup canonical-min contract
+    // (grouped by the colliding seed class — sha256-injective, so
+    // byte-equal payloads ⇔ equal seeds)
+    "media_phash_neardup" -> phashOracleSql,
+    "media_exact_dup" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 7) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY doc_id % 7) AS is_dup
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

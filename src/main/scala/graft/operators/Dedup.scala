@@ -895,7 +895,7 @@ object Dedup {
     softWeights(liveIndexRows(spark, table).select("doc_id", "cluster_id"))
 
   /** SoftDeDup REALIZED: the deterministic sample the [[softWeights]]
-    * table implies — each doc kept iff its content-keyed md5 bucket
+    * table implies — each doc kept iff its id-keyed md5 bucket
     * falls under its cluster's weight (`bucket·10⁴ < ⌊10⁶/size⌋`, all
     * integer), so every near-dup family contributes ≈ one doc's
     * expected mass while WHICH doc survives stays a pure function of

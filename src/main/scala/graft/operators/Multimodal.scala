@@ -41,6 +41,29 @@ object Multimodal {
 
   private val histSize = 16
 
+  /** Synthetic near-dup media corpus for the DRIVER-VERIFIED phash
+    * gate: groups of `groupSize` consecutive ids share a 32-byte
+    * sha256 payload plus ONE distinguishing byte (`id % 256`), so
+    * in-group payloads decode to feature vectors a single histogram
+    * bin apart — genuine small-hamming perceptual near-dups, while
+    * cross-group pairs stay at random-hash distance. Every stage is
+    * engine-replayable arithmetic (sha256 hex, byte histogram, fixed
+    * hyperplane signs), which is what lets the full decode → phash →
+    * band → hamming pipeline be checked by an exact SQL oracle rather
+    * than only by specs.
+    */
+  def gateMedia(docs: DataFrame, groupSize: Int = 20): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      concat(
+        to_binary(sha2(expr(s"CAST(doc_id div $groupSize AS STRING)"), 256),
+          lit("hex")),
+        to_binary(lpad(hex(pmod(col("doc_id"), lit(256))), 2, "0"),
+          lit("hex"))).as("payload"),
+      map(lit("codec"), lit("stub")).as("meta"))
+
   /** STUB decode: normalized 16-bin byte histogram as the "feature
     * vector". Replace with a real decoder (JNI image codec / resampler)
     * without touching the surrounding plan.

@@ -104,6 +104,80 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .xml(path))
 
+  /** Distributed zip-archive entry extraction with the quarantine
+    * contract — the reference's unpack step (it downloads
+    * `<company>_instance.zip` and picks the instance XBRL out of the
+    * archive before parsing, idx_extraction_script.py:234-272),
+    * re-expressed Spark-first: archives arrive through the binaryFile
+    * source (one archive per task row — the scan parallelizes across
+    * archives, never the driver), each task inflates its archives
+    * in-memory and keeps only entries matching `entryPattern`, and an
+    * archive whose bytes yield no zip entries (corrupt, truncated,
+    * not a zip) lands in the quarantine frame as `archive: reason`
+    * instead of failing the batch. Per-archive memory is the inflated
+    * entry size — the per-company report scale the reference handles;
+    * a multi-GB archive belongs on a dedicated unpack path, not here.
+    *
+    * good = (archive, entry, content: binary); quarantined = raw
+    * reason strings. Caller owns the shared cache (IngestResult
+    * contract).
+    */
+  def zipEntriesWithQuarantine(spark: SparkSession, path: String,
+                               entryPattern: String = "(?i).*instance.*\\.(xbrl|xml)$"): IngestResult = {
+    import spark.implicits._
+    val pattern = entryPattern
+    val parsed = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile(pattern)
+        it.flatMap { case (archive, bytes) =>
+          try {
+            val zin = new java.util.zip.ZipInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, String, Array[Byte], String)]
+            var sawEntry = false
+            var e = zin.getNextEntry
+            while (e != null) {
+              sawEntry = true
+              if (!e.isDirectory && re.matcher(e.getName).matches())
+                out += ((archive, e.getName, zin.readAllBytes(), null))
+              e = zin.getNextEntry
+            }
+            if (!sawEntry)
+              Seq((archive, null, null, "no zip entries (corrupt or not a zip)"))
+            else out.toSeq
+          } catch { case ex: Exception =>
+            Seq((archive, null, null,
+              s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("")}"))
+          }
+        }
+      }.toDF("archive", "entry", "content", "_zip_error")
+    val cached = parsed.cache()
+    IngestResult(
+      good = cached.filter(col("_zip_error").isNull).drop("_zip_error"),
+      quarantined = cached.filter(col("_zip_error").isNotNull)
+        .select(concat_ws(": ", col("archive"), col("_zip_error")).as("raw")),
+      cachedParse = cached)
+  }
+
+  /** Parse extracted single-document XML entries (one XBRL instance
+    * per entry — [[zipEntriesWithQuarantine]]'s output) against an
+    * explicit schema: `from_xml` in PERMISSIVE mode, so a malformed
+    * entry yields a row whose `_corrupt_record` field inside `doc`
+    * carries the raw text — the same quarantine-not-fail contract as
+    * the file readers, without materializing entries to disk first.
+    */
+  def parseXmlEntries(entries: DataFrame, schema: StructType): DataFrame = {
+    val opts = new java.util.HashMap[String, String]
+    opts.put("mode", "PERMISSIVE")
+    opts.put("columnNameOfCorruptRecord", "_corrupt_record")
+    entries.select(col("archive"), col("entry"),
+      from_xml(col("content").cast("string"),
+        schema.add("_corrupt_record", StringType), opts).as("doc"))
+  }
+
   /** Permissive CSV read with the same quarantine contract. */
   def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
                         header: Boolean = true, sep: String = ","): IngestResult =

@@ -559,7 +559,15 @@ object StreamingRollups {
             fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
             def micros(t: Tick) =
               t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
-            def okey(t: Tick) = f"${micros(t)}%020d${t.event_id}%012d"
+            // mirrors the batch lpad(event_id, 12, '0') key, which
+            // ASSUMES ids fit 12 digits (lpad would truncate, %012d
+            // would widen — both silently misorder): fail loudly at
+            // the boundary instead of diverging from batch parity
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
             def cents(v: Double) = java.math.BigDecimal.valueOf(v)
               .setScale(2, java.math.RoundingMode.HALF_UP)
               .movePointRight(2).longValueExact()
@@ -639,7 +647,15 @@ object StreamingRollups {
             // unix_micros order or same-ms closes could disagree
             def micros(t: Tick) =
               t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
-            def okey(t: Tick) = f"${micros(t)}%020d${t.event_id}%012d"
+            // mirrors the batch lpad(event_id, 12, '0') key, which
+            // ASSUMES ids fit 12 digits (lpad would truncate, %012d
+            // would widen — both silently misorder): fail loudly at
+            // the boundary instead of diverging from batch parity
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
             def cents(v: Double) = java.math.BigDecimal.valueOf(v)
               .setScale(2, java.math.RoundingMode.HALF_UP)
               .movePointRight(2).longValueExact()

@@ -84,6 +84,46 @@ class IngestSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("zip ingest extracts matching entries, quarantines corrupt archives") {
+    val dir = Files.createTempDirectory("graft_zip").toString
+    // a well-formed archive: one matching instance XML + one other entry
+    def writeZip(name: String, entries: (String, String)*): Unit = {
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      entries.foreach { case (en, content) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(en))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+    }
+    writeZip("acme_instance.zip",
+      "acme_instance.xbrl" -> "<facts><id>7</id><title>acme</title></facts>",
+      "manifest.txt" -> "not an instance")
+    writeZip("bogus_instance.zip",
+      "bogus_instance.xbrl" -> "<facts><id>9</id><title>broken") // malformed XML, valid zip
+    // a corrupt archive: not a zip at all
+    Files.write(java.nio.file.Paths.get(dir, "corrupt_instance.zip"),
+      Array.fill[Byte](64)(0x5A))
+    val r = Ingest.zipEntriesWithQuarantine(spark, dir)
+    val good = r.good.collect()
+    assert(good.map(_.getAs[String]("entry")).toSet ===
+      Set("acme_instance.xbrl", "bogus_instance.xbrl")) // manifest filtered out
+    val bad = r.quarantined.collect().map(_.getAs[String]("raw"))
+    assert(bad.length === 1 && bad.head.contains("corrupt_instance.zip"))
+    // entry parse: permissive from_xml keeps the good doc, captures the bad
+    val parsed = Ingest.parseXmlEntries(r.good, StructType(Seq(
+      StructField("id", LongType), StructField("title", StringType))))
+      .collect().map(row => row.getAs[String]("entry") ->
+        row.getStruct(row.fieldIndex("doc"))).toMap
+    val ok = parsed("acme_instance.xbrl")
+    assert(ok.getAs[Long]("id") === 7L && ok.getAs[String]("title") === "acme")
+    assert(ok.getAs[String]("_corrupt_record") == null)
+    assert(parsed("bogus_instance.xbrl").getAs[String]("_corrupt_record") != null)
+    r.unpersist()
+    assert(!r.parseCached)
+  }
+
   test("csv ingest quarantines type-mismatched rows") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.write(java.nio.file.Paths.get(dir, "feed.csv"), java.util.Arrays.asList(

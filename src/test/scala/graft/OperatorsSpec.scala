@@ -517,6 +517,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("zorder key REJECTS dimensions wider than 2^bits instead of aliasing") {
+    import spark.implicits._
+    // bits=4 → domain [0, 16); 16 would truncate onto 0's curve position
+    val bad = Seq((16L, 1L)).toDF("x", "y")
+      .select(graft.sources.Sinks.zorderKey(col("x"), col("y"), bits = 4).as("z"))
+    val e = intercept[Exception](bad.head())
+    assert(e.getMessage.contains("zorderKey") ||
+      Option(e.getCause).exists(_.getMessage.contains("zorderKey")))
+    // in-range max still works
+    val ok = Seq((15L, 15L)).toDF("x", "y")
+      .select(graft.sources.Sinks.zorderKey(col("x"), col("y"), bits = 4).as("z"))
+      .head().getLong(0)
+    assert(ok === 255L)
+  }
+
+  test("gate-artifact tag changes when the dataset is regenerated in place") {
+    // the per-(session, data) artifact cache keys on tag(dir); a
+    // testdata regeneration (same path, new bytes/mtime) MUST change
+    // the tag so indexes rebuild instead of serving stale data
+    val dir = java.nio.file.Files.createTempDirectory("graft_tag").toFile
+    val f = new java.io.File(dir, "documents.parquet")
+    java.nio.file.Files.write(f.toPath, Array.fill[Byte](64)(1))
+    f.setLastModified(1700000000000L)
+    val t0 = SparkEntry.tag(dir.toString)
+    // regeneration: different size, different mtime
+    java.nio.file.Files.write(f.toPath, Array.fill[Byte](128)(2))
+    f.setLastModified(1700000005000L)
+    val t1 = SparkEntry.tag(dir.toString)
+    assert(t0 !== t1)
+    // same path prefix in both — the tag stays path-scoped
+    assert(t0.startsWith(dir.toString.replaceAll("[^A-Za-z0-9]", "_").toLowerCase))
+    f.delete(); dir.delete()
+  }
+
   test("multimodal exact dedup collapses byte-identical payloads to the lowest id") {
     import spark.implicits._
     val media = Seq(
