@@ -518,6 +518,9 @@ object SparkEntry {
     // over daily bars (full frames only, HALF_UP identities)
     "atr_daily" -> ((s, d) => Finance.atr(Tables.events(s, d))),
     "stochastic_k" -> ((s, d) => Finance.stochasticK(Tables.events(s, d))),
+    "donchian_channels" -> ((s, d) => Finance.donchianChannels(Tables.events(s, d))),
+    "aroon_daily" -> ((s, d) => Finance.aroon(Tables.events(s, d))),
+    "ichimoku_lines" -> ((s, d) => Finance.ichimokuLines(Tables.events(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -3631,6 +3634,81 @@ object SparkEntry {
         |  CAST(CASE WHEN hh = ll THEN 5000
         |    ELSE (2 * (c - ll) * 10000 + (hh - ll)) // (2 * (hh - ll)) END AS BIGINT) AS k_bp
         |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    // Donchian: integer-cent channel edges, HALF_UP half-sum midline,
+    // breakout vs YESTERDAY's channel (integer compares throughout)
+    "donchian_channels" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, day, c,
+        |  max(h) OVER w AS u, min(l) OVER w AS lo, count(*) OVER w AS nd
+        |  FROM dc
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT *, lag(u) OVER pw AS pu, lag(lo) OVER pw AS pl
+        |  FROM f WINDOW pw AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, day,
+        |  CAST(u AS DOUBLE) / 100.0 AS upper_band,
+        |  CAST(lo AS DOUBLE) / 100.0 AS lower_band,
+        |  CAST((u + lo + 1) // 2 AS DOUBLE) / 100.0 AS mid,
+        |  CASE WHEN c > pu THEN 'breakout_up' WHEN c < pl THEN 'breakout_down'
+        |       ELSE 'inside' END AS signal
+        |FROM p WHERE nd = 14 AND pu IS NOT NULL ORDER BY user_id, day""".stripMargin,
+    // Aroon: most-recent-extreme ties pinned by the integer key
+    // h*10^5+rn (max) / l*10^5+(10^5-1-rn) (min) — a window max/min
+    // IS the tie-broken argmax, no argmax floats in any engine
+    "aroon_daily" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, h, l,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
+        |f AS (SELECT user_id, day, rn,
+        |  max(h * 100000 + rn) OVER w AS hk,
+        |  min(l * 100000 + (99999 - rn)) OVER w AS lk,
+        |  count(*) OVER w AS nd
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST((2 * (14 - (rn - hk % 100000)) * 10000 + 14) // 28 AS BIGINT) AS aroon_up_bp,
+        |  CAST((2 * (14 - (rn - (99999 - lk % 100000))) * 10000 + 14) // 28 AS BIGINT) AS aroon_down_bp
+        |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    // Ichimoku (trading-day shift): every line a HALF_UP integer-cent
+    // channel midpoint; senkou/chikou displaced by kijun BAR rows via
+    // lag/lead (null until the displaced bar exists, both engines)
+    "ichimoku_lines" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, day, c,
+        |  CASE WHEN count(*) OVER w3 = 3 THEN (max(h) OVER w3 + min(l) OVER w3 + 1) // 2 END AS tk,
+        |  CASE WHEN count(*) OVER w7 = 7 THEN (max(h) OVER w7 + min(l) OVER w7 + 1) // 2 END AS kj,
+        |  CASE WHEN count(*) OVER w14 = 14 THEN (max(h) OVER w14 + min(l) OVER w14 + 1) // 2 END AS sb_raw
+        |  FROM dc
+        |  WINDOW w3 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |         w7 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |         w14 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id, day, tk, kj,
+        |  lag((tk + kj + 1) // 2, 7) OVER pw AS sa,
+        |  lag(sb_raw, 7) OVER pw AS sb,
+        |  lead(c, 7) OVER pw AS ck
+        |  FROM b WINDOW pw AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, day,
+        |  CAST(tk AS DOUBLE) / 100.0 AS tenkan,
+        |  CAST(kj AS DOUBLE) / 100.0 AS kijun,
+        |  CAST(sa AS DOUBLE) / 100.0 AS senkou_a,
+        |  CAST(sb AS DOUBLE) / 100.0 AS senkou_b,
+        |  CAST(ck AS DOUBLE) / 100.0 AS chikou
+        |FROM s WHERE tk IS NOT NULL AND kj IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin,
     // Benford: expected bp are pre-rounded constants; share via the
     // HALF_UP identity; all nine digits report even at zero count
     "benford_totalprice" ->

@@ -500,6 +500,106 @@ object Finance {
       .orderBy("user_id", "day")
   }
 
+  /** Donchian channels over daily bars: the n-day rolling high/low
+    * envelope plus its midline, with the classic breakout signal —
+    * close crossing YESTERDAY's channel edge (today's channel already
+    * contains today's bar, so comparing against it can never signal).
+    * All integer cents: channel edges are window max/min, the midline
+    * is the HALF_UP half-sum identity (u+l+1) div 2, and the signal is
+    * an integer compare — engine-exact everywhere, prices emitted as
+    * exact integer-cent divisions. Same shapes as [[atr]]: one bar
+    * aggregate + windows on ONE series partitioning.
+    */
+  def donchianChannels(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 1, s"Donchian window must be >= 1, got $n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(events)
+      .withColumn("u", max(col("h")).over(frame))
+      .withColumn("lo", min(col("l")).over(frame))
+      .withColumn("nd", count(lit(1)).over(frame))
+      .withColumn("pu", lag(col("u"), 1).over(w))
+      .withColumn("pl", lag(col("lo"), 1).over(w))
+      .filter(col("nd") === n && col("pu").isNotNull)
+      .select(col("user_id"), col("day"),
+        (col("u").cast("double") / 100.0).as("upper_band"),
+        (col("lo").cast("double") / 100.0).as("lower_band"),
+        (expr("(u + lo + 1) div 2").cast("double") / 100.0).as("mid"),
+        when(col("c") > col("pu"), lit("breakout_up"))
+          .when(col("c") < col("pl"), lit("breakout_down"))
+          .otherwise(lit("inside")).as("signal"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Aroon indicator over daily bars: how recently the n-day extreme
+    * printed, as 10⁴·(n − days_since_extreme)/n in integer basis
+    * points. Ties break to the MOST RECENT extreme (the standard
+    * "days since" reading), pinned WITHOUT argmax floats: each frame
+    * row is encoded as one integer key — h·10⁵ + rn for the high (max
+    * key ⇒ highest high, then latest row) and l·10⁵ + (10⁵−1−rn) for
+    * the low (min key ⇒ lowest low, then latest row) — so a window
+    * max/min IS the tie-broken argmax, identically in any engine.
+    * One bar aggregate + windows on one series partitioning.
+    */
+  def aroon(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 1, s"Aroon window must be >= 1, got $n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(events)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("hk", max(expr("h * 100000 + rn")).over(frame))
+      .withColumn("lk", min(expr("l * 100000 + (99999 - rn)")).over(frame))
+      .withColumn("nd", count(lit(1)).over(frame))
+      .filter(col("nd") === n)
+      .withColumn("since_hh", col("rn") - expr("hk % 100000"))
+      .withColumn("since_ll", col("rn") - expr("99999 - (lk % 100000)"))
+      .select(col("user_id"), col("day"),
+        expr(s"(2 * ($n - since_hh) * 10000 + $n) div (2 * $n)").as("aroon_up_bp"),
+        expr(s"(2 * ($n - since_ll) * 10000 + $n) div (2 * $n)").as("aroon_down_bp"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Ichimoku lines over daily bars (trading-day shift convention:
+    * the senkou/chikou displacement is `kijun` BAR rows, the standard
+    * chart reading). Defaults are the classic 9/26/52 scaled to the
+    * short test series (3/7/14) — production series pass the classic
+    * periods. Every line is a HALF_UP channel midpoint on integer
+    * cents ((hh+ll+1) div 2 — [[donchianChannels]]'s identity), so
+    * the only floats are exact integer-cent divisions at emit;
+    * row-offset shifts are lag/lead over the one series partitioning
+    * (null until the displaced bar exists, both engines agree).
+    * tenkan/kijun rows require full frames; senkou lines carry their
+    * OWN full-frame requirement from the displaced row.
+    */
+  def ichimokuLines(events: DataFrame, tenkan: Int = 3, kijun: Int = 7,
+                    senkou: Int = 14): DataFrame = {
+    require(tenkan >= 1 && kijun >= tenkan && senkou >= kijun,
+      s"ichimoku periods must satisfy 1 <= tenkan <= kijun <= senkou, got ($tenkan, $kijun, $senkou)")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    def mid(p: Int): Column = {
+      val f = w.rowsBetween(-(p - 1), Window.currentRow)
+      // (hh + ll + 1) >> 1 = HALF_UP midpoint on non-negative cents
+      // (Column./ would be DOUBLE division; the shift stays integer)
+      when(count(lit(1)).over(f) === p,
+        shiftright(max(col("h")).over(f) + min(col("l")).over(f) + lit(1L), 1))
+    }
+    def price(c: Column): Column = c.cast("double") / 100.0
+    dailyBars(events)
+      .withColumn("tk", mid(tenkan))
+      .withColumn("kj", mid(kijun))
+      .withColumn("sb_raw", mid(senkou))
+      .withColumn("sa_raw", expr("(tk + kj + 1) div 2"))
+      .withColumn("sa", lag(col("sa_raw"), kijun).over(w))
+      .withColumn("sb", lag(col("sb_raw"), kijun).over(w))
+      .withColumn("ck", lead(col("c"), kijun).over(w))
+      .filter(col("tk").isNotNull && col("kj").isNotNull)
+      .select(col("user_id"), col("day"),
+        price(col("tk")).as("tenkan"), price(col("kj")).as("kijun"),
+        price(col("sa")).as("senkou_a"), price(col("sb")).as("senkou_b"),
+        price(col("ck")).as("chikou"))
+      .orderBy("user_id", "day")
+  }
+
   /** Pairwise correlation MATRIX of the top-N series by total turnover
     * — the cross-asset dashboard heat-map. The quadratic term is
     * bounded by N (a TakeOrdered top-N on the per-series totals,

@@ -337,6 +337,65 @@ class FinanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("donchian: channel edges, half-up midline, breakout vs yesterday's channel") {
+    import spark.implicits._
+    // one tick/day: 10, 20, 30, 5 — n=2 channels
+    val df = Seq(10.0, 20.0, 30.0, 5.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.donchianChannels(df, n = 2).collect()
+    // day 1 has a partial frame → dropped
+    assert(r.map(_.getAs[String]("day")).toSeq ===
+      Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+    val d2 = r(0)
+    assert(d2.getAs[Double]("upper_band") === 20.0)
+    assert(d2.getAs[Double]("lower_band") === 10.0)
+    assert(d2.getAs[Double]("mid") === 15.0)
+    // close 20 > yesterday's 1-bar channel top 10 → breakout_up
+    assert(d2.getAs[String]("signal") === "breakout_up")
+    assert(r(1).getAs[String]("signal") === "breakout_up")   // 30 > 20
+    assert(r(2).getAs[String]("signal") === "breakout_down") // 5 < 20 (prev lower)
+  }
+
+  test("aroon: days-since-extreme in bp, ties break to the most recent bar") {
+    import spark.implicits._
+    val df = Seq(10.0, 30.0, 20.0, 25.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.aroon(df, n = 3).collect()
+      .map(x => x.getAs[String]("day") ->
+        ((x.getAs[Long]("aroon_up_bp"), x.getAs[Long]("aroon_down_bp")))).toMap
+    // day 3: high printed 1 bar ago (d2=30) → 100·2/3; low 2 bars ago (d1) → 100·1/3
+    assert(r("2024-01-03") === ((6667L, 3333L)))
+    // day 4: high 2 bars ago, low 1 bar ago (d3=20 is the 3-day low)
+    assert(r("2024-01-04") === ((3333L, 6667L)))
+    // tie: two equal highs → the most recent one counts (days since = 0)
+    val tied = Seq(10.0, 10.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val tr = Finance.aroon(tied, n = 2).collect()
+    assert(tr.length === 1 && tr(0).getAs[Long]("aroon_up_bp") === 10000L)
+  }
+
+  test("ichimoku: half-up midpoints, kijun-row displaced senkou/chikou, nullable edges") {
+    import spark.implicits._
+    val df = Seq(10.0, 20.0, 30.0, 40.0, 50.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.ichimokuLines(df, tenkan = 1, kijun = 2, senkou = 3).collect()
+      .map(x => x.getAs[String]("day") -> x).toMap
+    assert(r.keySet === Set("2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+    val d2 = r("2024-01-02")
+    assert(d2.getAs[Double]("tenkan") === 20.0)
+    assert(d2.getAs[Double]("kijun") === 15.0)          // (2000+1000+1) >> 1
+    assert(d2.isNullAt(d2.fieldIndex("senkou_a")))      // no bar 2 rows back yet
+    assert(d2.getAs[Double]("chikou") === 40.0)         // close 2 rows ahead
+    val d5 = r("2024-01-05")
+    assert(d5.getAs[Double]("senkou_a") === 27.5)       // d3's (tk+kj+1) div 2
+    assert(d5.getAs[Double]("senkou_b") === 20.0)       // d3's 3-bar midpoint
+    assert(d5.isNullAt(d5.fieldIndex("chikou")))        // series ends
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
