@@ -404,6 +404,7 @@ object SparkEntry {
     "zipf_slope" -> ((s, d) => Corpus.zipfSlope(Tables.documents(s, d))),
     // DSIR importance log-ratios: target-vs-raw smoothed unigram LMs
     "dsir_logratio" -> ((s, d) => Corpus.dsirLogratio(Tables.documents(s, d))),
+    "dsir_resample" -> ((s, d) => Corpus.dsirResample(Tables.documents(s, d))),
     // per-doc n-gram novelty vs all earlier docs (one gram shuffle +
     // gram-key window — the dup_spans contract)
     "novelty_curve" -> ((s, d) => Corpus.noveltyCurve(Tables.documents(s, d))),
@@ -1395,6 +1396,26 @@ object SparkEntry {
        |CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared WITH-body of the DSIR oracles (dsir_logratio,
+    * dsir_resample): add-one-smoothed target/raw unigram LMs, one
+    * 6dp-rounded log term per word from exact integer products, and
+    * the per-doc exact decimal sum `d(doc_id, n_tokens, s_lr)`.
+    */
+  private val dsirCteBody: String =
+    """WITH w AS (SELECT doc_id, lang, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, lang, unnest(ws) AS word FROM w),
+      |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t WHERE word <> '' GROUP BY 1, 2),
+      |raw AS (SELECT word, sum(cnt)::BIGINT AS tf_r FROM c GROUP BY 1),
+      |tgt AS (SELECT word, count(*)::BIGINT AS tf_t FROM t WHERE word <> '' AND lang = 'en' GROUP BY 1),
+      |vo AS (SELECT raw.word, tf_r, coalesce(tf_t, 0) AS tf_t FROM raw LEFT JOIN tgt USING (word)),
+      |st AS (SELECT count(*)::BIGINT AS v, sum(tf_r)::BIGINT AS n_r, sum(tf_t)::BIGINT AS n_t FROM vo),
+      |sc AS (SELECT word, CAST(round(ln(
+      |  CAST(CAST(tf_t + 1 AS HUGEINT) * (n_r + v) AS DOUBLE) /
+      |  CAST(CAST(n_t + v AS HUGEINT) * (tf_r + 1) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+      |  FROM vo, st),
+      |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * sc.lr) AS s_lr
+      |  FROM c JOIN sc USING (word) GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // the sketch gates hash only engine-portable columns: exact values
@@ -2788,21 +2809,28 @@ object SparkEntry {
     // DSIR: one 6dp-rounded log term per word from exact smoothed-LM
     // integer products; per-doc exact decimal sum, one final division
     "dsir_logratio" ->
-      """WITH w AS (SELECT doc_id, lang, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
-        |t AS (SELECT doc_id, lang, unnest(ws) AS word FROM w),
-        |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t WHERE word <> '' GROUP BY 1, 2),
-        |raw AS (SELECT word, sum(cnt)::BIGINT AS tf_r FROM c GROUP BY 1),
-        |tgt AS (SELECT word, count(*)::BIGINT AS tf_t FROM t WHERE word <> '' AND lang = 'en' GROUP BY 1),
-        |vo AS (SELECT raw.word, tf_r, coalesce(tf_t, 0) AS tf_t FROM raw LEFT JOIN tgt USING (word)),
-        |st AS (SELECT count(*)::BIGINT AS v, sum(tf_r)::BIGINT AS n_r, sum(tf_t)::BIGINT AS n_t FROM vo),
-        |sc AS (SELECT word, CAST(round(ln(
-        |  CAST(CAST(tf_t + 1 AS HUGEINT) * (n_r + v) AS DOUBLE) /
-        |  CAST(CAST(n_t + v AS HUGEINT) * (tf_r + 1) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
-        |  FROM vo, st),
-        |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * sc.lr) AS s_lr
-        |  FROM c JOIN sc USING (word) GROUP BY 1)
+      s"""$dsirCteBody
         |SELECT doc_id, n_tokens, round(CAST(s_lr AS DOUBLE) / n_tokens, 4) + 0.0 AS log_ratio
         |FROM d ORDER BY doc_id""".stripMargin,
+    // DSIR realized: keep_bp = min(10^4, round(exp(lr_4dp)*10^4)),
+    // doc kept iff its id-keyed md5 bucket*100 < keep_bp (the
+    // weighted-sample bucket convention; exp applied to the rounded
+    // score and re-rounded to integer bp, the ln-policy's containment)
+    "dsir_resample" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""$dsirCteBody,
+        |sr AS (SELECT doc_id, n_tokens,
+        |  round(CAST(s_lr AS DOUBLE) / n_tokens, 4) + 0.0 AS log_ratio FROM d),
+        |k AS (SELECT doc_id, n_tokens, log_ratio,
+        |  least(10000, CAST(round(exp(log_ratio) * 10000) AS BIGINT)) AS keep_bp,
+        |  md5(CAST(doc_id AS VARCHAR)) AS hx FROM sr)
+        |SELECT doc_id, n_tokens, log_ratio, keep_bp,
+        |  (CAST(($hv) % 100 AS BIGINT) * 100 < keep_bp) AS kept
+        |FROM k ORDER BY doc_id""".stripMargin
+    },
     // CCNet terciles: per-lang integer rank thirds over the same
     // unigram logprob score, boundary docs decided by (score, doc_id)
     "ccnet_buckets" ->

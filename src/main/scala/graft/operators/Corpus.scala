@@ -1257,6 +1257,28 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance resampling REALIZED — the deterministic thinning
+    * the [[dsirLogratio]] scores imply: each doc's keep probability is
+    * min(1, exp(log_ratio)) (target-like docs always kept, off-target
+    * docs kept in proportion to their importance weight), decided by
+    * the id-keyed md5 bucket against the integer keep threshold
+    * keep_bp = min(10⁴, round(exp(lr)·10⁴)) — the
+    * [[graft.operators.Dedup.weightedSample]] convention, so reruns
+    * and engines agree row-for-row. exp() is applied to the ALREADY
+    * 4dp-rounded score and immediately re-rounded to integer bp (the
+    * same cross-engine-libm containment the 6dp-ln policy uses).
+    * Scan-shaped on top of the score table: the keep decision is a
+    * per-row predicate, no extra shuffle.
+    */
+  def dsirResample(documents: DataFrame, targetLang: String = "en"): DataFrame =
+    dsirLogratio(documents, targetLang)
+      .withColumn("keep_bp",
+        least(lit(10000L), round(exp(col("log_ratio")) * 10000).cast("long")))
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("log_ratio"), col("keep_bp"),
+        (col("bucket") * 100 < col("keep_bp")).as("kept"))
+      .orderBy("doc_id")
+
   /** Per-document n-gram NOVELTY — the corpus-growth diagnostic: what
     * share of each document's word n-grams has never appeared in any
     * EARLIER document (doc_id as the ingest-order proxy). A healthy

@@ -3500,6 +3500,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) === -0.6931)
   }
 
+  test("dsir_resample: target-like docs always kept, keep_bp capped and bucket-decided") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a", "en"), // lr > 0 → keep_bp caps at 10^4 → always kept
+      (2L, "b b", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = Corpus.dsirResample(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // lr(1) = 0.4055 > 0: exp > 1 → capped at 10000; every bucket
+    // (< 100 → ·100 ≤ 9900) is below the cap → kept
+    assert(r(1L).getAs[Long]("keep_bp") === 10000L)
+    assert(r(1L).getAs[Boolean]("kept"))
+    // lr(2) = −0.6931: keep_bp = round(exp(−0.6931)·10⁴) = 5000
+    assert(r(2L).getAs[Long]("keep_bp") === 5000L)
+    // the decision IS the weighted-sample bucket rule, re-derived
+    val bucket2 = Seq(2L).toDF("doc_id")
+      .select(graft.operators.Sampling.hashBucket(col("doc_id")))
+      .head().getInt(0)
+    assert(r(2L).getAs[Boolean]("kept") === (bucket2 * 100 < 5000))
+  }
+
   test("q11 important-parts threshold is strict on the boundary") {
     import spark.implicits._
     // values 97 and 3 of total 100 at a 3% (300 bp) threshold:

@@ -100,9 +100,10 @@ class PlanGuardSpec extends SparkSpec {
     // source_kl: the one-row corpus-token-total reduce, broadcast back
     // onto the (source, word) table
     "source_kl",
-    // dsir_logratio: the one-row (|vocab|, N_target, N_raw) smoothing
-    // stats reduce, broadcast back onto the vocab
-    "dsir_logratio",
+    // dsir_logratio (+ its resample consumer): the one-row (|vocab|,
+    // N_target, N_raw) smoothing stats reduce, broadcast back onto
+    // the vocab
+    "dsir_logratio", "dsir_resample",
     // q11_important_parts: the one-row nation-total reduce, broadcast
     // back as the HAVING scalar (the q15 contract)
     "q11_important_parts",
@@ -177,9 +178,10 @@ class PlanGuardSpec extends SparkSpec {
     "benford_totalprice",
     // ccnet_buckets: doc_logprob's one-row token-total frame
     "ccnet_buckets",
-    // source_kl / dsir_logratio: one-row corpus-stats frames
-    // cross-joined onto the vocab (the doc_logprob contract)
-    "source_kl", "dsir_logratio",
+    // source_kl / dsir_logratio (+ its resample consumer): one-row
+    // corpus-stats frames cross-joined onto the vocab (the
+    // doc_logprob contract)
+    "source_kl", "dsir_logratio", "dsir_resample",
     // q11_important_parts: the one-row total frame cross-joined onto
     // the per-part values (the skew_report contract)
     "q11_important_parts",
