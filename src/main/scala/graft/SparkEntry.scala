@@ -875,6 +875,7 @@ object SparkEntry {
     "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "train_shards"      -> ((s, d) => Sampling.trainShards(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
+    "pack_efficiency"   -> ((s, d) => Corpus.packEfficiency(Tables.documents(s, d))),
     "pack_sequences_bpe" -> ((s, d) =>
       Corpus.packSequencesBpe(Tables.documents(s, d), bpeGateMerges)),
     "chunk_documents"   -> ((s, d) => Corpus.chunkDocuments(Tables.documents(s, d))),
@@ -2325,6 +2326,28 @@ object SparkEntry {
          |token_offset // 512 AS seq_first,
          |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin
+    },
+    // pack utilization per (lang, shard): only the last sequence can
+    // be partial; fill via the HALF_UP bp identity, all-integer
+    "pack_efficiency" -> {
+      val hv = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" +\n")
+      s"""WITH t AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, lang, CAST(($hv) % 100 AS INTEGER) AS shard, n_tokens FROM t),
+         |o AS (SELECT doc_id, lang, shard, n_tokens,
+         |CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset FROM s),
+         |q AS (SELECT doc_id, lang, shard, n_tokens,
+         |(token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last FROM o),
+         |a AS (SELECT lang, shard, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS total_tokens,
+         |  (max(seq_last) + 1)::BIGINT AS n_seqs FROM q GROUP BY 1, 2)
+         |SELECT lang, shard, n_docs, total_tokens, n_seqs,
+         |  CAST(n_seqs * 512 AS BIGINT) AS capacity,
+         |  CAST((2 * total_tokens * 10000 + n_seqs * 512) // (2 * n_seqs * 512) AS BIGINT) AS fill_bp
+         |FROM a ORDER BY lang, shard""".stripMargin
     },
     // below-mean-frequency token rate: the rare/common cut is
     // tf < ceil(total/|vocab|) — integer, overflow-free, engine-exact

@@ -927,6 +927,28 @@ object Corpus {
       HashExprs.bpeEncode(TextAnalysis.normalizeWs(col("text")), merges)
         .getField("n_tokens"), budgetTokens)
 
+  /** Packing EFFICIENCY report — the shard-utilization table a
+    * training-batch builder watches: per (lang, shard), how many
+    * fixed-budget sequences the pack produced and how full they are
+    * (fill in integer bp via the HALF_UP identity; only the last
+    * sequence of a shard can be partial, so fill → 10⁴ as shards
+    * grow — a LOW fill flags a shard too small to amortize its tail,
+    * i.e. the shard count needs retuning for the corpus size). Pure
+    * aggregation over [[packSequences]]'s window output: one extra
+    * map-side-combinable groupBy on the same (lang, shard) key the
+    * pack window already partitioned by — no new exchange at scale.
+    */
+  def packEfficiency(documents: DataFrame, budgetTokens: Int = 512): DataFrame =
+    packSequences(documents, budgetTokens)
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("seq_last") + 1).as("n_seqs"))
+      .withColumn("capacity", col("n_seqs") * budgetTokens)
+      .withColumn("fill_bp",
+        expr("(2 * total_tokens * 10000 + capacity) div (2 * capacity)"))
+      .orderBy("lang", "shard")
+
   /** The packing window shared by the whitespace and BPE forms — one
     * definition of the offset/sequence-range arithmetic.
     */

@@ -3500,6 +3500,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) === -0.6931)
   }
 
+  test("pack_efficiency: per-shard fill from the pack window, capacity bounds hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five", "en"),          // 5 tokens
+      (2L, ("w " * 600).trim, "en"))                  // 600 tokens
+      .toDF("doc_id", "text", "lang")
+    val eff = graft.operators.Corpus.packEfficiency(docs).collect()
+    val packed = graft.operators.Corpus.packSequences(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("shard")) -> r).toMap
+    eff.foreach { r =>
+      val (tot, seqs, cap, fill) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("capacity"), r.getAs[Long]("fill_bp"))
+      assert(cap === seqs * 512)
+      assert(tot <= cap, "tokens can never exceed sequence capacity")
+      assert(fill === (2 * tot * 10000 + cap) / (2 * cap)) // the HALF_UP identity
+    }
+    // one-doc shard: 5 tokens in one 512 sequence → 98 bp (round(97.65))
+    val solo = eff.find(_.getAs[Long]("n_docs") == 1).get
+    if (solo.getAs[Long]("total_tokens") == 5L)
+      assert(solo.getAs[Long]("fill_bp") === 98L)
+    assert(packed.nonEmpty) // both views exist over the same window
+  }
+
   test("dsir_resample: target-like docs always kept, keep_bp capped and bucket-decided") {
     import spark.implicits._
     val docs = Seq(
