@@ -520,6 +520,7 @@ object SparkEntry {
     "atr_daily" -> ((s, d) => Finance.atr(Tables.events(s, d))),
     "stochastic_k" -> ((s, d) => Finance.stochasticK(Tables.events(s, d))),
     "donchian_channels" -> ((s, d) => Finance.donchianChannels(Tables.events(s, d))),
+    "macd_daily" -> ((s, d) => Finance.macd(Tables.events(s, d))),
     "aroon_daily" -> ((s, d) => Finance.aroon(Tables.events(s, d))),
     "ichimoku_lines" -> ((s, d) => Finance.ichimokuLines(Tables.events(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
@@ -3708,6 +3709,37 @@ object SparkEntry {
         |  CASE WHEN c > pu THEN 'breakout_up' WHEN c < pl THEN 'breakout_down'
         |       ELSE 'inside' END AS signal
         |FROM p WHERE nd = 14 AND pu IS NOT NULL ORDER BY user_id, day""".stripMargin,
+    // MACD: per-step 6dp-re-rounded EMA recursion (the pca_power
+    // policy applied to a time recursion) — the same expression tree,
+    // same left-to-right float ops, so the trajectories are
+    // bit-identical; recursive CTEs replay the per-series fold
+    "macd_daily" ->
+      """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, CAST(c AS DOUBLE) AS c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
+        |ema AS (
+        |  SELECT user_id, day, rn, c, c AS e12, c AS e26 FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.day, r.rn, r.c,
+        |    round(2.0/13.0 * r.c + 11.0/13.0 * ema.e12, 6),
+        |    round(2.0/27.0 * r.c + 25.0/27.0 * ema.e26, 6)
+        |  FROM r JOIN ema ON r.user_id = ema.user_id AND r.rn = ema.rn + 1),
+        |m AS (SELECT user_id, day, rn, round(e12 - e26, 6) AS macd FROM ema),
+        |sg AS (
+        |  SELECT user_id, day, rn, macd, macd AS sig FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.user_id, m.day, m.rn, m.macd,
+        |    round(2.0/10.0 * m.macd + 8.0/10.0 * sg.sig, 6)
+        |  FROM m JOIN sg ON m.user_id = sg.user_id AND m.rn = sg.rn + 1)
+        |SELECT user_id, day,
+        |  macd / 100.0 + 0.0 AS macd,
+        |  sig / 100.0 + 0.0 AS signal,
+        |  round(macd - sig, 6) / 100.0 + 0.0 AS histogram
+        |FROM sg ORDER BY user_id, day""".stripMargin,
     // Aroon: most-recent-extreme ties pinned by the integer key
     // h*10^5+rn (max) / l*10^5+(10^5-1-rn) (min) — a window max/min
     // IS the tie-broken argmax, no argmax floats in any engine

@@ -600,6 +600,58 @@ object Finance {
       .orderBy("user_id", "day")
   }
 
+  /** MACD(12, 26, 9) over daily closes — the one classic indicator
+    * this family had sidestepped because it is an EMA recursion
+    * (rsi_cutler/ses_forecast chose non-recursive forms). Made
+    * engine-exact the [[Similarity.embedPcaPower]] way: every EMA
+    * step is re-rounded to 6dp (cent scale), so the float trajectory
+    * is bit-identical in any engine evaluating the same expression
+    * tree — ema(1) = c₁, ema(t) = round(α·cₜ + (1−α)·ema(t−1), 6)
+    * with α = 2/(n+1) as the literal quotient. EMAs seed from the
+    * first close (values defined from day 1; consumers discard their
+    * own warm-up horizon). macd = round(e12 − e26, 6), signal = the
+    * same fold over macd at 2/10, histogram = round(macd − signal, 6);
+    * emitted in price units with the signed-zero normalization.
+    *
+    * Scale shape: ONE exchange (the groupBy on the series key); the
+    * fold is per-series sequential state — exactly the |days|-scalars
+    * per entity that any EMA needs — evaluated as an ordered-array
+    * aggregate inside the row, no driver loop, no window recursion.
+    * The array append is O(days²) element copies per series: fine at
+    * daily grain (decades ≈ 10⁴ days), not for tick grain — resample
+    * first, as every charting stack does.
+    */
+  def macd(events: DataFrame, fast: Int = 12, slow: Int = 26,
+           signal: Int = 9): DataFrame = {
+    require(1 < fast && fast < slow, s"need 1 < fast < slow, got ($fast, $slow)")
+    require(signal > 1, s"signal period must be > 1, got $signal")
+    // the D suffixes matter: Spark parses a bare `2.0` as DECIMAL(2,1),
+    // so 2.0/13.0 would be a 6-digit DECIMAL quotient, not the IEEE
+    // double 2/13 the oracle's engine computes — the trajectories
+    // would drift by ~1e-7 per step (measured; the gate caught it)
+    def ema(src: String, n: Int) =
+      s"aggregate($src, CAST(array() AS ARRAY<DOUBLE>), (acc, x) -> " +
+        s"concat(acc, array(CASE WHEN size(acc) = 0 THEN x " +
+        s"ELSE round(2.0D/${n + 1}.0D * x + ${n - 1}.0D/${n + 1}.0D * element_at(acc, -1), 6) END)))"
+    dailyCloses(events)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
+      .withColumn("days", expr("transform(rows, r -> r.day)"))
+      .withColumn("cs", expr("transform(rows, r -> CAST(r.c AS DOUBLE))"))
+      .withColumn("e12", expr(ema("cs", fast)))
+      .withColumn("e26", expr(ema("cs", slow)))
+      .withColumn("macd_a", expr("zip_with(e12, e26, (a, b) -> round(a - b, 6))"))
+      .withColumn("sig_a", expr(ema("macd_a", signal)))
+      .withColumn("hist_a", expr("zip_with(macd_a, sig_a, (a, b) -> round(a - b, 6))"))
+      .select(col("user_id"),
+        posexplode(arrays_zip(col("days"), col("macd_a"), col("sig_a"), col("hist_a"))))
+      .select(col("user_id"), col("col.days").as("day"),
+        (col("col.macd_a") / 100.0 + lit(0.0)).as("macd"),
+        (col("col.sig_a") / 100.0 + lit(0.0)).as("signal"),
+        (col("col.hist_a") / 100.0 + lit(0.0)).as("histogram"))
+      .orderBy("user_id", "day")
+  }
+
   /** Pairwise correlation MATRIX of the top-N series by total turnover
     * — the cross-asset dashboard heat-map. The quadratic term is
     * bounded by N (a TakeOrdered top-N on the per-series totals,

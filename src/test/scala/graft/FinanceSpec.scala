@@ -396,6 +396,34 @@ class FinanceSpec extends SparkSpec {
     assert(d5.isNullAt(d5.fieldIndex("chikou")))        // series ends
   }
 
+  test("macd: per-step 6dp-rounded EMA recursion matches an independent fold") {
+    import spark.implicits._
+    val vals = Seq(10.0, 20.0, 5.0, 30.0, 25.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.macd(df, fast = 2, slow = 3, signal = 2).collect()
+    assert(r.length === vals.length)
+    // day 1: both EMAs seed from the first close → macd = signal = hist = 0
+    assert(r(0).getAs[Double]("macd") === 0.0 &&
+      r(0).getAs[Double]("signal") === 0.0 &&
+      r(0).getAs[Double]("histogram") === 0.0)
+    // independent reference fold: same convention, plain Scala
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ema(xs: Seq[Double], n: Int): Seq[Double] =
+      xs.tail.scanLeft(xs.head)((p, x) =>
+        r6(2.0 / (n + 1) * x + (n - 1.0) / (n + 1) * p))
+    val cents = vals.map(_ * 100)
+    val macdRef = ema(cents, 2).zip(ema(cents, 3)).map { case (a, b) => r6(a - b) }
+    val sigRef = ema(macdRef, 2)
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Double]("macd") === macdRef(i) / 100.0, s"macd day ${i + 1}")
+      assert(row.getAs[Double]("signal") === sigRef(i) / 100.0, s"signal day ${i + 1}")
+      assert(row.getAs[Double]("histogram") === r6(macdRef(i) - sigRef(i)) / 100.0)
+    }
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
