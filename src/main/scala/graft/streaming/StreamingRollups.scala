@@ -604,6 +604,99 @@ object StreamingRollups {
       }
   }
 
+  case class MacdPoint(user_id: Long, day: String, macd: Double,
+                       signal: Double, histogram: Double)
+  // NOT private (the SessionState encoder contract). e12/e26/sig are
+  // the three EMA scalars of COMPLETED days — the entire indicator
+  // state, regardless of tick volume; seeded=false until the first
+  // day closes (the batch fold's seed-from-first-close convention).
+  case class MacdState(openDay: String, openOkey: String, openClose: Long,
+                       seeded: Boolean, e12: Double, e26: Double, sig: Double)
+
+  /** Streaming MACD — the EMA recursion as THREE DOUBLES of per-series
+    * state (the recursive indicator is the best case for streaming:
+    * where the batch fold carries the whole day array, the stream
+    * carries just the current EMA values). The first tick of a new day
+    * finalizes the open one: its close updates e12/e26 with the SAME
+    * per-step 6dp re-round the batch [[graft.operators.Finance.macd]]
+    * fold applies (identical BigDecimal HALF_UP, identical α = 2/(n+1)
+    * IEEE quotients), so every finalized day's (macd, signal,
+    * histogram) is bit-equal to the batch row — parity on every series
+    * day except its still-open last (spec-pinned). Late-past-the-
+    * day-boundary ticks drop — the [[movers]] staleness trade.
+    */
+  def macdStream(ticks: Dataset[Tick], watermarkDelay: String,
+                 fast: Int = 12, slow: Int = 26, signalN: Int = 9,
+                 idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[MacdPoint] = {
+    import ticks.sparkSession.implicits._
+    require(1 < fast && fast < slow, s"need 1 < fast < slow, got ($fast, $slow)")
+    require(signalN > 1, s"signal period must be > 1, got $signalN")
+    val (aF, bF) = (2.0 / (fast + 1), (fast - 1).toDouble / (fast + 1))
+    val (aS, bS) = (2.0 / (slow + 1), (slow - 1).toDouble / (slow + 1))
+    val (aG, bG) = (2.0 / (signalN + 1), (signalN - 1).toDouble / (signalN + 1))
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MacdState, MacdPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[MacdState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: advance the EMA scalars exactly
+            // like one step of the batch fold, emit the day's point
+            def closeDay(st: MacdState): (MacdState, MacdPoint) = {
+              val c = st.openClose.toDouble
+              val (e12, e26, macd, sig) =
+                if (!st.seeded) (c, c, 0.0, 0.0)
+                else {
+                  val n12 = r6(aF * c + bF * st.e12)
+                  val n26 = r6(aS * c + bS * st.e26)
+                  val m = r6(n12 - n26)
+                  (n12, n26, m, r6(aG * m + bG * st.sig))
+                }
+              (st.copy(seeded = true, e12 = e12, e26 = e26, sig = sig),
+                MacdPoint(user, st.openDay, macd / 100.0, sig / 100.0,
+                  r6(macd - sig) / 100.0))
+            }
+            val out = Seq.newBuilder[MacdPoint]
+            var st = state.getOption
+              .getOrElse(MacdState(null, null, 0L, seeded = false, 0.0, 0.0, 0.0))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t), openClose = cents(t.value))
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                out += point
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openClose = cents(t.value))
+              } else if (day == st.openDay && okey(t) > st.openOkey)
+                st = st.copy(openOkey = okey(t), openClose = cents(t.value))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class Mover(user_id: Long, day: String, prev_close_cents: Long,
                    close_cents: Long, change_bp: Long)
   // NOT private: the state encoder instantiates this from outside the

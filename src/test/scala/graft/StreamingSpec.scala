@@ -640,6 +640,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming MACD reproduces the batch recursion for every closed day") {
+    // the EMA recursion as three doubles of state: every finalized
+    // day's (macd, signal, histogram) must be bit-equal to the batch
+    // fold's row; parity holds on all days except each series' last
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val macd = StreamingRollups.macdStream(input.toDS(), "10 minutes")
+    val q = macd.writeStream.format("memory").queryName("parity_macd")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("macd"), r.getAs[Double]("signal"),
+          r.getAs[Double]("histogram")))).toMap
+    val streamed = keyed(spark.table("parity_macd"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.Finance.macd(ev)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "macd", "signal", "histogram"))
+    assert(streamed === batch, "stream-vs-batch MACD parity")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming takedown tombstones an index within one trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
