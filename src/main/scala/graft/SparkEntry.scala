@@ -521,6 +521,7 @@ object SparkEntry {
     "stochastic_k" -> ((s, d) => Finance.stochasticK(Tables.events(s, d))),
     "donchian_channels" -> ((s, d) => Finance.donchianChannels(Tables.events(s, d))),
     "macd_daily" -> ((s, d) => Finance.macd(Tables.events(s, d))),
+    "rsi_wilder" -> ((s, d) => Finance.rsiWilder(Tables.events(s, d))),
     "aroon_daily" -> ((s, d) => Finance.aroon(Tables.events(s, d))),
     "ichimoku_lines" -> ((s, d) => Finance.ichimokuLines(Tables.events(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
@@ -3740,6 +3741,36 @@ object SparkEntry {
         |  sig / 100.0 + 0.0 AS signal,
         |  round(macd - sig, 6) / 100.0 + 0.0 AS histogram
         |FROM sg ORDER BY user_id, day""".stripMargin,
+    // Wilder RSI: SMA seed (integer-valued double sums — order-safe)
+    // then the per-step 6dp-re-rounded recursion, replayed recursively
+    "rsi_wilder" ->
+      """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, CAST(c AS DOUBLE) AS c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
+        |d AS (SELECT user_id, day, rn - 1 AS drn,
+        |  c - lag(c) OVER (PARTITION BY user_id ORDER BY rn) AS delta FROM r),
+        |gl AS (SELECT user_id, day, drn, greatest(delta, 0) AS g, greatest(-delta, 0) AS l
+        |  FROM d WHERE delta IS NOT NULL),
+        |sd AS (SELECT user_id, day, drn,
+        |  sum(g) OVER w AS cg, sum(l) OVER w AS cl, count(*) OVER w AS nd
+        |  FROM gl
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY drn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |rec AS (
+        |  SELECT user_id, day, drn, round(cg / 14.0, 6) AS wg, round(cl / 14.0, 6) AS wl
+        |  FROM sd WHERE drn = 14 AND nd = 14
+        |  UNION ALL
+        |  SELECT gl.user_id, gl.day, gl.drn,
+        |    round((rec.wg * 13.0 + gl.g) / 14.0, 6),
+        |    round((rec.wl * 13.0 + gl.l) / 14.0, 6)
+        |  FROM gl JOIN rec ON gl.user_id = rec.user_id AND gl.drn = rec.drn + 1)
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN wg + wl = 0 THEN 5000
+        |    ELSE CAST(round(10000 * wg / (wg + wl)) AS BIGINT) END AS BIGINT) AS rsi_bp
+        |FROM rec ORDER BY user_id, day""".stripMargin,
     // Aroon: most-recent-extreme ties pinned by the integer key
     // h*10^5+rn (max) / l*10^5+(10^5-1-rn) (min) — a window max/min
     // IS the tie-broken argmax, no argmax floats in any engine

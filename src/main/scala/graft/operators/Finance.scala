@@ -333,9 +333,10 @@ object Finance {
     dailyBars(events).select("user_id", "day", "c", "n_obs")
 
   /** Cutler's RSI over daily closes — the SMA form of the relative
-    * strength index (Wilder's original smoothing is an infinite float
-    * recursion, irreproducible across engines; Cutler's simple-average
-    * variant is the standard fix and is EXACTLY computable): per day,
+    * strength index (Wilder's original smoothing is a float recursion;
+    * Cutler's simple-average variant is the classic all-integer fix.
+    * The recursive original IS also available — [[rsiWilder]] makes it
+    * engine-exact via per-step re-rounding): per day,
     * gain/loss = the positive/negative part of the close-to-close cent
     * delta, summed over the trailing n-delta frame, and
     * RSI = 100·G/(G+L) emitted in integer BASIS POINTS via the HALF_UP
@@ -649,6 +650,47 @@ object Finance {
         (col("col.macd_a") / 100.0 + lit(0.0)).as("macd"),
         (col("col.sig_a") / 100.0 + lit(0.0)).as("signal"),
         (col("col.hist_a") / 100.0 + lit(0.0)).as("histogram"))
+      .orderBy("user_id", "day")
+  }
+
+  /** WILDER's RSI — the original recursive smoothing [[rsiCutler]]
+    * deliberately sidestepped, now engine-exact via the [[macd]]
+    * policy: seed avg gain/loss with the first-n SMA (the sums are
+    * integer-valued doubles — order-safe), then
+    * avg(t) = round((avg(t−1)·(n−1) + x)/n, 6) per step, identical
+    * BigDecimal HALF_UP and IEEE quotients in both engines, so the
+    * recursion replays bit-for-bit. RSI emitted in integer bp from
+    * the rounded averages (flat frame = 5000 by convention). Same
+    * shapes as [[macd]]: one series-keyed exchange, per-series
+    * ordered-array fold, oracle replays with recursive CTEs.
+    */
+  def rsiWilder(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 2, s"RSI window must be >= 2, got $n")
+    val nD = s"$n.0D"
+    val n1D = s"${n - 1}.0D"
+    def wil(src: String, seed: String) =
+      s"aggregate(slice($src, ${n + 1}, size($src) - $n), array($seed), " +
+        s"(acc, x) -> concat(acc, array(round((element_at(acc, -1) * $n1D + x) / $nD, 6))))"
+    dailyCloses(events)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
+      .withColumn("days", expr("transform(rows, r -> r.day)"))
+      .withColumn("cs", expr("transform(rows, r -> CAST(r.c AS DOUBLE))"))
+      .withColumn("deltas", expr(
+        "zip_with(slice(cs, 2, size(cs) - 1), slice(cs, 1, size(cs) - 1), (a, b) -> a - b)"))
+      .filter(expr(s"size(deltas) >= $n"))
+      .withColumn("g", expr("transform(deltas, x -> greatest(x, 0D))"))
+      .withColumn("l", expr("transform(deltas, x -> greatest(-x, 0D))"))
+      .withColumn("sg", expr(s"round(aggregate(slice(g, 1, $n), 0D, (a, x) -> a + x) / $nD, 6)"))
+      .withColumn("sl", expr(s"round(aggregate(slice(l, 1, $n), 0D, (a, x) -> a + x) / $nD, 6)"))
+      .withColumn("wg", expr(wil("g", "sg")))
+      .withColumn("wl", expr(wil("l", "sl")))
+      .withColumn("edays", expr(s"slice(days, ${n + 1}, size(days) - $n)"))
+      .select(col("user_id"), posexplode(arrays_zip(col("edays"), col("wg"), col("wl"))))
+      .select(col("user_id"), col("col.edays").as("day"),
+        expr("CASE WHEN col.wg + col.wl = 0D THEN 5000L " +
+          "ELSE CAST(round(10000.0D * col.wg / (col.wg + col.wl)) AS BIGINT) END")
+          .as("rsi_bp"))
       .orderBy("user_id", "day")
   }
 

@@ -424,6 +424,28 @@ class FinanceSpec extends SparkSpec {
     }
   }
 
+  test("rsi_wilder: SMA seed then the recursive smoothing, hand-worked") {
+    import spark.implicits._
+    // closes 10, 20, 5, 30 → cent deltas 1000, −1500, 2500; n = 2
+    val df = Seq(10.0, 20.0, 5.0, 30.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.rsiWilder(df, n = 2).collect()
+      .map(x => x.getAs[String]("day") -> x.getAs[Long]("rsi_bp")).toMap
+    // day 3 (seed): avg_g = (1000+0)/2 = 500, avg_l = (0+1500)/2 = 750
+    //   → 10⁴·500/1250 = 4000 bp
+    assert(r === Map(
+      "2024-01-03" -> 4000L,
+      // day 4: avg_g = (500·1+2500)/2 = 1500, avg_l = (750+0)/2 = 375
+      //   → 10⁴·1500/1875 = 8000 bp
+      "2024-01-04" -> 8000L))
+    // a too-short series (fewer than n deltas) emits nothing
+    val short = Seq(10.0, 20.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    assert(Finance.rsiWilder(short, n = 2).count() === 0L)
+  }
+
   test("vwap groups by supplier-month with decimal-exact sums") {
     val r = Finance.vwap(Tables.lineitem(spark, sfDir))
     assert(r.columns.toSeq === Seq("l_suppkey", "period_key", "vwap", "notional"))
