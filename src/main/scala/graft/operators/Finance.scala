@@ -604,15 +604,16 @@ object Finance {
   /** MACD(12, 26, 9) over daily closes — the one classic indicator
     * this family had sidestepped because it is an EMA recursion
     * (rsi_cutler/ses_forecast chose non-recursive forms). Made
-    * engine-exact the [[Similarity.embedPcaPower]] way: every EMA
-    * step is re-rounded to 6dp (cent scale), so the float trajectory
-    * is bit-identical in any engine evaluating the same expression
-    * tree — ema(1) = c₁, ema(t) = round(α·cₜ + (1−α)·ema(t−1), 6)
-    * with α = 2/(n+1) as the literal quotient. EMAs seed from the
-    * first close (values defined from day 1; consumers discard their
-    * own warm-up horizon). macd = round(e12 − e26, 6), signal = the
-    * same fold over macd at 2/10, histogram = round(macd − signal, 6);
-    * emitted in price units with the signed-zero normalization.
+    * engine-exact by carrying the recursion in INTEGER MICRO-CENTS:
+    * ema(1) = c₁·10⁶, ema(t) = HALF_UP((2·cₜ·10⁶ + (n−1)·ema(t−1)) /
+    * (n+1)) via the signed integer identity — no floats anywhere, so
+    * the trajectory is exact in any engine. (A 6dp FLOAT fold is NOT
+    * safe here: whenever n+1 shares a factor with 10 the step values
+    * land exactly on decimal rounding boundaries, where Spark's
+    * shortest-repr HALF_UP and a binary-value round() disagree — the
+    * keltner gate caught it at /10.) EMAs seed from the first close;
+    * macd = e12 − e26 and histogram = macd − signal are EXACT integer
+    * differences; price-unit emission is one double division by 10⁸.
     *
     * Scale shape: ONE exchange (the groupBy on the series key); the
     * fold is per-series sequential state — exactly the |days|-scalars
@@ -626,71 +627,131 @@ object Finance {
            signal: Int = 9): DataFrame = {
     require(1 < fast && fast < slow, s"need 1 < fast < slow, got ($fast, $slow)")
     require(signal > 1, s"signal period must be > 1, got $signal")
-    // the D suffixes matter: Spark parses a bare `2.0` as DECIMAL(2,1),
-    // so 2.0/13.0 would be a 6-digit DECIMAL quotient, not the IEEE
-    // double 2/13 the oracle's engine computes — the trajectories
-    // would drift by ~1e-7 per step (measured; the gate caught it)
-    def ema(src: String, n: Int) =
-      s"aggregate($src, CAST(array() AS ARRAY<DOUBLE>), (acc, x) -> " +
-        s"concat(acc, array(CASE WHEN size(acc) = 0 THEN x " +
-        s"ELSE round(2.0D/${n + 1}.0D * x + ${n - 1}.0D/${n + 1}.0D * element_at(acc, -1), 6) END)))"
     dailyCloses(events)
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
-      .withColumn("cs", expr("transform(rows, r -> CAST(r.c AS DOUBLE))"))
-      .withColumn("e12", expr(ema("cs", fast)))
-      .withColumn("e26", expr(ema("cs", slow)))
-      .withColumn("macd_a", expr("zip_with(e12, e26, (a, b) -> round(a - b, 6))"))
-      .withColumn("sig_a", expr(ema("macd_a", signal)))
-      .withColumn("hist_a", expr("zip_with(macd_a, sig_a, (a, b) -> round(a - b, 6))"))
+      .withColumn("cs", expr("transform(rows, r -> r.c * 1000000L)"))
+      .withColumn("e12", expr(emaFoldExpr("cs", fast)))
+      .withColumn("e26", expr(emaFoldExpr("cs", slow)))
+      .withColumn("macd_a", expr("zip_with(e12, e26, (a, b) -> a - b)"))
+      .withColumn("sig_a", expr(emaFoldExpr("macd_a", signal)))
+      .withColumn("hist_a", expr("zip_with(macd_a, sig_a, (a, b) -> a - b)"))
       .select(col("user_id"),
         posexplode(arrays_zip(col("days"), col("macd_a"), col("sig_a"), col("hist_a"))))
       .select(col("user_id"), col("col.days").as("day"),
-        (col("col.macd_a") / 100.0 + lit(0.0)).as("macd"),
-        (col("col.sig_a") / 100.0 + lit(0.0)).as("signal"),
-        (col("col.hist_a") / 100.0 + lit(0.0)).as("histogram"))
+        (col("col.macd_a").cast("double") / 100000000.0).as("macd"),
+        (col("col.sig_a").cast("double") / 100000000.0).as("signal"),
+        (col("col.hist_a").cast("double") / 100000000.0).as("histogram"))
       .orderBy("user_id", "day")
   }
 
   /** WILDER's RSI — the original recursive smoothing [[rsiCutler]]
-    * deliberately sidestepped, now engine-exact via the [[macd]]
-    * policy: seed avg gain/loss with the first-n SMA (the sums are
-    * integer-valued doubles — order-safe), then
-    * avg(t) = round((avg(t−1)·(n−1) + x)/n, 6) per step, identical
-    * BigDecimal HALF_UP and IEEE quotients in both engines, so the
-    * recursion replays bit-for-bit. RSI emitted in integer bp from
-    * the rounded averages (flat frame = 5000 by convention). Same
+    * deliberately sidestepped, engine-exact via the [[macd]] integer
+    * convention: gains/losses in micro-cents, avg seeded with the
+    * first-n SMA via the HALF_UP identity, then
+    * avg(t) = HALF_UP((avg(t−1)·(n−1) + xₜ)/n) — all BIGINT, the
+    * recursion replays exactly in any engine. RSI in integer bp from
+    * the integer averages (flat frame = 5000 by convention). Same
     * shapes as [[macd]]: one series-keyed exchange, per-series
     * ordered-array fold, oracle replays with recursive CTEs.
     */
   def rsiWilder(events: DataFrame, n: Int = 14): DataFrame = {
     require(n >= 2, s"RSI window must be >= 2, got $n")
-    val nD = s"$n.0D"
-    val n1D = s"${n - 1}.0D"
-    def wil(src: String, seed: String) =
-      s"aggregate(slice($src, ${n + 1}, size($src) - $n), array($seed), " +
-        s"(acc, x) -> concat(acc, array(round((element_at(acc, -1) * $n1D + x) / $nD, 6))))"
     dailyCloses(events)
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
-      .withColumn("cs", expr("transform(rows, r -> CAST(r.c AS DOUBLE))"))
+      .withColumn("cs", expr("transform(rows, r -> r.c)"))
       .withColumn("deltas", expr(
         "zip_with(slice(cs, 2, size(cs) - 1), slice(cs, 1, size(cs) - 1), (a, b) -> a - b)"))
       .filter(expr(s"size(deltas) >= $n"))
-      .withColumn("g", expr("transform(deltas, x -> greatest(x, 0D))"))
-      .withColumn("l", expr("transform(deltas, x -> greatest(-x, 0D))"))
-      .withColumn("sg", expr(s"round(aggregate(slice(g, 1, $n), 0D, (a, x) -> a + x) / $nD, 6)"))
-      .withColumn("sl", expr(s"round(aggregate(slice(l, 1, $n), 0D, (a, x) -> a + x) / $nD, 6)"))
-      .withColumn("wg", expr(wil("g", "sg")))
-      .withColumn("wl", expr(wil("l", "sl")))
+      .withColumn("g", expr("transform(deltas, x -> greatest(x, 0L) * 1000000L)"))
+      .withColumn("l", expr("transform(deltas, x -> greatest(-x, 0L) * 1000000L)"))
+      .withColumn("sg", expr(
+        divHalfUp(s"aggregate(slice(g, 1, $n), 0L, (a, x) -> a + x)", n)))
+      .withColumn("sl", expr(
+        divHalfUp(s"aggregate(slice(l, 1, $n), 0L, (a, x) -> a + x)", n)))
+      .withColumn("wg", expr(wilderFoldExpr("g", "sg", n)))
+      .withColumn("wl", expr(wilderFoldExpr("l", "sl", n)))
       .withColumn("edays", expr(s"slice(days, ${n + 1}, size(days) - $n)"))
       .select(col("user_id"), posexplode(arrays_zip(col("edays"), col("wg"), col("wl"))))
       .select(col("user_id"), col("col.edays").as("day"),
-        expr("CASE WHEN col.wg + col.wl = 0D THEN 5000L " +
-          "ELSE CAST(round(10000.0D * col.wg / (col.wg + col.wl)) AS BIGINT) END")
+        expr("CASE WHEN col.wg + col.wl = 0L THEN 5000L " +
+          "ELSE (2 * col.wg * 10000 + (col.wg + col.wl)) div (2 * (col.wg + col.wl)) END")
           .as("rsi_bp"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Signed HALF_UP integer division identity, as a SQL fragment over
+    * BIGINT operands: floor((2·|num| + den)/(2·den)) with the sign
+    * re-applied — BigDecimal HALF_UP's away-from-zero convention on
+    * exact halves, with positive `den` only.
+    */
+  private def divHalfUp(num: String, den: Int): String =
+    s"(CASE WHEN ($num) >= 0L THEN (2 * ($num) + $den) div ${2 * den} " +
+      s"ELSE -((2 * (-($num)) + $den) div ${2 * den}) END)"
+
+  /** Integer EMA fold (micro-cent scale), shared by [[macd]] and
+    * [[keltner]]: ema(1) = x₁, ema(t) = HALF_UP((2·xₜ + (n−1)·
+    * ema(t−1))/(n+1)) — α = 2/(n+1) with NO floats anywhere.
+    */
+  private def emaFoldExpr(src: String, n: Int): String =
+    s"aggregate($src, CAST(array() AS ARRAY<BIGINT>), (acc, x) -> " +
+      s"concat(acc, array(CASE WHEN size(acc) = 0 THEN x " +
+      s"ELSE ${divHalfUp(s"2 * x + ${n - 1} * element_at(acc, -1)", n + 1)} END)))"
+
+  /** Integer Wilder 1/n fold past the SMA seed, shared by
+    * [[rsiWilder]] and [[keltner]]'s ATR:
+    * avg(t) = HALF_UP((avg(t−1)·(n−1) + xₜ)/n), micro-cent scale.
+    */
+  private def wilderFoldExpr(src: String, seed: String, n: Int): String =
+    s"aggregate(slice($src, ${n + 1}, size($src) - $n), array($seed), " +
+      s"(acc, x) -> concat(acc, array(${divHalfUp(s"element_at(acc, -1) * ${n - 1} + x", n)})))"
+
+  /** Keltner channels — the EMA-based volatility envelope (the
+    * [[donchianChannels]] shape with smoothed center and width): mid =
+    * integer-EMA of the typical price HALF_UP((h+l+c)·10⁶/3), band
+    * width = `mult`·ATR where ATR is the integer Wilder fold over true
+    * ranges seeded with the first-`atrN` SMA ([[rsiWilder]]'s
+    * seeding). All BIGINT micro-cents; band edges are exact integer
+    * sums. Emitted from the first day the ATR is defined. Same shapes
+    * as [[macd]]: one series-keyed exchange, per-series ordered-array
+    * folds, recursive-CTE oracle.
+    */
+  def keltner(events: DataFrame, emaN: Int = 20, atrN: Int = 10,
+              mult: Int = 2): DataFrame = {
+    require(emaN >= 2 && atrN >= 1, s"need emaN >= 2, atrN >= 1, got ($emaN, $atrN)")
+    dailyBars(events)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("h"), col("l"), col("c"))))
+        .as("rows"))
+      .filter(expr(s"size(rows) >= $atrN"))
+      .withColumn("days", expr("transform(rows, r -> r.day)"))
+      .withColumn("typ", expr(
+        s"transform(rows, r -> ${divHalfUp("(r.h + r.l + r.c) * 1000000L", 3)})"))
+      .withColumn("tr", expr(
+        // element_at is 1-based (a bare rows[i] subscript would be
+        // 0-based in Spark SQL — off by one vs the DuckDB replay)
+        "transform(sequence(1, size(rows)), i -> (CASE WHEN i = 1 " +
+          "THEN element_at(rows, 1).h - element_at(rows, 1).l " +
+          "ELSE greatest(element_at(rows, i).h - element_at(rows, i).l, " +
+          "abs(element_at(rows, i).h - element_at(rows, i - 1).c), " +
+          "abs(element_at(rows, i).l - element_at(rows, i - 1).c)) END) * 1000000L)"))
+      .withColumn("mid_a", expr(emaFoldExpr("typ", emaN)))
+      .withColumn("seed_atr", expr(
+        divHalfUp(s"aggregate(slice(tr, 1, $atrN), 0L, (a, x) -> a + x)", atrN)))
+      .withColumn("atr_a", expr(wilderFoldExpr("tr", "seed_atr", atrN)))
+      .withColumn("emid", expr(s"slice(mid_a, $atrN, size(mid_a) - ${atrN - 1})"))
+      .withColumn("edays", expr(s"slice(days, $atrN, size(days) - ${atrN - 1})"))
+      .select(col("user_id"), posexplode(arrays_zip(col("edays"), col("emid"), col("atr_a"))))
+      .select(col("user_id"), col("col.edays").as("day"),
+        (col("col.emid").cast("double") / 100000000.0).as("mid"),
+        (col("col.atr_a").cast("double") / 100000000.0).as("atr"),
+        ((col("col.emid") + lit(mult) * col("col.atr_a")).cast("double") / 100000000.0)
+          .as("upper_band"),
+        ((col("col.emid") - lit(mult) * col("col.atr_a")).cast("double") / 100000000.0)
+          .as("lower_band"))
       .orderBy("user_id", "day")
   }
 

@@ -607,23 +607,24 @@ object StreamingRollups {
   case class MacdPoint(user_id: Long, day: String, macd: Double,
                        signal: Double, histogram: Double)
   // NOT private (the SessionState encoder contract). e12/e26/sig are
-  // the three EMA scalars of COMPLETED days — the entire indicator
-  // state, regardless of tick volume; seeded=false until the first
-  // day closes (the batch fold's seed-from-first-close convention).
+  // the three EMA scalars of COMPLETED days in MICRO-CENTS (the batch
+  // fold's integer convention) — the entire indicator state,
+  // regardless of tick volume; seeded=false until the first day
+  // closes (the seed-from-first-close convention).
   case class MacdState(openDay: String, openOkey: String, openClose: Long,
-                       seeded: Boolean, e12: Double, e26: Double, sig: Double)
+                       seeded: Boolean, e12: Long, e26: Long, sig: Long)
 
-  /** Streaming MACD — the EMA recursion as THREE DOUBLES of per-series
+  /** Streaming MACD — the EMA recursion as THREE LONGS of per-series
     * state (the recursive indicator is the best case for streaming:
     * where the batch fold carries the whole day array, the stream
-    * carries just the current EMA values). The first tick of a new day
-    * finalizes the open one: its close updates e12/e26 with the SAME
-    * per-step 6dp re-round the batch [[graft.operators.Finance.macd]]
-    * fold applies (identical BigDecimal HALF_UP, identical α = 2/(n+1)
-    * IEEE quotients), so every finalized day's (macd, signal,
-    * histogram) is bit-equal to the batch row — parity on every series
-    * day except its still-open last (spec-pinned). Late-past-the-
-    * day-boundary ticks drop — the [[movers]] staleness trade.
+    * carries just the current EMA scalars). The first tick of a new
+    * day finalizes the open one: its close updates e12/e26 with the
+    * SAME micro-cent HALF_UP integer step the batch
+    * [[graft.operators.Finance.macd]] fold applies, so every
+    * finalized day's (macd, signal, histogram) is bit-equal to the
+    * batch row — parity on every series day except its still-open
+    * last (spec-pinned). Late-past-the-day-boundary ticks drop — the
+    * [[movers]] staleness trade.
     */
   def macdStream(ticks: Dataset[Tick], watermarkDelay: String,
                  fast: Int = 12, slow: Int = 26, signalN: Int = 9,
@@ -631,11 +632,10 @@ object StreamingRollups {
     import ticks.sparkSession.implicits._
     require(1 < fast && fast < slow, s"need 1 < fast < slow, got ($fast, $slow)")
     require(signalN > 1, s"signal period must be > 1, got $signalN")
-    val (aF, bF) = (2.0 / (fast + 1), (fast - 1).toDouble / (fast + 1))
-    val (aS, bS) = (2.0 / (slow + 1), (slow - 1).toDouble / (slow + 1))
-    val (aG, bG) = (2.0 / (signalN + 1), (signalN - 1).toDouble / (signalN + 1))
-    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // the batch fold's signed HALF_UP integer identity, micro-cents
+    def divHU(num: Long, den: Long): Long =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
     ticks
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -659,22 +659,22 @@ object StreamingRollups {
             // finalize the open day: advance the EMA scalars exactly
             // like one step of the batch fold, emit the day's point
             def closeDay(st: MacdState): (MacdState, MacdPoint) = {
-              val c = st.openClose.toDouble
+              val ck = st.openClose * 1000000L
               val (e12, e26, macd, sig) =
-                if (!st.seeded) (c, c, 0.0, 0.0)
+                if (!st.seeded) (ck, ck, 0L, 0L)
                 else {
-                  val n12 = r6(aF * c + bF * st.e12)
-                  val n26 = r6(aS * c + bS * st.e26)
-                  val m = r6(n12 - n26)
-                  (n12, n26, m, r6(aG * m + bG * st.sig))
+                  val n12 = divHU(2 * ck + (fast - 1) * st.e12, fast + 1)
+                  val n26 = divHU(2 * ck + (slow - 1) * st.e26, slow + 1)
+                  val m = n12 - n26
+                  (n12, n26, m, divHU(2 * m + (signalN - 1) * st.sig, signalN + 1))
                 }
               (st.copy(seeded = true, e12 = e12, e26 = e26, sig = sig),
-                MacdPoint(user, st.openDay, macd / 100.0, sig / 100.0,
-                  r6(macd - sig) / 100.0))
+                MacdPoint(user, st.openDay, macd.toDouble / 100000000.0,
+                  sig.toDouble / 100000000.0, (macd - sig).toDouble / 100000000.0))
             }
             val out = Seq.newBuilder[MacdPoint]
             var st = state.getOption
-              .getOrElse(MacdState(null, null, 0L, seeded = false, 0.0, 0.0, 0.0))
+              .getOrElse(MacdState(null, null, 0L, seeded = false, 0L, 0L, 0L))
             var lastTs = 0L
             rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
               val day = fmt.format(t.ts)

@@ -396,7 +396,7 @@ class FinanceSpec extends SparkSpec {
     assert(d5.isNullAt(d5.fieldIndex("chikou")))        // series ends
   }
 
-  test("macd: per-step 6dp-rounded EMA recursion matches an independent fold") {
+  test("macd: integer micro-cent EMA recursion matches an independent fold") {
     import spark.implicits._
     val vals = Seq(10.0, 20.0, 5.0, 30.0, 25.0)
     val df = vals.zipWithIndex.map { case (v, i) =>
@@ -408,20 +408,46 @@ class FinanceSpec extends SparkSpec {
     assert(r(0).getAs[Double]("macd") === 0.0 &&
       r(0).getAs[Double]("signal") === 0.0 &&
       r(0).getAs[Double]("histogram") === 0.0)
-    // independent reference fold: same convention, plain Scala
-    def r6(x: Double) = BigDecimal.valueOf(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def ema(xs: Seq[Double], n: Int): Seq[Double] =
-      xs.tail.scanLeft(xs.head)((p, x) =>
-        r6(2.0 / (n + 1) * x + (n - 1.0) / (n + 1) * p))
-    val cents = vals.map(_ * 100)
-    val macdRef = ema(cents, 2).zip(ema(cents, 3)).map { case (a, b) => r6(a - b) }
+    // independent reference fold: the signed HALF_UP identity in
+    // plain Scala over micro-cents
+    def hu(num: Long, den: Long): Long =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
+    def ema(xs: Seq[Long], n: Int): Seq[Long] =
+      xs.tail.scanLeft(xs.head)((p, x) => hu(2 * x + (n - 1) * p, n + 1))
+    val micro = vals.map(v => (v * 100).toLong * 1000000L)
+    val macdRef = ema(micro, 2).zip(ema(micro, 3)).map { case (a, b) => a - b }
     val sigRef = ema(macdRef, 2)
     r.zipWithIndex.foreach { case (row, i) =>
-      assert(row.getAs[Double]("macd") === macdRef(i) / 100.0, s"macd day ${i + 1}")
-      assert(row.getAs[Double]("signal") === sigRef(i) / 100.0, s"signal day ${i + 1}")
-      assert(row.getAs[Double]("histogram") === r6(macdRef(i) - sigRef(i)) / 100.0)
+      assert(row.getAs[Double]("macd") === macdRef(i).toDouble / 1e8, s"macd day ${i + 1}")
+      assert(row.getAs[Double]("signal") === sigRef(i).toDouble / 1e8, s"signal day ${i + 1}")
+      assert(row.getAs[Double]("histogram") === (macdRef(i) - sigRef(i)).toDouble / 1e8)
     }
+  }
+
+  test("keltner: integer EMA midline and Wilder ATR bands, hand-worked") {
+    import spark.implicits._
+    // one tick/day: 10, 20, 30 → typ = close; emaN = atrN = 2, mult = 2
+    val df = Seq(10.0, 20.0, 30.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, t(s"2024-01-0${i + 1} 10:00:00"), 1L, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val r = Finance.keltner(df, emaN = 2, atrN = 2, mult = 2).collect()
+      .map(x => x.getAs[String]("day") -> x).toMap
+    assert(r.keySet === Set("2024-01-02", "2024-01-03")) // ATR defined from day 2
+    // mid fold (micro-cents): 1e9, HU((2·2e9+1e9)/3)=1666666667,
+    //   HU((2·3e9+1666666667)/3)=2555555556
+    // tr: day1 h−l=0, then |Δclose|=1000 cents → seed HU(1e9/2)=5e8,
+    //   step HU((5e8+1e9)/2)=75e7
+    val d2 = r("2024-01-02")
+    assert(d2.getAs[Double]("mid") === 16.66666667)
+    assert(d2.getAs[Double]("atr") === 5.0)
+    assert(d2.getAs[Double]("upper_band") === 26.66666667)
+    assert(d2.getAs[Double]("lower_band") === 6.66666667)
+    val d3 = r("2024-01-03")
+    assert(d3.getAs[Double]("mid") === 25.55555556)
+    assert(d3.getAs[Double]("atr") === 7.5)
+    assert(d3.getAs[Double]("upper_band") === 40.55555556)
+    assert(d3.getAs[Double]("lower_band") === 10.55555556)
   }
 
   test("rsi_wilder: SMA seed then the recursive smoothing, hand-worked") {
