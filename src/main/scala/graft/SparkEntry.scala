@@ -909,6 +909,7 @@ object SparkEntry {
     "contamination_report" -> ((s, d) => Corpus.contaminationReport(Tables.documents(s, d))),
     "decontaminate_semantic" -> ((s, d) => Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
     "corpus_keep_list"  -> ((s, d) => Corpus.keepList(Tables.documents(s, d))),
+    "curation_funnel"  -> ((s, d) => Corpus.curationFunnel(Tables.documents(s, d))),
     "corpus_curated"    -> ((s, d) => Corpus.curated(Tables.documents(s, d))),
     "tfidf_top_terms"   -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     "bm25_topk"         -> ((s, d) => Corpus.bm25TopK(Tables.documents(s, d))),
@@ -1400,6 +1401,31 @@ object SparkEntry {
        |CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
   }
+
+  /** The per-doc keep-list oracle, shared verbatim by corpus_keep_list
+    * and the curation_funnel aggregate over it.
+    */
+  private val keepListOracle: String =
+      """WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |  (round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) >= 0.5
+        |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
+        |w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500))
+        |SELECT d.doc_id, q.is_quality,
+        |  (d.doc_id = c.canon_id) AS is_canonical,
+        |  (d.doc_id % 10 = 0 AND d.doc_id < 500) AS is_benchmark,
+        |  (cont.doc_id IS NOT NULL) AS is_contaminated,
+        |  (q.is_quality AND d.doc_id = c.canon_id AND NOT (d.doc_id % 10 = 0 AND d.doc_id < 500) AND cont.doc_id IS NULL) AS keep
+        |FROM documents d
+        |JOIN fp ON d.doc_id = fp.doc_id
+        |JOIN canon c ON fp.f = c.f
+        |JOIN q ON d.doc_id = q.doc_id
+        |LEFT JOIN cont ON d.doc_id = cont.doc_id
+        |ORDER BY d.doc_id""".stripMargin
 
   /** Shared WITH-body of the DSIR oracles (dsir_logratio,
     * dsir_resample): add-one-smoothed target/raw unigram LMs, one
@@ -4199,27 +4225,16 @@ object SparkEntry {
         |FROM tt JOIN keepd ON tt.doc_id = keepd.doc_id LEFT JOIN a ON tt.doc_id = a.doc_id
         |LEFT JOIN c2 ON tt.doc_id = c2.doc_id
         |ORDER BY tt.doc_id""".stripMargin,
-    "corpus_keep_list" ->
-      """WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
-        |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
-        |q AS (SELECT doc_id,
-        |  (round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) >= 0.5
-        |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
-        |w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),
-        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 500))
-        |SELECT d.doc_id, q.is_quality,
-        |  (d.doc_id = c.canon_id) AS is_canonical,
-        |  (d.doc_id % 10 = 0 AND d.doc_id < 500) AS is_benchmark,
-        |  (cont.doc_id IS NOT NULL) AS is_contaminated,
-        |  (q.is_quality AND d.doc_id = c.canon_id AND NOT (d.doc_id % 10 = 0 AND d.doc_id < 500) AND cont.doc_id IS NULL) AS keep
-        |FROM documents d
-        |JOIN fp ON d.doc_id = fp.doc_id
-        |JOIN canon c ON fp.f = c.f
-        |JOIN q ON d.doc_id = q.doc_id
-        |LEFT JOIN cont ON d.doc_id = cont.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "corpus_keep_list" -> keepListOracle,
+    // the one-row stage-survival funnel over the SAME keep-list CTEs
+    "curation_funnel" ->
+      s"""WITH kl AS ($keepListOracle)
+         |SELECT count(*)::BIGINT AS n_total,
+         |  sum(CASE WHEN is_quality THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+         |  sum(CASE WHEN is_quality AND is_canonical THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+         |  sum(CASE WHEN is_quality AND is_canonical AND NOT is_benchmark THEN 1 ELSE 0 END)::BIGINT AS n_non_benchmark,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM kl""".stripMargin,
     // §G multimodal driver gates: full phash near-dup replay (see
     // phashOracleSql) and the digest-dedup canonical-min contract
     // (grouped by the colliding seed class — sha256-injective, so

@@ -655,6 +655,25 @@ object Corpus {
       .orderBy("bench_id")
   }
 
+  /** The curation FUNNEL — how many documents survive each successive
+    * gate of [[keepList]] (quality → +canonical → +non-benchmark →
+    * +non-contaminated = kept), the one-row ops summary a curation
+    * review starts from ("we dropped 40% — where?") before drilling
+    * into the per-doc reasons. One aggregate over the keep-list — no
+    * shape beyond what keepList already pays.
+    */
+  def curationFunnel(documents: DataFrame, minQuality: Double = 0.5,
+                     minWords: Long = 20, n: Int = 8, benchMod: Int = 10,
+                     benchCap: Long = 500): DataFrame =
+    keepList(documents, minQuality, minWords, n, benchMod, benchCap)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_quality") && col("is_canonical"), 1L).otherwise(0L))
+          .as("n_canonical"),
+        sum(when(col("is_quality") && col("is_canonical") && !col("is_benchmark"), 1L)
+          .otherwise(0L)).as("n_non_benchmark"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+
   /** The curation pipeline's END PRODUCT: one row per document with
     * the keep/drop decision and WHY — quality gate
     * ([[graft.functions.TextAnalysis.qualityScore]] thresholds),

@@ -39,6 +39,10 @@ class PlanGuardSpec extends SparkSpec {
     "user_rfm", "dq_report",
     // funnel_steps: one-row per-step count reduces (3 rows total)
     "funnel_steps",
+    // curation_funnel: the final one-ROW stage-count reduce — each
+    // partition contributes five partial counters, nothing
+    // data-proportional crosses the single partition
+    "curation_funnel",
     // skew_report: the one-row grand-total reduce off the key counts
     "skew_report",
     // heavy_hitters: the k-entry sketch's final merge is one row of
