@@ -399,6 +399,8 @@ object SparkEntry {
     // integer rank arithmetic, no float quantiles
     "ccnet_buckets" -> ((s, d) => Corpus.ccnetBuckets(Tables.documents(s, d))),
     // per-source KL from the corpus unigram LM (mixing/drift screen)
+    "doc_logprob_heldout" -> ((s, d) =>
+      Corpus.docLogprobHeldout(Tables.documents(s, d))),
     "source_kl" -> ((s, d) => Corpus.sourceKl(Tables.documents(s, d))),
     // Zipf OLS fit over the top-k vocab (the "is this real text" number)
     "zipf_slope" -> ((s, d) => Corpus.zipfSlope(Tables.documents(s, d))),
@@ -2821,6 +2823,24 @@ object SparkEntry {
         |s AS (SELECT word, CAST(round(ln(CAST(tf AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp FROM v, tot),
         |d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens, sum(c.cnt * s.lp) AS s_lp
         |  FROM c JOIN s USING (word) GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) + 0.0 AS avg_logprob
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // held-out LM scoring: add-one-smoothed train-half unigram LM,
+    // OOV floor 1/(N+V+1); 6dp-ln terms, exact decimal sums
+    "doc_logprob_heldout" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |tw AS (SELECT word FROM t WHERE word <> '' AND doc_id % 2 = 0),
+        |v AS (SELECT word, count(*)::BIGINT AS tf FROM tw GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS v, sum(tf)::BIGINT AS n FROM v),
+        |s AS (SELECT word, CAST(round(ln(CAST(tf + 1 AS DOUBLE) / CAST(n + v + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp FROM v, st),
+        |c AS (SELECT doc_id, word, count(*)::BIGINT AS cnt FROM t
+        |  WHERE word <> '' AND doc_id % 2 <> 0 GROUP BY 1, 2),
+        |j AS (SELECT c.doc_id, c.cnt,
+        |  coalesce(s.lp, CAST(round(ln(1.0 / CAST(st.n + st.v + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS lp
+        |  FROM c LEFT JOIN s USING (word), st),
+        |d AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, sum(cnt * lp) AS s_lp
+        |  FROM j GROUP BY 1)
         |SELECT doc_id, n_tokens, round(CAST(s_lp AS DOUBLE) / n_tokens, 4) + 0.0 AS avg_logprob
         |FROM d ORDER BY doc_id""".stripMargin,
     // per-source KL: exact decimal products inside the log argument,

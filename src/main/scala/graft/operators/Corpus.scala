@@ -1177,6 +1177,47 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** [[docLogprob]] with a TRAIN/APPLY split — what a production LM
+    * filter actually does (train the scoring LM on one corpus slice,
+    * score another), where self-scoring ([[docLogprob]]) leaks every
+    * document into its own model: the add-one-smoothed unigram LM is
+    * fit on the id-split train half, held-out docs score under it,
+    * and UNSEEN words take the smoothing floor 1/(N+V+1) instead of
+    * breaking the sum — p(w) = (tf_train(w)+1)/(N_train+V+1), V = the
+    * train vocabulary size. Same shapes as [[docLogprob]] plus one
+    * extra one-row stats broadcast (the [[dsirLogratio]] contract);
+    * 6dp-rounded ln terms, exact decimal sums, signed-zero-normalized
+    * emit.
+    */
+  def docLogprobHeldout(documents: DataFrame, trainMod: Long = 2): DataFrame = {
+    val words = documents
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalizeWs(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = words.filter(col("doc_id") % trainMod === 0)
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+    val stats = vocab.agg(count(lit(1)).as("v"), sum(col("tf")).as("n"))
+    val scored = vocab.crossJoin(broadcast(stats))
+      .select(col("word"),
+        round(log((col("tf") + 1).cast("double") /
+          (col("n") + col("v") + 1).cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    words.filter(col("doc_id") % trainMod =!= 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .join(scored, Seq("word"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("cnt"),
+        coalesce(col("lp"),
+          round(log(lit(1.0) / (col("n") + col("v") + 1).cast("double")), 6)
+            .cast("decimal(18,6)")).as("lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("lp")).as("s_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (round(col("s_lp").cast("double") / col("n_tokens"), 4) + lit(0.0))
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source KL divergence from the corpus unigram distribution —
     * the domain-similarity number behind mixing decisions (a source
     * whose KL spikes is off-distribution: spam, another language, a

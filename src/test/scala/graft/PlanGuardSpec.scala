@@ -108,6 +108,9 @@ class PlanGuardSpec extends SparkSpec {
     // N_target, N_raw) smoothing stats reduce, broadcast back onto
     // the vocab
     "dsir_logratio", "dsir_resample",
+    // doc_logprob_heldout: the one-row (V, N) train-LM stats reduce,
+    // broadcast twice (word scores + the OOV floor constant)
+    "doc_logprob_heldout",
     // q11_important_parts: the one-row nation-total reduce, broadcast
     // back as the HAVING scalar (the q15 contract)
     "q11_important_parts",
@@ -185,7 +188,7 @@ class PlanGuardSpec extends SparkSpec {
     // source_kl / dsir_logratio (+ its resample consumer): one-row
     // corpus-stats frames cross-joined onto the vocab (the
     // doc_logprob contract)
-    "source_kl", "dsir_logratio", "dsir_resample",
+    "source_kl", "dsir_logratio", "dsir_resample", "doc_logprob_heldout",
     // q11_important_parts: the one-row total frame cross-joined onto
     // the per-part values (the skew_report contract)
     "q11_important_parts",
