@@ -1193,7 +1193,7 @@ object SparkEntry {
        |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
        |q AS (SELECT doc_id,
-       |  round(least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) AS quality
+       |  CAST(((2 * least(len(string_split_regex(trim(text), '\\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) AS DOUBLE) / 10000.0 AS quality
        |  FROM documents),
        |jn AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
        |  row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rn,
@@ -1411,7 +1411,7 @@ object SparkEntry {
       """WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
         |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
         |q AS (SELECT doc_id,
-        |  (round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) >= 0.5
+        |  (((2 * least(len(string_split_regex(trim(text), '\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) >= 5000
         |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
         |w AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
@@ -1630,7 +1630,7 @@ object SparkEntry {
       """SELECT doc_id, word_count, quality FROM (
         |SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS word_count,
-        |round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) AS quality
+        |CAST(((2 * least(len(string_split_regex(trim(text), '\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) AS DOUBLE) / 10000.0 AS quality
         |FROM documents)
         |WHERE quality >= 0.5 AND word_count >= 20 ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" -> jaccardPairsOracle(word = true, k = 3, threshold = 0.4),
@@ -2253,11 +2253,11 @@ object SparkEntry {
          |WHERE tokens_before < budget ORDER BY doc_id""".stripMargin
     },
     // integer basis-point scores → histogram cum-counts → tie-sharing
-    // tertile thresholds; round(q*10000) never lands on .5 (q is
-    // already 4dp), so HALF_UP vs half-even cannot split the engines
+    // tertile thresholds; q_bp comes straight from the integer
+    // quality identity, so no float rounding exists to split engines
     "curriculum_order" ->
       """WITH q AS (SELECT doc_id,
-        |CAST(round(round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) * 10000, 0) AS BIGINT) AS q_bp
+        |CAST(((2 * least(len(string_split_regex(trim(text), '\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) AS BIGINT) AS q_bp
         |FROM documents),
         |h AS (SELECT q_bp, count(*) AS cnt FROM q GROUP BY 1),
         |c AS (SELECT q_bp, sum(cnt) OVER (ORDER BY q_bp DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
@@ -2510,7 +2510,7 @@ object SparkEntry {
     // composite, 1e4-scaled to a BIGINT so the mean is order-exact;
     // dup flag is the dedup_exact canonical rule
     "source_reputation" ->
-      """WITH q AS (SELECT doc_id, CAST(round(round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) * 10000) AS BIGINT) AS q4 FROM documents),
+      """WITH q AS (SELECT doc_id, CAST(((2 * least(len(string_split_regex(trim(text), '\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) AS BIGINT) AS q4 FROM documents),
         |fp AS (SELECT doc_id, source, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
         |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
         |fl AS (SELECT fp.doc_id, fp.source, CASE WHEN fp.doc_id <> canon.canon_id THEN 1 ELSE 0 END AS is_dup FROM fp JOIN canon USING (f)),
@@ -2521,7 +2521,7 @@ object SparkEntry {
         |FROM a ORDER BY source""".stripMargin,
     // the doc-level effect: drop every document from a blocked source
     "source_filter" ->
-      """WITH q AS (SELECT doc_id, CAST(round(round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) * 10000) AS BIGINT) AS q4 FROM documents),
+      """WITH q AS (SELECT doc_id, CAST(((2 * least(len(string_split_regex(trim(text), '\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) AS BIGINT) AS q4 FROM documents),
         |fp AS (SELECT doc_id, source, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
         |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
         |fl AS (SELECT fp.doc_id, fp.source, CASE WHEN fp.doc_id <> canon.canon_id THEN 1 ELSE 0 END AS is_dup FROM fp JOIN canon USING (f)),
@@ -2651,10 +2651,10 @@ object SparkEntry {
     "quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS word_count,
-        |round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4) AS punct_ratio,
-        |round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_ratio,
-        |round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1)::DOUBLE / len(string_split_regex(trim(text), '\s+')), 4) AS avg_word_len,
-        |round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) AS quality
+        |CAST((CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END) AS DOUBLE) / 10000.0 AS punct_ratio,
+        |CAST((2 * len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) * 10000 + len(string_split_regex(trim(text), '\s+'))) // (2 * len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / 10000.0 AS stopword_ratio,
+        |CAST((2 * (length(text) - len(string_split_regex(trim(text), '\s+')) + 1) * 10000 + len(string_split_regex(trim(text), '\s+'))) // (2 * len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / 10000.0 AS avg_word_len,
+        |CAST(((2 * least(len(string_split_regex(trim(text), '\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) AS DOUBLE) / 10000.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
@@ -4218,7 +4218,7 @@ object SparkEntry {
         |fp AS (SELECT doc_id, md5(nt) AS f FROM w),
         |canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY 1),
         |q AS (SELECT doc_id,
-        |  (round(least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100, 1.0) * (1.0 - round(len(regexp_extract_all(text, '[.!?,;:]'))::DOUBLE / length(text), 4)), 4) >= 0.5
+        |  (((2 * least(len(string_split_regex(trim(text), '\s+')), 100) * (10000 - (CASE WHEN length(text) > 0 THEN (2 * len(regexp_extract_all(text, '[.!?,;:]')) * 10000 + length(text)) // (2 * length(text)) ELSE 0 END)) + 100) // 200) >= 5000
         |   AND len(string_split_regex(trim(text), '\s+')) >= 20) AS is_quality FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))) AS gram FROM w WHERE len(ws) >= 8),
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0 AND doc_id < 500),

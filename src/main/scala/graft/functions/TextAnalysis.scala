@@ -110,37 +110,67 @@ object TextAnalysis {
     * and the streaming source monitor (a formula drifting between
     * consumers would make their decisions incomparable).
     */
-  def qualityCol(c: Column): Column = {
-    val nChars = length(c)
-    val wcount = size(words(c))
+  def qualityCol(c: Column): Column =
+    qualityBp(c).cast("double") / 10000.0
+
+  /** Exact BIGINT integral division (the SQL `div` operator) as a
+    * Column — the building block of the ratio identities below.
+    */
+  private def divL(n: Column, d: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftSqlBridge.expression(n),
+        org.apache.spark.sql.GraftSqlBridge.expression(d)))
+
+  /** HALF_UP basis points of n/d on non-negative BIGINT operands:
+    * (2·n·10⁴ + d) div (2·d) — the engine-exact ratio convention.
+    */
+  private def ratioBp(n: Column, d: Column): Column =
+    divL(n * 20000L + d, d * 2)
+
+  /** Punctuation ratio in integer 4dp basis points. Integer, not
+    * `round(double, 4)`: these ratios can land EXACTLY on rounding
+    * boundaries (terminating decimals whenever the denominator's
+    * factors are all 2s and 5s), where Spark's shortest-repr HALF_UP
+    * and a binary-value round() disagree — the identity has no
+    * boundary semantics at all (SURVEY §6).
+    */
+  def punctBp(c: Column): Column = {
+    val nChars = length(c).cast("long")
     // zero-char guard: ANSI mode (Spark 4 default) turns the division
     // on an empty document into a DIVIDE_BY_ZERO error, not a null
-    val punctRatio = when(nChars > 0,
-      round(regexp_count(c, lit("[.!?,;:]")).cast("double") / nChars, 4))
-      .otherwise(lit(0.0))
-    round(least(wcount.cast("double") / 100, lit(1.0)) * (lit(1.0) - punctRatio), 4)
+    when(nChars > 0,
+      ratioBp(regexp_count(c, lit("[.!?,;:]")).cast("long"), nChars))
+      .otherwise(lit(0L))
   }
+
+  /** The composite quality score in integer 4dp basis points:
+    * 10⁴·quality = HALF_UP(min(wc,100)·(10⁴ − punct_bp) / 100) — the
+    * all-integer form of min(wc/100, 1)·(1 − punct_ratio), exact in
+    * any engine ([[punctBp]]'s argument).
+    */
+  def qualityBp(c: Column): Column =
+    divL(lit(2L) * least(size(words(c)).cast("long"), lit(100L)) *
+      (lit(10000L) - punctBp(c)) + lit(100L), lit(200L))
 
   /** Quality features: length, word stats, punctuation ratio, stopword
     * ratio, and a bounded composite score — the standard pre-training
     * quality-filter feature set (length/punct/stopword heuristics).
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val nChars = length(col("text"))
-    val wcount = size(words(col("text")))
-    val punct  = regexp_count(col("text"), lit("[.!?,;:]"))
-    val stops  = countIn(col("text"), EnStops)
-    val punctRatio = when(nChars > 0, round(punct.cast("double") / nChars, 4))
-      .otherwise(lit(0.0))
-    val stopRatio  = round(stops.cast("double") / wcount, 4)
-    val awl        = round((nChars - wcount + 1).cast("double") / wcount, 4)
+    val nChars = length(col("text")).cast("long")
+    val wcount = size(words(col("text"))).cast("long")
+    val stops  = countIn(col("text"), EnStops).cast("long")
+    // every ratio through the integer bp identity ([[punctBp]]'s
+    // boundary argument), emitted as the exact /10⁴ double
     documents.select(
       col("doc_id"),
-      nChars.cast("long").as("n_chars"),
-      wcount.cast("long").as("word_count"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"),
-      awl.as("avg_word_len"),
+      nChars.as("n_chars"),
+      wcount.as("word_count"),
+      (punctBp(col("text")).cast("double") / 10000.0).as("punct_ratio"),
+      (ratioBp(stops, wcount).cast("double") / 10000.0).as("stopword_ratio"),
+      (ratioBp(nChars - wcount + 1, wcount).cast("double") / 10000.0)
+        .as("avg_word_len"),
       qualityCol(col("text")).as("quality"))
       .orderBy("doc_id")
   }

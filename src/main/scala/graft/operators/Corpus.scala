@@ -874,8 +874,7 @@ object Corpus {
     documents
       .select(col("doc_id"), col("source"),
         graft.functions.TextAnalysis.fingerprintCol(col("text")).as("fp"),
-        round(graft.functions.TextAnalysis.qualityCol(col("text")) * 10000)
-          .cast("long").as("q4"))
+        graft.functions.TextAnalysis.qualityBp(col("text")).as("q4"))
       .withColumn("is_dup",
         (col("doc_id") =!= min("doc_id").over(byFp)).cast("long"))
       .groupBy("source")
@@ -1091,7 +1090,7 @@ object Corpus {
   def curriculumOrder(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = documents.select(col("doc_id"),
-      round(TextAnalysis.qualityCol(col("text")) * 10000, 0).cast("long").as("q_bp"))
+      TextAnalysis.qualityBp(col("text")).as("q_bp"))
     val hist = scored.groupBy("q_bp").agg(count(lit(1)).as("cnt"))
     val tot = hist.agg(sum("cnt").as("total"))
     val wDesc = Window.orderBy(col("q_bp").desc)

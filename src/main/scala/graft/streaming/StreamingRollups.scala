@@ -194,9 +194,7 @@ object StreamingRollups {
   def sourceMonitor(docs: DataFrame, window: String, watermark: String,
                     minQuality: Double = 0.5): DataFrame =
     docs
-      .withColumn("q4",
-        round(graft.functions.TextAnalysis.qualityCol(col("text")) * 10000)
-          .cast("long"))
+      .withColumn("q4", graft.functions.TextAnalysis.qualityBp(col("text")))
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum("q4").as("q4sum"))
