@@ -311,6 +311,23 @@ object HashExprsProps extends Properties("HashExprs") {
       identity == expected
     }
 
+  // The SIGNED half-up identity behind the integer indicator folds
+  // (macd/rsi_wilder/keltner and their streaming twins): re-applying
+  // the sign around the non-negative identity must equal BigDecimal
+  // HALF_UP (away from zero on exact halves) for every signed
+  // numerator — including the exact .5 cases where float division
+  // is representation-dependent.
+  property("signed half-up identity equals BigDecimal HALF_UP for any numerator") =
+    forAll(Gen.choose(-2000000L, 2000000L), Gen.choose(1L, 1000L)) { (num, den) =>
+      val identity =
+        if (num >= 0) (2 * num + den) / (2 * den)
+        else -((2 * -num + den) / (2 * den))
+      val expected = new java.math.BigDecimal(num)
+        .divide(new java.math.BigDecimal(den), 0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+      identity == expected
+    }
+
   // The signed-zero convention (SURVEY §6): the gate hashes BYTES, and
   // IEEE −0.0 and +0.0 are value-equal but byte-distinct. Spark's
   // round() goes through BigDecimal (which has no −0), so every
