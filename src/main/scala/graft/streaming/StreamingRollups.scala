@@ -695,6 +695,113 @@ object StreamingRollups {
       }
   }
 
+  case class KeltnerPoint(user_id: Long, day: String, mid: Double,
+                          atr: Double, upper_band: Double, lower_band: Double)
+  // NOT private (the SessionState encoder contract). midEma/atr are
+  // micro-cent longs; trBuf holds ≤ atrN pre-seed true ranges (the
+  // RsiState.deltas pattern — bounded by the period, not the volume);
+  // open* track the accumulating day's own H/L/C for its TR.
+  case class KeltnerState(openDay: String, openOkey: String,
+                          openH: Long, openL: Long, openClose: Long,
+                          prevClose: Long, hasPrev: Boolean,
+                          midSeeded: Boolean, midEma: Long,
+                          atrSeeded: Boolean, atr: Long, trBuf: Seq[Long])
+
+  /** Streaming Keltner channels — the two integer folds of the batch
+    * [[graft.operators.Finance.keltner]] as a handful of longs of
+    * per-series state: the typical-price EMA advances on every day
+    * close, true ranges buffer until the first-`atrN` SMA seed, then
+    * the Wilder fold takes over. Every step is the SAME micro-cent
+    * HALF_UP identity as the batch fold, so every emitted day is
+    * bit-equal to the batch row; points emit from the day the ATR is
+    * defined, exactly the batch emission rule — parity on every
+    * series day except its still-open last (spec-pinned).
+    */
+  def keltnerStream(ticks: Dataset[Tick], watermarkDelay: String,
+                    emaN: Int = 20, atrN: Int = 10, mult: Int = 2,
+                    idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[KeltnerPoint] = {
+    import ticks.sparkSession.implicits._
+    require(emaN >= 2 && atrN >= 1, s"need emaN >= 2, atrN >= 1, got ($emaN, $atrN)")
+    def divHU(num: Long, den: Long): Long =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeltnerState, KeltnerPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[KeltnerState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: one step of each batch fold
+            def closeDay(st: KeltnerState): (KeltnerState, Option[KeltnerPoint]) = {
+              val typ = divHU((st.openH + st.openL + st.openClose) * 1000000L, 3)
+              val mid = if (!st.midSeeded) typ
+                else divHU(2 * typ + (emaN - 1) * st.midEma, emaN + 1)
+              val tr = (if (!st.hasPrev) st.openH - st.openL
+                else math.max(st.openH - st.openL,
+                  math.max(math.abs(st.openH - st.prevClose),
+                    math.abs(st.openL - st.prevClose)))) * 1000000L
+              val (atrSeeded, atr, buf) =
+                if (st.atrSeeded) (true, divHU(st.atr * (atrN - 1) + tr, atrN), st.trBuf)
+                else {
+                  val b = st.trBuf :+ tr
+                  if (b.size == atrN) (true, divHU(b.sum, atrN), Seq.empty[Long])
+                  else (false, 0L, b)
+                }
+              val next = st.copy(prevClose = st.openClose, hasPrev = true,
+                midSeeded = true, midEma = mid, atrSeeded = atrSeeded,
+                atr = atr, trBuf = buf)
+              val point = if (atrSeeded) Some(KeltnerPoint(user, st.openDay,
+                mid.toDouble / 100000000.0, atr.toDouble / 100000000.0,
+                (mid + mult * atr).toDouble / 100000000.0,
+                (mid - mult * atr).toDouble / 100000000.0)) else None
+              (next, point)
+            }
+            val out = Seq.newBuilder[KeltnerPoint]
+            var st = state.getOption.getOrElse(KeltnerState(
+              null, null, 0L, 0L, 0L, 0L, hasPrev = false,
+              midSeeded = false, 0L, atrSeeded = false, 0L, Seq.empty))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                point.foreach(out += _)
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              } else if (day == st.openDay) {
+                st = st.copy(openH = math.max(st.openH, c),
+                  openL = math.min(st.openL, c))
+                if (okey(t) > st.openOkey)
+                  st = st.copy(openOkey = okey(t), openClose = c)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class Mover(user_id: Long, day: String, prev_close_cents: Long,
                    close_cents: Long, change_bp: Long)
   // NOT private: the state encoder instantiates this from outside the

@@ -672,6 +672,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming Keltner reproduces both batch folds for every closed day") {
+    // the EMA midline + Wilder ATR as a handful of longs of state;
+    // every emitted day must be bit-equal to the batch integer folds
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    // atrN = 5 so sf0.001's short per-series day spans still seed
+    val kelt = StreamingRollups.keltnerStream(input.toDS(), "10 minutes", atrN = 5)
+    val q = kelt.writeStream.format("memory").queryName("parity_keltner")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("mid"), r.getAs[Double]("atr"),
+          r.getAs[Double]("upper_band"), r.getAs[Double]("lower_band")))).toMap
+    val streamed = keyed(spark.table("parity_keltner"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.Finance.keltner(ev, atrN = 5)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "mid", "atr", "upper_band", "lower_band"))
+    assert(streamed === batch, "stream-vs-batch Keltner parity")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming takedown tombstones an index within one trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
