@@ -762,6 +762,14 @@ object SparkEntry {
     // series-bucketed bar table — zero hash exchanges (spec-asserted),
     // reads |days| bars instead of raw ticks; same oracle as direct
     "rsi_indexed"   -> ((s, d) => Finance.rsiFromBars(s.table(barsTable(s, d)))),
+    // the persisted-bars twins of the recursive indicators: the fold
+    // rides the bucket layout with zero hash exchanges (spec-pinned)
+    "macd_indexed" -> ((s, d) => Finance.macdFromBars(
+      s.table(barsTable(s, d)).select("user_id", "day", "c"))),
+    "rsi_wilder_indexed" -> ((s, d) => Finance.rsiWilderFromBars(
+      s.table(barsTable(s, d)).select("user_id", "day", "c"))),
+    "keltner_indexed" -> ((s, d) => Finance.keltnerFromBars(
+      s.table(barsTable(s, d)))),
     "bollinger_breaches" -> ((s, d) =>
       Finance.bollingerBreaches(Tables.events(s, d))),
     "obv_daily"     -> ((s, d) => Finance.obvDaily(Tables.events(s, d))),
@@ -1428,6 +1436,106 @@ object SparkEntry {
         |JOIN q ON d.doc_id = q.doc_id
         |LEFT JOIN cont ON d.doc_id = cont.doc_id
         |ORDER BY d.doc_id""".stripMargin
+
+  private val macdOracle: String =
+    """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, c * 1000000 AS ck,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
+        |ema AS (
+        |  SELECT user_id, day, rn, ck, ck AS e12, ck AS e26 FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.day, r.rn, r.ck,
+        |    (2 * (2 * r.ck + 11 * ema.e12) + 13) // 26,
+        |    (2 * (2 * r.ck + 25 * ema.e26) + 27) // 54
+        |  FROM r JOIN ema ON r.user_id = ema.user_id AND r.rn = ema.rn + 1),
+        |m AS (SELECT user_id, day, rn, e12 - e26 AS macd FROM ema),
+        |sg AS (
+        |  SELECT user_id, day, rn, macd, macd AS sig FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.user_id, m.day, m.rn, m.macd,
+        |    CASE WHEN 2 * m.macd + 8 * sg.sig >= 0
+        |         THEN (2 * (2 * m.macd + 8 * sg.sig) + 10) // 20
+        |         ELSE -((2 * -(2 * m.macd + 8 * sg.sig) + 10) // 20) END
+        |  FROM m JOIN sg ON m.user_id = sg.user_id AND m.rn = sg.rn + 1)
+        |SELECT user_id, day,
+        |  CAST(macd AS DOUBLE) / 100000000.0 AS macd,
+        |  CAST(sig AS DOUBLE) / 100000000.0 AS signal,
+        |  CAST(macd - sig AS DOUBLE) / 100000000.0 AS histogram
+        |FROM sg ORDER BY user_id, day""".stripMargin
+
+  private val rsiWilderOracle: String =
+    """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
+        |d AS (SELECT user_id, day, rn - 1 AS drn,
+        |  c - lag(c) OVER (PARTITION BY user_id ORDER BY rn) AS delta FROM r),
+        |gl AS (SELECT user_id, day, drn,
+        |  greatest(delta, 0) * 1000000 AS g, greatest(-delta, 0) * 1000000 AS l
+        |  FROM d WHERE delta IS NOT NULL),
+        |sd AS (SELECT user_id, day, drn, g, l,
+        |  sum(g) OVER w AS cg, sum(l) OVER w AS cl, count(*) OVER w AS nd
+        |  FROM gl
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY drn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |rec AS (
+        |  SELECT user_id, day, drn, (2 * cg + 14) // 28 AS wg, (2 * cl + 14) // 28 AS wl
+        |  FROM sd WHERE drn = 14 AND nd = 14
+        |  UNION ALL
+        |  SELECT gl.user_id, gl.day, gl.drn,
+        |    (2 * (rec.wg * 13 + gl.g) + 14) // 28,
+        |    (2 * (rec.wl * 13 + gl.l) + 14) // 28
+        |  FROM gl JOIN rec ON gl.user_id = rec.user_id AND gl.drn = rec.drn + 1)
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN wg + wl = 0 THEN 5000
+        |    ELSE (2 * wg * 10000 + (wg + wl)) // (2 * (wg + wl)) END AS BIGINT) AS rsi_bp
+        |FROM rec ORDER BY user_id, day""".stripMargin
+
+  private val keltnerOracle: String =
+    """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, h, l, c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS m FROM dc),
+        |tp AS (SELECT user_id, day, rn,
+        |  (2 * ((h + l + c) * 1000000) + 3) // 6 AS typ,
+        |  (CASE WHEN rn = 1 THEN h - l
+        |        ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END) * 1000000 AS tr
+        |  FROM (SELECT *, lag(c) OVER (PARTITION BY user_id ORDER BY rn) AS pc
+        |        FROM r WHERE m >= 10)),
+        |mid AS (
+        |  SELECT user_id, rn, typ AS mid FROM tp WHERE rn = 1
+        |  UNION ALL
+        |  SELECT tp.user_id, tp.rn, (2 * (2 * tp.typ + 19 * mid.mid) + 21) // 42
+        |  FROM tp JOIN mid ON tp.user_id = mid.user_id AND tp.rn = mid.rn + 1),
+        |sd AS (SELECT user_id, rn,
+        |  sum(tr) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS str
+        |  FROM tp),
+        |atr AS (
+        |  SELECT user_id, rn, (2 * str + 10) // 20 AS atr FROM sd WHERE rn = 10
+        |  UNION ALL
+        |  SELECT tp.user_id, tp.rn, (2 * (atr.atr * 9 + tp.tr) + 10) // 20
+        |  FROM tp JOIN atr ON tp.user_id = atr.user_id AND tp.rn = atr.rn + 1)
+        |SELECT tp.user_id, tp.day,
+        |  CAST(mid.mid AS DOUBLE) / 100000000.0 AS mid,
+        |  CAST(atr.atr AS DOUBLE) / 100000000.0 AS atr,
+        |  CAST(mid.mid + 2 * atr.atr AS DOUBLE) / 100000000.0 AS upper_band,
+        |  CAST(mid.mid - 2 * atr.atr AS DOUBLE) / 100000000.0 AS lower_band
+        |FROM tp
+        |JOIN mid ON tp.user_id = mid.user_id AND tp.rn = mid.rn
+        |JOIN atr ON tp.user_id = atr.user_id AND tp.rn = atr.rn
+        |ORDER BY tp.user_id, tp.day""".stripMargin
 
   /** Shared WITH-body of the DSIR oracles (dsir_logratio,
     * dsir_resample): add-one-smoothed target/raw unigram LMs, one
@@ -3760,107 +3868,13 @@ object SparkEntry {
     // MACD as an INTEGER micro-cent recursion (no floats → no decimal
     // rounding boundaries): ema steps via the signed HALF_UP identity,
     // replayed with recursive CTEs; price units = one /1e8 at emit
-    "macd_daily" ->
-      """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-        |  CAST(CAST(max_by(round(value, 2),
-        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
-        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT user_id, day, c * 1000000 AS ck,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
-        |ema AS (
-        |  SELECT user_id, day, rn, ck, ck AS e12, ck AS e26 FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.user_id, r.day, r.rn, r.ck,
-        |    (2 * (2 * r.ck + 11 * ema.e12) + 13) // 26,
-        |    (2 * (2 * r.ck + 25 * ema.e26) + 27) // 54
-        |  FROM r JOIN ema ON r.user_id = ema.user_id AND r.rn = ema.rn + 1),
-        |m AS (SELECT user_id, day, rn, e12 - e26 AS macd FROM ema),
-        |sg AS (
-        |  SELECT user_id, day, rn, macd, macd AS sig FROM m WHERE rn = 1
-        |  UNION ALL
-        |  SELECT m.user_id, m.day, m.rn, m.macd,
-        |    CASE WHEN 2 * m.macd + 8 * sg.sig >= 0
-        |         THEN (2 * (2 * m.macd + 8 * sg.sig) + 10) // 20
-        |         ELSE -((2 * -(2 * m.macd + 8 * sg.sig) + 10) // 20) END
-        |  FROM m JOIN sg ON m.user_id = sg.user_id AND m.rn = sg.rn + 1)
-        |SELECT user_id, day,
-        |  CAST(macd AS DOUBLE) / 100000000.0 AS macd,
-        |  CAST(sig AS DOUBLE) / 100000000.0 AS signal,
-        |  CAST(macd - sig AS DOUBLE) / 100000000.0 AS histogram
-        |FROM sg ORDER BY user_id, day""".stripMargin,
+    "macd_daily" -> macdOracle,
     // Keltner: EMA(20) of typical price ± 2·Wilder-ATR(10), both as
     // INTEGER micro-cent recursions (HALF_UP identities, no floats)
-    "keltner_channels" ->
-      """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
-        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
-        |  CAST(CAST(max_by(round(value, 2),
-        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
-        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT user_id, day, h, l, c,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
-        |  count(*) OVER (PARTITION BY user_id) AS m FROM dc),
-        |tp AS (SELECT user_id, day, rn,
-        |  (2 * ((h + l + c) * 1000000) + 3) // 6 AS typ,
-        |  (CASE WHEN rn = 1 THEN h - l
-        |        ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END) * 1000000 AS tr
-        |  FROM (SELECT *, lag(c) OVER (PARTITION BY user_id ORDER BY rn) AS pc
-        |        FROM r WHERE m >= 10)),
-        |mid AS (
-        |  SELECT user_id, rn, typ AS mid FROM tp WHERE rn = 1
-        |  UNION ALL
-        |  SELECT tp.user_id, tp.rn, (2 * (2 * tp.typ + 19 * mid.mid) + 21) // 42
-        |  FROM tp JOIN mid ON tp.user_id = mid.user_id AND tp.rn = mid.rn + 1),
-        |sd AS (SELECT user_id, rn,
-        |  sum(tr) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS str
-        |  FROM tp),
-        |atr AS (
-        |  SELECT user_id, rn, (2 * str + 10) // 20 AS atr FROM sd WHERE rn = 10
-        |  UNION ALL
-        |  SELECT tp.user_id, tp.rn, (2 * (atr.atr * 9 + tp.tr) + 10) // 20
-        |  FROM tp JOIN atr ON tp.user_id = atr.user_id AND tp.rn = atr.rn + 1)
-        |SELECT tp.user_id, tp.day,
-        |  CAST(mid.mid AS DOUBLE) / 100000000.0 AS mid,
-        |  CAST(atr.atr AS DOUBLE) / 100000000.0 AS atr,
-        |  CAST(mid.mid + 2 * atr.atr AS DOUBLE) / 100000000.0 AS upper_band,
-        |  CAST(mid.mid - 2 * atr.atr AS DOUBLE) / 100000000.0 AS lower_band
-        |FROM tp
-        |JOIN mid ON tp.user_id = mid.user_id AND tp.rn = mid.rn
-        |JOIN atr ON tp.user_id = atr.user_id AND tp.rn = atr.rn
-        |ORDER BY tp.user_id, tp.day""".stripMargin,
+    "keltner_channels" -> keltnerOracle,
     // Wilder RSI: micro-cent INTEGER recursion — SMA seed and 1/n
     // smoothing via the HALF_UP identity, rsi in bp all-integer
-    "rsi_wilder" ->
-      """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-        |  CAST(CAST(max_by(round(value, 2),
-        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
-        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT user_id, day, c,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
-        |d AS (SELECT user_id, day, rn - 1 AS drn,
-        |  c - lag(c) OVER (PARTITION BY user_id ORDER BY rn) AS delta FROM r),
-        |gl AS (SELECT user_id, day, drn,
-        |  greatest(delta, 0) * 1000000 AS g, greatest(-delta, 0) * 1000000 AS l
-        |  FROM d WHERE delta IS NOT NULL),
-        |sd AS (SELECT user_id, day, drn, g, l,
-        |  sum(g) OVER w AS cg, sum(l) OVER w AS cl, count(*) OVER w AS nd
-        |  FROM gl
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY drn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
-        |rec AS (
-        |  SELECT user_id, day, drn, (2 * cg + 14) // 28 AS wg, (2 * cl + 14) // 28 AS wl
-        |  FROM sd WHERE drn = 14 AND nd = 14
-        |  UNION ALL
-        |  SELECT gl.user_id, gl.day, gl.drn,
-        |    (2 * (rec.wg * 13 + gl.g) + 14) // 28,
-        |    (2 * (rec.wl * 13 + gl.l) + 14) // 28
-        |  FROM gl JOIN rec ON gl.user_id = rec.user_id AND gl.drn = rec.drn + 1)
-        |SELECT user_id, day,
-        |  CAST(CASE WHEN wg + wl = 0 THEN 5000
-        |    ELSE (2 * wg * 10000 + (wg + wl)) // (2 * (wg + wl)) END AS BIGINT) AS rsi_bp
-        |FROM rec ORDER BY user_id, day""".stripMargin,
+    "rsi_wilder" -> rsiWilderOracle,
     // Aroon: most-recent-extreme ties pinned by the integer key
     // h*10^5+rn (max) / l*10^5+(10^5-1-rn) (min) — a window max/min
     // IS the tie-broken argmax, no argmax floats in any engine
@@ -4041,6 +4055,12 @@ object SparkEntry {
     "rsi_cutler" -> rsiOracle,
     // the persisted-bars twin is value-identical by contract
     "rsi_indexed" -> rsiOracle,
+    // indexed twins share the direct forms' oracles (bit-identical by
+    // construction — the fold is the same, only the input layout
+    // changes)
+    "macd_indexed" -> macdOracle,
+    "rsi_wilder_indexed" -> rsiWilderOracle,
+    "keltner_indexed" -> keltnerOracle,
     // breach test multiplied through by n and squared: dev = c·n − s,
     // breach iff dev² > k²·(n·s2 − s²) — no float σ ever exists
     "bollinger_breaches" ->

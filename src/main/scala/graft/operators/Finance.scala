@@ -624,10 +624,20 @@ object Finance {
     * first, as every charting stack does.
     */
   def macd(events: DataFrame, fast: Int = 12, slow: Int = 26,
-           signal: Int = 9): DataFrame = {
+           signal: Int = 9): DataFrame =
+    macdFromBars(dailyCloses(events), fast, slow, signal)
+
+  /** [[macd]] over an already-materialized bar table (the
+    * [[writeBarsTable]] artifact): the series-keyed fold rides the
+    * bucket layout with ZERO hash exchanges — a recurring indicator
+    * job reads |days| bars, never raw ticks (the [[rsiFromBars]]
+    * lifecycle; shared oracle with the direct form).
+    */
+  def macdFromBars(bars: DataFrame, fast: Int = 12, slow: Int = 26,
+                   signal: Int = 9): DataFrame = {
     require(1 < fast && fast < slow, s"need 1 < fast < slow, got ($fast, $slow)")
     require(signal > 1, s"signal period must be > 1, got $signal")
-    dailyCloses(events)
+    bars
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
@@ -656,9 +666,16 @@ object Finance {
     * shapes as [[macd]]: one series-keyed exchange, per-series
     * ordered-array fold, oracle replays with recursive CTEs.
     */
-  def rsiWilder(events: DataFrame, n: Int = 14): DataFrame = {
+  def rsiWilder(events: DataFrame, n: Int = 14): DataFrame =
+    rsiWilderFromBars(dailyCloses(events), n)
+
+  /** [[rsiWilder]] over the persisted bar table — zero-exchange
+    * series-keyed fold (the [[rsiFromBars]] lifecycle; shared
+    * oracle with the direct form).
+    */
+  def rsiWilderFromBars(bars: DataFrame, n: Int = 14): DataFrame = {
     require(n >= 2, s"RSI window must be >= 2, got $n")
-    dailyCloses(events)
+    bars
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
@@ -720,9 +737,17 @@ object Finance {
     * folds, recursive-CTE oracle.
     */
   def keltner(events: DataFrame, emaN: Int = 20, atrN: Int = 10,
-              mult: Int = 2): DataFrame = {
+              mult: Int = 2): DataFrame =
+    keltnerFromBars(dailyBars(events), emaN, atrN, mult)
+
+  /** [[keltner]] over the persisted bar table — zero-exchange
+    * series-keyed folds (the [[rsiFromBars]] lifecycle; shared
+    * oracle with the direct form).
+    */
+  def keltnerFromBars(bars: DataFrame, emaN: Int = 20, atrN: Int = 10,
+                      mult: Int = 2): DataFrame = {
     require(emaN >= 2 && atrN >= 1, s"need emaN >= 2, atrN >= 1, got ($emaN, $atrN)")
-    dailyBars(events)
+    bars
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("h"), col("l"), col("c"))))
         .as("rows"))

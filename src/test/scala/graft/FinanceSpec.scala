@@ -337,6 +337,27 @@ class FinanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("recursive indicators over the persisted bar table: parity + zero hash exchanges") {
+    val ev = Tables.events(spark, sfDir)
+    val table = "t_bars_rec_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Finance.writeBarsTable(ev, table)
+    try {
+      val closes = spark.table(table).select("user_id", "day", "c")
+      val cases = Seq(
+        ("macd", Finance.macdFromBars(closes), Finance.macd(ev)),
+        ("rsi_wilder", Finance.rsiWilderFromBars(closes), Finance.rsiWilder(ev)),
+        ("keltner", Finance.keltnerFromBars(spark.table(table)), Finance.keltner(ev)))
+      cases.foreach { case (name, indexed, direct) =>
+        val plan = indexed.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bar-table $name must plan zero hash exchanges:\n$plan")
+        assert(indexed.except(direct).isEmpty && direct.except(indexed).isEmpty,
+          s"persisted-bars $name must be value-identical to the direct form")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("donchian: channel edges, half-up midline, breakout vs yesterday's channel") {
     import spark.implicits._
     // one tick/day: 10, 20, 30, 5 — n=2 channels
