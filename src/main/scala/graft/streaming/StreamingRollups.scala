@@ -802,6 +802,97 @@ object StreamingRollups {
       }
   }
 
+  case class DonchianPoint(user_id: Long, day: String, upper_band: Double,
+                           lower_band: Double, mid: Double, signal: String)
+  // NOT private (the SessionState encoder contract). hs/ls hold the
+  // last ≤n COMPLETED days' high/low cents, oldest first — the whole
+  // rolling-channel state, bounded by the period, never tick volume.
+  case class DonchianState(openDay: String, openOkey: String,
+                           openH: Long, openL: Long, openClose: Long,
+                           hs: Seq[Long], ls: Seq[Long])
+
+  /** Streaming Donchian channels — the n-day rolling envelope as a
+    * BOUNDED deque of per-series state (n high/low cent pairs). The
+    * first tick of a new day finalizes the open one: yesterday's
+    * channel (the max/min over the deque BEFORE the push — partial
+    * frames included, exactly the batch lag(u) semantics) decides the
+    * breakout signal, the finalized bar joins the deque, and the day
+    * emits once the frame is full — bit-equal to the batch
+    * [[graft.operators.Finance.donchianChannels]] rows (integer
+    * compares, HALF_UP half-sum midline). Parity on every series day
+    * except its still-open last (spec-pinned).
+    */
+  def donchianStream(ticks: Dataset[Tick], watermarkDelay: String, n: Int = 14,
+                     idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[DonchianPoint] = {
+    import ticks.sparkSession.implicits._
+    require(n >= 1, s"Donchian window must be >= 1, got $n")
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DonchianState, DonchianPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[DonchianState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            def closeDay(st: DonchianState): (DonchianState, Option[DonchianPoint]) = {
+              // yesterday's channel: the deque BEFORE this bar joins
+              // (batch lag(u) — partial frames included)
+              val prev = if (st.hs.nonEmpty) Some((st.hs.max, st.ls.min)) else None
+              val hs = (st.hs :+ st.openH).takeRight(n)
+              val ls = (st.ls :+ st.openL).takeRight(n)
+              val point = prev.collect { case (pu, pl) if hs.size == n =>
+                val (u, lo) = (hs.max, ls.min)
+                DonchianPoint(user, st.openDay,
+                  u.toDouble / 100.0, lo.toDouble / 100.0,
+                  ((u + lo + 1) >> 1).toDouble / 100.0,
+                  if (st.openClose > pu) "breakout_up"
+                  else if (st.openClose < pl) "breakout_down" else "inside")
+              }
+              (st.copy(hs = hs, ls = ls), point)
+            }
+            val out = Seq.newBuilder[DonchianPoint]
+            var st = state.getOption.getOrElse(
+              DonchianState(null, null, 0L, 0L, 0L, Seq.empty, Seq.empty))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                point.foreach(out += _)
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              } else if (day == st.openDay) {
+                st = st.copy(openH = math.max(st.openH, c),
+                  openL = math.min(st.openL, c))
+                if (okey(t) > st.openOkey)
+                  st = st.copy(openOkey = okey(t), openClose = c)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class Mover(user_id: Long, day: String, prev_close_cents: Long,
                    close_cents: Long, change_bp: Long)
   // NOT private: the state encoder instantiates this from outside the

@@ -704,6 +704,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming Donchian reproduces the batch channel for every closed day") {
+    // rolling envelope as a bounded n-deque; yesterday's channel must
+    // follow the batch lag(u) semantics incl. partial frames
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val don = StreamingRollups.donchianStream(input.toDS(), "10 minutes", n = 5)
+    val q = don.writeStream.format("memory").queryName("parity_donchian")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("upper_band"), r.getAs[Double]("lower_band"),
+          r.getAs[Double]("mid"), r.getAs[String]("signal")))).toMap
+    val streamed = keyed(spark.table("parity_donchian"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.Finance.donchianChannels(ev, n = 5)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "upper_band", "lower_band", "mid", "signal"))
+    assert(streamed === batch, "stream-vs-batch Donchian parity")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming takedown tombstones an index within one trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
