@@ -508,6 +508,16 @@ object SparkEntry {
     "q21_late_suppliers" -> ((s, d) =>
       Analytics.lateSoleSuppliers(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.supplier(s, d))),
+    // Q2-shaped: the correlated min-cost subquery decorrelated into a
+    // per-part min joined back; integer-cent compares, ties kept,
+    // total-order LIMIT
+    "q2_min_cost_supplier" -> ((s, d) =>
+      Analytics.minCostRegionSupplier(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d), Tables.part(s, d))),
+    // Q12-shaped: ship-class × order-priority conditional counts; the
+    // orders side joins as (key, 0/1 flag) only
+    "q12_ship_priority" -> ((s, d) =>
+      Analytics.shipClassPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
     // Benford first-digit conformance: full 9-digit grid, integer bp,
     // expected shares as pre-rounded constants (no query-time log10)
     "benford_totalprice" -> ((s, d) =>
@@ -3793,6 +3803,36 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM c JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    // Q2-shaped: decorrelated per-part min over the regional offer
+    // table; integer-cent costs, tie rows kept, total-order LIMIT 100
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |p AS (SELECT p_partkey, p_name FROM part WHERE p_size IN (15, 25, 35, 45)),
+        |offers AS (SELECT l_partkey, l_suppkey,
+        |  min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cost_cents
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey
+        |  JOIN rs ON l_suppkey = rs.s_suppkey GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS b_partkey, min(cost_cents) AS best_cents
+        |  FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(cost_cents AS DOUBLE) / 100.0 AS supply_cost
+        |FROM offers JOIN best ON l_partkey = b_partkey AND cost_cents = best_cents
+        |JOIN rs ON l_suppkey = rs.s_suppkey
+        |JOIN p ON l_partkey = p_partkey
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+    // Q12-shaped: exact-integer conditional counts per ship class
+    "q12_ship_priority" ->
+      """SELECT l_returnflag AS ship_class,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Q11-shaped: strict exact-decimal cross-multiplied HAVING vs the
     // one-row nation total
     "q11_important_parts" ->

@@ -2318,4 +2318,81 @@ object Analytics {
       .withColumn("dev_bp", col("share_bp") - col("expected_bp"))
       .orderBy("digit")
   }
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for each part in a size
+    * band, the cheapest REGIONAL supplier — Q2's correlated
+    * `ps_supplycost = (SELECT min(ps_supplycost) …)` subquery
+    * DECORRELATED into a per-part min aggregate joined back onto the
+    * per-(part, supplier) offer table (partsupp doesn't exist in this
+    * schema, so the min observed lineitem price per (part, supplier)
+    * stands in for the supply cost — the q16/q17/q20 substitution).
+    * All price compares run on integer CENTS; ties at the min keep
+    * every tying supplier (Q2 semantics) and the final ORDER BY is a
+    * total order (acctbal DESC, then the unique (suppkey, partkey)),
+    * so LIMIT 100 is engine-independent. Scale shapes: region→nation→
+    * supplier collapses to a ~|suppliers| broadcast; the part filter
+    * broadcasts and prunes the fact scan BEFORE its one grouped
+    * shuffle; the per-part min is a second tiny aggregate over
+    * |parts|·|suppliers| offers, joined back equi-keyed.
+    * Ref: mirrors the reference's report "top supplier per instrument"
+    * join (idx_extraction_script.py's cheapest-source pick).
+    */
+  def minCostRegionSupplier(lineitem: DataFrame, supplier: DataFrame,
+                            nation: DataFrame, region: DataFrame,
+                            part: DataFrame,
+                            regionName: String = "EUROPE",
+                            sizes: Seq[Int] = Seq(15, 25, 35, 45)): DataFrame = {
+    val regionalSupp = supplier
+      .join(broadcast(nation
+        .join(broadcast(region.filter(col("r_name") === regionName)
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = part.filter(col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_name")
+    val offers = lineitem
+      .join(broadcast(parts.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionalSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cost_cents"))
+    val best = offers.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min(col("cost_cents")).as("best_cents"))
+    offers
+      .join(best, col("l_partkey") === col("b_partkey") &&
+        col("cost_cents") === col("best_cents"))
+      .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        (col("cost_cents").cast("double") / 100.0).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q12-shaped shipment-class priority counts: per ship class
+    * (l_returnflag stands in for the missing l_shipmode — the same
+    * column-substitution rule as the rest of the pack), how many
+    * lineitems shipped in the window belong to critical-priority
+    * orders vs not. The orders side is projected to (key, one 0/1
+    * flag) BEFORE the fact join — the shuffle carries two ints per
+    * order, not the orders row; counts are exact integers so every
+    * engine agrees bit-for-bit. One equi-shuffle + a 3-row aggregate.
+    */
+  def shipClassPriority(lineitem: DataFrame, orders: DataFrame,
+                        from: String = "1996-01-01",
+                        until: String = "1997-01-01"): DataFrame = {
+    val highFlag = orders.select(col("o_orderkey"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+        .otherwise(lit(0L)).as("is_high"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(highFlag, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(sum(col("is_high")).as("high_line_count"),
+        sum(lit(1L) - col("is_high")).as("low_line_count"))
+      .orderBy("ship_class")
+  }
 }

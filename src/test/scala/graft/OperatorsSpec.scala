@@ -3428,6 +3428,47 @@ class OperatorsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("numwait") === 1L)
   }
 
+  test("q2 keeps min-cost ties and only regional suppliers") {
+    import spark.implicits._
+    // part 1: supplier 10 offers 5.00 twice + 6.00, supplier 20 offers
+    // 5.00 → BOTH tie at the 500-cent min and both rows survive.
+    // supplier 30 offers 1.00 but sits outside the region → ignored.
+    val li = Seq(
+      (1L, 10L, 5.00), (1L, 10L, 6.00), (1L, 10L, 5.00),
+      (1L, 20L, 5.00), (1L, 30L, 1.00))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supplier = Seq((10L, "S10", 1L, 100.0), (20L, "S20", 1L, 50.0),
+      (30L, "S30", 2L, 999.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nation = Seq((1L, "N1", 0L), (2L, "N2", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0L, "EUROPE"), (1L, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+    val part = Seq((1L, "p one", 15), (2L, "p two", 2))
+      .toDF("p_partkey", "p_name", "p_size")
+    val r = Analytics.minCostRegionSupplier(li, supplier, nation, region, part)
+      .collect()
+    assert(r.map(_.getAs[String]("s_name")).toSeq === Seq("S10", "S20"))
+    assert(r.forall(_.getAs[Double]("supply_cost") === 5.0))
+  }
+
+  test("q12 splits line counts by order priority class") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    val out = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    val li = Seq(
+      (1L, "R", t), (1L, "R", t), (2L, "A", t),
+      (2L, "R", out)) // outside the ship window → dropped
+      .toDF("l_orderkey", "l_returnflag", "l_shipdate")
+    val orders = Seq((1L, "1-URGENT"), (2L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val r = Analytics.shipClassPriority(li, orders).collect()
+      .map(x => x.getAs[String]("ship_class") ->
+        (x.getAs[Long]("high_line_count"), x.getAs[Long]("low_line_count"))).toMap
+    assert(r("R") === ((2L, 0L)))
+    assert(r("A") === ((0L, 1L)))
+  }
+
   test("ann recall report covers every query and bounds hits by k") {
     val r = Similarity
       .recallReport(Tables.embeddings(spark, sfDir), k = 5).collect()
