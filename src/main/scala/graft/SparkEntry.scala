@@ -537,6 +537,15 @@ object SparkEntry {
     "keltner_channels" -> ((s, d) => Finance.keltner(Tables.events(s, d))),
     "aroon_daily" -> ((s, d) => Finance.aroon(Tables.events(s, d))),
     "ichimoku_lines" -> ((s, d) => Finance.ichimokuLines(Tables.events(s, d))),
+    // Williams %R / CCI / ROC+momentum / MFI / floor pivots: the
+    // windowed-indicator family on the shared bar aggregate — every
+    // division a HALF_UP integer identity (CCI's /3 cancels in
+    // (n·T−S)·n·1000/(15·D); MFI weighs flow by tick count)
+    "williams_r" -> ((s, d) => Finance.williamsR(Tables.events(s, d))),
+    "cci_daily" -> ((s, d) => Finance.cci(Tables.events(s, d))),
+    "roc_momentum" -> ((s, d) => Finance.rocMomentum(Tables.events(s, d))),
+    "mfi_daily" -> ((s, d) => Finance.mfi(Tables.events(s, d))),
+    "pivot_points" -> ((s, d) => Finance.pivotPoints(Tables.events(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -3935,6 +3944,116 @@ object SparkEntry {
         |  CAST((2 * (14 - (rn - hk % 100000)) * 10000 + 14) // 28 AS BIGINT) AS aroon_up_bp,
         |  CAST((2 * (14 - (rn - (99999 - lk % 100000))) * 10000 + 14) // 28 AS BIGINT) AS aroon_down_bp
         |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    // Williams %R: the stochastic mirror — bp of (hh−c)/(hh−ll),
+    // flat channel 5000
+    "williams_r" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, day, c,
+        |  max(h) OVER w AS hh, min(l) OVER w AS ll, count(*) OVER w AS nd
+        |  FROM dc
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN hh = ll THEN 5000
+        |    ELSE (2 * (hh - c) * 10000 + (hh - ll)) // (2 * (hh - ll)) END AS BIGINT) AS wr_bp
+        |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    // CCI all-integer: (n·T−S)·n·1000/(15·D) — the /3s cancel; signed
+    // HALF_UP, zero-deviation frame emits 0; list fold replays the
+    // frame deviation sum
+    "cci_daily" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, t3,
+        |  sum(t3) OVER w AS s3, list(t3) OVER w AS devs, count(*) OVER w AS nd
+        |  FROM (SELECT user_id, day, h + l + c AS t3 FROM dc)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT user_id, day, t3, s3,
+        |  list_sum(list_transform(devs, x -> abs(20 * x - s3))) AS d3
+        |  FROM t WHERE nd = 20)
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN d3 = 0 THEN 0
+        |    WHEN (20 * t3 - s3) >= 0
+        |      THEN (2 * (20 * t3 - s3) * 2000000 + 15 * d3) // (2 * 15 * d3)
+        |    ELSE -((2 * (s3 - 20 * t3) * 2000000 + 15 * d3) // (2 * 15 * d3))
+        |  END AS BIGINT) AS cci_c
+        |FROM g ORDER BY user_id, day""".stripMargin,
+    // ROC/momentum: exact n-day cent delta + signed HALF_UP bp ratio
+    "roc_momentum" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, c,
+        |  lag(c, 10) OVER (PARTITION BY user_id ORDER BY day) AS pc FROM dc)
+        |SELECT user_id, day,
+        |  CAST(c - pc AS DOUBLE) / 100.0 AS momentum,
+        |  CAST(CASE WHEN (c - pc) >= 0
+        |      THEN (2 * (c - pc) * 10000 + pc) // (2 * pc)
+        |    ELSE -((2 * (pc - c) * 10000 + pc) // (2 * pc)) END AS BIGINT) AS roc_bp
+        |FROM t WHERE pc IS NOT NULL ORDER BY user_id, day""".stripMargin,
+    // MFI: tick-count-weighted directional flow, bp HALF_UP; equal
+    // typical prices drop out, flowless frame emits 5000
+    "mfi_daily" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |  count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, h + l + c AS t3, n_obs,
+        |  lag(h + l + c) OVER (PARTITION BY user_id ORDER BY day) AS pt3 FROM dc),
+        |g AS (SELECT user_id, day,
+        |  CASE WHEN t3 > pt3 THEN t3 * n_obs ELSE 0 END AS pmf,
+        |  CASE WHEN t3 < pt3 THEN t3 * n_obs ELSE 0 END AS nmf
+        |  FROM t WHERE pt3 IS NOT NULL),
+        |f AS (SELECT user_id, day,
+        |  sum(pmf) OVER w AS s_pmf, sum(nmf) OVER w AS s_nmf, count(*) OVER w AS nd
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN s_pmf + s_nmf = 0 THEN 5000
+        |    ELSE (2 * s_pmf * 10000 + (s_pmf + s_nmf)) // (2 * (s_pmf + s_nmf))
+        |  END AS BIGINT) AS mfi_bp
+        |FROM f WHERE nd = 14 ORDER BY user_id, day""".stripMargin,
+    // Floor pivots off YESTERDAY's bar: one HALF_UP /3 pivot, exact
+    // integer ladder, integer-compare zone signal
+    "pivot_points" ->
+      """WITH dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, c,
+        |  lag(h) OVER pw AS ph, lag(l) OVER pw AS pl, lag(c) OVER pw AS pcl
+        |  FROM dc WINDOW pw AS (PARTITION BY user_id ORDER BY day)),
+        |p AS (SELECT *, (2 * (ph + pl + pcl) + 3) // 6 AS pv
+        |  FROM t WHERE ph IS NOT NULL)
+        |SELECT user_id, day,
+        |  CAST(pv AS DOUBLE) / 100.0 AS pivot,
+        |  CAST(2 * pv - pl AS DOUBLE) / 100.0 AS r1,
+        |  CAST(2 * pv - ph AS DOUBLE) / 100.0 AS s1,
+        |  CAST(pv + (ph - pl) AS DOUBLE) / 100.0 AS r2,
+        |  CAST(pv - (ph - pl) AS DOUBLE) / 100.0 AS s2,
+        |  CASE WHEN c > 2 * pv - pl THEN 'above_r1'
+        |       WHEN c > pv THEN 'above_pivot'
+        |       WHEN c >= 2 * pv - ph THEN 'above_s1'
+        |       ELSE 'below_s1' END AS zone
+        |FROM p ORDER BY user_id, day""".stripMargin,
     // Ichimoku (trading-day shift): every line a HALF_UP integer-cent
     // channel midpoint; senkou/chikou displaced by kijun BAR rows via
     // lag/lead (null until the displaced bar exists, both engines)

@@ -877,4 +877,152 @@ object Finance {
         col("notional_d").cast("double").as("notional"))
       .orderBy("l_suppkey", "period_key")
   }
+
+  /** Williams %R over daily bars — the inverted [[stochasticK]]
+    * reading (where the close sits relative to the n-day HIGH instead
+    * of the low): emitted as integer basis points of (hh−c)/(hh−ll)
+    * via the HALF_UP identity, flat channel = 5000 by convention, so
+    * wr_bp = 10⁴ − k_bp identically. Same shapes: one bar aggregate +
+    * one series-keyed window.
+    */
+  def williamsR(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 1, s"Williams window must be >= 1, got $n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(events)
+      .withColumn("hh", max(col("h")).over(w))
+      .withColumn("ll", min(col("l")).over(w))
+      .withColumn("nd", count(lit(1)).over(w))
+      .filter(col("nd") === n)
+      .select(col("user_id"), col("day"),
+        when(col("hh") === col("ll"), lit(5000L))
+          .otherwise(expr("(2 * (hh - c) * 10000 + (hh - ll)) div (2 * (hh - ll))"))
+          .as("wr_bp"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Commodity Channel Index over daily bars, ALL-INTEGER: with
+    * T = h+l+c (3× the typical price in cents), S = Σ T over the
+    * n-frame and D = Σ|n·Tᵢ − S| (3n²× the mean deviation),
+    * CCI = (tp − sma)/(0.015·md) = (n·T − S)·n·1000/(15·D) exactly —
+    * the /3 fractions cancel, so the classic float pipeline reduces
+    * to one signed HALF_UP division of BIGINT operands, emitted in
+    * HUNDREDTHS (cci_c). A zero-deviation frame (all T equal) emits 0.
+    * Two windowed passes on ONE series partitioning (the frame sum is
+    * reused across both), bars aggregated once.
+    */
+  def cci(events: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 2, s"CCI window must be >= 2, got $n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(events)
+      .withColumn("t3", col("h") + col("l") + col("c"))
+      .withColumn("s3", sum(col("t3")).over(w))
+      .withColumn("nd", count(lit(1)).over(w))
+      // second pass needs S fixed per CURRENT row, so the deviation
+      // sum runs over the lagged t3 values collected in the frame:
+      // Σ|n·tᵢ − S| via an array fold over the frame's t3 list
+      .withColumn("devs", collect_list(col("t3")).over(w))
+      .filter(col("nd") === n)
+      .withColumn("d3", expr(
+        s"aggregate(devs, 0L, (acc, x) -> acc + abs($n * x - s3))"))
+      .select(col("user_id"), col("day"),
+        when(col("d3") === 0L, lit(0L))
+          .otherwise(expr(divHalfUpCol(s"($n * t3 - s3) * $n * 100000", "15 * d3")))
+          .as("cci_c"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Rate-of-change + momentum over daily closes: momentum is the
+    * exact n-day close delta in price units, ROC the signed HALF_UP
+    * basis-point ratio vs the n-day-old close — integer cents end to
+    * end (prices are positive so the denominator never degenerates).
+    * One bar aggregate + one lag window.
+    */
+  def rocMomentum(events: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 1, s"ROC lookback must be >= 1, got $n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    dailyBars(events)
+      .withColumn("pc", lag(col("c"), n).over(w))
+      .filter(col("pc").isNotNull)
+      .select(col("user_id"), col("day"),
+        ((col("c") - col("pc")).cast("double") / 100.0).as("momentum"),
+        expr(divHalfUpCol("(c - pc) * 10000", "pc")).as("roc_bp"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Money Flow Index over daily bars — volume-weighted RSI where the
+    * tick count per day (n_obs) stands in for volume: raw money flow
+    * = T·v (T = 3× typical price in cents — the /3 cancels in the
+    * final ratio), classified up/down by T vs yesterday's T (equal
+    * days drop out, the standard convention), PMF/NMF summed over the
+    * n-frame and emitted as HALF_UP basis points of PMF/(PMF+NMF); a
+    * frame with no directional flow emits 5000. One bar aggregate +
+    * lag + one frame window.
+    */
+  def mfi(events: DataFrame, n: Int = 14): DataFrame = {
+    require(n >= 1, s"MFI window must be >= 1, got $n")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(events)
+      .withColumn("t3", col("h") + col("l") + col("c"))
+      .withColumn("pt3", lag(col("t3"), 1).over(w))
+      .filter(col("pt3").isNotNull)
+      .withColumn("pmf", when(col("t3") > col("pt3"),
+        col("t3") * col("n_obs")).otherwise(lit(0L)))
+      .withColumn("nmf", when(col("t3") < col("pt3"),
+        col("t3") * col("n_obs")).otherwise(lit(0L)))
+      .withColumn("s_pmf", sum(col("pmf")).over(frame))
+      .withColumn("s_nmf", sum(col("nmf")).over(frame))
+      .withColumn("nd", count(lit(1)).over(frame))
+      .filter(col("nd") === n)
+      .select(col("user_id"), col("day"),
+        when(col("s_pmf") + col("s_nmf") === 0L, lit(5000L))
+          .otherwise(expr(
+            "(2 * s_pmf * 10000 + (s_pmf + s_nmf)) div (2 * (s_pmf + s_nmf))"))
+          .as("mfi_bp"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Classic floor-trader pivot points from YESTERDAY's bar: pivot =
+    * HALF_UP((h+l+c)/3) in integer cents, R1/S1 mirror the close
+    * through the pivot, R2/S2 add the full prior range — every level
+    * an exact integer-cent sum off the one rounded pivot, plus the
+    * position signal of today's close against the ladder (integer
+    * compares). One bar aggregate + one lag window; levels emitted in
+    * price units as exact /100 doubles.
+    */
+  def pivotPoints(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    dailyBars(events)
+      .withColumn("ph", lag(col("h"), 1).over(w))
+      .withColumn("pl", lag(col("l"), 1).over(w))
+      .withColumn("pcl", lag(col("c"), 1).over(w))
+      .filter(col("ph").isNotNull)
+      // prices are positive so the unsigned identity suffices
+      .withColumn("p", expr("(2 * (ph + pl + pcl) + 3) div 6"))
+      .withColumn("r1", lit(2L) * col("p") - col("pl"))
+      .withColumn("s1", lit(2L) * col("p") - col("ph"))
+      .withColumn("r2", col("p") + (col("ph") - col("pl")))
+      .withColumn("s2", col("p") - (col("ph") - col("pl")))
+      .select(col("user_id"), col("day"),
+        (col("p").cast("double") / 100.0).as("pivot"),
+        (col("r1").cast("double") / 100.0).as("r1"),
+        (col("s1").cast("double") / 100.0).as("s1"),
+        (col("r2").cast("double") / 100.0).as("r2"),
+        (col("s2").cast("double") / 100.0).as("s2"),
+        when(col("c") > col("r1"), lit("above_r1"))
+          .when(col("c") > col("p"), lit("above_pivot"))
+          .when(col("c") >= col("s1"), lit("above_s1"))
+          .otherwise(lit("below_s1")).as("zone"))
+      .orderBy("user_id", "day")
+  }
+
+  /** [[divHalfUp]] with a COLUMN denominator (positive), as a SQL
+    * fragment: the signed HALF_UP identity where the divisor is an
+    * expression rather than a literal.
+    */
+  private def divHalfUpCol(num: String, den: String): String =
+    s"(CASE WHEN ($num) >= 0L THEN (2 * ($num) + ($den)) div (2 * ($den)) " +
+      s"ELSE -((2 * (-($num)) + ($den)) div (2 * ($den))) END)"
 }

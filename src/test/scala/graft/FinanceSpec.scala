@@ -500,4 +500,94 @@ class FinanceSpec extends SparkSpec {
     assert(row.getAs[String]("period_key").matches("\\d{4}-\\d{2}"))
     assert(row.getAs[Double]("vwap") > 0)
   }
+
+  test("williams %R mirrors stochastic %K: wr_bp = 10^4 - k_bp, flat = 5000") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, 10.0), (2L, "2024-01-01 10:00:00", 1L, 12.0),
+      (3L, "2024-01-02 09:00:00", 1L, 15.0),
+      (4L, "2024-01-03 09:00:00", 1L, 9.0),
+      (5L, "2024-01-01 09:00:00", 2L, 7.0), (6L, "2024-01-02 09:00:00", 2L, 7.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.williamsR(rows, n = 2).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("day")) -> x.getAs[Long]("wr_bp"))
+      .toMap
+    assert(r((1L, "2024-01-02")) === 0L)     // close at channel top
+    assert(r((1L, "2024-01-03")) === 10000L) // close at channel bottom
+    assert(r((2L, "2024-01-02")) === 5000L)  // flat channel convention
+  }
+
+  test("cci: all-integer (n·T−S)·n·1000/(15·D) identity, zero-deviation frame = 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 12:00:00", 1L, 10.0),
+      (2L, "2024-01-02 12:00:00", 1L, 20.0),
+      (3L, "2024-01-03 12:00:00", 1L, 20.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.cci(rows, n = 2).collect()
+      .map(x => x.getAs[String]("day") -> x.getAs[Long]("cci_c")).toMap
+    // day2: T = {3000, 6000}, S = 9000, D = 6000 →
+    // cci = 3000·2·1000/(15·6000) = 66.66̄ → 6667 hundredths HALF_UP
+    assert(r("2024-01-02") === 6667L)
+    // day3: both frame T equal → D = 0 → 0 by convention
+    assert(r("2024-01-03") === 0L)
+  }
+
+  test("roc/momentum: exact cent delta, signed HALF_UP bp vs the lagged close") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 12:00:00", 1L, 10.0),
+      (2L, "2024-01-02 12:00:00", 1L, 12.5),
+      (3L, "2024-01-03 12:00:00", 1L, 10.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.rocMomentum(rows, n = 1).collect()
+      .map(x => x.getAs[String]("day") ->
+        (x.getAs[Double]("momentum"), x.getAs[Long]("roc_bp"))).toMap
+    assert(r("2024-01-02") === ((2.5, 2500L)))
+    assert(r("2024-01-03") === ((-2.5, -2000L))) // −250/1250 = −20%
+  }
+
+  test("mfi: tick-weighted directional flow in bp, equal days drop, flowless = 5000") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 12:00:00", 1L, 10.0),
+      (2L, "2024-01-02 12:00:00", 1L, 20.0), // up: pmf = 6000
+      (3L, "2024-01-03 12:00:00", 1L, 15.0), // down: nmf = 4500
+      (4L, "2024-01-04 12:00:00", 1L, 15.0), // equal: drops out
+      (5L, "2024-01-01 12:00:00", 2L, 7.0),
+      (6L, "2024-01-02 12:00:00", 2L, 7.0),
+      (7L, "2024-01-03 12:00:00", 2L, 7.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.mfi(rows, n = 2).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("day")) -> x.getAs[Long]("mfi_bp"))
+      .toMap
+    // 10⁴·6000/10500 = 5714.28… → 5714
+    assert(r((1L, "2024-01-03")) === 5714L)
+    assert(r((1L, "2024-01-04")) === 0L)    // only downward flow in frame
+    assert(r((2L, "2024-01-03")) === 5000L) // no directional flow
+  }
+
+  test("pivot points: HALF_UP /3 pivot, exact ladder, zone by integer compare") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, 10.0),
+      (2L, "2024-01-01 10:00:00", 1L, 12.0), // day1: h=1200 l=1000 c=1200
+      (3L, "2024-01-02 09:00:00", 1L, 13.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.pivotPoints(rows).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // pivot = HALF_UP(3400/3) = 1133 cents
+    assert(row.getAs[Double]("pivot") === 11.33)
+    assert(row.getAs[Double]("r1") === 12.66)
+    assert(row.getAs[Double]("s1") === 10.66)
+    assert(row.getAs[Double]("r2") === 13.33)
+    assert(row.getAs[Double]("s2") === 9.33)
+    assert(row.getAs[String]("zone") === "above_r1") // 1300 > 1266
+  }
 }
