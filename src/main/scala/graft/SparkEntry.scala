@@ -546,6 +546,12 @@ object SparkEntry {
     "roc_momentum" -> ((s, d) => Finance.rocMomentum(Tables.events(s, d))),
     "mfi_daily" -> ((s, d) => Finance.mfi(Tables.events(s, d))),
     "pivot_points" -> ((s, d) => Finance.pivotPoints(Tables.events(s, d))),
+    // Heikin-Ashi: the smoothed-candle recursion in QUARTER-CENTS —
+    // one positive HALF_UP halving per bar, /400.0 exact-emit
+    "heikin_ashi" -> ((s, d) => Finance.heikinAshi(Tables.events(s, d))),
+    // ADX: Wilder's directional system — FOUR chained integer
+    // recursions (±DM, TR, then ADX over DX), micro-cent/micro-bp
+    "adx_daily" -> ((s, d) => Finance.adx(Tables.events(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -1455,6 +1461,95 @@ object SparkEntry {
         |JOIN q ON d.doc_id = q.doc_id
         |LEFT JOIN cont ON d.doc_id = cont.doc_id
         |ORDER BY d.doc_id""".stripMargin
+
+  private val heikinAshiOracle: String =
+    """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(min_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS o,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, o, h, l, c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dc),
+        |rec AS (
+        |  SELECT user_id, rn, 2 * (o + c) AS hao4 FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, (rec.hao4 + (p.o + p.h + p.l + p.c) + 1) // 2
+        |  FROM r JOIN rec ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        |  JOIN r p ON p.user_id = r.user_id AND p.rn = rec.rn)
+        |SELECT r.user_id, r.day,
+        |  CAST(hao4 AS DOUBLE) / 400.0 AS ha_open,
+        |  CAST(greatest(4 * h, hao4, o + h + l + c) AS DOUBLE) / 400.0 AS ha_high,
+        |  CAST(least(4 * l, hao4, o + h + l + c) AS DOUBLE) / 400.0 AS ha_low,
+        |  CAST(o + h + l + c AS DOUBLE) / 400.0 AS ha_close
+        |FROM r JOIN rec ON r.user_id = rec.user_id AND r.rn = rec.rn
+        |ORDER BY r.user_id, r.day""".stripMargin
+
+  private val adxOracle: String =
+    """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, h, l, c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS m FROM dc),
+        |d AS (SELECT user_id, day, rn - 1 AS j,
+        |  CASE WHEN h - ph > pl - l AND h - ph > 0 THEN (h - ph) * 1000000 ELSE 0 END AS pdm,
+        |  CASE WHEN pl - l > h - ph AND pl - l > 0 THEN (pl - l) * 1000000 ELSE 0 END AS ndm,
+        |  greatest(h - l, abs(h - pc), abs(l - pc)) * 1000000 AS tr
+        |  FROM (SELECT *, lag(h) OVER pw AS ph, lag(l) OVER pw AS pl, lag(c) OVER pw AS pc
+        |        FROM r WHERE m >= 14 WINDOW pw AS (PARTITION BY user_id ORDER BY rn))
+        |  WHERE ph IS NOT NULL),
+        |s AS (SELECT user_id, day, j, pdm, ndm, tr,
+        |  sum(pdm) OVER w AS cp, sum(ndm) OVER w AS cn, sum(tr) OVER w AS ct,
+        |  count(*) OVER w AS nd
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY j ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |w1 AS (
+        |  SELECT user_id, day, j,
+        |    (2 * cp + 7) // 14 AS wp, (2 * cn + 7) // 14 AS wn, (2 * ct + 7) // 14 AS wt
+        |  FROM s WHERE j = 7 AND nd = 7
+        |  UNION ALL
+        |  SELECT d.user_id, d.day, d.j,
+        |    (2 * (w1.wp * 6 + d.pdm) + 7) // 14,
+        |    (2 * (w1.wn * 6 + d.ndm) + 7) // 14,
+        |    (2 * (w1.wt * 6 + d.tr) + 7) // 14
+        |  FROM d JOIN w1 ON d.user_id = w1.user_id AND d.j = w1.j + 1),
+        |dx AS (SELECT user_id, day, j,
+        |  CASE WHEN wt = 0 THEN 0 ELSE (2 * wp * 10000 + wt) // (2 * wt) END AS dip,
+        |  CASE WHEN wt = 0 THEN 0 ELSE (2 * wn * 10000 + wt) // (2 * wt) END AS dim,
+        |  CASE WHEN (CASE WHEN wt = 0 THEN 0 ELSE (2 * wp * 10000 + wt) // (2 * wt) END)
+        |          + (CASE WHEN wt = 0 THEN 0 ELSE (2 * wn * 10000 + wt) // (2 * wt) END) = 0 THEN 0
+        |    ELSE (2 * abs((CASE WHEN wt = 0 THEN 0 ELSE (2 * wp * 10000 + wt) // (2 * wt) END)
+        |                - (CASE WHEN wt = 0 THEN 0 ELSE (2 * wn * 10000 + wt) // (2 * wt) END)) * 10000
+        |          + ((CASE WHEN wt = 0 THEN 0 ELSE (2 * wp * 10000 + wt) // (2 * wt) END)
+        |           + (CASE WHEN wt = 0 THEN 0 ELSE (2 * wn * 10000 + wt) // (2 * wt) END)))
+        |      // (2 * ((CASE WHEN wt = 0 THEN 0 ELSE (2 * wp * 10000 + wt) // (2 * wt) END)
+        |            + (CASE WHEN wt = 0 THEN 0 ELSE (2 * wn * 10000 + wt) // (2 * wt) END)))
+        |  END * 1000000 AS dxu
+        |  FROM w1),
+        |sd AS (SELECT user_id, day, j, dip, dim, dxu,
+        |  sum(dxu) OVER w2 AS cdx, count(*) OVER w2 AS nd2
+        |  FROM dx
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY j ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |a AS (
+        |  SELECT user_id, day, j, dip, dim, (2 * cdx + 7) // 14 AS wa
+        |  FROM sd WHERE j = 13 AND nd2 = 7
+        |  UNION ALL
+        |  SELECT dx.user_id, dx.day, dx.j, dx.dip, dx.dim,
+        |    (2 * (a.wa * 6 + dx.dxu) + 7) // 14
+        |  FROM dx JOIN a ON dx.user_id = a.user_id AND dx.j = a.j + 1)
+        |SELECT user_id, day,
+        |  CAST(dip AS BIGINT) AS di_plus_bp, CAST(dim AS BIGINT) AS di_minus_bp,
+        |  CAST((2 * wa + 1000000) // 2000000 AS BIGINT) AS adx_bp
+        |FROM a ORDER BY user_id, day""".stripMargin
 
   private val macdOracle: String =
     """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
@@ -3917,6 +4012,10 @@ object SparkEntry {
     // MACD as an INTEGER micro-cent recursion (no floats → no decimal
     // rounding boundaries): ema steps via the signed HALF_UP identity,
     // replayed with recursive CTEs; price units = one /1e8 at emit
+    // Heikin-Ashi: quarter-cent recursion, /400.0 exact-emit doubles
+    "heikin_ashi" -> heikinAshiOracle,
+    // ADX: four chained Wilder recursions replayed with recursive CTEs
+    "adx_daily" -> adxOracle,
     "macd_daily" -> macdOracle,
     // Keltner: EMA(20) of typical price ± 2·Wilder-ATR(10), both as
     // INTEGER micro-cent recursions (HALF_UP identities, no floats)

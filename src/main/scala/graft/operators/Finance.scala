@@ -1025,4 +1025,131 @@ object Finance {
   private def divHalfUpCol(num: String, den: String): String =
     s"(CASE WHEN ($num) >= 0L THEN (2 * ($num) + ($den)) div (2 * ($den)) " +
       s"ELSE -((2 * (-($num)) + ($den)) div (2 * ($den))) END)"
+
+  /** Daily bars WITH the open (min_by first tick) — [[dailyBars]]
+    * plus `o`, for the operators that need all four OHLC legs.
+    */
+  private def dailyOhlcBars(events: DataFrame): DataFrame = {
+    val okey = orderKey(col("ts"), col("event_id"))
+    events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg((min_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
+        .cast("long").as("o"),
+        (max(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("h"),
+        (min(round(col("value"), 2)).cast("decimal(18,2)") * 100).cast("long").as("l"),
+        (max_by(round(col("value"), 2), okey).cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+  }
+
+  /** Heikin-Ashi candles — the classic smoothed-candle RECURSION
+    * (ha_open carries across every bar since inception), engine-exact
+    * by working in QUARTER-CENTS (4× cents): ha_close = o+h+l+c is
+    * exact in that basis, the ha_open step (prev ha_open + prev
+    * ha_close)/2 is one positive HALF_UP halving (a+p+1) div 2, and
+    * ha_high/low are integer max/min against 4·h / 4·l. Emitted as
+    * /400.0 doubles — the same IEEE division of the same integers in
+    * any engine, no rounding anywhere. Same shapes as [[macd]]: one
+    * series-keyed exchange, per-series ordered-array fold (the
+    * previous-bar dependence folds over the LAGGED ha_close array),
+    * recursive-CTE oracle.
+    */
+  def heikinAshi(events: DataFrame): DataFrame = {
+    dailyOhlcBars(events)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        col("day"), col("o"), col("h"), col("l"), col("c")))).as("rows"))
+      .withColumn("days", expr("transform(rows, r -> r.day)"))
+      .withColumn("hc4", expr("transform(rows, r -> r.o + r.h + r.l + r.c)"))
+      .withColumn("seed", expr("2 * (rows[0].o + rows[0].c)"))
+      // fold over the PREVIOUS bar's ha_close: step i consumes hc4[i−1]
+      .withColumn("hao4", expr(
+        "aggregate(slice(hc4, 1, size(hc4) - 1), array(seed), " +
+          "(acc, p) -> concat(acc, array((element_at(acc, -1) + p + 1) div 2)))"))
+      .select(col("user_id"), posexplode(arrays_zip(
+        col("days"), col("hao4"), col("hc4"),
+        expr("transform(rows, r -> r.h * 4)").as("h4"),
+        expr("transform(rows, r -> r.l * 4)").as("l4"))))
+      .select(col("user_id"), col("col.days").as("day"),
+        (col("col.hao4").cast("double") / 400.0).as("ha_open"),
+        (greatest(col("col.h4"), col("col.hao4"), col("col.hc4"))
+          .cast("double") / 400.0).as("ha_high"),
+        (least(col("col.l4"), col("col.hao4"), col("col.hc4"))
+          .cast("double") / 400.0).as("ha_low"),
+        (col("col.hc4").cast("double") / 400.0).as("ha_close"))
+      .orderBy("user_id", "day")
+  }
+
+  /** ADX — Wilder's directional system, THREE chained integer
+    * recursions ([[rsiWilder]]'s convention end to end): ±DM and TR
+    * in micro-cents Wilder-smoothed past first-n SMA seeds, DI± as
+    * HALF_UP basis points of smoothed DM over smoothed TR, DX as bp
+    * of |DI+−DI−|/(DI++DI−), and ADX as a FOURTH Wilder fold over DX
+    * carried in micro-bp. All BIGINT with magnitude headroom
+    * (micro-cent DMs ≤ 10¹¹ × 2·10⁴ bp scaling < 2⁶³); emitted from
+    * the first day the ADX seed is full (delta row 2n−1). Default
+    * n = 7 — the corpus' ~27-day series leave ADX undefined at
+    * Wilder's 14. One exchange, per-series ordered-array folds,
+    * recursive-CTE oracle.
+    */
+  def adx(events: DataFrame, n: Int = 7): DataFrame = {
+    require(n >= 2, s"ADX window must be >= 2, got $n")
+    val bars = dailyBars(events)
+    bars
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        col("day"), col("h"), col("l"), col("c")))).as("rows"))
+      .filter(expr(s"size(rows) >= ${2 * n}"))
+      .withColumn("days", expr("transform(rows, r -> r.day)"))
+      // delta rows: index i vs i−1, arrays of size m−1, micro-cents
+      .withColumn("pdm", expr(
+        "zip_with(slice(rows, 2, size(rows) - 1), slice(rows, 1, size(rows) - 1), " +
+          "(t, p) -> CASE WHEN t.h - p.h > p.l - t.l AND t.h - p.h > 0L " +
+          "THEN (t.h - p.h) * 1000000L ELSE 0L END)"))
+      .withColumn("ndm", expr(
+        "zip_with(slice(rows, 2, size(rows) - 1), slice(rows, 1, size(rows) - 1), " +
+          "(t, p) -> CASE WHEN p.l - t.l > t.h - p.h AND p.l - t.l > 0L " +
+          "THEN (p.l - t.l) * 1000000L ELSE 0L END)"))
+      .withColumn("tr", expr(
+        "zip_with(slice(rows, 2, size(rows) - 1), slice(rows, 1, size(rows) - 1), " +
+          "(t, p) -> greatest(t.h - t.l, abs(t.h - p.c), abs(t.l - p.c)) * 1000000L)"))
+      .withColumn("sp", expr(
+        divHalfUp(s"aggregate(slice(pdm, 1, $n), 0L, (a, x) -> a + x)", n)))
+      .withColumn("sn", expr(
+        divHalfUp(s"aggregate(slice(ndm, 1, $n), 0L, (a, x) -> a + x)", n)))
+      .withColumn("st", expr(
+        divHalfUp(s"aggregate(slice(tr, 1, $n), 0L, (a, x) -> a + x)", n)))
+      .withColumn("wp", expr(wilderFoldExpr("pdm", "sp", n)))
+      .withColumn("wn", expr(wilderFoldExpr("ndm", "sn", n)))
+      .withColumn("wt", expr(wilderFoldExpr("tr", "st", n)))
+      // DI± in bp off the smoothed micro-cent folds (wt > 0: a bar
+      // with h = l = prev c would zero TR, but then DM is zero too —
+      // guard anyway with the flat convention 0)
+      .withColumn("dip", expr(
+        "zip_with(wp, wt, (p, t) -> CASE WHEN t = 0L THEN 0L " +
+          "ELSE (2 * p * 10000 + t) div (2 * t) END)"))
+      .withColumn("dim", expr(
+        "zip_with(wn, wt, (p, t) -> CASE WHEN t = 0L THEN 0L " +
+          "ELSE (2 * p * 10000 + t) div (2 * t) END)"))
+      .withColumn("dx", expr(
+        "zip_with(dip, dim, (a, b) -> CASE WHEN a + b = 0L THEN 0L " +
+          "ELSE (2 * abs(a - b) * 10000 + (a + b)) div (2 * (a + b)) END)"))
+      // ADX: Wilder fold over DX in MICRO-bp
+      .withColumn("dxu", expr("transform(dx, x -> x * 1000000L)"))
+      .withColumn("sa", expr(
+        divHalfUp(s"aggregate(slice(dxu, 1, $n), 0L, (a, x) -> a + x)", n)))
+      .withColumn("wa", expr(wilderFoldExpr("dxu", "sa", n)))
+      // day alignment (1-based): delta row j carries day days[j+1];
+      // dip/dim (length L = D−n+1) index k ↔ delta row n+k−1; the ADX
+      // fold (length L−n+1) index k ↔ delta row 2n+k−2 ↔ day days[2n+k−1]
+      .withColumn("adays", expr(s"slice(days, ${2 * n}, size(days) - ${2 * n - 1})"))
+      .withColumn("adip", expr(s"slice(dip, $n, size(dip) - ${n - 1})"))
+      .withColumn("adim", expr(s"slice(dim, $n, size(dim) - ${n - 1})"))
+      .select(col("user_id"), posexplode(arrays_zip(
+        col("adays"), col("adip"), col("adim"), col("wa"))))
+      .select(col("user_id"), col("col.adays").as("day"),
+        col("col.adip").as("di_plus_bp"),
+        col("col.adim").as("di_minus_bp"),
+        expr("(2 * col.wa + 1000000) div 2000000").as("adx_bp"))
+      .orderBy("user_id", "day")
+  }
 }

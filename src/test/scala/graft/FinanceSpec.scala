@@ -571,6 +571,41 @@ class FinanceSpec extends SparkSpec {
     assert(r((2L, "2024-01-03")) === 5000L) // no directional flow
   }
 
+  test("heikin ashi: quarter-cent recursion, hand-worked two-bar series") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, 10.0),
+      (2L, "2024-01-01 10:00:00", 1L, 12.0),
+      (3L, "2024-01-01 11:00:00", 1L, 11.0), // day1: o=1000 h=1200 l=1000 c=1100
+      (4L, "2024-01-02 09:00:00", 1L, 11.5)  // day2: all legs 1150
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.heikinAshi(rows).collect()
+      .map(x => x.getAs[String]("day") ->
+        (x.getAs[Double]("ha_open"), x.getAs[Double]("ha_high"),
+          x.getAs[Double]("ha_low"), x.getAs[Double]("ha_close"))).toMap
+    // day1: ha_open = (o+c)/2 = 10.50, ha_close = (o+h+l+c)/4 = 10.75
+    assert(r("2024-01-01") === ((10.5, 12.0, 10.0, 10.75)))
+    // day2: ha_open = (4200 + 4300 + 1) div 2 = 4250 quarter-cents
+    assert(r("2024-01-02") === ((10.625, 11.5, 10.625, 11.5)))
+  }
+
+  test("adx: monotonic rise pins +DM = TR, so DI+ = DX = ADX = 10^4 bp") {
+    import spark.implicits._
+    val rows = (1 to 5).map { i =>
+      (i.toLong, s"2024-01-0$i 12:00:00", 1L, 9.0 + i)
+    }.toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.adx(rows, n = 2).collect()
+    // ADX defined from day 2n = 4 → exactly days 4 and 5
+    assert(r.map(_.getAs[String]("day")).toSeq === Seq("2024-01-04", "2024-01-05"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("di_plus_bp") === 10000L)
+      assert(row.getAs[Long]("di_minus_bp") === 0L)
+      assert(row.getAs[Long]("adx_bp") === 10000L)
+    }
+  }
+
   test("pivot points: HALF_UP /3 pivot, exact ladder, zone by integer compare") {
     import spark.implicits._
     val rows = Seq(
