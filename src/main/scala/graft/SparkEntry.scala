@@ -552,6 +552,9 @@ object SparkEntry {
     // ADX: Wilder's directional system — FOUR chained integer
     // recursions (±DM, TR, then ADX over DX), micro-cent/micro-bp
     "adx_daily" -> ((s, d) => Finance.adx(Tables.events(s, d))),
+    // SuperTrend: the CONDITIONAL band recursion — ratcheting final
+    // bands + trend flips, every branch a BIGINT compare
+    "supertrend" -> ((s, d) => Finance.supertrend(Tables.events(s, d))),
     // hand-rolled runtime filter: kilobyte bloom broadcast prunes the
     // fact before the semi-join shuffle; exact join culls false
     // positives, so the oracle is the plain semi join
@@ -1550,6 +1553,55 @@ object SparkEntry {
         |  CAST(dip AS BIGINT) AS di_plus_bp, CAST(dim AS BIGINT) AS di_minus_bp,
         |  CAST((2 * wa + 1000000) // 2000000 AS BIGINT) AS adx_bp
         |FROM a ORDER BY user_id, day""".stripMargin
+
+  private val supertrendOracle: String =
+    """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(CAST(max(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |  CAST(CAST(min(round(value, 2)) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |  CAST(CAST(max_by(round(value, 2),
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, h, l, c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS m FROM dc),
+        |tp AS (SELECT user_id, day, rn,
+        |  (CASE WHEN rn = 1 THEN h - l
+        |        ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END) * 1000000 AS tr,
+        |  (h + l) * 500000 AS mid, c * 1000000 AS cu
+        |  FROM (SELECT *, lag(c) OVER (PARTITION BY user_id ORDER BY rn) AS pc
+        |        FROM r WHERE m >= 7)),
+        |sd AS (SELECT user_id, rn,
+        |  sum(tr) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS str
+        |  FROM tp),
+        |atr AS (
+        |  SELECT user_id, rn, (2 * str + 7) // 14 AS atr FROM sd WHERE rn = 7
+        |  UNION ALL
+        |  SELECT tp.user_id, tp.rn, (2 * (atr.atr * 6 + tp.tr) + 7) // 14
+        |  FROM tp JOIN atr ON tp.user_id = atr.user_id AND tp.rn = atr.rn + 1),
+        |b AS (SELECT tp.user_id, tp.day, tp.rn, tp.cu,
+        |  tp.mid + 3 * atr.atr AS bu, tp.mid - 3 * atr.atr AS bl
+        |  FROM tp JOIN atr ON tp.user_id = atr.user_id AND tp.rn = atr.rn),
+        |rec AS (
+        |  SELECT user_id, rn, bu AS fu, bl AS fl,
+        |    CASE WHEN cu > bu THEN 1 WHEN cu < bl THEN -1 ELSE 1 END AS td
+        |  FROM b WHERE rn = 7
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn,
+        |    CASE WHEN b.bu < rec.fu OR pb.cu > rec.fu THEN b.bu ELSE rec.fu END,
+        |    CASE WHEN b.bl > rec.fl OR pb.cu < rec.fl THEN b.bl ELSE rec.fl END,
+        |    CASE WHEN b.cu > (CASE WHEN b.bu < rec.fu OR pb.cu > rec.fu THEN b.bu ELSE rec.fu END) THEN 1
+        |         WHEN b.cu < (CASE WHEN b.bl > rec.fl OR pb.cu < rec.fl THEN b.bl ELSE rec.fl END) THEN -1
+        |         ELSE rec.td END
+        |  FROM b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+        |  JOIN b pb ON pb.user_id = b.user_id AND pb.rn = rec.rn)
+        |SELECT b.user_id, b.day,
+        |  CAST(rec.fu AS DOUBLE) / 100000000.0 AS upper_band,
+        |  CAST(rec.fl AS DOUBLE) / 100000000.0 AS lower_band,
+        |  CAST(rec.td AS BIGINT) AS trend,
+        |  CAST(CASE WHEN rec.td = 1 THEN rec.fl ELSE rec.fu END AS DOUBLE) / 100000000.0 AS supertrend
+        |FROM b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn
+        |ORDER BY b.user_id, b.day""".stripMargin
 
   private val macdOracle: String =
     """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
@@ -4014,6 +4066,8 @@ object SparkEntry {
     // replayed with recursive CTEs; price units = one /1e8 at emit
     // Heikin-Ashi: quarter-cent recursion, /400.0 exact-emit doubles
     "heikin_ashi" -> heikinAshiOracle,
+    // SuperTrend: conditional band recursion, repeated-CASE replay
+    "supertrend" -> supertrendOracle,
     // ADX: four chained Wilder recursions replayed with recursive CTEs
     "adx_daily" -> adxOracle,
     "macd_daily" -> macdOracle,

@@ -1079,6 +1079,84 @@ object Finance {
       .orderBy("user_id", "day")
   }
 
+  /** SuperTrend — the CONDITIONAL band recursion (the hardest shape
+    * in the indicator family: state that both carries and branches):
+    * basic bands = (h+l)/2 ± mult·ATR with (h+l)·500000 exact in
+    * micro-cents and the ATR the [[keltner]] integer Wilder fold;
+    * then the final-band recursion — the upper band only ratchets
+    * DOWN (reset when yesterday's close broke above it), the lower
+    * only UP (reset on a break below), and the trend flips when
+    * today's close crosses the just-updated opposite band, else
+    * carries. Every compare is BIGINT, so the branch taken is
+    * identical in any engine — the recursion is the contract. Trend
+    * seeds +1 at the first ATR row unless the close opens outside the
+    * seed bands. One exchange, per-series fold over a struct state
+    * (fu, fl, td), recursive-CTE oracle with the same repeated-CASE
+    * band expressions.
+    */
+  def supertrend(events: DataFrame, n: Int = 7, mult: Int = 3): DataFrame = {
+    require(n >= 1, s"SuperTrend ATR window must be >= 1, got $n")
+    def st(f: String) = s"element_at(acc, -1).$f"
+    val fuT = s"CASE WHEN z.bu < ${st("fu")} OR z.pc > ${st("fu")} " +
+      s"THEN z.bu ELSE ${st("fu")} END"
+    val flT = s"CASE WHEN z.bl > ${st("fl")} OR z.pc < ${st("fl")} " +
+      s"THEN z.bl ELSE ${st("fl")} END"
+    dailyBars(events)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("h"), col("l"), col("c"))))
+        .as("rows"))
+      .filter(expr(s"size(rows) >= $n"))
+      .withColumn("days", expr("transform(rows, r -> r.day)"))
+      .withColumn("tr", expr(
+        "transform(sequence(1, size(rows)), i -> (CASE WHEN i = 1 " +
+          "THEN element_at(rows, 1).h - element_at(rows, 1).l " +
+          "ELSE greatest(element_at(rows, i).h - element_at(rows, i).l, " +
+          "abs(element_at(rows, i).h - element_at(rows, i - 1).c), " +
+          "abs(element_at(rows, i).l - element_at(rows, i - 1).c)) END) * 1000000L)"))
+      .withColumn("seed_atr", expr(
+        divHalfUp(s"aggregate(slice(tr, 1, $n), 0L, (a, x) -> a + x)", n)))
+      .withColumn("atr_a", expr(wilderFoldExpr("tr", "seed_atr", n)))
+      // bars aligned to the ATR rows (rn ≥ n): micro-cent midpoints
+      // are (h+l)·500000 EXACT, closes c·10⁶
+      .withColumn("emids", expr(
+        s"transform(slice(rows, $n, size(rows) - ${n - 1}), r -> (r.h + r.l) * 500000L)"))
+      .withColumn("ecs", expr(
+        s"transform(slice(rows, $n, size(rows) - ${n - 1}), r -> r.c * 1000000L)"))
+      .withColumn("edays", expr(s"slice(days, $n, size(days) - ${n - 1})"))
+      .withColumn("bu", expr(s"zip_with(emids, atr_a, (m, a) -> m + $mult * a)"))
+      .withColumn("bl", expr(s"zip_with(emids, atr_a, (m, a) -> m - $mult * a)"))
+      // the (bu, bl, c, prev c) step items, 1 per bar past the seed
+      .withColumn("items", expr(
+        // sequence(2, 1) would DESCEND, not return empty — guard the
+        // single-ATR-row series explicitly
+        "CASE WHEN size(bu) < 2 THEN array() " +
+          "ELSE transform(sequence(2, size(bu)), i -> named_struct(" +
+          "'bu', element_at(bu, i), 'bl', element_at(bl, i), " +
+          "'c', element_at(ecs, i), 'pc', element_at(ecs, i - 1))) END"))
+      .withColumn("st", expr(
+        // seed state at the first ATR row, then fold the steps; the
+        // updated bands are re-derived inside the trend CASE (lambdas
+        // can't bind intermediates — the CASE repeats verbatim, same
+        // as the oracle's recursive CTE)
+        "aggregate(items, " +
+          "array(named_struct(" +
+          "'fu', element_at(bu, 1), 'fl', element_at(bl, 1), " +
+          "'td', CASE WHEN element_at(ecs, 1) > element_at(bu, 1) THEN 1L " +
+          "WHEN element_at(ecs, 1) < element_at(bl, 1) THEN -1L ELSE 1L END)), " +
+          "(acc, z) -> concat(acc, array(named_struct(" +
+          s"'fu', $fuT, 'fl', $flT, " +
+          s"'td', CASE WHEN z.c > ($fuT) THEN 1L WHEN z.c < ($flT) THEN -1L " +
+          s"ELSE ${st("td")} END))))"))
+      .select(col("user_id"), posexplode(arrays_zip(col("edays"), col("st"))))
+      .select(col("user_id"), col("col.edays").as("day"),
+        (col("col.st.fu").cast("double") / 100000000.0).as("upper_band"),
+        (col("col.st.fl").cast("double") / 100000000.0).as("lower_band"),
+        col("col.st.td").as("trend"),
+        (when(col("col.st.td") === 1L, col("col.st.fl"))
+          .otherwise(col("col.st.fu")).cast("double") / 100000000.0).as("supertrend"))
+      .orderBy("user_id", "day")
+  }
+
   /** ADX — Wilder's directional system, THREE chained integer
     * recursions ([[rsiWilder]]'s convention end to end): ±DM and TR
     * in micro-cents Wilder-smoothed past first-n SMA seeds, DI± as

@@ -606,6 +606,29 @@ class FinanceSpec extends SparkSpec {
     }
   }
 
+  test("supertrend: bands ratchet, trend flips on a cross, hand-worked") {
+    import spark.implicits._
+    // n = 1, mult = 1, single-tick days (h = l = c, so ATR_t = TR_t):
+    // day1 c=10: flat bands at 10, trend seeds +1, st = lower = 10
+    // day2 c=12: basic bu = 14 but fu only ratchets DOWN (pc = fu, not
+    //   above) → fu stays 10; c > fu keeps trend up, st = fl = 10
+    // day3 c=9: pc = 12 broke above fu=10 → fu RESETS to 12; fl holds
+    //   10; c=9 < fl → trend flips DOWN, st = fu = 12
+    val rows = Seq(
+      (1L, "2024-01-01 12:00:00", 1L, 10.0),
+      (2L, "2024-01-02 12:00:00", 1L, 12.0),
+      (3L, "2024-01-03 12:00:00", 1L, 9.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Finance.supertrend(rows, n = 1, mult = 1).collect()
+      .map(x => x.getAs[String]("day") ->
+        (x.getAs[Double]("upper_band"), x.getAs[Double]("lower_band"),
+          x.getAs[Long]("trend"), x.getAs[Double]("supertrend"))).toMap
+    assert(r("2024-01-01") === ((10.0, 10.0, 1L, 10.0)))
+    assert(r("2024-01-02") === ((10.0, 10.0, 1L, 10.0)))
+    assert(r("2024-01-03") === ((12.0, 10.0, -1L, 12.0)))
+  }
+
   test("pivot points: HALF_UP /3 pivot, exact ladder, zone by integer compare") {
     import spark.implicits._
     val rows = Seq(
