@@ -95,6 +95,11 @@ object SparkEntry {
     ensureTable(s, t)(Finance.writeBarsTable(Tables.events(s, d), t))
   }
 
+  private def ohlcBarsTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_ohlc_bars_${tag(d)}"
+    ensureTable(s, t)(Finance.writeOhlcBarsTable(Tables.events(s, d), t))
+  }
+
   /** Co-bucketed fact pair: orders and lineitem both bucketed on the
     * join key at ingest, so every later orderkey join/aggregate plans
     * ZERO exchanges (the 100 TB answer for a fact⋈fact key joined
@@ -798,6 +803,35 @@ object SparkEntry {
       s.table(barsTable(s, d)).select("user_id", "day", "c"))),
     "keltner_indexed" -> ((s, d) => Finance.keltnerFromBars(
       s.table(barsTable(s, d)))),
+    // the round-9 recursions' persisted-bars twins: SuperTrend's
+    // conditional band fold, ADX's four Wilder folds, and the
+    // Heikin-Ashi candle recursion (off the OHLC bar artifact — the
+    // one consumer needing the open leg) all ride the bucket layout
+    // with zero hash exchanges (spec-pinned); shared oracles
+    "supertrend_indexed" -> ((s, d) => Finance.supertrendFromBars(
+      s.table(barsTable(s, d)).select("user_id", "day", "h", "l", "c"))),
+    "adx_indexed" -> ((s, d) => Finance.adxFromBars(
+      s.table(barsTable(s, d)).select("user_id", "day", "h", "l", "c"))),
+    "heikin_ashi_indexed" -> ((s, d) => Finance.heikinAshiFromBars(
+      s.table(ohlcBarsTable(s, d)))),
+    // — the time-series diagnostics layer over the same bar table:
+    // autocorrelation, robust trend, changepoints, smoothing —
+    // ACF at lags 1..5: exact BIGINT moments per (series, lag), the
+    // pinned √vx·√vy denominator, degenerate lags drop in both engines
+    "acf_lags" -> ((s, d) => TimeSeries.acfLags(Tables.events(s, d))),
+    // Kendall tau-b of close vs TIME: exact pairwise sign fold +
+    // tie-corrected denominator — the robust monotone-trend test
+    "kendall_trend" -> ((s, d) => TimeSeries.kendallTrend(Tables.events(s, d))),
+    // Theil–Sen: lower-median of HALF_UP integer pairwise slopes over
+    // the trailing 504 bars (the materialization bound)
+    "theil_sen" -> ((s, d) => TimeSeries.theilSen(Tables.events(s, d))),
+    // two-sided CUSUM off self-calibrated integer median/MAD targets —
+    // the changepoint alarm, recursion replayed as a recursive CTE
+    "cusum_changepoint" -> ((s, d) =>
+      TimeSeries.cusumChangepoint(Tables.events(s, d))),
+    // Holt linear smoothing with α=β=1/2: every step one signed
+    // HALF_UP halving in micro-cents; level/trend/one-step forecast
+    "holt_linear" -> ((s, d) => TimeSeries.holtLinear(Tables.events(s, d))),
     "bollinger_breaches" -> ((s, d) =>
       Finance.bollingerBreaches(Tables.events(s, d))),
     "obv_daily"     -> ((s, d) => Finance.obvDaily(Tables.events(s, d))),
@@ -1602,6 +1636,153 @@ object SparkEntry {
         |  CAST(CASE WHEN rec.td = 1 THEN rec.fl ELSE rec.fu END AS DOUBLE) / 100000000.0 AS supertrend
         |FROM b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn
         |ORDER BY b.user_id, b.day""".stripMargin
+
+  /** Shared closes-with-rank CTE of the TimeSeries oracle family:
+    * the [[graft.operators.Finance.dailyBars]] close replayed in
+    * DuckDB (max_by over the composite order key, integer cents) plus
+    * per-series row number and count.
+    */
+  private val tsClosesCte: String =
+    """dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(CAST(max_by(round(value, 2),
+      |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+      |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT user_id, day, c,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS m FROM dc)""".stripMargin
+
+  /** ACF oracle: exact BIGINT moments per (series, lag) via the
+    * lagged self-join, the PINNED √vx·√vy denominator (the operator's
+    * convention — NOT √(vx·vy)), degenerate lags dropped the same way.
+    * Sums are ::BIGINT so both engines run the identical integer
+    * arithmetic.
+    */
+  private val acfOracle: String =
+    s"""WITH $tsClosesCte,
+       |lg AS (SELECT unnest(generate_series(1, 5)) AS lag),
+       |p AS (SELECT x.user_id, lg.lag, x.c AS xc, y.c AS yc
+       |  FROM r x JOIN lg ON TRUE
+       |  JOIN r y ON y.user_id = x.user_id AND y.rn = x.rn + lg.lag),
+       |s AS (SELECT user_id, lag, count(*)::BIGINT AS k,
+       |  sum(xc)::BIGINT AS sx, sum(yc)::BIGINT AS sy,
+       |  sum(xc * xc)::BIGINT AS sxx, sum(yc * yc)::BIGINT AS syy,
+       |  sum(xc * yc)::BIGINT AS sxy
+       |  FROM p GROUP BY 1, 2),
+       |v AS (SELECT user_id, lag, k,
+       |  k * sxy - sx * sy AS num, k * sxx - sx * sx AS vx,
+       |  k * syy - sy * sy AS vy FROM s)
+       |SELECT user_id, CAST(lag AS BIGINT) AS lag,
+       |  round(CAST(num AS DOUBLE) /
+       |    (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6) + 0.0 AS acf
+       |FROM v WHERE k >= 2 AND vx > 0 AND vy > 0
+       |ORDER BY user_id, lag""".stripMargin
+
+  /** Kendall tau-b vs time oracle: the exact pairwise sign/tie sums
+    * via the i<j self-join, n₀ = m(m−1)/2 exact, the same two-sqrt
+    * pinned denominator, all-tied series dropped.
+    */
+  private val kendallOracle: String =
+    s"""WITH $tsClosesCte,
+       |p AS (SELECT x.user_id,
+       |  sum(CASE WHEN y.c > x.c THEN 1 WHEN y.c < x.c THEN -1 ELSE 0 END)::BIGINT AS cd,
+       |  sum(CASE WHEN y.c = x.c THEN 1 ELSE 0 END)::BIGINT AS ties
+       |  FROM r x JOIN r y ON y.user_id = x.user_id AND y.rn > x.rn
+       |  GROUP BY 1),
+       |g AS (SELECT user_id, max(m)::BIGINT AS m FROM r GROUP BY 1),
+       |t AS (SELECT p.user_id, g.m, p.cd, p.ties,
+       |  (g.m * (g.m - 1)) // 2 AS n0 FROM p JOIN g ON p.user_id = g.user_id)
+       |SELECT user_id, m AS n_days, cd AS concordance,
+       |  round(CAST(cd AS DOUBLE) /
+       |    (sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n0 - ties AS DOUBLE))), 6) + 0.0 AS tau
+       |FROM t WHERE m >= 2 AND n0 > ties
+       |ORDER BY user_id""".stripMargin
+
+  /** Theil–Sen oracle: every trailing-window (rn > m − 504) pair's
+    * signed HALF_UP micro-slope via the i<j self-join (the pair gap
+    * is the rn difference — windowing shifts no gap), lower median by
+    * rank (P+1)//2, /10⁶ exact-emit double.
+    */
+  private val theilSenOracle: String =
+    s"""WITH $tsClosesCte,
+       |r2 AS (SELECT user_id, c, rn FROM r WHERE m >= 2 AND rn > m - 504),
+       |sl AS (SELECT x.user_id,
+       |  CASE WHEN y.c - x.c >= 0
+       |    THEN (2 * (y.c - x.c) * 10000 + (y.rn - x.rn)) // (2 * (y.rn - x.rn))
+       |    ELSE -((2 * (x.c - y.c) * 10000 + (y.rn - x.rn)) // (2 * (y.rn - x.rn)))
+       |  END AS s
+       |  FROM r2 x JOIN r2 y ON y.user_id = x.user_id AND y.rn > x.rn),
+       |rk AS (SELECT user_id, s,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY s) AS k,
+       |  count(*) OVER (PARTITION BY user_id) AS p FROM sl)
+       |SELECT user_id, CAST(p AS BIGINT) AS n_pairs,
+       |  CAST(s AS BIGINT) AS slope_micro,
+       |  CAST(s AS DOUBLE) / 1000000.0 AS slope
+       |FROM rk WHERE k = (p + 1) // 2
+       |ORDER BY user_id""".stripMargin
+
+  /** CUSUM oracle: lower-median target and MAD by rank selection,
+    * slack k = (2·MAD+2)//4 (HALF_UP MAD/2), threshold 5·MAD, the
+    * two-sided max(0, ·) recursion replayed as a recursive CTE.
+    */
+  private val cusumOracle: String =
+    s"""WITH RECURSIVE $tsClosesCte,
+       |m1 AS (SELECT user_id, c AS mu FROM
+       |  (SELECT user_id, c, m,
+       |     row_number() OVER (PARTITION BY user_id ORDER BY c) AS k
+       |   FROM r WHERE m >= 2)
+       |  WHERE k = (m + 1) // 2),
+       |m2 AS (SELECT user_id, ad AS mad FROM
+       |  (SELECT r.user_id, abs(r.c - m1.mu) AS ad, r.m,
+       |     row_number() OVER (PARTITION BY r.user_id ORDER BY abs(r.c - m1.mu)) AS k
+       |   FROM r JOIN m1 ON r.user_id = m1.user_id)
+       |  WHERE k = (m + 1) // 2),
+       |ms AS (SELECT m1.user_id, m1.mu, m2.mad,
+       |  (2 * m2.mad + 2) // 4 AS kk, m2.mad * 5 AS h
+       |  FROM m1 JOIN m2 ON m1.user_id = m2.user_id),
+       |rec AS (
+       |  SELECT r.user_id, r.rn,
+       |    greatest(0, r.c - ms.mu - ms.kk) AS sp,
+       |    greatest(0, ms.mu - r.c - ms.kk) AS sn
+       |  FROM r JOIN ms ON r.user_id = ms.user_id WHERE r.rn = 1
+       |  UNION ALL
+       |  SELECT r.user_id, r.rn,
+       |    greatest(0, rec.sp + (r.c - ms.mu - ms.kk)),
+       |    greatest(0, rec.sn + (ms.mu - r.c - ms.kk))
+       |  FROM r JOIN rec ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+       |  JOIN ms ON ms.user_id = r.user_id)
+       |SELECT r.user_id, r.day,
+       |  CAST(ms.mu AS DOUBLE) / 100.0 AS target,
+       |  CAST(rec.sp AS BIGINT) AS s_pos, CAST(rec.sn AS BIGINT) AS s_neg,
+       |  (rec.sp > ms.h OR rec.sn > ms.h) AS alarm
+       |FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn
+       |JOIN ms ON ms.user_id = rec.user_id
+       |ORDER BY r.user_id, r.day""".stripMargin
+
+  /** Holt linear oracle: the α=β=1/2 recursion in micro-cents, every
+    * step the SAME signed HALF_UP halving as the operator, state
+    * (l, f = l + b), intermediates repeated verbatim (recursive CTEs
+    * can't bind columns — the supertrend-oracle convention).
+    */
+  private val holtOracle: String = {
+    def half(num: String) =
+      s"CASE WHEN $num >= 0 THEN ($num + 1) // 2 ELSE -((-($num) + 1) // 2) END"
+    val lt = half("r.c * 1000000 + rec.f")
+    val bt = half(s"rec.f + ($lt) - 2 * rec.l")
+    s"""WITH RECURSIVE $tsClosesCte,
+       |rec AS (
+       |  SELECT user_id, rn, c * 1000000 AS l, c * 1000000 AS f
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.user_id, r.rn, ($lt), ($lt) + ($bt)
+       |  FROM r JOIN rec ON r.user_id = rec.user_id AND r.rn = rec.rn + 1)
+       |SELECT r.user_id, r.day,
+       |  CAST(rec.l AS DOUBLE) / 100000000.0 AS level,
+       |  CAST(rec.f - rec.l AS DOUBLE) / 100000000.0 AS trend,
+       |  CAST(rec.f AS DOUBLE) / 100000000.0 AS forecast
+       |FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn
+       |ORDER BY r.user_id, r.day""".stripMargin
+  }
 
   private val macdOracle: String =
     """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
@@ -3972,12 +4153,12 @@ object SparkEntry {
         |  JOIN rs ON l_suppkey = rs.s_suppkey GROUP BY 1, 2),
         |best AS (SELECT l_partkey AS b_partkey, min(cost_cents) AS best_cents
         |  FROM offers GROUP BY 1)
-        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |SELECT s_acctbal, s_name, s_suppkey, n_name, p_partkey, p_name,
         |  CAST(cost_cents AS DOUBLE) / 100.0 AS supply_cost
         |FROM offers JOIN best ON l_partkey = b_partkey AND cost_cents = best_cents
         |JOIN rs ON l_suppkey = rs.s_suppkey
         |JOIN p ON l_partkey = p_partkey
-        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+        |ORDER BY s_acctbal DESC, s_name, p_partkey, s_suppkey LIMIT 100""".stripMargin,
     // Q12-shaped: exact-integer conditional counts per ship class
     "q12_ship_priority" ->
       """SELECT l_returnflag AS ship_class,
@@ -4070,6 +4251,19 @@ object SparkEntry {
     "supertrend" -> supertrendOracle,
     // ADX: four chained Wilder recursions replayed with recursive CTEs
     "adx_daily" -> adxOracle,
+    // the round-9 recursions' persisted-bars twins share the direct
+    // forms' oracles (identical output contract off the bar artifact)
+    "supertrend_indexed" -> supertrendOracle,
+    "adx_indexed" -> adxOracle,
+    "heikin_ashi_indexed" -> heikinAshiOracle,
+    // time-series diagnostics: exact-moment ACF, tie-corrected
+    // Kendall-vs-time, windowed Theil–Sen lower-median slope, integer
+    // CUSUM recursion, Holt α=β=1/2 halving recursion
+    "acf_lags" -> acfOracle,
+    "kendall_trend" -> kendallOracle,
+    "theil_sen" -> theilSenOracle,
+    "cusum_changepoint" -> cusumOracle,
+    "holt_linear" -> holtOracle,
     "macd_daily" -> macdOracle,
     // Keltner: EMA(20) of typical price ± 2·Wilder-ATR(10), both as
     // INTEGER micro-cent recursions (HALF_UP identities, no floats)

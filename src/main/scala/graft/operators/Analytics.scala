@@ -2327,9 +2327,10 @@ object Analytics {
     * schema, so the min observed lineitem price per (part, supplier)
     * stands in for the supply cost — the q16/q17/q20 substitution).
     * All price compares run on integer CENTS; ties at the min keep
-    * every tying supplier (Q2 semantics) and the final ORDER BY is a
-    * total order (acctbal DESC, then the unique (suppkey, partkey)),
-    * so LIMIT 100 is engine-independent. Scale shapes: region→nation→
+    * every tying supplier (Q2 semantics) and the final ORDER BY ends
+    * on the emitted (p_partkey, s_suppkey) pair — unique per result
+    * row BY KEY, not by any name column's accidental uniqueness — so
+    * LIMIT 100 is engine-independent for arbitrary inputs. Scale shapes: region→nation→
     * supplier collapses to a ~|suppliers| broadcast; the part filter
     * broadcasts and prunes the fact scan BEFORE its one grouped
     * shuffle; the per-part min is a second tiny aggregate over
@@ -2363,10 +2364,11 @@ object Analytics {
         col("cost_cents") === col("best_cents"))
       .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+      .select(col("s_acctbal"), col("s_name"), col("s_suppkey"), col("n_name"),
         col("p_partkey"), col("p_name"),
         (col("cost_cents").cast("double") / 100.0).as("supply_cost"))
-      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"),
+        col("s_suppkey"))
       .limit(100)
   }
 

@@ -1053,8 +1053,28 @@ object Finance {
     * previous-bar dependence folds over the LAGGED ha_close array),
     * recursive-CTE oracle.
     */
-  def heikinAshi(events: DataFrame): DataFrame = {
-    dailyOhlcBars(events)
+  def heikinAshi(events: DataFrame): DataFrame =
+    heikinAshiFromBars(dailyOhlcBars(events))
+
+  /** Persist the OHLC daily bar table BUCKETED by the series key —
+    * [[writeBarsTable]] with the open leg, for the candle-shaped
+    * consumers ([[heikinAshiFromBars]]): the tick→bar shuffle is paid
+    * once at write, every series-keyed fold over it plans zero hash
+    * exchanges.
+    */
+  def writeOhlcBarsTable(events: DataFrame, table: String,
+                         numBuckets: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketed(dailyOhlcBars(events), table,
+      Seq("user_id"), numBuckets)
+
+  /** [[heikinAshi]] over an already-materialized OHLC bar table (the
+    * [[writeOhlcBarsTable]] artifact): the candle recursion rides the
+    * bucket layout with ZERO hash exchanges — a recurring indicator
+    * job reads |days| bars, never raw ticks (the [[rsiFromBars]]
+    * lifecycle; shared oracle with the direct form).
+    */
+  def heikinAshiFromBars(bars: DataFrame): DataFrame = {
+    bars
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(
         col("day"), col("o"), col("h"), col("l"), col("c")))).as("rows"))
@@ -1094,14 +1114,22 @@ object Finance {
     * (fu, fl, td), recursive-CTE oracle with the same repeated-CASE
     * band expressions.
     */
-  def supertrend(events: DataFrame, n: Int = 7, mult: Int = 3): DataFrame = {
+  def supertrend(events: DataFrame, n: Int = 7, mult: Int = 3): DataFrame =
+    supertrendFromBars(dailyBars(events), n, mult)
+
+  /** [[supertrend]] over the persisted bar table — the conditional
+    * band recursion as a zero-exchange series-keyed fold off the
+    * bucket layout (the [[rsiFromBars]] lifecycle; shared oracle
+    * with the direct form).
+    */
+  def supertrendFromBars(bars: DataFrame, n: Int = 7, mult: Int = 3): DataFrame = {
     require(n >= 1, s"SuperTrend ATR window must be >= 1, got $n")
     def st(f: String) = s"element_at(acc, -1).$f"
     val fuT = s"CASE WHEN z.bu < ${st("fu")} OR z.pc > ${st("fu")} " +
       s"THEN z.bu ELSE ${st("fu")} END"
     val flT = s"CASE WHEN z.bl > ${st("fl")} OR z.pc < ${st("fl")} " +
       s"THEN z.bl ELSE ${st("fl")} END"
-    dailyBars(events)
+    bars
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("h"), col("l"), col("c"))))
         .as("rows"))
@@ -1157,7 +1185,7 @@ object Finance {
       .orderBy("user_id", "day")
   }
 
-  /** ADX — Wilder's directional system, THREE chained integer
+  /** ADX — Wilder's directional system, FOUR chained integer
     * recursions ([[rsiWilder]]'s convention end to end): ±DM and TR
     * in micro-cents Wilder-smoothed past first-n SMA seeds, DI± as
     * HALF_UP basis points of smoothed DM over smoothed TR, DX as bp
@@ -1169,9 +1197,16 @@ object Finance {
     * Wilder's 14. One exchange, per-series ordered-array folds,
     * recursive-CTE oracle.
     */
-  def adx(events: DataFrame, n: Int = 7): DataFrame = {
+  def adx(events: DataFrame, n: Int = 7): DataFrame =
+    adxFromBars(dailyBars(events), n)
+
+  /** [[adx]] over the persisted bar table — the four chained Wilder
+    * folds as a zero-exchange series-keyed fold off the bucket layout
+    * (the [[rsiFromBars]] lifecycle; shared oracle with the direct
+    * form).
+    */
+  def adxFromBars(bars: DataFrame, n: Int = 7): DataFrame = {
     require(n >= 2, s"ADX window must be >= 2, got $n")
-    val bars = dailyBars(events)
     bars
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(

@@ -97,21 +97,32 @@ object TimeSeries {
 
   /** Theil–Sen robust trend per series: the LOWER MEDIAN (rank
     * ⌈P/2⌉ — no even-count averaging, so the selected value is one of
-    * the exact integers) of all pairwise slopes, each slope the
-    * signed HALF_UP integer (c_j − c_i)·10⁴/(j − i) in micro-price
-    * units per bar. Pair fan-out is bars², bounded per series; the
-    * median is an array sort, no second shuffle. Emitted micro value
-    * + the /10⁶ double (same IEEE division of the same integer).
+    * the exact integers) of all pairwise slopes over the TRAILING
+    * `maxBars` bars, each slope the signed HALF_UP integer
+    * (c_j − c_i)·10⁴/(j − i) in micro-price units per bar (the pair
+    * gap j − i is a bar-position difference, so windowing the tail
+    * changes no individual slope). The cap is the scale bound: the
+    * materialized slope array is ≤ maxBars²/2 longs per series
+    * (default 504 bars = two trading years → ≤ 127k longs ≈ 1 MB),
+    * never bars² over an unbounded history — the estimator reads
+    * "the recent robust trend", which is also the honest statistic
+    * (a decade-old price regime has no business voting on today's
+    * slope). Median is an in-row array sort, no second shuffle.
+    * Emitted micro value + the /10⁶ double (same IEEE division of
+    * the same integer).
     */
-  def theilSen(events: DataFrame): DataFrame = {
+  def theilSen(events: DataFrame, maxBars: Int = 504): DataFrame = {
+    require(maxBars >= 2, s"maxBars must be >= 2, got $maxBars")
     closesArr(events)
       .filter(col("m") >= 2)
+      .withColumn("w", least(col("m"), lit(maxBars)))
+      .withColumn("tcs", expr("slice(cs, m - w + 1, w)"))
       .withColumn("slopes", expr(
-        "flatten(transform(sequence(1, m - 1), i -> " +
-          "transform(sequence(i + 1, m), j -> " +
-          "CASE WHEN element_at(cs, j) - element_at(cs, i) >= 0L " +
-          "THEN (2 * (element_at(cs, j) - element_at(cs, i)) * 10000 + (j - i)) div (2 * (j - i)) " +
-          "ELSE -((2 * (element_at(cs, i) - element_at(cs, j)) * 10000 + (j - i)) div (2 * (j - i))) " +
+        "flatten(transform(sequence(1, w - 1), i -> " +
+          "transform(sequence(i + 1, w), j -> " +
+          "CASE WHEN element_at(tcs, j) - element_at(tcs, i) >= 0L " +
+          "THEN (2 * (element_at(tcs, j) - element_at(tcs, i)) * 10000 + (j - i)) div (2 * (j - i)) " +
+          "ELSE -((2 * (element_at(tcs, i) - element_at(tcs, j)) * 10000 + (j - i)) div (2 * (j - i))) " +
           "END)))"))
       .withColumn("sorted", sort_array(col("slopes")))
       .withColumn("p", size(col("sorted")).cast("long"))

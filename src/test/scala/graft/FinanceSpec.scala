@@ -344,10 +344,13 @@ class FinanceSpec extends SparkSpec {
     Finance.writeBarsTable(ev, table)
     try {
       val closes = spark.table(table).select("user_id", "day", "c")
+      val hlc = spark.table(table).select("user_id", "day", "h", "l", "c")
       val cases = Seq(
         ("macd", Finance.macdFromBars(closes), Finance.macd(ev)),
         ("rsi_wilder", Finance.rsiWilderFromBars(closes), Finance.rsiWilder(ev)),
-        ("keltner", Finance.keltnerFromBars(spark.table(table)), Finance.keltner(ev)))
+        ("keltner", Finance.keltnerFromBars(spark.table(table)), Finance.keltner(ev)),
+        ("supertrend", Finance.supertrendFromBars(hlc), Finance.supertrend(ev)),
+        ("adx", Finance.adxFromBars(hlc), Finance.adx(ev)))
       cases.foreach { case (name, indexed, direct) =>
         val plan = indexed.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange hashpartitioning"),
@@ -355,6 +358,22 @@ class FinanceSpec extends SparkSpec {
         assert(indexed.except(direct).isEmpty && direct.except(indexed).isEmpty,
           s"persisted-bars $name must be value-identical to the direct form")
       }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("heikin-ashi over the persisted OHLC bar table: parity + zero hash exchanges") {
+    val ev = Tables.events(spark, sfDir)
+    val table = "t_ohlc_bars_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Finance.writeOhlcBarsTable(ev, table)
+    try {
+      val indexed = Finance.heikinAshiFromBars(spark.table(table))
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"OHLC-bar-table heikin-ashi must plan zero hash exchanges:\n$plan")
+      val direct = Finance.heikinAshi(ev)
+      assert(indexed.except(direct).isEmpty && direct.except(indexed).isEmpty,
+        "persisted-bars heikin-ashi must be value-identical to the direct form")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 

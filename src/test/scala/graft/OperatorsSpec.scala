@@ -3449,6 +3449,8 @@ class OperatorsSpec extends SparkSpec {
     val r = Analytics.minCostRegionSupplier(li, supplier, nation, region, part)
       .collect()
     assert(r.map(_.getAs[String]("s_name")).toSeq === Seq("S10", "S20"))
+    // the emitted key pair makes the LIMIT's total order name-independent
+    assert(r.map(_.getAs[Long]("s_suppkey")).toSeq === Seq(10L, 20L))
     assert(r.forall(_.getAs[Double]("supply_cost") === 5.0))
   }
 
