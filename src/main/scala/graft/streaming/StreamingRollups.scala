@@ -802,6 +802,130 @@ object StreamingRollups {
       }
   }
 
+  case class SupertrendPoint(user_id: Long, day: String, upper_band: Double,
+                             lower_band: Double, trend: Long, supertrend: Double)
+  // NOT private (the SessionState encoder contract). The whole
+  // conditional band recursion is SEVEN longs + a bounded pre-seed TR
+  // buffer: ATR Wilder state, the two ratcheting final bands, and the
+  // trend sign — state that both carries and branches, per series,
+  // never tick volume.
+  case class SupertrendState(openDay: String, openOkey: String,
+                             openH: Long, openL: Long, openClose: Long,
+                             prevClose: Long, hasPrev: Boolean,
+                             atrSeeded: Boolean, atr: Long, trBuf: Seq[Long],
+                             stSeeded: Boolean, fu: Long, fl: Long, td: Long)
+
+  /** Streaming SuperTrend — the batch conditional band recursion
+    * ([[graft.operators.Finance.supertrend]]) as seven longs of
+    * per-series state: the Wilder-ATR fold (SMA-seeded at bar n), the
+    * ratcheting final bands (upper only tightens DOWN, reset when
+    * yesterday's close broke above it; lower only UP), and the trend
+    * sign that flips when today's close crosses the just-updated
+    * opposite band. Every compare is the SAME BIGINT branch as the
+    * batch fold, so every finalized day's row is bit-equal to the
+    * batch one — parity on every series day except its still-open
+    * last (spec-pinned). The trend column IS the live alert: a
+    * sign change between consecutive emissions is the SuperTrend
+    * flip signal this indicator exists for.
+    */
+  def supertrendStream(ticks: Dataset[Tick], watermarkDelay: String,
+                       n: Int = 7, mult: Int = 3,
+                       idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[SupertrendPoint] = {
+    import ticks.sparkSession.implicits._
+    require(n >= 1, s"SuperTrend ATR window must be >= 1, got $n")
+    def divHU(num: Long, den: Long): Long =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SupertrendState, SupertrendPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[SupertrendState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: one ATR step, then the band fold
+            def closeDay(st: SupertrendState): (SupertrendState, Option[SupertrendPoint]) = {
+              val tr = (if (!st.hasPrev) st.openH - st.openL
+                else math.max(st.openH - st.openL,
+                  math.max(math.abs(st.openH - st.prevClose),
+                    math.abs(st.openL - st.prevClose)))) * 1000000L
+              val (atrSeeded, atr, buf) =
+                if (st.atrSeeded) (true, divHU(st.atr * (n - 1) + tr, n), st.trBuf)
+                else {
+                  val b = st.trBuf :+ tr
+                  if (b.size == n) (true, divHU(b.sum, n), Seq.empty[Long])
+                  else (false, 0L, b)
+                }
+              val base = st.copy(prevClose = st.openClose, hasPrev = true,
+                atrSeeded = atrSeeded, atr = atr, trBuf = buf)
+              if (!atrSeeded) (base, None)
+              else {
+                val mid = (st.openH + st.openL) * 500000L
+                val cu = st.openClose * 1000000L
+                val bu = mid + mult * atr
+                val bl = mid - mult * atr
+                val (fu, fl, td) =
+                  if (!st.stSeeded) // the first ATR row seeds the bands
+                    (bu, bl, if (cu > bu) 1L else if (cu < bl) -1L else 1L)
+                  else {
+                    val pc = st.prevClose * 1000000L // yesterday's close
+                    val fuT = if (bu < st.fu || pc > st.fu) bu else st.fu
+                    val flT = if (bl > st.fl || pc < st.fl) bl else st.fl
+                    (fuT, flT,
+                      if (cu > fuT) 1L else if (cu < flT) -1L else st.td)
+                  }
+                (base.copy(stSeeded = true, fu = fu, fl = fl, td = td),
+                  Some(SupertrendPoint(user, st.openDay,
+                    fu.toDouble / 100000000.0, fl.toDouble / 100000000.0, td,
+                    (if (td == 1L) fl else fu).toDouble / 100000000.0)))
+              }
+            }
+            val out = Seq.newBuilder[SupertrendPoint]
+            var st = state.getOption.getOrElse(SupertrendState(
+              null, null, 0L, 0L, 0L, 0L, hasPrev = false,
+              atrSeeded = false, 0L, Seq.empty,
+              stSeeded = false, 0L, 0L, 0L))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                point.foreach(out += _)
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              } else if (day == st.openDay) {
+                st = st.copy(openH = math.max(st.openH, c),
+                  openL = math.min(st.openL, c))
+                if (okey(t) > st.openOkey)
+                  st = st.copy(openOkey = okey(t), openClose = c)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class DonchianPoint(user_id: Long, day: String, upper_band: Double,
                            lower_band: Double, mid: Double, signal: String)
   // NOT private (the SessionState encoder contract). hs/ls hold the

@@ -704,6 +704,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SuperTrend reproduces the batch band recursion for every closed day") {
+    // the conditional band recursion as seven longs of state: the
+    // ratchets, resets, and trend flips must take the SAME BIGINT
+    // branches as the batch fold — every finalized day bit-equal,
+    // including the trend sign (the live flip alert)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    // n = 5 so sf0.001's short per-series day spans still seed
+    val st = StreamingRollups.supertrendStream(input.toDS(), "10 minutes", n = 5)
+    val q = st.writeStream.format("memory").queryName("parity_supertrend")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("upper_band"), r.getAs[Double]("lower_band"),
+          r.getAs[Long]("trend"), r.getAs[Double]("supertrend")))).toMap
+    val streamed = keyed(spark.table("parity_supertrend"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.Finance.supertrend(ev, n = 5)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "upper_band", "lower_band", "trend", "supertrend"))
+    assert(streamed === batch, "stream-vs-batch SuperTrend parity")
+    assert(streamed.nonEmpty)
+    // the corpus must actually exercise both trend regimes, or the
+    // flip branch is untested
+    assert(streamed.values.exists(_._3 == 1L) &&
+      streamed.values.exists(_._3 == -1L),
+      "expected both trend signs across the parity corpus")
+  }
+
   test("streaming Donchian reproduces the batch channel for every closed day") {
     // rolling envelope as a bounded n-deque; yesterday's channel must
     // follow the batch lag(u) semantics incl. partial frames
