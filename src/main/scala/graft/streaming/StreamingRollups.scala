@@ -1101,4 +1101,240 @@ object StreamingRollups {
           }
       }
   }
+
+  case class HeikinAshiPoint(user_id: Long, day: String, ha_open: Double,
+                             ha_high: Double, ha_low: Double, ha_close: Double)
+  // NOT private (the SessionState encoder contract). The candle
+  // recursion's whole carried state is TWO quarter-cent longs (the
+  // previous bar's ha_open4/ha_close4); openO/openOkeyMin track the
+  // day's FIRST tick (the one leg the other streaming indicators
+  // don't need) alongside the usual running H/L/close.
+  case class HeikinAshiState(openDay: String, openOkey: String,
+                             openOkeyMin: String, openO: Long,
+                             openH: Long, openL: Long, openClose: Long,
+                             haSeeded: Boolean, hao4: Long, hc4: Long)
+
+  /** Streaming Heikin-Ashi — the smoothed-candle recursion
+    * ([[graft.operators.Finance.heikinAshi]]) as TWO quarter-cent
+    * longs of per-series state: ha_close4 = o+h+l+c is exact in the
+    * 4× basis, the carry step ha_open4 = (prev ha_open4 + prev
+    * ha_close4 + 1) div 2 is the same positive HALF_UP halving as
+    * the batch fold, and high/low are integer max/min — every
+    * finalized day bit-equal to the batch candle (parity on all days
+    * except the still-open last, spec-pinned). The open leg needs the
+    * day's FIRST tick: the state tracks a MIN order key next to the
+    * usual max, so cross-batch disorder inside a day still lands on
+    * the batch min_by/max_by bars.
+    */
+  def heikinAshiStream(ticks: Dataset[Tick], watermarkDelay: String,
+                       idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[HeikinAshiPoint] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HeikinAshiState, HeikinAshiPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[HeikinAshiState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: one candle step, ALWAYS emits
+            // (the batch operator emits from the first bar)
+            def closeDay(st: HeikinAshiState): (HeikinAshiState, HeikinAshiPoint) = {
+              val hc4 = st.openO + st.openH + st.openL + st.openClose
+              val hao4 =
+                if (!st.haSeeded) 2 * (st.openO + st.openClose)
+                else (st.hao4 + st.hc4 + 1) / 2
+              (st.copy(haSeeded = true, hao4 = hao4, hc4 = hc4),
+                HeikinAshiPoint(user, st.openDay,
+                  hao4.toDouble / 400.0,
+                  math.max(st.openH * 4, math.max(hao4, hc4)).toDouble / 400.0,
+                  math.min(st.openL * 4, math.min(hao4, hc4)).toDouble / 400.0,
+                  hc4.toDouble / 400.0))
+            }
+            val out = Seq.newBuilder[HeikinAshiPoint]
+            var st = state.getOption.getOrElse(HeikinAshiState(
+              null, null, null, 0L, 0L, 0L, 0L, haSeeded = false, 0L, 0L))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t),
+                  openOkeyMin = okey(t), openO = c,
+                  openH = c, openL = c, openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                out += point
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openOkeyMin = okey(t), openO = c,
+                  openH = c, openL = c, openClose = c)
+              } else if (day == st.openDay) {
+                st = st.copy(openH = math.max(st.openH, c),
+                  openL = math.min(st.openL, c))
+                if (okey(t) > st.openOkey)
+                  st = st.copy(openOkey = okey(t), openClose = c)
+                if (okey(t) < st.openOkeyMin)
+                  st = st.copy(openOkeyMin = okey(t), openO = c)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
+  case class AdxPoint(user_id: Long, day: String, di_plus_bp: Long,
+                      di_minus_bp: Long, adx_bp: Long)
+  // NOT private (the SessionState encoder contract). The four chained
+  // Wilder recursions as bounded state: prev bar's (h, l, c) for the
+  // delta row, three ≤n seed buffers OR their seeded fold scalars
+  // (wp/wn/wt, micro-cents), and the ADX stage's ≤n DX buffer OR its
+  // seeded micro-bp fold (wa) — never tick volume, never day count.
+  case class AdxState(openDay: String, openOkey: String,
+                      openH: Long, openL: Long, openClose: Long,
+                      prevH: Long, prevL: Long, prevC: Long, hasPrev: Boolean,
+                      dmSeeded: Boolean, wp: Long, wn: Long, wt: Long,
+                      pdmBuf: Seq[Long], ndmBuf: Seq[Long], trBuf: Seq[Long],
+                      adxSeeded: Boolean, wa: Long, dxBuf: Seq[Long])
+
+  /** Streaming ADX — Wilder's directional system
+    * ([[graft.operators.Finance.adx]]) with all FOUR chained integer
+    * recursions as a handful of longs of per-series state: ±DM and TR
+    * per finalized delta row (needs yesterday's FULL bar — h, l, c —
+    * not just the close), SMA-seeded Wilder folds for each, DI± as
+    * HALF_UP basis points, DX, and the fourth fold over DX in
+    * micro-bp. Every division is the same positive HALF_UP identity
+    * as the batch fold, so every emitted day (from delta row 2n−1 on,
+    * exactly the batch emission start) is bit-equal — parity on all
+    * closed days, spec-pinned. The DI+/DI− crossover and a rising
+    * adx_bp are the live trend-strength alerts.
+    */
+  def adxStream(ticks: Dataset[Tick], watermarkDelay: String, n: Int = 7,
+                idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[AdxPoint] = {
+    import ticks.sparkSession.implicits._
+    require(n >= 2, s"ADX window must be >= 2, got $n")
+    def divHU(num: Long, den: Long): Long =
+      if (num >= 0) (2 * num + den) / (2 * den)
+      else -((2 * -num + den) / (2 * den))
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AdxState, AdxPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[AdxState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: if a previous bar exists this is
+            // one delta row through the four folds
+            def closeDay(st: AdxState): (AdxState, Option[AdxPoint]) = {
+              if (!st.hasPrev)
+                return (st.copy(prevH = st.openH, prevL = st.openL,
+                  prevC = st.openClose, hasPrev = true), None)
+              val up = st.openH - st.prevH
+              val dn = st.prevL - st.openL
+              val pdm = (if (up > dn && up > 0L) up else 0L) * 1000000L
+              val ndm = (if (dn > up && dn > 0L) dn else 0L) * 1000000L
+              val tr = math.max(st.openH - st.openL,
+                math.max(math.abs(st.openH - st.prevC),
+                  math.abs(st.openL - st.prevC))) * 1000000L
+              val base = st.copy(prevH = st.openH, prevL = st.openL,
+                prevC = st.openClose)
+              // stage 1-3: the three DM/TR folds share a seed phase
+              val (dmSeeded, wp, wn, wt, pb, nb, tb) =
+                if (st.dmSeeded)
+                  (true, divHU(st.wp * (n - 1) + pdm, n),
+                    divHU(st.wn * (n - 1) + ndm, n),
+                    divHU(st.wt * (n - 1) + tr, n),
+                    Seq.empty[Long], Seq.empty[Long], Seq.empty[Long])
+                else {
+                  val (p, d, t) = (st.pdmBuf :+ pdm, st.ndmBuf :+ ndm, st.trBuf :+ tr)
+                  if (p.size == n)
+                    (true, divHU(p.sum, n), divHU(d.sum, n), divHU(t.sum, n),
+                      Seq.empty[Long], Seq.empty[Long], Seq.empty[Long])
+                  else (false, 0L, 0L, 0L, p, d, t)
+                }
+              val mid = base.copy(dmSeeded = dmSeeded, wp = wp, wn = wn, wt = wt,
+                pdmBuf = pb, ndmBuf = nb, trBuf = tb)
+              if (!dmSeeded) (mid, None)
+              else {
+                // DI± / DX off the just-updated folds (flat bar → 0)
+                val dip = if (wt == 0L) 0L else (2 * wp * 10000 + wt) / (2 * wt)
+                val dim = if (wt == 0L) 0L else (2 * wn * 10000 + wt) / (2 * wt)
+                val dx = if (dip + dim == 0L) 0L
+                  else (2 * math.abs(dip - dim) * 10000 + (dip + dim)) /
+                    (2 * (dip + dim))
+                val dxu = dx * 1000000L
+                // stage 4: the ADX fold over DX in micro-bp
+                val (adxSeeded, wa, db) =
+                  if (st.adxSeeded) (true, divHU(st.wa * (n - 1) + dxu, n), Seq.empty[Long])
+                  else {
+                    val b = st.dxBuf :+ dxu
+                    if (b.size == n) (true, divHU(b.sum, n), Seq.empty[Long])
+                    else (false, 0L, b)
+                  }
+                val next = mid.copy(adxSeeded = adxSeeded, wa = wa, dxBuf = db)
+                val point = if (adxSeeded) Some(AdxPoint(user, st.openDay,
+                  dip, dim, (2 * wa + 1000000) / 2000000)) else None
+                (next, point)
+              }
+            }
+            val out = Seq.newBuilder[AdxPoint]
+            var st = state.getOption.getOrElse(AdxState(
+              null, null, 0L, 0L, 0L, 0L, 0L, 0L, hasPrev = false,
+              dmSeeded = false, 0L, 0L, 0L, Seq.empty, Seq.empty, Seq.empty,
+              adxSeeded = false, 0L, Seq.empty))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                point.foreach(out += _)
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openH = c, openL = c, openClose = c)
+              } else if (day == st.openDay) {
+                st = st.copy(openH = math.max(st.openH, c),
+                  openL = math.min(st.openL, c))
+                if (okey(t) > st.openOkey)
+                  st = st.copy(openOkey = okey(t), openClose = c)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -774,6 +774,76 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming Heikin-Ashi reproduces the batch candle recursion for every closed day") {
+    // the since-inception ha_open carry as two quarter-cent longs;
+    // the open leg exercises the day's FIRST tick (min order key),
+    // which no other streaming indicator tracks
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val ha = StreamingRollups.heikinAshiStream(input.toDS(), "10 minutes")
+    val q = ha.writeStream.format("memory").queryName("parity_heikin")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("ha_open"), r.getAs[Double]("ha_high"),
+          r.getAs[Double]("ha_low"), r.getAs[Double]("ha_close")))).toMap
+    val streamed = keyed(spark.table("parity_heikin"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.Finance.heikinAshi(ev)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "ha_open", "ha_high", "ha_low", "ha_close"))
+    assert(streamed === batch, "stream-vs-batch Heikin-Ashi parity")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming ADX reproduces the batch directional system for every closed day") {
+    // four chained Wilder folds as bounded state; emission must start
+    // at exactly the batch delta row 2n-1 and every HALF_UP division
+    // must take the same integer branch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    // n = 5 so the ~27-day sf0.001 series clear the 2n-day seed span
+    val adx = StreamingRollups.adxStream(input.toDS(), "10 minutes", n = 5)
+    val q = adx.writeStream.format("memory").queryName("parity_adx")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("di_plus_bp"), r.getAs[Long]("di_minus_bp"),
+          r.getAs[Long]("adx_bp")))).toMap
+    val streamed = keyed(spark.table("parity_adx"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.Finance.adx(ev, n = 5)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "di_plus_bp", "di_minus_bp", "adx_bp"))
+    assert(streamed === batch, "stream-vs-batch ADX parity")
+    assert(streamed.nonEmpty)
+    // both directional regimes must occur or the DM branch asymmetry
+    // is untested
+    assert(streamed.values.exists(v => v._1 > v._2) &&
+      streamed.values.exists(v => v._2 > v._1),
+      "expected both DI+ and DI- dominance across the parity corpus")
+  }
+
   test("streaming takedown tombstones an index within one trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
