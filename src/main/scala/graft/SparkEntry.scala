@@ -832,6 +832,27 @@ object SparkEntry {
     // Holt linear smoothing with α=β=1/2: every step one signed
     // HALF_UP halving in micro-cents; level/trend/one-step forecast
     "holt_linear" -> ((s, d) => TimeSeries.holtLinear(Tables.events(s, d))),
+    // Ljung–Box Q off the gate-pinned 6dp ACF values, the lag sum
+    // written out in one fixed IEEE chain (never a SQL aggregate)
+    "ljung_box" -> ((s, d) => TimeSeries.ljungBox(Tables.events(s, d))),
+    // PACF lags 1..3 in closed determinant form off the same ACF —
+    // near-singular Toeplitz denominators drop in both engines
+    "pacf_lags" -> ((s, d) => TimeSeries.pacf(Tables.events(s, d))),
+    // classical additive decomposition by engine-neutral weekday:
+    // centered 7-bar HALF_UP trend, per-weekday HALF_UP seasonal
+    "seasonal_decompose" -> ((s, d) =>
+      TimeSeries.seasonalDecompose(Tables.events(s, d))),
+    // rolling ±3-bar lower-median/MAD despiker with substitution
+    "hampel_filter" -> ((s, d) => TimeSeries.hampelFilter(Tables.events(s, d))),
+    // calendar-gap linear interpolation in exact cents, flagged rows
+    // unioned with the original bars
+    "series_interpolate" -> ((s, d) =>
+      TimeSeries.seriesInterpolate(Tables.events(s, d))),
+    // leave-one-out market cross-correlation at lags −3..+3: exact
+    // BIGINT moments, broadcast market table
+    "ccf_market" -> ((s, d) => TimeSeries.ccfMarket(Tables.events(s, d))),
+    // naive vs seasonal-naive MAE + integer-bp MASE per series
+    "forecast_skill" -> ((s, d) => TimeSeries.forecastSkill(Tables.events(s, d))),
     "bollinger_breaches" -> ((s, d) =>
       Finance.bollingerBreaches(Tables.events(s, d))),
     "obv_daily"     -> ((s, d) => Finance.obvDaily(Tables.events(s, d))),
@@ -1783,6 +1804,209 @@ object SparkEntry {
        |FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn
        |ORDER BY r.user_id, r.day""".stripMargin
   }
+
+  /** Shared ACF-moment CTE chain (through the rounded per-lag acf) of
+    * the Ljung–Box / PACF oracles — the [[acfOracle]] replay
+    * parameterized by max lag.
+    */
+  private def tsAcfCtes(maxLag: Int): String =
+    s"""lg AS (SELECT unnest(generate_series(1, $maxLag)) AS lag),
+       |p AS (SELECT x.user_id, lg.lag, x.c AS xc, y.c AS yc
+       |  FROM r x JOIN lg ON TRUE
+       |  JOIN r y ON y.user_id = x.user_id AND y.rn = x.rn + lg.lag),
+       |s AS (SELECT user_id, lag, count(*)::BIGINT AS k,
+       |  sum(xc)::BIGINT AS sx, sum(yc)::BIGINT AS sy,
+       |  sum(xc * xc)::BIGINT AS sxx, sum(yc * yc)::BIGINT AS syy,
+       |  sum(xc * yc)::BIGINT AS sxy
+       |  FROM p GROUP BY 1, 2),
+       |v AS (SELECT user_id, lag, k,
+       |  k * sxy - sx * sy AS num, k * sxx - sx * sx AS vx,
+       |  k * syy - sy * sy AS vy FROM s),
+       |a AS (SELECT user_id, lag,
+       |  round(CAST(num AS DOUBLE) /
+       |    (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6) + 0.0 AS acf
+       |  FROM v WHERE k >= 2 AND vx > 0 AND vy > 0)""".stripMargin
+
+  /** Ljung–Box oracle: the Q sum written out lag by lag in the same
+    * left-to-right IEEE chain as the operator — COALESCE(r_L²/(m−L))
+    * terms off the 6dp-rounded acf, never a SQL aggregate whose merge
+    * order floats.
+    */
+  private val ljungBoxOracle: String =
+    s"""WITH $tsClosesCte,
+       |${tsAcfCtes(5)},
+       |g AS (SELECT user_id, max(m)::BIGINT AS m FROM r GROUP BY 1),
+       |piv AS (SELECT user_id,
+       |  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+       |  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+       |  max(CASE WHEN lag = 3 THEN acf END) AS r3,
+       |  max(CASE WHEN lag = 4 THEN acf END) AS r4,
+       |  max(CASE WHEN lag = 5 THEN acf END) AS r5,
+       |  count(*)::BIGINT AS lags_used
+       |  FROM a GROUP BY 1)
+       |SELECT piv.user_id, g.m AS n_days, piv.lags_used,
+       |  round(CAST(g.m * (g.m + 2) AS DOUBLE) *
+       |    (COALESCE(r1 * r1 / CAST(g.m - 1 AS DOUBLE), 0.0) +
+       |     COALESCE(r2 * r2 / CAST(g.m - 2 AS DOUBLE), 0.0) +
+       |     COALESCE(r3 * r3 / CAST(g.m - 3 AS DOUBLE), 0.0) +
+       |     COALESCE(r4 * r4 / CAST(g.m - 4 AS DOUBLE), 0.0) +
+       |     COALESCE(r5 * r5 / CAST(g.m - 5 AS DOUBLE), 0.0)), 6) + 0.0 AS q_stat
+       |FROM piv JOIN g ON piv.user_id = g.user_id
+       |ORDER BY piv.user_id""".stripMargin
+
+  /** PACF oracle: the closed determinant-ratio forms off the rounded
+    * acf pivot, identical token sequence to the operator's
+    * expressions, near-singular denominators dropped the same way.
+    */
+  private val pacfOracle: String =
+    s"""WITH $tsClosesCte,
+       |${tsAcfCtes(3)},
+       |piv AS (SELECT user_id,
+       |  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+       |  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+       |  max(CASE WHEN lag = 3 THEN acf END) AS r3
+       |  FROM a GROUP BY 1)
+       |SELECT user_id, CAST(1 AS BIGINT) AS lag, r1 AS pacf
+       |FROM piv WHERE r1 IS NOT NULL
+       |UNION ALL
+       |SELECT user_id, CAST(2 AS BIGINT) AS lag,
+       |  round((r2 - r1*r1) / (1 - r1*r1), 6) + 0.0 AS pacf
+       |FROM piv WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+       |  AND abs(1 - r1*r1) > 1e-12
+       |UNION ALL
+       |SELECT user_id, CAST(3 AS BIGINT) AS lag,
+       |  round((r3 - r1*r2 - r1*r1*r3 + r1*r2*r2 + r1*r1*r1 - r1*r2) /
+       |    (1 - 2*r1*r1 + 2*r1*r1*r2 - r2*r2), 6) + 0.0 AS pacf
+       |FROM piv WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+       |  AND abs(1 - 2*r1*r1 + 2*r1*r1*r2 - r2*r2) > 1e-12
+       |ORDER BY user_id, lag""".stripMargin
+
+  /** Seasonal-decomposition oracle: the centered-7 HALF_UP trend,
+    * engine-neutral (day − 1970-01-05) mod 7 weekday, per-weekday
+    * signed HALF_UP seasonal over the trend-defined rows, remainder
+    * exact.
+    */
+  private val seasonalOracle: String =
+    s"""WITH $tsClosesCte,
+       |t AS (SELECT user_id, day, c,
+       |  sum(c) OVER w7 AS s7, count(*) OVER w7 AS n7
+       |  FROM r
+       |  WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |t2 AS (SELECT user_id, day, c,
+       |  CASE WHEN n7 = 7 THEN (2 * s7 + 7) // 14 END AS trend_c FROM t),
+       |t3 AS (SELECT *, c - trend_c AS detr,
+       |  (CAST(day AS DATE) - DATE '1970-01-05') % 7 AS wd FROM t2),
+       |t4 AS (SELECT *, sum(detr) OVER pw AS sd, count(detr) OVER pw AS ct
+       |  FROM t3 WINDOW pw AS (PARTITION BY user_id, wd)),
+       |t5 AS (SELECT *,
+       |  CASE WHEN sd >= 0 THEN (2 * sd + ct) // (2 * ct)
+       |       ELSE -((2 * (-sd) + ct) // (2 * ct)) END AS seas_c
+       |  FROM t4 WHERE detr IS NOT NULL)
+       |SELECT user_id, day, CAST(wd AS BIGINT) AS weekday,
+       |  CAST(trend_c AS DOUBLE) / 100.0 AS trend,
+       |  CAST(seas_c AS DOUBLE) / 100.0 AS seasonal,
+       |  CAST(detr - seas_c AS DOUBLE) / 100.0 AS remainder
+       |FROM t5 ORDER BY user_id, day""".stripMargin
+
+  /** Hampel oracle: frame-list window, lower-median rank 4 of 7 by
+    * list_sort, MAD the same selection over absolute deviations,
+    * 3·MAD integer compare.
+    */
+  private val hampelOracle: String =
+    s"""WITH $tsClosesCte,
+       |t AS (SELECT user_id, day, c,
+       |  list(c) OVER (PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vals FROM r),
+       |t2 AS (SELECT user_id, day, c, vals, list_sort(vals)[4] AS med
+       |  FROM t WHERE len(vals) = 7),
+       |t3 AS (SELECT user_id, day, c, med,
+       |  list_sort(list_transform(vals, x -> abs(x - med)))[4] AS mad FROM t2)
+       |SELECT user_id, day,
+       |  CAST(c AS DOUBLE) / 100.0 AS close,
+       |  CAST(med AS DOUBLE) / 100.0 AS win_median,
+       |  CAST(mad AS DOUBLE) / 100.0 AS win_mad,
+       |  (abs(c - med) > 3 * mad) AS outlier,
+       |  CAST(CASE WHEN abs(c - med) > 3 * mad THEN med ELSE c END AS DOUBLE)
+       |    / 100.0 AS cleaned
+       |FROM t3 ORDER BY user_id, day""".stripMargin
+
+  /** Interpolation oracle: lead-pair gaps, generate_series interior
+    * days, the same signed HALF_UP (Δ·k)/gap identity, original rows
+    * unioned unflagged.
+    */
+  private val interpolateOracle: String =
+    s"""WITH $tsClosesCte,
+       |t AS (SELECT user_id, day, c,
+       |  lead(c) OVER (PARTITION BY user_id ORDER BY day) AS nc,
+       |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nd FROM r),
+       |t2 AS (SELECT *, (CAST(nd AS DATE) - CAST(day AS DATE)) AS gap FROM t),
+       |i AS (SELECT user_id, day, c, nc, gap,
+       |  unnest(generate_series(1, gap - 1)) AS k
+       |  FROM t2 WHERE gap > 1)
+       |SELECT user_id, day, CAST(c AS DOUBLE) / 100.0 AS close,
+       |  FALSE AS interpolated FROM r
+       |UNION ALL
+       |SELECT user_id,
+       |  strftime(CAST(day AS DATE) + CAST(k AS INTEGER), '%Y-%m-%d') AS day,
+       |  CAST(c + (CASE WHEN nc >= c
+       |    THEN (2 * (nc - c) * k + gap) // (2 * gap)
+       |    ELSE -((2 * (c - nc) * k + gap) // (2 * gap)) END) AS DOUBLE)
+       |    / 100.0 AS close,
+       |  TRUE AS interpolated FROM i
+       |ORDER BY user_id, day""".stripMargin
+
+  /** CCF-vs-market oracle: per-series close changes, the leave-one-out
+    * market sum joined at each lag's calendar offset, exact BIGINT
+    * moments, pinned two-sqrt denominator.
+    */
+  private val ccfOracle: String =
+    s"""WITH $tsClosesCte,
+       |d2 AS (SELECT user_id, day, dv FROM
+       |  (SELECT user_id, day,
+       |     c - lag(c) OVER (PARTITION BY user_id ORDER BY day) AS dv FROM r)
+       |  WHERE dv IS NOT NULL),
+       |mk AS (SELECT day AS mday, sum(dv)::BIGINT AS mv FROM d2 GROUP BY 1),
+       |lg AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+       |j AS (SELECT d2.user_id, d2.dv, lg.lag,
+       |  strftime(CAST(d2.day AS DATE) - CAST(lg.lag AS INTEGER), '%Y-%m-%d') AS mday
+       |  FROM d2 JOIN lg ON TRUE),
+       |j2 AS (SELECT j.user_id, j.lag, j.dv, mk.mv - COALESCE(s2.dv, 0) AS y
+       |  FROM j JOIN mk ON j.mday = mk.mday
+       |  LEFT JOIN d2 s2 ON s2.user_id = j.user_id AND s2.day = j.mday),
+       |m AS (SELECT user_id, lag, count(*)::BIGINT AS k,
+       |  sum(dv)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       |  sum(dv * dv)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+       |  sum(dv * y)::BIGINT AS sxy
+       |  FROM j2 GROUP BY 1, 2),
+       |v AS (SELECT user_id, lag, k,
+       |  k * sxy - sx * sy AS num, k * sxx - sx * sx AS vx,
+       |  k * syy - sy * sy AS vy FROM m)
+       |SELECT user_id, CAST(lag AS BIGINT) AS lag, k AS n_pairs,
+       |  round(CAST(num AS DOUBLE) /
+       |    (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6) + 0.0 AS ccf
+       |FROM v WHERE k >= 2 AND vx > 0 AND vy > 0
+       |ORDER BY user_id, lag""".stripMargin
+
+  /** Forecast-skill oracle: lag-1/lag-7 absolute-error sums, HALF_UP
+    * cent MAEs, the exact-integer MASE bp identity, zero-naive-error
+    * series dropped.
+    */
+  private val forecastSkillOracle: String =
+    s"""WITH $tsClosesCte,
+       |t AS (SELECT user_id, c,
+       |  lag(c) OVER (PARTITION BY user_id ORDER BY day) AS p1,
+       |  lag(c, 7) OVER (PARTITION BY user_id ORDER BY day) AS p7 FROM r),
+       |a2 AS (SELECT user_id, count(*)::BIGINT AS m,
+       |  sum(abs(c - p1))::BIGINT AS sum1, count(p1)::BIGINT AS n1,
+       |  sum(abs(c - p7))::BIGINT AS sum7, count(p7)::BIGINT AS n7
+       |  FROM t GROUP BY 1)
+       |SELECT user_id, m AS n_days,
+       |  CAST((2 * sum1 + n1) // (2 * n1) AS DOUBLE) / 100.0 AS mae_naive,
+       |  CAST((2 * sum7 + n7) // (2 * n7) AS DOUBLE) / 100.0 AS mae_snaive,
+       |  (2 * sum7 * n1 * 10000 + (sum1 * n7)) // (2 * (sum1 * n7)) AS mase_bp
+       |FROM a2 WHERE n7 >= 1 AND sum1 > 0
+       |ORDER BY user_id""".stripMargin
 
   private val macdOracle: String =
     """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
@@ -4264,6 +4488,13 @@ object SparkEntry {
     "theil_sen" -> theilSenOracle,
     "cusum_changepoint" -> cusumOracle,
     "holt_linear" -> holtOracle,
+    "ljung_box" -> ljungBoxOracle,
+    "pacf_lags" -> pacfOracle,
+    "seasonal_decompose" -> seasonalOracle,
+    "hampel_filter" -> hampelOracle,
+    "series_interpolate" -> interpolateOracle,
+    "ccf_market" -> ccfOracle,
+    "forecast_skill" -> forecastSkillOracle,
     "macd_daily" -> macdOracle,
     // Keltner: EMA(20) of typical price ± 2·Wilder-ATR(10), both as
     // INTEGER micro-cent recursions (HALF_UP identities, no floats)

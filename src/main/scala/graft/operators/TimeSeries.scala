@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series statistics over the per-series daily close table —
@@ -42,13 +43,27 @@ object TimeSeries {
     * identically). Degenerate lags (either window constant, or k < 2)
     * drop in both engines. One exchange, five folds per series.
     */
-  def acfLags(events: DataFrame, maxLag: Int = 5): DataFrame = {
+  def acfLags(events: DataFrame, maxLag: Int = 5): DataFrame =
+    acfTable(events, maxLag)
+      .select(col("user_id"), col("lag"), col("acf"))
+      .orderBy("user_id", "lag")
+
+  /** The (user_id, m, lag, acf) table behind [[acfLags]], [[ljungBox]]
+    * and [[pacf]] — the rounded per-lag autocorrelations plus the
+    * series length the derived statistics need.
+    */
+  private def acfTable(events: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     closesArr(events)
       .select(col("user_id"), col("cs"), col("m"),
         explode(expr(s"sequence(1, $maxLag)")).as("lag"))
       .filter(col("m") - col("lag") >= 2)
-      .withColumn("k", col("m") - col("lag"))
+      // the filter above can be COLLAPSED into the downstream vx/vy
+      // predicate, whose common-subexpression slices then evaluate on
+      // the k < 0 rows it was meant to prune (observed: m=4, lag=5 →
+      // slice length −1 throws) — clamp instead of relying on
+      // predicate order
+      .withColumn("k", greatest(col("m") - col("lag"), lit(0)))
       .withColumn("sx", expr("aggregate(slice(cs, 1, k), 0L, (a, x) -> a + x)"))
       .withColumn("sy", expr("aggregate(slice(cs, lag + 1, k), 0L, (a, x) -> a + x)"))
       .withColumn("sxx", expr("aggregate(slice(cs, 1, k), 0L, (a, x) -> a + x * x)"))
@@ -59,11 +74,10 @@ object TimeSeries {
       .withColumn("vx", col("k") * col("sxx") - col("sx") * col("sx"))
       .withColumn("vy", col("k") * col("syy") - col("sy") * col("sy"))
       .filter(col("vx") > 0 && col("vy") > 0)
-      .select(col("user_id"), col("lag").cast("long").as("lag"),
+      .select(col("user_id"), col("m"), col("lag").cast("long").as("lag"),
         (round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))), 6)
           + lit(0.0)).as("acf"))
-      .orderBy("user_id", "lag")
   }
 
   /** Kendall's tau-b of daily closes AGAINST TIME per series — the
@@ -201,5 +215,239 @@ object TimeSeries {
         ((col("col.st.f") - col("col.st.l")).cast("double") / 100000000.0).as("trend"),
         (col("col.st.f").cast("double") / 100000000.0).as("forecast"))
       .orderBy("user_id", "day")
+  }
+
+  /** The per-series pivot of [[acfTable]] rows at lags 1..3 —
+    * (user_id, m, r1, r2, r3), each r possibly NULL where the lag was
+    * degenerate. Feeds [[pacf]].
+    */
+  private def acfPivot3(events: DataFrame): DataFrame =
+    acfTable(events, 3)
+      .groupBy("user_id")
+      .agg(first(col("m")).as("m"),
+        max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"))
+
+  /** Ljung–Box portmanteau statistic per series over lags 1..5:
+    * Q = m(m+2)·Σ r_L²/(m−L) from the SAME 6dp-rounded ACF values the
+    * [[acfLags]] gate pins — identical inputs, and the sum is written
+    * out lag by lag in one fixed left-to-right expression (never a
+    * SQL aggregate, whose merge order floats), so both engines run
+    * the identical IEEE chain. Degenerate lags contribute 0 and
+    * `lags_used` counts the live ones; a series with no live lag
+    * (constant closes) drops. Same one-exchange shape as the ACF.
+    */
+  def ljungBox(events: DataFrame): DataFrame = {
+    def term(i: Int) = coalesce(
+      col(s"r$i") * col(s"r$i") / (col("m") - i).cast("double"), lit(0.0))
+    acfTable(events, 5)
+      .groupBy("user_id")
+      .agg(first(col("m")).as("m"),
+        max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"),
+        max(when(col("lag") === 4, col("acf"))).as("r4"),
+        max(when(col("lag") === 5, col("acf"))).as("r5"),
+        count(lit(1)).as("lags_used"))
+      .select(col("user_id"), col("m").cast("long").as("n_days"),
+        col("lags_used"),
+        (round((col("m") * (col("m") + 2)).cast("double") *
+          (term(1) + term(2) + term(3) + term(4) + term(5)), 6)
+          + lit(0.0)).as("q_stat"))
+      .orderBy("user_id")
+  }
+
+  /** Partial autocorrelation at lags 1..3 per series, in CLOSED FORM
+    * off the same rounded ACF values (Cramer on the Toeplitz
+    * correlation matrix — for fixed small lags the determinant ratio
+    * beats replaying Durbin–Levinson's vector state in two engines):
+    * φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ = (r₃ − r₁r₂ − r₁²r₃ +
+    * r₁r₂² + r₁³ − r₁r₂)/(1 − 2r₁² + 2r₁²r₂ − r₂²). Each polynomial
+    * is written with the identical token sequence on both sides, so
+    * the IEEE chain matches; lags whose inputs are missing or whose
+    * denominator is within 1e−12 of singular drop in both engines.
+    */
+  def pacf(events: DataFrame): DataFrame = {
+    val p = acfPivot3(events)
+    val l1 = p.filter(col("r1").isNotNull)
+      .select(col("user_id"), lit(1L).as("lag"), col("r1").as("pacf"))
+    val l2 = p.filter(col("r1").isNotNull && col("r2").isNotNull)
+      .filter(expr("abs(1 - r1*r1) > 1e-12"))
+      .select(col("user_id"), lit(2L).as("lag"),
+        (expr("round((r2 - r1*r1) / (1 - r1*r1), 6)") + lit(0.0)).as("pacf"))
+    val l3 = p.filter(col("r1").isNotNull && col("r2").isNotNull && col("r3").isNotNull)
+      .filter(expr("abs(1 - 2*r1*r1 + 2*r1*r1*r2 - r2*r2) > 1e-12"))
+      .select(col("user_id"), lit(3L).as("lag"),
+        (expr("round((r3 - r1*r2 - r1*r1*r3 + r1*r2*r2 + r1*r1*r1 - r1*r2) / " +
+          "(1 - 2*r1*r1 + 2*r1*r1*r2 - r2*r2), 6)") + lit(0.0)).as("pacf"))
+    l1.unionByName(l2).unionByName(l3).orderBy("user_id", "lag")
+  }
+
+  /** Classical additive seasonal decomposition of daily closes by
+    * weekday: trend = centered 7-bar moving average (full frames
+    * only, positive HALF_UP (2Σ+7) div 14), detrended = c − trend
+    * (exact cents), seasonal index = signed HALF_UP mean of the
+    * detrended values per weekday (computed over exactly the rows
+    * where the trend exists), remainder = detrended − seasonal. The
+    * seasonal indices are NOT re-centered — the convention is pinned
+    * by the gate and documented here. Weekday is the engine-neutral
+    * (day − 1970-01-05) mod 7 (Monday = 0), never a bare DOW
+    * builtin (Spark and DuckDB disagree on week start). Two windows
+    * over the same series-keyed exchange, no join.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    val wd = Window.partitionBy("user_id", "wd")
+    closes(events)
+      .withColumn("s7", sum(col("c")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("trend_c", when(col("n7") === 7, expr("(2 * s7 + 7) div 14")))
+      .withColumn("detr", col("c") - col("trend_c"))
+      .withColumn("wd", expr("datediff(to_date(day), DATE '1970-01-05') % 7"))
+      .withColumn("sd", sum(col("detr")).over(wd))
+      .withColumn("ct", count(col("detr")).over(wd))
+      .filter(col("detr").isNotNull)
+      .withColumn("seas_c", expr(
+        "CASE WHEN sd >= 0 THEN (2 * sd + ct) div (2 * ct) " +
+          "ELSE -((2 * (-sd) + ct) div (2 * ct)) END"))
+      .select(col("user_id"), col("day"), col("wd").cast("long").as("weekday"),
+        (col("trend_c").cast("double") / 100.0).as("trend"),
+        (col("seas_c").cast("double") / 100.0).as("seasonal"),
+        ((col("detr") - col("seas_c")).cast("double") / 100.0).as("remainder"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Hampel outlier filter over daily closes: rolling ±3-bar window
+    * (full frames only), center = LOWER MEDIAN (rank 4 of 7 — an
+    * exact element, no averaging), spread = lower-median absolute
+    * deviation from that center, flag when |c − med| > 3·MAD, and
+    * the cleaned series substitutes the window median for flagged
+    * points — the standard despiking pass in front of any indicator.
+    * All integer compares; one window, in-row array sorts.
+    */
+  def hampelFilter(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    closes(events)
+      .withColumn("vals", collect_list(col("c")).over(w))
+      .filter(size(col("vals")) === 7)
+      .withColumn("med", expr("element_at(array_sort(vals), 4)"))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(vals, x -> abs(x - med))), 4)"))
+      .withColumn("outlier", expr("abs(c - med) > 3 * mad"))
+      .select(col("user_id"), col("day"),
+        (col("c").cast("double") / 100.0).as("close"),
+        (col("med").cast("double") / 100.0).as("win_median"),
+        (col("mad").cast("double") / 100.0).as("win_mad"),
+        col("outlier"),
+        (when(col("outlier"), col("med")).otherwise(col("c"))
+          .cast("double") / 100.0).as("cleaned"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Calendar-gap interpolation of daily closes: for each pair of
+    * consecutive bars more than one day apart, emit the interior
+    * days with the linearly interpolated close — c_prev + signed
+    * HALF_UP((c_next − c_prev)·k / gap) in exact cents — flagged
+    * `interpolated`, unioned with the original bars. The missing-data
+    * companion to forward fill (series_fill_forward) when the
+    * consumer wants a trend-preserving fill. Per-series lead + a
+    * gap-bounded explode; no extra exchange.
+    */
+  def seriesInterpolate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val t = closes(events)
+      .withColumn("nd", lead(col("day"), 1).over(w))
+      .withColumn("nc", lead(col("c"), 1).over(w))
+      .withColumn("gap", expr("datediff(to_date(nd), to_date(day))"))
+    val orig = t.select(col("user_id"), col("day"),
+      (col("c").cast("double") / 100.0).as("close"),
+      lit(false).as("interpolated"))
+    val interp = t.filter(col("gap") > 1)
+      .select(col("user_id"), col("day"), col("c"), col("nc"),
+        col("gap").cast("long").as("gap"),
+        explode(expr("sequence(1, CAST(gap - 1 AS INT))")).as("k"))
+      .withColumn("iday", expr(
+        "date_format(date_add(to_date(day), k), 'yyyy-MM-dd')"))
+      .withColumn("ic", expr(
+        "c + (CASE WHEN nc >= c THEN (2 * (nc - c) * k + gap) div (2 * gap) " +
+          "ELSE -((2 * (c - nc) * k + gap) div (2 * gap)) END)"))
+      .select(col("user_id"), col("iday").as("day"),
+        (col("ic").cast("double") / 100.0).as("close"),
+        lit(true).as("interpolated"))
+    orig.unionByName(interp).orderBy("user_id", "day")
+  }
+
+  /** Lead-lag cross-correlation of each series' daily close CHANGES
+    * against the LEAVE-ONE-OUT market change at lags −3..+3 (positive
+    * lag = the market moved first): x_t = c_t − c_{t−1} per series,
+    * market M_d = Σ over all series of that day's change, y = M_{t−lag}
+    * minus the series' own change that day (else every series
+    * "correlates" with itself through the sum). Pearson over the
+    * matched calendar days with exact BIGINT moments and the pinned
+    * √vx·√vy denominator; degenerate cells drop. Shapes: the market
+    * table is |days| rows → broadcast; the leave-one-out join
+    * shuffles on (series, day) — the co-partitioned key.
+    */
+  def ccfMarket(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val d = closes(events)
+      .withColumn("pv", lag(col("c"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .withColumn("dv", col("c") - col("pv"))
+      .select("user_id", "day", "dv")
+    val mk = d.groupBy("day").agg(sum(col("dv")).as("mv"))
+      .withColumnRenamed("day", "mday")
+    d.select(col("user_id"), col("day"), col("dv"),
+        explode(expr(s"sequence(${-maxLag}, $maxLag)")).as("lag"))
+      .withColumn("mday", expr(
+        "date_format(date_add(to_date(day), -lag), 'yyyy-MM-dd')"))
+      .join(broadcast(mk), Seq("mday"))
+      .join(d.select(col("user_id"), col("day").as("mday"),
+        col("dv").as("sv")), Seq("user_id", "mday"), "left")
+      .withColumn("y", col("mv") - coalesce(col("sv"), lit(0L)))
+      .groupBy(col("user_id"), col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("dv")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("dv") * col("dv")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("dv") * col("y")).as("sxy"))
+      .withColumn("vx", col("k") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("k") * col("syy") - col("sy") * col("sy"))
+      .filter(col("k") >= 2 && col("vx") > 0 && col("vy") > 0)
+      .select(col("user_id"), col("lag"), col("k").as("n_pairs"),
+        (round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))), 6)
+          + lit(0.0)).as("ccf"))
+      .orderBy("user_id", "lag")
+  }
+
+  /** Forecast-skill report per series: MAE of the naive (lag-1) and
+    * seasonal-naive (lag-7 BARS — row lag, not calendar, the
+    * convention pinned here) forecasts in HALF_UP cents, plus MASE
+    * as HALF_UP basis points of exact integers —
+    * (10⁴·Σ|e₇|·n₁)/(Σ|e₁|·n₇). MASE < 10000 bp means weekly
+    * seasonality beats yesterday's value — the one-line answer to
+    * "is there a weekly pattern worth modeling". Series whose naive
+    * error is zero (constant) drop. One exchange, two lags, one
+    * aggregate.
+    */
+  def forecastSkill(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    closes(events)
+      .withColumn("p1", lag(col("c"), 1).over(w))
+      .withColumn("p7", lag(col("c"), 7).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("m"),
+        sum(abs(col("c") - col("p1"))).as("sum1"), count(col("p1")).as("n1"),
+        sum(abs(col("c") - col("p7"))).as("sum7"), count(col("p7")).as("n7"))
+      .filter(col("n7") >= 1 && col("sum1") > 0)
+      .select(col("user_id"), col("m").cast("long").as("n_days"),
+        (expr("(2 * sum1 + n1) div (2 * n1)").cast("double") / 100.0).as("mae_naive"),
+        (expr("(2 * sum7 + n7) div (2 * n7)").cast("double") / 100.0).as("mae_snaive"),
+        expr("(2 * sum7 * n1 * 10000 + (sum1 * n7)) div (2 * (sum1 * n7))")
+          .as("mase_bp"))
+      .orderBy("user_id")
   }
 }

@@ -136,4 +136,161 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r(0).getAs[Double]("trend") === 0.0)
     assert(r(0).getAs[Double]("forecast") === 2.5)
   }
+
+  test("ljung-box: hand-worked Q over the live lags, constants drop") {
+    // closes [100,300,200,400]: lag1 acf=−0.5 (the acf spec's moments),
+    // lag2: x=[100,300] y=[200,400] → vx=vy=num=40000 → acf=1.0;
+    // lags 3..5 have k<2 → drop; lags_used=2 and
+    // Q = m(m+2)·(r1²/(m−1)+r2²/(m−2)) = 24·(0.25/3 + 1.0/2) = 14.0
+    val df = series(1L -> Seq(1.0, 3.0, 2.0, 4.0),
+      2L -> Seq(7.0, 7.0, 7.0, 7.0))
+    val r = TimeSeries.ljungBox(df).collect()
+    assert(r.length === 1) // the constant series has no live lag
+    assert(r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[Long]("n_days") === 4L)
+    assert(r(0).getAs[Long]("lags_used") === 2L)
+    assert(r(0).getAs[Double]("q_stat") === 14.0)
+  }
+
+  test("pacf: closed forms match Durbin-Levinson on the operator's own acf") {
+    // fidelity: the lag-3 determinant ratio must equal the standard
+    // Durbin-Levinson recursion run on the same rounded acf values
+    val df = series(1L -> Seq(1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.0, 6.0))
+    val acf = TimeSeries.acfLags(df, maxLag = 3).collect()
+      .map(x => x.getAs[Long]("lag") -> x.getAs[Double]("acf")).toMap
+    val (r1, r2, r3) = (acf(1L), acf(2L), acf(3L))
+    // Durbin-Levinson: phi11=r1; phi22=(r2-phi11*r1)/(1-phi11*r1);
+    // phi21=phi11-phi22*phi11; phi33=(r3-phi21*r2-phi22*r1)/(1-phi21*r1-phi22*r2)
+    val phi11 = r1
+    val phi22 = (r2 - phi11 * r1) / (1 - phi11 * r1)
+    val phi21 = phi11 - phi22 * phi11
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    val p = TimeSeries.pacf(df).collect()
+      .map(x => x.getAs[Long]("lag") -> x.getAs[Double]("pacf")).toMap
+    assert(p(1L) === r1)
+    assert(math.abs(p(2L) - phi22) < 1e-6)
+    assert(math.abs(p(3L) - phi33) < 1e-6)
+  }
+
+  test("pacf: singular Toeplitz denominators drop, short series truncate") {
+    // the linear series has r1=r2=r3=1 → 1−r1² = 0 → lags 2,3 drop;
+    // the 4-bar series has no lag-3 acf at all → only lags 1,2
+    val df = series(1L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      2L -> Seq(1.0, 3.0, 2.0, 4.0))
+    val byU = TimeSeries.pacf(df).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(x =>
+        x.getAs[Long]("lag") -> x.getAs[Double]("pacf")).toMap }
+    assert(byU(1L) === Map(1L -> 1.0))
+    // u2: r1=−0.5, r2=1.0 → pacf2 = (1−0.25)/(1−0.25) = 1.0
+    assert(byU(2L) === Map(1L -> -0.5, 2L -> 1.0))
+  }
+
+  test("seasonal decompose: a pure weekly spike lands entirely in the seasonal") {
+    // 14 days from Mon 2024-01-01, 10.00 flat with +0.70 spikes on
+    // days 4 and 11 (both weekday 3): every full 7-frame holds exactly
+    // one spike → trend = HALF_UP(7070/7) = 10.10 everywhere;
+    // detrended = +60 on the spikes, −10 elsewhere; weekday-3 seasonal
+    // = 60, all others −10 → remainder identically 0
+    val vals = (1 to 14).map(i => if (i == 4 || i == 11) 10.70 else 10.00)
+    val df = series(1L -> vals)
+    val r = TimeSeries.seasonalDecompose(df).collect()
+    assert(r.length === 8) // full frames: days 4..11
+    assert(r.forall(_.getAs[Double]("trend") === 10.10))
+    assert(r.forall(_.getAs[Double]("remainder") === 0.0))
+    r.foreach { x =>
+      val expected = if (x.getAs[Long]("weekday") == 3L) 0.6 else -0.1
+      assert(x.getAs[Double]("seasonal") === expected, s"at $x")
+    }
+  }
+
+  test("hampel: spike flagged and substituted, flat neighbors untouched") {
+    // u1: constant 10.00 with a 20.00 spike on day 5 of 9. Full frames
+    // are days 4..6; med=10.00 and mad=0 in each, so only the spike
+    // (|Δ|=1000 > 0) flags — the > is strict, flat rows never flag
+    val df = series(1L -> Seq(10.0, 10.0, 10.0, 10.0, 20.0, 10.0, 10.0, 10.0, 10.0))
+    val r = TimeSeries.hampelFilter(df).collect()
+    assert(r.length === 3)
+    assert(r.map(_.getAs[Boolean]("outlier")).toSeq === Seq(false, true, false))
+    assert(r.forall(_.getAs[Double]("cleaned") === 10.0))
+    assert(r.forall(_.getAs[Double]("win_median") === 10.0))
+    assert(r.forall(_.getAs[Double]("win_mad") === 0.0))
+  }
+
+  test("hampel: lower-median MAD on a drifting window") {
+    // u1 closes [10.00,10.10,10.20,10.30,15.00,10.50,10.60,10.70,10.80],
+    // day 5 frame (days 2..8) sorted [1010..1070,1500] → med=1050,
+    // deviations sorted [0,10,20,20,30,40,450] → mad=20 (rank 4);
+    // |1500−1050|=450 > 60 → flagged, cleaned = 10.50
+    val df = series(1L -> Seq(10.0, 10.1, 10.2, 10.3, 15.0, 10.5, 10.6, 10.7, 10.8))
+    val r = TimeSeries.hampelFilter(df).collect()
+    val d5 = r.find(_.getAs[String]("day") == "2024-01-05").get
+    assert(d5.getAs[Double]("win_median") === 10.50)
+    assert(d5.getAs[Double]("win_mad") === 0.20)
+    assert(d5.getAs[Boolean]("outlier"))
+    assert(d5.getAs[Double]("cleaned") === 10.50)
+    assert(r.count(_.getAs[Boolean]("outlier")) === 1)
+  }
+
+  test("interpolate: HALF_UP linear fill across calendar gaps, both slopes") {
+    import spark.implicits._
+    // bars on days 1, 4, 6: the 3-day gap fills k=1,2 with
+    // 1000+HU(30k/3) = 1010, 1020; the down-gap 1030→1005 fills
+    // HU(−25/2) = −13 → 1017
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, 10.00),
+      (2L, t("2024-01-04 10:00:00"), 1L, 10.30),
+      (3L, t("2024-01-06 10:00:00"), 1L, 10.05))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = TimeSeries.seriesInterpolate(df).collect()
+    val got = r.map(x => (x.getAs[String]("day"), x.getAs[Double]("close"),
+      x.getAs[Boolean]("interpolated"))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 10.00, false), ("2024-01-02", 10.10, true),
+      ("2024-01-03", 10.20, true), ("2024-01-04", 10.30, false),
+      ("2024-01-05", 10.17, true), ("2024-01-06", 10.05, false)))
+  }
+
+  test("ccf vs market: leave-one-out alignment at lag 0 and ±1") {
+    // u1 dv=[10,−10,20], u2 dv=[20,−20,40] → market [30,−30,60];
+    // leave-one-out y for u1 at lag 0 is exactly u2's dv → perfectly
+    // correlated (1.0); at lag 1 (market leads) u1's [−10,20] pairs
+    // with y=[20,−20] → −1.0
+    val df = series(1L -> Seq(10.00, 10.10, 10.00, 10.20),
+      2L -> Seq(20.00, 20.20, 20.00, 20.40))
+    val r = TimeSeries.ccfMarket(df).collect()
+    val byKey = r.map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("lag")) ->
+      (x.getAs[Long]("n_pairs"), x.getAs[Double]("ccf"))).toMap
+    assert(byKey((1L, 0L)) === ((3L, 1.0)))
+    assert(byKey((2L, 0L)) === ((3L, 1.0)))
+    assert(byKey((1L, 1L)) === ((2L, -1.0)))
+  }
+
+  test("forecast skill: perfect weekly pattern scores MASE 0") {
+    // u1 repeats a 7-day ramp twice: every lag-7 error is 0 →
+    // mae_snaive=0, mase_bp=0; naive MAE = HU(1800/13) = 138 cents.
+    // u2 (constant) has zero naive error → dropped
+    val ramp = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0)
+    val df = series(1L -> (ramp ++ ramp), 2L -> Seq(5.0, 5.0, 5.0, 5.0,
+      5.0, 5.0, 5.0, 5.0))
+    val r = TimeSeries.forecastSkill(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_days") === 14L)
+    assert(r(0).getAs[Double]("mae_naive") === 1.38)
+    assert(r(0).getAs[Double]("mae_snaive") === 0.0)
+    assert(r(0).getAs[Long]("mase_bp") === 0L)
+  }
+
+  test("forecast skill: hand-worked MASE basis points") {
+    // closes [1000,1200,1100,1300,1000,1400,1100,1500,1200]:
+    // sum1=2200 n1=8 → mae_naive=HU(275)=2.75; lag-7 pairs |1500−1000|,
+    // |1200−1200| → sum7=500 n7=2 → mae_snaive=HU(250)=2.50;
+    // mase = HU(10⁴·500·8/(2200·2)) = HU(9090.909) = 9091 bp
+    val df = series(1L -> Seq(10.0, 12.0, 11.0, 13.0, 10.0, 14.0, 11.0, 15.0, 12.0))
+    val r = TimeSeries.forecastSkill(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Double]("mae_naive") === 2.75)
+    assert(r(0).getAs[Double]("mae_snaive") === 2.50)
+    assert(r(0).getAs[Long]("mase_bp") === 9091L)
+  }
 }
