@@ -853,6 +853,36 @@ object SparkEntry {
     "ccf_market" -> ((s, d) => TimeSeries.ccfMarket(Tables.events(s, d))),
     // naive vs seasonal-naive MAE + integer-bp MASE per series
     "forecast_skill" -> ((s, d) => TimeSeries.forecastSkill(Tables.events(s, d))),
+    // the diagnostics' persisted-bars twins: recurring monitoring jobs
+    // read |days| bars off the series-bucketed bar artifact — the
+    // per-series folds ride the bucket layout with zero hash exchanges
+    // (spec-pinned; ccf_indexed re-keys by day/(series,day) past the
+    // first projection, documented at TimeSeries.ccfMarketFromBars) —
+    // instead of re-aggregating raw ticks per query; shared oracles
+    "acf_indexed" -> ((s, d) => TimeSeries.acfLagsFromBars(
+      s.table(barsTable(s, d)))),
+    "kendall_indexed" -> ((s, d) => TimeSeries.kendallTrendFromBars(
+      s.table(barsTable(s, d)))),
+    "theil_sen_indexed" -> ((s, d) => TimeSeries.theilSenFromBars(
+      s.table(barsTable(s, d)))),
+    "cusum_indexed" -> ((s, d) => TimeSeries.cusumChangepointFromBars(
+      s.table(barsTable(s, d)))),
+    "holt_indexed" -> ((s, d) => TimeSeries.holtLinearFromBars(
+      s.table(barsTable(s, d)))),
+    "ljung_box_indexed" -> ((s, d) => TimeSeries.ljungBoxFromBars(
+      s.table(barsTable(s, d)))),
+    "pacf_indexed" -> ((s, d) => TimeSeries.pacfFromBars(
+      s.table(barsTable(s, d)))),
+    "seasonal_indexed" -> ((s, d) => TimeSeries.seasonalDecomposeFromBars(
+      s.table(barsTable(s, d)))),
+    "hampel_indexed" -> ((s, d) => TimeSeries.hampelFilterFromBars(
+      s.table(barsTable(s, d)))),
+    "interpolate_indexed" -> ((s, d) => TimeSeries.seriesInterpolateFromBars(
+      s.table(barsTable(s, d)))),
+    "ccf_indexed" -> ((s, d) => TimeSeries.ccfMarketFromBars(
+      s.table(barsTable(s, d)))),
+    "forecast_skill_indexed" -> ((s, d) => TimeSeries.forecastSkillFromBars(
+      s.table(barsTable(s, d)))),
     "bollinger_breaches" -> ((s, d) =>
       Finance.bollingerBreaches(Tables.events(s, d))),
     "obv_daily"     -> ((s, d) => Finance.obvDaily(Tables.events(s, d))),
@@ -4495,6 +4525,20 @@ object SparkEntry {
     "series_interpolate" -> interpolateOracle,
     "ccf_market" -> ccfOracle,
     "forecast_skill" -> forecastSkillOracle,
+    // the diagnostics' persisted-bars twins share the direct forms'
+    // oracles (identical output contract off the bar artifact)
+    "acf_indexed" -> acfOracle,
+    "kendall_indexed" -> kendallOracle,
+    "theil_sen_indexed" -> theilSenOracle,
+    "cusum_indexed" -> cusumOracle,
+    "holt_indexed" -> holtOracle,
+    "ljung_box_indexed" -> ljungBoxOracle,
+    "pacf_indexed" -> pacfOracle,
+    "seasonal_indexed" -> seasonalOracle,
+    "hampel_indexed" -> hampelOracle,
+    "interpolate_indexed" -> interpolateOracle,
+    "ccf_indexed" -> ccfOracle,
+    "forecast_skill_indexed" -> forecastSkillOracle,
     "macd_daily" -> macdOracle,
     // Keltner: EMA(20) of typical price ± 2·Wilder-ATR(10), both as
     // INTEGER micro-cent recursions (HALF_UP identities, no floats)

@@ -22,15 +22,28 @@ import org.apache.spark.sql.functions._
   * compact artifact, never raw ticks). The O(days²) pair ops
   * (Kendall, Theil–Sen) are bounded by the bar count per series, not
   * by tick volume; at 100 TB the bar table is still tiny per series.
+  *
+  * Every diagnostic has TWO entry points sharing one core (and one
+  * oracle): the direct form aggregates raw ticks per query, and the
+  * `FromBars` twin reads the PERSISTED series-bucketed bar table
+  * ([[Finance.writeBarsTable]]) — the recurring-monitoring
+  * deployment, where the per-series folds ride the bucket layout
+  * with zero hash exchanges (spec-pinned) and the job reads |days|
+  * bars, never raw ticks (the [[Finance.rsiFromBars]] lifecycle).
   */
 object TimeSeries {
 
   private def closes(events: DataFrame): DataFrame =
     Finance.dailyBars(events).select("user_id", "day", "c")
 
-  private def closesArr(events: DataFrame): DataFrame =
-    closes(events)
-      .groupBy("user_id")
+  /** The close leg of a persisted bar-table read — the `FromBars`
+    * twins' shared input projection.
+    */
+  private def barCloses(bars: DataFrame): DataFrame =
+    bars.select("user_id", "day", "c")
+
+  private def closesArr(cl: DataFrame): DataFrame =
+    cl.groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
       .withColumn("cs", expr("transform(rows, r -> r.c)"))
       .withColumn("m", size(col("cs")))
@@ -44,7 +57,14 @@ object TimeSeries {
     * drop in both engines. One exchange, five folds per series.
     */
   def acfLags(events: DataFrame, maxLag: Int = 5): DataFrame =
-    acfTable(events, maxLag)
+    acfLagsC(closes(events), maxLag)
+
+  /** [[acfLags]] over the persisted bar table — zero hash exchanges. */
+  def acfLagsFromBars(bars: DataFrame, maxLag: Int = 5): DataFrame =
+    acfLagsC(barCloses(bars), maxLag)
+
+  private def acfLagsC(cl: DataFrame, maxLag: Int): DataFrame =
+    acfTable(cl, maxLag)
       .select(col("user_id"), col("lag"), col("acf"))
       .orderBy("user_id", "lag")
 
@@ -52,9 +72,9 @@ object TimeSeries {
     * and [[pacf]] — the rounded per-lag autocorrelations plus the
     * series length the derived statistics need.
     */
-  private def acfTable(events: DataFrame, maxLag: Int): DataFrame = {
+  private def acfTable(cl: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    closesArr(events)
+    closesArr(cl)
       .select(col("user_id"), col("cs"), col("m"),
         explode(expr(s"sequence(1, $maxLag)")).as("lag"))
       .filter(col("m") - col("lag") >= 2)
@@ -88,8 +108,16 @@ object TimeSeries {
     * nested fold per series (O(bars²), bounded by the bar count).
     * All-tied series drop (undefined tau) in both engines.
     */
-  def kendallTrend(events: DataFrame): DataFrame = {
-    closesArr(events)
+  def kendallTrend(events: DataFrame): DataFrame =
+    kendallTrendC(closes(events))
+
+  /** [[kendallTrend]] over the persisted bar table — zero hash
+    * exchanges. */
+  def kendallTrendFromBars(bars: DataFrame): DataFrame =
+    kendallTrendC(barCloses(bars))
+
+  private def kendallTrendC(cl: DataFrame): DataFrame = {
+    closesArr(cl)
       .filter(col("m") >= 2)
       // one nested fold carries (C−D, ties) together
       .withColumn("p", expr(
@@ -125,9 +153,16 @@ object TimeSeries {
     * Emitted micro value + the /10⁶ double (same IEEE division of
     * the same integer).
     */
-  def theilSen(events: DataFrame, maxBars: Int = 504): DataFrame = {
+  def theilSen(events: DataFrame, maxBars: Int = 504): DataFrame =
+    theilSenC(closes(events), maxBars)
+
+  /** [[theilSen]] over the persisted bar table — zero hash exchanges. */
+  def theilSenFromBars(bars: DataFrame, maxBars: Int = 504): DataFrame =
+    theilSenC(barCloses(bars), maxBars)
+
+  private def theilSenC(cl: DataFrame, maxBars: Int): DataFrame = {
     require(maxBars >= 2, s"maxBars must be >= 2, got $maxBars")
-    closesArr(events)
+    closesArr(cl)
       .filter(col("m") >= 2)
       .withColumn("w", least(col("m"), lit(maxBars)))
       .withColumn("tcs", expr("slice(cs, m - w + 1, w)"))
@@ -157,8 +192,16 @@ object TimeSeries {
     * oracle; lower medians keep every statistic an exact element of
     * the data.
     */
-  def cusumChangepoint(events: DataFrame): DataFrame = {
-    closesArr(events)
+  def cusumChangepoint(events: DataFrame): DataFrame =
+    cusumChangepointC(closes(events))
+
+  /** [[cusumChangepoint]] over the persisted bar table — zero hash
+    * exchanges. */
+  def cusumChangepointFromBars(bars: DataFrame): DataFrame =
+    cusumChangepointC(barCloses(bars))
+
+  private def cusumChangepointC(cl: DataFrame): DataFrame = {
+    closesArr(cl)
       .filter(col("m") >= 2)
       .withColumn("mu", expr(
         "element_at(sort_array(cs), CAST((m + 1) div 2 AS INT))"))
@@ -182,6 +225,25 @@ object TimeSeries {
       .orderBy("user_id", "day")
   }
 
+  /** The CUSUM calibration artifact — per-series (μ, MAD, the HALF_UP
+    * slack k and the 5·MAD alarm threshold h) exactly as
+    * [[cusumChangepoint]] self-calibrates them. This is the bounded
+    * (|series| rows) static table the STREAMING monitor
+    * ([[graft.streaming.StreamingRollups.cusumStream]]) joins against:
+    * batch calibrates offline, the stream replays the identical
+    * integer recursion live.
+    */
+  def cusumCalibration(events: DataFrame): DataFrame =
+    closesArr(closes(events))
+      .filter(col("m") >= 2)
+      .withColumn("mu", expr(
+        "element_at(sort_array(cs), CAST((m + 1) div 2 AS INT))"))
+      .withColumn("mad", expr(
+        "element_at(sort_array(transform(cs, x -> abs(x - mu))), CAST((m + 1) div 2 AS INT))"))
+      .select(col("user_id"), col("mu"), col("mad"),
+        expr("(2 * mad + 2) div 4").as("k"),
+        (col("mad") * 5).as("h"))
+
   /** Holt linear (double) exponential smoothing per series with
     * α = β = 1/2 — the halving coefficients keep every step ONE
     * positive/signed HALF_UP integer op in micro-cents: level l_t =
@@ -191,7 +253,15 @@ object TimeSeries {
     * the streaming-friendly forecaster ([[Finance.macd]]'s fold
     * shape; recursive-CTE oracle).
     */
-  def holtLinear(events: DataFrame): DataFrame = {
+  def holtLinear(events: DataFrame): DataFrame =
+    holtLinearC(closes(events))
+
+  /** [[holtLinear]] over the persisted bar table — zero hash
+    * exchanges. */
+  def holtLinearFromBars(bars: DataFrame): DataFrame =
+    holtLinearC(barCloses(bars))
+
+  private def holtLinearC(cl: DataFrame): DataFrame = {
     // signed HALF_UP halving as a composable fragment
     def half(num: String) =
       s"(CASE WHEN ($num) >= 0L THEN (($num) + 1) div 2 " +
@@ -202,7 +272,7 @@ object TimeSeries {
     val l0 = "element_at(acc, -1).l"
     val lt = half(s"x + $f0")
     val bt = half(s"$f0 + $lt - 2 * $l0")
-    closesArr(events)
+    closesArr(cl)
       .withColumn("xs", expr("transform(cs, x -> x * 1000000L)"))
       .withColumn("st", expr(
         "aggregate(slice(xs, 2, m - 1), " +
@@ -221,8 +291,8 @@ object TimeSeries {
     * (user_id, m, r1, r2, r3), each r possibly NULL where the lag was
     * degenerate. Feeds [[pacf]].
     */
-  private def acfPivot3(events: DataFrame): DataFrame =
-    acfTable(events, 3)
+  private def acfPivot3(cl: DataFrame): DataFrame =
+    acfTable(cl, 3)
       .groupBy("user_id")
       .agg(first(col("m")).as("m"),
         max(when(col("lag") === 1, col("acf"))).as("r1"),
@@ -238,10 +308,18 @@ object TimeSeries {
     * `lags_used` counts the live ones; a series with no live lag
     * (constant closes) drops. Same one-exchange shape as the ACF.
     */
-  def ljungBox(events: DataFrame): DataFrame = {
+  def ljungBox(events: DataFrame): DataFrame =
+    ljungBoxC(closes(events))
+
+  /** [[ljungBox]] over the persisted bar table — zero hash
+    * exchanges. */
+  def ljungBoxFromBars(bars: DataFrame): DataFrame =
+    ljungBoxC(barCloses(bars))
+
+  private def ljungBoxC(cl: DataFrame): DataFrame = {
     def term(i: Int) = coalesce(
       col(s"r$i") * col(s"r$i") / (col("m") - i).cast("double"), lit(0.0))
-    acfTable(events, 5)
+    acfTable(cl, 5)
       .groupBy("user_id")
       .agg(first(col("m")).as("m"),
         max(when(col("lag") === 1, col("acf"))).as("r1"),
@@ -268,8 +346,15 @@ object TimeSeries {
     * the IEEE chain matches; lags whose inputs are missing or whose
     * denominator is within 1e−12 of singular drop in both engines.
     */
-  def pacf(events: DataFrame): DataFrame = {
-    val p = acfPivot3(events)
+  def pacf(events: DataFrame): DataFrame =
+    pacfC(closes(events))
+
+  /** [[pacf]] over the persisted bar table — zero hash exchanges. */
+  def pacfFromBars(bars: DataFrame): DataFrame =
+    pacfC(barCloses(bars))
+
+  private def pacfC(cl: DataFrame): DataFrame = {
+    val p = acfPivot3(cl)
     val l1 = p.filter(col("r1").isNotNull)
       .select(col("user_id"), lit(1L).as("lag"), col("r1").as("pacf"))
     val l2 = p.filter(col("r1").isNotNull && col("r2").isNotNull)
@@ -296,10 +381,19 @@ object TimeSeries {
     * builtin (Spark and DuckDB disagree on week start). Two windows
     * over the same series-keyed exchange, no join.
     */
-  def seasonalDecompose(events: DataFrame): DataFrame = {
+  def seasonalDecompose(events: DataFrame): DataFrame =
+    seasonalDecomposeC(closes(events))
+
+  /** [[seasonalDecompose]] over the persisted bar table — zero hash
+    * exchanges (the (user_id, wd) window's clustered distribution is
+    * satisfied by the user_id bucket layout). */
+  def seasonalDecomposeFromBars(bars: DataFrame): DataFrame =
+    seasonalDecomposeC(barCloses(bars))
+
+  private def seasonalDecomposeC(cl: DataFrame): DataFrame = {
     val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
     val wd = Window.partitionBy("user_id", "wd")
-    closes(events)
+    cl
       .withColumn("s7", sum(col("c")).over(w7))
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("trend_c", when(col("n7") === 7, expr("(2 * s7 + 7) div 14")))
@@ -326,9 +420,17 @@ object TimeSeries {
     * points — the standard despiking pass in front of any indicator.
     * All integer compares; one window, in-row array sorts.
     */
-  def hampelFilter(events: DataFrame): DataFrame = {
+  def hampelFilter(events: DataFrame): DataFrame =
+    hampelFilterC(closes(events))
+
+  /** [[hampelFilter]] over the persisted bar table — zero hash
+    * exchanges. */
+  def hampelFilterFromBars(bars: DataFrame): DataFrame =
+    hampelFilterC(barCloses(bars))
+
+  private def hampelFilterC(cl: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
-    closes(events)
+    cl
       .withColumn("vals", collect_list(col("c")).over(w))
       .filter(size(col("vals")) === 7)
       .withColumn("med", expr("element_at(array_sort(vals), 4)"))
@@ -354,9 +456,17 @@ object TimeSeries {
     * consumer wants a trend-preserving fill. Per-series lead + a
     * gap-bounded explode; no extra exchange.
     */
-  def seriesInterpolate(events: DataFrame): DataFrame = {
+  def seriesInterpolate(events: DataFrame): DataFrame =
+    seriesInterpolateC(closes(events))
+
+  /** [[seriesInterpolate]] over the persisted bar table — zero hash
+    * exchanges. */
+  def seriesInterpolateFromBars(bars: DataFrame): DataFrame =
+    seriesInterpolateC(barCloses(bars))
+
+  private def seriesInterpolateC(cl: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day")
-    val t = closes(events)
+    val t = cl
       .withColumn("nd", lead(col("day"), 1).over(w))
       .withColumn("nc", lead(col("c"), 1).over(w))
       .withColumn("gap", expr("datediff(to_date(nd), to_date(day))"))
@@ -385,14 +495,39 @@ object TimeSeries {
     * minus the series' own change that day (else every series
     * "correlates" with itself through the sum). Pearson over the
     * matched calendar days with exact BIGINT moments and the pinned
-    * √vx·√vy denominator; degenerate cells drop. Shapes: the market
-    * table is |days| rows → broadcast; the leave-one-out join
-    * shuffles on (series, day) — the co-partitioned key.
+    * √vx·√vy denominator; degenerate cells drop.
+    *
+    * LAG-AXIS CONVENTION (pinned here and by a spec): lags are
+    * CALENDAR-day shifts (date_add), NOT row shifts — a Monday's
+    * lag-1 market day is Sunday, and if that calendar day has no bar
+    * the pair simply doesn't form (inner join), it does NOT slide to
+    * Friday. The deliberate contrast is [[forecastSkill]], whose
+    * seasonal-naive lag is a ROW shift: a forecast benchmark wants
+    * "7 bars ago" whatever the calendar did, while a lead-lag
+    * cross-correlogram is meaningless unless both sides moved over
+    * the SAME interval — mixing weekend-gapped pairs into lag k
+    * would smear lag k+2's signal into it.
+    *
+    * Shapes: the market table is |days| rows → broadcast; the
+    * leave-one-out join shuffles on (series, day) — the
+    * co-partitioned key.
     */
-  def ccfMarket(events: DataFrame, maxLag: Int = 3): DataFrame = {
+  def ccfMarket(events: DataFrame, maxLag: Int = 3): DataFrame =
+    ccfMarketC(closes(events), maxLag)
+
+  /** [[ccfMarket]] over the persisted bar table. NOT zero-exchange by
+    * design: the market aggregate re-keys bars by DAY (a different
+    * key than the bucket layout), and the leave-one-out join keys on
+    * (series, day) — but everything past the first projection is
+    * |series|·|days| bar rows, never ticks, so the exchanges move the
+    * compact artifact only. */
+  def ccfMarketFromBars(bars: DataFrame, maxLag: Int = 3): DataFrame =
+    ccfMarketC(barCloses(bars), maxLag)
+
+  private def ccfMarketC(cl: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val w = Window.partitionBy("user_id").orderBy("day")
-    val d = closes(events)
+    val d = cl
       .withColumn("pv", lag(col("c"), 1).over(w))
       .filter(col("pv").isNotNull)
       .withColumn("dv", col("c") - col("pv"))
@@ -433,9 +568,17 @@ object TimeSeries {
     * error is zero (constant) drop. One exchange, two lags, one
     * aggregate.
     */
-  def forecastSkill(events: DataFrame): DataFrame = {
+  def forecastSkill(events: DataFrame): DataFrame =
+    forecastSkillC(closes(events))
+
+  /** [[forecastSkill]] over the persisted bar table — zero hash
+    * exchanges. */
+  def forecastSkillFromBars(bars: DataFrame): DataFrame =
+    forecastSkillC(barCloses(bars))
+
+  private def forecastSkillC(cl: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day")
-    closes(events)
+    cl
       .withColumn("p1", lag(col("c"), 1).over(w))
       .withColumn("p7", lag(col("c"), 7).over(w))
       .groupBy("user_id")

@@ -293,4 +293,76 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r(0).getAs[Double]("mae_snaive") === 2.50)
     assert(r(0).getAs[Long]("mase_bp") === 9091L)
   }
+
+  test("diagnostics over the persisted bar table: parity + zero hash exchanges") {
+    // the recurring-monitoring deployment: every diagnostic's FromBars
+    // twin must (a) be value-identical to the tick-scan form (the
+    // shared-oracle claim) and (b) ride the series bucket layout with
+    // zero hash exchanges — except ccf, which re-keys by day past the
+    // first projection by design (asserted separately below)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val table = "t_bars_diag_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.operators.Finance.writeBarsTable(ev, table)
+    try {
+      val bars = spark.table(table)
+      val zeroExchange = Seq(
+        ("acf", TimeSeries.acfLagsFromBars(bars), TimeSeries.acfLags(ev)),
+        ("kendall", TimeSeries.kendallTrendFromBars(bars), TimeSeries.kendallTrend(ev)),
+        ("theil_sen", TimeSeries.theilSenFromBars(bars), TimeSeries.theilSen(ev)),
+        ("cusum", TimeSeries.cusumChangepointFromBars(bars), TimeSeries.cusumChangepoint(ev)),
+        ("holt", TimeSeries.holtLinearFromBars(bars), TimeSeries.holtLinear(ev)),
+        ("ljung_box", TimeSeries.ljungBoxFromBars(bars), TimeSeries.ljungBox(ev)),
+        ("pacf", TimeSeries.pacfFromBars(bars), TimeSeries.pacf(ev)),
+        ("seasonal", TimeSeries.seasonalDecomposeFromBars(bars), TimeSeries.seasonalDecompose(ev)),
+        ("hampel", TimeSeries.hampelFilterFromBars(bars), TimeSeries.hampelFilter(ev)),
+        ("interpolate", TimeSeries.seriesInterpolateFromBars(bars), TimeSeries.seriesInterpolate(ev)),
+        ("forecast_skill", TimeSeries.forecastSkillFromBars(bars), TimeSeries.forecastSkill(ev)))
+      zeroExchange.foreach { case (name, indexed, direct) =>
+        val plan = indexed.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bar-table $name must plan zero hash exchanges:\n$plan")
+        assert(indexed.except(direct).isEmpty && direct.except(indexed).isEmpty,
+          s"persisted-bars $name must be value-identical to the direct form")
+      }
+      val ccfIdx = TimeSeries.ccfMarketFromBars(bars)
+      val ccfDir = TimeSeries.ccfMarket(ev)
+      assert(ccfIdx.except(ccfDir).isEmpty && ccfDir.except(ccfIdx).isEmpty,
+        "persisted-bars ccf must be value-identical to the direct form")
+      // ccf's exchanges move BAR-grain rows only (the day-keyed market
+      // aggregate and the (series, day) leave-one-out join) — the
+      // per-series change window itself must ride the bucket layout,
+      // so the plan's exchange count stays at the fixed re-key budget
+      // rather than growing a tick-aggregate exchange per input leg
+      val ccfPlan = ccfIdx.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange hashpartitioning".r
+        .findAllMatchIn(ccfPlan).length
+      assert(nExchanges <= 4,
+        s"ccf FromBars must keep exchanges to the bar-grain re-keys (got $nExchanges):\n$ccfPlan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("ccf: calendar-day lag axis — weekend gaps drop pairs, never slide") {
+    // Two series over Thu Jan-04 .. Mon Jan-08 2024 with the weekend
+    // absent (no Sat/Sun bar — the trading-calendar shape). Changes
+    // exist on Fri (vs Thu) and Mon (vs Fri). At lag +1 (market moved
+    // one CALENDAR day earlier), Mon looks for a Sunday market row —
+    // which doesn't exist — so the only lag-+1 pair is Fri←Thu... but
+    // Thu has no change row either (it's each series' first bar).
+    // Hence lag +1 forms ZERO pairs and (k>=2 filter) emits nothing:
+    // the gap DROPS, it does not slide to Friday. Lag 0 pairs exist on
+    // both Fri and Mon (k=2) and do emit. A row-lag implementation
+    // would instead pair Mon with Fri at lag 1 and emit k=2 there.
+    import spark.implicits._
+    val days = Seq("2024-01-04", "2024-01-05", "2024-01-08")
+    val rows = for {
+      (uid, vals) <- Seq(1L -> Seq(10.0, 12.0, 11.0), 2L -> Seq(20.0, 21.0, 23.0))
+      ((d, v), i) <- days.zip(vals).zipWithIndex
+    } yield ((uid - 1) * 3 + i + 1, t(s"$d 10:00:00"), uid, v)
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val r = TimeSeries.ccfMarket(df, maxLag = 1).collect()
+    val lags = r.map(_.getAs[Long]("lag")).toSet
+    assert(lags === Set(0L), s"only lag 0 must survive the weekend gap, got $lags")
+    assert(r.forall(_.getAs[Long]("n_pairs") === 2L))
+  }
 }
