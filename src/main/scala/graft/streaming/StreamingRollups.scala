@@ -13,6 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is bounded. `readStream → transform → writeStream` composes with
   * every batch operator in this package that is expressible under
   * streaming semantics.
+  *
+  * IDLE-TIMEOUT CONVENTION (all fold-state indicator streams): a
+  * series idle past `idleMs` has its state dropped WITHOUT emitting
+  * the still-open day, and a series that resumes after the drop
+  * re-seeds its since-inception recursion from the resume point — so
+  * post-resume emissions are the recursion restarted, not the batch
+  * replay of the full history. The batch-parity guarantee ("every
+  * closed day bit-equal") therefore holds for any run where no series
+  * goes idle past `idleMs` mid-stream (the parity specs exercise
+  * exactly this regime); a monitoring deployment that must survive
+  * week-long gaps should either raise `idleMs` or re-bootstrap the
+  * resumed series from the persisted bar table. The timeout exists so
+  * delisted/dead series cannot hold state forever — the state-bound
+  * half of the 100 TB contract.
   */
 object StreamingRollups {
 
@@ -1329,6 +1343,191 @@ object StreamingRollups {
                 if (okey(t) > st.openOkey)
                   st = st.copy(openOkey = okey(t), openClose = c)
               }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
+  case class CusumPoint(user_id: Long, day: String, target: Double,
+                        s_pos: Long, s_neg: Long, alarm: Boolean)
+  // NOT private (the SessionState encoder contract). The whole
+  // two-sided CUSUM recursion is the open-bar scalars plus TWO longs
+  // (S⁺, S⁻) and the per-series calibration pair — state that never
+  // grows with tick volume; the alarm bit is derived at emission.
+  case class CusumState(openDay: String, openOkey: String, openClose: Long,
+                        mu: Long, mad: Long, sp: Long, sn: Long)
+  // the stream-static join row: a tick carrying its series' calibration
+  case class CalibTick(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                       value: Double, mu: Long, mad: Long)
+
+  /** Streaming two-sided CUSUM changepoint monitor — the batch
+    * recursion ([[graft.operators.TimeSeries.cusumChangepoint]]) as
+    * two longs of per-series state, with the alarm bit on every
+    * emission: THE live changepoint alert (the alarm is the reason
+    * CUSUM exists — a user running streaming SuperTrend expects this
+    * stream next to it).
+    *
+    * Calibration (μ = lower-median close, MAD) is an OFFLINE artifact:
+    * the batch form self-calibrates over the full series, which no
+    * unbounded stream can replay, so the stream takes the bounded
+    * (|series| rows) table [[graft.operators.TimeSeries.cusumCalibration]]
+    * produces and joins it in as a broadcast stream-static join — the
+    * standard deploy loop (recalibrate offline on the bar table, the
+    * live monitor picks up the new targets on restart). Given the same
+    * calibration, every finalized day's (S⁺, S⁻, alarm) is bit-equal
+    * to the batch fold — the same BIGINT recursion with the same
+    * HALF_UP slack k = (2·MAD+2) div 4 and threshold h = 5·MAD —
+    * parity on every series day except its still-open last
+    * (spec-pinned). Series absent from the calibration table (under 2
+    * bars at calibration time — exactly the batch m ≥ 2 filter) drop
+    * via the inner join, matching the batch output domain.
+    */
+  def cusumStream(ticks: Dataset[Tick], calibration: DataFrame,
+                  watermarkDelay: String,
+                  idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[CusumPoint] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .join(broadcast(calibration.select("user_id", "mu", "mad")), Seq("user_id"))
+      .as[CalibTick]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[CalibTick], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: CalibTick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: CalibTick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: one CUSUM step off the day close
+            def closeDay(st: CusumState): (CusumState, CusumPoint) = {
+              val k = (2 * st.mad + 2) / 4 // HALF_UP(MAD/2), mad ≥ 0
+              val h = 5 * st.mad
+              val sp = math.max(0L, st.sp + (st.openClose - st.mu - k))
+              val sn = math.max(0L, st.sn + (st.mu - st.openClose - k))
+              (st.copy(sp = sp, sn = sn),
+                CusumPoint(user, st.openDay, st.mu.toDouble / 100.0,
+                  sp, sn, sp > h || sn > h))
+            }
+            val out = Seq.newBuilder[CusumPoint]
+            var st: CusumState = null
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st == null) st = state.getOption.getOrElse(
+                CusumState(null, null, 0L, t.mu, t.mad, 0L, 0L))
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t), openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                out += point
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openClose = c)
+              } else if (day == st.openDay && okey(t) > st.openOkey)
+                st = st.copy(openOkey = okey(t), openClose = c)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  case class HoltPoint(user_id: Long, day: String, level: Double,
+                       trend: Double, forecast: Double)
+  // NOT private (the SessionState encoder contract). The whole Holt
+  // recursion is the open-bar scalars plus TWO longs of smoothing
+  // state — level l and forecast f = l + b in micro-cents.
+  case class HoltState(openDay: String, openOkey: String, openClose: Long,
+                       seeded: Boolean, l: Long, f: Long)
+
+  /** Streaming Holt linear forecast — the batch α = β = 1/2 halving
+    * recursion ([[graft.operators.TimeSeries.holtLinear]]) as two
+    * longs of per-series state: level l_t = HALF_UP((x_t + f_{t−1})/2)
+    * and f_t = l_t + b_t with b_t = HALF_UP((f_{t−1} + l_t − 2l_{t−1})/2),
+    * seeded l₁ = f₁ = x₁ — each step ONE signed HALF_UP integer op
+    * in micro-cents, identical to the batch fold, so every finalized
+    * day's level/trend/one-step forecast is bit-equal to the batch row
+    * (parity on every series day except its still-open last,
+    * spec-pinned). The emitted forecast IS the live one-step-ahead
+    * prediction — the streaming-native forecaster next to the
+    * indicator streams.
+    */
+  def holtStream(ticks: Dataset[Tick], watermarkDelay: String,
+                 idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[HoltPoint] = {
+    import ticks.sparkSession.implicits._
+    def halfHU(n: Long): Long = if (n >= 0) (n + 1) / 2 else -((-n + 1) / 2)
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[HoltState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: seed or one halving step
+            def closeDay(st: HoltState): (HoltState, HoltPoint) = {
+              val x = st.openClose * 1000000L
+              val (l, f) =
+                if (!st.seeded) (x, x)
+                else {
+                  val lt = halfHU(x + st.f)
+                  val bt = halfHU(st.f + lt - 2 * st.l)
+                  (lt, lt + bt)
+                }
+              (st.copy(seeded = true, l = l, f = f),
+                HoltPoint(user, st.openDay,
+                  l.toDouble / 100000000.0,
+                  (f - l).toDouble / 100000000.0,
+                  f.toDouble / 100000000.0))
+            }
+            val out = Seq.newBuilder[HoltPoint]
+            var st = state.getOption.getOrElse(
+              HoltState(null, null, 0L, seeded = false, 0L, 0L))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t), openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                out += point
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openClose = c)
+              } else if (day == st.openDay && okey(t) > st.openOkey)
+                st = st.copy(openOkey = okey(t), openClose = c)
             }
             state.update(st)
             state.setTimeoutTimestamp(

@@ -874,4 +874,77 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after === before.filterNot(p => p._1 == victim || p._2 == victim))
   }
+
+  test("streaming CUSUM reproduces the batch changepoint fold for every closed day") {
+    // the live changepoint alert: given the SAME offline calibration
+    // the batch form self-derives, every finalized day's (S+, S-,
+    // alarm) must take the identical BIGINT branches as the batch
+    // recursion — bit-equal rows, including the alarm bit
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val calib = operators.TimeSeries.cusumCalibration(ev)
+    val st = StreamingRollups.cusumStream(input.toDS(), calib, "10 minutes")
+    val q = st.writeStream.format("memory").queryName("parity_cusum")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("target"), r.getAs[Long]("s_pos"),
+          r.getAs[Long]("s_neg"), r.getAs[Boolean]("alarm")))).toMap
+    val streamed = keyed(spark.table("parity_cusum"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.TimeSeries.cusumChangepoint(ev)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "target", "s_pos", "s_neg", "alarm"))
+    assert(streamed === batch, "stream-vs-batch CUSUM parity")
+    assert(streamed.nonEmpty)
+    // the corpus must actually trip the alarm somewhere, or the
+    // threshold branch is untested
+    assert(streamed.values.exists(_._4) && streamed.values.exists(!_._4),
+      "expected both alarm states across the parity corpus")
+  }
+
+  test("streaming Holt reproduces the batch halving recursion for every closed day") {
+    // two longs of smoothing state: every finalized day's
+    // level/trend/one-step forecast must be bit-equal to the batch
+    // alpha=beta=1/2 fold, including the seed day's zero trend
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val st = StreamingRollups.holtStream(input.toDS(), "10 minutes")
+    val q = st.writeStream.format("memory").queryName("parity_holt")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast")))).toMap
+    val streamed = keyed(spark.table("parity_holt"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.TimeSeries.holtLinear(ev)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "level", "trend", "forecast"))
+    assert(streamed === batch, "stream-vs-batch Holt parity")
+    assert(streamed.nonEmpty)
+    // the recursion must move off its seed somewhere (nonzero trend)
+    assert(streamed.values.exists(_._2 != 0.0),
+      "expected a nonzero trend across the parity corpus")
+  }
 }
