@@ -23,7 +23,7 @@ object Bench {
     *    executing when the threshold trips. Small bounds make the
     *    trim cost constant and negligible.
     *  - `spark.sql.codegen.cache.maxEntries=2000` (default 100): a
-    *    267-query surface compiles far more than 100 codegen classes,
+    *    282-query surface compiles far more than 100 codegen classes,
     *    so with the default every query evicts its predecessors and
     *    Janino recompiles on each revisit (the isolated-rerun phase,
     *    spec suites). 2000 holds the whole surface.
@@ -75,6 +75,33 @@ object Bench {
       if (samples.head > 0) samples.last / samples.head else 1.0, err)
   }
 
+  /** Previous round's per-key medians, for the cross-round regression
+    * trigger: read from the latest committed BENCH_FULL_r*.json (the
+    * per-round snapshot of BENCH_LATEST.json — the round artifact
+    * BENCH_rN.json keeps only a truncated stdout tail, so the full map
+    * must be committed separately to survive). Parsing is a targeted
+    * regex over the flat `"queries":{"k":1.23,...}` object — the file
+    * is machine-written one-line JSON with only string keys and plain
+    * numbers inside that object, so a JSON library adds nothing.
+    */
+  private def prevMedians(): Map[String, Double] = {
+    val cwd = new java.io.File(".")
+    val cands = Option(cwd.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.matches("BENCH_FULL_r\\d+\\.json"))
+    if (cands.isEmpty) Map.empty
+    else {
+      try {
+        val latest = cands.maxBy(_.getName)
+        val src = scala.io.Source.fromFile(latest)
+        val text = try src.mkString finally src.close()
+        val qobj = "\"queries\":\\{([^}]*)\\}".r
+          .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qobj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,6 +115,29 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    // optional arg: comma-separated subset of query names (targeted
+    // perf iteration; the driver runs the full surface with no args)
+    val subset: Set[String] =
+      if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSet else Set.empty
+    // PRE-BUILD phase (round-10 interference bisect): every persisted
+    // artifact — bar tables, band/cluster/containment/BM25 indexes,
+    // partials, co-bucketed facts — is built ONCE here, at the target
+    // SF, before any timed rep. Previously each build landed inside
+    // its *_indexed key's warm-ups at that key's alphabetical slot,
+    // and the catalog-table writes left session/warehouse state whose
+    // deferred costs (cleaner drains, file-system flushes, page-cache
+    // eviction) hit whichever keys ran NEXT — the r9/r10 full-run
+    // inflation on the r/s stretch (rsi_wilder 4.75 s in situ vs
+    // 0.60 isolated) sat right after the rollup_/rsi_ index builds.
+    // Builds are ingest-time work; no query should ever pay them.
+    val artifactKeys = SparkEntry.queries.keys
+      .filter(k => k.contains("indexed") || k == "split_from_index").toSeq.sorted
+    artifactKeys.foreach { k =>
+      if (subset.isEmpty || subset(k))
+        try SparkEntry.queries(k)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+    }
+    System.gc()
     // a failed query must be visible in the output, not benched as
     // "fast": its error is listed in the separate "errors" object; the
     // per-query timings stay non-negative so their semantics are
@@ -104,16 +154,9 @@ object Bench {
     // its timed reps (not just the sf0.001 JIT pass above): round-6
     // numbers showed a one-directional 2-4× drift on a cluster of
     // documents-side queries whose code had not changed — first-touch
-    // effects (page cache, codegen cache eviction by the preceding
-    // index builds, broadcast cleanup) land on rep 1 and a median of 3
-    // cannot absorb two cold samples. The warm-ups also subsume the
-    // old indexed-build-absorbing rep (*_indexed first-touch builds
-    // happen inside warm-up, never in a timed rep).
+    // effects (page cache, codegen cache eviction) land on rep 1 and a
+    // median of 3 cannot absorb two cold samples.
     val warmups = 2
-    // optional arg: comma-separated subset of query names (targeted
-    // perf iteration; the driver runs the full surface with no args)
-    val subset: Set[String] =
-      if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSet else Set.empty
     var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => subset.isEmpty || subset(name) }
@@ -128,18 +171,34 @@ object Bench {
         (name, median, min, noise, err)
       }
 
-    // Isolated re-measurement (round-9 action item): any key whose
-    // full-run noise exceeded 2.0 is re-run in a FRESH session at the
-    // end — full-run noise has repeatedly turned out to be harness
-    // interference, and publishing the isolated figure alongside the
-    // in-situ one lets a reader separate plan cost from session state
-    // without re-deriving it. Cap at 24 keys: if more than that are
-    // noisy the whole run was contended and the per-key numbers are
-    // meaningless anyway.
-    val noisy = results.filter { case (_, _, _, n, err) => n > 2.0 && err.isEmpty }
-      .sortBy { case (_, _, _, n, _) => -n }.take(24).map(_._1)
-    val isolated: Map[String, Double] =
-      if (noisy.isEmpty) Map.empty
+    // Isolated re-measurement: keys whose full-run figures look like
+    // harness interference are re-run in a FRESH session at the end,
+    // and the isolated medians published in-artifact so a reader can
+    // separate plan cost from session state. Triggers (round-10
+    // verdict widened the first-only rule after vwap_monthly shipped a
+    // phantom 2.4× regression at noise 1.61):
+    //  (a) in-run noise (max/min across reps) > 2.0 — one rep landed
+    //      on contention;
+    //  (b) med/min > 1.5 — the median itself is inflated while the
+    //      best rep is clean (uniform inflation escapes (a));
+    //  (c) cross-round: median > 1.5× the previous round's committed
+    //      median for the same key (BENCH_FULL_r*.json) — the reader's
+    //      actual regression question, asked directly.
+    // Cap at 24 keys by severity: if more than that trip, the whole
+    // run was contended and per-key adjudication is meaningless.
+    val prev = prevMedians()
+    val suspects = results
+      .filter { case (_, _, _, _, err) => err.isEmpty }
+      .flatMap { case (name, med, min, noise, _) =>
+        val medMin = if (min > 0) med / min else 1.0
+        val cross = prev.get(name).filter(_ > 0).map(med / _).getOrElse(1.0)
+        if (noise > 2.0 || medMin > 1.5 || cross > 1.5)
+          Some(name -> math.max(noise, math.max(medMin, cross)))
+        else None
+      }
+      .sortBy(-_._2).take(24).map(_._1)
+    val (isolated: Map[String, Double], isolatedErrs: Map[String, String]) =
+      if (suspects.isEmpty) (Map.empty[String, Double], Map.empty[String, String])
       else {
         spark.stop()
         SparkSession.clearActiveSession()
@@ -147,10 +206,14 @@ object Bench {
         System.gc()
         spark = mkSession(cpus)
         val byName = SparkEntry.queries
-        noisy.map { name =>
-          val (median, _, _, _) = timeOne(spark, sfDir, byName(name), warmups, reps)
-          name -> median
-        }.toMap
+        val runs = suspects.map { name =>
+          val (median, _, _, err) = timeOne(spark, sfDir, byName(name), warmups, reps)
+          (name, median, err)
+        }
+        // a key that errors only in the fresh session must NOT publish
+        // its time-to-exception as a clean isolated figure
+        (runs.collect { case (n, m, None) => n -> m }.toMap,
+          runs.collect { case (n, _, Some(e)) => n -> e }.toMap)
       }
 
     def jstr(s: String): String =
@@ -168,30 +231,34 @@ object Bench {
     val ns = jmap(results.map { case (k, _, _, n, _) => k -> f"$n%.2f" })
     val errs = jmap(results.collect { case (k, _, _, _, Some(e)) => k -> jstr(e) })
     val iso = jmap(isolated.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })
+    val isoErrs = jmap(isolatedErrs.toSeq.sortBy(_._1).map { case (k, v) => k -> jstr(v) })
     val total = results.map { case (_, v, _, _, _) => v }.sum
-    val errKeys = results.collect { case (k, _, _, _, Some(_)) => jstr(k) }
-      .mkString("[", ",", "]")
     val nErrs = results.count(_._5.isDefined)
+    val errKeysAll = results.collect { case (k, _, _, _, Some(_)) => k }
+    val errKeys = errKeysAll.map(jstr).mkString("[", ",", "]")
+    // the summary line must stay bounded: cap the error-key list at 20
+    // (errors_count already carries the true total)
+    val errKeysCapped = errKeysAll.take(20).map(jstr).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"noise":$ns,"min":$mins,"isolated":$iso,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"noise":$ns,"min":$mins,"isolated":$iso,"isolated_errors":$isoErrs,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LATEST.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     // Two stdout lines. The FULL record first (also written whole to
-    // BENCH_LATEST.json). LAST, a compact summary guaranteed under
+    // BENCH_LATEST.json). LAST, a compact summary bounded well under
     // 2000 chars: the driver's round artifact keeps only the final
-    // 2000 chars of stdout and its `parsed` field has been null for
+    // 2000 chars of stdout and its `parsed` field had been null for
     // nine rounds because the full line never fit — so the line that
-    // must parse is the one printed last. It carries the totals, every
-    // error key, the isolated re-measurements, and the 12 slowest
-    // keys; the complete per-key maps live one line up and in
-    // BENCH_LATEST.json.
+    // must parse is the one printed last. It carries the totals, the
+    // first 20 error keys (+ the true count), the isolated
+    // re-measurements, and the 12 slowest keys; the complete per-key
+    // maps live one line up and in BENCH_LATEST.json.
     println(full)
     val slowest = jmap(results.sortBy { case (_, v, _, _, _) => -v }.take(12)
       .map { case (k, v, _, _, _) => k -> f"$v%.3f" })
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors_count":$nErrs,"error_keys":$errKeys,"isolated":$iso,"queries":$slowest,"full":"BENCH_LATEST.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors_count":$nErrs,"error_keys":$errKeysCapped,"isolated":$iso,"isolated_errors":$isoErrs,"queries":$slowest,"full":"BENCH_LATEST.json"}"""
     println(summary)
     spark.stop()
   }
