@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Scaling-ratio audit (SCALING_rN.json): time the most expensive /
+shape-riskiest keys at sf0.1 and at the 10x datasets make_scale10.py
+synthesizes, and publish per-key time ratios.
+
+Why: every 100 TB claim in the repo is plan-shape asserted (PlanGuard
+specs, bounded-state arguments) but had never been empirically scaled —
+an accidental O(n^2) hiding under sf0.1's small constants shows up
+immediately as a ratio far above the data factor.
+
+Two axes (see make_scale10.py): WIDE (10x series/docs/vectors/orders,
+the realistic fact-table growth) and LONG (10x history per series, the
+stress axis for the O(bars^2) pair folds and O(m^2) fold-state arrays).
+
+Reading the ratios: 10x data -> a linear key should land <= ~15x (10x
+work plus log factors and fixed overheads; very fast keys are
+overhead-dominated and can land well UNDER 10x). The audit flags
+anything above the threshold for per-key explanation in the artifact.
+
+Usage: python3 scripts/scaling_audit.py [round_tag]
+Runs sbt three times (baseline subset, wide subset, long subset); each
+run is a full Bench session (pre-build, per-key warmups, median of 3).
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.1"
+WIDE = "/tmp/scale10_wide"
+LONG = "/tmp/scale10_long"
+THRESHOLD = 15.0
+
+WIDE_KEYS = [
+    # events: indicator folds, diagnostics, sessionization
+    "rsi_wilder", "stochastic_k", "supertrend", "adx_daily", "acf_lags",
+    "kendall_trend", "theil_sen", "ccf_market", "cusum_changepoint",
+    "holt_linear", "seasonal_decompose", "ohlc_resample", "hll_cardinality",
+    "event_transitions", "sessionize",
+    # documents: the dedup/corpus heavyweights
+    "dedup_minhash_lsh", "dedup_cluster", "dedup_containment",
+    "doc_logprob_bigram", "bm25_topk", "dedup_simhash", "tfidf_top_terms",
+    "bpe_pair_counts",
+    # embeddings
+    "embed_pca_power", "ann_cosine_topk", "embed_cosine_dup",
+    # lineitem
+    "q1_pricing_summary", "vwap_monthly",
+    # persisted-artifact probes (builds land in the untimed pre-build;
+    # the measured figure is the probe, which scales with the artifact)
+    "rsi_wilder_indexed", "bm25_indexed",
+]
+
+LONG_KEYS = [
+    "acf_lags", "kendall_trend", "theil_sen", "cusum_changepoint",
+    "holt_linear", "macd_daily", "supertrend", "seasonal_decompose",
+]
+
+
+def run_bench(sf_dir, keys):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Bench {','.join(keys)}"],
+        cwd=REPO, env=env, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(os.path.join(REPO, "BENCH_LATEST.json")) as f:
+        rec = json.loads(f.read())
+    if rec.get("errors"):
+        print(f"  bench errors at {sf_dir}: {rec['errors']}", file=sys.stderr)
+    return rec["queries"], rec.get("errors", {})
+
+
+def audit(axis, sf_keys, scaled_dir):
+    print(f"[audit] baseline {axis}: {len(sf_keys)} keys at {SF}")
+    base, base_err = run_bench(SF, sf_keys)
+    print(f"[audit] scaled {axis}: {scaled_dir}")
+    scaled, scaled_err = run_bench(scaled_dir, sf_keys)
+    out = {}
+    for k in sf_keys:
+        if k in base_err or k in scaled_err:
+            out[k] = {"error": base_err.get(k) or scaled_err.get(k)}
+            continue
+        b, s = base.get(k), scaled.get(k)
+        ratio = (s / b) if b and b > 0 else None
+        out[k] = {"base_sec": round(b, 3), "scaled_sec": round(s, 3),
+                  "ratio": round(ratio, 2) if ratio else None,
+                  "flag": bool(ratio and ratio > THRESHOLD)}
+    return out
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r11"
+    result = {
+        "data_factor": 10,
+        "threshold": THRESHOLD,
+        "axes": {
+            "wide": {"dir": WIDE, "note": "10x series/docs/vectors/orders, history unchanged",
+                     "keys": audit("wide", WIDE_KEYS, WIDE)},
+            "long": {"dir": LONG, "note": "10x history per series (bars 30->300), series unchanged",
+                     "keys": audit("long", LONG_KEYS, LONG)},
+        },
+    }
+    flags = [(a, k) for a, ax in result["axes"].items()
+             for k, v in ax["keys"].items() if v.get("flag")]
+    result["flagged"] = [f"{a}:{k}" for a, k in flags]
+    path = os.path.join(REPO, f"SCALING_{tag}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[audit] wrote {path}; flagged: {result['flagged']}")
+
+
+if __name__ == "__main__":
+    main()
