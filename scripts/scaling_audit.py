@@ -53,12 +53,17 @@ WIDE_KEYS = [
 
 LONG_KEYS = [
     "acf_lags", "kendall_trend", "theil_sen", "cusum_changepoint",
-    "holt_linear", "macd_daily", "supertrend", "seasonal_decompose",
+    "holt_linear", "holt_winters", "macd_daily", "supertrend",
+    "seasonal_decompose",
 ]
 
 
 def run_bench(sf_dir, keys):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    # SPARK_GRAFT_NO_ISOLATE: at 10x data every key legitimately
+    # exceeds the committed sf0.1 medians, so Bench's cross-round
+    # regression trigger would spawn 24 meaningless isolated re-runs
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_NO_ISOLATE="1")
     subprocess.run(
         ["sbt", "-batch", f"runMain graft.Bench {','.join(keys)}"],
         cwd=REPO, env=env, check=True,

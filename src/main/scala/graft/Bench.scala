@@ -106,19 +106,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     var spark = mkSession(cpus)
-    // Warm-up at the smallest SF: JIT-compiles every operator's code
-    // paths (codegen, parquet reader, shuffle) so the timed pass below
-    // measures steady-state throughput, not first-call compilation.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
-    }
     // optional arg: comma-separated subset of query names (targeted
     // perf iteration; the driver runs the full surface with no args)
     val subset: Set[String] =
       if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSet else Set.empty
+    // Warm-up at the smallest SF: JIT-compiles every operator's code
+    // paths (codegen, parquet reader, shuffle) so the timed pass below
+    // measures steady-state throughput, not first-call compilation.
+    // Subset runs warm only their subset (the scaling audit runs three
+    // back-to-back sessions; warming 294 keys to time 30 triples cost).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (subset.isEmpty || subset(name))
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     // PRE-BUILD phase (round-10 interference bisect): every persisted
     // artifact — bar tables, band/cluster/containment/BM25 indexes,
     // partials, co-bucketed facts — is built ONCE here, at the target
@@ -186,8 +189,13 @@ object Bench {
     //      actual regression question, asked directly.
     // Cap at 24 keys by severity: if more than that trip, the whole
     // run was contended and per-key adjudication is meaningless.
+    // The scaling audit (scripts/scaling_audit.py) times the same keys
+    // at 10× data, where every key legitimately exceeds the committed
+    // medians — the cross-round trigger would spawn 24 meaningless
+    // isolated re-runs per audit session. The audit opts out wholesale.
+    val noIsolate = sys.env.contains("SPARK_GRAFT_NO_ISOLATE")
     val prev = prevMedians()
-    val suspects = results
+    val suspectsAll = results
       .filter { case (_, _, _, _, err) => err.isEmpty }
       .flatMap { case (name, med, min, noise, _) =>
         val medMin = if (min > 0) med / min else 1.0
@@ -197,6 +205,7 @@ object Bench {
         else None
       }
       .sortBy(-_._2).take(24).map(_._1)
+    val suspects = if (noIsolate) Seq.empty[String] else suspectsAll
     val (isolated: Map[String, Double], isolatedErrs: Map[String, String]) =
       if (suspects.isEmpty) (Map.empty[String, Double], Map.empty[String, String])
       else {

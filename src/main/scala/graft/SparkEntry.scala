@@ -853,6 +853,15 @@ object SparkEntry {
     "ccf_market" -> ((s, d) => TimeSeries.ccfMarket(Tables.events(s, d))),
     // naive vs seasonal-naive MAE + integer-bp MASE per series
     "forecast_skill" -> ((s, d) => TimeSeries.forecastSkill(Tables.events(s, d))),
+    // Lo–MacKinlay variance ratio at q=5: exact integer variance
+    // moments, one pinned float chain — the random-walk diagnostic
+    "variance_ratio" -> ((s, d) => TimeSeries.varianceRatio(Tables.events(s, d))),
+    // Wald–Wolfowitz runs test on change signs: integer counts + one
+    // pinned float z-chain — the non-parametric randomness check
+    "runs_test" -> ((s, d) => TimeSeries.runsTest(Tables.events(s, d))),
+    // Holt–Winters additive weekly smoothing, α=β=γ=1/2: every step a
+    // signed HALF_UP integer halving; completes the smoothing ladder
+    "holt_winters" -> ((s, d) => TimeSeries.holtWinters(Tables.events(s, d))),
     // the diagnostics' persisted-bars twins: recurring monitoring jobs
     // read |days| bars off the series-bucketed bar artifact — the
     // per-series folds ride the bucket layout with zero hash exchanges
@@ -882,6 +891,12 @@ object SparkEntry {
     "ccf_indexed" -> ((s, d) => TimeSeries.ccfMarketFromBars(
       s.table(barsTable(s, d)))),
     "forecast_skill_indexed" -> ((s, d) => TimeSeries.forecastSkillFromBars(
+      s.table(barsTable(s, d)))),
+    "variance_ratio_indexed" -> ((s, d) => TimeSeries.varianceRatioFromBars(
+      s.table(barsTable(s, d)))),
+    "runs_test_indexed" -> ((s, d) => TimeSeries.runsTestFromBars(
+      s.table(barsTable(s, d)))),
+    "holt_winters_indexed" -> ((s, d) => TimeSeries.holtWintersFromBars(
       s.table(barsTable(s, d)))),
     "bollinger_breaches" -> ((s, d) =>
       Finance.bollingerBreaches(Tables.events(s, d))),
@@ -2037,6 +2052,94 @@ object SparkEntry {
        |  (2 * sum7 * n1 * 10000 + (sum1 * n7)) // (2 * (sum1 * n7)) AS mase_bp
        |FROM a2 WHERE n7 >= 1 AND sum1 > 0
        |ORDER BY user_id""".stripMargin
+
+  /** Variance-ratio oracle: exact n·Σd²−(Σd)² integer moments for the
+    * 1-bar and overlapping 5-bar differences, the ratio evaluated as
+    * the operator's identical left-associated float chain.
+    */
+  private val varianceRatioOracle: String =
+    s"""WITH $tsClosesCte,
+       |t AS (SELECT user_id, day, c,
+       |  c - lag(c) OVER (PARTITION BY user_id ORDER BY day) AS d1,
+       |  c - lag(c, 5) OVER (PARTITION BY user_id ORDER BY day) AS dq FROM r),
+       |a2 AS (SELECT user_id,
+       |  count(d1)::BIGINT AS n1, sum(d1)::BIGINT AS s1,
+       |  sum(d1 * d1)::BIGINT AS s11,
+       |  count(dq)::BIGINT AS nq, sum(dq)::BIGINT AS sq,
+       |  sum(dq * dq)::BIGINT AS sqq
+       |  FROM t GROUP BY 1),
+       |v AS (SELECT user_id, n1, nq,
+       |  n1 * s11 - s1 * s1 AS v1, nq * sqq - sq * sq AS vq FROM a2)
+       |SELECT user_id, CAST(5 AS BIGINT) AS q, n1 AS n_diffs,
+       |  round((CAST(vq AS DOUBLE) * n1 * n1) /
+       |    (5.0 * CAST(v1 AS DOUBLE) * nq * nq), 6) + 0.0 AS vr
+       |FROM v WHERE nq >= 2 AND v1 > 0
+       |ORDER BY user_id""".stripMargin
+
+  /** Runs-test oracle: the sign sequence over nonzero close changes,
+    * runs = 1 + lag-compared flips, and the z-score written as the
+    * operator's identical fixed float chain off exact integer counts.
+    */
+  private val runsTestOracle: String =
+    s"""WITH $tsClosesCte,
+       |d AS (SELECT user_id, day, c,
+       |  lag(c) OVER (PARTITION BY user_id ORDER BY day) AS pv FROM r),
+       |sg AS (SELECT user_id, day,
+       |  CASE WHEN c > pv THEN 1 ELSE -1 END AS sgn
+       |  FROM d WHERE pv IS NOT NULL AND c <> pv),
+       |s2 AS (SELECT user_id, sgn,
+       |  lag(sgn) OVER (PARTITION BY user_id ORDER BY day) AS psgn FROM sg),
+       |a2 AS (SELECT user_id, count(*)::BIGINT AS n,
+       |  sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+       |  sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS nm,
+       |  (sum(CASE WHEN psgn IS NOT NULL AND sgn <> psgn THEN 1 ELSE 0 END)
+       |    + 1)::BIGINT AS runs
+       |  FROM s2 GROUP BY 1)
+       |SELECT user_id, n AS n_obs, np AS n_up, nm AS n_down, runs,
+       |  round((runs - (CAST(1 AS DOUBLE) + CAST(2 AS DOUBLE) * np * nm / n)) /
+       |    sqrt((CAST(2 AS DOUBLE) * np * nm * (CAST(2 AS DOUBLE) * np * nm - n)) /
+       |    (CAST(n AS DOUBLE) * n * (n - 1))), 6)
+       |    + 0.0 AS z
+       |FROM a2 WHERE np >= 1 AND nm >= 1 AND np * nm * 2 > n
+       |ORDER BY user_id""".stripMargin
+
+  /** Holt–Winters oracle: the α=β=γ=1/2 additive recursion replayed
+    * as a recursive CTE whose state carries the 7-element seasonal
+    * LIST (the operator reads the same values by accumulator index);
+    * every step the identical signed HALF_UP halving, intermediates
+    * repeated verbatim (the supertrend-oracle convention).
+    */
+  private val holtWintersOracle: String = {
+    def half(num: String) =
+      s"CASE WHEN $num >= 0 THEN ($num + 1) // 2 ELSE -((-($num) + 1) // 2) END"
+    val lt = half("r.c * 1000000 - rec.seas[1] + rec.l + rec.b")
+    val bt = half(s"rec.b + ($lt) - rec.l")
+    val st = half(s"r.c * 1000000 - ($lt) + rec.seas[1]")
+    s"""WITH RECURSIVE $tsClosesCte,
+       |sl AS (SELECT user_id,
+       |  (2 * sum(c * 1000000) + 7) // 14 AS l0,
+       |  list(c * 1000000 ORDER BY rn) AS xs7
+       |  FROM r WHERE rn <= 7 GROUP BY 1 HAVING count(*) = 7),
+       |rec AS (
+       |  SELECT user_id, CAST(7 AS BIGINT) AS rn, l0 AS l,
+       |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s,
+       |    CAST(0 AS BIGINT) AS f,
+       |    list_transform(xs7, x -> x - l0) AS seas
+       |  FROM sl
+       |  UNION ALL
+       |  SELECT r.user_id, r.rn, ($lt) AS l, ($bt) AS b, ($st) AS s,
+       |    ($lt) + ($bt) + rec.seas[2] AS f,
+       |    list_concat(rec.seas[2:], [($st)]) AS seas
+       |  FROM r JOIN rec ON r.user_id = rec.user_id AND r.rn = rec.rn + 1)
+       |SELECT rec.user_id, r.day,
+       |  CAST(rec.l AS DOUBLE) / 100000000.0 AS level,
+       |  CAST(rec.b AS DOUBLE) / 100000000.0 AS trend,
+       |  CAST(rec.s AS DOUBLE) / 100000000.0 AS seasonal,
+       |  CAST(rec.f AS DOUBLE) / 100000000.0 AS forecast
+       |FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn
+       |WHERE rec.rn >= 8
+       |ORDER BY rec.user_id, r.day""".stripMargin
+  }
 
   private val macdOracle: String =
     """WITH RECURSIVE dc AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
@@ -4525,6 +4628,12 @@ object SparkEntry {
     "series_interpolate" -> interpolateOracle,
     "ccf_market" -> ccfOracle,
     "forecast_skill" -> forecastSkillOracle,
+    // variance ratio / runs test: exact integer moments + one pinned
+    // float chain; Holt–Winters: the seasonal halving recursion as a
+    // recursive CTE carrying the 7-element seasonal list
+    "variance_ratio" -> varianceRatioOracle,
+    "runs_test" -> runsTestOracle,
+    "holt_winters" -> holtWintersOracle,
     // the diagnostics' persisted-bars twins share the direct forms'
     // oracles (identical output contract off the bar artifact)
     "acf_indexed" -> acfOracle,
@@ -4539,6 +4648,9 @@ object SparkEntry {
     "interpolate_indexed" -> interpolateOracle,
     "ccf_indexed" -> ccfOracle,
     "forecast_skill_indexed" -> forecastSkillOracle,
+    "variance_ratio_indexed" -> varianceRatioOracle,
+    "runs_test_indexed" -> runsTestOracle,
+    "holt_winters_indexed" -> holtWintersOracle,
     "macd_daily" -> macdOracle,
     // Keltner: EMA(20) of typical price ± 2·Wilder-ATR(10), both as
     // INTEGER micro-cent recursions (HALF_UP identities, no floats)

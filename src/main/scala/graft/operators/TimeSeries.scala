@@ -593,4 +593,162 @@ object TimeSeries {
           .as("mase_bp"))
       .orderBy("user_id")
   }
+
+  /** Lo–MacKinlay variance-ratio test per series at horizon `q`:
+    * VR(q) = Var(c_t − c_{t−q}) / (q · Var(c_t − c_{t−1})) over
+    * overlapping q-bar differences — the random-walk diagnostic
+    * (VR ≈ 1 random walk, > 1 momentum, < 1 mean reversion). Both
+    * variances enter as the EXACT integer identity n·Σd² − (Σd)²
+    * (biased variance × n², so the n² factors carry into the ratio:
+    * VR = (vq·n1²)/(q·v1·nq²)); the ratio is ONE pinned float chain —
+    * left-associated multiplies of exact integers then a single
+    * division, the identical IEEE sequence in both engines, 6dp
+    * round. Constant series (v1 = 0) drop. One exchange, two lags,
+    * one aggregate — forecastSkill's shape.
+    */
+  def varianceRatio(events: DataFrame, q: Int = 5): DataFrame =
+    varianceRatioC(closes(events), q)
+
+  /** [[varianceRatio]] over the persisted bar table — zero hash
+    * exchanges. */
+  def varianceRatioFromBars(bars: DataFrame, q: Int = 5): DataFrame =
+    varianceRatioC(barCloses(bars), q)
+
+  private def varianceRatioC(cl: DataFrame, q: Int): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    cl
+      .withColumn("d1", col("c") - lag(col("c"), 1).over(w))
+      .withColumn("dq", col("c") - lag(col("c"), q).over(w))
+      .groupBy("user_id")
+      .agg(count(col("d1")).as("n1"), sum(col("d1")).as("s1"),
+        sum(col("d1") * col("d1")).as("s11"),
+        count(col("dq")).as("nq"), sum(col("dq")).as("sq"),
+        sum(col("dq") * col("dq")).as("sqq"))
+      .withColumn("v1", col("n1") * col("s11") - col("s1") * col("s1"))
+      .withColumn("vq", col("nq") * col("sqq") - col("sq") * col("sq"))
+      .filter(col("nq") >= 2 && col("v1") > 0)
+      .select(col("user_id"), lit(q.toLong).as("q"),
+        col("n1").as("n_diffs"),
+        (round((col("vq").cast("double") * col("n1") * col("n1")) /
+          (lit(q.toDouble) * col("v1").cast("double") * col("nq") * col("nq")), 6)
+          + lit(0.0)).as("vr"))
+      .orderBy("user_id")
+  }
+
+  /** Wald–Wolfowitz runs test on the SIGNS of daily close changes per
+    * series — the non-parametric randomness check next to the ACF's
+    * linear one: zero changes drop (the standard convention), R =
+    * 1 + (sign flips) over the remaining sequence, and with n⁺ ups /
+    * n⁻ downs (n = n⁺+n⁻) the z-score compares R against E[R] =
+    * 1 + 2n⁺n⁻/n with Var[R] = 2n⁺n⁻(2n⁺n⁻−n)/(n²(n−1)). Counts and
+    * R are exact integers; E and Var are written as ONE fixed
+    * left-to-right float chain (`2.0·n⁺·n⁻/n` etc.) evaluated
+    * identically in both engines, 6dp round. Series with a zero
+    * variance (all-same-sign, or n⁺n⁻ too small: 2n⁺n⁻ ≤ n) drop.
+    * One exchange, one lag over the sign sequence, one aggregate.
+    */
+  def runsTest(events: DataFrame): DataFrame =
+    runsTestC(closes(events))
+
+  /** [[runsTest]] over the persisted bar table — zero hash
+    * exchanges. */
+  def runsTestFromBars(bars: DataFrame): DataFrame =
+    runsTestC(barCloses(bars))
+
+  private def runsTestC(cl: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    cl
+      .withColumn("pv", lag(col("c"), 1).over(w))
+      .filter(col("pv").isNotNull && col("c") =!= col("pv"))
+      .withColumn("sgn", when(col("c") > col("pv"), 1L).otherwise(-1L))
+      .withColumn("psgn", lag(col("sgn"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("nm"),
+        (sum(when(col("psgn").isNotNull && col("sgn") =!= col("psgn"), 1L)
+          .otherwise(0L)) + 1L).as("runs"))
+      .filter(col("np") >= 1 && col("nm") >= 1 &&
+        col("np") * col("nm") * 2 > col("n"))
+      .select(col("user_id"), col("n").as("n_obs"), col("np").as("n_up"),
+        col("nm").as("n_down"), col("runs"),
+        // CAST(… AS DOUBLE), never bare decimal literals: Spark parses
+        // `2.0` in SQL text as DECIMAL(2,1) and the whole chain silently
+        // becomes decimal arithmetic that differs from DuckDB's double
+        // math in the 6th decimal (caught by the gate on first run)
+        (expr("round((runs - (CAST(1 AS DOUBLE) + CAST(2 AS DOUBLE) * np * nm / n)) / " +
+          "sqrt((CAST(2 AS DOUBLE) * np * nm * (CAST(2 AS DOUBLE) * np * nm - n)) / " +
+          "(CAST(n AS DOUBLE) * n * (n - 1))), 6)")
+          + lit(0.0)).as("z"))
+      .orderBy("user_id")
+  }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing per series with weekly
+    * period m = 7 and α = β = γ = 1/2 — the halving coefficients keep
+    * every recursion step ONE signed HALF_UP integer op in
+    * micro-cents (the [[holtLinear]] discipline, extended with the
+    * seasonal leg):
+    *
+    *   l_t = HALF_UP((x_t − s_{t−7} + l_{t−1} + b_{t−1}) / 2)
+    *   b_t = HALF_UP((b_{t−1} + l_t − l_{t−1}) / 2)
+    *   s_t = HALF_UP((x_t − l_t + s_{t−7}) / 2)
+    *
+    * seeded over the first 7 bars: l₇ = positive-HALF_UP mean of
+    * x₁..x₇, b₇ = 0, s_i = x_i − l₇ for i = 1..7; emissions start at
+    * bar 8 (series shorter than 8 bars drop). The one-step forecast
+    * is l_t + b_t + s_{t−6} (next bar's seasonal index). The fold
+    * walks BAR POSITIONS (`sequence(8, m)`) so the lag-7 seasonal
+    * reads the accumulator by index instead of carrying a ring
+    * buffer — the oracle's recursive CTE carries the equivalent
+    * 7-element list. Completes the exponential-smoothing ladder
+    * (SES → [[holtLinear]] → seasonal) with the same one-exchange
+    * per-series fold shape.
+    */
+  def holtWinters(events: DataFrame): DataFrame =
+    holtWintersC(closes(events))
+
+  /** [[holtWinters]] over the persisted bar table — zero hash
+    * exchanges. */
+  def holtWintersFromBars(bars: DataFrame): DataFrame =
+    holtWintersC(barCloses(bars))
+
+  private def holtWintersC(cl: DataFrame): DataFrame = {
+    def half(num: String) =
+      s"(CASE WHEN ($num) >= 0L THEN (($num) + 1) div 2 " +
+        s"ELSE -((-($num) + 1) div 2) END)"
+    // seasonal index for bar j: the first 7 are seeds x_j − l₀; later
+    // ones sit in the accumulator (seed state at position 1, bar t's
+    // state at position t − 6)
+    def seas(j: String) =
+      s"(CASE WHEN ($j) <= 7 THEN element_at(xs, $j) - l0 " +
+        s"ELSE element_at(acc, ($j) - 6).s END)"
+    val x = "element_at(xs, i)"
+    val l0p = "element_at(acc, -1).l"
+    val b0p = "element_at(acc, -1).b"
+    val lt = half(s"$x - ${seas("i - 7")} + $l0p + $b0p")
+    val bt = half(s"$b0p + $lt - $l0p")
+    val st = half(s"$x - $lt + ${seas("i - 7")}")
+    closesArr(cl)
+      .filter(col("m") >= 8)
+      .withColumn("xs", expr("transform(cs, x -> x * 1000000L)"))
+      .withColumn("l0", expr(
+        "(2 * aggregate(slice(xs, 1, 7), 0L, (a, x) -> a + x) + 7) div 14"))
+      .withColumn("stt", expr(
+        "aggregate(sequence(8, m), " +
+          "array(named_struct('l', l0, 'b', 0L, 's', 0L, 'f', 0L)), " +
+          s"(acc, i) -> concat(acc, array(named_struct(" +
+          s"'l', $lt, 'b', $bt, 's', $st, " +
+          s"'f', $lt + $bt + ${seas("i - 6")}))))"))
+      .withColumn("days", expr("transform(rows, r -> r.day)"))
+      .select(col("user_id"),
+        posexplode(arrays_zip(expr("slice(days, 8, m - 7)").as("day"),
+          expr("slice(stt, 2, m - 7)").as("hw"))))
+      .select(col("user_id"), col("col.day").as("day"),
+        (col("col.hw.l").cast("double") / 100000000.0).as("level"),
+        (col("col.hw.b").cast("double") / 100000000.0).as("trend"),
+        (col("col.hw.s").cast("double") / 100000000.0).as("seasonal"),
+        (col("col.hw.f").cast("double") / 100000000.0).as("forecast"))
+      .orderBy("user_id", "day")
+  }
 }

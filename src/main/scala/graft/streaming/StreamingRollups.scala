@@ -1536,4 +1536,107 @@ object StreamingRollups {
           }
       }
   }
+
+  case class HoltWintersPoint(user_id: Long, day: String, level: Double,
+                              trend: Double, seasonal: Double,
+                              forecast: Double)
+  // NOT private (the SessionState encoder contract). Holt–Winters
+  // state = the open-bar scalars + the ≤7-close warm-up buffer + the
+  // (l, b) smoothing pair + the 7-element seasonal ring, all in
+  // micro-cents.
+  case class HoltWintersState(openDay: String, openOkey: String,
+                              openClose: Long, warm: Seq[Long],
+                              seeded: Boolean, l: Long, b: Long,
+                              seas: Seq[Long])
+
+  /** Streaming Holt–Winters additive weekly forecast — the batch
+    * α = β = γ = 1/2 recursion
+    * ([[graft.operators.TimeSeries.holtWinters]]) live: the first 7
+    * closed days accumulate in a warm-up buffer (no emission — the
+    * batch form emits from bar 8), the 7th close seeds l₇ =
+    * positive-HALF_UP mean / b₇ = 0 / s_i = x_i − l₇, and every later
+    * closed day runs the three signed HALF_UP halvings and rotates
+    * the 7-element seasonal ring — identical integers to the batch
+    * fold, so every finalized day's level/trend/seasonal/one-step
+    * forecast is bit-equal to the batch row (parity on every series
+    * day except its still-open last, spec-pinned). The forecast leg
+    * IS the live next-bar prediction including the weekly seasonal —
+    * the streaming-native seasonal forecaster next to [[holtStream]].
+    */
+  def holtWintersStream(ticks: Dataset[Tick], watermarkDelay: String,
+                        idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[HoltWintersPoint] = {
+    import ticks.sparkSession.implicits._
+    def halfHU(n: Long): Long = if (n >= 0) (n + 1) / 2 else -((-n + 1) / 2)
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltWintersState, HoltWintersPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Tick], state: GroupState[HoltWintersState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            def micros(t: Tick) =
+              t.ts.getTime / 1000 * 1000000L + t.ts.getNanos / 1000
+            def okey(t: Tick) = {
+              require(t.event_id >= 0 && t.event_id < 1000000000000L,
+                s"event_id ${t.event_id} outside the 12-digit order-key domain")
+              f"${micros(t)}%020d${t.event_id}%012d"
+            }
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            // finalize the open day: warm-up, seed, or one HW step
+            def closeDay(st: HoltWintersState): (HoltWintersState, Option[HoltWintersPoint]) = {
+              val x = st.openClose * 1000000L
+              if (!st.seeded) {
+                val warm = st.warm :+ x
+                if (warm.length < 7) (st.copy(warm = warm), None)
+                else {
+                  val l0 = (2 * warm.sum + 7) / 14
+                  (st.copy(warm = Seq.empty, seeded = true, l = l0, b = 0L,
+                    seas = warm.map(_ - l0)), None)
+                }
+              } else {
+                val sm = st.seas.head
+                val lt = halfHU(x - sm + st.l + st.b)
+                val bt = halfHU(st.b + lt - st.l)
+                val sNew = halfHU(x - lt + sm)
+                val seas = st.seas.tail :+ sNew
+                val f = lt + bt + seas.head
+                (st.copy(l = lt, b = bt, seas = seas),
+                  Some(HoltWintersPoint(user, st.openDay,
+                    lt.toDouble / 100000000.0,
+                    bt.toDouble / 100000000.0,
+                    sNew.toDouble / 100000000.0,
+                    f.toDouble / 100000000.0)))
+              }
+            }
+            val out = Seq.newBuilder[HoltWintersPoint]
+            var st = state.getOption.getOrElse(
+              HoltWintersState(null, null, 0L, Seq.empty, seeded = false,
+                0L, 0L, Seq.empty))
+            var lastTs = 0L
+            rows.toSeq.sortBy(t => (micros(t), t.event_id)).foreach { t =>
+              val day = fmt.format(t.ts)
+              val c = cents(t.value)
+              lastTs = math.max(lastTs, t.ts.getTime)
+              if (st.openDay == null)
+                st = st.copy(openDay = day, openOkey = okey(t), openClose = c)
+              else if (day > st.openDay) {
+                val (advanced, point) = closeDay(st)
+                point.foreach(out += _)
+                st = advanced.copy(openDay = day, openOkey = okey(t),
+                  openClose = c)
+              } else if (day == st.openDay && okey(t) > st.openOkey)
+                st = st.copy(openOkey = okey(t), openClose = c)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -947,4 +947,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_._2 != 0.0),
       "expected a nonzero trend across the parity corpus")
   }
+
+  test("streaming Holt-Winters reproduces the batch seasonal recursion for every closed day") {
+    // warm-up buffer (7 closes) → seed → three halvings + seasonal
+    // ring per closed day: every finalized day from bar 8 on must be
+    // bit-equal to the batch alpha=beta=gamma=1/2 fold
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val rows = ev.as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(rows: _*)
+    val st = StreamingRollups.holtWintersStream(input.toDS(), "10 minutes")
+    val q = st.writeStream.format("memory").queryName("parity_hw")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("seasonal"), r.getAs[Double]("forecast")))).toMap
+    val streamed = keyed(spark.table("parity_hw"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = keyed(operators.TimeSeries.holtWinters(ev)
+      .withColumn("maxd", max(col("day")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("day") < col("maxd"))
+      .select("user_id", "day", "level", "trend", "seasonal", "forecast"))
+    assert(streamed === batch, "stream-vs-batch Holt-Winters parity")
+    assert(streamed.nonEmpty)
+    // the seasonal leg must carry signal somewhere in the corpus
+    assert(streamed.values.exists(_._3 != 0.0),
+      "expected a nonzero seasonal index across the parity corpus")
+  }
 }

@@ -317,7 +317,10 @@ class TimeSeriesSpec extends SparkSpec {
         ("seasonal", TimeSeries.seasonalDecomposeFromBars(bars), TimeSeries.seasonalDecompose(ev)),
         ("hampel", TimeSeries.hampelFilterFromBars(bars), TimeSeries.hampelFilter(ev)),
         ("interpolate", TimeSeries.seriesInterpolateFromBars(bars), TimeSeries.seriesInterpolate(ev)),
-        ("forecast_skill", TimeSeries.forecastSkillFromBars(bars), TimeSeries.forecastSkill(ev)))
+        ("forecast_skill", TimeSeries.forecastSkillFromBars(bars), TimeSeries.forecastSkill(ev)),
+        ("variance_ratio", TimeSeries.varianceRatioFromBars(bars), TimeSeries.varianceRatio(ev)),
+        ("runs_test", TimeSeries.runsTestFromBars(bars), TimeSeries.runsTest(ev)),
+        ("holt_winters", TimeSeries.holtWintersFromBars(bars), TimeSeries.holtWinters(ev)))
       zeroExchange.foreach { case (name, indexed, direct) =>
         val plan = indexed.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange hashpartitioning"),
@@ -364,5 +367,76 @@ class TimeSeriesSpec extends SparkSpec {
     val lags = r.map(_.getAs[Long]("lag")).toSet
     assert(lags === Set(0L), s"only lag 0 must survive the weekend gap, got $lags")
     assert(r.forall(_.getAs[Long]("n_pairs") === 2L))
+  }
+
+  test("variance ratio: hand-worked moments; constant-diff series drop") {
+    // u1 zigzag [100,200,100,200,100,200,100] cents: d1 = ±100
+    // alternating → n1=6, s1=0, s11=60000, v1=360000; dq (q=5) on rows
+    // 6,7: [+100,−100] → nq=2, sq=0, sqq=20000, vq=40000.
+    // VR = (vq·n1²)/(5·v1·nq²) = 1440000/7200000 = 0.2 (mean reversion).
+    // u2 linear [100..800]: every d1 = 100 → v1 = 0 → dropped.
+    val df = series(
+      1L -> Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0),
+      2L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+    val r = TimeSeries.varianceRatio(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[Long]("q") === 5L)
+    assert(r(0).getAs[Long]("n_diffs") === 6L)
+    assert(r(0).getAs[Double]("vr") === 0.2)
+  }
+
+  test("runs test: alternating signs, monotone and zero-variance drops") {
+    // u1 [1,2,1,2,1,2,1]: signs +−+−+− → n=6, n⁺=n⁻=3, R=6;
+    //   E=1+18/6=4, Var=18·12/(36·5)=1.2, z=2/√1.2=1.825742
+    // u2 monotone [1,2,3,4]: n⁻=0 → dropped
+    // u3 [1,2,2,1]: zero change drops → signs +− → n=2, 2n⁺n⁻=2=n →
+    //   Var=0 → dropped
+    val df = series(
+      1L -> Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0),
+      2L -> Seq(1.0, 2.0, 3.0, 4.0),
+      3L -> Seq(1.0, 2.0, 2.0, 1.0))
+    val r = TimeSeries.runsTest(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[Long]("n_obs") === 6L)
+    assert(r(0).getAs[Long]("n_up") === 3L)
+    assert(r(0).getAs[Long]("n_down") === 3L)
+    assert(r(0).getAs[Long]("runs") === 6L)
+    assert(r(0).getAs[Double]("z") === 1.825742)
+  }
+
+  test("holt-winters: seed arithmetic and the one-step seasonal forecast") {
+    // Closes (cents) [100,200,100,100,100,100,100] then day 8 = 100.
+    // l₀ = HALF_UP(Σ·1e6·2+7)/14 over the 7 seeds = 114285714 µ¢;
+    // seeds s₁=−14285714, s₂=+85714286, s₃..₇=−14285714.
+    // Day 8 (x=1e8, s_{t−7}=s₁): l₈ = HALF_UP((1e8+14285714+114285714)/2)
+    // = 114285714, b₈ = 0, s₈ = HALF_UP((1e8−114285714−14285714)/2)
+    // = −14285714, forecast = l+b+s₂ = 2e8 → the week-2 "high" weekday
+    // is forecast at exactly 2.00.
+    // u2 has 7 bars only (< 8) → dropped.
+    val df = series(
+      1L -> Seq(1.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+      2L -> Seq(1.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    val r = TimeSeries.holtWinters(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[String]("day") === "2024-01-08")
+    assert(r(0).getAs[Double]("level") === 1.14285714)
+    assert(r(0).getAs[Double]("trend") === 0.0)
+    assert(r(0).getAs[Double]("seasonal") === -0.14285714)
+    assert(r(0).getAs[Double]("forecast") === 2.0)
+  }
+
+  test("holt-winters: constant series stays flat with zero trend/seasonal") {
+    val df = series(1L -> Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0))
+    val r = TimeSeries.holtWinters(df).collect()
+    assert(r.length === 2)
+    r.foreach { row =>
+      assert(row.getAs[Double]("level") === 5.0)
+      assert(row.getAs[Double]("trend") === 0.0)
+      assert(row.getAs[Double]("seasonal") === 0.0)
+      assert(row.getAs[Double]("forecast") === 5.0)
+    }
   }
 }
