@@ -642,10 +642,10 @@ object Finance {
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("rows"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
       .withColumn("cs", expr("transform(rows, r -> r.c * 1000000L)"))
-      .withColumn("e12", expr(emaFoldExpr("cs", fast)))
-      .withColumn("e26", expr(emaFoldExpr("cs", slow)))
+      .withColumn("e12", emaFold("cs", fast))
+      .withColumn("e26", emaFold("cs", slow))
       .withColumn("macd_a", expr("zip_with(e12, e26, (a, b) -> a - b)"))
-      .withColumn("sig_a", expr(emaFoldExpr("macd_a", signal)))
+      .withColumn("sig_a", emaFold("macd_a", signal))
       .withColumn("hist_a", expr("zip_with(macd_a, sig_a, (a, b) -> a - b)"))
       .select(col("user_id"),
         posexplode(arrays_zip(col("days"), col("macd_a"), col("sig_a"), col("hist_a"))))
@@ -689,8 +689,8 @@ object Finance {
         divHalfUp(s"aggregate(slice(g, 1, $n), 0L, (a, x) -> a + x)", n)))
       .withColumn("sl", expr(
         divHalfUp(s"aggregate(slice(l, 1, $n), 0L, (a, x) -> a + x)", n)))
-      .withColumn("wg", expr(wilderFoldExpr("g", "sg", n)))
-      .withColumn("wl", expr(wilderFoldExpr("l", "sl", n)))
+      .withColumn("wg", wilderFold("g", "sg", n))
+      .withColumn("wl", wilderFold("l", "sl", n))
       .withColumn("edays", expr(s"slice(days, ${n + 1}, size(days) - $n)"))
       .select(col("user_id"), posexplode(arrays_zip(col("edays"), col("wg"), col("wl"))))
       .select(col("user_id"), col("col.edays").as("day"),
@@ -709,22 +709,31 @@ object Finance {
     s"(CASE WHEN ($num) >= 0L THEN (2 * ($num) + $den) div ${2 * den} " +
       s"ELSE -((2 * (-($num)) + $den) div ${2 * den}) END)"
 
-  /** Integer EMA fold (micro-cent scale), shared by [[macd]] and
+  /** Integer EMA scan (micro-cent scale), shared by [[macd]] and
     * [[keltner]]: ema(1) = x₁, ema(t) = HALF_UP((2·xₜ + (n−1)·
-    * ema(t−1))/(n+1)) — α = 2/(n+1) with NO floats anywhere.
+    * ema(t−1))/(n+1)) — α = 2/(n+1) with NO floats anywhere. Runs as
+    * `array_scan` (O(m) — the aggregate-concat idiom it replaced
+    * copies O(m²) elements per series; same lambda arithmetic, so the
+    * shared oracles are untouched): seed = x₁, scan the tail.
     */
-  private def emaFoldExpr(src: String, n: Int): String =
-    s"aggregate($src, CAST(array() AS ARRAY<BIGINT>), (acc, x) -> " +
-      s"concat(acc, array(CASE WHEN size(acc) = 0 THEN x " +
-      s"ELSE ${divHalfUp(s"2 * x + ${n - 1} * element_at(acc, -1)", n + 1)} END)))"
+  private def emaFold(src: String, n: Int): Column =
+    graft.plans.ScanExprs.arrayScanSql(
+      expr(s"slice($src, 2, size($src) - 1)"),
+      expr(s"element_at($src, 1)"),
+      "acc_s", "x_s",
+      divHalfUp(s"2 * x_s + ${n - 1} * acc_s", n + 1))
 
-  /** Integer Wilder 1/n fold past the SMA seed, shared by
-    * [[rsiWilder]] and [[keltner]]'s ATR:
-    * avg(t) = HALF_UP((avg(t−1)·(n−1) + xₜ)/n), micro-cent scale.
+  /** Integer Wilder 1/n scan past the SMA seed, shared by
+    * [[rsiWilder]], [[keltner]]'s ATR, [[supertrendFromBars]] and
+    * [[adxFromBars]]: avg(t) = HALF_UP((avg(t−1)·(n−1) + xₜ)/n),
+    * micro-cent scale; `array_scan` for the O(m) trajectory.
     */
-  private def wilderFoldExpr(src: String, seed: String, n: Int): String =
-    s"aggregate(slice($src, ${n + 1}, size($src) - $n), array($seed), " +
-      s"(acc, x) -> concat(acc, array(${divHalfUp(s"element_at(acc, -1) * ${n - 1} + x", n)})))"
+  private def wilderFold(src: String, seed: String, n: Int): Column =
+    graft.plans.ScanExprs.arrayScanSql(
+      expr(s"slice($src, ${n + 1}, size($src) - $n)"),
+      expr(seed),
+      "acc_s", "x_s",
+      divHalfUp(s"acc_s * ${n - 1} + x_s", n))
 
   /** Keltner channels — the EMA-based volatility envelope (the
     * [[donchianChannels]] shape with smoothed center and width): mid =
@@ -763,10 +772,10 @@ object Finance {
           "ELSE greatest(element_at(rows, i).h - element_at(rows, i).l, " +
           "abs(element_at(rows, i).h - element_at(rows, i - 1).c), " +
           "abs(element_at(rows, i).l - element_at(rows, i - 1).c)) END) * 1000000L)"))
-      .withColumn("mid_a", expr(emaFoldExpr("typ", emaN)))
+      .withColumn("mid_a", emaFold("typ", emaN))
       .withColumn("seed_atr", expr(
         divHalfUp(s"aggregate(slice(tr, 1, $atrN), 0L, (a, x) -> a + x)", atrN)))
-      .withColumn("atr_a", expr(wilderFoldExpr("tr", "seed_atr", atrN)))
+      .withColumn("atr_a", wilderFold("tr", "seed_atr", atrN))
       .withColumn("emid", expr(s"slice(mid_a, $atrN, size(mid_a) - ${atrN - 1})"))
       .withColumn("edays", expr(s"slice(days, $atrN, size(days) - ${atrN - 1})"))
       .select(col("user_id"), posexplode(arrays_zip(col("edays"), col("emid"), col("atr_a"))))
@@ -1081,10 +1090,10 @@ object Finance {
       .withColumn("days", expr("transform(rows, r -> r.day)"))
       .withColumn("hc4", expr("transform(rows, r -> r.o + r.h + r.l + r.c)"))
       .withColumn("seed", expr("2 * (rows[0].o + rows[0].c)"))
-      // fold over the PREVIOUS bar's ha_close: step i consumes hc4[i−1]
-      .withColumn("hao4", expr(
-        "aggregate(slice(hc4, 1, size(hc4) - 1), array(seed), " +
-          "(acc, p) -> concat(acc, array((element_at(acc, -1) + p + 1) div 2)))"))
+      // scan over the PREVIOUS bar's ha_close: step i consumes hc4[i−1]
+      .withColumn("hao4", graft.plans.ScanExprs.arrayScanSql(
+        expr("slice(hc4, 1, size(hc4) - 1)"), col("seed"),
+        "acc_s", "x_s", "(acc_s + x_s + 1) div 2"))
       .select(col("user_id"), posexplode(arrays_zip(
         col("days"), col("hao4"), col("hc4"),
         expr("transform(rows, r -> r.h * 4)").as("h4"),
@@ -1124,11 +1133,11 @@ object Finance {
     */
   def supertrendFromBars(bars: DataFrame, n: Int = 7, mult: Int = 3): DataFrame = {
     require(n >= 1, s"SuperTrend ATR window must be >= 1, got $n")
-    def st(f: String) = s"element_at(acc, -1).$f"
-    val fuT = s"CASE WHEN z.bu < ${st("fu")} OR z.pc > ${st("fu")} " +
-      s"THEN z.bu ELSE ${st("fu")} END"
-    val flT = s"CASE WHEN z.bl > ${st("fl")} OR z.pc < ${st("fl")} " +
-      s"THEN z.bl ELSE ${st("fl")} END"
+    def st(f: String) = s"acc_s.$f"
+    val fuT = s"CASE WHEN x_s.bu < ${st("fu")} OR x_s.pc > ${st("fu")} " +
+      s"THEN x_s.bu ELSE ${st("fu")} END"
+    val flT = s"CASE WHEN x_s.bl > ${st("fl")} OR x_s.pc < ${st("fl")} " +
+      s"THEN x_s.bl ELSE ${st("fl")} END"
     bars
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("h"), col("l"), col("c"))))
@@ -1143,7 +1152,7 @@ object Finance {
           "abs(element_at(rows, i).l - element_at(rows, i - 1).c)) END) * 1000000L)"))
       .withColumn("seed_atr", expr(
         divHalfUp(s"aggregate(slice(tr, 1, $n), 0L, (a, x) -> a + x)", n)))
-      .withColumn("atr_a", expr(wilderFoldExpr("tr", "seed_atr", n)))
+      .withColumn("atr_a", wilderFold("tr", "seed_atr", n))
       // bars aligned to the ATR rows (rn ≥ n): micro-cent midpoints
       // are (h+l)·500000 EXACT, closes c·10⁶
       .withColumn("emids", expr(
@@ -1161,20 +1170,20 @@ object Finance {
           "ELSE transform(sequence(2, size(bu)), i -> named_struct(" +
           "'bu', element_at(bu, i), 'bl', element_at(bl, i), " +
           "'c', element_at(ecs, i), 'pc', element_at(ecs, i - 1))) END"))
-      .withColumn("st", expr(
-        // seed state at the first ATR row, then fold the steps; the
+      .withColumn("st", graft.plans.ScanExprs.arrayScanSql(
+        // seed state at the first ATR row, then scan the steps; the
         // updated bands are re-derived inside the trend CASE (lambdas
         // can't bind intermediates — the CASE repeats verbatim, same
         // as the oracle's recursive CTE)
-        "aggregate(items, " +
-          "array(named_struct(" +
+        col("items"),
+        expr("named_struct(" +
           "'fu', element_at(bu, 1), 'fl', element_at(bl, 1), " +
           "'td', CASE WHEN element_at(ecs, 1) > element_at(bu, 1) THEN 1L " +
-          "WHEN element_at(ecs, 1) < element_at(bl, 1) THEN -1L ELSE 1L END)), " +
-          "(acc, z) -> concat(acc, array(named_struct(" +
-          s"'fu', $fuT, 'fl', $flT, " +
-          s"'td', CASE WHEN z.c > ($fuT) THEN 1L WHEN z.c < ($flT) THEN -1L " +
-          s"ELSE ${st("td")} END))))"))
+          "WHEN element_at(ecs, 1) < element_at(bl, 1) THEN -1L ELSE 1L END)"),
+        "acc_s", "x_s",
+        s"named_struct('fu', $fuT, 'fl', $flT, " +
+          s"'td', CASE WHEN x_s.c > ($fuT) THEN 1L WHEN x_s.c < ($flT) THEN -1L " +
+          s"ELSE ${st("td")} END)"))
       .select(col("user_id"), posexplode(arrays_zip(col("edays"), col("st"))))
       .select(col("user_id"), col("col.edays").as("day"),
         (col("col.st.fu").cast("double") / 100000000.0).as("upper_band"),
@@ -1231,9 +1240,9 @@ object Finance {
         divHalfUp(s"aggregate(slice(ndm, 1, $n), 0L, (a, x) -> a + x)", n)))
       .withColumn("st", expr(
         divHalfUp(s"aggregate(slice(tr, 1, $n), 0L, (a, x) -> a + x)", n)))
-      .withColumn("wp", expr(wilderFoldExpr("pdm", "sp", n)))
-      .withColumn("wn", expr(wilderFoldExpr("ndm", "sn", n)))
-      .withColumn("wt", expr(wilderFoldExpr("tr", "st", n)))
+      .withColumn("wp", wilderFold("pdm", "sp", n))
+      .withColumn("wn", wilderFold("ndm", "sn", n))
+      .withColumn("wt", wilderFold("tr", "st", n))
       // DI± in bp off the smoothed micro-cent folds (wt > 0: a bar
       // with h = l = prev c would zero TR, but then DM is zero too —
       // guard anyway with the flat convention 0)
@@ -1250,7 +1259,7 @@ object Finance {
       .withColumn("dxu", expr("transform(dx, x -> x * 1000000L)"))
       .withColumn("sa", expr(
         divHalfUp(s"aggregate(slice(dxu, 1, $n), 0L, (a, x) -> a + x)", n)))
-      .withColumn("wa", expr(wilderFoldExpr("dxu", "sa", n)))
+      .withColumn("wa", wilderFold("dxu", "sa", n))
       // day alignment (1-based): delta row j carries day days[j+1];
       // dip/dim (length L = D−n+1) index k ↔ delta row n+k−1; the ADX
       // fold (length L−n+1) index k ↔ delta row 2n+k−2 ↔ day days[2n+k−1]

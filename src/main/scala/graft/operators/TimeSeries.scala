@@ -207,12 +207,13 @@ object TimeSeries {
         "element_at(sort_array(cs), CAST((m + 1) div 2 AS INT))"))
       .withColumn("mad", expr(
         "element_at(sort_array(transform(cs, x -> abs(x - mu))), CAST((m + 1) div 2 AS INT))"))
-      .withColumn("st", expr(
-        // fold state (sp, sn); k = HALF_UP(mad/2) = (2·mad+2) div 4
-        "aggregate(cs, array(named_struct('sp', 0L, 'sn', 0L)), " +
-          "(acc, x) -> concat(acc, array(named_struct(" +
-          "'sp', greatest(0L, element_at(acc, -1).sp + (x - mu - ((2 * mad + 2) div 4))), " +
-          "'sn', greatest(0L, element_at(acc, -1).sn + (mu - x - ((2 * mad + 2) div 4)))))))"))
+      .withColumn("st", graft.plans.ScanExprs.arrayScanSql(
+        // scan state (sp, sn); k = HALF_UP(mad/2) = (2·mad+2) div 4
+        col("cs"), expr("named_struct('sp', 0L, 'sn', 0L)"),
+        "acc_s", "x_s",
+        "named_struct(" +
+          "'sp', greatest(0L, acc_s.sp + (x_s - mu - ((2 * mad + 2) div 4))), " +
+          "'sn', greatest(0L, acc_s.sn + (mu - x_s - ((2 * mad + 2) div 4))))"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
       .select(col("user_id"), col("mu"), col("mad"),
         posexplode(arrays_zip(col("days"), expr("slice(st, 2, m)").as("s"))))
@@ -268,16 +269,17 @@ object TimeSeries {
         s"ELSE -((-($num) + 1) div 2) END)"
     // state carries (l, f = l + b): l_t = HALF_UP((x + f)/2),
     // b_t = HALF_UP((f + l_t − 2l)/2), f_t = l_t + b_t
-    val f0 = "element_at(acc, -1).f"
-    val l0 = "element_at(acc, -1).l"
-    val lt = half(s"x + $f0")
+    val f0 = "acc_s.f"
+    val l0 = "acc_s.l"
+    val lt = half(s"x_s + $f0")
     val bt = half(s"$f0 + $lt - 2 * $l0")
     closesArr(cl)
       .withColumn("xs", expr("transform(cs, x -> x * 1000000L)"))
-      .withColumn("st", expr(
-        "aggregate(slice(xs, 2, m - 1), " +
-          "array(named_struct('l', element_at(xs, 1), 'f', element_at(xs, 1))), " +
-          s"(acc, x) -> concat(acc, array(named_struct('l', $lt, 'f', $lt + $bt))))"))
+      .withColumn("st", graft.plans.ScanExprs.arrayScanSql(
+        expr("slice(xs, 2, m - 1)"),
+        expr("named_struct('l', element_at(xs, 1), 'f', element_at(xs, 1))"),
+        "acc_s", "x_s",
+        s"named_struct('l', $lt, 'f', $lt + $bt)"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
       .select(col("user_id"), posexplode(arrays_zip(col("days"), col("st"))))
       .select(col("user_id"), col("col.days").as("day"),
@@ -697,11 +699,10 @@ object TimeSeries {
     * seeded over the first 7 bars: l₇ = positive-HALF_UP mean of
     * x₁..x₇, b₇ = 0, s_i = x_i − l₇ for i = 1..7; emissions start at
     * bar 8 (series shorter than 8 bars drop). The one-step forecast
-    * is l_t + b_t + s_{t−6} (next bar's seasonal index). The fold
-    * walks BAR POSITIONS (`sequence(8, m)`) so the lag-7 seasonal
-    * reads the accumulator by index instead of carrying a ring
-    * buffer — the oracle's recursive CTE carries the equivalent
-    * 7-element list. Completes the exponential-smoothing ladder
+    * is l_t + b_t + s_{t−6} (next bar's seasonal index). The
+    * recursion runs as an O(m) `array_scan` whose state carries the
+    * 7-element seasonal ring — the same list the oracle's recursive
+    * CTE carries. Completes the exponential-smoothing ladder
     * (SES → [[holtLinear]] → seasonal) with the same one-exchange
     * per-series fold shape.
     */
@@ -717,29 +718,29 @@ object TimeSeries {
     def half(num: String) =
       s"(CASE WHEN ($num) >= 0L THEN (($num) + 1) div 2 " +
         s"ELSE -((-($num) + 1) div 2) END)"
-    // seasonal index for bar j: the first 7 are seeds x_j − l₀; later
-    // ones sit in the accumulator (seed state at position 1, bar t's
-    // state at position t − 6)
-    def seas(j: String) =
-      s"(CASE WHEN ($j) <= 7 THEN element_at(xs, $j) - l0 " +
-        s"ELSE element_at(acc, ($j) - 6).s END)"
-    val x = "element_at(xs, i)"
-    val l0p = "element_at(acc, -1).l"
-    val b0p = "element_at(acc, -1).b"
-    val lt = half(s"$x - ${seas("i - 7")} + $l0p + $b0p")
+    // the scan state carries the 7-element seasonal ring alongside
+    // (l, b): ring head = s_{t−7} (this step's seasonal input), ring
+    // position 2 = s_{t−6} (the one-step forecast's seasonal) — the
+    // same list the oracle's recursive CTE carries
+    val sm = "element_at(acc_s.seas, 1)"
+    val l0p = "acc_s.l"
+    val b0p = "acc_s.b"
+    val lt = half(s"x_s - $sm + $l0p + $b0p")
     val bt = half(s"$b0p + $lt - $l0p")
-    val st = half(s"$x - $lt + ${seas("i - 7")}")
+    val st = half(s"x_s - $lt + $sm")
     closesArr(cl)
       .filter(col("m") >= 8)
       .withColumn("xs", expr("transform(cs, x -> x * 1000000L)"))
       .withColumn("l0", expr(
         "(2 * aggregate(slice(xs, 1, 7), 0L, (a, x) -> a + x) + 7) div 14"))
-      .withColumn("stt", expr(
-        "aggregate(sequence(8, m), " +
-          "array(named_struct('l', l0, 'b', 0L, 's', 0L, 'f', 0L)), " +
-          s"(acc, i) -> concat(acc, array(named_struct(" +
-          s"'l', $lt, 'b', $bt, 's', $st, " +
-          s"'f', $lt + $bt + ${seas("i - 6")}))))"))
+      .withColumn("stt", graft.plans.ScanExprs.arrayScanSql(
+        expr("slice(xs, 8, m - 7)"),
+        expr("named_struct('l', l0, 'b', 0L, 's', 0L, 'f', 0L, " +
+          "'seas', transform(slice(xs, 1, 7), x -> x - l0))"),
+        "acc_s", "x_s",
+        s"named_struct('l', $lt, 'b', $bt, 's', $st, " +
+          s"'f', $lt + $bt + element_at(acc_s.seas, 2), " +
+          s"'seas', concat(slice(acc_s.seas, 2, 6), array($st)))"))
       .withColumn("days", expr("transform(rows, r -> r.day)"))
       .select(col("user_id"),
         posexplode(arrays_zip(expr("slice(days, 8, m - 7)").as("day"),

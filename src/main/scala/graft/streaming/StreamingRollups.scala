@@ -27,6 +27,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * resumed series from the persisted bar table. The timeout exists so
   * delisted/dead series cannot hold state forever — the state-bound
   * half of the 100 TB contract.
+  *
+  * DATA-CONTRACT ASSERTIONS: the indicator streams `require` each
+  * event_id inside the 12-digit order-key domain, and a violation
+  * fails the QUERY, not just the key — deliberate: the composite
+  * order key is what makes every downstream emission deterministic,
+  * so an out-of-domain id means the INGEST contract broke and silent
+  * per-key dropping would corrupt parity unnoticed. A deployment that
+  * prefers degraded service over a halt should pre-filter (and count)
+  * violations in a dead-letter stage before these operators.
   */
 object StreamingRollups {
 
