@@ -59,18 +59,25 @@ def main():
                user_id + c * 1500 AS user_id, event_type, value, props
         FROM read_parquet('{SF}/events.parquet'), copies
       ) TO '{WIDE}/events.parquet' (FORMAT PARQUET)""")
-    # per-copy tag word keeps cross-copy texts from being exact/near
-    # dups (identical texts would inflate every LSH bucket x10 and turn
-    # the 10x run into a dup-rate stress test instead of a scale test)
+    # copies get a DETERMINISTIC CONTENT-SEEDED WORD PERMUTATION
+    # (round-11 audit lesson: an appended suffix tag leaves the char-5
+    # shingle sets ~80% identical, so every doc gained ~10 true
+    # near-dups and the dedup keys measured dup-rate inflation, not
+    # scaling). Sort keys hash (word, position, copy): identical texts
+    # permute identically, so each copy's INTERNAL dup structure — the
+    # dup RATE — is preserved exactly, while cross-copy char-5 Jaccard
+    # drops to ~0.27, under every LSH trigger. Vocabulary and length
+    # stats are untouched (same words, same counts).
     con.execute(f"""
       COPY (
         SELECT doc_id + c * 5000 AS doc_id,
                CASE WHEN c = 0 THEN text
-                    ELSE text || ' copytag' || c END AS text,
-               lang, source,
-               CASE WHEN c = 0 THEN n_chars
-                    ELSE n_chars + 9 + CAST(len(CAST(c AS VARCHAR)) AS BIGINT)
-               END AS n_chars
+                    ELSE array_to_string(list_transform(
+                      list_sort(list_transform(string_split(text, ' '),
+                        (w, i) -> {{'h': hash(w || '_' || i || '_' || c),
+                                    'w': w}})),
+                      s -> s.w), ' ') END AS text,
+               lang, source, n_chars
         FROM read_parquet('{SF}/documents.parquet'), copies
       ) TO '{WIDE}/documents.parquet' (FORMAT PARQUET)""")
     # deterministic sign flips decorrelate copies (adding a small

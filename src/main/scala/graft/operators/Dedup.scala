@@ -1098,16 +1098,38 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs: sign-projection signature →
-    * 4×4-bit bucket bands → pair join within buckets → exact cosine
+    * 4 bucket bands → pair join within buckets → exact cosine
     * verify ≥ `threshold`. Same LSH shape as MinHash: no all-pairs
-    * comparison, shuffles only on bucket keys. Band width trades
-    * recall vs bucket size: 4-bit bands give ~50% recall at cosine
-    * ≈0.45 for 1/16 of the pairwise work; real near-dup corpora
-    * (cosine ≥0.9) get >99% recall.
+    * comparison, shuffles only on bucket keys.
+    *
+    * BAND WIDTH SCALES WITH THE CORPUS (the round-11 scaling audit's
+    * catch): a fixed 4-bit band has only 16 buckets, so bucket
+    * occupancy grows with n and candidate pairs grow as n²/128 —
+    * measured 153× time at 10× vectors. The width is now
+    * ceil(log₂(n/`targetBucket`)) clamped to [4, 16], which pins the
+    * EXPECTED bucket occupancy at `targetBucket` and the candidate
+    * volume at ~4·n·targetBucket/2 — linear in n. The first 16
+    * hyperplanes are shared across widths (one sequential PRNG), so
+    * corpora small enough for w = 4 (gate scales) keep the historical
+    * buckets bit-for-bit. The trade is recall at a FIXED cosine
+    * declining as bands widen (P(band match) = p_cos^w): 4-bit bands
+    * give ~50% recall at cosine ≈0.45 and >99% at ≥0.9; at w = 8 the
+    * ≥0.9 figure is ~75% — a deployment needing pinned recall at 100
+    * TB should raise the band COUNT alongside (or use the IVF
+    * centroid path, [[graft.operators.Similarity]]). The one driver
+    * `count()` sizes the index — ingest-time work, the standard LSH
+    * planning step.
     */
   def embeddingNearDup(embeddings: DataFrame, dim: Int = 64,
-                       threshold: Double = 0.35): DataFrame = {
-    val bits = HashExprs.signProjBits(col("embedding"), hyperplanes(16, dim))
+                       threshold: Double = 0.35,
+                       targetBucket: Int = 128): DataFrame = {
+    val n = embeddings.count()
+    val q = math.max(1L, n / targetBucket)
+    // ceil(log2(q)) via the bit length of q−1; q ≤ 1 → 0
+    val w = math.min(16, math.max(4,
+      if (q <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)))
+    val mask = (1L << w) - 1
+    val bits = HashExprs.signProjBits(col("embedding"), hyperplanes(4 * w, dim))
     val keyed = embeddings.select(col("vec_id"), bits.as("bits"))
     // band explode and the bucket self-join stay NARROW (ids + bucket
     // only); the 64-float embeddings join back on the distinct
@@ -1115,7 +1137,7 @@ object Dedup {
     val banded = keyed.select(
       col("vec_id"),
       posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("bits"), c * 4).bitwiseAND(lit(0xFL))): _*)))
+        shiftrightunsigned(col("bits"), c * w).bitwiseAND(lit(mask))): _*)))
       .toDF("vec_id", "band", "bucket")
     val cand = banded.as("x")
       .join(banded.as("y"),
