@@ -239,6 +239,11 @@ object SparkEntry {
     ensureTable(s, t)(Analytics.writeValueHistogramRollup(Tables.orders(s, d), t))
   }
 
+  private def embedBandIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_embed_band_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeEmbedBandIndex(Tables.embeddings(s, d), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -965,6 +970,11 @@ object SparkEntry {
     "dedup_containment_indexed" -> ((s, d) =>
       Dedup.containmentPairsIndexed(s, containmentIdx(s, d), Tables.documents(s, d))),
     "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    // the persisted-band-index twin: sign projections computed once at
+    // ingest, candidate self-join rides the (band, bucket) bucket
+    // layout with zero exchanges; shared oracle with the direct form
+    "embed_neardup_indexed" -> ((s, d) => Dedup.embeddingNearDupIndexed(
+      s, embedBandIndexTable(s, d), Tables.embeddings(s, d))),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_batch_topk"    -> ((s, d) => Similarity.batchTopK(Tables.embeddings(s, d))),
@@ -2311,6 +2321,7 @@ object SparkEntry {
         |true AS within_bound
         |FROM s CROSS JOIN t GROUP BY p, n ORDER BY p""".stripMargin,
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
+    "embed_neardup_indexed" -> embedNearDupOracle(0.35),
     "embed_pca_power" -> pcaPowerOracle(8, 64),
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -1123,28 +1123,48 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, dim: Int = 64,
                        threshold: Double = 0.35,
                        targetBucket: Int = 128): DataFrame = {
-    val n = embeddings.count()
+    val w = embedBandWidth(embeddings.count(), targetBucket)
+    cosinePairVerify(
+      bucketCandidatePairs(embedBandTable(embeddings, dim, w)).distinct(),
+      embeddings, threshold)
+  }
+
+  /** ceil(log₂(n/targetBucket)) clamped to [4, 16] — the occupancy-
+    * pinning band width shared by the direct and indexed forms. */
+  private def embedBandWidth(n: Long, targetBucket: Int): Int = {
     val q = math.max(1L, n / targetBucket)
     // ceil(log2(q)) via the bit length of q−1; q ≤ 1 → 0
-    val w = math.min(16, math.max(4,
+    math.min(16, math.max(4,
       if (q <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)))
+  }
+
+  /** The (vec_id, band, bucket) band table at width `w` — band
+    * explode stays NARROW (ids + bucket only); vectors never ride the
+    * bucket shuffle. */
+  private def embedBandTable(embeddings: DataFrame, dim: Int, w: Int): DataFrame = {
     val mask = (1L << w) - 1
     val bits = HashExprs.signProjBits(col("embedding"), hyperplanes(4 * w, dim))
-    val keyed = embeddings.select(col("vec_id"), bits.as("bits"))
-    // band explode and the bucket self-join stay NARROW (ids + bucket
-    // only); the 64-float embeddings join back on the distinct
-    // candidate ids, so the bucket shuffle never carries vectors
-    val banded = keyed.select(
-      col("vec_id"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("bits"), c * w).bitwiseAND(lit(mask))): _*)))
+    embeddings.select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("bits"), c * w).bitwiseAND(lit(mask))): _*)))
       .toDF("vec_id", "band", "bucket")
-    val cand = banded.as("x")
+  }
+
+  /** Raw within-bucket id pairs (callers dedupe): over the persisted
+    * bucketed index this self-join plans zero exchanges — the
+    * [[bucketCandidates]] contract, embedding-band edition. */
+  private[graft] def bucketCandidatePairs(banded: DataFrame): DataFrame =
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
+
+  /** Exact-cosine verification of candidate id pairs: the 64-float
+    * embeddings join back on the distinct candidate ids only. */
+  private def cosinePairVerify(cand: DataFrame, embeddings: DataFrame,
+                               threshold: Double): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(vecs.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
@@ -1154,4 +1174,41 @@ object Dedup {
       .select("a", "b", "cosine")
       .orderBy("a", "b")
   }
+
+  /** Persist the embedding band table as a bucketed catalog table —
+    * the [[writeMinhashIndex]] lifecycle for the embedding near-dup:
+    * sign projections are computed once at ingest, the table is
+    * bucketed on EXACTLY the candidate join's key set (band, bucket)
+    * so the indexed self-join plans zero exchanges, and the chosen
+    * band width (sized from the corpus at write time — the one
+    * `count()` is ingest work) is recorded in table properties so a
+    * drifted re-ingest is an error rather than silent recall
+    * corruption.
+    */
+  def writeEmbedBandIndex(embeddings: DataFrame, table: String,
+                          numBuckets: Int = 8, dim: Int = 64,
+                          targetBucket: Int = 128): Unit = {
+    val w = embedBandWidth(embeddings.count(), targetBucket)
+    graft.sources.Sinks.writeBucketed(
+      embedBandTable(embeddings, dim, w), table, Seq("band", "bucket"),
+      numBuckets)
+    embeddings.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.embed.w'='$w','graft.embed.dim'='$dim')")
+  }
+
+  /** [[embeddingNearDup]] over the persisted band index: candidates
+    * come from the bucketed table (shuffle-free self-join — both
+    * sides carry the same HashPartitioning on the bucket columns,
+    * which are exactly the join keys), and the embeddings frame is
+    * consulted only to cosine-verify the candidate ids. Same output
+    * contract as the direct form (shared oracle). CONTRACT: the
+    * frame must cover every vec_id in the index — the verify step
+    * inner-joins candidates to it.
+    */
+  def embeddingNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
+                              table: String, embeddings: DataFrame,
+                              threshold: Double = 0.35): DataFrame =
+    cosinePairVerify(bucketCandidatePairs(spark.table(table)).distinct(),
+      embeddings, threshold)
 }

@@ -398,6 +398,46 @@ class HashExprsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("persisted embed band index: zero-exchange candidates, matching direct") {
+    spark.sql("DROP TABLE IF EXISTS g_embed_band_idx")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, "g_embed_band_idx")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    operators.Dedup.writeEmbedBandIndex(emb, "g_embed_band_idx")
+    // the candidate self-join over the bucketed index: the bucket
+    // layout is the exchange, paid at ingest — the query plans none
+    // (broadcast disabled so the planner must lean on the buckets,
+    // the same pin as the minhash-index spec)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = operators.Dedup.bucketCandidatePairs(spark.table("g_embed_band_idx"))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"persisted-index self-join should not shuffle:\n$plan")
+      assert(cand.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // same verified pairs as projecting signatures from vectors in-query
+    val indexed = operators.Dedup
+      .embeddingNearDupIndexed(spark, "g_embed_band_idx", emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = operators.Dedup.embeddingNearDup(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed === direct)
+    assert(indexed.nonEmpty)
+    // the width the index recorded matches what the corpus size implies
+    val props = spark.sql("SHOW TBLPROPERTIES g_embed_band_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.embed.w").toInt >= 4)
+  }
+
   test("persisted cluster index: keep-best and split run without hash exchanges, matching direct") {
     spark.sql("DROP TABLE IF EXISTS g_cluster_idx")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
