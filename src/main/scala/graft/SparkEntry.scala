@@ -244,6 +244,12 @@ object SparkEntry {
     ensureTable(s, t)(Dedup.writeEmbedBandIndex(Tables.embeddings(s, d), t))
   }
 
+  private def mediaPhashIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_media_phash_${tag(d)}"
+    ensureTable(s, t)(Multimodal.writeMediaPhashIndex(
+      Multimodal.gateMedia(Tables.documents(s, d)), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -1084,6 +1090,11 @@ object SparkEntry {
     // group of 20); the oracle replays every stage exactly
     "media_phash_neardup" -> ((s, d) =>
       Multimodal.mediaNearDup(Multimodal.gateMedia(Tables.documents(s, d)))),
+    // the persisted-phash-index twin: decode + phash paid once at
+    // ingest, the candidate self-join AND the hamming verify ride the
+    // co-bucketed index (phash is index-resident); shared oracle
+    "media_phash_indexed" -> ((s, d) =>
+      Multimodal.mediaNearDupIndexed(s, mediaPhashIndexTable(s, d))),
     // exact media dedup by payload digest: seeds collide by design
     // (doc_id % 7), so byte-identical payloads really exist and the
     // canonical-min contract is exercised on real groups. The digest
@@ -5184,6 +5195,7 @@ object SparkEntry {
     // (grouped by the colliding seed class — sha256-injective, so
     // byte-equal payloads ⇔ equal seeds)
     "media_phash_neardup" -> phashOracleSql,
+    "media_phash_indexed" -> phashOracleSql,
     "media_exact_dup" ->
       """SELECT doc_id AS media_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -159,13 +159,18 @@ object Multimodal {
   /** Persist the banded perceptual-hash table bucketed on the
     * candidate join key — the media analog of
     * [[Dedup.writeMinhashIndex]]: decode + phash paid once at ingest,
-    * every later near-dup check joins co-bucketed files. Geometry
-    * (band count, hamming bound) is fixed by the 8×8 split, so there
-    * is no drift axis to validate beyond Spark's own bucket check.
+    * every later near-dup check joins co-bucketed files. The bucket
+    * columns are EXACTLY the candidate joins' equi-key set
+    * (band, bucket, modality — the planner keeps the exchange-free
+    * bucketed scan only when the join keys match the bucket spec, the
+    * writeMinhashIndex lesson; a (band, bucket)-only spec re-shuffles
+    * on all three keys). Geometry (band count, hamming bound) is
+    * fixed by the 8×8 split, so there is no drift axis to validate
+    * beyond Spark's own bucket check.
     */
   def writeMediaPhashIndex(media: DataFrame, table: String, numBuckets: Int = 8): Unit =
     graft.sources.Sinks.writeBucketed(
-      bandedPhash(media), table, Seq("band", "bucket"), numBuckets)
+      bandedPhash(media), table, Seq("band", "bucket", "modality"), numBuckets)
 
   /** Incremental near-dup check of an ARRIVING media batch against the
     * persisted corpus index ([[Dedup.minhashLshAgainstIndex]]'s
@@ -189,6 +194,36 @@ object Multimodal {
     graft.sources.IndexMaintenance.compact(spark, table, "media_id") { (live, tmp) =>
       graft.sources.Sinks.writeBucketed(live, tmp, Seq("band", "bucket"), numBuckets)
     }
+
+  /** [[mediaNearDup]] over the persisted phash index — fully
+    * INDEX-RESIDENT: the phash rides the band rows, so the candidate
+    * self-join and the hamming verify touch only co-bucketed index
+    * files (zero exchanges, spec-pinned) and payloads are never
+    * re-decoded — the recurring media-dedup job reads the narrow
+    * (id, modality, phash, band, bucket) table only. Tombstoned
+    * takedowns drop out via [[graft.sources.IndexMaintenance]]'s
+    * live-rows view. Same output contract as the direct form
+    * (shared oracle).
+    */
+  def mediaNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
+                          table: String, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "pigeonhole recall over 8 bands holds only for hamming <= 7")
+    val banded = graft.sources.IndexMaintenance.liveRows(spark, table, "media_id")
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.modality") === col("y.modality") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
 
   def mediaNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                                newMedia: DataFrame, maxHamming: Int = 7): DataFrame = {

@@ -772,6 +772,45 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mediaNearDupAgainstIndex(spark, table, batch).count() === 0L)
   }
 
+  test("media phash index: indexed self-join matches direct and plans zero exchanges") {
+    import spark.implicits._
+    val a = Array.tabulate(4096)(i => (i % 251).toByte)
+    val b = a.clone(); (0 until 8).foreach(i => b(i * 100) = (b(i * 100) + 40).toByte)
+    val c = Array.tabulate(4096)(i => (i % 97).toByte)
+    val corpus = Seq((1L, "image", a), (2L, "image", b), (3L, "image", c))
+      .toDF("media_id", "modality", "payload")
+    val table = "g_test_media_phash_self"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(wh, table))
+    Multimodal.writeMediaPhashIndex(corpus, table)
+    val indexed = Multimodal.mediaNearDupIndexed(spark, table)
+    // value parity with the in-query pipeline over the same corpus
+    val direct = Multimodal.mediaNearDup(corpus)
+    assert(indexed.collect().toSeq === direct.collect().toSeq)
+    assert(indexed.count() > 0)
+    // the phash is INDEX-RESIDENT: candidate join + hamming verify
+    // read only co-bucketed index files — zero exchanges with the
+    // planner denied a broadcast (the minhash-index pin)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val banded = spark.table(table)
+      val cand = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.modality") === col("y.modality") &&
+            col("x.media_id") < col("y.media_id"))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"persisted phash self-join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("funnel respects event ORDER, not mere co-occurrence") {
     import spark.implicits._
     import java.sql.Timestamp
