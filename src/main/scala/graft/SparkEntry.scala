@@ -250,6 +250,16 @@ object SparkEntry {
       Multimodal.gateMedia(Tables.documents(s, d)), t))
   }
 
+  /** Corpus-minus-batch minhash index for the incremental-ingest gate:
+    * the "existing corpus" is every doc_id not ≡ 0 (mod 13); the held
+    * out residue class plays the arriving batch.
+    */
+  private def minhashIncrIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_minhash_incr_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeMinhashIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -961,6 +971,15 @@ object SparkEntry {
     // forms, zero-exchange plans spec-asserted in HashExprsSpec
     "dedup_minhash_lsh_indexed" -> ((s, d) =>
       Dedup.minhashLshIndexed(s, minhashIdx(s, d), Tables.documents(s, d))),
+    // the INCREMENTAL-INGEST path, oracle-gated (previously spec-only):
+    // an arriving batch (doc_id ≡ 0 mod 13) checked against the
+    // corpus-minus-batch index — only the batch is shingled/signed,
+    // candidates come from the bucket join against the persisted bands
+    "dedup_lsh_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashLshAgainstIndex(s, minhashIncrIndexTable(s, d),
+        docs.filter(col("doc_id") % 13 === 0), docs)
+    }),
     "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
     "cluster_stats_indexed" -> ((s, d) => Dedup.clusterStatsFromIndex(s, clusterIdx(s, d))),
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
@@ -1245,6 +1264,30 @@ object SparkEntry {
        |SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
        |FROM ipair JOIN card ca ON ipair.a = ca.doc_id JOIN card cb ON ipair.b = cb.doc_id
        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
+  }
+
+  /** Incremental-LSH oracle: exact char-5 jaccard pairs between the
+    * batch residue class (doc_id ≡ 0 mod 13) and the rest of the
+    * corpus — the asymmetric analog of [[jaccardPairsOracle]], pair
+    * orientation (a = batch, b = indexed corpus) matching the
+    * operator's output contract.
+    */
+  private val lshIncrementalOracle: String = {
+    val k = 5
+    val shingles =
+      s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s
+       |  WHERE x.doc_id % 13 = 0 AND y.doc_id % 13 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |FROM ipair JOIN card ca ON ipair.a = ca.doc_id
+       |JOIN card cb ON ipair.b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+       |ORDER BY a, b""".stripMargin
   }
 
   /** Edit-distance refinement oracle: the [[jaccardPairsOracle]]
@@ -3123,6 +3166,7 @@ object SparkEntry {
     // the persisted-index twins: IDENTICAL oracles — the index path
     // must reproduce the direct computation exactly
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
+    "dedup_lsh_incremental" -> lshIncrementalOracle,
     "dedup_keep_best_indexed" -> keepBestOracle,
     "cluster_stats_indexed" -> clusterStatsOracle,
     "dedup_weights" -> weightsOracle,

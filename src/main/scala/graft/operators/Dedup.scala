@@ -1201,14 +1201,36 @@ object Dedup {
     * come from the bucketed table (shuffle-free self-join — both
     * sides carry the same HashPartitioning on the bucket columns,
     * which are exactly the join keys), and the embeddings frame is
-    * consulted only to cosine-verify the candidate ids. Same output
-    * contract as the direct form (shared oracle). CONTRACT: the
-    * frame must cover every vec_id in the index — the verify step
-    * inner-joins candidates to it.
+    * consulted only to cosine-verify the candidate ids. Tombstoned
+    * takedowns ([[deleteFromEmbedBandIndex]]) drop out via the shared
+    * live-rows view. Same output contract as the direct form (shared
+    * oracle). CONTRACT: the frame must cover every vec_id in the
+    * index — the verify step inner-joins candidates to it.
     */
   def embeddingNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
                               table: String, embeddings: DataFrame,
                               threshold: Double = 0.35): DataFrame =
-    cosinePairVerify(bucketCandidatePairs(spark.table(table)).distinct(),
+    cosinePairVerify(
+      bucketCandidatePairs(
+        graft.sources.IndexMaintenance.liveRows(spark, table, "vec_id"))
+        .distinct(),
       embeddings, threshold)
+
+  /** Embedding takedown for the band index — merge-on-read tombstones
+    * (the shared [[graft.sources.IndexMaintenance]] mechanism, keyed
+    * on vec_id): the vector's bands drop out of every later near-dup
+    * check at O(batch) cost.
+    */
+  def deleteFromEmbedBandIndex(spark: org.apache.spark.sql.SparkSession,
+                               table: String, ids: DataFrame): Unit =
+    graft.sources.IndexMaintenance.tombstone(spark, table, ids, "vec_id")
+
+  /** Fold embed-band tombstones into the bucketed band files,
+    * preserving the (band, bucket) layout; the `graft.embed.*`
+    * geometry properties carry over (the shared compact contract). */
+  def compactEmbedBandIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, numBuckets: Int = 8): Unit =
+    graft.sources.IndexMaintenance.compact(spark, table, "vec_id") { (live, tmp) =>
+      graft.sources.Sinks.writeBucketed(live, tmp, Seq("band", "bucket"), numBuckets)
+    }
 }

@@ -401,14 +401,11 @@ class HashExprsSpec extends SparkSpec {
   test("persisted embed band index: zero-exchange candidates, matching direct") {
     spark.sql("DROP TABLE IF EXISTS g_embed_band_idx")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dir = new java.io.File(wh, "g_embed_band_idx")
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
     }
+    rm(new java.io.File(wh, "g_embed_band_idx"))
     val emb = sources.Tables.embeddings(spark, sfDir)
     operators.Dedup.writeEmbedBandIndex(emb, "g_embed_band_idx")
     // the candidate self-join over the bucketed index: the bucket
@@ -436,6 +433,28 @@ class HashExprsSpec extends SparkSpec {
     val props = spark.sql("SHOW TBLPROPERTIES g_embed_band_idx")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("graft.embed.w").toInt >= 4)
+    // takedown: tombstoning one side of a known pair removes its pairs;
+    // compaction folds the delete in and carries the geometry props
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS g_embed_band_idx_tombstones")
+    rm(new java.io.File(wh, "g_embed_band_idx_tombstones"))
+    rm(new java.io.File(wh, "g_embed_band_idx_compact_tmp"))
+    val victim = indexed.head._1
+    operators.Dedup.deleteFromEmbedBandIndex(spark, "g_embed_band_idx",
+      Seq(victim).toDF("vec_id"))
+    val afterDelete = operators.Dedup
+      .embeddingNearDupIndexed(spark, "g_embed_band_idx", emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!afterDelete.exists(p => p._1 == victim || p._2 == victim))
+    operators.Dedup.compactEmbedBandIndex(spark, "g_embed_band_idx")
+    assert(!spark.catalog.tableExists("g_embed_band_idx_tombstones"))
+    val afterCompact = operators.Dedup
+      .embeddingNearDupIndexed(spark, "g_embed_band_idx", emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterCompact === afterDelete)
+    val props2 = spark.sql("SHOW TBLPROPERTIES g_embed_band_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2("graft.embed.w") === props("graft.embed.w"))
   }
 
   test("persisted cluster index: keep-best and split run without hash exchanges, matching direct") {
