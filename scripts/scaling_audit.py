@@ -48,7 +48,8 @@ WIDE_KEYS = [
     "q1_pricing_summary", "vwap_monthly",
     # persisted-artifact probes (builds land in the untimed pre-build;
     # the measured figure is the probe, which scales with the artifact)
-    "rsi_wilder_indexed", "bm25_indexed",
+    "rsi_wilder_indexed", "bm25_indexed", "embed_neardup_indexed",
+    "dedup_lsh_incremental",
 ]
 
 LONG_KEYS = [

@@ -260,6 +260,14 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t))
   }
 
+  /** Corpus-minus-batch containment token index — the same residue
+    * split for the exact-SSJoin incremental gate. */
+  private def containIncrIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_contain_incr_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeContainmentIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -980,6 +988,15 @@ object SparkEntry {
       Dedup.minhashLshAgainstIndex(s, minhashIncrIndexTable(s, d),
         docs.filter(col("doc_id") % 13 === 0), docs)
     }),
+    // the exact-SSJoin twin of the incremental gate: both containment
+    // directions of the batch checked against the persisted token
+    // index — pigeonhole-exact recall, so the brute-force asymmetric
+    // oracle must match exactly
+    "dedup_containment_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.containmentAgainstIndex(s, containIncrIndexTable(s, d),
+        docs.filter(col("doc_id") % 13 === 0), docs)
+    }),
     "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
     "cluster_stats_indexed" -> ((s, d) => Dedup.clusterStatsFromIndex(s, clusterIdx(s, d))),
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
@@ -1288,6 +1305,33 @@ object SparkEntry {
        |JOIN card cb ON ipair.b = cb.doc_id
        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** Incremental-containment oracle: exact word-5-shingle containment
+    * pairs between the batch residue class and the rest of the corpus
+    * — the asymmetric analog of [[containmentPairsOracle]] with the
+    * operator's (new_doc_id = batch, corpus_doc_id = indexed) output
+    * contract. Exact recall is the SSJoin family's guarantee, so the
+    * brute-force pair set must match exactly.
+    */
+  private val containmentIncrementalOracle: String = {
+    val k = 5
+    val shingles =
+      s"CASE WHEN len(w) <= $k THEN [nt] ELSE list_transform(range(1, len(w) - ${k - 2}), i -> array_to_string(list_slice(w, i, i + ${k - 1}), ' ')) END"
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+       |base AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM nrm),
+       |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM base),
+       |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.s = y.s
+       |  WHERE x.doc_id % 13 = 0 AND y.doc_id % 13 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT a AS new_doc_id, b AS corpus_doc_id,
+       |  CAST(i AS DOUBLE) / least(ca.n, cb.n) AS containment
+       |FROM ipair JOIN card ca ON ipair.a = ca.doc_id
+       |JOIN card cb ON ipair.b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / least(ca.n, cb.n) >= 0.8
+       |ORDER BY new_doc_id, corpus_doc_id""".stripMargin
   }
 
   /** Edit-distance refinement oracle: the [[jaccardPairsOracle]]
@@ -3167,6 +3211,7 @@ object SparkEntry {
     // must reproduce the direct computation exactly
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_lsh_incremental" -> lshIncrementalOracle,
+    "dedup_containment_incremental" -> containmentIncrementalOracle,
     "dedup_keep_best_indexed" -> keepBestOracle,
     "cluster_stats_indexed" -> clusterStatsOracle,
     "dedup_weights" -> weightsOracle,
