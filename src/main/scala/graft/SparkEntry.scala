@@ -268,6 +268,14 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t))
   }
 
+  /** Corpus-minus-batch embed band index — the same residue split for
+    * the embedding incremental gate. */
+  private def embedIncrIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_embed_incr_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeEmbedBandIndex(
+      Tables.embeddings(s, d).filter(col("vec_id") % 13 =!= 0), t))
+  }
+
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_gate_ivf_${tag(d)}").toString
@@ -1017,6 +1025,15 @@ object SparkEntry {
     // layout with zero exchanges; shared oracle with the direct form
     "embed_neardup_indexed" -> ((s, d) => Dedup.embeddingNearDupIndexed(
       s, embedBandIndexTable(s, d), Tables.embeddings(s, d))),
+    // the embedding incremental-ingest gate: an arriving vector batch
+    // (vec_id ≡ 0 mod 13) projected at the width the corpus index
+    // RECORDED (geometry from table properties), bucket-joined against
+    // the persisted bands, cosine-verified
+    "embed_neardup_incremental" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Dedup.embeddingNearDupAgainstIndex(s, embedIncrIndexTable(s, d),
+        vecs.filter(col("vec_id") % 13 === 0), vecs)
+    }),
     "ann_cosine_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(Tables.embeddings(s, d), 0L, 20)),
     "ann_batch_topk"    -> ((s, d) => Similarity.batchTopK(Tables.embeddings(s, d))),
@@ -1557,6 +1574,27 @@ object SparkEntry {
        |SELECT a, b, round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
        |FROM cand JOIN v va ON cand.a = va.vec_id JOIN v vb ON cand.b = vb.vec_id
        |WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold""".stripMargin
+  }
+
+  /** Incremental embed near-dup oracle: the same band buckets with the
+    * asymmetric (batch = vec_id ≡ 0 mod 13, corpus = rest) candidate
+    * condition and the operator's (a = batch, b = indexed)
+    * orientation.
+    */
+  private def embedNearDupIncrOracle(threshold: Double): String = {
+    def bucket(c: Int): String =
+      (0 until 4).map(j => s"${1 << j} * b${4 * c + j}").mkString(" + ")
+    s"""WITH $signBitsCte,
+       |band AS (${(0 until 4).map(c =>
+           s"SELECT vec_id, $c AS band, ${bucket(c)} AS bucket FROM bits")
+           .mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+       |  WHERE x.vec_id % 13 = 0 AND y.vec_id % 13 <> 0)
+       |SELECT a, b, round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+       |FROM cand JOIN v va ON cand.a = va.vec_id JOIN v vb ON cand.b = vb.vec_id
+       |WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= $threshold
+       |ORDER BY a, b""".stripMargin
   }
 
   /** Oracle for ann_lsh_topk: two 8-bit band buckets; score rows whose
@@ -2420,6 +2458,7 @@ object SparkEntry {
         |FROM s CROSS JOIN t GROUP BY p, n ORDER BY p""".stripMargin,
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
     "embed_neardup_indexed" -> embedNearDupOracle(0.35),
+    "embed_neardup_incremental" -> embedNearDupIncrOracle(0.35),
     "embed_pca_power" -> pcaPowerOracle(8, 64),
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -1216,6 +1216,36 @@ object Dedup {
         .distinct(),
       embeddings, threshold)
 
+  /** Incremental near-dup check of an ARRIVING vector batch against
+    * the persisted corpus band index — [[minhashLshAgainstIndex]]'s
+    * contract on embeddings: only the batch is projected (at the
+    * width the index RECORDED — geometry read from table properties,
+    * a dim mismatch is an error), candidates come from the bucket
+    * join against the index, and `embeddings` (corpus ∪ batch) is
+    * consulted only to cosine-verify candidate ids. Output
+    * orientation: a = batch vec, b = indexed corpus vec. Empty
+    * output means the whole batch is novel.
+    */
+  def embeddingNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, newVecs: DataFrame,
+                                   embeddings: DataFrame, dim: Int = 64,
+                                   threshold: Double = 0.35): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val w = props.getOrElse("graft.embed.w",
+      sys.error(s"$table lacks graft.embed.w — not an embed band index")).toInt
+    val idxDim = props.getOrElse("graft.embed.dim", dim.toString).toInt
+    require(idxDim == dim,
+      s"index $table was built at dim=$idxDim, probe requested dim=$dim")
+    val cand = embedBandTable(newVecs, dim, w).as("x")
+      .join(graft.sources.IndexMaintenance.liveRows(spark, table, "vec_id").as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cosinePairVerify(cand, embeddings, threshold)
+  }
+
   /** Embedding takedown for the band index — merge-on-read tombstones
     * (the shared [[graft.sources.IndexMaintenance]] mechanism, keyed
     * on vec_id): the vector's bands drop out of every later near-dup
