@@ -250,6 +250,15 @@ object SparkEntry {
       Multimodal.gateMedia(Tables.documents(s, d)), t))
   }
 
+  /** Corpus-minus-batch phash index — the media residue split for the
+    * incremental gate. */
+  private def mediaPhashIncrIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_media_incr_${tag(d)}"
+    ensureTable(s, t)(Multimodal.writeMediaPhashIndex(
+      Multimodal.gateMedia(Tables.documents(s, d))
+        .filter(col("media_id") % 13 =!= 0), t))
+  }
+
   /** Corpus-minus-batch minhash index for the incremental-ingest gate:
     * the "existing corpus" is every doc_id not ≡ 0 (mod 13); the held
     * out residue class plays the arriving batch.
@@ -1148,6 +1157,13 @@ object SparkEntry {
     // co-bucketed index (phash is index-resident); shared oracle
     "media_phash_indexed" -> ((s, d) =>
       Multimodal.mediaNearDupIndexed(s, mediaPhashIndexTable(s, d))),
+    // the media incremental-ingest gate: only the arriving batch is
+    // decoded + hashed, candidates come from the bucket join against
+    // the corpus-minus-batch phash index, hamming verified in-row
+    "media_phash_incremental" -> ((s, d) =>
+      Multimodal.mediaNearDupAgainstIndex(s, mediaPhashIncrIndexTable(s, d),
+        Multimodal.gateMedia(Tables.documents(s, d))
+          .filter(col("media_id") % 13 === 0))),
     // exact media dedup by payload digest: seeds collide by design
     // (doc_id % 7), so byte-identical payloads really exist and the
     // canonical-min contract is exercised on real groups. The digest
@@ -1203,7 +1219,18 @@ object SparkEntry {
     * band buckets; candidate pairs within (band, bucket, modality);
     * exact hamming ≤ 7.
     */
-  private def phashOracleSql: String = {
+  private def phashOracleSql: String =
+    phashOracleSqlWith("AND x.media_id < y.media_id")
+
+  /** The media incremental gate shares the full phash replay with the
+    * asymmetric (batch = media_id ≡ 0 mod 13, corpus = rest)
+    * candidate condition and the operator's (a = batch, b = indexed)
+    * orientation.
+    */
+  private def phashIncrOracleSql: String =
+    phashOracleSqlWith("AND x.media_id % 13 = 0 AND y.media_id % 13 <> 0")
+
+  private def phashOracleSqlWith(pairCond: String): String = {
     val planes = graft.operators.Dedup.hyperplanes(64, 16)
     val hexd = "0123456789abcdef"
     val cnts = (0 until 16).map { b =>
@@ -1231,7 +1258,7 @@ object SparkEntry {
        |band AS ($bands),
        |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
        |  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
-       |    AND x.mod3 = y.mod3 AND x.media_id < y.media_id)
+       |    AND x.mod3 = y.mod3 $pairCond)
        |SELECT a, b, hamming FROM (
        |  SELECT cand.a, cand.b, CAST($ham AS INTEGER) AS hamming
        |  FROM cand JOIN bits xa ON cand.a = xa.media_id
@@ -5324,6 +5351,7 @@ object SparkEntry {
     // byte-equal payloads ⇔ equal seeds)
     "media_phash_neardup" -> phashOracleSql,
     "media_phash_indexed" -> phashOracleSql,
+    "media_phash_incremental" -> phashIncrOracleSql,
     "media_exact_dup" ->
       """SELECT doc_id AS media_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
