@@ -1131,7 +1131,7 @@ object Dedup {
 
   /** ceil(log₂(n/targetBucket)) clamped to [4, 16] — the occupancy-
     * pinning band width shared by the direct and indexed forms. */
-  private def embedBandWidth(n: Long, targetBucket: Int): Int = {
+  private[graft] def embedBandWidth(n: Long, targetBucket: Int): Int = {
     val q = math.max(1L, n / targetBucket)
     // ceil(log2(q)) via the bit length of q−1; q ≤ 1 → 0
     math.min(16, math.max(4,

@@ -398,6 +398,19 @@ class HashExprsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("embed band width: occupancy-pinning formula across corpus sizes") {
+    // gate scales (sf0.01 ~200 vecs, sf0.1 ~2000) must stay at the
+    // historical 4 bits — the static oracle replays 4x4-bit bands —
+    // while the width grows one bit per doubling past target*16
+    def w(n: Long) = operators.Dedup.embedBandWidth(n, 128)
+    assert(w(0) === 4 && w(200) === 4 && w(2000) === 4)
+    assert(w(2048) === 4)        // 2048/128 = 16 -> ceil(log2) = 4
+    assert(w(2176) === 5)        // first corpus past the 4-bit domain (q = 17)
+    assert(w(20000) === 8)       // the 10x audit scale
+    assert(w(1000000) === 13)
+    assert(w(Long.MaxValue / 2) === 16)  // clamp: 4 bands x 16 <= 64 planes
+  }
+
   test("persisted embed band index: zero-exchange candidates, matching direct") {
     spark.sql("DROP TABLE IF EXISTS g_embed_band_idx")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
