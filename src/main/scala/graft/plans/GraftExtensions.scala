@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
   *
   * Registered:
+  *  - `array_scan(xs, zero, (acc, x) -> step) -> array` (prefix fold)
   *  - `cosine_sim(array<float|double>, array<float|double>) -> double`
   *  - `jaccard_text(string, string, k, word) -> double`
   *  - `containment_text(string, string, k, word) -> double`
@@ -81,6 +82,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("array_scan"),
+      info("array_scan",
+        "array_scan(xs, zero, (acc, x) -> step) - the prefix-fold trajectory " +
+          "[zero, s1..sm]: like aggregate but emitting every intermediate state " +
+          "in O(m) (the aggregate+concat idiom is O(m^2))"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"array_scan(xs, zero, (acc, x) -> step) takes 3 arguments, got ${args.length}")
+        org.apache.spark.sql.GraftArrayScan(args(0), args(1), args(2))
+      }))
     ext.injectFunction((
       FunctionIdentifier("jaccard_text"),
       info("jaccard_text", "jaccard_text(a, b, k, word) - shingle-set Jaccard of two normalized texts"),

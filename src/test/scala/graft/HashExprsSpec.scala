@@ -64,6 +64,11 @@ class HashExprsSpec extends SparkSpec {
     val c = spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS c")
       .head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
+    // array_scan parses its lambda through the ordinary SQL path (the
+    // parser converts body identifiers to lambda variables itself)
+    val sc = spark.sql("SELECT array_scan(array(1L, 2L, 3L), 0L, (a, x) -> a + x) AS t")
+      .head().getAs[scala.collection.Seq[Long]]("t")
+    assert(sc.toSeq === Seq(0L, 1L, 3L, 6L))
     val j = spark.sql("SELECT jaccard_text('abcd', 'bcde', 2, false) AS j")
       .head().getDouble(0)
     assert(j === 0.5)
