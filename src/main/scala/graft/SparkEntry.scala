@@ -239,6 +239,29 @@ object SparkEntry {
     ensureTable(s, t)(Analytics.writeValueHistogramRollup(Tables.orders(s, d), t))
   }
 
+  // The embed-LSH oracles hard-code the historical 16-plane, 4×4-bit
+  // band geometry, while the OPERATOR sizes band width from the corpus
+  // (ceil(log₂(n/128)) clamped [4,16] — the round-11 scaling fix). The
+  // two agree exactly while the gate corpus stays in the w = 4 domain
+  // (n ≤ 2048 vectors); past it the gate would fail on GEOMETRY drift,
+  // not a real bug. This assertion (memoized per data dir — one
+  // count() per JVM) turns that silent hash mismatch into a fail-fast
+  // error naming the fix: regenerate the oracles at the new width.
+  private val embedGeomChecked = scala.collection.mutable.Set.empty[String]
+  private def assertEmbedOracleGeometry(s: SparkSession, d: String): Unit =
+    indexLock.synchronized {
+      if (!embedGeomChecked.contains(d)) {
+        val n = Tables.embeddings(s, d).count()
+        val w = Dedup.embedBandWidth(n, targetBucket = 128)
+        require(w == 4,
+          s"embed gate corpus at $d has $n vectors -> band width $w, but the " +
+            "DuckDB oracles are generated at the historical w = 4 geometry " +
+            "(n <= 2048); regenerate embedNearDupOracle/embedNearDupIncrOracle " +
+            "from signBitExprs(4 * w, 64) to match")
+        embedGeomChecked += d
+      }
+    }
+
   private def embedBandIndexTable(s: SparkSession, d: String): String = {
     val t = s"g_gate_embed_band_${tag(d)}"
     ensureTable(s, t)(Dedup.writeEmbedBandIndex(Tables.embeddings(s, d), t))
@@ -1028,17 +1051,24 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "dedup_containment_indexed" -> ((s, d) =>
       Dedup.containmentPairsIndexed(s, containmentIdx(s, d), Tables.documents(s, d))),
-    "embed_cosine_dup"  -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "embed_cosine_dup"  -> ((s, d) => {
+      assertEmbedOracleGeometry(s, d)
+      Dedup.embeddingNearDup(Tables.embeddings(s, d))
+    }),
     // the persisted-band-index twin: sign projections computed once at
     // ingest, candidate self-join rides the (band, bucket) bucket
     // layout with zero exchanges; shared oracle with the direct form
-    "embed_neardup_indexed" -> ((s, d) => Dedup.embeddingNearDupIndexed(
-      s, embedBandIndexTable(s, d), Tables.embeddings(s, d))),
+    "embed_neardup_indexed" -> ((s, d) => {
+      assertEmbedOracleGeometry(s, d)
+      Dedup.embeddingNearDupIndexed(
+        s, embedBandIndexTable(s, d), Tables.embeddings(s, d))
+    }),
     // the embedding incremental-ingest gate: an arriving vector batch
     // (vec_id ≡ 0 mod 13) projected at the width the corpus index
     // RECORDED (geometry from table properties), bucket-joined against
     // the persisted bands, cosine-verified
     "embed_neardup_incremental" -> ((s, d) => {
+      assertEmbedOracleGeometry(s, d)
       val vecs = Tables.embeddings(s, d)
       Dedup.embeddingNearDupAgainstIndex(s, embedIncrIndexTable(s, d),
         vecs.filter(col("vec_id") % 13 === 0), vecs)

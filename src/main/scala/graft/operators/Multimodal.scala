@@ -188,11 +188,17 @@ object Multimodal {
                                 table: String, ids: DataFrame): Unit =
     graft.sources.IndexMaintenance.tombstone(spark, table, ids, "media_id")
 
-  /** Fold phash tombstones into the bucketed band files. */
+  /** Fold phash tombstones into the bucketed band files — preserving
+    * the FULL (band, bucket, modality) bucket spec the writer uses: a
+    * narrower rewrite would silently re-shuffle every later indexed
+    * self-join and incremental probe on all three keys, losing the
+    * zero-exchange contract (spec-pinned post-compact).
+    */
   def compactMediaPhashIndex(spark: org.apache.spark.sql.SparkSession,
                              table: String, numBuckets: Int = 8): Unit =
     graft.sources.IndexMaintenance.compact(spark, table, "media_id") { (live, tmp) =>
-      graft.sources.Sinks.writeBucketed(live, tmp, Seq("band", "bucket"), numBuckets)
+      graft.sources.Sinks.writeBucketed(live, tmp,
+        Seq("band", "bucket", "modality"), numBuckets)
     }
 
   /** [[mediaNearDup]] over the persisted phash index — fully

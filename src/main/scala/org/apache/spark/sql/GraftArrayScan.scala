@@ -101,7 +101,11 @@ case class GraftArrayScan(argument: Expression, zero: Expression,
       elementVar.value.set(arr.get(i, elementVar.dataType))
       val next = mergeForEval.eval(input)
       out(i + 1) = InternalRow.copyValue(next)
-      accVar.value.set(next)
+      // set the COPY, not the raw merge result: a merge whose eval
+      // reuses its result buffer (ArrayAggregate copies for the same
+      // reason) would otherwise clobber the accumulator while the
+      // next step reads it
+      accVar.value.set(out(i + 1))
       i += 1
     }
     new GenericArrayData(out)

@@ -770,6 +770,22 @@ class OperatorsSpec extends SparkSpec {
     Multimodal.compactMediaPhashIndex(spark, table)
     assert(!spark.catalog.tableExists(s"${table}_tombstones"))
     assert(Multimodal.mediaNearDupAgainstIndex(spark, table, batch).count() === 0L)
+    // compaction must preserve the FULL (band, bucket, modality) bucket
+    // spec the writer uses: a narrower rewrite would re-shuffle every
+    // later indexed self-join on all three keys (the round-11 advice)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val banded = spark.table(table)
+      val cand = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.modality") === col("y.modality") &&
+            col("x.media_id") < col("y.media_id"))
+      val postPlan = cand.queryExecution.executedPlan.toString
+      assert(!postPlan.contains("Exchange"),
+        s"compaction broke the phash index bucket layout:\n$postPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
   test("media phash index: indexed self-join matches direct and plans zero exchanges") {
