@@ -104,9 +104,12 @@ object TimeSeries {
     * robust monotone-trend test (is this series drifting, ignoring
     * magnitude): C−D = Σ_{i<j} sign(c_j − c_i) exact over all bar
     * pairs (time has no ties, so t_x = 0), tie correction from equal
-    * closes, tau = (C−D)/(√n₀·√(n₀−t_y)). The pair scan is one
-    * nested fold per series (O(bars²), bounded by the bar count).
-    * All-tied series drop (undefined tau) in both engines.
+    * closes, tau = (C−D)/(√n₀·√(n₀−t_y)). The pair statistics are one
+    * compiled O(m log m) pass per series
+    * ([[graft.plans.KendallStatsExpr]] — rank compression + Fenwick
+    * tree), so a decade-deep bar history costs ~m log m, not m²/2,
+    * integer ops. All-tied series drop (undefined tau) in both
+    * engines.
     */
   def kendallTrend(events: DataFrame): DataFrame =
     kendallTrendC(closes(events))
@@ -119,14 +122,11 @@ object TimeSeries {
   private def kendallTrendC(cl: DataFrame): DataFrame = {
     closesArr(cl)
       .filter(col("m") >= 2)
-      // one nested fold carries (C−D, ties) together
-      .withColumn("p", expr(
-        "aggregate(sequence(1, m - 1), named_struct('cd', 0L, 'ties', 0L), " +
-          "(a, i) -> named_struct(" +
-          "'cd', a.cd + aggregate(slice(cs, i + 1, m - i), 0L, (b, y) -> b + " +
-          "CASE WHEN y > element_at(cs, i) THEN 1L WHEN y < element_at(cs, i) THEN -1L ELSE 0L END), " +
-          "'ties', a.ties + aggregate(slice(cs, i + 1, m - i), 0L, (b, y) -> b + " +
-          "CASE WHEN y = element_at(cs, i) THEN 1L ELSE 0L END)))"))
+      // (C−D, ties) in one compiled O(m log m) pass (rank compression
+      // + Fenwick tree) — value-identical to the O(m²) nested-fold
+      // pair scan it replaced (round-11 audit: 8.07× at 10× bars), so
+      // the shared oracle is untouched
+      .withColumn("p", graft.plans.HashExprs.kendallStats(col("cs")))
       .withColumn("n0", (col("m").cast("long") * (col("m") - 1)) / 2)
       .filter(col("n0") > col("p.ties"))
       .select(col("user_id"), col("m").cast("long").as("n_days"),

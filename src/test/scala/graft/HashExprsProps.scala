@@ -361,4 +361,18 @@ object HashExprsProps extends Properties("HashExprs") {
     }
     sparkRoundIsPositiveZero && plusZeroNormalizes
   }
+
+  property("kendall_stats equals the naive O(m^2) pair scan") =
+    forAll(Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50L, 50L)))) { xs =>
+      val arr = Literal.create(xs.toArray, ArrayType(LongType, containsNull = false))
+      val row = KendallStatsExpr(arr).eval(InternalRow.empty)
+        .asInstanceOf[InternalRow]
+      var cd = 0L; var ties = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length) {
+        cd += java.lang.Long.signum(xs(j) - xs(i))
+        if (xs(i) == xs(j)) ties += 1
+      }
+      row.getLong(0) == cd && row.getLong(1) == ties
+    }
 }

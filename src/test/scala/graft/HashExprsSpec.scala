@@ -284,6 +284,8 @@ class HashExprsSpec extends SparkSpec {
       plans.HashExprs.langSegments(lower(nt), 16,
         Seq("en" -> Seq("the", "of"), "id" -> Seq("yang", "dan"))).as("segs"),
       plans.XmlExprs.xmlLeafMap(col("text")).as("xml"),
+      plans.HashExprs.kendallStats(
+        plans.HashExprs.minhashText(nt, 5, 16, word = false)).as("kend"),
       length(col("text")).as("len"))
     assertFused(textProj, "minhash_text")
 
