@@ -962,22 +962,36 @@ object Dedup {
     * edges are their own singleton). Public so any pair source
     * (simhash, embedding cosine, …) can feed the same clustering.
     */
-  def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 8): DataFrame = {
+  def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 8,
+                   numParts: Int = 0): DataFrame = {
     // undirected edges, both directions — materialized once: the pair
     // source (a whole LSH pipeline) is referenced in every propagation
     // round and would otherwise be recomputed maxIter times. The edge
     // table is tiny relative to the corpus (one row per near-dup
-    // edge), so a handful of partitions keeps every subsequent
-    // barrier a few-task job instead of a shuffle-partitions-wide one
-    // (at cluster scale, size this by |edges| instead).
-    val edges = pairs.unionByName(
+    // edge), so few partitions keep every subsequent barrier a
+    // few-task job instead of a shuffle-partitions-wide one.
+    val edges0 = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .coalesce(4).localCheckpoint(true)
+      .localCheckpoint(true)
+    // Propagation parallelism SIZED BY THE EDGE COUNT (the round-11
+    // fixed coalesce(1) was right for gate-scale edge sets but a
+    // serial barrier at 100 TB edge volumes): ~250k edges per
+    // partition, clamped to the session's shuffle parallelism. The
+    // count is a cheap job over the already-materialized checkpoint;
+    // callers that know their edge volume can pass numParts directly.
+    val p =
+      if (numParts > 0) numParts
+      else {
+        val n = edges0.count()
+        val sp = edges0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        math.max(1, math.min(sp, ((n - 1) / 250000L + 1L).toInt))
+      }
+    val edges = edges0.coalesce(math.max(p, 4))
     // start: every doc labels itself with the min direct neighbor
     var labels = edges.groupBy(col("a").as("doc_id"))
       .agg(min(col("b")).as("min_nbr"))
       .select(col("doc_id"), least(col("min_nbr"), col("doc_id")).as("label"))
-      .coalesce(1).localCheckpoint(true)
+      .coalesce(p).localCheckpoint(true)
     // Convergence probe: labels only ever decrease (least of self,
     // neighbor-min, and jump target), so the label sum is strictly
     // decreasing until the fixed point — an unchanged sum IS
@@ -1022,7 +1036,7 @@ object Dedup {
       // the round-0 probe exits after a single propagation round
       if (i % 2 == 0 || i == maxIter - 1) {
         val t0 = System.nanoTime()
-        labels = labels.coalesce(1).localCheckpoint(true)
+        labels = labels.coalesce(p).localCheckpoint(true)
         val s = labelSum(labels)
         // labels only ever decrease, so an unchanged sum across TWO
         // rounds is still exactly the fixed point

@@ -199,6 +199,18 @@ class PlanGuardSpec extends SparkSpec {
     // frame (domain-bounded — the source_lang_chi2 contract)
     "hll_overlap")
 
+  // Queries whose plan legitimately contains a Coalesce(1), each with
+  // a bounded-size argument. Coalesce(1) is the fourth scale-killer
+  // shape (it serializes a whole stage through one task WITHOUT even
+  // showing up as an Exchange) — acceptable only on provably bounded
+  // row sets:
+  //  - api_paginate / api_report_list: rn assignment on the
+  //    ≤ page·limit-row TakeOrdered result — the single partition
+  //    holds one page, never data
+  private val coalesceOneOk = Set("api_paginate", "api_report_list")
+  // "Coalesce 1" not followed by another digit (don't match Coalesce 16)
+  private val coalesceOne = "Coalesce 1(?![0-9])".r
+
   test("no gate query plans a cartesian product or an unbounded single partition") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -209,6 +221,8 @@ class PlanGuardSpec extends SparkSpec {
         offenders += s"$name: Exchange SinglePartition"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
         offenders += s"$name: BroadcastNestedLoopJoin"
+      if (coalesceOne.findFirstIn(plan).nonEmpty && !coalesceOneOk(name))
+        offenders += s"$name: Coalesce(1)"
     }
     assert(offenders.isEmpty, s"scale-shape violations:\n${offenders.mkString("\n")}")
   }
