@@ -1211,6 +1211,32 @@ object Dedup {
         s"('graft.embed.w'='$w','graft.embed.dim'='$dim')")
   }
 
+  /** Index MAINTENANCE: append an arriving vector batch's band rows to
+    * the persisted embed band index — the [[appendToMinhashIndex]]
+    * check→extend loop for the embedding family, so the NEXT
+    * incremental check ([[embeddingNearDupAgainstIndex]]) sees this
+    * batch. The batch is projected at the width the index RECORDED
+    * (geometry from table properties — never re-derived from the batch
+    * size, which would drift the bucket keys), and a dim mismatch is
+    * an error, not silent recall corruption. Spark itself rejects a
+    * mismatched bucketBy layout.
+    */
+  def appendToEmbedBandIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, newVecs: DataFrame,
+                             numBuckets: Int = 8, dim: Int = 64): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val w = props.getOrElse("graft.embed.w",
+      sys.error(s"$table lacks graft.embed.w — not an embed band index")).toInt
+    val idxDim = props.getOrElse("graft.embed.dim", dim.toString).toInt
+    require(idxDim == dim,
+      s"embed index geometry drift on $table: built at dim=$idxDim, " +
+        s"append offered dim=$dim — rebuild the index or match its geometry")
+    graft.sources.Sinks.appendBucketed(
+      embedBandTable(newVecs, dim, w), table, Seq("band", "bucket"), numBuckets)
+    // saveAsTable(append) keeps existing properties; nothing to re-stamp
+  }
+
   /** [[embeddingNearDup]] over the persisted band index: candidates
     * come from the bucketed table (shuffle-free self-join — both
     * sides carry the same HashPartitioning on the bucket columns,

@@ -172,13 +172,21 @@ object Multimodal {
     graft.sources.Sinks.writeBucketed(
       bandedPhash(media), table, Seq("band", "bucket", "modality"), numBuckets)
 
-  /** Incremental near-dup check of an ARRIVING media batch against the
-    * persisted corpus index ([[Dedup.minhashLshAgainstIndex]]'s
-    * contract on the binary column): only the batch is decoded and
-    * hashed; candidates come from the bucket join against the index,
-    * verified by exact hamming on the pair's two longs. Empty output
-    * means the whole batch is novel.
+  /** Index MAINTENANCE: append an arriving media batch's banded phash
+    * rows to the persisted index — the
+    * [[Dedup.appendToMinhashIndex]] check→extend loop for the media
+    * family: decode + phash the batch once, extend the co-bucketed
+    * band table, and the NEXT incremental check
+    * ([[mediaNearDupAgainstIndex]]) sees this batch. Geometry (8×8
+    * bands, hamming ≤ 7 pigeonhole) is fixed by construction, so the
+    * only drift axis is the bucket layout — which Spark itself
+    * validates at append time.
     */
+  def appendToMediaPhashIndex(newMedia: DataFrame, table: String,
+                              numBuckets: Int = 8): Unit =
+    graft.sources.Sinks.appendBucketed(
+      bandedPhash(newMedia), table, Seq("band", "bucket", "modality"), numBuckets)
+
   /** Media takedown for the phash index — merge-on-read tombstones
     * (the shared [[graft.sources.IndexMaintenance]] mechanism, keyed
     * on media_id): the payload's bands drop out of every later

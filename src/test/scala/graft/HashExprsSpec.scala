@@ -475,6 +475,40 @@ class HashExprsSpec extends SparkSpec {
     val props2 = spark.sql("SHOW TBLPROPERTIES g_embed_band_idx")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props2("graft.embed.w") === props("graft.embed.w"))
+    // append→check loop (after compaction, so the whole lifecycle is
+    // one chain): batch 1 is a re-upload of a live corpus vector,
+    // appended at the index's RECORDED geometry; batch 2 (same vector
+    // again) must be flagged against both the original and the
+    // appended batch-1 row by the next incremental check
+    val orig = afterCompact.head._1
+    def reupload(id: Long) = emb.filter(col("vec_id") === orig)
+      .select(lit(id).as("vec_id"), col("embedding"))
+    operators.Dedup.appendToEmbedBandIndex(spark, "g_embed_band_idx", reupload(900001L))
+    val haystack = emb.select("vec_id", "embedding")
+      .unionByName(reupload(900001L)).unionByName(reupload(900002L))
+    val nextCheck = operators.Dedup.embeddingNearDupAgainstIndex(
+      spark, "g_embed_band_idx", reupload(900002L), haystack)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nextCheck.contains((900002L, 900001L)),
+      s"appended vector not matched by the next check: $nextCheck")
+    assert(nextCheck.contains((900002L, orig)))
+    // appending keeps the bucket layout: candidate self-join still
+    // plans zero exchanges with broadcast denied
+    val prevBc2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = operators.Dedup
+        .bucketCandidatePairs(spark.table("g_embed_band_idx"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"append broke the bucket layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc2)
+    // geometry drift (a different dim than the index records) is an
+    // error, not silent bucket-key corruption
+    val drift = intercept[IllegalArgumentException] {
+      operators.Dedup.appendToEmbedBandIndex(
+        spark, "g_embed_band_idx", reupload(900003L), dim = 32)
+    }
+    assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
   }
 
   test("persisted cluster index: keep-best and split run without hash exchanges, matching direct") {

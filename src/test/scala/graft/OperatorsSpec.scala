@@ -770,6 +770,16 @@ class OperatorsSpec extends SparkSpec {
     Multimodal.compactMediaPhashIndex(spark, table)
     assert(!spark.catalog.tableExists(s"${table}_tombstones"))
     assert(Multimodal.mediaNearDupAgainstIndex(spark, table, batch).count() === 0L)
+    // append→check loop (after the takedown + compaction, so the whole
+    // lifecycle is one chain): batch 1 re-ingests the original payload
+    // and is appended; batch 2 (the lightly-edited copy) must now be
+    // flagged against the APPENDED row by the next incremental check
+    Multimodal.appendToMediaPhashIndex(
+      Seq((5L, "image", a)).toDF("media_id", "modality", "payload"), table)
+    val nextHits = Multimodal.mediaNearDupAgainstIndex(spark, table,
+        Seq((6L, "image", b)).toDF("media_id", "modality", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nextHits === Set((6L, 5L)), s"appended payload not matched: $nextHits")
     // compaction must preserve the FULL (band, bucket, modality) bucket
     // spec the writer uses: a narrower rewrite would re-shuffle every
     // later indexed self-join on all three keys (the round-11 advice)
