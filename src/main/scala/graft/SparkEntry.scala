@@ -282,6 +282,27 @@ object SparkEntry {
         .filter(col("media_id") % 13 =!= 0), t))
   }
 
+  /** The text incremental gates' document set: the corpus PLUS a
+    * handful of derived batch twins, so the gates exercise real
+    * cross-residue matches instead of whatever near-dups the generator
+    * happened to place across the mod-13 split (round 11 gated on one
+    * row each). Seeds are corpus docs with doc_id % 13 ≠ 0 and
+    * doc_id % 101 = 7 (5 docs at the sf0.01 gate scale); each twin
+    * re-ingests the seed's text under id 13·(10⁶ + doc_id) — ≡ 0
+    * (mod 13) so it lands in the arriving batch, far above every real
+    * id, and found against its indexed seed at jaccard/containment
+    * exactly 1.0 (identical text → identical signature, so LSH recall
+    * is certain, and the score is the same literal double in both
+    * engines). The corpus-minus-batch INDEXES are untouched — twins
+    * exist only on the batch side, exactly like a re-crawl.
+    */
+  private def incrGateDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 101 === 7)
+        .withColumn("doc_id", lit(13L) * (lit(1000000L) + col("doc_id"))))
+  }
+
   /** Corpus-minus-batch minhash index for the incremental-ingest gate:
     * the "existing corpus" is every doc_id not ≡ 0 (mod 13); the held
     * out residue class plays the arriving batch.
@@ -1024,7 +1045,7 @@ object SparkEntry {
     // corpus-minus-batch index — only the batch is shingled/signed,
     // candidates come from the bucket join against the persisted bands
     "dedup_lsh_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = incrGateDocs(s, d)
       Dedup.minhashLshAgainstIndex(s, minhashIncrIndexTable(s, d),
         docs.filter(col("doc_id") % 13 === 0), docs)
     }),
@@ -1033,7 +1054,7 @@ object SparkEntry {
     // index — pigeonhole-exact recall, so the brute-force asymmetric
     // oracle must match exactly
     "dedup_containment_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = incrGateDocs(s, d)
       Dedup.containmentAgainstIndex(s, containIncrIndexTable(s, d),
         docs.filter(col("doc_id") % 13 === 0), docs)
     }),
@@ -1363,11 +1384,20 @@ object SparkEntry {
     * orientation (a = batch, b = indexed corpus) matching the
     * operator's output contract.
     */
+  /** The [[incrGateDocs]] augmentation in DuckDB: corpus ∪ derived
+    * batch twins (id 13·(10⁶ + seed), identical text).
+    */
+  private val incrGateDocsSql: String =
+    """(SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT 13 * (1000000 + doc_id) AS doc_id, text FROM documents
+      |  WHERE doc_id % 13 <> 0 AND doc_id % 101 = 7)""".stripMargin
+
   private val lshIncrementalOracle: String = {
     val k = 5
     val shingles =
       s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
-    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM $incrGateDocsSql),
        |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM nrm),
        |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
@@ -1392,7 +1422,7 @@ object SparkEntry {
     val k = 5
     val shingles =
       s"CASE WHEN len(w) <= $k THEN [nt] ELSE list_transform(range(1, len(w) - ${k - 2}), i -> array_to_string(list_slice(w, i, i + ${k - 1}), ' ')) END"
-    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM $incrGateDocsSql),
        |base AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM nrm),
        |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM base),
        |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
