@@ -313,6 +313,16 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t))
   }
 
+  /** Corpus-minus-batch CLUSTER assignment index — the residue split's
+    * persisted components, the artifact `dedup_cluster_incremental`
+    * maintains (merge the arriving batch in, never corpus-wide LSH).
+    */
+  private def clusterIncrIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_cluster_incr_${tag(d)}"
+    ensureTable(s, t)(Dedup.writeClusterIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t))
+  }
+
   /** Corpus-minus-batch containment token index — the same residue
     * split for the exact-SSJoin incremental gate. */
   private def containIncrIndexTable(s: SparkSession, d: String): String = {
@@ -1058,6 +1068,18 @@ object SparkEntry {
       Dedup.containmentAgainstIndex(s, containIncrIndexTable(s, d),
         docs.filter(col("doc_id") % 13 === 0), docs)
     }),
+    // incremental cluster MAINTENANCE: the arriving batch's near-dup
+    // edges (from the persisted band index + batch-local LSH) merge
+    // into the persisted cluster assignment — corpus never re-shingled,
+    // components only over the contracted batch∪touched-cluster graph;
+    // the oracle is the full recursive-CTE components over the union
+    "dedup_cluster_incremental" -> ((s, d) => {
+      val docs = incrGateDocs(s, d)
+      Dedup.clusterIncremental(s, minhashIncrIndexTable(s, d),
+        clusterIncrIndexTable(s, d),
+        docs.filter(col("doc_id") % 13 === 0),
+        docs.filter(col("doc_id") % 13 =!= 0))
+    }),
     "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
     "cluster_stats_indexed" -> ((s, d) => Dedup.clusterStatsFromIndex(s, clusterIdx(s, d))),
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
@@ -1361,13 +1383,14 @@ object SparkEntry {
     * "caught" is a fixed property of the data, verified empirically)
     * and the next pair down is at J ≈ 0.31, far below threshold.
     */
-  private def jaccardPairsOracle(word: Boolean, k: Int, threshold: Double): String = {
+  private def jaccardPairsOracle(word: Boolean, k: Int, threshold: Double,
+                                 rel: String = "documents"): String = {
     val shingles =
       if (word)
         s"CASE WHEN len(w) <= $k THEN [nt] ELSE list_transform(range(1, len(w) - ${k - 2}), i -> array_to_string(list_slice(w, i, i + ${k - 1}), ' ')) END"
       else
         s"CASE WHEN length(nt) <= $k THEN [nt] ELSE list_transform(range(1, length(nt) - ${k - 2}), i -> substring(nt, i, $k)) END"
-    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM $rel),
        |base AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM nrm),
        |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM base),
        |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1493,8 +1516,14 @@ object SparkEntry {
     * the min doc_id of its component; edgeless docs are their own
     * singleton. Mirrors [[graft.operators.Dedup.minhashClusters]].
     */
-  private def clusterCtes: String =
-    s"""jp AS (${jaccardPairsOracle(word = false, k = 5, threshold = 0.5)}),
+  private def clusterCtes: String = clusterCtesOver("documents")
+
+  /** [[clusterCtes]] over an arbitrary (doc_id, text) relation — the
+    * incremental gate runs the same recursive components over the
+    * corpus ∪ batch-twins union.
+    */
+  private def clusterCtesOver(rel: String): String =
+    s"""jp AS (${jaccardPairsOracle(word = false, k = 5, threshold = 0.5, rel)}),
        |edges AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
        |reach AS (SELECT a AS doc_id, b AS r FROM edges
        |  UNION SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON e.b = reach.doc_id),
@@ -1506,6 +1535,19 @@ object SparkEntry {
        |coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id,
        |(coalesce(least(l.mr, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
+
+  /** Oracle for dedup_cluster_incremental: the SAME recursive
+    * components as [[clusterOracle]], over the corpus ∪ batch-twins
+    * union — the incremental merge must be indistinguishable from
+    * re-clustering the whole unioned set.
+    */
+  private def clusterIncrOracle: String =
+    s"""WITH RECURSIVE ${clusterCtesOver(incrGateDocsSql)}
+       |SELECT d.doc_id,
+       |coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id,
+       |(coalesce(least(l.mr, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
+       |FROM $incrGateDocsSql d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Oracle for dedup_cluster_stats: the [[clusterOracle]] components
     * aggregated twice — per-cluster size, then size histogram.
@@ -3338,6 +3380,7 @@ object SparkEntry {
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_lsh_incremental" -> lshIncrementalOracle,
     "dedup_containment_incremental" -> containmentIncrementalOracle,
+    "dedup_cluster_incremental" -> clusterIncrOracle,
     "dedup_keep_best_indexed" -> keepBestOracle,
     "cluster_stats_indexed" -> clusterStatsOracle,
     "dedup_weights" -> weightsOracle,

@@ -863,6 +863,84 @@ object Dedup {
                             table: String): DataFrame =
     sizeHistogram(liveIndexRows(spark, table))
 
+  /** INCREMENTAL cluster-assignment maintenance — the last lifecycle
+    * asymmetry closed: merge an arriving batch into the PERSISTED
+    * cluster assignment without corpus-wide LSH or corpus-wide
+    * components. Work is batch-sized everywhere:
+    *
+    *  1. batch-involving edges: batch↔corpus candidates from the
+    *     persisted minhash band index ([[minhashLshAgainstIndex]] —
+    *     only the batch is shingled/signed), batch↔batch from
+    *     batch-local LSH;
+    *  2. corpus endpoints CONTRACT to their persisted cluster ids
+    *     (one narrow join against the cluster index) — a corpus
+    *     cluster's id is the min doc_id of its members, so the
+    *     contracted graph's component minima equal the union graph's;
+    *  3. [[clusterPairs]] over the contracted graph (nodes = batch ids
+    *     ∪ touched cluster ids — near-dup-edge-sized, ≪ corpus);
+    *  4. re-label: rows of touched clusters and matched batch docs get
+    *     the merged component min; untouched corpus rows pass through;
+    *     edgeless batch docs become their own singletons.
+    *
+    * Output: (doc_id, cluster_id, is_canonical) over corpus ∪ batch,
+    * IDENTICAL to re-running [[minhashClusters]] on the union (two
+    * corpus clusters bridged by a batch doc merge; a batch doc with a
+    * smaller id than a cluster's min becomes its new canonical) — so
+    * the gate oracle is the same recursive-CTE components, over the
+    * unioned set. `corpus` is consulted only for candidate-pair
+    * verification text, never re-shingled (spec-pinned).
+    */
+  def clusterIncremental(spark: org.apache.spark.sql.SparkSession,
+                         minhashTable: String, clusterTable: String,
+                         newDocs: DataFrame, corpus: DataFrame,
+                         maxIter: Int = 8): DataFrame = {
+    val assign = liveIndexRows(spark, clusterTable).select("doc_id", "cluster_id")
+    val edges = incrementalEdges(spark, minhashTable, clusterTable, newDocs, corpus)
+    val nodes = edges.select(col("a").as("doc_id"))
+      .unionByName(edges.select(col("b").as("doc_id")))
+      .unionByName(newDocs.select(col("doc_id")))
+      .distinct()
+    val merged = clusterPairs(edges, nodes, maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_label"))
+    val corpusOut = assign
+      .join(merged.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    val batchOut = newDocs.select("doc_id")
+      .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
+    corpusOut.unionByName(batchOut)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** The contracted edge table [[clusterIncremental]] clusters over —
+    * package-visible so the no-corpus-reshingle spec can inspect the
+    * PRE-checkpoint plan (clusterPairs materializes eagerly, so the
+    * final output plan only shows the checkpoint scan): batch↔batch
+    * LSH edges plus batch↔corpus edges with the corpus endpoint
+    * contracted to its persisted cluster id.
+    */
+  private[graft] def incrementalEdges(spark: org.apache.spark.sql.SparkSession,
+                                      minhashTable: String, clusterTable: String,
+                                      newDocs: DataFrame,
+                                      corpus: DataFrame): DataFrame = {
+    val bc = minhashLshAgainstIndex(spark, minhashTable, newDocs, corpus)
+      .select(col("a"), col("b"))
+    val bb = minhashLsh(newDocs).select("a", "b")
+    // contract the corpus endpoint of every batch↔corpus edge to its
+    // persisted cluster id; the cluster index covers every corpus doc,
+    // so this inner join loses nothing
+    val assign = liveIndexRows(spark, clusterTable).select("doc_id", "cluster_id")
+    val bcContracted = bc
+      .join(assign.withColumnRenamed("doc_id", "b"), "b")
+      .select(col("a"), col("cluster_id").as("b"))
+    bb.unionByName(bcContracted)
+  }
+
   /** SoftDeDup-style duplicate DOWNWEIGHTING — the keep-everything
     * alternative to [[keepBest]]'s hard drop: every document stays in
     * the corpus but carries sampling weight 1/|cluster|, so a

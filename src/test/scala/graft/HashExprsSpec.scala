@@ -511,6 +511,57 @@ class HashExprsSpec extends SparkSpec {
     assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
   }
 
+  test("incremental cluster maintenance equals re-clustering the union, never re-shingles the corpus") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % 13 === 0)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    Seq("g_incr_minhash", "g_incr_cluster").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    operators.Dedup.writeMinhashIndex(corpus, "g_incr_minhash")
+    operators.Dedup.writeClusterIndex(corpus, "g_incr_cluster")
+    val out = operators.Dedup.clusterIncremental(
+      spark, "g_incr_minhash", "g_incr_cluster", batch, corpus)
+    // the merge must be indistinguishable from re-clustering the whole
+    // union — including cross-cluster bridges and canonical-id
+    // rewrites (doc 0 is in the batch, so any cluster it joins gets a
+    // NEW min; mass conservation comes free from the row-set equality)
+    val direct = operators.Dedup.minhashClusters(docs)
+    assert(out.collect().toSeq === direct.collect().toSeq)
+    // the batch must actually exercise the merge path on this data:
+    // at least one batch doc lands in a multi-member cluster
+    val merged = out.filter(col("doc_id") % 13 === 0 &&
+      col("cluster_id") =!= col("doc_id")).count() +
+      out.filter(col("doc_id") % 13 =!= 0 &&
+        col("cluster_id") % 13 === 0).count()
+    assert(merged > 0, "residue split produced no cross-residue merges — gate is vacuous")
+    // NO CORPUS RE-SHINGLE: every minhash computation in the edge plan
+    // (the pre-checkpoint half — clusterPairs materializes eagerly)
+    // sits above the batch residue filter; the corpus reaches the plan
+    // only through the persisted indexes and the candidates' verify
+    val edgePlan = operators.Dedup.incrementalEdges(
+      spark, "g_incr_minhash", "g_incr_cluster", batch, corpus)
+      .queryExecution.optimizedPlan
+    val minhashNodes = edgePlan.collect {
+      case p if p.expressions.exists(_.exists {
+        case _: plans.MinHashTextExpr => true
+        case _ => false
+      }) => p
+    }
+    assert(minhashNodes.nonEmpty, "expected batch-side minhash computations")
+    minhashNodes.foreach { p =>
+      val sub = p.toString
+      assert(sub.contains("% 13) = 0"),
+        s"minhash computed over a non-batch relation:\n$sub")
+    }
+  }
+
   test("persisted cluster index: keep-best and split run without hash exchanges, matching direct") {
     spark.sql("DROP TABLE IF EXISTS g_cluster_idx")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
