@@ -349,6 +349,26 @@ object SparkEntry {
     path
   }
 
+  /** AGED IVF index for the incremental gate: trained on the
+    * corpus-minus-batch residue, then the batch APPENDED under the
+    * aged codebook ([[Similarity.appendToIvfIndex]]) — the index state
+    * a recurring ingest pipeline actually probes. The build overwrites
+    * any previous generation's directory, so the append never
+    * double-lands across JVMs.
+    */
+  private val ivfIncrBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfIncrIdx(s: SparkSession, d: String): String = indexLock.synchronized {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_gate_ivf_incr_${tag(d)}").toString
+    if (!ivfIncrBuilt.contains(path)) {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(vecs.filter(col("vec_id") % 13 =!= 0), path)
+      Similarity.appendToIvfIndex(s, path, vecs.filter(col("vec_id") % 13 === 0))
+      ivfIncrBuilt += path
+    }
+    path
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — A. rollups —
     "rollup_daily"    -> ((s, d) => Rollups.daily(orderSeries(s, d))),
@@ -1089,6 +1109,13 @@ object SparkEntry {
       Dedup.weightedSampleFromIndex(s, clusterIdx(s, d))),
     "ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfIdx(s, d), 7L, 20)),
+    // the IVF incremental-ingest gate: the batch (vec_id ≡ 0 mod 13)
+    // is appended to the corpus-trained index under the AGED codebook;
+    // the exact-guarantee probe stays exact over the grown lists
+    // (radii recomputed over live rows), so brute force over the
+    // union — the whole embeddings table — is the correct oracle
+    "ann_ivf_incremental" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfIncrIdx(s, d), 7L, 20)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -3411,6 +3438,14 @@ object SparkEntry {
     // exact-guarantee probe over the persisted IVF index → brute
     // force is the correct oracle, same as ann_ivf_topk
     "ann_ivf_indexed" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // aged-index probe, same exact guarantee: corpus ∪ appended batch
+    // IS the whole embeddings table, so brute force over it is the
+    // correct oracle exactly as for ann_ivf_indexed
+    "ann_ivf_incremental" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q

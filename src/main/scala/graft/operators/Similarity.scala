@@ -267,6 +267,89 @@ object Similarity {
     graft.sources.IndexMaintenance.liveRowsAt(
       spark, s"$path/assigned", path, "vec_id")
 
+  /** Index MAINTENANCE: assign an arriving vector batch to the
+    * EXISTING codebook and append to the list partitions — the IVF
+    * check→extend loop ([[graft.operators.Dedup.appendToMinhashIndex]]
+    * contract): the codebook is kilobytes read to the driver, the
+    * batch is one compiled assignment pass, and the append lands in
+    * the same list_id partition layout so probes stay partition-pruned.
+    * The codebook AGES (it never saw the batch): the exact-guarantee
+    * probe ([[ivfTopKExactIndexed]]) stays exact regardless — its
+    * radii are recomputed over live rows, so appended vectors widen
+    * the bounds honestly — while fixed-nProbe recall drifts, which
+    * [[ivfDriftReport]] measures to make the retrain decision
+    * data-driven.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, newVecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$path/codebook")
+      .orderBy("list_id").collect().map(vecOf(_, "cent"))
+    newVecs.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** Codebook-DRIFT report for an aged IVF index: recall@k of the
+    * fixed-`nProbe` probe vs exact cosine, one row per query — the
+    * retrain signal read after [[appendToIvfIndex]] has grown the
+    * lists with vectors the codebook never saw. Falling recall means
+    * the aged centroids no longer route queries to the lists that
+    * hold their true neighbors → retrain; stable recall means the
+    * batch landed inside the trained distribution → keep appending.
+    *
+    * Fully distributed, no per-query driver loop: probe lists per
+    * query come from a window over the bounded query×centroid grid
+    * (≤ cap·nCentroids rows, centroids broadcast), ranked by the SAME
+    * left-to-right L2 fold [[ivfTopKIndexed]]'s driver-side selection
+    * computes (ties by list_id — Scala's stable sort, made explicit);
+    * the probe side then reads only probed lists. The exact side is
+    * the [[recallReport]] brute-force machinery. recall_bp is the
+    * HALF_UP integer identity, like every ratio in the library.
+    */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryMod: Long = 50, k: Int = 10, nProbe: Int = 4,
+                     queryCap: Long = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = liveAssigned(spark, path)
+    val centDf = spark.read.parquet(s"$path/codebook")
+    val queries = assigned
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < queryCap)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("list_id"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cent, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+          "0.0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "list_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    def topk(scored: DataFrame) = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = topk(assigned
+      .join(broadcast(probed), "list_id")
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim")))
+    val exact = topk(assigned
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim")))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("query_id"), lit(k.toLong).as("k"), col("n_hits"),
+        expr(s"(2 * n_hits * 10000 + $k) div (2 * $k)").as("recall_bp"))
+      .orderBy("query_id")
+  }
+
   /** Embedding takedown for the persisted IVF index — merge-on-read
     * tombstones (the [[graft.sources.IndexMaintenance]] mechanism,
     * path form): the vector drops out of every probe immediately at

@@ -823,6 +823,42 @@ class HashExprsSpec extends SparkSpec {
     assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
   }
 
+  test("ivf append: aged-codebook probe stays exact; drift report measures fixed-nProbe recall") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+    val batch = emb.filter(col("vec_id") % 13 === 0)
+    operators.Similarity.writeIvfIndex(corpus, path)
+    operators.Similarity.appendToIvfIndex(spark, path, batch)
+    // the appended batch is IN the lists: an appended vector is
+    // retrievable, and the exact-guarantee probe over the aged index
+    // equals brute force over the union (the codebook never saw the
+    // batch — the radii recomputation is what keeps the bounds honest)
+    val qid = 7L
+    val exact = operators.Similarity.ivfTopKExactIndexed(spark, path, qid, 20)
+    val bf = operators.Similarity.bruteForceTopK(emb, qid, 20)
+    assert(exact.collect().toSeq === bf.collect().toSeq)
+    // drift report: one row per query, recall in [0, 10000], and the
+    // per-query hit count consistent with the fixed-nProbe indexed
+    // probe intersected with brute force (the report's definition)
+    val report = operators.Similarity.ivfDriftReport(spark, path)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_bp")))
+    val expectedQueries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(report.map(_._1).toSeq === expectedQueries)
+    assert(report.forall(r => r._3 >= 0 && r._3 <= 10000))
+    report.take(3).foreach { case (q, hits, _) =>
+      val probeIds = operators.Similarity.ivfTopKIndexed(spark, path, q, 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val truth = operators.Similarity.bruteForceTopK(emb, q, 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(hits === (probeIds & truth).size.toLong,
+        s"drift report hits for query $q disagree with the probe definition")
+    }
+  }
+
   test("persisted exact-ivf probe returns the true top-k (equals brute force)") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
     val emb = sources.Tables.embeddings(spark, sfDir)
