@@ -26,7 +26,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * week-long gaps should either raise `idleMs` or re-bootstrap the
   * resumed series from the persisted bar table. The timeout exists so
   * delisted/dead series cannot hold state forever — the state-bound
-  * half of the 100 TB contract.
+  * half of the 100 TB contract. [[rsiStream]] additionally offers
+  * `emitOpenOnTimeout = true`, which FLUSHES the still-open day at
+  * state drop instead of discarding it (spec-exercised through
+  * timeout → resume) — the pattern the other fold streams would
+  * follow for a deployment that prefers a final reading over silence.
   *
   * DATA-CONTRACT ASSERTIONS: the indicator streams `require` each
   * event_id inside the 12-digit order-key domain, and a violation
@@ -553,6 +557,25 @@ object StreamingRollups {
                       openDay: String, openOkey: String, openClose: Long,
                       deltas: Seq[Long])
 
+  /** The day-finalize step shared by the in-stream day-boundary roll
+    * and the timeout flush: roll the completed open day's close-to-
+    * close delta into the deque; the RSI emits once n deltas exist —
+    * the SAME HALF_UP integer identity as the batch fold.
+    */
+  private def rsiFinalize(st: RsiState, n: Int): (Seq[Long], Option[Long]) = {
+    val deltas =
+      if (st.lastFinalDay == null) st.deltas
+      else (st.deltas :+ (st.openClose - st.lastFinalClose)).takeRight(n)
+    val rsi =
+      if (deltas.size == n) {
+        val g = deltas.filter(_ > 0).sum
+        val l = -deltas.filter(_ < 0).sum
+        Some(if (g + l == 0) 5000L
+        else (2 * g * 10000 + (g + l)) / (2 * (g + l)))
+      } else None
+    (deltas, rsi)
+  }
+
   /** Streaming Cutler RSI — a windowed indicator as BOUNDED per-series
     * state: n delta longs plus the [[movers]] day-tracking scalars,
     * regardless of tick volume. The first tick of a new day finalizes
@@ -563,9 +586,19 @@ object StreamingRollups {
     * Parity therefore holds on every series day the batch emits EXCEPT
     * its last (still open; the spec pins exactly that). Late-past-the-
     * day-boundary ticks drop — the [[movers]] staleness trade.
+    *
+    * `emitOpenOnTimeout = true` FLUSHES the still-open day when the
+    * idle timeout drops the series' state (the same finalize step a
+    * day-boundary tick would run, so the flushed row is the batch row
+    * for that day) — closing the documented idle-gap caveat for
+    * monitoring deployments that prefer a final reading over silence
+    * when a series dies; spec-exercised through timeout → resume. Off
+    * by default: the default contract stays "emissions are day-closed
+    * only".
     */
   def rsiStream(ticks: Dataset[Tick], watermarkDelay: String, n: Int = 14,
-                idleMs: Long = 7L * 24 * 3600 * 1000): Dataset[RsiPoint] = {
+                idleMs: Long = 7L * 24 * 3600 * 1000,
+                emitOpenOnTimeout: Boolean = false): Dataset[RsiPoint] = {
     import ticks.sparkSession.implicits._
     require(n >= 2, s"RSI window must be >= 2, got $n")
     ticks
@@ -574,7 +607,16 @@ object StreamingRollups {
       .flatMapGroupsWithState[RsiState, RsiPoint](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Tick], state: GroupState[RsiState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          if (state.hasTimedOut) {
+            val flushed =
+              if (!emitOpenOnTimeout) Seq.empty
+              else state.getOption.toSeq.flatMap { st =>
+                if (st.openDay == null) Seq.empty
+                else rsiFinalize(st, n)._2.map(RsiPoint(user, st.openDay, _))
+              }
+            state.remove()
+            flushed.iterator
+          }
           else {
             val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
             fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
@@ -602,16 +644,8 @@ object StreamingRollups {
               if (st.openDay == null)
                 st = st.copy(openDay = day, openOkey = okey(t), openClose = cents(t.value))
               else if (day > st.openDay) {
-                val deltas =
-                  if (st.lastFinalDay == null) st.deltas
-                  else (st.deltas :+ (st.openClose - st.lastFinalClose)).takeRight(n)
-                if (deltas.size == n) {
-                  val g = deltas.filter(_ > 0).sum
-                  val l = -deltas.filter(_ < 0).sum
-                  val rsi = if (g + l == 0) 5000L
-                  else (2 * g * 10000 + (g + l)) / (2 * (g + l))
-                  out += RsiPoint(user, st.openDay, rsi)
-                }
+                val (deltas, rsi) = rsiFinalize(st, n)
+                rsi.foreach(r => out += RsiPoint(user, st.openDay, r))
                 st = RsiState(st.openDay, st.openClose,
                   day, okey(t), cents(t.value), deltas)
               } else if (day == st.openDay && okey(t) > st.openOkey)

@@ -640,6 +640,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("RSI idle timeout flushes the still-open day with the flag on, then the series re-seeds") {
+    // the documented idle-gap caveat turned tested behavior:
+    // emitOpenOnTimeout = true finalizes the open day at state drop
+    // (same finalize step as a day-boundary tick → the batch row),
+    // and a resumed series restarts its recursion from the resume
+    // point. Multi-batch via Trigger.Once runs against a shared
+    // checkpoint (the sessionization-spec pattern — watermark
+    // advances between runs, timeouts fire on the NEXT batch).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingRollups.Tick
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rsi_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rsi_out").toString
+    val input = MemoryStream[Tick]
+    def runOnce(): Unit = {
+      val q = StreamingRollups
+        .rsiStream(input.toDS(), "10 seconds", n = 2,
+          idleMs = 24L * 3600 * 1000, emitOpenOnTimeout = true)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.Once()).start()
+      q.awaitTermination(120000)
+    }
+    // user 1: closes 1.00, 2.00, 1.50, then day 4 opens at 3.00
+    input.addData(
+      Tick(1L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+      Tick(1L, 2L, ts("2024-01-02 00:00:00"), 2.0),
+      Tick(1L, 3L, ts("2024-01-03 00:00:00"), 1.5),
+      Tick(1L, 4L, ts("2024-01-04 00:00:00"), 3.0))
+    runOnce() // Jan 3 closes in-stream: deltas [+100, -50] → 6667
+    input.addData(Tick(2L, 5L, ts("2024-01-20 00:00:00"), 9.0))
+    runOnce() // watermark → ≈ Jan 20, past user 1's Jan 5 timeout
+    input.addData(Tick(2L, 6L, ts("2024-01-21 00:00:00"), 9.0))
+    runOnce() // user 1's timeout FIRES: Jan 4 flushes, deltas [-50, +150] → 7500
+    // resume: the recursion re-seeds — Jan 24 is the first emittable
+    // day of the restarted series (deltas [+100, +200] → 10000)
+    input.addData(
+      Tick(1L, 7L, ts("2024-01-22 00:00:00"), 1.0),
+      Tick(1L, 8L, ts("2024-01-23 00:00:00"), 2.0),
+      Tick(1L, 9L, ts("2024-01-24 00:00:00"), 4.0),
+      Tick(1L, 10L, ts("2024-01-25 00:00:00"), 5.0))
+    runOnce()
+    val got = spark.read.parquet(out)
+      .filter(col("user_id") === 1L)
+      .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("rsi_bp")).toMap
+    assert(got === Map(
+      "2024-01-03" -> 6667L,   // closed by a day-boundary tick
+      "2024-01-04" -> 7500L,   // FLUSHED by the idle timeout
+      "2024-01-24" -> 10000L), // post-resume, re-seeded recursion
+      s"timeout-flush/resume emissions: $got")
+  }
+
   test("streaming MACD reproduces the batch recursion for every closed day") {
     // the EMA recursion as three doubles of state: every finalized
     // day's (macd, signal, histogram) must be bit-equal to the batch
