@@ -76,7 +76,7 @@ def run_bench(sf_dir, keys):
     return rec["queries"], rec.get("errors", {})
 
 
-def audit(axis, sf_keys, scaled_dir):
+def audit(axis, sf_keys, scaled_dir, threshold=THRESHOLD):
     print(f"[audit] baseline {axis}: {len(sf_keys)} keys at {SF}")
     base, base_err = run_bench(SF, sf_keys)
     print(f"[audit] scaled {axis}: {scaled_dir}")
@@ -90,7 +90,7 @@ def audit(axis, sf_keys, scaled_dir):
         ratio = (s / b) if b and b > 0 else None
         out[k] = {"base_sec": round(b, 3), "scaled_sec": round(s, 3),
                   "ratio": round(ratio, 2) if ratio else None,
-                  "flag": bool(ratio and ratio > THRESHOLD)}
+                  "flag": bool(ratio and ratio > threshold)}
     return out
 
 
@@ -104,6 +104,17 @@ def main():
                      "keys": audit("wide", WIDE_KEYS, WIDE)},
             "long": {"dir": LONG, "note": "10x history per series (bars 30->300), series unchanged",
                      "keys": audit("long", LONG_KEYS, LONG)},
+            # third-point curve for the two round-11 documented
+            # superlinear keys (verdict item #9): 30x data, threshold
+            # scaled to 1.5x the factor like the 10x axes
+            "long30": {"dir": "/tmp/scale30_long", "data_factor": 30,
+                       "note": "30x history per series (bars 30->900) — kendall's curve third point",
+                       "keys": audit("long30", ["kendall_trend"],
+                                     "/tmp/scale30_long", threshold=45.0)},
+            "wide30_docs": {"dir": "/tmp/scale30_docs", "data_factor": 30,
+                            "note": "30x docs (decorrelated copies) — simhash candidate-density third point",
+                            "keys": audit("wide30_docs", ["dedup_simhash"],
+                                          "/tmp/scale30_docs", threshold=45.0)},
         },
     }
     flags = [(a, k) for a, ax in result["axes"].items()
