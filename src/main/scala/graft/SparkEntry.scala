@@ -247,10 +247,17 @@ object SparkEntry {
   // not a real bug. This assertion (memoized per data dir — one
   // count() per JVM) turns that silent hash mismatch into a fail-fast
   // error naming the fix: regenerate the oracles at the new width.
+  // SCOPED TO THE ORACLE GATE (graft.Verify sets graft.oracle.gate):
+  // bench and scaling-audit sessions legitimately run these keys at
+  // 10×/30× corpora where the operator's scaled width is exactly the
+  // point — only a run that will be DuckDB-compared must be pinned
+  // to the oracles' geometry domain (the round-12 audit caught the
+  // unscoped version erroring the embed keys at audit scale).
   private val embedGeomChecked = scala.collection.mutable.Set.empty[String]
   private def assertEmbedOracleGeometry(s: SparkSession, d: String): Unit =
     indexLock.synchronized {
-      if (!embedGeomChecked.contains(d)) {
+      if (sys.props.get("graft.oracle.gate").contains("true") &&
+          !embedGeomChecked.contains(d)) {
         val n = Tables.embeddings(s, d).count()
         val w = Dedup.embedBandWidth(n, targetBucket = 128)
         require(w == 4,

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    // this run's outputs WILL be DuckDB-compared: arm the gate-only
+    // geometry assertions (e.g. the embed band-width domain pin)
+    sys.props("graft.oracle.gate") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1138,30 +1138,52 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------
 
-  /** Near-dup pairs by 64-bit SimHash: chunk banding with
-    * `maxHamming + 1` chunks — by pigeonhole, a pair within hamming
-    * distance `maxHamming` must agree exactly on ≥1 chunk, so recall
-    * is exact. Hamming verify = bit_count(xor) on the two longs, all
-    * codegen'd integer ops.
+  /** Near-dup pairs by 64-bit SimHash, pigeonhole-EXACT recall at
+    * `maxHamming`, with CORPUS-ADAPTIVE banding — the round-12
+    * scaling audit's catch (the embedBandWidth lesson applied to
+    * hamming space):
+    *
+    *  - small corpora (n ≤ 16384): `maxHamming + 1` chunks of
+    *    64/(h+1) bits — a pair within hamming h agrees exactly on ≥ 1
+    *    chunk. Cheapest explode (h+1 rows/doc), but chunk buckets are
+    *    only ~2^16 wide at h = 3, so BACKGROUND collisions (unrelated
+    *    docs whose hashes collide on one chunk) grow as n²/2^16 —
+    *    measured 16.1× time at 10× docs and 62× at 30×: quadratic
+    *    drift, not an option past gate scale.
+    *  - large corpora: block-COMBINATION keys (the Manku/Jain/Das
+    *    Sarma permuted-table scheme, WWW'07): 64 bits split into
+    *    `maxHamming + 3` blocks; within hamming h at most h blocks
+    *    differ, so at least 3 agree — the pair shares at least one of
+    *    the C(h+3, 3) three-block combination keys, so recall stays
+    *    pigeonhole-exact while each key carries ~3·64/(h+3) bits
+    *    (~32 for h = 3): background collisions fall to ~n²/2^32 and
+    *    essentially only true near-dups reach the verify. The explode
+    *    is C(h+3, 3) rows/doc (20 at h = 3) — scan-LINEAR cost buying
+    *    linear candidate volume.
+    *
+    * Both schemes feed the same exact hamming verify on the pair's
+    * two longs, so the OUTPUT is identical under either and the
+    * brute-force oracle is untouched; the one `count()` that picks
+    * the scheme is the standard LSH planning step (ingest-time work
+    * in a deployment, where the banded table would persist like
+    * [[writeMinhashIndex]]).
     */
-  def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashWith(documents, maxHamming, combo = documents.count() > 16384)
+
+  /** [[simhash]] with the banding scheme forced — package-visible so
+    * the spec can pin both schemes value-identical on one corpus.
+    */
+  private[graft] def simhashWith(documents: DataFrame, maxHamming: Int,
+                                 combo: Boolean): DataFrame = {
     val docs = documents.select(col("doc_id"),
       HashExprs.simhash64(split(norm(col("text")), " ")).as("sim"))
-    val numChunks = maxHamming + 1
-    // split the 64 bit positions into numChunks near-even runs
-    val bounds = (0 to numChunks).map(c => c * 64 / numChunks)
-    def chunk(c: Int): Column = {
-      val len = bounds(c + 1) - bounds(c)
-      val mask = if (len == 64) -1L else (1L << len) - 1L
-      shiftrightunsigned(col("sim"), bounds(c)).bitwiseAND(lit(mask))
-    }
-    val chunked = docs.select(
-      col("doc_id"), col("sim"),
-      posexplode(array((0 until numChunks).map(chunk): _*)))
-      .toDF("doc_id", "sim", "chunk", "chunk_val")
-    val cand = chunked.as("x")
-      .join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
+    val banded =
+      if (combo) comboBanded(docs, maxHamming)
+      else chunkBanded(docs, maxHamming)
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
@@ -1171,6 +1193,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
       .orderBy("a", "b")
+  }
+
+  /** The 64 bit positions split into `n` near-even runs. */
+  private def bitBounds(n: Int): IndexedSeq[Int] = (0 to n).map(i => i * 64 / n)
+
+  private def bitRun(sim: Column, lo: Int, hi: Int): Column = {
+    val len = hi - lo
+    val mask = if (len == 64) -1L else (1L << len) - 1L
+    shiftrightunsigned(sim, lo).bitwiseAND(lit(mask))
+  }
+
+  /** (doc_id, sim, band, key) under the (h+1)-chunk scheme. */
+  private def chunkBanded(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val numChunks = maxHamming + 1
+    val bounds = bitBounds(numChunks)
+    docs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until numChunks).map(c =>
+        bitRun(col("sim"), bounds(c), bounds(c + 1))): _*)))
+      .toDF("doc_id", "sim", "band", "key")
+  }
+
+  /** (doc_id, sim, band, key) under the 3-of-(h+3) block-combination
+    * scheme: band = combination index, key = the three block values
+    * packed into fixed-width lanes of one long.
+    */
+  private def comboBanded(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val b = maxHamming + 3
+    val bounds = bitBounds(b)
+    val widthMax = (0 until b).map(i => bounds(i + 1) - bounds(i)).max
+    require(3 * widthMax <= 63,
+      s"packed 3-block key overflows a long: $b blocks of <= $widthMax bits")
+    val combos = (0 until b).combinations(3).toSeq
+    def key(combo: Seq[Int]): Column =
+      combo.foldLeft(lit(0L))((acc, i) =>
+        shiftleft(acc, widthMax).bitwiseOR(bitRun(col("sim"), bounds(i), bounds(i + 1))))
+    docs.select(col("doc_id"), col("sim"),
+      posexplode(array(combos.map(key): _*)))
+      .toDF("doc_id", "sim", "band", "key")
   }
 
   // ---------------------------------------------------------------

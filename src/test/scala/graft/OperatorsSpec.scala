@@ -189,6 +189,20 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("a") === 1L && r.getAs[Long]("b") === 2L))
   }
 
+  test("simhash: block-combination banding equals chunk banding (both pigeonhole-exact)") {
+    // the corpus-adaptive scheme switch must be invisible in the
+    // output: both bandings feed the same exact hamming verify, and
+    // both are pigeonhole-complete at maxHamming — so the pair sets
+    // are identical on any corpus (the brute-force oracle's claim)
+    val docs = sources.Tables.documents(spark, sfDir)
+    val viaChunks = Dedup.simhashWith(docs, maxHamming = 3, combo = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaCombos = Dedup.simhashWith(docs, maxHamming = 3, combo = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaCombos === viaChunks)
+    assert(viaChunks.nonEmpty)
+  }
+
   test("containment catches a short doc inside a long one that Jaccard LSH misses") {
     import spark.implicits._
     val short = "the quick brown fox jumps over the lazy dog near the river bank today"
