@@ -49,7 +49,12 @@ WIDE_KEYS = [
     # persisted-artifact probes (builds land in the untimed pre-build;
     # the measured figure is the probe, which scales with the artifact)
     "rsi_wilder_indexed", "bm25_indexed", "embed_neardup_indexed",
-    "dedup_lsh_incremental",
+    # the incremental-maintenance family: batch-sized work against the
+    # corpus-sized artifact — the keys whose whole point is NOT scaling
+    # with the corpus
+    "dedup_lsh_incremental", "dedup_containment_incremental",
+    "dedup_cluster_incremental", "embed_neardup_incremental",
+    "media_phash_incremental", "ann_ivf_incremental",
 ]
 
 LONG_KEYS = [

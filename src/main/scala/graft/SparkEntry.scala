@@ -1337,6 +1337,16 @@ object SparkEntry {
   private def phashIncrOracleSql: String =
     phashOracleSqlWith("AND x.media_id % 13 = 0 AND y.media_id % 13 <> 0")
 
+  /** The phash replay: decode stub (byte histogram from the sha256
+    * payload) → sign-projection bits → EXACT hamming over all
+    * same-modality pairs. The operator's banding stage is deliberately
+    * NOT replayed: both Spark banding schemes (8-chunk and 3-of-10
+    * block combinations — corpus-adaptive since round 12) are
+    * pigeonhole-EXACT at hamming ≤ 7, so candidates ⊇ every emitted
+    * pair and brute force is the scheme-independent ground truth —
+    * which is exactly what lets the operator pick its banding by
+    * corpus size without touching this oracle.
+    */
   private def phashOracleSqlWith(pairCond: String): String = {
     val planes = graft.operators.Dedup.hyperplanes(64, 16)
     val hexd = "0123456789abcdef"
@@ -1349,11 +1359,7 @@ object SparkEntry {
       }.mkString(" + ")
       s"CASE WHEN $dot >= 0 THEN 1 ELSE 0 END AS b$p"
     }.mkString(",\n")
-    val bands = (0 until 8).map { k =>
-      val bucket = (0 until 8).map(j => s"${1 << j} * b${8 * k + j}").mkString(" + ")
-      s"SELECT media_id, mod3, $k AS band, $bucket AS bucket FROM bits"
-    }.mkString("\n  UNION ALL ")
-    val ham = (0 until 64).map(p => s"abs(xa.b$p - xb.b$p)").mkString(" + ")
+    val ham = (0 until 64).map(p => s"abs(x.b$p - y.b$p)").mkString(" + ")
     s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mod3,
        |  sha256(CAST(doc_id // 20 AS VARCHAR)) AS h, (doc_id % 256) // 16 AS ebin FROM documents),
        |nib AS (SELECT media_id, mod3, ebin,
@@ -1361,15 +1367,10 @@ object SparkEntry {
        |cnt AS (SELECT media_id, mod3, $cnts FROM nib),
        |bits AS (SELECT media_id, mod3,
        |$bits
-       |FROM cnt),
-       |band AS ($bands),
-       |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
-       |  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
-       |    AND x.mod3 = y.mod3 $pairCond)
+       |FROM cnt)
        |SELECT a, b, hamming FROM (
-       |  SELECT cand.a, cand.b, CAST($ham AS INTEGER) AS hamming
-       |  FROM cand JOIN bits xa ON cand.a = xa.media_id
-       |            JOIN bits xb ON cand.b = xb.media_id)
+       |  SELECT x.media_id AS a, y.media_id AS b, CAST($ham AS INTEGER) AS hamming
+       |  FROM bits x JOIN bits y ON x.mod3 = y.mod3 $pairCond)
        |WHERE hamming <= 7 ORDER BY a, b""".stripMargin
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -110,23 +110,41 @@ object Multimodal {
     * Pipeline: decode → feature vector ([[extractFeatures]]; the stub
     * histogram here, a real pHash/chromaprint after the codec swap) →
     * 64-bit sign-projection hash (one bit per fixed hyperplane — a
-    * small feature perturbation flips few bits) → 8×8-bit band
-    * buckets → candidate pairs within buckets → exact hamming verify.
+    * small feature perturbation flips few bits) → band buckets →
+    * candidate pairs within buckets → exact hamming verify.
     *
-    * Pigeonhole-EXACT recall, like the text simhash: two hashes
-    * within hamming ≤ 7 differ in at most 7 of the 8 bands, so at
-    * least one band matches and the pair is a candidate — no recall
-    * assumption on the data. No all-pairs comparison anywhere: the
-    * only shuffle is the (band, bucket) candidate join, and the
-    * verify is a bit_count on the two longs already riding the pair
-    * row (no join back to payloads). Pairs are compared within the
-    * same modality only — an image histogram colliding with an audio
-    * one is noise, not a duplicate.
+    * BANDING IS CORPUS-ADAPTIVE, like [[Dedup.simhash]]'s (the
+    * round-12 audit measured the fixed 8×8 scheme at 11.8× for 10×
+    * media — 8-bit buckets are only 256 wide, so background
+    * collisions grow as n²/256 per band):
+    *
+    *  - small corpora (n ≤ `comboThreshold`): 8 bands × 8-bit
+    *    buckets — a pair within hamming ≤ 7 differs in at most 7
+    *    bands, so at least one matches (pigeonhole-exact recall).
+    *  - large corpora: 3-of-10 block-combination keys (the
+    *    Manku-style scheme): 64 bits in 10 blocks; ≤ 7 differing
+    *    blocks ⇒ ≥ 3 agree ⇒ the pair shares one of the C(10,3) = 120
+    *    combination keys — recall still exact, each key ~19-21 bits
+    *    so background collisions fall ~2000×; the explode is 120
+    *    rows/media, scan-linear cost for linear candidates.
+    *
+    * Both schemes feed the same exact hamming verify on the two longs
+    * riding the pair row (no join back to payloads), so the output is
+    * identical under either and the oracle (brute-force hamming) is
+    * scheme-independent. Pairs compare within the same modality only.
     */
-  def mediaNearDup(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+  def mediaNearDup(media: DataFrame, maxHamming: Int = 7,
+                   comboThreshold: Long = 8192): DataFrame =
+    mediaNearDupWith(media, maxHamming, combo = media.count() > comboThreshold)
+
+  /** [[mediaNearDup]] with the banding scheme forced — package-visible
+    * so the spec can pin both schemes value-identical on one corpus.
+    */
+  private[graft] def mediaNearDupWith(media: DataFrame, maxHamming: Int,
+                                      combo: Boolean): DataFrame = {
     require(maxHamming <= 7,
-      "pigeonhole recall over 8 bands holds only for hamming <= 7")
-    val banded = bandedPhash(media)
+      "pigeonhole recall (8 chunks / 3-of-10 blocks) holds only for hamming <= 7")
+    val banded = bandedPhash(media, combo)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -142,17 +160,37 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
-  /** The banded phash table [[mediaNearDup]] joins on, factored out so
+  /** The banded phash table the near-dup joins on, factored out so
     * the in-query form and the persisted index share one definition.
+    * Both schemes emit the SAME (media_id, modality, phash, band,
+    * bucket) shape, so the index schema, bucket spec, and every
+    * probe/append/compact path are scheme-agnostic; the scheme only
+    * decides how many (band, bucket) rows a hash explodes into and
+    * how wide the bucket key space is.
     */
-  private def bandedPhash(media: DataFrame): DataFrame = {
+  private def bandedPhash(media: DataFrame, combo: Boolean): DataFrame = {
     val phash = graft.plans.HashExprs.signProjBits(
       col("features"), Dedup.hyperplanes(64, histSize))
-    extractFeatures(media)
+    val hashed = extractFeatures(media)
       .select(col("media_id"), col("modality"), phash.as("phash"))
+    val bands: Seq[Column] =
+      if (!combo)
+        (0 until 8).map(b =>
+          shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL)))
+      else {
+        val bounds = (0 to 10).map(i => i * 64 / 10)
+        def block(i: Int): Column = {
+          val mask = (1L << (bounds(i + 1) - bounds(i))) - 1L
+          shiftrightunsigned(col("phash"), bounds(i)).bitwiseAND(lit(mask))
+        }
+        // pack each combination's three blocks into 7-bit lanes (max
+        // block width at 10 blocks is 7)
+        (0 until 10).combinations(3).toSeq.map(_.foldLeft(lit(0L))(
+          (acc, i) => shiftleft(acc, 7).bitwiseOR(block(i))))
+      }
+    hashed
       .select(col("media_id"), col("modality"), col("phash"),
-        posexplode(array((0 until 8).map(b =>
-          shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
+        posexplode(array(bands: _*)))
       .toDF("media_id", "modality", "phash", "band", "bucket")
   }
 
@@ -164,13 +202,31 @@ object Multimodal {
     * (band, bucket, modality — the planner keeps the exchange-free
     * bucketed scan only when the join keys match the bucket spec, the
     * writeMinhashIndex lesson; a (band, bucket)-only spec re-shuffles
-    * on all three keys). Geometry (band count, hamming bound) is
-    * fixed by the 8×8 split, so there is no drift axis to validate
-    * beyond Spark's own bucket check.
+    * on all three keys). The BANDING SCHEME is chosen from the corpus
+    * size ([[mediaNearDup]]'s adaptive rule; `comboThreshold = 0`
+    * forces combinations) and RECORDED in table properties — every
+    * incremental probe and append must band its batch the way the
+    * index did, so the scheme is index geometry, not a per-call
+    * choice (the graft.embed.w convention).
     */
-  def writeMediaPhashIndex(media: DataFrame, table: String, numBuckets: Int = 8): Unit =
+  def writeMediaPhashIndex(media: DataFrame, table: String, numBuckets: Int = 8,
+                           comboThreshold: Long = 8192): Unit = {
+    val combo = media.count() > comboThreshold
     graft.sources.Sinks.writeBucketed(
-      bandedPhash(media), table, Seq("band", "bucket", "modality"), numBuckets)
+      bandedPhash(media, combo), table, Seq("band", "bucket", "modality"), numBuckets)
+    media.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('graft.phash.scheme'='${if (combo) "combo10" else "chunk8"}')")
+  }
+
+  /** The banding scheme a media phash index RECORDED — pre-scheme
+    * tables (no property) banded 8×8 chunks.
+    */
+  private def indexScheme(spark: org.apache.spark.sql.SparkSession,
+                          table: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .exists(r => r.getString(0) == "graft.phash.scheme" &&
+        r.getString(1) == "combo10")
 
   /** Index MAINTENANCE: append an arriving media batch's banded phash
     * rows to the persisted index — the
@@ -185,7 +241,8 @@ object Multimodal {
   def appendToMediaPhashIndex(newMedia: DataFrame, table: String,
                               numBuckets: Int = 8): Unit =
     graft.sources.Sinks.appendBucketed(
-      bandedPhash(newMedia), table, Seq("band", "bucket", "modality"), numBuckets)
+      bandedPhash(newMedia, indexScheme(newMedia.sparkSession, table)),
+      table, Seq("band", "bucket", "modality"), numBuckets)
 
   /** Media takedown for the phash index — merge-on-read tombstones
     * (the shared [[graft.sources.IndexMaintenance]] mechanism, keyed
@@ -222,7 +279,7 @@ object Multimodal {
   def mediaNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
                           table: String, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
-      "pigeonhole recall over 8 bands holds only for hamming <= 7")
+      "pigeonhole recall (8 chunks / 3-of-10 blocks) holds only for hamming <= 7")
     val banded = graft.sources.IndexMaintenance.liveRows(spark, table, "media_id")
     banded.as("x")
       .join(banded.as("y"),
@@ -242,8 +299,8 @@ object Multimodal {
   def mediaNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                                newMedia: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
-      "pigeonhole recall over 8 bands holds only for hamming <= 7")
-    bandedPhash(newMedia).as("x")
+      "pigeonhole recall (8 chunks / 3-of-10 blocks) holds only for hamming <= 7")
+    bandedPhash(newMedia, indexScheme(spark, table)).as("x")
       .join(graft.sources.IndexMaintenance.liveRows(spark, table, "media_id").as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.modality") === col("y.modality") &&

@@ -748,6 +748,54 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mediaNearDup(mixed).count() === 0)
   }
 
+  test("media phash: block-combination banding equals chunk banding (both pigeonhole-exact)") {
+    // the corpus-adaptive scheme switch must be invisible in the
+    // output — the simhash contract on the media column; exercised on
+    // the gate corpus so real near-dup groups (shared payload + one
+    // distinguishing byte per group of 20) are present
+    val media = Multimodal.gateMedia(sources.Tables.documents(spark, sfDir))
+    val viaChunks = Multimodal.mediaNearDupWith(media, maxHamming = 7, combo = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaCombos = Multimodal.mediaNearDupWith(media, maxHamming = 7, combo = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaCombos === viaChunks)
+    assert(viaChunks.nonEmpty)
+  }
+
+  test("media phash index records its banding scheme; probes and appends follow it") {
+    import spark.implicits._
+    // force the COMBO scheme at write time (comboThreshold = 0): the
+    // incremental probe and the append must band their batches the way
+    // the INDEX did — read from table properties, never re-decided
+    val a = Array.tabulate(4096)(i => (i % 251).toByte)
+    val b = a.clone(); (0 until 8).foreach(i => b(i * 100) = (b(i * 100) + 40).toByte)
+    val corpus = Seq((1L, "image", a)).toDF("media_id", "modality", "payload")
+    val table = "g_test_media_phash_combo"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(wh, table))
+    Multimodal.writeMediaPhashIndex(corpus, table, comboThreshold = 0)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.phash.scheme").contains("combo10"))
+    // the edited re-upload is found against the combo-banded index
+    val batch = Seq((2L, "image", b)).toDF("media_id", "modality", "payload")
+    val hits = Multimodal.mediaNearDupAgainstIndex(spark, table, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((2L, 1L)))
+    // append follows the recorded scheme too: the next check finds the
+    // appended row (it would find nothing if the append banded 8x8)
+    Multimodal.appendToMediaPhashIndex(
+      Seq((5L, "image", a)).toDF("media_id", "modality", "payload"), table)
+    val next = Multimodal.mediaNearDupAgainstIndex(spark, table, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(next === Set((2L, 1L), (2L, 5L)), s"appended row not matched: $next")
+  }
+
   test("media phash index: batch-vs-index check matches the direct pair and stays novel-silent") {
     import spark.implicits._
     val a = Array.tabulate(4096)(i => (i % 251).toByte)
