@@ -128,6 +128,16 @@ object Multimodal {
     *    so background collisions fall ~2000×; the explode is 120
     *    rows/media, scan-linear cost for linear candidates.
     *
+    * The trade the threshold calibrates: a TRUE near-dup pair collides
+    * on up to 120 combination keys vs up to 8 chunks, so on a
+    * dup-SATURATED corpus (the synthetic gate media, where every item
+    * sits in a 20-group) the schemes cross only around ~100k media
+    * (the r12 audit measured 13.7× combo vs 11.8× chunk at 50k on
+    * exactly that corpus); on realistic corpora (dup rate a few
+    * percent) background collisions dominate from ~10k media and the
+    * combo scheme is the one that stays linear — which is what the
+    * default threshold targets.
+    *
     * Both schemes feed the same exact hamming verify on the two longs
     * riding the pair row (no join back to payloads), so the output is
     * identical under either and the oracle (brute-force hamming) is
