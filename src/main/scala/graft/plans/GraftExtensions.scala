@@ -26,6 +26,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `repetition_stats(string) -> struct<n_words,n_distinct_words,top_bigram_count>`
   *  - `remove_spans(string, array<bigint>, n) -> struct<kept_text,n_tokens,n_removed>`
   *  - `bpe_encode(string, array<string>) -> struct<encoded,n_tokens>`
+  *  - `kendall_stats(array<bigint>) -> struct<cd,ties>` (O(m log m))
   *  - `heavy_hitters(string, k) -> array<struct<item,cnt>>` (aggregate)
   *  - `top_k_by(ord, payload, k) -> array<struct<payload,ord>>` (aggregate)
   */
@@ -141,6 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_encode"),
       info("bpe_encode", "bpe_encode(text, merges) - BPE-encode a normalized text with an ordered array of 'left right' merges"),
       (args: Seq[Expression]) => BpeEncodeExpr(args(0), mergesArg(args(1), "merges"))))
+    ext.injectFunction((
+      FunctionIdentifier("kendall_stats"),
+      info("kendall_stats",
+        "kendall_stats(xs) - struct(cd, ties) of an array<bigint> against its " +
+          "index order: cd = sum of sign(x_j - x_i) over i < j, ties = equal " +
+          "pairs; O(m log m) rank-compression + Fenwick pass"),
+      (args: Seq[Expression]) => KendallStatsExpr(args(0))))
     // aggregate function: the analyzer wraps a bare AggregateFunction
     // into its AggregateExpression, same as the builtin registry
     ext.injectFunction((

@@ -96,6 +96,11 @@ class HashExprsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT bpe_encode('x', array('a b c')) AS b").head()
     }
+    // kendall_stats: [1,3,2,3] -> pairs (+1,+1,+1,-1,0,+1) = cd 3, ties 1
+    val ks = spark.sql("SELECT kendall_stats(array(1L, 3L, 2L, 3L)) AS k").head()
+      .getStruct(0)
+    assert(ks.getAs[Long]("cd") === 3L)
+    assert(ks.getAs[Long]("ties") === 1L)
   }
 
   test("ivf top-k scores consistently with brute force on shared ids") {
