@@ -330,6 +330,39 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t))
   }
 
+  /** Cluster index for the UPSERT gate: built over the corpus residue,
+    * then the batch twins MERGED IN PLACE via
+    * [[Dedup.upsertClusterIndex]] — the batch-sized persist path
+    * (stale-mark superseded clusters + append relabeled/batch rows),
+    * never a corpus rebuild. Both steps run under one ensureTable
+    * guard, so the table always carries the post-upsert state the
+    * gate's stats read.
+    */
+  private def clusterUpsertIndexTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_cluster_upsert_${tag(d)}"
+    ensureTable(s, t) {
+      // a previous JVM's side table may survive only as a warehouse
+      // directory (the in-memory catalog is gone, so DROP TABLE is a
+      // no-op and the append's CREATE hits LOCATION_ALREADY_EXISTS) —
+      // clear both the catalog entry and the location, like
+      // ensureTable does for the main table
+      val stale = Dedup.staleClusterTable(t)
+      s.sql(s"DROP TABLE IF EXISTS $stale")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = new java.io.File(wh, stale)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (dir.exists()) rm(dir)
+      val docs = incrGateDocs(s, d)
+      Dedup.writeClusterIndex(docs.filter(col("doc_id") % 13 =!= 0), t)
+      Dedup.upsertClusterIndex(s, minhashIncrIndexTable(s, d), t,
+        docs.filter(col("doc_id") % 13 === 0),
+        docs.filter(col("doc_id") % 13 =!= 0))
+    }
+  }
+
   /** Corpus-minus-batch containment token index — the same residue
     * split for the exact-SSJoin incremental gate. */
   private def containIncrIndexTable(s: SparkSession, d: String): String = {
@@ -1107,6 +1140,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 0),
         docs.filter(col("doc_id") % 13 =!= 0))
     }),
+    // the cluster-index INGEST-PERSIST gate: the same residue batch is
+    // UPSERTED into the persisted corpus assignment (stale-mark merged
+    // clusters + batch-sized append — never a corpus rewrite), then the
+    // size histogram reads the live rows; the oracle re-clusters the
+    // union from scratch, so the merged persisted state must be
+    // indistinguishable from a full rebuild
+    "cluster_upsert_stats" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, clusterUpsertIndexTable(s, d))),
     "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
     "cluster_stats_indexed" -> ((s, d) => Dedup.clusterStatsFromIndex(s, clusterIdx(s, d))),
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
@@ -1583,6 +1624,20 @@ object SparkEntry {
        |(coalesce(least(l.mr, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
        |FROM $incrGateDocsSql d LEFT JOIN lbl l ON d.doc_id = l.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for cluster_upsert_stats: the [[clusterStatsOracle]]
+    * histogram over the corpus ∪ batch-twins union — the upserted
+    * persisted assignment must be indistinguishable from re-clustering
+    * the whole unioned set from scratch.
+    */
+  private def clusterUpsertStatsOracle: String =
+    s"""WITH RECURSIVE ${clusterCtesOver(incrGateDocsSql)},
+       |cl AS (SELECT d.doc_id, coalesce(least(l.mr, d.doc_id), d.doc_id) AS cluster_id
+       |  FROM $incrGateDocsSql d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       |  (cluster_size * count(*))::BIGINT AS n_docs
+       |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Oracle for dedup_cluster_stats: the [[clusterOracle]] components
     * aggregated twice — per-cluster size, then size histogram.
@@ -3416,6 +3471,7 @@ object SparkEntry {
     "dedup_lsh_incremental" -> lshIncrementalOracle,
     "dedup_containment_incremental" -> containmentIncrementalOracle,
     "dedup_cluster_incremental" -> clusterIncrOracle,
+    "cluster_upsert_stats" -> clusterUpsertStatsOracle,
     "dedup_keep_best_indexed" -> keepBestOracle,
     "cluster_stats_indexed" -> clusterStatsOracle,
     "dedup_weights" -> weightsOracle,

@@ -300,12 +300,6 @@ object Dedup {
                              table: String, ids: DataFrame): Unit =
     graft.sources.IndexMaintenance.tombstone(spark, table, ids)
 
-  def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
-                          table: String, numBuckets: Int = 8): Unit =
-    graft.sources.IndexMaintenance.compact(spark, table) { (live, tmp) =>
-      graft.sources.Sinks.writeBucketed(live, tmp, Seq("cluster_id"), numBuckets)
-    }
-
   /** Index MAINTENANCE: append an arriving batch's band signatures to
     * the persisted index, completing the ingest lifecycle — build
     * ([[writeMinhashIndex]]) → check the batch
@@ -843,7 +837,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val byCluster = Window.partitionBy("cluster_id")
     val w = byCluster.orderBy(col("quality").desc, col("doc_id"))
-    liveIndexRows(spark, table)
+    liveClusterRows(spark, table)
       .withColumn("rn", row_number().over(w))
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .filter(col("rn") === 1)
@@ -861,7 +855,7 @@ object Dedup {
     */
   def clusterStatsFromIndex(spark: org.apache.spark.sql.SparkSession,
                             table: String): DataFrame =
-    sizeHistogram(liveIndexRows(spark, table))
+    sizeHistogram(liveClusterRows(spark, table))
 
   /** INCREMENTAL cluster-assignment maintenance — the last lifecycle
     * asymmetry closed: merge an arriving batch into the PERSISTED
@@ -894,7 +888,7 @@ object Dedup {
                          minhashTable: String, clusterTable: String,
                          newDocs: DataFrame, corpus: DataFrame,
                          maxIter: Int = 8): DataFrame = {
-    val assign = liveIndexRows(spark, clusterTable).select("doc_id", "cluster_id")
+    val assign = liveClusterRows(spark, clusterTable).select("doc_id", "cluster_id")
     val edges = incrementalEdges(spark, minhashTable, clusterTable, newDocs, corpus)
     val nodes = edges.select(col("a").as("doc_id"))
       .unionByName(edges.select(col("b").as("doc_id")))
@@ -933,12 +927,135 @@ object Dedup {
     val bb = minhashLsh(newDocs).select("a", "b")
     // contract the corpus endpoint of every batch↔corpus edge to its
     // persisted cluster id; the cluster index covers every corpus doc,
-    // so this inner join loses nothing
-    val assign = liveIndexRows(spark, clusterTable).select("doc_id", "cluster_id")
+    // so this inner join loses nothing. MUST be the live-cluster view:
+    // after an upsert, a superseded cluster's old rows are still on
+    // disk, and reading them would contract a doc to BOTH its old and
+    // new cluster ids (doubled edges, phantom nodes).
+    val assign = liveClusterRows(spark, clusterTable).select("doc_id", "cluster_id")
     val bcContracted = bc
       .join(assign.withColumnRenamed("doc_id", "b"), "b")
       .select(col("a"), col("cluster_id").as("b"))
     bb.unionByName(bcContracted)
+  }
+
+  /** Side table holding cluster ids whose assignment rows were
+    * superseded by an [[upsertClusterIndex]] merge — the cluster-keyed
+    * twin of the doc_id tombstone table.
+    */
+  def staleClusterTable(table: String): String = s"${table}_stale_clusters"
+
+  /** The cluster index's LIVE assignment rows: the bare bucketed table
+    * minus doc_id takedown tombstones minus rows of clusters an upsert
+    * superseded. Both filters are broadcast anti-joins of tiny side
+    * tables, so the scan's cluster_id bucket partitioning SURVIVES and
+    * every cluster-keyed consumer still plans zero hash exchanges
+    * (spec-asserted post-upsert). Safe forever, not just until
+    * compaction: a superseded cluster id can never come back to life —
+    * cluster ids are component-min doc_ids and labels only ever
+    * decrease, so once cluster c merged into m < c, any future cluster
+    * containing c's docs has id ≤ m < c.
+    */
+  private[graft] def liveClusterRows(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): DataFrame = {
+    val t = liveIndexRows(spark, table)
+    if (spark.catalog.tableExists(staleClusterTable(table)))
+      t.join(
+        broadcast(spark.table(staleClusterTable(table)).select("cluster_id")),
+        Seq("cluster_id"), "left_anti")
+    else t
+  }
+
+  /** Persist an arriving batch's cluster merge — the WRITE-BACK
+    * [[clusterIncremental]] lacked: the compute there is batch-sized
+    * but the only persist path was a full [[writeClusterIndex]]
+    * rebuild (corpus-sized I/O for a batch-sized change). This is the
+    * merge-on-read spelling of a partition-scoped rewrite, and it
+    * costs strictly less I/O than rewriting touched buckets:
+    *
+    *  1. the merged labels come from the SAME contracted graph as
+    *     [[clusterIncremental]] (batch↔corpus edges off the persisted
+    *     band index, corpus endpoints contracted to stored cluster
+    *     ids) — the corpus is never re-shingled;
+    *  2. clusters whose label CHANGED (they merged into a smaller id)
+    *     append their id to the `_stale_clusters` side table; every
+    *     reader goes through [[liveClusterRows]], whose broadcast
+    *     anti-join drops their old rows at probe time;
+    *  3. the superseded clusters' member rows re-append under the
+    *     merged label — quality CARRIED from the old index rows, so
+    *     no corpus text is re-read — together with the batch docs
+    *     (merged label, else themselves as singletons), through the
+    *     same (cluster_id, numBuckets) bucket spec the build used.
+    *
+    * Post-upsert, live rows ≡ [[clusterIncremental]]'s output over
+    * corpus ∪ batch (spec-asserted), keepBestIndexed / clusterStats /
+    * splitFromIndex / weights plans stay exchange-free, and
+    * [[compactClusterIndex]] folds both side tables into fresh files
+    * out of band. Single-writer, one apply per batch, like every
+    * index-maintenance op here (a crash between the stale-mark and
+    * the append re-runs the batch; plain parquet catalogs have no
+    * multi-writer or transactional story — on a cluster this is a
+    * Delta/Iceberg MERGE commit).
+    */
+  def upsertClusterIndex(spark: org.apache.spark.sql.SparkSession,
+                         minhashTable: String, clusterTable: String,
+                         newDocs: DataFrame, corpus: DataFrame,
+                         maxIter: Int = 8, numBuckets: Int = 8): Unit = {
+    val assign = liveClusterRows(spark, clusterTable)
+      .select("doc_id", "cluster_id", "quality")
+    val edges = incrementalEdges(spark, minhashTable, clusterTable,
+      newDocs, corpus)
+    val nodes = edges.select(col("a").as("doc_id"))
+      .unionByName(edges.select(col("b").as("doc_id")))
+      .unionByName(newDocs.select(col("doc_id")))
+      .distinct()
+    val merged = clusterPairs(edges, nodes, maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_label"))
+    // corpus clusters whose component min moved below them: their old
+    // rows are superseded. A node set is near-dup-edge-sized, so this
+    // whole frame is tiny.
+    val stale = merged
+      .filter(col("new_label") =!= col("node"))
+      .join(assign.select(col("cluster_id").as("node")).distinct(), "node")
+      .select(col("node").as("cluster_id"), col("new_label"))
+      .localCheckpoint(true)
+    // member rows of superseded clusters, re-labeled — quality rides
+    // along from the index, the corpus is not touched
+    val relabeled = assign
+      .join(broadcast(stale), Seq("cluster_id"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"), col("quality"))
+    val batchRows = newDocs
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityCol(col("text")).as("quality"))
+      .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("doc_id")).as("cluster_id"),
+        col("quality"))
+    stale.select("cluster_id").distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(staleClusterTable(clusterTable))
+    graft.sources.Sinks.appendBucketed(
+      relabeled.unionByName(batchRows), clusterTable,
+      Seq("cluster_id"), numBuckets)
+  }
+
+  /** Fold BOTH of the cluster index's side tables (doc_id tombstones,
+    * stale cluster ids) into fresh bucketed files — the out-of-band
+    * bound on [[liveClusterRows]]' broadcast sizes after many
+    * takedowns/upserts; correctness never needs it.
+    */
+  def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.IndexMaintenance.compact(spark, table) { (live, tmp) =>
+      val liveMinusStale =
+        if (spark.catalog.tableExists(staleClusterTable(table)))
+          live.join(
+            broadcast(spark.table(staleClusterTable(table)).select("cluster_id")),
+            Seq("cluster_id"), "left_anti")
+        else live
+      graft.sources.Sinks.writeBucketed(
+        liveMinusStale, tmp, Seq("cluster_id"), numBuckets)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${staleClusterTable(table)}")
   }
 
   /** SoftDeDup-style duplicate DOWNWEIGHTING — the keep-everything
@@ -970,7 +1087,7 @@ object Dedup {
     */
   def dedupWeightsFromIndex(spark: org.apache.spark.sql.SparkSession,
                             table: String): DataFrame =
-    softWeights(liveIndexRows(spark, table).select("doc_id", "cluster_id"))
+    softWeights(liveClusterRows(spark, table).select("doc_id", "cluster_id"))
 
   /** SoftDeDup REALIZED: the deterministic sample the [[softWeights]]
     * table implies — each doc kept iff its id-keyed md5 bucket
@@ -999,7 +1116,7 @@ object Dedup {
     */
   def weightedSampleFromIndex(spark: org.apache.spark.sql.SparkSession,
                               table: String): DataFrame =
-    weightedSampleOf(liveIndexRows(spark, table).select("doc_id", "cluster_id"))
+    weightedSampleOf(liveClusterRows(spark, table).select("doc_id", "cluster_id"))
 
   /** The LSH geometry's theoretical S-CURVE — P(candidate | Jaccard s)
     * = 1 − (1 − s^r)^b for the production (r rows per band, b bands),
@@ -1169,7 +1286,14 @@ object Dedup {
     * [[writeMinhashIndex]]).
     */
   def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashWith(documents, maxHamming, combo = documents.count() > 16384)
+    // The combo scheme needs maxHamming >= 1: at h = 0 it would pack 3
+    // blocks of 22 bits into 66 > 63 key bits. h = 0 means EXACT hash
+    // equality, so the (h+1)-chunk scheme (one full-64-bit band — a
+    // plain hash-groupBy) is already the optimal plan at any corpus
+    // size; the scheme must not flip with n for an argument combo
+    // can't serve.
+    simhashWith(documents, maxHamming,
+      combo = maxHamming >= 1 && documents.count() > 16384)
 
   /** [[simhash]] with the banding scheme forced — package-visible so
     * the spec can pin both schemes value-identical on one corpus.

@@ -243,10 +243,12 @@ object Multimodal {
     * [[Dedup.appendToMinhashIndex]] check→extend loop for the media
     * family: decode + phash the batch once, extend the co-bucketed
     * band table, and the NEXT incremental check
-    * ([[mediaNearDupAgainstIndex]]) sees this batch. Geometry (8×8
-    * bands, hamming ≤ 7 pigeonhole) is fixed by construction, so the
-    * only drift axis is the bucket layout — which Spark itself
-    * validates at append time.
+    * ([[mediaNearDupAgainstIndex]]) sees this batch. The banding
+    * scheme is read from the `graft.phash.scheme` table property —
+    * the index GEOMETRY recorded at build time — so the batch bands
+    * exactly the way the index did whichever scheme the corpus size
+    * picked ([[writeMediaPhashIndex]]); the remaining drift axis is
+    * the bucket layout, which Spark itself validates at append time.
     */
   def appendToMediaPhashIndex(newMedia: DataFrame, table: String,
                               numBuckets: Int = 8): Unit =

@@ -84,7 +84,7 @@ object Sampling {
     */
   def splitFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                      trainPct: Int = 90, valPct: Int = 5): DataFrame =
-    graft.sources.IndexMaintenance.liveRows(spark, table)
+    Dedup.liveClusterRows(spark, table)
       .select("doc_id", "cluster_id")
       .withColumn("bucket", hashBucket(col("cluster_id")))
       .withColumn("split",

@@ -1376,6 +1376,24 @@ case class KendallStatsExpr(child: Expression)
 
   /** Public: called from generated code ([[doGenCode]]). */
   def compute(input: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    // Fail fast on null slots: toLongArray() on UnsafeArrayData reads
+    // them as 0 (the null bitmap is ignored), which would return
+    // silently WRONG statistics for the SQL-registered
+    // kendall_stats(array(1L, NULL)). The schema can't gate this —
+    // transform()-built arrays are containsNull = true even when no
+    // element is ever null — so the check is per-row, O(m) against the
+    // O(m log m) body.
+    {
+      var i = 0
+      val m = input.numElements()
+      while (i < m) {
+        if (input.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"kendall_stats: null element at position $i — elements must " +
+              "be non-null (filter(xs, x -> x IS NOT NULL) first)")
+        i += 1
+      }
+    }
     val xs = input.toLongArray()
     val n = xs.length
     val sorted = xs.clone()

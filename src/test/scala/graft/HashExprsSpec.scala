@@ -101,6 +101,14 @@ class HashExprsSpec extends SparkSpec {
       .getStruct(0)
     assert(ks.getAs[Long]("cd") === 3L)
     assert(ks.getAs[Long]("ties") === 1L)
+    // null elements must fail fast, not silently read as 0 through
+    // toLongArray()'s bitmap-blind copy
+    val nullErr = intercept[Exception] {
+      spark.sql("SELECT kendall_stats(array(1L, NULL, 3L)) AS k").head()
+    }
+    assert(nullErr.getMessage.contains("null element") ||
+      Option(nullErr.getCause).exists(_.getMessage.contains("null element")),
+      s"expected a null-element error, got: ${nullErr.getMessage}")
   }
 
   test("ivf top-k scores consistently with brute force on shared ids") {
@@ -565,6 +573,64 @@ class HashExprsSpec extends SparkSpec {
       assert(sub.contains("% 13) = 0"),
         s"minhash computed over a non-batch relation:\n$sub")
     }
+  }
+
+  test("cluster-index upsert: batch-sized persist equals full rebuild, consumers stay exchange-free, compaction folds side tables") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % 13 === 0)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    Seq("g_ups_minhash", "g_ups_cluster",
+        operators.Dedup.staleClusterTable("g_ups_cluster"),
+        sources.IndexMaintenance.tombstoneTable("g_ups_cluster")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    operators.Dedup.writeMinhashIndex(corpus, "g_ups_minhash")
+    operators.Dedup.writeClusterIndex(corpus, "g_ups_cluster")
+    operators.Dedup.upsertClusterIndex(
+      spark, "g_ups_minhash", "g_ups_cluster", batch, corpus)
+    // live rows post-upsert ≡ re-clustering the union from scratch —
+    // assignment AND carried quality (keep-best compares quality too)
+    val live = operators.Dedup.liveClusterRows(spark, "g_ups_cluster")
+      .select("doc_id", "cluster_id").orderBy("doc_id")
+    val direct = operators.Dedup.minhashClusters(docs)
+      .select("doc_id", "cluster_id").orderBy("doc_id")
+    assert(live.collect().toSeq === direct.collect().toSeq)
+    // the supersede path must actually fire on this data: at least one
+    // corpus cluster merged under a new label (else the gate is a plain
+    // append and the stale machinery is untested)
+    assert(spark.catalog.tableExists(
+      operators.Dedup.staleClusterTable("g_ups_cluster")) &&
+      spark.table(operators.Dedup.staleClusterTable("g_ups_cluster")).count() > 0,
+      "residue split superseded no corpus cluster — upsert spec is vacuous")
+    // each doc appears ONCE in the live view even though superseded
+    // clusters' old rows are still on disk
+    assert(live.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+    // cluster-keyed consumers still plan zero hash exchanges through
+    // the two broadcast anti-joins, and match the direct path end to
+    // end (quality rode along from the old index rows)
+    val kb = operators.Dedup.keepBestIndexed(spark, "g_ups_cluster")
+    val kbPlan = kb.queryExecution.executedPlan.toString
+    assert(!kbPlan.contains("Exchange hashpartitioning"),
+      s"post-upsert keep-best should not hash-shuffle:\n$kbPlan")
+    assert(kb.collect().toSeq === operators.Dedup.keepBest(docs).collect().toSeq)
+    // compaction folds BOTH side tables into fresh files: stale table
+    // gone, live view unchanged, consumers still exchange-free
+    operators.Dedup.compactClusterIndex(spark, "g_ups_cluster")
+    assert(!spark.catalog.tableExists(
+      operators.Dedup.staleClusterTable("g_ups_cluster")))
+    val postCompact = operators.Dedup.liveClusterRows(spark, "g_ups_cluster")
+      .select("doc_id", "cluster_id").orderBy("doc_id")
+    assert(postCompact.collect().toSeq === direct.collect().toSeq)
+    val kb2 = operators.Dedup.keepBestIndexed(spark, "g_ups_cluster")
+    assert(!kb2.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    assert(kb2.collect().toSeq === operators.Dedup.keepBest(docs).collect().toSeq)
   }
 
   test("persisted cluster index: keep-best and split run without hash exchanges, matching direct") {

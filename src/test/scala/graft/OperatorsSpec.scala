@@ -203,6 +203,21 @@ class OperatorsSpec extends SparkSpec {
     assert(viaChunks.nonEmpty)
   }
 
+  test("simhash maxHamming=0 never flips to combo banding with corpus size") {
+    // at h = 0 the combo scheme would pack 3 blocks of 22 bits into
+    // 66 > 63 key bits — its require() must never be reachable through
+    // the adaptive entry point: h = 0 is exact signature equality, so
+    // the single-full-band chunk scheme is the right plan at ANY n.
+    // 17k docs puts the corpus past the 16384 combo threshold.
+    import spark.implicits._
+    val docs = (0L until 17000L)
+      .map(i => (i, s"short document number ${i / 2} repeated body text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhash(docs, maxHamming = 0)
+    // consecutive (2k, 2k+1) share text → identical signatures → found
+    assert(pairs.filter(col("hamming") === 0).count() >= 8500L)
+  }
+
   test("containment catches a short doc inside a long one that Jaccard LSH misses") {
     import spark.implicits._
     val short = "the quick brown fox jumps over the lazy dog near the river bank today"
