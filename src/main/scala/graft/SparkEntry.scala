@@ -409,6 +409,33 @@ object SparkEntry {
     path
   }
 
+  /** AGED IVF index with a SQL-REPRODUCIBLE codebook for the drift
+    * gate: centroids are the 16 smallest corpus-residue vec_ids'
+    * embeddings (no k-means — an oracle can't replay Lloyd's, but it
+    * can replay this seed rule), residue assigned at build, batch
+    * appended under the aged codebook. The drift report over this
+    * index is then a pure function of the embeddings table, so DuckDB
+    * re-derives the whole recall table: assignment (sequential-fold
+    * L2 argmin, ties to the lowest list), probe-list selection, both
+    * top-k sides, and the HALF_UP recall identity.
+    */
+  private val ivfDriftBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfDriftIdx(s: SparkSession, d: String): String = indexLock.synchronized {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_gate_ivf_drift_${tag(d)}").toString
+    if (!ivfDriftBuilt.contains(path)) {
+      val vecs = Tables.embeddings(s, d)
+      val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+      val cents = residue.orderBy("vec_id").limit(16)
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.writeIvfIndexWith(residue, path, cents)
+      Similarity.appendToIvfIndex(s, path, vecs.filter(col("vec_id") % 13 === 0))
+      ivfDriftBuilt += path
+    }
+    path
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — A. rollups —
     "rollup_daily"    -> ((s, d) => Rollups.daily(orderSeries(s, d))),
@@ -1164,6 +1191,13 @@ object SparkEntry {
     // union — the whole embeddings table — is the correct oracle
     "ann_ivf_incremental" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfIncrIdx(s, d), 7L, 20)),
+    // the drift-report gate: recall@k of the fixed-nProbe probe vs
+    // exact cosine over the AGED seed-codebook index ([[ivfDriftIdx]])
+    // — the retrain signal itself, oracle-verified end to end (DuckDB
+    // replays assignment, probe selection, both top-k sides, and the
+    // HALF_UP recall identity)
+    "ann_drift_report" -> ((s, d) =>
+      Similarity.ivfDriftReport(s, ivfDriftIdx(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -3783,6 +3817,47 @@ object SparkEntry {
         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
         |    ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE round(dot / (sqrt(na) * sqrt(nb)), 4) END) DESC, vec_id) AS rn
         |  FROM sc) WHERE rn <= 10),
+        |h AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1)
+        |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST((2 * coalesce(h.n_hits, 0) * 10000 + 10) // 20 AS BIGINT) AS recall_bp
+        |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
+    // drift-report oracle: replay the WHOLE aged-index probe — the
+    // seed codebook (16 smallest residue vec_ids), every row's list
+    // assignment (sequential-fold L2 argmin via list_reduce — the
+    // IEEE chain NearestCentroidExpr runs — ties to the lowest list),
+    // the per-query nProbe=4 list selection (same fold, same ties),
+    // the probed-lists top-10 vs brute-force top-10 (both 4dp-round +
+    // vec_id tie-break), and the HALF_UP recall identity
+    "ann_drift_report" ->
+      """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+        |    CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 <> 0 ORDER BY vec_id LIMIT 16)),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ad AS (SELECT ev.vec_id, cb.list_id,
+        |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(cb.cent))),
+        |    i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
+        |  FROM ev CROSS JOIN cb),
+        |asg AS (SELECT vec_id, list_id FROM (
+        |  SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+        |  FROM ad) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id % 50 = 0 AND vec_id < 500),
+        |qd AS (SELECT q.query_id, cb.list_id,
+        |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(q.qv), len(cb.cent))),
+        |    i -> (q.qv[i] - cb.cent[i]) * (q.qv[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
+        |  FROM q CROSS JOIN cb),
+        |pr AS (SELECT query_id, list_id FROM (
+        |  SELECT query_id, list_id, row_number() OVER (PARTITION BY query_id ORDER BY d2, list_id) AS rn
+        |  FROM qd) WHERE rn <= 4),
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT pr.query_id, ev.vec_id, row_number() OVER (PARTITION BY pr.query_id
+        |    ORDER BY round(list_cosine_similarity(ev.v, q.qv), 4) DESC, ev.vec_id) AS rn
+        |  FROM ev JOIN asg USING (vec_id) JOIN pr ON asg.list_id = pr.list_id
+        |  JOIN q ON pr.query_id = q.query_id WHERE ev.vec_id <> pr.query_id) WHERE rn <= 10),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, ev.vec_id, row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY round(list_cosine_similarity(ev.v, q.qv), 4) DESC, ev.vec_id) AS rn
+        |  FROM ev CROSS JOIN q WHERE ev.vec_id <> q.query_id) WHERE rn <= 10),
         |h AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1)
         |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,

@@ -232,8 +232,18 @@ object Similarity {
     * Training cost is paid once here, not per query.
     */
   def writeIvfIndex(embeddings: DataFrame, path: String,
-                    nCentroids: Int = 16, trainIters: Int = 3): Unit = {
-    val cents = trainCodebook(embeddings, nCentroids, trainIters)
+                    nCentroids: Int = 16, trainIters: Int = 3): Unit =
+    writeIvfIndexWith(embeddings, path,
+      trainCodebook(embeddings, nCentroids, trainIters))
+
+  /** [[writeIvfIndex]] with a caller-supplied codebook — the injection
+    * point for (a) [[retrainIvfIndex]], which trains the codebook
+    * itself but over live rows, and (b) gates/tests that need a
+    * SQL-reproducible codebook (an oracle can't replay k-means, but it
+    * can replay "the 16 smallest corpus vec_ids' embeddings").
+    */
+  def writeIvfIndexWith(embeddings: DataFrame, path: String,
+                        cents: Array[Array[Double]]): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
@@ -348,6 +358,55 @@ object Similarity {
       .select(col("query_id"), lit(k.toLong).as("k"), col("n_hits"),
         expr(s"(2 * n_hits * 10000 + $k) div (2 * $k)").as("recall_bp"))
       .orderBy("query_id")
+  }
+
+  /** RETRAIN the IVF index — the consumer of [[ivfDriftReport]]'s
+    * signal, closing the build → append → drift → retrain loop: when
+    * the aged codebook's recall has decayed (appended batches landed
+    * outside the trained distribution), rebuild the codebook over the
+    * index's LIVE rows (takedowns excluded — a deleted vector must not
+    * shape the new centroids), reassign every live vector, and swap
+    * the fresh codebook + list-partitioned assignment in place.
+    *
+    * Tombstones FOLD here for free: the retrain reads live rows, so
+    * the rebuilt lists contain no deleted ids and the side dir drops —
+    * a retrain subsumes [[compactIvfIndex]]. The path keeps serving
+    * the same probe layout (list_id-partitioned, partition-pruned
+    * reads of nProbe/nCentroids), so no probe code changes across a
+    * retrain. Cost is one training pass (hash-sampled at scale, the
+    * [[trainCodebook]] contract) + one assignment pass over live
+    * rows — paid when the drift report says so, amortized over every
+    * probe until the next retrain. Single-writer with a
+    * write-fresh-then-swap sequence (a reader races to old-or-new,
+    * never a mix of codebook and assignment from different
+    * generations except in the crash window between the two renames —
+    * on a cluster this whole swap is a Delta/Iceberg REPLACE commit).
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, nCentroids: Int = 16,
+                      trainIters: Int = 3): Unit = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = liveAssigned(spark, path).select("vec_id", "embedding")
+    val cents = trainCodebook(live, nCentroids, trainIters)
+    // write BOTH halves fresh before touching the served ones: every
+    // read of `live` below still resolves against the old files
+    val tmpA = s"$path/assigned_retrain_tmp"
+    val tmpC = s"$path/codebook_retrain_tmp"
+    fs.delete(p(tmpA), true); fs.delete(p(tmpC), true)
+    live.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmpA)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(tmpC)
+    fs.delete(p(s"$path/assigned"), true)
+    fs.rename(p(tmpA), p(s"$path/assigned"))
+    fs.delete(p(s"$path/codebook"), true)
+    fs.rename(p(tmpC), p(s"$path/codebook"))
+    fs.delete(p(s"$path/tombstones"), true)
   }
 
   /** Embedding takedown for the persisted IVF index — merge-on-read

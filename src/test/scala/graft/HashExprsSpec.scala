@@ -930,6 +930,70 @@ class HashExprsSpec extends SparkSpec {
     }
   }
 
+  test("ivf retrain restores fresh-index recall and folds tombstones") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_retrain").toString
+    // 16 well-separated clusters of 30 points (the corpus shape IVF is
+    // for — same generator as the trained-codebook recall spec), so
+    // trained routing measurably beats a degenerate codebook
+    def lcg(seed: Long): Iterator[Double] = Iterator.iterate(seed)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+      .map(x => ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5).drop(1)
+    val dim = 8
+    val emb = (for {
+      c <- 0 until 16
+      i <- 0 until 30
+    } yield {
+      val center = lcg(c * 7919L + 1).take(dim).map(_ * 10).toArray
+      val noise = lcg(c * 104729L + i * 31L + 7).take(dim).toArray
+      ((c * 30 + i).toLong, center.zip(noise).map { case (a, b) => (a + b).toFloat })
+    }).toDF("vec_id", "embedding")
+    val residue = emb.filter(col("vec_id") % 13 =!= 0)
+    // age the index HARD: a no-kmeans seed codebook (the 16 smallest
+    // residue vec_ids — ALL inside cluster 0, so routing is blind to
+    // the other 15 clusters), then a batch appends under it — the
+    // state whose drift report triggers the retrain
+    val seedCents = residue.orderBy("vec_id").limit(16)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    operators.Similarity.writeIvfIndexWith(residue, path, seedCents)
+    operators.Similarity.appendToIvfIndex(
+      spark, path, emb.filter(col("vec_id") % 13 === 0))
+    def meanRecall(p: String): Double = {
+      val r = operators.Similarity.ivfDriftReport(spark, p)
+        .collect().map(_.getAs[Long]("recall_bp"))
+      r.sum.toDouble / r.length
+    }
+    val aged = meanRecall(path)
+    // a takedown before the retrain: the deleted vector must not shape
+    // the new centroids, and the retrain must fold the tombstone
+    val victim = 3L
+    operators.Similarity.deleteFromIvfIndex(spark, path, Seq(victim).toDF("vec_id"))
+    operators.Similarity.retrainIvfIndex(spark, path)
+    // tombstones folded: the side dir is gone and the victim is out of
+    // the rebuilt lists
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id") === victim).count() === 0)
+    // the retrained index IS the fresh-trained index over live rows:
+    // same deterministic codebook (decimal-accumulated k-means), same
+    // assignment, same drift report — retrain ≡ rebuild, at live-row
+    // cost, serving the same path
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString
+    operators.Similarity.writeIvfIndex(emb.filter(col("vec_id") =!= lit(victim)), fresh)
+    val cbRetrained = spark.read.parquet(s"$path/codebook")
+      .orderBy("list_id").collect().map(_.toSeq)
+    val cbFresh = spark.read.parquet(s"$fresh/codebook")
+      .orderBy("list_id").collect().map(_.toSeq)
+    assert(cbRetrained === cbFresh)
+    val retrained = meanRecall(path)
+    assert(retrained === meanRecall(fresh))
+    // and the loop closed for a REASON: trained routing beats the aged
+    // seed codebook's on this corpus
+    assert(retrained > aged,
+      s"retrain did not restore recall: aged=$aged retrained=$retrained")
+  }
+
   test("persisted exact-ivf probe returns the true top-k (equals brute force)") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
     val emb = sources.Tables.embeddings(spark, sfDir)
