@@ -409,6 +409,44 @@ object SparkEntry {
     path
   }
 
+  /** STREAM-INGESTED minhash index for the streaming-lifecycle gate:
+    * the corpus residue built batch-side, then the arriving batch
+    * appended through the STREAMING stage
+    * ([[graft.streaming.StreamingRollups.indexAppendStream]] —
+    * foreachBatch → appendToMinhashIndex under batch-id idempotence),
+    * one MemoryStream micro-batch, Trigger.Once. The finished index
+    * must be indistinguishable from building over the whole corpus at
+    * once, so the gate probe shares `dedup_minhash_lsh_indexed`'s
+    * brute-force Jaccard oracle verbatim.
+    */
+  private def lshStreamIdxTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_lsh_stream_${tag(d)}"
+    ensureTable(s, t) {
+      // clear side-table leftovers from a previous JVM (warehouse dir
+      // survives, the in-memory catalog does not)
+      val side = graft.sources.IndexMaintenance.appliedBatchTable(t)
+      s.sql(s"DROP TABLE IF EXISTS $side")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(wh, side))
+      val docs = Tables.documents(s, d)
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 13 =!= 0), t)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      in.addData(docs.filter(col("doc_id") % 13 === 0)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq: _*)
+      val ck = java.nio.file.Files.createTempDirectory("g_gate_lsh_stream_ck").toString
+      val q = graft.streaming.StreamingRollups.indexAppendStream(
+        in.toDF().toDF("doc_id", "text"), t, ck, streamId = Some(t))
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination(120000)
+    }
+  }
+
   /** AGED IVF index with a SQL-REPRODUCIBLE codebook for the drift
     * gate: centroids are the 16 smallest corpus-residue vec_ids'
     * embeddings (no k-means — an oracle can't replay Lloyd's, but it
@@ -1137,6 +1175,12 @@ object SparkEntry {
     // forms, zero-exchange plans spec-asserted in HashExprsSpec
     "dedup_minhash_lsh_indexed" -> ((s, d) =>
       Dedup.minhashLshIndexed(s, minhashIdx(s, d), Tables.documents(s, d))),
+    // the STREAM-maintained index: residue built batch-side, batch
+    // appended through indexAppendStream (foreachBatch + batch-id
+    // idempotence) — the finished index must equal the built-at-once
+    // one, so this shares dedup_minhash_lsh_indexed's oracle verbatim
+    "dedup_lsh_stream_ingested" -> ((s, d) =>
+      Dedup.minhashLshIndexed(s, lshStreamIdxTable(s, d), Tables.documents(s, d))),
     // the INCREMENTAL-INGEST path, oracle-gated (previously spec-only):
     // an arriving batch (doc_id ≡ 0 mod 13) checked against the
     // corpus-minus-batch index — only the batch is shingled/signed,
@@ -3502,6 +3546,8 @@ object SparkEntry {
     // the persisted-index twins: IDENTICAL oracles — the index path
     // must reproduce the direct computation exactly
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
+    // stream-ingested index ≡ built-at-once index: same oracle
+    "dedup_lsh_stream_ingested" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     "dedup_lsh_incremental" -> lshIncrementalOracle,
     "dedup_containment_incremental" -> containmentIncrementalOracle,
     "dedup_cluster_incremental" -> clusterIncrOracle,

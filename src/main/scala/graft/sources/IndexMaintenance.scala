@@ -46,6 +46,41 @@ object IndexMaintenance {
     else t
   }
 
+  def appliedBatchTable(table: String): String = s"${table}_applied_batches"
+
+  /** Batch-id idempotence for STREAMING index maintenance: run `apply`
+    * only if `(streamId, batchId)` has not been applied to `table`
+    * yet, then record it. foreachBatch delivery is at-least-once — a
+    * crash before the checkpoint commit redelivers the SAME batch id
+    * on restart — and an index APPEND is not naturally idempotent the
+    * way the tombstone/upsert sinks are (a double-append duplicates
+    * band rows and inflates every candidate join). This side table
+    * turns redelivery into a no-op. `streamId` scopes the ids (batch
+    * ids restart at 0 for every new query): callers pass a stable
+    * logical-stream name — the checkpoint path is the natural one.
+    *
+    * Returns true iff `apply` ran. The mark lands AFTER the append —
+    * a crash between the two re-runs the batch (at-least-once on the
+    * append itself); closing that last window needs the append and
+    * the mark in one transactional commit (Delta/Iceberg on a
+    * cluster), which plain parquet catalogs can't express.
+    */
+  def applyBatchOnce(spark: SparkSession, table: String, streamId: String,
+                     batchId: Long)(apply: => Unit): Boolean = {
+    val t = appliedBatchTable(table)
+    val done = spark.catalog.tableExists(t) &&
+      spark.table(t)
+        .filter(col("stream_id") === streamId && col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!done) {
+      apply
+      import spark.implicits._
+      Seq((streamId, batchId)).toDF("stream_id", "batch_id")
+        .write.mode("append").format("parquet").saveAsTable(t)
+    }
+    !done
+  }
+
   // — PATH-BASED twins, for indexes that live as parquet directories
   // rather than catalog tables (the IVF index's codebook/assigned
   // layout). Same mechanism: a `tombstones` subdirectory of ids.

@@ -391,6 +391,40 @@ object StreamingRollups {
           batch.sparkSession, indexTable, batch, idCol)
       }
 
+  /** The streaming INDEX-APPEND stage — streaming↔lifecycle symmetry
+    * closed for the re-crawl case [[dedupNear]] already detects:
+    * arriving micro-batches extend the persisted minhash band index
+    * ([[graft.operators.Dedup.appendToMinhashIndex]] — geometry
+    * checked against the table properties, bucket layout preserved),
+    * so the NEXT batch's against-index check sees this one. Runs
+    * under [[graft.sources.IndexMaintenance.applyBatchOnce]] batch-id
+    * idempotence: foreachBatch redelivery (at-least-once after a
+    * crash-before-checkpoint) is a no-op instead of a double-append —
+    * the upsert-sink replay story ([[loadStream]]), applied to an
+    * operation that is NOT naturally idempotent. `streamId` names the
+    * logical stream (batch ids restart at 0 per query — default: the
+    * checkpoint path, which is stable across restarts). Compose with
+    * the document sink in the same foreachBatch when the corpus and
+    * its index must advance together.
+    */
+  def indexAppendStream(docs: DataFrame, indexTable: String,
+                        checkpoint: String, streamId: Option[String] = None,
+                        numBuckets: Int = 8, k: Int = 5, numPerm: Int = 64,
+                        bands: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sid = streamId.getOrElse(checkpoint)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.IndexMaintenance.applyBatchOnce(
+          batch.sparkSession, indexTable, sid, epochId) {
+          graft.operators.Dedup.appendToMinhashIndex(
+            batch, indexTable, numBuckets, k, numPerm, bands)
+        }
+        ()
+      }
+  }
+
   /** Shared per-batch session merge: fold this batch's (sorted) events
     * into the open session, emitting sessions closed INLINE by a
     * same-key event arriving past the gap. Late (out-of-order) events

@@ -927,6 +927,59 @@ class StreamingSpec extends SparkSpec {
     assert(after === before.filterNot(p => p._1 == victim || p._2 == victim))
   }
 
+  test("streaming index-append equals the batch append; a redelivered batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val strTbl = "g_stream_append_idx"
+    val batTbl = "g_batch_append_idx"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq(strTbl, batTbl, s"${strTbl}_applied_batches").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val arriving = docs.filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    operators.Dedup.writeMinhashIndex(corpus, strTbl)
+    operators.Dedup.writeMinhashIndex(corpus, batTbl)
+    // the batch lifecycle append — the parity reference
+    operators.Dedup.appendToMinhashIndex(
+      docs.filter(col("doc_id") % 13 === 0), batTbl)
+    def runStream(data: Seq[(Long, String)], ck: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      in.addData(data: _*)
+      val q = StreamingRollups.indexAppendStream(
+        in.toDF().toDF("doc_id", "text"), strTbl, ck,
+        streamId = Some("spec-stream"))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    runStream(arriving,
+      java.nio.file.Files.createTempDirectory("graft_idxapp_ck1").toString)
+    def indexRows(t: String) = spark.table(t).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // parity: the stream-ingested index IS the batch-appended index
+    assert(indexRows(strTbl) === indexRows(batTbl))
+    // redelivery: the same logical stream replays batch id 0 (fresh
+    // checkpoint, e.g. after checkpoint loss) — applyBatchOnce must
+    // make it a no-op, not a double-append
+    runStream(arriving,
+      java.nio.file.Files.createTempDirectory("graft_idxapp_ck2").toString)
+    assert(indexRows(strTbl) === indexRows(batTbl),
+      "redelivered micro-batch double-appended")
+    // and the appended batch is LIVE for the next against-index check
+    val probe = operators.Dedup.minhashLshAgainstIndex(
+      spark, strTbl, docs.filter(col("doc_id") % 13 === 0), docs)
+    assert(probe.filter(col("b") % 13 === 0).count() ===
+      operators.Dedup.minhashLshAgainstIndex(
+        spark, batTbl, docs.filter(col("doc_id") % 13 === 0), docs)
+        .filter(col("b") % 13 === 0).count())
+  }
+
   test("streaming CUSUM reproduces the batch changepoint fold for every closed day") {
     // the live changepoint alert: given the SAME offline calibration
     // the batch form self-derives, every finalized day's (S+, S-,
