@@ -113,9 +113,25 @@ def main():
             # superlinear keys (verdict item #9): 30x data, threshold
             # scaled to 1.5x the factor like the 10x axes
             "long30": {"dir": "/tmp/scale30_long", "data_factor": 30,
-                       "note": "30x history per series (bars 30->900) — kendall's curve third point",
-                       "keys": audit("long30", ["kendall_trend"],
+                       "note": "30x history per series (bars 30->900) — third points: "
+                               "kendall (Fenwick curve) and holt_winters (seasonal ring "
+                               "walk; 3.42x at 10x was r12's highest unflagged long ratio)",
+                       "keys": audit("long30", ["kendall_trend", "holt_winters"],
                                      "/tmp/scale30_long", threshold=45.0)},
+            # the media banding crossover, MEASURED at a realistic
+            # ~1.5% dup rate (r12 item: the only audit point was the
+            # dup-saturated gate corpus, where collision multiplicity
+            # 120/group swamps the banding geometry): each scheme
+            # forced on the same corpus — chunk-8's 8-bit buckets go
+            # quadratic with corpus size while 3-of-10 combo keys
+            # (22-bit) stay bounded, so at 10x docs chunk should blow
+            # past the threshold and combo should stay well under it
+            "wide_media": {"dir": WIDE,
+                           "note": "10x docs, realistic ~1.5% media dup rate — "
+                                   "chunk vs combo banding crossover, per scheme",
+                           "keys": audit("wide_media",
+                                         ["media_phash_realistic_chunk",
+                                          "media_phash_realistic_combo"], WIDE)},
             "wide30_docs": {"dir": "/tmp/scale30_docs", "data_factor": 30,
                             "note": "30x docs (decorrelated copies) — simhash candidate-density third point",
                             "keys": audit("wide30_docs", ["dedup_simhash"],

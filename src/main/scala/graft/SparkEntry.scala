@@ -1390,6 +1390,23 @@ object SparkEntry {
       Multimodal.mediaNearDupAgainstIndex(s, mediaPhashIncrIndexTable(s, d),
         Multimodal.gateMedia(Tables.documents(s, d))
           .filter(col("media_id") % 13 === 0))),
+    // the banding-crossover pair on the REALISTIC-dup-rate corpus
+    // (~1.5% twins instead of gateMedia's saturated 20-groups): each
+    // scheme forced, identical output (both pigeonhole-exact — one
+    // shared brute-force oracle); the scaling audit times these two at
+    // 10x to MEASURE the chunk-vs-combo crossover the operator docs
+    // argue from collision algebra. maxHamming = 2, not 7: the
+    // constructed twins (one byte over 33) land at hamming <= 2, while
+    // the sha-uniform histograms' biased sign bits put a long
+    // ACCIDENTAL tail into 3-7 (625 pairs at exactly 7 on 500 docs) —
+    // at 2 the output is the intended twin set, and the banding cost
+    // being measured is threshold-independent
+    "media_phash_realistic_chunk" -> ((s, d) =>
+      Multimodal.mediaNearDupWith(
+        Multimodal.realisticMedia(Tables.documents(s, d)), 2, combo = false)),
+    "media_phash_realistic_combo" -> ((s, d) =>
+      Multimodal.mediaNearDupWith(
+        Multimodal.realisticMedia(Tables.documents(s, d)), 2, combo = true)),
     // exact media dedup by payload digest: seeds collide by design
     // (doc_id % 7), so byte-identical payloads really exist and the
     // canonical-min contract is exercised on real groups. The digest
@@ -1456,6 +1473,18 @@ object SparkEntry {
   private def phashIncrOracleSql: String =
     phashOracleSqlWith("AND x.media_id % 13 = 0 AND y.media_id % 13 <> 0")
 
+  /** The realistic-dup-rate corpus ([[Multimodal.realisticMedia]]):
+    * same replay, payload group = the id itself except the ~1/67
+    * twins. One oracle serves BOTH forced-scheme keys — chunk and
+    * combo banding are each pigeonhole-exact at hamming ≤ 7, so their
+    * outputs are identical by construction (spec-pinned) and brute
+    * force is the shared scheme-independent ground truth.
+    */
+  private def phashRealisticOracleSql: String =
+    phashOracleSqlWith("AND x.media_id < y.media_id",
+      "CASE WHEN doc_id % 67 = 3 THEN doc_id - 3 ELSE doc_id END",
+      maxHamming = 2)
+
   /** The phash replay: decode stub (byte histogram from the sha256
     * payload) → sign-projection bits → EXACT hamming over all
     * same-modality pairs. The operator's banding stage is deliberately
@@ -1466,7 +1495,9 @@ object SparkEntry {
     * which is exactly what lets the operator pick its banding by
     * corpus size without touching this oracle.
     */
-  private def phashOracleSqlWith(pairCond: String): String = {
+  private def phashOracleSqlWith(pairCond: String,
+                                 groupSql: String = "doc_id // 20",
+                                 maxHamming: Int = 7): String = {
     val planes = graft.operators.Dedup.hyperplanes(64, 16)
     val hexd = "0123456789abcdef"
     val cnts = (0 until 16).map { b =>
@@ -1480,7 +1511,7 @@ object SparkEntry {
     }.mkString(",\n")
     val ham = (0 until 64).map(p => s"abs(x.b$p - y.b$p)").mkString(" + ")
     s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mod3,
-       |  sha256(CAST(doc_id // 20 AS VARCHAR)) AS h, (doc_id % 256) // 16 AS ebin FROM documents),
+       |  sha256(CAST($groupSql AS VARCHAR)) AS h, (doc_id % 256) // 16 AS ebin FROM documents),
        |nib AS (SELECT media_id, mod3, ebin,
        |  list_transform(generate_series(0, 31), i -> substr(h, 2 * i + 1, 1)) AS ns FROM m),
        |cnt AS (SELECT media_id, mod3, $cnts FROM nib),
@@ -1490,7 +1521,7 @@ object SparkEntry {
        |SELECT a, b, hamming FROM (
        |  SELECT x.media_id AS a, y.media_id AS b, CAST($ham AS INTEGER) AS hamming
        |  FROM bits x JOIN bits y ON x.mod3 = y.mod3 $pairCond)
-       |WHERE hamming <= 7 ORDER BY a, b""".stripMargin
+       |WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
   }
 
   private def rsiOracle: String =
@@ -5675,6 +5706,8 @@ object SparkEntry {
     "media_phash_neardup" -> phashOracleSql,
     "media_phash_indexed" -> phashOracleSql,
     "media_phash_incremental" -> phashIncrOracleSql,
+    "media_phash_realistic_chunk" -> phashRealisticOracleSql,
+    "media_phash_realistic_combo" -> phashRealisticOracleSql,
     "media_exact_dup" ->
       """SELECT doc_id AS media_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -53,13 +53,29 @@ object Multimodal {
     * than only by specs.
     */
   def gateMedia(docs: DataFrame, groupSize: Int = 20): DataFrame =
+    mediaFrom(docs, expr(s"CAST(doc_id div $groupSize AS STRING)"))
+
+  /** REALISTIC-dup-rate media corpus for the scaling audit: every
+    * media id gets a unique payload except a ~1/dupMod minority whose
+    * payload twins media_id − 3 (same modality — ids are assigned
+    * round-robin mod 3), so the corpus carries ~1.5% true near-dup
+    * pairs instead of [[gateMedia]]'s saturated 20-groups (collision
+    * multiplicity 120 per group — the round-12 audit measured
+    * dup-rate inflation there, not banding scale). Same construction
+    * as gateMedia otherwise: shared 32-byte sha256 prefix + one
+    * distinguishing byte, every stage engine-replayable.
+    */
+  def realisticMedia(docs: DataFrame, dupMod: Int = 67): DataFrame =
+    mediaFrom(docs, expr(
+      s"CAST(CASE WHEN doc_id % $dupMod = 3 THEN doc_id - 3 ELSE doc_id END AS STRING)"))
+
+  private def mediaFrom(docs: DataFrame, groupStr: Column): DataFrame =
     docs.select(
       col("doc_id").cast("long").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
       concat(
-        to_binary(sha2(expr(s"CAST(doc_id div $groupSize AS STRING)"), 256),
-          lit("hex")),
+        to_binary(sha2(groupStr, 256), lit("hex")),
         to_binary(lpad(hex(pmod(col("doc_id"), lit(256))), 2, "0"),
           lit("hex"))).as("payload"),
       map(lit("codec"), lit("stub")).as("meta"))

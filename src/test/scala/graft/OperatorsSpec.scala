@@ -777,6 +777,44 @@ class OperatorsSpec extends SparkSpec {
     assert(viaChunks.nonEmpty)
   }
 
+  test("realistic media corpus: ~1.5% twins, schemes identical, twins found") {
+    // the scaling-audit corpus (realisticMedia): unique payloads except
+    // the ~1/67 twins (media_id - 3, media_id — same modality). Both
+    // forced schemes must emit the identical pair set here too, and
+    // the intended dup structure must actually be present: every
+    // emitted pair is a (x, x+3) twin (unique payloads collide in
+    // bands but fail the exact hamming verify), and most twins make
+    // the hamming <= 7 cut (one distinguishing byte over 33).
+    val media = Multimodal.realisticMedia(sources.Tables.documents(spark, sfDir))
+    // maxHamming = 2, the audit keys' threshold: twins (one byte over
+    // 33) land at <= 2; the accidental tail (biased sign bits over
+    // near-uniform histograms) starts at 3+
+    val viaChunks = Multimodal.mediaNearDupWith(media, maxHamming = 2, combo = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaCombos = Multimodal.mediaNearDupWith(media, maxHamming = 2, combo = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaCombos === viaChunks)
+    assert(viaChunks.nonEmpty)
+    // the CONSTRUCTED twins (y-3, y) for y % 67 == 3 must come out:
+    // one distinguishing byte over 33 keeps hamming small, so near-all
+    // survive the <= 7 cut — and they must be the MAJORITY of pairs
+    // (accidental near-uniform-histogram collisions exist in both
+    // engines identically, but a corpus where they dominate would
+    // measure collision structure, not the intended ~1.5% dup rate)
+    val ids = media.select("media_id").collect().map(_.getLong(0)).toSet
+    val expectedTwins = ids.filter(y => y % 67 == 3 && ids(y - 3))
+    val emittedTwins = viaChunks.collect {
+      case (a, b, _) if b == a + 3 && b % 67 == 3 => b }
+    assert(emittedTwins.size.toDouble >= 0.8 * expectedTwins.size,
+      s"only ${emittedTwins.size} of ${expectedTwins.size} constructed twins found")
+    assert(emittedTwins.size * 2 > viaChunks.size,
+      s"accidental pairs dominate: ${viaChunks.size} total, ${emittedTwins.size} twins")
+    // dup rate in the intended band (~1/67 of the corpus)
+    val n = media.count().toDouble
+    assert(expectedTwins.size / n > 0.005 && expectedTwins.size / n < 0.02,
+      s"constructed dup rate ${expectedTwins.size / n} outside the realistic band")
+  }
+
   test("media phash index records its banding scheme; probes and appends follow it") {
     import spark.implicits._
     // force the COMBO scheme at write time (comboThreshold = 0): the
