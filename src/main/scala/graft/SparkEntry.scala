@@ -1474,16 +1474,46 @@ object SparkEntry {
     phashOracleSqlWith("AND x.media_id % 13 = 0 AND y.media_id % 13 <> 0")
 
   /** The realistic-dup-rate corpus ([[Multimodal.realisticMedia]]):
-    * same replay, payload group = the id itself except the ~1/67
-    * twins. One oracle serves BOTH forced-scheme keys — chunk and
-    * combo banding are each pigeonhole-exact at hamming ≤ 7, so their
-    * outputs are identical by construction (spec-pinned) and brute
-    * force is the shared scheme-independent ground truth.
+    * full replay of the spike-run payloads — per-bin counts
+    * k_b = strpos(hexd, sha char 2b+1) ∈ 1..16 plus the
+    * distinguishing byte's bin, histogram length 1 + Σ k_b. One
+    * oracle serves BOTH forced-scheme keys — chunk and combo banding
+    * are each pigeonhole-exact, so their outputs are identical by
+    * construction (spec-pinned) and brute force is the shared
+    * scheme-independent ground truth. maxHamming = 2: twins (one
+    * count over ~137 moved) stay under it; unrelated docs are random
+    * 16-dim points, far apart.
     */
-  private def phashRealisticOracleSql: String =
-    phashOracleSqlWith("AND x.media_id < y.media_id",
-      "CASE WHEN doc_id % 67 = 3 THEN doc_id - 3 ELSE doc_id END",
-      maxHamming = 2)
+  private def phashRealisticOracleSql: String = {
+    val planes = graft.operators.Dedup.hyperplanes(64, 16)
+    val hexd = "0123456789abcdef"
+    val grp = "CASE WHEN doc_id % 67 = 3 THEN doc_id - 3 ELSE doc_id END"
+    val ks = (0 until 16).map { b =>
+      s"strpos('$hexd', substr(h, ${2 * b + 1}, 1)) AS k$b"
+    }.mkString(", ")
+    val n = (0 until 16).map(b => s"k$b").mkString(" + ")
+    val cnts = (0 until 16).map { b =>
+      s"k$b + CASE WHEN ebin = $b THEN 1 ELSE 0 END AS c$b"
+    }.mkString(", ")
+    val bits = (0 until 64).map { p =>
+      val dot = (0 until 16).map { i =>
+        s"(CAST(c$i AS DOUBLE) / n - 0.0625) * ${java.lang.Double.toString(planes(p)(i))}"
+      }.mkString(" + ")
+      s"CASE WHEN $dot >= 0 THEN 1 ELSE 0 END AS b$p"
+    }.mkString(",\n")
+    val ham = (0 until 64).map(p => s"abs(x.b$p - y.b$p)").mkString(" + ")
+    s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mod3,
+       |  sha256(CAST($grp AS VARCHAR)) AS h, (doc_id % 256) // 16 AS ebin FROM documents),
+       |k AS (SELECT media_id, mod3, ebin, $ks FROM m),
+       |cnt AS (SELECT media_id, mod3, CAST(1 + $n AS DOUBLE) AS n, $cnts FROM k),
+       |bits AS (SELECT media_id, mod3,
+       |$bits
+       |FROM cnt)
+       |SELECT a, b, hamming FROM (
+       |  SELECT x.media_id AS a, y.media_id AS b, CAST($ham AS INTEGER) AS hamming
+       |  FROM bits x JOIN bits y ON x.mod3 = y.mod3 AND x.media_id < y.media_id)
+       |WHERE hamming <= 2 ORDER BY a, b""".stripMargin
+  }
 
   /** The phash replay: decode stub (byte histogram from the sha256
     * payload) → sign-projection bits → EXACT hamming over all
@@ -1505,7 +1535,7 @@ object SparkEntry {
     }.mkString(", ")
     val bits = (0 until 64).map { p =>
       val dot = (0 until 16).map { i =>
-        s"(CAST(c$i AS DOUBLE) / 33.0) * ${java.lang.Double.toString(planes(p)(i))}"
+        s"(CAST(c$i AS DOUBLE) / 33.0 - 0.0625) * ${java.lang.Double.toString(planes(p)(i))}"
       }.mkString(" + ")
       s"CASE WHEN $dot >= 0 THEN 1 ELSE 0 END AS b$p"
     }.mkString(",\n")

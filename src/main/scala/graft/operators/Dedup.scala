@@ -191,7 +191,16 @@ object Dedup {
   private def lshPairs(documents: DataFrame, k: Int, word: Boolean,
                        numPerm: Int, bands: Int, threshold: Double): DataFrame = {
     val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
-    val cand = bucketCandidates(bandTable(documents, k, word, numPerm, bands)).distinct()
+    // repartition on the join keys BEFORE the candidate self-join: the
+    // band table is narrow-derived from the scan, so without this the
+    // join's parallelism is the input FILE COUNT whenever the planner
+    // broadcasts one side (a 10x corpus in one parquet file ran the
+    // whole quadratic candidate join in a single task — r13 audit).
+    // At scale the exchange is required anyway (nothing broadcasts);
+    // on small corpora it costs one narrow-row shuffle.
+    val cand = bucketCandidates(
+      bandTable(documents, k, word, numPerm, bands)
+        .repartition(col("band"), col("band_hash"))).distinct()
     verifyJaccard(cand, base, k, word, threshold)
   }
 
@@ -1302,9 +1311,13 @@ object Dedup {
                                  combo: Boolean): DataFrame = {
     val docs = documents.select(col("doc_id"),
       HashExprs.simhash64(split(norm(col("text")), " ")).as("sim"))
+    // join-key repartition before the self-join — see lshPairs: the
+    // quadratic candidate join must never run at the scan's file-count
+    // parallelism under a broadcast plan
     val banded =
-      if (combo) comboBanded(docs, maxHamming)
-      else chunkBanded(docs, maxHamming)
+      (if (combo) comboBanded(docs, maxHamming)
+       else chunkBanded(docs, maxHamming))
+        .repartition(col("band"), col("key"))
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -1400,8 +1413,10 @@ object Dedup {
                        threshold: Double = 0.35,
                        targetBucket: Int = 128): DataFrame = {
     val w = embedBandWidth(embeddings.count(), targetBucket)
+    // join-key repartition before the self-join — see lshPairs
     cosinePairVerify(
-      bucketCandidatePairs(embedBandTable(embeddings, dim, w)).distinct(),
+      bucketCandidatePairs(embedBandTable(embeddings, dim, w)
+        .repartition(col("band"), col("bucket"))).distinct(),
       embeddings, threshold)
   }
 

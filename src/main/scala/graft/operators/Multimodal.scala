@@ -61,13 +61,43 @@ object Multimodal {
     * round-robin mod 3), so the corpus carries ~1.5% true near-dup
     * pairs instead of [[gateMedia]]'s saturated 20-groups (collision
     * multiplicity 120 per group — the round-12 audit measured
-    * dup-rate inflation there, not banding scale). Same construction
-    * as gateMedia otherwise: shared 32-byte sha256 prefix + one
-    * distinguishing byte, every stage engine-replayable.
+    * dup-rate inflation there, not banding scale).
+    *
+    * Payloads are PURE SPIKE RUNS: for each of the 16 histogram bins,
+    * 1..16 copies of a bin-b byte, the run length drawn from the
+    * group-sha's b-th high nibble — so each doc's feature vector is a
+    * random 16-dim point and phashes spread the way a real
+    * perceptual-hash corpus spreads. (The first cut kept the raw
+    * 32-byte sha prefix: uniform bytes give near-uniform histograms,
+    * the fixed hyperplanes' dots go bias-dominated, pairwise hamming
+    * centers at ~14/64, and BOTH banding schemes collide on ~14% of
+    * ALL pairs — unmeasurable and unrealistic.) Twins share the group
+    * sha (identical runs) and differ only in the trailing
+    * distinguishing byte — one histogram count over ~137 moved — so
+    * they sit at hamming ≤ 2 while unrelated docs sit far apart.
+    * Every stage is engine-replayable arithmetic, like gateMedia.
     */
-  def realisticMedia(docs: DataFrame, dupMod: Int = 67): DataFrame =
-    mediaFrom(docs, expr(
-      s"CAST(CASE WHEN doc_id % $dupMod = 3 THEN doc_id - 3 ELSE doc_id END AS STRING)"))
+  def realisticMedia(docs: DataFrame, dupMod: Int = 67): DataFrame = {
+    val group =
+      s"CAST(CASE WHEN doc_id % $dupMod = 3 THEN doc_id - 3 ELSE doc_id END AS STRING)"
+    val hexd = "0123456789abcdef"
+    // one run of bin-b bytes per histogram bin, length 1..16 from the
+    // sha's b-th high nibble: the histogram IS a random 16-dim vector
+    val runs = (0 until 16).map { b =>
+      s"repeat('${hexd(b)}0', 1 + CAST(conv(substring(gh, ${2 * b + 1}, 1), 16, 10) AS INT))"
+    }.mkString(",\n          ")
+    docs
+      .withColumn("gh", sha2(expr(group), 256))
+      .select(
+        col("doc_id").cast("long").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        to_binary(expr(
+          s"""concat($runs,
+             |  lpad(hex(pmod(doc_id, 256)), 2, '0'))""".stripMargin),
+          lit("hex")).as("payload"),
+        map(lit("codec"), lit("stub")).as("meta"))
+  }
 
   private def mediaFrom(docs: DataFrame, groupStr: Column): DataFrame =
     docs.select(
@@ -80,9 +110,23 @@ object Multimodal {
           lit("hex"))).as("payload"),
       map(lit("codec"), lit("stub")).as("meta"))
 
-  /** STUB decode: normalized 16-bin byte histogram as the "feature
-    * vector". Replace with a real decoder (JNI image codec / resampler)
-    * without touching the surrounding plan.
+  /** STUB decode: MEAN-CENTERED normalized 16-bin byte histogram as
+    * the "feature vector" (hist/n − 1/16). Replace with a real decoder
+    * (JNI image codec / resampler) without touching the surrounding
+    * plan.
+    *
+    * Centering is load-bearing for the downstream sign-projection
+    * phash: normalized histograms live on the positive simplex, so
+    * against fixed random hyperplanes the constant 1/16·Σplane term
+    * dominates each dot (~2× the per-doc variation) and 60-80% of the
+    * 64 phash bits come out the SAME for every document — pairwise
+    * hamming centered at ~12/64 instead of 32, and EVERY banding
+    * scheme collides on ~14% of all pairs, turning candidate
+    * generation quadratic at any geometry (measured, r13). Subtracting
+    * the simplex centroid removes the bias term exactly (1/16 is a
+    * power of two, so the subtraction is IEEE-exact and
+    * engine-replayable) and phashes spread the way a real perceptual
+    * hash spreads. Standard practice before random projection.
     */
   private def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](histSize)
@@ -90,7 +134,7 @@ object Multimodal {
       payload.foreach(b => hist((b & 0xFF) / (256 / histSize)) += 1.0)
       val n = payload.length.toDouble
       var i = 0
-      while (i < histSize) { hist(i) /= n; i += 1 }
+      while (i < histSize) { hist(i) = hist(i) / n - 0.0625; i += 1 }
     }
     hist
   }
@@ -144,15 +188,22 @@ object Multimodal {
     *    so background collisions fall ~2000×; the explode is 120
     *    rows/media, scan-linear cost for linear candidates.
     *
-    * The trade the threshold calibrates: a TRUE near-dup pair collides
-    * on up to 120 combination keys vs up to 8 chunks, so on a
-    * dup-SATURATED corpus (the synthetic gate media, where every item
-    * sits in a 20-group) the schemes cross only around ~100k media
-    * (the r12 audit measured 13.7× combo vs 11.8× chunk at 50k on
-    * exactly that corpus); on realistic corpora (dup rate a few
-    * percent) background collisions dominate from ~10k media and the
-    * combo scheme is the one that stays linear — which is what the
-    * default threshold targets.
+    * The trade the threshold calibrates — MEASURED in r13 on the
+    * realistic ~1.5%-dup-rate corpus ([[realisticMedia]]) with the
+    * centered features (see [[fakeDecodeFeatures]]; before centering,
+    * biased sign bits made EVERY scheme collide on ~14% of all pairs
+    * and no threshold could help): a true near-dup pair collides on
+    * up to 120 combination keys vs up to 8 chunks, and combo pays a
+    * 120-rows/item explode for its ~2000×-smaller background. With
+    * well-spread phashes the background term stays cheap far longer
+    * than the old 8192 default assumed — measured chunk/combo seconds
+    * at 5k / 50k / 150k items: 0.88/1.77, 1.47/7.76, 3.33/23.8 —
+    * chunk sublinear through 150k and the extrapolated crossover
+    * (a·n + b·n² = c·n on those points) near ~10M items per
+    * modality, which the default threshold now targets. Corpora past
+    * it (or with measured saturation — [[gateMedia]]-like dup
+    * multiplicity moves the crossover down) should pass their own
+    * threshold; the per-scheme audit keys exist to re-measure.
     *
     * Both schemes feed the same exact hamming verify on the two longs
     * riding the pair row (no join back to payloads), so the output is
@@ -160,7 +211,7 @@ object Multimodal {
     * scheme-independent. Pairs compare within the same modality only.
     */
   def mediaNearDup(media: DataFrame, maxHamming: Int = 7,
-                   comboThreshold: Long = 8192): DataFrame =
+                   comboThreshold: Long = 8L * 1024 * 1024): DataFrame =
     mediaNearDupWith(media, maxHamming, combo = media.count() > comboThreshold)
 
   /** [[mediaNearDup]] with the banding scheme forced — package-visible
@@ -170,7 +221,14 @@ object Multimodal {
                                       combo: Boolean): DataFrame = {
     require(maxHamming <= 7,
       "pigeonhole recall (8 chunks / 3-of-10 blocks) holds only for hamming <= 7")
+    // join-key repartition before the self-join (the Dedup.lshPairs
+    // convention): the banded frame is narrow-derived from the media
+    // scan, so under a broadcast plan the quadratic candidate join
+    // would otherwise run at the input's FILE-COUNT parallelism — the
+    // r13 audit caught a 10x corpus in one parquet file running the
+    // whole join in a single 40-CPU-minute task
     val banded = bandedPhash(media, combo)
+      .repartition(col("band"), col("bucket"), col("modality"))
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -236,7 +294,7 @@ object Multimodal {
     * choice (the graft.embed.w convention).
     */
   def writeMediaPhashIndex(media: DataFrame, table: String, numBuckets: Int = 8,
-                           comboThreshold: Long = 8192): Unit = {
+                           comboThreshold: Long = 8L * 1024 * 1024): Unit = {
     val combo = media.count() > comboThreshold
     graft.sources.Sinks.writeBucketed(
       bandedPhash(media, combo), table, Seq("band", "bucket", "modality"), numBuckets)

@@ -502,21 +502,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) === ((5.0, 2L)))  // even: LOWER median, not interpolated 5.5
   }
 
-  test("multimodal: stub decode produces fixed-width normalized features") {
+  test("multimodal: stub decode produces fixed-width centered features") {
     val media = Multimodal.synthesize(Tables.documents(spark, sfDir), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
     val row = feats.head()
     val v = row.getAs[scala.collection.Seq[Double]]("features")
     assert(v.length === 16)
-    assert(math.abs(v.sum - 1.0) < 1e-9)
+    // mean-centered normalized histogram: sums to 0 (the simplex
+    // centroid subtraction that un-biases the sign-projection phash)
+    assert(math.abs(v.sum) < 1e-9)
+    assert(v.exists(_ > 0) && v.exists(_ < 0))
     val frames = Multimodal.sampleFrames(media, stride = 8, frameLen = 8)
     assert(frames.count() > 0)
     assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "frame"))
-    // resize: adjacent-bin sums preserve total mass at half the width
+    // resize: adjacent-bin sums preserve total (centered) mass at half
+    // the width
     val resized = Multimodal.resizeFeatures(feats, 2).head()
     val rv = resized.getAs[scala.collection.Seq[Double]]("features_resized")
     assert(rv.length === 8)
-    assert(math.abs(rv.sum - 1.0) < 1e-9)
+    assert(math.abs(rv.sum) < 1e-9)
   }
 
   test("zorder key interleaves bits; zordered files cover disjoint curve ranges") {
