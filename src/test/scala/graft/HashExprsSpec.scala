@@ -633,6 +633,45 @@ class HashExprsSpec extends SparkSpec {
     assert(kb2.collect().toSeq === operators.Dedup.keepBest(docs).collect().toSeq)
   }
 
+  test("cluster-index upsert composes: a second batch merges onto the upserted state") {
+    // upsert-on-upserted-state is where the stale machinery earns its
+    // keep: batch 2's edge contraction MUST read the live-cluster view
+    // (a superseded cluster's old rows are still on disk — contracting
+    // against them would give a doc two cluster ids and phantom
+    // nodes), and labels must keep only decreasing across merges.
+    val docs = sources.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 26 === 0)
+    val batch2 = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 26 =!= 0)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    Seq("g_ups2_minhash", "g_ups2_cluster",
+        operators.Dedup.staleClusterTable("g_ups2_cluster"),
+        sources.IndexMaintenance.tombstoneTable("g_ups2_cluster")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    operators.Dedup.writeMinhashIndex(corpus, "g_ups2_minhash")
+    operators.Dedup.writeClusterIndex(corpus, "g_ups2_cluster")
+    operators.Dedup.upsertClusterIndex(
+      spark, "g_ups2_minhash", "g_ups2_cluster", batch1, corpus)
+    // the band index must advance too (the lifecycle contract: check →
+    // extend), so batch 2's batch↔corpus candidates can reach batch 1
+    operators.Dedup.appendToMinhashIndex(batch1, "g_ups2_minhash")
+    operators.Dedup.upsertClusterIndex(
+      spark, "g_ups2_minhash", "g_ups2_cluster", batch2,
+      corpus.unionByName(batch1))
+    val live = operators.Dedup.liveClusterRows(spark, "g_ups2_cluster")
+      .select("doc_id", "cluster_id").orderBy("doc_id")
+    val direct = operators.Dedup.minhashClusters(docs)
+      .select("doc_id", "cluster_id").orderBy("doc_id")
+    assert(live.collect().toSeq === direct.collect().toSeq)
+    assert(live.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("persisted cluster index: keep-best and split run without hash exchanges, matching direct") {
     spark.sql("DROP TABLE IF EXISTS g_cluster_idx")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
