@@ -447,6 +447,38 @@ object SparkEntry {
     }
   }
 
+  /** STREAM-COMPUTED daily OHLC bars for the streaming-compute gate:
+    * the events table replayed through one MemoryStream micro-batch
+    * into [[graft.streaming.StreamingRollups.ohlcWindowed]]
+    * (watermarked event-time windows, complete-mode memory sink) —
+    * the STREAMING aggregation itself is what gets oracle-compared,
+    * closing the G-section gap where only streaming SINKS were gated
+    * (index-append) and streaming COMPUTE was spec-only. Memoized per
+    * data generation like the index gates.
+    */
+  private val ohlcStreamBuilt = scala.collection.mutable.Set.empty[String]
+  private def ohlcStreamTable(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val name = s"g_gate_ohlc_stream_${tag(d)}"
+      if (!ohlcStreamBuilt.contains(name)) {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.StreamingRollups.Tick]
+        in.addData(ev.as[graft.streaming.StreamingRollups.Tick].collect().toSeq: _*)
+        val q = graft.streaming.StreamingRollups
+          .ohlcWindowed(in.toDF(), "1 day", "10 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        q.awaitTermination(120000)
+        ohlcStreamBuilt += name
+      }
+      name
+    }
+
   /** AGED IVF index with a SQL-REPRODUCIBLE codebook for the drift
     * gate: centroids are the 16 smallest corpus-residue vec_ids'
     * embeddings (no k-means — an oracle can't replay Lloyd's, but it
@@ -994,6 +1026,16 @@ object SparkEntry {
     // market-data family: the upstream (tick → bar → signal) half of
     // the reference's OHLCV pipeline that YFinance pre-computes for it
     "ohlc_resample" -> ((s, d) => Finance.ohlcResample(Tables.events(s, d))),
+    // the STREAMING aggregation gated end to end: ohlcWindowed over a
+    // replayed event stream (event-time windows + watermark, complete
+    // mode) must reproduce the batch candlesticks the oracle computes
+    // — same min_by/max_by composite order key, same 2dp rounds
+    "ohlc_stream_ingested" -> ((s, d) =>
+      s.table(ohlcStreamTable(s, d))
+        .select(col("user_id"),
+          date_format(col("window.start"), "yyyy-MM-dd").as("period_key"),
+          col("open"), col("high"), col("low"), col("close"), col("n_obs"))
+        .orderBy("user_id", "period_key")),
     // weekly bars from DAILY bars, never raw ticks (algebraic merge;
     // oracle resamples ticks directly — value-identical by contract)
     "ohlc_weekly_incremental" -> ((s, d) =>
@@ -5446,6 +5488,19 @@ object SparkEntry {
         |  round(max_by(value, okey), 2) AS close,
         |  count(*) AS n_obs,
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, period_key""".stripMargin,
+    // the streaming form computes the same bars minus the decimal
+    // turnover column (the windowed agg carries OHLC + count)
+    "ohlc_stream_ingested" ->
+      """WITH s AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS period_key,
+        |  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey,
+        |  value FROM events)
+        |SELECT user_id, period_key,
+        |  round(min_by(value, okey), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max_by(value, okey), 2) AS close,
+        |  count(*) AS n_obs
         |FROM s GROUP BY 1, 2 ORDER BY user_id, period_key""".stripMargin,
     "ohlc_weekly_incremental" ->
       """WITH s AS (SELECT user_id,
