@@ -419,11 +419,19 @@ object SparkEntry {
     * once, so the gate probe shares `dedup_minhash_lsh_indexed`'s
     * brute-force Jaccard oracle verbatim.
     */
-  private def lshStreamIdxTable(s: SparkSession, d: String): String = {
-    val t = s"g_gate_lsh_stream_${tag(d)}"
+  /** Shared plumbing for every STREAM-INGESTED index gate: clear the
+    * batch-id side table left by a previous JVM (warehouse dir
+    * survives, the in-memory catalog does not), build the residue
+    * index, then run ONE MemoryStream micro-batch through the family's
+    * streaming append stage under Trigger.Once. The finished index
+    * must be indistinguishable (at probe level) from building over the
+    * whole corpus at once, so each gate probe shares its batch-built
+    * twin's oracle verbatim.
+    */
+  private def streamIngestTable(s: SparkSession, t: String)(
+      buildResidue: => Unit)(
+      startStream: String => org.apache.spark.sql.streaming.StreamingQuery): String =
     ensureTable(s, t) {
-      // clear side-table leftovers from a previous JVM (warehouse dir
-      // survives, the in-memory catalog does not)
       val side = graft.sources.IndexMaintenance.appliedBatchTable(t)
       s.sql(s"DROP TABLE IF EXISTS $side")
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -432,18 +440,130 @@ object SparkEntry {
         f.delete()
       }
       rm(new java.io.File(wh, side))
-      val docs = Tables.documents(s, d)
-      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 13 =!= 0), t)
+      buildResidue
+      val ck = java.nio.file.Files.createTempDirectory(s"${t}_ck").toString
+      val q = startStream(ck)
+      q.awaitTermination(120000)
+    }
+
+  /** One-micro-batch MemoryStream over the text batch split (doc_id ≡
+    * 0 mod 13) — the arriving-documents side of the text stream gates.
+    */
+  private def docBatchStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData(Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq: _*)
+    in.toDF().toDF("doc_id", "text")
+  }
+
+  private def lshStreamIdxTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_lsh_stream_${tag(d)}"
+    streamIngestTable(s, t) {
+      Dedup.writeMinhashIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t)
+    } { ck =>
+      graft.streaming.StreamingRollups.indexAppendStream(
+        docBatchStream(s, d), t, ck, streamId = Some(t))
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    }
+  }
+
+  /** STREAM-INGESTED containment token index: residue built batch-side,
+    * the arriving batch appended through
+    * [[graft.streaming.StreamingRollups.containmentAppendStream]].
+    * Containment's prefix pigeonhole is exact under ANY fixed
+    * per-document hash order, so the stream-grown index probes
+    * identically to the built-at-once one — the gate shares
+    * `dedup_containment_indexed`'s brute-force oracle verbatim.
+    */
+  private def containStreamIdxTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_contain_stream_${tag(d)}"
+    streamIngestTable(s, t) {
+      Dedup.writeContainmentIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t)
+    } { ck =>
+      graft.streaming.StreamingRollups.containmentAppendStream(
+        docBatchStream(s, d), t, ck, streamId = Some(t))
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    }
+  }
+
+  /** STREAM-INGESTED BM25 inverted index: residue postings + stats
+    * built batch-side, the arriving batch appended through
+    * [[graft.streaming.StreamingRollups.bm25AppendStream]] — the
+    * posting append AND the (N, Σdl) stats restamp run under batch-id
+    * idempotence. Stats restamps are additive (n0+n1, s0+s1), so the
+    * finished index carries EXACTLY the full-corpus stamp and the gate
+    * shares `bm25_indexed`'s oracle verbatim.
+    */
+  private def bm25StreamIdxTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_bm25_stream_${tag(d)}"
+    streamIngestTable(s, t) {
+      Corpus.writeBm25Index(
+        Tables.documents(s, d).filter(col("doc_id") % 13 =!= 0), t)
+    } { ck =>
+      graft.streaming.StreamingRollups.bm25AppendStream(
+        docBatchStream(s, d), t, ck, streamId = Some(t))
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    }
+  }
+
+  /** STREAM-INGESTED embed band index: the vector-corpus residue built
+    * batch-side, the arriving vector batch projected at the RECORDED
+    * width and appended through
+    * [[graft.streaming.StreamingRollups.embedAppendStream]]. Within
+    * the gate's pinned w = 4 geometry domain (the
+    * [[assertEmbedOracleGeometry]] contract) the residue and full
+    * builds choose the same width, so the stream-grown index probes
+    * identically and shares `embed_neardup_indexed`'s oracle.
+    */
+  private def embedStreamIdxTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_embed_stream_${tag(d)}"
+    streamIngestTable(s, t) {
+      Dedup.writeEmbedBandIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 13 =!= 0), t)
+    } { ck =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      in.addData(docs.filter(col("doc_id") % 13 === 0)
-        .select("doc_id", "text").as[(Long, String)].collect().toSeq: _*)
-      val ck = java.nio.file.Files.createTempDirectory("g_gate_lsh_stream_ck").toString
-      val q = graft.streaming.StreamingRollups.indexAppendStream(
-        in.toDF().toDF("doc_id", "text"), t, ck, streamId = Some(t))
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      in.addData(Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toSeq: _*)
+      graft.streaming.StreamingRollups.embedAppendStream(
+        in.toDF().toDF("vec_id", "embedding"), t, ck, streamId = Some(t))
         .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-      q.awaitTermination(120000)
+    }
+  }
+
+  /** STREAM-INGESTED media phash index: the binary corpus residue
+    * built batch-side, the arriving media batch decoded + hashed by
+    * [[graft.streaming.StreamingRollups.mediaAppendStream]] (banding
+    * scheme read from the residue index's recorded geometry). Both
+    * banding schemes are pigeonhole-exact at the gate threshold, so
+    * the probe shares `media_phash_indexed`'s oracle verbatim.
+    */
+  private def mediaStreamIdxTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_media_stream_${tag(d)}"
+    streamIngestTable(s, t) {
+      Multimodal.writeMediaPhashIndex(
+        Multimodal.gateMedia(Tables.documents(s, d))
+          .filter(col("media_id") % 13 =!= 0), t)
+    } { ck =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Array[Byte], Map[String, String])]
+      in.addData(Multimodal.gateMedia(Tables.documents(s, d))
+        .filter(col("media_id") % 13 === 0)
+        .select("media_id", "modality", "payload", "meta")
+        .as[(Long, String, Array[Byte], Map[String, String])].collect().toSeq: _*)
+      graft.streaming.StreamingRollups.mediaAppendStream(
+        in.toDF().toDF("media_id", "modality", "payload", "meta"), t, ck,
+        streamId = Some(t))
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
     }
   }
 
@@ -1223,6 +1343,22 @@ object SparkEntry {
     // one, so this shares dedup_minhash_lsh_indexed's oracle verbatim
     "dedup_lsh_stream_ingested" -> ((s, d) =>
       Dedup.minhashLshIndexed(s, lshStreamIdxTable(s, d), Tables.documents(s, d))),
+    // the remaining appendTo* families under the same streaming stage —
+    // streaming↔lifecycle symmetry closed for ALL appendable indexes:
+    // each stream-grown index must probe identically to its
+    // built-at-once twin, so each shares that twin's oracle verbatim
+    "containment_stream_ingested" -> ((s, d) =>
+      Dedup.containmentPairsIndexed(s, containStreamIdxTable(s, d),
+        Tables.documents(s, d))),
+    "bm25_stream_ingested" -> ((s, d) =>
+      Corpus.bm25FromIndex(s, bm25StreamIdxTable(s, d))),
+    "media_stream_ingested" -> ((s, d) =>
+      Multimodal.mediaNearDupIndexed(s, mediaStreamIdxTable(s, d))),
+    "embed_stream_ingested" -> ((s, d) => {
+      assertEmbedOracleGeometry(s, d)
+      Dedup.embeddingNearDupIndexed(
+        s, embedStreamIdxTable(s, d), Tables.embeddings(s, d))
+    }),
     // the INCREMENTAL-INGEST path, oracle-gated (previously spec-only):
     // an arriving batch (doc_id ≡ 0 mod 13) checked against the
     // corpus-minus-batch index — only the batch is shingled/signed,
@@ -1324,6 +1460,24 @@ object SparkEntry {
     // recall@k of int8 retrieval vs exact float cosine — zero-recall
     // queries still report (left join from the query list)
     "ann_recall_report" -> ((s, d) => Similarity.recallReport(Tables.embeddings(s, d))),
+    // SemDeDup (cluster-partitioned semantic dedup) + the blocked kNN
+    // graph: the gates pin the SQL-replayable head codebook (an oracle
+    // can't replay k-means) at the CORPUS-SIZED k = max(16, ⌈n/256⌉) —
+    // the same linear pair-volume geometry as the production trained
+    // codebook ([[Similarity.semDedup]]/[[Similarity.knnGraph]]) — and
+    // the corpus's 0.35 near-dup design threshold
+    "semdedup_prune" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semDedupWith(vecs, Similarity.headCodebookSized(vecs))
+    }),
+    "semdedup_stats" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semDedupStats(vecs, Similarity.headCodebookSized(vecs))
+    }),
+    "knn_graph" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.knnGraphWith(vecs, Similarity.headCodebookSized(vecs))
+    }),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -2042,6 +2196,31 @@ object SparkEntry {
     * scores are engine-exact). Terms must match the operators'
     * default query.
     */
+  /** Shared oracle prefix for the head-codebook cluster gates
+    * (semdedup_prune/stats, knn_graph): the k = max(16, ⌈n/256⌉)
+    * smallest vec_ids as centroids (the corpus-sized geometry the gate
+    * pins — replayed with the same ceil/floor arithmetic), then every
+    * row's nearest-list assignment via the SAME sequential-fold L2
+    * argmin as the drift oracle — the IEEE chain NearestCentroidExpr
+    * evaluates, ties to the lowest list. Ends mid-WITH (trailing
+    * comma) so each gate appends its consumer CTEs.
+    */
+  private def headAssignCte: String =
+    """WITH cb AS (SELECT rn - 1 AS list_id, cent FROM (
+      |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+      |      CAST(embedding AS DOUBLE[]) AS cent
+      |    FROM embeddings)
+      |  WHERE rn <= (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings)),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ad AS (SELECT ev.vec_id, cb.list_id,
+      |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(cb.cent))),
+      |    i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
+      |  FROM ev CROSS JOIN cb),
+      |asg AS (SELECT vec_id, list_id FROM (
+      |  SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+      |  FROM ad) WHERE rn = 1),
+      |""".stripMargin
+
   private def bm25Oracle: String = {
     val terms = Seq("spark", "table", "scan")
     val tfDefs = terms.indices.map { i =>
@@ -2858,6 +3037,8 @@ object SparkEntry {
         |FROM s CROSS JOIN t GROUP BY p, n ORDER BY p""".stripMargin,
     "embed_cosine_dup" -> embedNearDupOracle(0.35),
     "embed_neardup_indexed" -> embedNearDupOracle(0.35),
+    // stream-grown band index ≡ built-at-once (same w = 4 gate domain)
+    "embed_stream_ingested" -> embedNearDupOracle(0.35),
     "embed_neardup_incremental" -> embedNearDupIncrOracle(0.35),
     "embed_pca_power" -> pcaPowerOracle(8, 64),
     "hard_negatives" ->
@@ -3651,6 +3832,9 @@ object SparkEntry {
     "dedup_minhash_lsh_indexed" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
     // stream-ingested index ≡ built-at-once index: same oracle
     "dedup_lsh_stream_ingested" -> jaccardPairsOracle(word = false, k = 5, threshold = 0.5),
+    // stream-grown index ≡ built-at-once index, per family: each
+    // stream-ingest gate shares its batch-built twin's oracle verbatim
+    "containment_stream_ingested" -> containmentPairsOracle(word = true, k = 5, threshold = 0.8),
     "dedup_lsh_incremental" -> lshIncrementalOracle,
     "dedup_containment_incremental" -> containmentIncrementalOracle,
     "dedup_cluster_incremental" -> clusterIncrOracle,
@@ -3927,6 +4111,48 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
         |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // SemDeDup / kNN-graph oracles: replay the head codebook (16
+    // smallest vec_ids), every row's list assignment (the same
+    // sequential-fold L2 argmin as the drift oracle — the IEEE chain
+    // NearestCentroidExpr runs, ties to the lowest list), then the
+    // within-cluster pair set — earlier-id prune rule for semdedup,
+    // per-vector cosine-DESC window for the graph
+    "semdedup_prune" ->
+      (headAssignCte +
+        """pr AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS near_id,
+          |  max(round(list_cosine_similarity(ea.v, eb.v), 4)) AS max_cos
+          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+          |  GROUP BY b.vec_id)
+          |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
+          |  pr.near_id IS NULL AS kept,
+          |  coalesce(pr.near_id, -1) AS near_id,
+          |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
+          |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+          |ORDER BY asg.vec_id""".stripMargin),
+    "semdedup_stats" ->
+      (headAssignCte +
+        """pr AS (SELECT b.vec_id AS vec_id
+          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+          |  GROUP BY b.vec_id),
+          |st AS (SELECT asg.list_id, count(*)::BIGINT AS n_vectors,
+          |  sum(CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_pruned
+          |  FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id GROUP BY 1)
+          |SELECT CAST(list_id AS INTEGER) AS list_id, n_vectors, n_pruned,
+          |  CAST((2 * n_pruned * 10000 + n_vectors) // (2 * n_vectors) AS BIGINT) AS prune_bp
+          |FROM st ORDER BY list_id""".stripMargin),
+    "knn_graph" ->
+      (headAssignCte +
+        """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+          |  round(list_cosine_similarity(ea.v, eb.v), 4) + 0.0 AS cos_sim
+          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rn FROM s)
+          |SELECT vec_id, nbr_id, cos_sim, CAST(rn AS INTEGER) AS rn
+          |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin),
     // int8 search oracle: re-quantize in SQL (same round-away-from-
     // zero as quantize_i8), then integer dot/norms — every partial is
     // an exact integer well under 2^53, so double accumulation is
@@ -5663,6 +5889,9 @@ object SparkEntry {
     // the indexed probe must reproduce the scan path bit-for-bit
     // (shared scoring formula) — one oracle for both
     "bm25_indexed" -> bm25Oracle,
+    // the stream-grown posting table carries the additive full-corpus
+    // stats stamp, so the probe is oracle-identical to bm25_indexed
+    "bm25_stream_ingested" -> bm25Oracle,
     // same fixed-point rational BM25 as Corpus.bm25TopK (terms must
     // match the operator's default query; all-integer, so the scores
     // are engine-exact)
@@ -5790,6 +6019,9 @@ object SparkEntry {
     // byte-equal payloads ⇔ equal seeds)
     "media_phash_neardup" -> phashOracleSql,
     "media_phash_indexed" -> phashOracleSql,
+    // both banding schemes are pigeonhole-exact at the gate threshold,
+    // so the stream-grown media index probes oracle-identically
+    "media_stream_ingested" -> phashOracleSql,
     "media_phash_incremental" -> phashIncrOracleSql,
     "media_phash_realistic_chunk" -> phashRealisticOracleSql,
     "media_phash_realistic_combo" -> phashRealisticOracleSql,

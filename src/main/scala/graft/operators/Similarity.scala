@@ -670,6 +670,166 @@ object Similarity {
     * combinable; output is |labels| × dims rows, constant in corpus
     * size.
     */
+  /** Deterministic SQL-replayable codebook: the `nCentroids` smallest
+    * vec_ids' embeddings. An oracle cannot replay k-means, but it can
+    * replay `ORDER BY vec_id LIMIT k` — the same injection point the
+    * drift gate uses ([[writeIvfIndexWith]]); production callers pass
+    * [[trainCodebook]] output instead.
+    */
+  def headCodebook(embeddings: DataFrame, nCentroids: Int): Array[Array[Double]] =
+    embeddings.orderBy("vec_id").limit(nCentroids)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** [[headCodebook]] sized to the corpus the way [[semDedup]] sizes
+    * its trained one: k = max(16, ⌈n / targetCluster⌉). This keeps the
+    * SQL-REPLAYABLE gate form on the same linear pair-volume curve as
+    * the production trained form — a fixed k would make the
+    * within-cluster pair volume n²/k, quadratic in n (the scaling
+    * audit times the gate keys as-is, so the gate geometry must be the
+    * scale-right one).
+    */
+  def headCodebookSized(embeddings: DataFrame,
+                        targetCluster: Int = 256): Array[Array[Double]] =
+    headCodebook(embeddings, math.max(16,
+      math.ceil(embeddings.count().toDouble / targetCluster).toInt))
+
+  /** Centroid-partitioned corpus: one compiled nearest-centroid pass
+    * (ties to the lowest list, the [[HashExprs.nearestCentroid]] IEEE
+    * fold), shared by [[semDedupWith]] and [[knnGraphWith]].
+    */
+  private def assignLists(embeddings: DataFrame,
+                          cents: Array[Array[Double]]): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-
+    * partitioned SEMANTIC dedup — partition the corpus by nearest
+    * centroid, then prune, within each cluster, every vector whose
+    * cosine to some EARLIER cluster member is ≥ `tau`. The earlier-id
+    * rule is the reference implementation's convention (it prunes
+    * against all prior items in a fixed within-cluster order,
+    * regardless of whether the prior item itself survived) made
+    * deterministic on vec_id; the kept set is what a curation pass
+    * feeds downstream.
+    *
+    * This catches the LOW-similarity semantic band (paraphrases,
+    * templated rewrites) that the banded near-dup
+    * ([[graft.operators.Dedup.embeddingNearDup]]) is mis-shaped for:
+    * banding recall falls off steeply below its design threshold,
+    * while cluster partitioning keeps ALL within-cluster pairs
+    * regardless of similarity.
+    *
+    * 100 TB shape: no all-pairs step — the only shuffle is the
+    * cluster-key self-join, and pair volume is Σ|cluster|² ≈
+    * n·(n/k). Sizing k ∝ n (a target cluster size, [[semDedup]])
+    * makes that linear in n — the SemDeDup paper's own regime (tens
+    * of thousands of clusters over billions of docs; assignment is
+    * one compiled scan against a broadcast codebook).
+    *
+    * Output: (vec_id, list_id, kept, near_id, max_cos) — `near_id` the
+    * smallest qualifying earlier neighbor (−1 if kept), `max_cos` the
+    * strongest qualifying similarity (0.0 if kept), both 4dp like
+    * every cosine in the library.
+    */
+  def semDedupWith(embeddings: DataFrame, cents: Array[Array[Double]],
+                   tau: Double = 0.35): DataFrame = {
+    val assigned = assignLists(embeddings, cents)
+    val a = assigned.select(col("list_id"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    val pruned = a.join(b, "list_id")
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", round(HashExprs.cosineSim(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("near_id"), max(col("cosine")).as("max_cos"))
+    assigned
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("near_id").isNull.as("kept"),
+        coalesce(col("near_id"), lit(-1L)).as("near_id"),
+        (coalesce(col("max_cos"), lit(0.0)) + lit(0.0)).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semDedupWith]] under a TRAINED codebook sized to the corpus:
+    * k = max(16, ⌈n / targetCluster⌉) keeps cluster size — and with it
+    * the within-cluster pairwise volume — bounded as the corpus grows,
+    * so total pair work stays ≈ n·targetCluster (linear in n). The one
+    * `count()` is ingest-grade work, like [[graft.operators.Dedup.writeEmbedBandIndex]]'s.
+    */
+  def semDedup(embeddings: DataFrame, tau: Double = 0.35,
+               targetCluster: Int = 256): DataFrame = {
+    val k = math.max(16,
+      math.ceil(embeddings.count().toDouble / targetCluster).toInt)
+    semDedupWith(embeddings, trainCodebook(embeddings, k), tau)
+  }
+
+  /** The curation-report view of [[semDedupWith]]: per-cluster vector
+    * count, pruned count, and prune rate (HALF_UP integer bp, like
+    * every ratio in the library) — what a corpus owner reads to pick
+    * `tau` and to spot a cluster that is one templated document
+    * repeated ten thousand times.
+    */
+  def semDedupStats(embeddings: DataFrame, cents: Array[Array[Double]],
+                    tau: Double = 0.35): DataFrame =
+    semDedupWith(embeddings, cents, tau)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_pruned"))
+      .withColumn("prune_bp",
+        expr("(2 * n_pruned * 10000 + n_vectors) div (2 * n_vectors)"))
+      .orderBy("list_id")
+
+  /** Blocked k-nearest-neighbor GRAPH over the embedding column: each
+    * vector's top-k cosine neighbors WITHIN its centroid partition —
+    * the standard cluster-blocked construction (the seed graph for
+    * NN-Descent-style refinement, and the edge set semantic-cluster
+    * consumers read). Exact within the block, approximate globally:
+    * a neighbor in another cluster is unseen by design — the same
+    * recall/cost dial as IVF's nProbe=1.
+    *
+    * Same 100 TB shape as [[semDedupWith]]: one cluster-key self-join,
+    * pair volume n·(n/k), linear under k ∝ n ([[knnGraph]]); the
+    * top-k is a bounded per-vector window over block pairs, never a
+    * global sort.
+    *
+    * Output: (vec_id, nbr_id, cos_sim, rn) — rn the 1-based neighbor
+    * rank (cosine DESC, nbr_id tie-break); vectors in singleton
+    * clusters emit no rows.
+    */
+  def knnGraphWith(embeddings: DataFrame, cents: Array[Array[Double]],
+                   k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignLists(embeddings, cents)
+    val a = assigned.select(col("list_id"), col("vec_id"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("nbr_id"),
+      col("embedding").as("vb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    a.join(b, "list_id")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos_sim",
+        round(HashExprs.cosineSim(col("va"), col("vb")), 4) + lit(0.0))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("cos_sim"), col("rn"))
+      .orderBy("vec_id", "rn")
+  }
+
+  /** [[knnGraphWith]] under a trained, corpus-sized codebook — the
+    * same k = max(16, ⌈n / targetCluster⌉) linearity as [[semDedup]].
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5,
+               targetCluster: Int = 256): DataFrame = {
+    val nc = math.max(16,
+      math.ceil(embeddings.count().toDouble / targetCluster).toInt)
+    knnGraphWith(embeddings, trainCodebook(embeddings, nc), k)
+  }
+
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), posexplode(HashExprs.quantizeI8(col("embedding"))))

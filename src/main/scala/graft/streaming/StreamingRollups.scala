@@ -411,19 +411,101 @@ object StreamingRollups {
                         checkpoint: String, streamId: Option[String] = None,
                         numBuckets: Int = 8, k: Int = 5, numPerm: Int = 64,
                         bands: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexAppendStreamWith(docs, indexTable, checkpoint, streamId) { batch =>
+      graft.operators.Dedup.appendToMinhashIndex(
+        batch, indexTable, numBuckets, k, numPerm, bands)
+    }
+
+  /** The family-generic core of [[indexAppendStream]]: one foreachBatch
+    * sink that runs ANY `appendTo*` under
+    * [[graft.sources.IndexMaintenance.applyBatchOnce]] batch-id
+    * idempotence. Every persisted-index family shares the same replay
+    * hazard (at-least-once foreachBatch redelivery after a
+    * crash-before-checkpoint would double-append rows — and for BM25,
+    * double-count the stats restamp), so the guard lives here once and
+    * the per-family wrappers below only choose the append.
+    */
+  private def indexAppendStreamWith(rows: DataFrame, indexTable: String,
+                                    checkpoint: String,
+                                    streamId: Option[String])(
+      append: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sid = streamId.getOrElse(checkpoint)
-    docs.writeStream
+    rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         graft.sources.IndexMaintenance.applyBatchOnce(
           batch.sparkSession, indexTable, sid, epochId) {
-          graft.operators.Dedup.appendToMinhashIndex(
-            batch, indexTable, numBuckets, k, numPerm, bands)
+          append(batch)
         }
         ()
       }
   }
+
+  /** [[indexAppendStream]] for the CONTAINMENT token index: arriving
+    * micro-batches of (doc_id, text) extend the persisted prefix-token
+    * table ([[graft.operators.Dedup.appendToContainmentIndex]] —
+    * prefix lengths from the STORED threshold, so every appended row
+    * honors the build-time pigeonhole contract). Exactness is
+    * order-free ("any fixed per-document order"), so a stream-grown
+    * index probes identically to a built-at-once one.
+    */
+  def containmentAppendStream(docs: DataFrame, indexTable: String,
+                              checkpoint: String,
+                              streamId: Option[String] = None,
+                              numBuckets: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexAppendStreamWith(docs, indexTable, checkpoint, streamId) { batch =>
+      graft.operators.Dedup.appendToContainmentIndex(batch, indexTable, numBuckets)
+    }
+
+  /** [[indexAppendStream]] for the BM25 inverted index: arriving
+    * micro-batches extend the posting table AND restamp the corpus
+    * stats ([[graft.operators.Corpus.appendToBm25Index]]). This is the
+    * family where batch-id idempotence matters MOST: the stats restamp
+    * is a read-modify-write, so a replayed batch without the guard
+    * would not just duplicate postings — it would silently inflate
+    * N/Σdl and skew every later score. foreachBatch also serializes
+    * batches, satisfying the append's single-writer contract.
+    */
+  def bm25AppendStream(docs: DataFrame, indexTable: String,
+                       checkpoint: String, streamId: Option[String] = None,
+                       numBuckets: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexAppendStreamWith(docs, indexTable, checkpoint, streamId) { batch =>
+      graft.operators.Corpus.appendToBm25Index(batch, indexTable, numBuckets)
+    }
+
+  /** [[indexAppendStream]] for the EMBEDDING band index: arriving
+    * vector micro-batches are projected at the width the index
+    * RECORDED (geometry from table properties) and appended to the
+    * (band, bucket) layout
+    * ([[graft.operators.Dedup.appendToEmbedBandIndex]]).
+    */
+  def embedAppendStream(vecs: DataFrame, indexTable: String,
+                        checkpoint: String, streamId: Option[String] = None,
+                        numBuckets: Int = 8, dim: Int = 64)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexAppendStreamWith(vecs, indexTable, checkpoint, streamId) { batch =>
+      graft.operators.Dedup.appendToEmbedBandIndex(
+        batch.sparkSession, indexTable, batch, numBuckets, dim)
+    }
+
+  /** [[indexAppendStream]] for the MEDIA phash index: arriving binary
+    * micro-batches are decoded + hashed once and banded per the scheme
+    * the index recorded
+    * ([[graft.operators.Multimodal.appendToMediaPhashIndex]]), so a
+    * re-upload in the NEXT batch is caught by the incremental check.
+    */
+  def mediaAppendStream(media: DataFrame, indexTable: String,
+                        checkpoint: String, streamId: Option[String] = None,
+                        numBuckets: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexAppendStreamWith(media, indexTable, checkpoint, streamId) { batch =>
+      graft.operators.Multimodal.appendToMediaPhashIndex(
+        batch, indexTable, numBuckets)
+    }
 
   /** Shared per-batch session merge: fold this batch's (sorted) events
     * into the open session, emitting sessions closed INLINE by a

@@ -3950,4 +3950,77 @@ class OperatorsSpec extends SparkSpec {
     // expected constants sum to ~10⁴ (9999 after rounding)
     assert(r.map(_.getAs[Long]("expected_bp")).sum === 10000L)
   }
+
+  test("semdedup: earlier-id prune rule holds cluster-locally; tau is monotone") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.headCodebook(vecs, 16)
+    val out = Similarity.semDedupWith(vecs, cents, tau = 0.35).collect()
+    assert(out.length === vecs.count())
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val pruned = out.filter(!_.getAs[Boolean]("kept"))
+    assert(pruned.nonEmpty, "gate corpus must exercise real pruning")
+    pruned.foreach { r =>
+      val nearId = r.getAs[Long]("near_id")
+      // the qualifying neighbor is EARLIER and in the SAME cluster
+      assert(nearId >= 0 && nearId < r.getAs[Long]("vec_id"))
+      assert(byId(nearId).getAs[Int]("list_id") === r.getAs[Int]("list_id"))
+      assert(r.getAs[Double]("max_cos") >= 0.35)
+    }
+    out.filter(_.getAs[Boolean]("kept")).foreach { r =>
+      assert(r.getAs[Long]("near_id") === -1L)
+      assert(r.getAs[Double]("max_cos") === 0.0)
+    }
+    // the earliest vector of every cluster survives by construction
+    out.groupBy(_.getAs[Int]("list_id")).values.foreach { cluster =>
+      assert(cluster.minBy(_.getAs[Long]("vec_id")).getAs[Boolean]("kept"))
+    }
+    // raising tau can only prune FEWER
+    val strict = Similarity.semDedupWith(vecs, cents, tau = 0.5)
+      .filter(!col("kept")).count()
+    assert(strict <= pruned.length)
+    // stats view is the exact aggregate of the row view
+    val stats = Similarity.semDedupStats(vecs, cents, tau = 0.35).collect()
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum === out.length)
+    assert(stats.map(_.getAs[Long]("n_pruned")).sum === pruned.length)
+    stats.foreach { s =>
+      val (n, p) = (s.getAs[Long]("n_vectors"), s.getAs[Long]("n_pruned"))
+      assert(s.getAs[Long]("prune_bp") === (2 * p * 10000 + n) / (2 * n))
+    }
+  }
+
+  test("semdedup trained codebook: corpus-sized k, full cover, one row per vector") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val out = Similarity.semDedup(vecs, tau = 0.35)
+    assert(out.count() === vecs.count())
+    assert(out.select("vec_id").distinct().count() === vecs.count())
+  }
+
+  test("knn graph: per-vector top-k within the cluster block, rank-ordered") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.headCodebook(vecs, 16)
+    val g = Similarity.knnGraphWith(vecs, cents, k = 5).collect()
+    val assign = vecs.select(col("vec_id"),
+      graft.plans.HashExprs.nearestCentroid(col("embedding"), cents).as("l"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("l")).toMap
+    val byVec = g.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, rows) =>
+      assert(rows.length <= 5)
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq === (1 to rows.length))
+      // cosine non-increasing in rank; neighbors block-local, never self
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Double]("cos_sim") >= y.getAs[Double]("cos_sim"))
+        case _ =>
+      }
+      rows.foreach { r =>
+        val nbr = r.getAs[Long]("nbr_id")
+        assert(nbr !== v)
+        assert(assign(nbr) === assign(v))
+      }
+      // a vector in a block of size >= 6 has exactly 5 neighbors
+      val blockSize = assign.values.count(_ == assign(v))
+      assert(rows.length === math.min(5, blockSize - 1))
+    }
+  }
 }

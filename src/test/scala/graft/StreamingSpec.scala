@@ -980,6 +980,64 @@ class StreamingSpec extends SparkSpec {
         .filter(col("b") % 13 === 0).count())
   }
 
+  test("streaming BM25 append equals the batch append; redelivery never double-counts stats") {
+    // BM25 is the family where batch-id idempotence matters MOST: the
+    // (N, Σdl) restamp is a read-modify-write, so a replayed batch
+    // without the guard would silently inflate the stats and skew
+    // every later score even if duplicate postings were tolerable
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val strTbl = "g_stream_bm25_idx"
+    val batTbl = "g_batch_bm25_idx"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq(strTbl, batTbl, s"${strTbl}_applied_batches").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val arriving = docs.filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    operators.Corpus.writeBm25Index(corpus, strTbl)
+    operators.Corpus.writeBm25Index(corpus, batTbl)
+    operators.Corpus.appendToBm25Index(
+      docs.filter(col("doc_id") % 13 === 0), batTbl)
+    def runStream(ck: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      in.addData(arriving: _*)
+      val q = StreamingRollups.bm25AppendStream(
+        in.toDF().toDF("doc_id", "text"), strTbl, ck,
+        streamId = Some("spec-bm25-stream"))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    def stamp(t: String): (Long, Long) = {
+      val p = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      (p("graft.bm25.n").toLong, p("graft.bm25.s").toLong)
+    }
+    def postings(t: String) = spark.table(t).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    runStream(java.nio.file.Files.createTempDirectory("graft_bm25_ck1").toString)
+    // parity: postings AND the additive stats stamp match the batch path
+    assert(postings(strTbl) === postings(batTbl))
+    assert(stamp(strTbl) === stamp(batTbl))
+    // redelivery from a fresh checkpoint replays batch id 0 — the
+    // guard must make BOTH the posting append and the restamp a no-op
+    runStream(java.nio.file.Files.createTempDirectory("graft_bm25_ck2").toString)
+    assert(postings(strTbl) === postings(batTbl),
+      "redelivered micro-batch double-appended postings")
+    assert(stamp(strTbl) === stamp(batTbl),
+      "redelivered micro-batch double-counted the stats restamp")
+    // the stream-grown index scores identically to the batch-grown one
+    val a = operators.Corpus.bm25FromIndex(spark, strTbl).collect().map(_.toSeq)
+    val b = operators.Corpus.bm25FromIndex(spark, batTbl).collect().map(_.toSeq)
+    assert(a === b)
+  }
+
   test("streaming CUSUM reproduces the batch changepoint fold for every closed day") {
     // the live changepoint alert: given the SAME offline calibration
     // the batch form self-derives, every finalized day's (S+, S-,
