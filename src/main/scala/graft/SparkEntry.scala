@@ -396,6 +396,49 @@ object SparkEntry {
     * any previous generation's directory, so the append never
     * double-lands across JVMs.
     */
+  /** STREAM-INGESTED IVF index: the residue-trained index grown by the
+    * arriving vector batch through the PATH-BASED streaming stage
+    * ([[graft.streaming.StreamingRollups.ivfAppendStream]] —
+    * foreachBatch → appendToIvfIndex under `applied_batches`-dir
+    * idempotence). The exact-guarantee probe stays exact over the
+    * stream-grown lists (radii over live rows), so it shares
+    * `ann_ivf_incremental`'s brute-force-over-the-union oracle. The
+    * leftover `applied_batches` dir from a previous JVM is cleared
+    * before the rebuild — a stale (streamId, 0) mark would silently
+    * no-op the append and drop the batch from the index.
+    */
+  private val ivfStreamBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfStreamIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf_stream_${tag(d)}").toString
+      if (!ivfStreamBuilt.contains(path)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(path))
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeIvfIndex(vecs.filter(col("vec_id") % 13 =!= 0), path)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float], Int)]
+        in.addData(vecs.filter(col("vec_id") % 13 === 0)
+          .select("vec_id", "embedding", "label")
+          .as[(Long, Array[Float], Int)].collect().toSeq: _*)
+        val ck = java.nio.file.Files
+          .createTempDirectory("g_gate_ivf_stream_ck").toString
+        val q = graft.streaming.StreamingRollups.ivfAppendStream(
+          in.toDF().toDF("vec_id", "embedding", "label"), path, ck,
+          streamId = Some("gate-ivf-stream"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        q.awaitTermination(120000)
+        ivfStreamBuilt += path
+      }
+      path
+    }
+
   private val ivfIncrBuilt = scala.collection.mutable.Set.empty[String]
   private def ivfIncrIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
@@ -1413,6 +1456,12 @@ object SparkEntry {
     // union — the whole embeddings table — is the correct oracle
     "ann_ivf_incremental" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfIncrIdx(s, d), 7L, 20)),
+    // the PATH-BASED streaming ingest twin: the batch appended through
+    // ivfAppendStream (applied_batches-dir idempotence) instead of the
+    // batch call — the exact-guarantee probe stays exact over the
+    // stream-grown lists, so the union brute force is again the oracle
+    "ivf_stream_ingested" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfStreamIdx(s, d), 7L, 20)),
     // the drift-report gate: recall@k of the fixed-nProbe probe vs
     // exact cosine over the AGED seed-codebook index ([[ivfDriftIdx]])
     // — the retrain signal itself, oracle-verified end to end (DuckDB
@@ -1460,6 +1509,11 @@ object SparkEntry {
     // recall@k of int8 retrieval vs exact float cosine — zero-recall
     // queries still report (left join from the query list)
     "ann_recall_report" -> ((s, d) => Similarity.recallReport(Tables.embeddings(s, d))),
+    // ranking-quality eval: exact-cosine top-k judged against the
+    // label column — per query MRR + NDCG@10 in HALF_UP bp, DCG rank
+    // weights baked 6dp integers shared verbatim with the oracle
+    "retrieval_eval" -> ((s, d) =>
+      Similarity.retrievalEval(Tables.embeddings(s, d))),
     // SemDeDup (cluster-partitioned semantic dedup) + the blocked kNN
     // graph: the gates pin the SQL-replayable head codebook (an oracle
     // can't replay k-means) at the CORPUS-SIZED k = max(16, ⌈n/256⌉) —
@@ -2220,6 +2274,44 @@ object SparkEntry {
       |  SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
       |  FROM ad) WHERE rn = 1),
       |""".stripMargin
+
+  /** retrieval_eval's oracle: the brute-force labeled top-10 with the
+    * SAME baked 6dp DCG weights ([[Similarity.dcgW6]] interpolated as
+    * VALUES rows — no engine log() in the compare path), IDCG as the
+    * prefix-sum lookup at min(corpus-relevant, k), MRR/NDCG as the
+    * HALF_UP integer identities.
+    */
+  private def retrievalEvalOracle: String = {
+    val w = Similarity.dcgW6
+    val wRows = w.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
+    val pRows = w.scanLeft(0L)(_ + _).zipWithIndex
+      .map { case (c, i) => s"($i, ${c})" }.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+       |w(rn, w6) AS (VALUES $wRows),
+       |p(n, c6) AS (VALUES $pRows),
+       |top AS (SELECT query_id, rel, rn FROM (
+       |  SELECT q.query_id, CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC, e.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+       |d AS (SELECT query_id, sum(rel * w6)::BIGINT AS dcg6,
+       |    min(CASE WHEN rel = 1 THEN rn END)::BIGINT AS fr, sum(rel)::BIGINT AS n_hits
+       |  FROM top JOIN w USING (rn) GROUP BY 1),
+       |tot AS (SELECT q.query_id, count(*)::BIGINT AS n_rel_corpus
+       |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id GROUP BY 1)
+       |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       |  coalesce(tot.n_rel_corpus, 0) AS n_rel_corpus,
+       |  coalesce(d.n_hits, 0) AS n_hits,
+       |  CAST(CASE WHEN d.fr IS NULL THEN 0 ELSE (2 * 10000 + d.fr) // (2 * d.fr) END AS BIGINT) AS mrr_bp,
+       |  CAST(CASE WHEN p.c6 IS NULL OR p.c6 = 0 OR d.dcg6 IS NULL THEN 0
+       |    ELSE (2 * d.dcg6 * 10000 + p.c6) // (2 * p.c6) END AS BIGINT) AS ndcg_bp
+       |FROM q LEFT JOIN tot ON q.query_id = tot.query_id
+       |LEFT JOIN d ON q.query_id = d.query_id
+       |LEFT JOIN p ON p.n = least(coalesce(tot.n_rel_corpus, 0), 10)
+       |ORDER BY q.query_id""".stripMargin
+  }
 
   private def bm25Oracle: String = {
     val terms = Seq("spark", "table", "scan")
@@ -3876,6 +3968,12 @@ object SparkEntry {
     // aged-index probe, same exact guarantee: corpus ∪ appended batch
     // IS the whole embeddings table, so brute force over it is the
     // correct oracle exactly as for ann_ivf_indexed
+    // stream-grown IVF lists probe exactly like batch-grown ones
+    "ivf_stream_ingested" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
     "ann_ivf_incremental" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
@@ -4111,6 +4209,7 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
         |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    "retrieval_eval" -> retrievalEvalOracle,
     // SemDeDup / kNN-graph oracles: replay the head codebook (16
     // smallest vec_ids), every row's list assignment (the same
     // sequential-fold L2 argmin as the drift oracle — the IEEE chain

@@ -1023,6 +1023,80 @@ object Similarity {
     * ties at depth k break on vec_id in BOTH rankings (the 4dp-round +
     * vec_id convention), so the hit set is engine-deterministic.
     */
+  /** DCG rank weights as BAKED 6dp integers — round(10⁶ / log₂(rank+1))
+    * for ranks 1..10, literal so no engine's log() sits in the
+    * cross-engine compare path (the oracle interpolates the SAME
+    * constants). Shared by [[retrievalEval]] and its oracle builder.
+    */
+  private[graft] val dcgW6: Array[Long] = Array(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Retrieval-quality EVAL table: the exact-cosine top-k judged
+    * against the label column as binary relevance — per query, the
+    * in-top-k hit count, MRR, and NDCG@k (both HALF_UP integer bp).
+    * This is the ranking-quality companion to [[recallReport]]'s
+    * self-recall: recall@k says "did the approximate index find the
+    * true neighbors"; this says "are the true neighbors actually the
+    * right ANSWERS" — the table you read before shipping an embedding
+    * model or a relevance threshold.
+    *
+    * Determinism: DCG contributions are rel × [[dcgW6]] (exact longs,
+    * order-independent sums); IDCG is a prefix-sum lookup at
+    * min(corpus-relevant, k) — standard NDCG, so a query whose label
+    * has few corpus twins is not penalized for rows that don't exist.
+    * Same scan shape as [[batchTopK]]: the corpus streams once past
+    * the broadcast id-capped query batch; relevance totals are one
+    * label-key hash join.
+    */
+  def retrievalEval(embeddings: DataFrame, queryMod: Long = 50, k: Int = 10,
+                    queryCap: Long = 500): DataFrame = {
+    require(k >= 1 && k <= dcgW6.length,
+      s"retrievalEval: k must be in [1, ${dcgW6.length}] (baked weights)")
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < queryCap)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val wArr = typedLit(dcgW6.take(k).toSeq)
+    // prefix(i) = sum of the first i weights; element_at is 1-based
+    val pArr = typedLit(dcgW6.take(k).scanLeft(0L)(_ + _).toSeq)
+    val top = embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"),
+        col("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val scored = top.groupBy("query_id").agg(
+      sum(col("rel") * element_at(wArr, col("rn"))).as("dcg6"),
+      min(when(col("rel") === 1L, col("rn"))).cast("long").as("first_rel"),
+      sum(col("rel")).as("n_hits"))
+    val tot = embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(queries.select(col("query_id"), col("qlabel"))),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel_corpus"))
+    queries.select(col("query_id"))
+      .join(tot, Seq("query_id"), "left")
+      .join(scored, Seq("query_id"), "left")
+      .withColumn("n_rel_corpus", coalesce(col("n_rel_corpus"), lit(0L)))
+      .withColumn("idcg6",
+        element_at(pArr, (least(col("n_rel_corpus"), lit(k.toLong)) + 1)
+          .cast("int")))
+      .select(col("query_id"), lit(k.toLong).as("k"), col("n_rel_corpus"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("first_rel").isNull, 0L)
+          .otherwise(expr("(2 * 10000 + first_rel) div (2 * first_rel)"))
+          .as("mrr_bp"),
+        when(col("idcg6") === 0L || col("dcg6").isNull, 0L)
+          .otherwise(expr("(2 * dcg6 * 10000 + idcg6) div (2 * idcg6)"))
+          .as("ndcg_bp"))
+      .orderBy("query_id")
+  }
+
   def recallReport(embeddings: DataFrame, queryMod: Long = 50, k: Int = 10,
                    queryCap: Long = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -88,6 +88,32 @@ object IndexMaintenance {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  /** [[applyBatchOnce]] for a path-based index: the applied-batch
+    * marks live in an `applied_batches` subdirectory of `indexDir`
+    * (sibling of `tombstones`), so they survive an out-of-band
+    * [[compactAt]] of the data dir and need no catalog name — which a
+    * filesystem path could not legally carry. Same contract: returns
+    * true iff `apply` ran, and the mark lands AFTER the append (the
+    * residual crash window is the documented transactional-commit
+    * boundary).
+    */
+  def applyBatchOnceAt(spark: SparkSession, indexDir: String,
+                       streamId: String, batchId: Long)(
+      apply: => Unit): Boolean = {
+    val dir = s"${indexDir.stripSuffix("/")}/applied_batches"
+    val done = fs(spark).exists(new org.apache.hadoop.fs.Path(dir)) &&
+      spark.read.parquet(dir)
+        .filter(col("stream_id") === streamId && col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!done) {
+      apply
+      import spark.implicits._
+      Seq((streamId, batchId)).toDF("stream_id", "batch_id")
+        .write.mode("append").parquet(dir)
+    }
+    !done
+  }
+
   def tombstoneAt(spark: SparkSession, indexDir: String, ids: DataFrame,
                   idCol: String): Unit =
     ids.select(col(idCol)).distinct()

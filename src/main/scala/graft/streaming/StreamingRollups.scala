@@ -507,6 +507,34 @@ object StreamingRollups {
         batch, indexTable, numBuckets)
     }
 
+  /** [[indexAppendStream]] for the IVF vector index — the one
+    * PATH-BASED index (codebook + list-partitioned assignment dirs,
+    * no catalog table), so idempotence goes through
+    * [[graft.sources.IndexMaintenance.applyBatchOnceAt]] (an
+    * `applied_batches` subdirectory instead of a side table). Arriving
+    * vector micro-batches are assigned under the EXISTING codebook and
+    * appended to the list partitions
+    * ([[graft.operators.Similarity.appendToIvfIndex]]); the codebook
+    * ages, which `ivfDriftReport` measures and `retrainIvfIndex`
+    * answers — the streaming stage only feeds the loop. With this,
+    * every appendable index family has a streaming ingest stage.
+    */
+  def ivfAppendStream(vecs: DataFrame, indexDir: String, checkpoint: String,
+                      streamId: Option[String] = None)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sid = streamId.getOrElse(checkpoint)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.IndexMaintenance.applyBatchOnceAt(
+          batch.sparkSession, indexDir, sid, epochId) {
+          graft.operators.Similarity.appendToIvfIndex(
+            batch.sparkSession, indexDir, batch)
+        }
+        ()
+      }
+  }
+
   /** Shared per-batch session merge: fold this batch's (sorted) events
     * into the open session, emitting sessions closed INLINE by a
     * same-key event arriving past the gap. Late (out-of-order) events

@@ -3995,6 +3995,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out.select("vec_id").distinct().count() === vecs.count())
   }
 
+  test("retrieval eval: MRR/NDCG identities on a constructed ranking") {
+    import spark.implicits._
+    // query 0 (label 1); ranking by cosine is v1 (rel) > v2 (non-rel)
+    // > v3 (rel), so DCG hits ranks 1 and 3 while IDCG packs the two
+    // relevant docs into ranks 1 and 2
+    val emb = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(1f, 0.01f), 1),
+      (2L, Array(0.9f, 0.1f), 2),
+      (3L, Array(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.retrievalEval(emb).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("query_id") === 0L)
+    assert(row.getAs[Long]("n_rel_corpus") === 2L)
+    assert(row.getAs[Long]("n_hits") === 2L)
+    assert(row.getAs[Long]("mrr_bp") === 10000L) // first hit at rank 1
+    val w = Similarity.dcgW6
+    val dcg = w(0) + w(2)
+    val idcg = w(0) + w(1)
+    assert(row.getAs[Long]("ndcg_bp") === (2 * dcg * 10000 + idcg) / (2 * idcg))
+    // corpus run: one row per query, everything bounded in [0, 10000]
+    val vecs = Tables.embeddings(spark, sfDir)
+    val full = Similarity.retrievalEval(vecs).collect()
+    assert(full.length === vecs
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500).count())
+    full.foreach { x =>
+      assert(x.getAs[Long]("mrr_bp") >= 0 && x.getAs[Long]("mrr_bp") <= 10000)
+      assert(x.getAs[Long]("ndcg_bp") >= 0 && x.getAs[Long]("ndcg_bp") <= 10000)
+      assert(x.getAs[Long]("n_hits") <= 10L)
+    }
+  }
+
   test("knn graph: per-vector top-k within the cluster block, rank-ordered") {
     val vecs = Tables.embeddings(spark, sfDir)
     val cents = Similarity.headCodebook(vecs, 16)

@@ -180,6 +180,10 @@ class PlanGuardSpec extends SparkSpec {
     // ann_recall_report: both sides' broadcast is the id-capped query
     // batch (< 500 — the ann_batch_topk contract, twice)
     "ann_recall_report",
+    // retrieval_eval: the broadcast is the id-capped query batch
+    // (< 500, the ann_batch_topk contract) — once for the scored scan,
+    // once (projected) for the corpus-relevance totals
+    "retrieval_eval",
     // ann_drift_report: the same shape over the aged IVF index — the
     // broadcasts are the 16-row codebook and the id-capped query
     // batch (< 500), both constant-size at any corpus
@@ -244,7 +248,8 @@ class PlanGuardSpec extends SparkSpec {
     // its bench cap is a row-local predicate, asserted by its own
     // scan-count spec)
     val capped = Seq("decontaminate", "decontaminate_semantic", "ann_batch_topk",
-      "corpus_keep_list", "contamination_report", "ann_drift_report")
+      "corpus_keep_list", "contamination_report", "ann_drift_report",
+      "retrieval_eval")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

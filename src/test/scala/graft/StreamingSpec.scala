@@ -1038,6 +1038,58 @@ class StreamingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("streaming IVF append equals the batch append; the path-based replay guard is a no-op") {
+    // the one PATH-BASED index: idempotence marks live in an
+    // applied_batches subdirectory (no catalog table can carry a
+    // filesystem path), and must survive exactly like the table-based
+    // guard — a replayed batch id neither re-appends nor reassigns
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = sys.props("java.io.tmpdir")
+    val strDir = s"$tmp/g_spec_ivf_stream"
+    val batDir = s"$tmp/g_spec_ivf_batch"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq(strDir, batDir).foreach(p => rm(new java.io.File(p)))
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val corpus = vecs.filter(col("vec_id") % 13 =!= 0)
+    val arrivingDf = vecs.filter(col("vec_id") % 13 === 0)
+    val arriving = arrivingDf.select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect().toSeq
+    operators.Similarity.writeIvfIndex(corpus, strDir)
+    operators.Similarity.writeIvfIndex(corpus, batDir)
+    operators.Similarity.appendToIvfIndex(spark, batDir, arrivingDf)
+    def runStream(ck: String): Unit = {
+      val in = MemoryStream[(Long, Array[Float], Int)]
+      in.addData(arriving: _*)
+      val q = StreamingRollups.ivfAppendStream(
+        in.toDF().toDF("vec_id", "embedding", "label"), strDir, ck,
+        streamId = Some("spec-ivf-stream"))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    def assigned(dir: String) = spark.read.parquet(s"$dir/assigned")
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("list_id")))
+      .sorted.toSeq
+    runStream(java.nio.file.Files.createTempDirectory("graft_ivf_ck1").toString)
+    // parity: same codebook (residue-trained both sides, deterministic)
+    // means same assignment rows
+    assert(assigned(strDir) === assigned(batDir))
+    // redelivery from a fresh checkpoint replays batch id 0 — the
+    // applied_batches mark must make it a no-op
+    runStream(java.nio.file.Files.createTempDirectory("graft_ivf_ck2").toString)
+    assert(assigned(strDir) === assigned(batDir),
+      "redelivered micro-batch double-appended IVF rows")
+    // and the exact-guarantee probe agrees across the two indexes
+    val a = operators.Similarity.ivfTopKExactIndexed(spark, strDir, 7L, 10)
+      .collect().map(_.toSeq).toSeq
+    val b = operators.Similarity.ivfTopKExactIndexed(spark, batDir, 7L, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("streaming CUSUM reproduces the batch changepoint fold for every closed day") {
     // the live changepoint alert: given the SAME offline calibration
     // the batch form self-derives, every finalized day's (S+, S-,
