@@ -1577,6 +1577,17 @@ object SparkEntry {
     "semdedup_incremental" -> ((s, d) =>
       Similarity.semDedupAgainstIndex(s, semIncrIdx(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0))),
+    // components over the same within-list threshold graph: where
+    // semdedup PRUNES, this GROUPS (cluster id = component min, the
+    // dedup_cluster conventions) — plus its size histogram
+    "semantic_clusters" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semanticClusters(vecs, Similarity.headCodebookSized(vecs))
+    }),
+    "semantic_cluster_stats" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semanticClusterStats(vecs, Similarity.headCodebookSized(vecs))
+    }),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -2326,6 +2337,25 @@ object SparkEntry {
        |  SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
        |  FROM ad) WHERE rn = 1),
        |""".stripMargin
+
+  /** Shared CTE chain for the semantic-components oracles: the
+    * head-codebook assignment ([[headAssignCte]], RECURSIVE-prefixed
+    * for the reach CTE), the within-list τ-threshold edge set (the
+    * semdedup pair set, symmetrized), and the clusterOracle
+    * recursive-reach min-label. Ends after `lbl` WITHOUT a trailing
+    * comma — callers append their SELECT (or `, cl AS ...`).
+    */
+  private def semanticClusterCtes: String =
+    headAssignCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """sp AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35),
+        |edges AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
+        |reach AS (SELECT a AS vec_id, b AS r FROM edges
+        |  UNION SELECT e.a AS vec_id, reach.r FROM edges e JOIN reach ON e.b = reach.vec_id),
+        |lbl AS (SELECT vec_id, min(r) AS mr FROM reach GROUP BY vec_id)
+        |""".stripMargin
 
   /** retrieval_eval's oracle: the brute-force labeled top-10 with the
     * SAME baked 6dp DCG weights ([[Similarity.dcgW6]] interpolated as
@@ -4330,6 +4360,24 @@ object SparkEntry {
           |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
           |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
           |WHERE asg.vec_id % 13 = 0 ORDER BY asg.vec_id""".stripMargin),
+    // semantic components: the same within-list threshold edges, then
+    // the clusterOracle recursive-reach min-label convention
+    "semantic_clusters" ->
+      (semanticClusterCtes +
+        """SELECT d.vec_id,
+          |coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id,
+          |(coalesce(least(l.mr, d.vec_id), d.vec_id) = d.vec_id) AS is_canonical
+          |FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id
+          |ORDER BY d.vec_id""".stripMargin),
+    "semantic_cluster_stats" ->
+      (semanticClusterCtes +
+        """, cl AS (SELECT d.vec_id,
+          |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
+          |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+          |  (cluster_size * count(*))::BIGINT AS n_docs
+          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
     "knn_graph" ->
       (headAssignCte +
         """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,

@@ -786,7 +786,7 @@ object Dedup {
     * indexed forms — ONE definition, so the two can never diverge on
     * the "identical output" contract their shared oracle checks.
     */
-  private def sizeHistogram(assignment: DataFrame): DataFrame =
+  private[graft] def sizeHistogram(assignment: DataFrame): DataFrame =
     assignment
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))

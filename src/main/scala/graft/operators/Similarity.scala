@@ -816,6 +816,48 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SEMANTIC CLUSTERS: connected components over the within-cluster
+    * threshold graph — the edge set is [[semDedupWith]]'s qualifying
+    * pair set (same blocks, same τ), components run through the shared
+    * label-propagation machinery
+    * ([[graft.operators.Dedup.clusterPairs]]: min-label propagation +
+    * pointer jumping, parallelism sized by edge count). Where
+    * semdedup's earlier-id rule PRUNES, this GROUPS: the (vec_id,
+    * cluster_id, is_canonical) assignment is what mixture planning and
+    * topic-level curation consume — "this embedding-space region is
+    * one templated document family" — with the same conventions as the
+    * minhash `dedup_cluster` assignment (cluster id = component min).
+    * Blocks carry no cross-list edges, so components never span lists
+    * and the pair volume stays the semdedup linear-under-k∝n shape.
+    */
+  def semanticClusters(embeddings: DataFrame, cents: Array[Array[Double]],
+                       tau: Double = 0.35): DataFrame = {
+    val assigned = assignLists(embeddings, cents)
+    val a = assigned.select(col("list_id"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    val pairs = a.join(b, "list_id")
+      .filter(col("a") < col("b"))
+      .filter(round(HashExprs.cosineSim(col("va"), col("vb")), 4) >= tau)
+      .select("a", "b")
+    graft.operators.Dedup.clusterPairs(pairs,
+        embeddings.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  /** The size histogram over [[semanticClusters]] — the semantic twin
+    * of `dedup_cluster_stats` (shared histogram definition, so the two
+    * families report on one scale).
+    */
+  def semanticClusterStats(embeddings: DataFrame,
+                           cents: Array[Array[Double]],
+                           tau: Double = 0.35): DataFrame =
+    graft.operators.Dedup.sizeHistogram(
+      semanticClusters(embeddings, cents, tau).select("cluster_id"))
+
   /** [[semDedupWith]] under a TRAINED codebook sized to the corpus:
     * k = max(16, ⌈n / targetCluster⌉) keeps cluster size — and with it
     * the within-cluster pairwise volume — bounded as the corpus grows,

@@ -4070,6 +4070,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semantic clusters: components agree with the semdedup pair set; histogram conserves mass") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.headCodebookSized(vecs)
+    val cl = Similarity.semanticClusters(vecs, cents).collect()
+    assert(cl.length === vecs.count())
+    val byId = cl.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    // a semdedup-pruned vector and its blocker are one component
+    val sd = Similarity.semDedupWith(vecs, cents).collect()
+    val pruned = sd.filter(!_.getAs[Boolean]("kept"))
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      assert(byId(r.getAs[Long]("near_id")) === byId(r.getAs[Long]("vec_id")))
+    }
+    // cluster id = component min; is_canonical marks exactly that row
+    cl.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).min === cid)
+      rows.foreach(r => assert(
+        r.getAs[Boolean]("is_canonical") === (r.getAs[Long]("vec_id") == cid)))
+    }
+    // histogram conserves mass and sees real multi-vector clusters
+    val st = Similarity.semanticClusterStats(vecs, cents).collect()
+    assert(st.map(_.getAs[Long]("n_docs")).sum === vecs.count())
+    assert(st.exists(_.getAs[Long]("cluster_size") > 1L))
+  }
+
   test("knn graph: per-vector top-k within the cluster block, rank-ordered") {
     val vecs = Tables.embeddings(spark, sfDir)
     val cents = Similarity.headCodebook(vecs, 16)
