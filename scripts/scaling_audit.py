@@ -47,7 +47,7 @@ WIDE_KEYS = [
     # cluster-blocked pair ops: the gate pins the corpus-sized head
     # codebook (k = max(16, ceil(n/256))), so pair volume must stay
     # ~n*256 — a fixed-k codebook would show up here as ~100x at 10x
-    "semdedup_prune", "knn_graph",
+    "semdedup_prune", "knn_graph", "semantic_clusters",
     # lineitem
     "q1_pricing_summary", "vwap_monthly",
     # persisted-artifact probes (builds land in the untimed pre-build;

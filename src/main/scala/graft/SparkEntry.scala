@@ -472,6 +472,48 @@ object SparkEntry {
       path
     }
 
+  /** ADMISSION-GATED stream-ingested semantic index: the residue index
+    * grown by ONE micro-batch through
+    * [[graft.streaming.StreamingRollups.semanticAdmissionStream]] —
+    * only the batch vectors with NO same-list corpus neighbor within τ
+    * are appended, so the finished index holds residue ∪ admitted.
+    * The gate probes per-list live counts ([[Similarity.ivfListSizes]]);
+    * the oracle recomputes the admission rule and the counts in SQL.
+    */
+  private val semAdmitBuilt = scala.collection.mutable.Set.empty[String]
+  private def semAdmitIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_sem_admit_${tag(d)}").toString
+      if (!semAdmitBuilt.contains(path)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(path))
+        val vecs = Tables.embeddings(s, d)
+        val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+        Similarity.writeIvfIndexWith(residue, path,
+          Similarity.headCodebookSized(residue))
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        in.addData(vecs.filter(col("vec_id") % 13 === 0)
+          .select("vec_id", "embedding")
+          .as[(Long, Array[Float])].collect().toSeq: _*)
+        val ck = java.nio.file.Files
+          .createTempDirectory("g_gate_sem_admit_ck").toString
+        val q = graft.streaming.StreamingRollups.semanticAdmissionStream(
+          in.toDF().toDF("vec_id", "embedding"), path, ck,
+          streamId = Some("gate-sem-admit"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        q.awaitTermination(120000)
+        semAdmitBuilt += path
+      }
+      path
+    }
+
   private val ivfIncrBuilt = scala.collection.mutable.Set.empty[String]
   private def ivfIncrIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
@@ -1584,6 +1626,12 @@ object SparkEntry {
       val vecs = Tables.embeddings(s, d)
       Similarity.semanticClusters(vecs, Similarity.headCodebookSized(vecs))
     }),
+    // the admission-gated STREAMING ingest loop, end to end: refuse
+    // paraphrases against the index, append only novel vectors, and
+    // the finished index's per-list counts must equal the SQL replay
+    // of residue ∪ admitted
+    "semantic_admission_ingest" -> ((s, d) =>
+      Similarity.ivfListSizes(s, semAdmitIdx(s, d))),
     "semantic_cluster_stats" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
       Similarity.semanticClusterStats(vecs, Similarity.headCodebookSized(vecs))
@@ -4360,6 +4408,22 @@ object SparkEntry {
           |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
           |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
           |WHERE asg.vec_id % 13 = 0 ORDER BY asg.vec_id""".stripMargin),
+    // admission-gated ingest: residue rows plus exactly the batch rows
+    // with no same-list residue neighbor within tau, counted per list
+    "semantic_admission_ingest" ->
+      (headAssignCteFor("WHERE vec_id % 13 <> 0") +
+        """pr AS (SELECT b.vec_id AS vec_id
+          |  FROM asg b JOIN asg a ON a.list_id = b.list_id
+          |    AND b.vec_id % 13 = 0 AND a.vec_id % 13 <> 0
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+          |  GROUP BY b.vec_id),
+          |live AS (SELECT vec_id, list_id FROM asg WHERE vec_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT asg.vec_id, asg.list_id FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+          |  WHERE asg.vec_id % 13 = 0 AND pr.vec_id IS NULL)
+          |SELECT CAST(list_id AS INTEGER) AS list_id, count(*)::BIGINT AS n_vectors
+          |FROM live GROUP BY 1 ORDER BY 1""".stripMargin),
     // semantic components: the same within-list threshold edges, then
     // the clusterOracle recursive-reach min-label convention
     "semantic_clusters" ->

@@ -858,6 +858,18 @@ object Similarity {
     graft.operators.Dedup.sizeHistogram(
       semanticClusters(embeddings, cents, tau).select("cluster_id"))
 
+  /** Per-list LIVE row counts of a path-based index — the list-balance
+    * report an IVF/semantic-index owner reads (a hot list means a
+    * stale codebook or a template flood; the retrain signal's cheap
+    * companion), and the probe surface the admission-ingest gate
+    * checks. Honors tombstones via the shared live view.
+    */
+  def ivfListSizes(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    liveAssigned(spark, path)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+
   /** [[semDedupWith]] under a TRAINED codebook sized to the corpus:
     * k = max(16, ⌈n / targetCluster⌉) keeps cluster size — and with it
     * the within-cluster pairwise volume — bounded as the corpus grows,

@@ -535,6 +535,45 @@ object StreamingRollups {
       }
   }
 
+  /** ADMISSION-GATED streaming ingest for the semantic index: each
+    * arriving vector micro-batch is first checked against the
+    * persisted assignment
+    * ([[graft.operators.Similarity.semDedupAgainstIndex]] — batch-only
+    * assignment under the stored codebook, corpus read
+    * partition-pruned), and only the ADMITTED (semantically novel)
+    * vectors append to the index — so the NEXT batch's check sees
+    * them, and a paraphrase re-crawled two batches later is refused.
+    * This is the curation loop the batch operators describe, run
+    * per-trigger: refuse-or-admit, then extend the thing you refuse
+    * against. Batch-INTERNAL near-dups are deliberately not the
+    * stage's job (both admit if both are novel vs the corpus) — run
+    * the in-batch prune ([[graft.operators.Similarity.semDedupWith]])
+    * upstream when intra-batch floods matter.
+    *
+    * Same replay guard as every append stage
+    * ([[graft.sources.IndexMaintenance.applyBatchOnceAt]]): the
+    * check+append pair runs once per (streamId, batchId).
+    */
+  def semanticAdmissionStream(vecs: DataFrame, indexDir: String,
+                              checkpoint: String, tau: Double = 0.35,
+                              streamId: Option[String] = None)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sid = streamId.getOrElse(checkpoint)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.IndexMaintenance.applyBatchOnceAt(
+          batch.sparkSession, indexDir, sid, epochId) {
+          val admitted = graft.operators.Similarity
+            .semDedupAgainstIndex(batch.sparkSession, indexDir, batch, tau)
+            .filter(col("admitted")).select("vec_id")
+          graft.operators.Similarity.appendToIvfIndex(
+            batch.sparkSession, indexDir, batch.join(admitted, "vec_id"))
+        }
+        ()
+      }
+  }
+
   /** Shared per-batch session merge: fold this batch's (sorted) events
     * into the open session, emitting sessions closed INLINE by a
     * same-key event arriving past the gap. Late (out-of-order) events

@@ -1090,6 +1090,59 @@ class StreamingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("admission-gated streaming ingest refuses a later batch's paraphrase of an admitted vector") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = sys.props("java.io.tmpdir")
+    val dir = s"$tmp/g_spec_sem_admit"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+    // 16 well-separated residue vectors (unit axes of a 16-dim space):
+    // headCodebookSized picks all 16 as centroids, so every residue
+    // vector owns its own list and admission decisions are readable
+    def axis(i: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(16)(j => if (j == i) scale else 0f)
+    val residue = (0 until 16).map(i => (i.toLong, axis(i)))
+      .toDF("vec_id", "embedding")
+    operators.Similarity.writeIvfIndexWith(residue, dir,
+      operators.Similarity.headCodebookSized(residue))
+    def runBatch(rows: Seq[(Long, Array[Float])], sid: String): Unit = {
+      val in = MemoryStream[(Long, Array[Float])]
+      in.addData(rows: _*)
+      val q = StreamingRollups.semanticAdmissionStream(
+        in.toDF().toDF("vec_id", "embedding"), dir,
+        java.nio.file.Files.createTempDirectory(s"g_admit_$sid").toString,
+        streamId = Some(sid))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: v100 is novel (a two-axis diagonal — cosine ~0.7 to any
+    // residue axis, above no list's member at >= 0.35? it lands in ONE
+    // list; its cosine to that axis is ~0.707 >= 0.35 → REFUSED? No:
+    // make it orthogonal-ish by using a negative mix that stays below
+    // tau against its own list head)
+    val v100 = (100L, Array.tabulate(16)(j =>
+      if (j == 0) 0.3f else if (j == 1) -0.95f else 0f))
+    // cos(v100, axis0) = 0.3/|v| ≈ 0.30 < 0.35; cos(v100, axis1) < 0 —
+    // novel everywhere it can land
+    runBatch(Seq(v100), "b1")
+    def liveIds = spark.read.parquet(s"$dir/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(liveIds.contains(100L), "novel vector must be admitted")
+    // batch 2: v200 is a near-copy of the ADMITTED v100 (cos ≈ 1) —
+    // refused because batch 1 already extended the index; v201 is
+    // novel the same way v100 was
+    val v200 = (200L, v100._2.map(_ * 1.01f))
+    val v201 = (201L, Array.tabulate(16)(j =>
+      if (j == 2) 0.3f else if (j == 3) -0.95f else 0f))
+    runBatch(Seq(v200, v201), "b2")
+    val ids = liveIds
+    assert(!ids.contains(200L), "paraphrase of an admitted vector must be refused")
+    assert(ids.contains(201L), "novel vector in the same batch must be admitted")
+  }
+
   test("streaming CUSUM reproduces the batch changepoint fold for every closed day") {
     // the live changepoint alert: given the SAME offline calibration
     // the batch form self-derives, every finalized day's (S+, S-,
