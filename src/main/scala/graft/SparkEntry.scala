@@ -1607,6 +1607,10 @@ object SparkEntry {
       val vecs = Tables.embeddings(s, d)
       Similarity.knnGraphWith(vecs, Similarity.headCodebookSized(vecs))
     }),
+    // the persisted-assignment twin (same index as semdedup_indexed);
+    // shared oracle
+    "knn_graph_indexed" -> ((s, d) =>
+      Similarity.knnGraphFromIndex(s, semIdx(s, d))),
     // the persisted-assignment twin: the nearest-centroid pass paid
     // once at ingest (IVF index layout under the same head codebook),
     // the prune reads list-partitioned rows — shared oracle
@@ -1635,6 +1639,11 @@ object SparkEntry {
     "semantic_cluster_stats" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
       Similarity.semanticClusterStats(vecs, Similarity.headCodebookSized(vecs))
+    }),
+    // SoftDeDup on the semantic components: downweight, don't delete
+    "semantic_weights" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semanticWeights(vecs, Similarity.headCodebookSized(vecs))
     }),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
@@ -4433,6 +4442,15 @@ object SparkEntry {
           |(coalesce(least(l.mr, d.vec_id), d.vec_id) = d.vec_id) AS is_canonical
           |FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id
           |ORDER BY d.vec_id""".stripMargin),
+    "semantic_weights" ->
+      (semanticClusterCtes +
+        """, cl AS (SELECT d.vec_id,
+          |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
+          |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+          |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size,
+          |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
+          |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id""".stripMargin),
     "semantic_cluster_stats" ->
       (semanticClusterCtes +
         """, cl AS (SELECT d.vec_id,
@@ -4442,6 +4460,16 @@ object SparkEntry {
           |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
           |  (cluster_size * count(*))::BIGINT AS n_docs
           |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
+    // the persisted-assignment knn twin shares the same replay
+    "knn_graph_indexed" ->
+      (headAssignCte +
+        """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+          |  round(list_cosine_similarity(ea.v, eb.v), 4) + 0.0 AS cos_sim
+          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rn FROM s)
+          |SELECT vec_id, nbr_id, cos_sim, CAST(rn AS INTEGER) AS rn
+          |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin),
     "knn_graph" ->
       (headAssignCte +
         """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,

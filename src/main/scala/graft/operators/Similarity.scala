@@ -870,6 +870,19 @@ object Similarity {
       .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
 
+  /** SoftDeDup on the SEMANTIC components: weight 1/|component| per
+    * vector instead of dropping — the downweight-don't-delete form of
+    * [[semDedupWith]], sharing [[graft.operators.Dedup.softWeights]]'
+    * integer-exact weight definition so lexical and semantic
+    * downweighting compose on one scale.
+    */
+  def semanticWeights(embeddings: DataFrame, cents: Array[Array[Double]],
+                      tau: Double = 0.35): DataFrame =
+    graft.operators.Dedup.softWeights(
+        semanticClusters(embeddings, cents, tau)
+          .select(col("vec_id").as("doc_id"), col("cluster_id")))
+      .withColumnRenamed("doc_id", "vec_id")
+
   /** [[semDedupWith]] under a TRAINED codebook sized to the corpus:
     * k = max(16, ⌈n / targetCluster⌉) keeps cluster size — and with it
     * the within-cluster pairwise volume — bounded as the corpus grows,
@@ -917,9 +930,22 @@ object Similarity {
     * clusters emit no rows.
     */
   def knnGraphWith(embeddings: DataFrame, cents: Array[Array[Double]],
-                   k: Int = 5): DataFrame = {
+                   k: Int = 5): DataFrame =
+    knnGraphAssigned(assignLists(embeddings, cents), k)
+
+  /** [[knnGraphWith]] over the PERSISTED assignment (the same IVF
+    * layout [[semDedupFromIndex]] reads): the nearest-centroid pass is
+    * paid once at ingest and the block self-join rides the list
+    * partitioning; tombstoned takedowns drop out via the shared live
+    * view. Same output contract as the in-query form (shared oracle
+    * under the same codebook).
+    */
+  def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, k: Int = 5): DataFrame =
+    knnGraphAssigned(liveAssigned(spark, path), k)
+
+  private def knnGraphAssigned(assigned: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignLists(embeddings, cents)
     val a = assigned.select(col("list_id"), col("vec_id"),
       col("embedding").as("va"))
     val b = assigned.select(col("list_id"), col("vec_id").as("nbr_id"),

@@ -4045,6 +4045,10 @@ class OperatorsSpec extends SparkSpec {
     val indexed = Similarity.semDedupFromIndex(spark, idxPath)
       .collect().map(_.toSeq)
     assert(indexed === direct)
+    // the kNN twin over the same persisted assignment is also
+    // row-identical to its in-query form
+    assert(Similarity.knnGraphFromIndex(spark, idxPath).collect().map(_.toSeq)
+      === Similarity.knnGraphWith(vecs, cents).collect().map(_.toSeq))
     // incremental: batch (mod-13) against the residue-trained index —
     // refused rows carry a same-list corpus neighbor within tau,
     // admitted rows have none (checked against a brute recompute)
