@@ -47,7 +47,8 @@ WIDE_KEYS = [
     # cluster-blocked pair ops: the gate pins the corpus-sized head
     # codebook (k = max(16, ceil(n/256))), so pair volume must stay
     # ~n*256 — a fixed-k codebook would show up here as ~100x at 10x
-    "semdedup_prune", "knn_graph", "semantic_clusters",
+    "semdedup_prune", "knn_graph", "semantic_clusters", "semantic_weights",
+    "knn_graph_indexed",
     # lineitem
     "q1_pricing_summary", "vwap_monthly",
     # persisted-artifact probes (builds land in the untimed pre-build;
@@ -59,7 +60,7 @@ WIDE_KEYS = [
     "dedup_lsh_incremental", "dedup_containment_incremental",
     "dedup_cluster_incremental", "embed_neardup_incremental",
     "media_phash_incremental", "ann_ivf_incremental",
-    "semdedup_incremental",
+    "semdedup_incremental", "semantic_admission_ingest",
 ]
 
 LONG_KEYS = [

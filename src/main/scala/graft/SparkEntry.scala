@@ -472,6 +472,19 @@ object SparkEntry {
       path
     }
 
+  /** Persisted SEMANTIC COMPONENTS assignment (the cluster-index
+    * lifecycle on embedding space) — behind the semantic stats/weights
+    * indexed twins.
+    */
+  private def semClusterIdx(s: SparkSession, d: String): String = {
+    val t = s"g_gate_sem_cluster_${tag(d)}"
+    ensureTable(s, t) {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.writeSemanticClusterIndex(vecs,
+        Similarity.headCodebookSized(vecs), t)
+    }
+  }
+
   /** ADMISSION-GATED stream-ingested semantic index: the residue index
     * grown by ONE micro-batch through
     * [[graft.streaming.StreamingRollups.semanticAdmissionStream]] —
@@ -1645,6 +1658,13 @@ object SparkEntry {
       val vecs = Tables.embeddings(s, d)
       Similarity.semanticWeights(vecs, Similarity.headCodebookSized(vecs))
     }),
+    // the persisted-components twins: components computed once at
+    // ingest (cluster-index lifecycle on embedding space), consumers
+    // read the narrow cluster_id-bucketed table — shared oracles
+    "semantic_stats_indexed" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, semClusterIdx(s, d))),
+    "semantic_weights_indexed" -> ((s, d) =>
+      Similarity.semanticWeightsFromIndex(s, semClusterIdx(s, d))),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -4442,6 +4462,25 @@ object SparkEntry {
           |(coalesce(least(l.mr, d.vec_id), d.vec_id) = d.vec_id) AS is_canonical
           |FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id
           |ORDER BY d.vec_id""".stripMargin),
+    // persisted-components twins share the direct forms' replays
+    "semantic_stats_indexed" ->
+      (semanticClusterCtes +
+        """, cl AS (SELECT d.vec_id,
+          |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
+          |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+          |  (cluster_size * count(*))::BIGINT AS n_docs
+          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
+    "semantic_weights_indexed" ->
+      (semanticClusterCtes +
+        """, cl AS (SELECT d.vec_id,
+          |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
+          |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+          |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size,
+          |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
+          |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id""".stripMargin),
     "semantic_weights" ->
       (semanticClusterCtes +
         """, cl AS (SELECT d.vec_id,

@@ -870,6 +870,32 @@ object Similarity {
       .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
 
+  /** Persist the SEMANTIC components assignment bucketed on
+    * cluster_id — the `writeClusterIndex` lifecycle for embedding
+    * space: components are computed once at ingest, every consumer
+    * (size histogram, soft weights) reads the narrow bucketed table
+    * with zero exchanges, and the shared tombstone/stale-cluster live
+    * view applies unchanged because the table speaks the
+    * cluster-index schema (doc_id = vec_id).
+    */
+  def writeSemanticClusterIndex(embeddings: DataFrame,
+                                cents: Array[Array[Double]], table: String,
+                                tau: Double = 0.35,
+                                numBuckets: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketed(
+      semanticClusters(embeddings, cents, tau)
+        .select(col("vec_id").as("doc_id"), col("cluster_id")),
+      table, Seq("cluster_id"), numBuckets)
+
+  /** [[semanticWeights]] off the persisted components — a narrow read
+    * + two small aggregates, no assignment or pair join anywhere
+    * (cluster once at ingest, reuse everywhere).
+    */
+  def semanticWeightsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               table: String): DataFrame =
+    graft.operators.Dedup.dedupWeightsFromIndex(spark, table)
+      .withColumnRenamed("doc_id", "vec_id")
+
   /** SoftDeDup on the SEMANTIC components: weight 1/|component| per
     * vector instead of dropping — the downweight-don't-delete form of
     * [[semDedupWith]], sharing [[graft.operators.Dedup.softWeights]]'

@@ -4099,6 +4099,30 @@ class OperatorsSpec extends SparkSpec {
     assert(st.exists(_.getAs[Long]("cluster_size") > 1L))
   }
 
+  test("semantic components index: consumers match direct forms without re-clustering") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.headCodebookSized(vecs)
+    val t = "g_spec_sem_cluster_idx"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    rm(new java.io.File(wh, t))
+    Similarity.writeSemanticClusterIndex(vecs, cents, t)
+    // both consumers row-identical to their in-query forms
+    assert(Similarity.semanticWeightsFromIndex(spark, t).collect().map(_.toSeq)
+      === Similarity.semanticWeights(vecs, cents).collect().map(_.toSeq))
+    assert(Dedup.clusterStatsFromIndex(spark, t).collect().map(_.toSeq)
+      === Similarity.semanticClusterStats(vecs, cents).collect().map(_.toSeq))
+    // and the indexed weights aggregate rides the bucket layout — no
+    // cluster_id hash exchange anywhere in the plan
+    val plan = Similarity.semanticWeightsFromIndex(spark, t)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(cluster_id".r.findFirstIn(plan).isEmpty,
+      s"indexed semantic weights should not re-shuffle on cluster_id:\n$plan")
+  }
+
   test("knn graph: per-vector top-k within the cluster block, rank-ordered") {
     val vecs = Tables.embeddings(spark, sfDir)
     val cents = Similarity.headCodebook(vecs, 16)
