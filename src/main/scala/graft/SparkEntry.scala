@@ -730,6 +730,37 @@ object SparkEntry {
       name
     }
 
+  /** STREAM-COMPUTED daily value rollup (the second streaming-COMPUTE
+    * gate next to OHLC): the events table replayed through
+    * [[graft.streaming.StreamingRollups.windowedExact]] — event-time
+    * day windows, watermark, exact-decimal sums so finalized windows
+    * are engine-stable — into a complete-mode memory sink. Memoized
+    * per data generation like the other stream gates.
+    */
+  private val rollupStreamBuilt = scala.collection.mutable.Set.empty[String]
+  private def rollupStreamTable(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val name = s"g_gate_rollup_stream_${tag(d)}"
+      if (!rollupStreamBuilt.contains(name)) {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.StreamingRollups.Tick]
+        in.addData(ev.as[graft.streaming.StreamingRollups.Tick].collect().toSeq: _*)
+        val q = graft.streaming.StreamingRollups
+          .windowedExact(in.toDF().withColumnRenamed("user_id", "entity_id"),
+            "1 day", "10 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        q.awaitTermination(120000)
+        rollupStreamBuilt += name
+      }
+      name
+    }
+
   /** AGED IVF index with a SQL-REPRODUCIBLE codebook for the drift
     * gate: centroids are the 16 smallest corpus-residue vec_ids'
     * embeddings (no k-means — an oracle can't replay Lloyd's, but it
@@ -1281,6 +1312,16 @@ object SparkEntry {
     // replayed event stream (event-time windows + watermark, complete
     // mode) must reproduce the batch candlesticks the oracle computes
     // — same min_by/max_by composite order key, same 2dp rounds
+    // the second streaming-COMPUTE gate: windowedExact over the
+    // replayed event stream must reproduce the batch per-(user, day)
+    // rollup — decimal sums keep finalized windows engine-stable
+    "rollup_stream_ingested" -> ((s, d) =>
+      s.table(rollupStreamTable(s, d))
+        .select(col("entity_id"),
+          date_format(col("window.start"), "yyyy-MM-dd").as("period_key"),
+          col("cnt_value"), col("sum_value"), col("max_value"),
+          col("min_value"))
+        .orderBy("entity_id", "period_key")),
     "ohlc_stream_ingested" -> ((s, d) =>
       s.table(ohlcStreamTable(s, d))
         .select(col("user_id"),
@@ -6082,6 +6123,12 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2 ORDER BY user_id, period_key""".stripMargin,
     // the streaming form computes the same bars minus the decimal
     // turnover column (the windowed agg carries OHLC + count)
+    "rollup_stream_ingested" ->
+      """SELECT user_id AS entity_id, strftime(ts, '%Y-%m-%d') AS period_key,
+        |count(*) AS cnt_value,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+        |max(value) AS max_value, min(value) AS min_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ohlc_stream_ingested" ->
       """WITH s AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS period_key,
         |  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey,

@@ -60,6 +60,27 @@ object StreamingRollups {
         min("value").as("min_value"),
         count(lit(1)).as("cnt_value"))
 
+  /** [[windowed]] under the library's EXACT-DECIMAL money convention:
+    * the value sum accumulates in DECIMAL(18,2) (order-independent —
+    * the plain double sum drifts with partial-merge order, which is
+    * nondeterministic under streaming state updates), so finalized
+    * windows are bit-stable run to run and engine to engine. min/max/
+    * count are order-free already. This is the form the oracle gate
+    * drives; [[windowed]] stays as the double-typed general rollup.
+    */
+  def windowedExact(events: DataFrame, window: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("entity_id"))
+      .agg(
+        count(lit(1)).as("cnt_value"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("sum_value"),
+        max("value").as("max_value"),
+        min("value").as("min_value"))
+
   /** Streaming candlestick bars — the live half of
     * [[graft.operators.Finance.ohlcResample]]: per (event-time window,
     * series) the first/max/min/last tick plus count, open/close via
