@@ -761,6 +761,42 @@ object SparkEntry {
       name
     }
 
+  /** STREAM-COMPUTED session windows (the third streaming-COMPUTE
+    * gate): the events table replayed through
+    * [[graft.streaming.StreamingRollups.sessionWindowed]] — Spark's
+    * declarative `session_window`, whose MERGE rule differs from the
+    * batch gaps-and-islands `sessionize` at the exact-gap boundary
+    * (windows merge iff next.ts < prev.end, STRICTLY; an event at
+    * exactly prev.ts + gap starts a new session, where the batch rule
+    * `diff > gap` keeps it) and whose session_end is last + gap, not
+    * max(ts). The oracle replays THESE semantics, pinning Spark's
+    * actual session algebra cross-engine rather than approximating it
+    * with the batch rule.
+    */
+  private val sessionStreamBuilt = scala.collection.mutable.Set.empty[String]
+  private def sessionStreamTable(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val name = s"g_gate_session_stream_${tag(d)}"
+      if (!sessionStreamBuilt.contains(name)) {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.StreamingRollups.Tick]
+        in.addData(ev.as[graft.streaming.StreamingRollups.Tick].collect().toSeq: _*)
+        val q = graft.streaming.StreamingRollups
+          .sessionWindowed(in.toDF().withColumnRenamed("user_id", "entity_id"),
+            "30000 seconds", "10 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        q.awaitTermination(120000)
+        sessionStreamBuilt += name
+      }
+      name
+    }
+
   /** AGED IVF index with a SQL-REPRODUCIBLE codebook for the drift
     * gate: centroids are the 16 smallest corpus-residue vec_ids'
     * embeddings (no k-means — an oracle can't replay Lloyd's, but it
@@ -1312,6 +1348,17 @@ object SparkEntry {
     // replayed event stream (event-time windows + watermark, complete
     // mode) must reproduce the batch candlesticks the oracle computes
     // — same min_by/max_by composite order key, same 2dp rounds
+    // the third streaming-COMPUTE gate: Spark's session_window merge
+    // algebra (strict-< overlap, end = last + gap) replayed exactly
+    "session_stream_ingested" -> ((s, d) =>
+      s.table(sessionStreamTable(s, d))
+        .select(col("entity_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("entity_id", "session_start")),
     // the second streaming-COMPUTE gate: windowedExact over the
     // replayed event stream must reproduce the batch per-(user, day)
     // rollup — decimal sums keep finalized windows engine-stable
@@ -6123,6 +6170,21 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2 ORDER BY user_id, period_key""".stripMargin,
     // the streaming form computes the same bars minus the decimal
     // turnover column (the windowed agg carries OHLC + count)
+    // session_window's OWN algebra: new session at diff >= gap
+    // (strict-< window overlap), end = last event + gap — deliberately
+    // NOT the batch sessionize rule (diff > gap, end = last event)
+    "session_stream_ingested" ->
+      """SELECT user_id AS entity_id,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |strftime(max(ts) + INTERVAL 30000 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |count(*) AS n_events,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM (SELECT user_id, ts, value,
+        |sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM (SELECT user_id, event_id, ts, value,
+        |CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 30000 THEN 1 ELSE 0 END AS new_s
+        |FROM events))
+        |GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
     "rollup_stream_ingested" ->
       """SELECT user_id AS entity_id, strftime(ts, '%Y-%m-%d') AS period_key,
         |count(*) AS cnt_value,
