@@ -49,6 +49,11 @@ WIDE_KEYS = [
     # ~n*256 — a fixed-k codebook would show up here as ~100x at 10x
     "semdedup_prune", "knn_graph", "semantic_clusters", "semantic_weights",
     "knn_graph_indexed",
+    # the same-shaped siblings (stats/indexed twins re-run the same
+    # cluster-blocked pair join or read the persisted artifact): audit
+    # them directly rather than arguing coverage-by-sibling
+    "semdedup_stats", "semdedup_indexed", "semantic_cluster_stats",
+    "semantic_weights_indexed",
     # lineitem
     "q1_pricing_summary", "vwap_monthly",
     # persisted-artifact probes (builds land in the untimed pre-build;

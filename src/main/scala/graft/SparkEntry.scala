@@ -433,7 +433,10 @@ object SparkEntry {
           in.toDF().toDF("vec_id", "embedding", "label"), path, ck,
           streamId = Some("gate-ivf-stream"))
           .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-        q.awaitTermination(120000)
+        // a timed-out build must fail fast, NOT memoize a half-built
+        // index that every dependent gate then diffs against
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $path")
         ivfStreamBuilt += path
       }
       path
@@ -521,7 +524,8 @@ object SparkEntry {
           in.toDF().toDF("vec_id", "embedding"), path, ck,
           streamId = Some("gate-sem-admit"))
           .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-        q.awaitTermination(120000)
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $path")
         semAdmitBuilt += path
       }
       path
@@ -574,7 +578,8 @@ object SparkEntry {
       buildResidue
       val ck = java.nio.file.Files.createTempDirectory(s"${t}_ck").toString
       val q = startStream(ck)
-      q.awaitTermination(120000)
+      require(q.awaitTermination(120000),
+        s"stream gate build timed out: $t")
     }
 
   /** One-micro-batch MemoryStream over the text batch split (doc_id ≡
@@ -724,7 +729,8 @@ object SparkEntry {
           .writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-        q.awaitTermination(120000)
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $name")
         ohlcStreamBuilt += name
       }
       name
@@ -755,7 +761,8 @@ object SparkEntry {
           .writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-        q.awaitTermination(120000)
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $name")
         rollupStreamBuilt += name
       }
       name
@@ -791,7 +798,8 @@ object SparkEntry {
           .writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-        q.awaitTermination(120000)
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $name")
         sessionStreamBuilt += name
       }
       name
@@ -6172,7 +6180,11 @@ object SparkEntry {
     // turnover column (the windowed agg carries OHLC + count)
     // session_window's OWN algebra: new session at diff >= gap
     // (strict-< window overlap), end = last event + gap — deliberately
-    // NOT the batch sessionize rule (diff > gap, end = last event)
+    // NOT the batch sessionize rule (diff > gap, end = last event).
+    // The split compares at MICROSECOND precision (epoch_us), because
+    // that is the precision session_window merges at — whole-second
+    // diffs would split/merge differently for a gap within 1 s of the
+    // boundary (every events ts carries sub-second parts)
     "session_stream_ingested" ->
       """SELECT user_id AS entity_id,
         |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -6182,7 +6194,7 @@ object SparkEntry {
         |FROM (SELECT user_id, ts, value,
         |sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
         |FROM (SELECT user_id, event_id, ts, value,
-        |CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 30000 THEN 1 ELSE 0 END AS new_s
+        |CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 30000000000 THEN 1 ELSE 0 END AS new_s
         |FROM events))
         |GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
     "rollup_stream_ingested" ->

@@ -101,10 +101,17 @@ object IndexMaintenance {
                        streamId: String, batchId: Long)(
       apply: => Unit): Boolean = {
     val dir = s"${indexDir.stripSuffix("/")}/applied_batches"
+    // a crash between directory creation and the first committed part
+    // file leaves a dir parquet can't infer a schema from (_temporary
+    // only) — treat unreadable/empty as "no marks yet" instead of
+    // permanently wedging the stream, mirroring the table-based
+    // applyBatchOnce's missing-table path
     val done = fs(spark).exists(new org.apache.hadoop.fs.Path(dir)) &&
-      spark.read.parquet(dir)
-        .filter(col("stream_id") === streamId && col("batch_id") === batchId)
-        .head(1).nonEmpty
+      scala.util.Try(
+        spark.read.parquet(dir)
+          .filter(col("stream_id") === streamId && col("batch_id") === batchId)
+          .head(1).nonEmpty
+      ).getOrElse(false)
     if (!done) {
       apply
       import spark.implicits._
