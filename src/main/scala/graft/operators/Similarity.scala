@@ -409,6 +409,207 @@ object Similarity {
     fs.delete(p(s"$path/tombstones"), true)
   }
 
+  /** Grid side for the two-level codebook: nCoarse = nFine =
+    * ⌈√k⌉ with k = max(16, ⌈n / targetCluster⌉) — the SAME corpus-sized
+    * k as [[semDedup]]/[[headCodebookSized]], factored so assignment
+    * costs n·2√k·d instead of flat n·k·d.
+    */
+  def twoLevelGrid(n: Long, targetCluster: Int = 256): Int =
+    math.max(4, math.ceil(math.sqrt(
+      math.max(16.0, n.toDouble / targetCluster))).toInt)
+
+  /** Two-level (coarse ⋈ fine) IVF codebook — the documented escape
+    * from the flat-assignment ceiling (SURVEY §5): with k ∝ n lists, a
+    * flat nearest-centroid pass costs n·k·d flops (quadratic in n),
+    * which caps the flat form at ~10⁷–10⁸ vectors. Factoring the
+    * codebook as √k coarse cells × √k fine centroids per cell makes
+    * assignment n·2√k·d (n^1.5 under k ∝ n — subquadratic, and the
+    * per-row cost stays broadcast-friendly at any k): one coarse pass
+    * picks the cell, one fine pass within ONLY that cell's book picks
+    * the list, and list_id = coarse·nFine + fine lands in the SAME
+    * flat layout every probe and maintenance op already speaks.
+    *
+    * Training is hierarchical k-means, fully distributed and
+    * decimal-exact like [[trainCodebook]]: Lloyd's on the coarse book,
+    * then JOINT Lloyd's on all fine books at once — each fine pass is
+    * one scan (cell id projected first, then the per-cell fine argmin
+    * as a lazily-evaluated CASE branch, so a row pays coarse + one
+    * cell's book), one small shuffle of k×dim partial-sum rows, and a
+    * kilobyte collect. Fine seeds are each cell's nFine
+    * smallest-xxhash members (the [[seedCodebook]] rule per cell);
+    * cells with fewer members keep a RAGGED book (assignment only ever
+    * consults a cell's real centroids, so no phantom list captures
+    * rows).
+    *
+    * Returns (coarse, fine-books, flat): `flat` has nCoarse·nFine
+    * rows indexed by list_id with empty slots carrying their cell's
+    * coarse centroid — probe metadata only (an empty list's radius is
+    * 0, so the exact probe's bounds stay valid and a scan of it reads
+    * nothing).
+    */
+  def trainTwoLevelCodebook(embeddings: DataFrame, nCoarse: Int, nFine: Int,
+                            iters: Int = 2)
+  : (Array[Array[Double]], Array[Array[Array[Double]]], Array[Array[Double]]) = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = trainCodebook(embeddings, nCoarse, iters)
+    val withC = embeddings.select(col("vec_id"),
+      col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
+    // per-cell seeds: the nFine smallest-xxhash members (uniform,
+    // id-order-independent), ragged where a cell is small
+    val w = Window.partitionBy("cid")
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val seedRows = withC.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nFine)
+      .select(col("cid"), (col("rn") - 1).as("fid"),
+        col("embedding").cast("array<double>").as("cent"))
+      .collect()
+    val fine: Array[Array[Array[Double]]] = {
+      val byCell = seedRows.groupBy(_.getAs[Int]("cid"))
+      Array.tabulate(nCoarse) { c =>
+        byCell.getOrElse(c, Array.empty)
+          .sortBy(_.getAs[Int]("fid"))
+          .map(_.getSeq[Double](2).toArray)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val sums = twoLevelAssigned(embeddings, coarse, fine, nFine)
+        .select(col("list_id"), posexplode(col("embedding")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      sums.foreach { r =>
+        val lid = r.getAs[Int]("list_id")
+        val (c, f) = (lid / nFine, lid % nFine)
+        if (f < fine(c).length) {
+          val s = r.getAs[java.math.BigDecimal]("s")
+          val n = r.getAs[Long]("n")
+          fine(c)(f) = fine(c)(f).clone()
+          fine(c)(f)(r.getAs[Int]("pos")) =
+            s.divide(java.math.BigDecimal.valueOf(n),
+              java.math.MathContext.DECIMAL64).doubleValue()
+        }
+      }
+    }
+    val flat = Array.tabulate(nCoarse * nFine) { lid =>
+      val (c, f) = (lid / nFine, lid % nFine)
+      if (f < fine(c).length) fine(c)(f) else coarse(c)
+    }
+    (coarse, fine, flat)
+  }
+
+  /** The two-level assignment pass shared by training and
+    * [[writeTwoLevelIvfIndex]]: project the coarse cell first (one
+    * compiled nearest-centroid over √k cells), then resolve the fine
+    * centroid as a CASE over the cell id — branch VALUES evaluate
+    * lazily, so each row pays exactly its own cell's ≤ nFine distances
+    * (the 2√k·d contract). At very large √k the CASE fans wide; the
+    * join-form equivalent (broadcast (cid, fine book) rows, window
+    * argmin) is the documented escape — same output, one extra
+    * shuffle of n·nFine candidate rows.
+    */
+  private def twoLevelAssigned(embeddings: DataFrame,
+                               coarse: Array[Array[Double]],
+                               fine: Array[Array[Array[Double]]],
+                               nFine: Int): DataFrame = {
+    val withC = embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
+    val cells = coarse.indices.filter(c => fine(c).nonEmpty)
+    // an empty cell captures no rows by construction (its cid never
+    // wins with members absent only if it truly has none) — the
+    // otherwise() is the defensive identity list for that impossible
+    // branch, not a semantic path
+    val listId = cells.tail
+      .foldLeft(when(col("cid") === cells.head,
+        lit(cells.head * nFine) +
+          HashExprs.nearestCentroid(col("embedding"), fine(cells.head)))) {
+        (acc, c) => acc.when(col("cid") === c,
+          lit(c * nFine) + HashExprs.nearestCentroid(col("embedding"), fine(c)))
+      }
+      .otherwise(col("cid") * nFine)
+    withC.select(col("vec_id"), col("embedding"),
+      listId.cast("int").as("list_id"))
+  }
+
+  /** Persist a TWO-LEVEL IVF index — [[writeIvfIndex]] past the flat
+    * ceiling: the flat (list_id, cent) codebook file and the
+    * list_id-partitioned assignment are byte-compatible with the flat
+    * layout, so EVERY existing probe ([[ivfTopKExactIndexed]],
+    * [[ivfTopKIndexed]], [[ivfListSizes]]), the tombstone/compact
+    * maintenance, and the drift report run unchanged over it — only
+    * the assignment pass (here and for appended batches via the
+    * coarse book persisted alongside) pays n·2√k·d instead of n·k·d.
+    * The exact-guarantee probe stays exact over ANY assignment (its
+    * per-list radii are computed from actual members), so the gate
+    * oracle remains plain brute force.
+    */
+  def writeTwoLevelIvfIndex(embeddings: DataFrame, path: String,
+                            targetCluster: Int = 256, iters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val g = twoLevelGrid(embeddings.count(), targetCluster)
+    val (coarse, fine, flat) = trainTwoLevelCodebook(embeddings, g, g, iters)
+    flat.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("coarse_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook_coarse")
+    twoLevelAssigned(embeddings, coarse, fine, g)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** Per-list sizes of an IN-QUERY flat assignment — the
+    * assignment-COST measurement form (its twin
+    * [[twoLevelHeadListSizes]] runs the factored pass on the same
+    * corpus): the timed work is exactly one n·k·d nearest-centroid
+    * scan plus a k-row aggregate, so a scaling-audit row on this key
+    * reads the flat ceiling directly.
+    */
+  def assignListSizes(embeddings: DataFrame,
+                      cents: Array[Array[Double]]): DataFrame =
+    assignLists(embeddings, cents)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+
+  /** The TWO-LEVEL assignment-cost measurement twin, SQL-replayable:
+    * coarse book = the first √k corpus embeddings by vec_id (the
+    * [[headCodebook]] convention), fine book per cell = the cell's
+    * first √k members by vec_id — both pure functions of the table, so
+    * DuckDB re-derives cell, fine pick, and the flattened list id.
+    * Work shape is the production two-level pass (n·2√k·d): one coarse
+    * projection, one lazily-branched fine argmin, one k-row aggregate.
+    * Only the BOOKS differ from [[writeTwoLevelIvfIndex]] (head-picked
+    * vs trained — an oracle cannot replay Lloyd's), which moves list
+    * boundaries but not cost, exactly like [[headCodebookSized]] vs
+    * [[semDedup]]'s trained codebook.
+    */
+  def twoLevelHeadListSizes(embeddings: DataFrame,
+                            targetCluster: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = twoLevelGrid(embeddings.count(), targetCluster)
+    val coarse = headCodebook(embeddings, g)
+    val withC = embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
+    val w = Window.partitionBy("cid").orderBy("vec_id")
+    val seedRows = withC.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= g)
+      .select(col("cid"), (col("rn") - 1).as("fid"),
+        col("embedding").cast("array<double>").as("cent"))
+      .collect()
+    val fine: Array[Array[Array[Double]]] = {
+      val byCell = seedRows.groupBy(_.getAs[Int]("cid"))
+      Array.tabulate(g) { c =>
+        byCell.getOrElse(c, Array.empty)
+          .sortBy(_.getAs[Int]("fid"))
+          .map(_.getSeq[Double](2).toArray)
+      }
+    }
+    twoLevelAssigned(embeddings, coarse, fine, g)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+  }
+
   /** Embedding takedown for the persisted IVF index — merge-on-read
     * tombstones (the [[graft.sources.IndexMaintenance]] mechanism,
     * path form): the vector drops out of every probe immediately at
@@ -886,6 +1087,169 @@ object Similarity {
       semanticClusters(embeddings, cents, tau)
         .select(col("vec_id").as("doc_id"), col("cluster_id")),
       table, Seq("cluster_id"), numBuckets)
+
+  /** The contracted τ-edge graph the semantic INCREMENTAL family
+    * clusters over — [[graft.operators.Dedup.incrementalEdges]] in
+    * embedding space, all work batch-sized:
+    *
+    *  - only the BATCH runs the nearest-centroid pass (under the
+    *    index's stored codebook — the aging story is IVF's);
+    *  - batch↔corpus edges come from the persisted assignment read
+    *    PARTITION-PRUNED to the lists the batch touches (the
+    *    [[semDedupAgainstIndex]] probe shape), with the corpus
+    *    endpoint CONTRACTED to its persisted component id (one narrow
+    *    join against the live cluster view — component ids are member
+    *    minima, so the contracted graph's minima equal the union
+    *    graph's);
+    *  - batch↔batch edges are the within-list τ-pairs of the batch
+    *    alone.
+    *
+    * Blocks carry no cross-list edges (the [[semanticClusters]]
+    * contract), so merging these edges into the persisted components
+    * reproduces the full rebuild over corpus ∪ batch under the same
+    * codebook.
+    */
+  private def semanticIncrementalEdges(spark: org.apache.spark.sql.SparkSession,
+                                       indexPath: String, clusterTable: String,
+                                       newVecs: DataFrame,
+                                       tau: Double): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/codebook")
+      .orderBy("list_id").collect().map(vecOf(_, "cent"))
+    val batch = assignLists(newVecs, cents)
+    val touched = batch.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = liveAssigned(spark, indexPath)
+      .filter(col("list_id").isin(touched: _*))
+      .select(col("list_id"), col("vec_id").as("c"), col("embedding").as("vc"))
+    val bc = batch
+      .select(col("list_id"), col("vec_id").as("a"), col("embedding").as("vb"))
+      .join(corpus, "list_id")
+      .filter(round(HashExprs.cosineSim(col("vb"), col("vc")), 4) >= tau)
+      .select(col("a"), col("c"))
+    // contract the corpus endpoint to its persisted component id; the
+    // MUST-be-live view mirrors the lexical incremental: a superseded
+    // cluster's old rows on disk would hand a vector two labels
+    val assign = graft.operators.Dedup.liveClusterRows(spark, clusterTable)
+      .select("doc_id", "cluster_id")
+    val bcContracted = bc
+      .join(assign.withColumnRenamed("doc_id", "c"), "c")
+      .select(col("a"), col("cluster_id").as("b"))
+    val bb = batch
+      .select(col("list_id"), col("vec_id").as("a"), col("embedding").as("va"))
+      .join(batch.select(col("list_id"), col("vec_id").as("b"),
+        col("embedding").as("vb")), "list_id")
+      .filter(col("a") < col("b"))
+      .filter(round(HashExprs.cosineSim(col("va"), col("vb")), 4) >= tau)
+      .select("a", "b")
+    bb.unionByName(bcContracted)
+  }
+
+  /** The merged (node → new component label) map shared by
+    * [[semanticClusterIncremental]] and [[upsertSemanticClusterIndex]]:
+    * label propagation over the contracted graph, whose node set is
+    * near-dup-edge-sized (batch ids ∪ touched component ids), never
+    * the corpus.
+    */
+  private def semanticMergedLabels(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String, clusterTable: String,
+                                   newVecs: DataFrame, tau: Double,
+                                   maxIter: Int): DataFrame = {
+    val edges = semanticIncrementalEdges(spark, indexPath, clusterTable,
+      newVecs, tau)
+    val nodes = edges.select(col("a").as("doc_id"))
+      .unionByName(edges.select(col("b").as("doc_id")))
+      .unionByName(newVecs.select(col("vec_id").as("doc_id")))
+      .distinct()
+    graft.operators.Dedup.clusterPairs(edges, nodes, maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_label"))
+  }
+
+  /** INCREMENTAL maintenance for the semantic components —
+    * [[graft.operators.Dedup.clusterIncremental]] applied to embedding
+    * space: merge an arriving (already-admitted) vector batch's τ-edges
+    * into the PERSISTED components without a corpus-wide pair join or
+    * corpus-wide label propagation. Edge generation, contraction, and
+    * propagation are all batch-sized ([[semanticIncrementalEdges]]);
+    * untouched corpus rows pass through; edgeless batch vectors become
+    * their own singletons.
+    *
+    * Output: (vec_id, cluster_id, is_canonical) over corpus ∪ batch,
+    * IDENTICAL to re-running [[semanticClusters]] on the union under
+    * the index's stored codebook — so the gate oracle is the same
+    * recursive-reach components, over all rows assigned under the
+    * residue codebook.
+    */
+  def semanticClusterIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, clusterTable: String,
+                                 newVecs: DataFrame, tau: Double = 0.35,
+                                 maxIter: Int = 8): DataFrame = {
+    val assign = graft.operators.Dedup.liveClusterRows(spark, clusterTable)
+      .select("doc_id", "cluster_id")
+    val merged = semanticMergedLabels(spark, indexPath, clusterTable,
+      newVecs, tau, maxIter)
+    val corpusOut = assign
+      .join(merged.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    val batchOut = newVecs.select(col("vec_id").as("doc_id"))
+      .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
+    corpusOut.unionByName(batchOut)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  /** Persist an arriving batch's SEMANTIC component merge — the
+    * write-back [[semanticClusterIncremental]] implies, completing the
+    * embedding-space twin of the lexical loop
+    * ([[graft.operators.Dedup.upsertClusterIndex]]): components whose
+    * label moved stale-mark their old id in the shared
+    * `_stale_clusters` side table, their member rows re-append under
+    * the merged label through the SAME (cluster_id, numBuckets) bucket
+    * spec the build used, and the batch vectors land as merged-label
+    * rows or singletons. The semantic index speaks the cluster-index
+    * schema (doc_id = vec_id), so [[graft.operators.Dedup.liveClusterRows]],
+    * the anti-join live view, and [[graft.operators.Dedup.compactClusterIndex]]
+    * apply verbatim — post-upsert, every consumer
+    * ([[semanticWeightsFromIndex]], stats) still plans zero hash
+    * exchanges and reads live rows ≡ a full [[semanticClusters]]
+    * rebuild over corpus ∪ batch (spec-asserted). I/O is batch-sized:
+    * the corpus embedding table is read only partition-pruned for edge
+    * generation, and only superseded components' narrow assignment
+    * rows rewrite. Single-writer, one apply per batch, like every
+    * index-maintenance op here (on a cluster this is a Delta/Iceberg
+    * MERGE commit).
+    */
+  def upsertSemanticClusterIndex(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, clusterTable: String,
+                                 newVecs: DataFrame, tau: Double = 0.35,
+                                 maxIter: Int = 8, numBuckets: Int = 8): Unit = {
+    val assign = graft.operators.Dedup.liveClusterRows(spark, clusterTable)
+      .select("doc_id", "cluster_id")
+    val merged = semanticMergedLabels(spark, indexPath, clusterTable,
+      newVecs, tau, maxIter)
+    val stale = merged
+      .filter(col("new_label") =!= col("node"))
+      .join(assign.select(col("cluster_id").as("node")).distinct(), "node")
+      .select(col("node").as("cluster_id"), col("new_label"))
+      .localCheckpoint(true)
+    val relabeled = assign
+      .join(broadcast(stale), Seq("cluster_id"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+    val batchRows = newVecs.select(col("vec_id").as("doc_id"))
+      .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
+    stale.select("cluster_id").distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(graft.operators.Dedup.staleClusterTable(clusterTable))
+    graft.sources.Sinks.appendBucketed(
+      relabeled.unionByName(batchRows), clusterTable,
+      Seq("cluster_id"), numBuckets)
+  }
 
   /** [[semanticWeights]] off the persisted components — a narrow read
     * + two small aggregates, no assignment or pair join anywhere

@@ -528,6 +528,60 @@ object StreamingRollups {
         batch, indexTable, numBuckets)
     }
 
+  /** STREAMING stage for the cluster-assignment UPSERT — the last
+    * streaming↔lifecycle asymmetry closed: each arriving document
+    * micro-batch MERGES into the persisted components in place
+    * ([[graft.operators.Dedup.upsertClusterIndex]] — batch↔corpus
+    * edges off the persisted band index, stale-mark superseded
+    * clusters, bucket-preserving re-append), so a re-crawl stream
+    * folds its near-dup merges into the persisted assignment
+    * per trigger and every downstream consumer (keep-best, weights,
+    * splits) reads merged state immediately. Batch-id idempotence is
+    * LOAD-BEARING here beyond row duplication: an upsert is
+    * read-modify-write (it contracts against the live view it is
+    * about to change), so a replayed batch without the guard would
+    * stale-mark and re-append rows that already merged. `corpus` is
+    * the static document frame candidate verification reads (text is
+    * never re-shingled — the [[graft.operators.Dedup.clusterIncremental]]
+    * contract); keep the band index advancing in the same pipeline
+    * ([[indexAppendStream]]) when successive batches must see each
+    * other.
+    */
+  def clusterUpsertStream(docs: DataFrame, minhashTable: String,
+                          clusterTable: String, corpus: DataFrame,
+                          checkpoint: String,
+                          streamId: Option[String] = None,
+                          maxIter: Int = 8, numBuckets: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexAppendStreamWith(docs, clusterTable, checkpoint, streamId) { batch =>
+      graft.operators.Dedup.upsertClusterIndex(
+        batch.sparkSession, minhashTable, clusterTable, batch, corpus,
+        maxIter, numBuckets)
+    }
+
+  /** [[clusterUpsertStream]] for the SEMANTIC components — the
+    * embedding-space twin: each arriving vector micro-batch's τ-edges
+    * merge into the persisted semantic components
+    * ([[graft.operators.Similarity.upsertSemanticClusterIndex]] —
+    * batch assigned under the stored codebook, corpus read
+    * partition-pruned to touched lists, stale-mark + bucket-preserving
+    * re-append). Same read-modify-write replay hazard, same batch-id
+    * guard. Compose with [[semanticAdmissionStream]] upstream when the
+    * stream should both refuse paraphrases AND group admitted
+    * arrivals.
+    */
+  def semanticUpsertStream(vecs: DataFrame, indexDir: String,
+                           clusterTable: String, checkpoint: String,
+                           tau: Double = 0.35,
+                           streamId: Option[String] = None,
+                           maxIter: Int = 8, numBuckets: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    indexAppendStreamWith(vecs, clusterTable, checkpoint, streamId) { batch =>
+      graft.operators.Similarity.upsertSemanticClusterIndex(
+        batch.sparkSession, indexDir, clusterTable, batch, tau,
+        maxIter, numBuckets)
+    }
+
   /** [[indexAppendStream]] for the IVF vector index — the one
     * PATH-BASED index (codebook + list-partitioned assignment dirs,
     * no catalog table), so idempotence goes through

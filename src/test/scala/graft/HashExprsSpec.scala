@@ -633,6 +633,67 @@ class HashExprsSpec extends SparkSpec {
     assert(kb2.collect().toSeq === operators.Dedup.keepBest(docs).collect().toSeq)
   }
 
+  test("semantic cluster upsert: batch-sized persist equals full rebuild, consumers stay exchange-free") {
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val batch = vecs.filter(col("vec_id") % 13 === 0)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val cents = operators.Similarity.headCodebookSized(residue)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    Seq("g_sem_ups_cluster",
+        operators.Dedup.staleClusterTable("g_sem_ups_cluster"),
+        sources.IndexMaintenance.tombstoneTable("g_sem_ups_cluster")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val ivf = java.nio.file.Files.createTempDirectory("g_sem_ups_ivf").toString
+    operators.Similarity.writeIvfIndexWith(residue, ivf, cents)
+    operators.Similarity.writeSemanticClusterIndex(
+      residue, cents, "g_sem_ups_cluster")
+    // the compute form first: incremental output ≡ full rebuild over
+    // the union under the SAME (residue) codebook
+    val incr = operators.Similarity.semanticClusterIncremental(
+      spark, ivf, "g_sem_ups_cluster", batch)
+      .select("vec_id", "cluster_id").orderBy("vec_id")
+    val direct = operators.Similarity.semanticClusters(vecs, cents)
+      .select("vec_id", "cluster_id").orderBy("vec_id")
+    assert(incr.collect().toSeq === direct.collect().toSeq)
+    // then the persist form: live rows post-upsert ≡ the same rebuild
+    operators.Similarity.upsertSemanticClusterIndex(
+      spark, ivf, "g_sem_ups_cluster", batch)
+    val live = operators.Dedup.liveClusterRows(spark, "g_sem_ups_cluster")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+    assert(live.collect().toSeq === direct.collect().toSeq)
+    // the supersede path must actually fire (else the stale machinery
+    // is untested and the gate is a plain append)
+    assert(spark.catalog.tableExists(
+      operators.Dedup.staleClusterTable("g_sem_ups_cluster")) &&
+      spark.table(operators.Dedup.staleClusterTable("g_sem_ups_cluster"))
+        .count() > 0,
+      "residue split superseded no semantic component — upsert spec is vacuous")
+    assert(live.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+    // cluster-keyed consumers still plan zero hash exchanges through
+    // the broadcast anti-joins and match the in-query form
+    val w = operators.Similarity.semanticWeightsFromIndex(
+      spark, "g_sem_ups_cluster")
+    assert(!w.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "post-upsert semantic weights should not hash-shuffle")
+    assert(w.collect().toSeq ===
+      operators.Similarity.semanticWeights(vecs, cents).collect().toSeq)
+    // compaction folds the side tables; live view unchanged
+    operators.Dedup.compactClusterIndex(spark, "g_sem_ups_cluster")
+    assert(!spark.catalog.tableExists(
+      operators.Dedup.staleClusterTable("g_sem_ups_cluster")))
+    val postCompact = operators.Dedup.liveClusterRows(spark, "g_sem_ups_cluster")
+      .select(col("doc_id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
+    assert(postCompact.collect().toSeq === direct.collect().toSeq)
+  }
+
   test("cluster-index upsert composes: a second batch merges onto the upserted state") {
     // upsert-on-upserted-state is where the stale machinery earns its
     // keep: batch 2's edge contraction MUST read the live-cluster view

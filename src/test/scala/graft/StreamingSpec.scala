@@ -980,6 +980,101 @@ class StreamingSpec extends SparkSpec {
         .filter(col("b") % 13 === 0).count())
   }
 
+  test("streaming cluster upsert equals the batch upsert; a redelivered batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val strTbl = "g_stream_ups_cluster"
+    val batTbl = "g_batch_ups_cluster"
+    val mhTbl = "g_stream_ups_minhash"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq(strTbl, batTbl, mhTbl,
+        s"${strTbl}_applied_batches",
+        operators.Dedup.staleClusterTable(strTbl),
+        operators.Dedup.staleClusterTable(batTbl)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val batch = docs.filter(col("doc_id") % 13 === 0)
+    operators.Dedup.writeMinhashIndex(corpus, mhTbl)
+    operators.Dedup.writeClusterIndex(corpus, strTbl)
+    operators.Dedup.writeClusterIndex(corpus, batTbl)
+    // the batch write-back — the parity reference
+    operators.Dedup.upsertClusterIndex(spark, mhTbl, batTbl, batch, corpus)
+    val arriving = batch.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def runStream(ck: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      in.addData(arriving: _*)
+      val q = StreamingRollups.clusterUpsertStream(
+        in.toDF().toDF("doc_id", "text"), mhTbl, strTbl, corpus, ck,
+        streamId = Some("spec-ups-stream"))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    runStream(java.nio.file.Files.createTempDirectory("graft_ups_ck1").toString)
+    def liveRows(t: String) = operators.Dedup.liveClusterRows(spark, t)
+      .select("doc_id", "cluster_id").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // parity: stream-merged live rows ≡ batch-merged live rows
+    assert(liveRows(strTbl) === liveRows(batTbl))
+    // redelivery (fresh checkpoint, same streamId → batch id 0 again):
+    // an upsert is read-modify-write, so without the guard this would
+    // re-stale-mark and re-append — the live view must not change
+    runStream(java.nio.file.Files.createTempDirectory("graft_ups_ck2").toString)
+    assert(liveRows(strTbl) === liveRows(batTbl),
+      "redelivered upsert micro-batch changed the live assignment")
+  }
+
+  test("streaming semantic upsert equals the batch upsert; a redelivered batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val strTbl = "g_stream_ups_sem"
+    val batTbl = "g_batch_ups_sem"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq(strTbl, batTbl,
+        s"${strTbl}_applied_batches",
+        operators.Dedup.staleClusterTable(strTbl),
+        operators.Dedup.staleClusterTable(batTbl)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 13 === 0)
+    val cents = operators.Similarity.headCodebookSized(residue)
+    val ivf = java.nio.file.Files.createTempDirectory("g_sem_ups_stream_ivf").toString
+    operators.Similarity.writeIvfIndexWith(residue, ivf, cents)
+    operators.Similarity.writeSemanticClusterIndex(residue, cents, strTbl)
+    operators.Similarity.writeSemanticClusterIndex(residue, cents, batTbl)
+    operators.Similarity.upsertSemanticClusterIndex(spark, ivf, batTbl, batch)
+    val arriving = batch.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    def runStream(ck: String): Unit = {
+      val in = MemoryStream[(Long, Array[Float])]
+      in.addData(arriving: _*)
+      val q = StreamingRollups.semanticUpsertStream(
+        in.toDF().toDF("vec_id", "embedding"), ivf, strTbl, ck,
+        streamId = Some("spec-sem-ups-stream"))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    runStream(java.nio.file.Files.createTempDirectory("graft_sups_ck1").toString)
+    def liveRows(t: String) = operators.Dedup.liveClusterRows(spark, t)
+      .select("doc_id", "cluster_id").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(liveRows(strTbl) === liveRows(batTbl))
+    runStream(java.nio.file.Files.createTempDirectory("graft_sups_ck2").toString)
+    assert(liveRows(strTbl) === liveRows(batTbl),
+      "redelivered semantic upsert micro-batch changed the live assignment")
+  }
+
   test("streaming BM25 append equals the batch append; redelivery never double-counts stats") {
     // BM25 is the family where batch-id idempotence matters MOST: the
     // (N, Σdl) restamp is a read-modify-write, so a replayed batch
