@@ -154,7 +154,8 @@ object Bench {
     val artifactKeys = SparkEntry.queries.keys
       .filter(k => k.contains("indexed") || k.contains("incremental") ||
         k.contains("upsert") || k.contains("stream_ingested") ||
-        k.contains("drift") || k == "split_from_index").toSeq.sorted
+        k.contains("drift") || k.contains("twolevel") ||
+        k.contains("retrained") || k == "split_from_index").toSeq.sorted
     artifactKeys.foreach { k =>
       if (subset.isEmpty || subset(k))
         try SparkEntry.queries(k)(spark, sfDir).count()
@@ -200,7 +201,7 @@ object Bench {
 
     // Isolated re-measurement: keys whose full-run figures look like
     // harness interference are re-run in a FRESH session at the end,
-    // and the isolated medians published in-artifact so a reader can
+    // and the isolated MINS published in-artifact so a reader can
     // separate plan cost from session state. Triggers (round-10
     // verdict widened the first-only rule after vwap_monthly shipped a
     // phantom 2.4× regression at noise 1.61):
@@ -239,30 +240,36 @@ object Bench {
         System.gc()
         spark = mkSession(cpus)
         val byName = SparkEntry.queries
-        // Warm-up for the FRESH session: each suspect runs once at the
-        // smallest SF (JIT/codegen) AND once at the TARGET sf,
-        // discarded, before any timed rep. The target-sf pass is the
-        // round-12 advice: the fresh session's in-memory catalog is
-        // empty, so artifact-dependent keys REBUILD their target-sf
-        // tables on first touch — that rebuild must land here, not in
-        // a rep (two rounds of pacf_indexed ~7.9 s isolated vs 0.35 s
-        // committed read as regressions that weren't).
-        suspects.foreach { name =>
+        // Per-suspect warm THEN time, interleaved — not all-warm-then-
+        // all-time: with up to 24 suspects, the other 23 keys' target-sf
+        // warm passes (artifact rebuilds, corpus scans) land BETWEEN a
+        // key's warmup and its timed reps, evicting exactly the page-
+        // cache/codegen state the warmup established — the r13
+        // driver-run signature (pacf_lags 9.14 s isolated vs 0.89 s
+        // committed min, three rounds running). Each suspect runs once
+        // at the smallest SF (JIT/codegen), once at the TARGET sf
+        // (artifact rebuild in the fresh empty catalog — the round-12
+        // advice), both discarded, then times immediately.
+        val runs = suspects.map { name =>
           if (new java.io.File(warmDir).isDirectory)
             try byName(name)(spark, warmDir).count()
             catch { case _: Throwable => () }
           try byName(name)(spark, sfDir).count()
           catch { case _: Throwable => () }
+          System.gc()
+          val (_, min, _, err) = timeOne(spark, sfDir, byName(name), warmups, reps)
+          (name, min, err)
         }
-        System.gc()
-        val runs = suspects.map { name =>
-          val (median, min, _, err) = timeOne(spark, sfDir, byName(name), warmups, reps)
-          (name, median, min, err)
-        }
-        // a key that errors only in the fresh session must NOT publish
-        // its time-to-exception as a clean isolated figure
-        (runs.collect { case (n, m, _, None) => n -> m }.toMap,
-          runs.collect { case (n, _, _, Some(e)) => n -> e }.toMap)
+        // Publish the isolated MIN, not the median: this map exists to
+        // answer "is the plan itself clean in a fresh session" (it is
+        // adjudicated against committed MINS), and in the driver's
+        // shared environment a single contended rep out of 3 inflated
+        // the published median three rounds in a row. The min is the
+        // least-contended sample — the measurement the question needs.
+        // A key that errors only in the fresh session must NOT publish
+        // its time-to-exception as a clean isolated figure.
+        (runs.collect { case (n, m, None) => n -> m }.toMap,
+          runs.collect { case (n, _, Some(e)) => n -> e }.toMap)
       }
 
     def jstr(s: String): String =

@@ -338,23 +338,27 @@ object SparkEntry {
     * guard, so the table always carries the post-upsert state the
     * gate's stats read.
     */
+  /** Clear an upsert gate's `_stale_clusters` side table left by a
+    * previous JVM: the warehouse directory survives while the
+    * in-memory catalog does not, so DROP TABLE alone is a no-op and
+    * the upsert's CREATE hits LOCATION_ALREADY_EXISTS.
+    */
+  private def clearStaleSide(s: SparkSession, t: String): Unit = {
+    val stale = Dedup.staleClusterTable(t)
+    s.sql(s"DROP TABLE IF EXISTS $stale")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, stale)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+  }
+
   private def clusterUpsertIndexTable(s: SparkSession, d: String): String = {
     val t = s"g_gate_cluster_upsert_${tag(d)}"
     ensureTable(s, t) {
-      // a previous JVM's side table may survive only as a warehouse
-      // directory (the in-memory catalog is gone, so DROP TABLE is a
-      // no-op and the append's CREATE hits LOCATION_ALREADY_EXISTS) —
-      // clear both the catalog entry and the location, like
-      // ensureTable does for the main table
-      val stale = Dedup.staleClusterTable(t)
-      s.sql(s"DROP TABLE IF EXISTS $stale")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val dir = new java.io.File(wh, stale)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      if (dir.exists()) rm(dir)
+      clearStaleSide(s, t)
       val docs = incrGateDocs(s, d)
       Dedup.writeClusterIndex(docs.filter(col("doc_id") % 13 =!= 0), t)
       Dedup.upsertClusterIndex(s, minhashIncrIndexTable(s, d), t,
@@ -377,6 +381,27 @@ object SparkEntry {
     val t = s"g_gate_embed_incr_${tag(d)}"
     ensureTable(s, t)(Dedup.writeEmbedBandIndex(
       Tables.embeddings(s, d).filter(col("vec_id") % 13 =!= 0), t))
+  }
+
+  /** Feed a frame into a MemoryStream in CHUNKED addData calls via
+    * toLocalIterator — the gate-harness replay holds one chunk on the
+    * driver at a time instead of collecting the whole table (the
+    * harness cost must stay O(chunk) memory at audit scale, so a 10×
+    * streaming-gate audit row measures the operator, not the replay).
+    * All chunks are added before the single Trigger.Once start, so the
+    * query still sees ONE micro-batch with the same rows — gate
+    * semantics and oracles unchanged.
+    */
+  private def feedStream[T](
+      in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
+      ds: org.apache.spark.sql.Dataset[T], chunk: Int = 65536): Unit = {
+    val it = ds.toLocalIterator()
+    val buf = new scala.collection.mutable.ArrayBuffer[T](chunk)
+    while (it.hasNext) {
+      buf += it.next()
+      if (buf.size >= chunk) { in.addData(buf.toSeq: _*); buf.clear() }
+    }
+    if (buf.nonEmpty) in.addData(buf.toSeq: _*)
   }
 
   private def ivfIdx(s: SparkSession, d: String): String = indexLock.synchronized {
@@ -424,9 +449,9 @@ object SparkEntry {
         import s.implicits._
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Array[Float], Int)]
-        in.addData(vecs.filter(col("vec_id") % 13 === 0)
+        feedStream(in, vecs.filter(col("vec_id") % 13 === 0)
           .select("vec_id", "embedding", "label")
-          .as[(Long, Array[Float], Int)].collect().toSeq: _*)
+          .as[(Long, Array[Float], Int)])
         val ck = java.nio.file.Files
           .createTempDirectory("g_gate_ivf_stream_ck").toString
         val q = graft.streaming.StreamingRollups.ivfAppendStream(
@@ -488,6 +513,28 @@ object SparkEntry {
     }
   }
 
+  /** Semantic components index for the UPSERT gate: components built
+    * over the residue (vec_id ≢ 0 mod 13) under the residue-sized head
+    * codebook, then the batch MERGED IN PLACE via
+    * [[Similarity.upsertSemanticClusterIndex]] — the batch-sized
+    * persist path (stale-mark superseded components + bucket-preserving
+    * re-append), never a corpus rebuild. Edge generation reads the
+    * residue IVF index ([[semIncrIdx]] — the same stored codebook the
+    * oracle replays). Both steps run under one ensureTable guard.
+    */
+  private def semClusterUpsertTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_sem_upsert_${tag(d)}"
+    ensureTable(s, t) {
+      clearStaleSide(s, t)
+      val vecs = Tables.embeddings(s, d)
+      val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+      Similarity.writeSemanticClusterIndex(residue,
+        Similarity.headCodebookSized(residue), t)
+      Similarity.upsertSemanticClusterIndex(s, semIncrIdx(s, d), t,
+        vecs.filter(col("vec_id") % 13 === 0))
+    }
+  }
+
   /** ADMISSION-GATED stream-ingested semantic index: the residue index
     * grown by ONE micro-batch through
     * [[graft.streaming.StreamingRollups.semanticAdmissionStream]] —
@@ -515,9 +562,9 @@ object SparkEntry {
         import s.implicits._
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Array[Float])]
-        in.addData(vecs.filter(col("vec_id") % 13 === 0)
+        feedStream(in, vecs.filter(col("vec_id") % 13 === 0)
           .select("vec_id", "embedding")
-          .as[(Long, Array[Float])].collect().toSeq: _*)
+          .as[(Long, Array[Float])])
         val ck = java.nio.file.Files
           .createTempDirectory("g_gate_sem_admit_ck").toString
         val q = graft.streaming.StreamingRollups.semanticAdmissionStream(
@@ -527,6 +574,23 @@ object SparkEntry {
         require(q.awaitTermination(120000),
           s"stream gate build timed out: $path")
         semAdmitBuilt += path
+      }
+      path
+    }
+
+  /** Persisted TWO-LEVEL IVF index (coarse ⋈ fine codebook, flat
+    * list_id layout) — the factored-assignment escape from the flat
+    * n·k·d ceiling; probed by the SAME exact-guarantee machinery as
+    * the flat index, so its oracle is plain brute force.
+    */
+  private val ivf2Built = scala.collection.mutable.Set.empty[String]
+  private def ivfTwoLevelIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf2_${tag(d)}").toString
+      if (!ivf2Built.contains(path)) {
+        Similarity.writeTwoLevelIvfIndex(Tables.embeddings(s, d), path)
+        ivf2Built += path
       }
       path
     }
@@ -589,8 +653,8 @@ object SparkEntry {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    in.addData(Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
-      .select("doc_id", "text").as[(Long, String)].collect().toSeq: _*)
+    feedStream(in, Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text").as[(Long, String)])
     in.toDF().toDF("doc_id", "text")
   }
 
@@ -665,9 +729,9 @@ object SparkEntry {
       import s.implicits._
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Array[Float])]
-      in.addData(Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0)
+      feedStream(in, Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0)
         .select("vec_id", "embedding")
-        .as[(Long, Array[Float])].collect().toSeq: _*)
+        .as[(Long, Array[Float])])
       graft.streaming.StreamingRollups.embedAppendStream(
         in.toDF().toDF("vec_id", "embedding"), t, ck, streamId = Some(t))
         .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
@@ -692,12 +756,70 @@ object SparkEntry {
       import s.implicits._
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Array[Byte], Map[String, String])]
-      in.addData(Multimodal.gateMedia(Tables.documents(s, d))
+      feedStream(in, Multimodal.gateMedia(Tables.documents(s, d))
         .filter(col("media_id") % 13 === 0)
         .select("media_id", "modality", "payload", "meta")
-        .as[(Long, String, Array[Byte], Map[String, String])].collect().toSeq: _*)
+        .as[(Long, String, Array[Byte], Map[String, String])])
       graft.streaming.StreamingRollups.mediaAppendStream(
         in.toDF().toDF("media_id", "modality", "payload", "meta"), t, ck,
+        streamId = Some(t))
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    }
+  }
+
+  /** STREAM-UPSERTED cluster assignment: the residue components built
+    * batch-side, then the arriving document batch MERGED through the
+    * STREAMING write-back stage
+    * ([[graft.streaming.StreamingRollups.clusterUpsertStream]] —
+    * foreachBatch → upsertClusterIndex under batch-id idempotence).
+    * The stream-merged live rows must be indistinguishable from a full
+    * re-cluster of the union, so the gate shares
+    * `cluster_upsert_stats`' recursive-components oracle verbatim.
+    */
+  private def clusterUpsertStreamTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_cluster_ups_stream_${tag(d)}"
+    streamIngestTable(s, t) {
+      clearStaleSide(s, t)
+      Dedup.writeClusterIndex(
+        incrGateDocs(s, d).filter(col("doc_id") % 13 =!= 0), t)
+    } { ck =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = incrGateDocs(s, d)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      feedStream(in, docs.filter(col("doc_id") % 13 === 0)
+        .select("doc_id", "text").as[(Long, String)])
+      graft.streaming.StreamingRollups.clusterUpsertStream(
+        in.toDF().toDF("doc_id", "text"), minhashIncrIndexTable(s, d), t,
+        docs.filter(col("doc_id") % 13 =!= 0), ck, streamId = Some(t))
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    }
+  }
+
+  /** STREAM-UPSERTED semantic components — the embedding-space twin of
+    * [[clusterUpsertStreamTable]]: residue components built batch-side
+    * under the residue head codebook, the arriving vector batch merged
+    * through [[graft.streaming.StreamingRollups.semanticUpsertStream]].
+    * Shares `semantic_upsert_stats`' full-rebuild oracle verbatim.
+    */
+  private def semUpsertStreamTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_sem_ups_stream_${tag(d)}"
+    streamIngestTable(s, t) {
+      clearStaleSide(s, t)
+      val residue = Tables.embeddings(s, d).filter(col("vec_id") % 13 =!= 0)
+      Similarity.writeSemanticClusterIndex(residue,
+        Similarity.headCodebookSized(residue), t)
+    } { ck =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      feedStream(in, Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])])
+      graft.streaming.StreamingRollups.semanticUpsertStream(
+        in.toDF().toDF("vec_id", "embedding"), semIncrIdx(s, d), t, ck,
         streamId = Some(t))
         .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
     }
@@ -723,7 +845,7 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.StreamingRollups.Tick]
-        in.addData(ev.as[graft.streaming.StreamingRollups.Tick].collect().toSeq: _*)
+        feedStream(in, ev.as[graft.streaming.StreamingRollups.Tick])
         val q = graft.streaming.StreamingRollups
           .ohlcWindowed(in.toDF(), "1 day", "10 seconds")
           .writeStream.format("memory").queryName(name)
@@ -754,7 +876,7 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.StreamingRollups.Tick]
-        in.addData(ev.as[graft.streaming.StreamingRollups.Tick].collect().toSeq: _*)
+        feedStream(in, ev.as[graft.streaming.StreamingRollups.Tick])
         val q = graft.streaming.StreamingRollups
           .windowedExact(in.toDF().withColumnRenamed("user_id", "entity_id"),
             "1 day", "10 seconds")
@@ -791,7 +913,7 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.StreamingRollups.Tick]
-        in.addData(ev.as[graft.streaming.StreamingRollups.Tick].collect().toSeq: _*)
+        feedStream(in, ev.as[graft.streaming.StreamingRollups.Tick])
         val q = graft.streaming.StreamingRollups
           .sessionWindowed(in.toDF().withColumnRenamed("user_id", "entity_id"),
             "30000 seconds", "10 seconds")
@@ -803,6 +925,35 @@ object SparkEntry {
         sessionStreamBuilt += name
       }
       name
+    }
+
+  /** DRIFTED-THEN-RETRAINED IVF index for the retrain gate — the full
+    * lifecycle the drift report exists to drive, oracle-gated end to
+    * end: the residue-trained index ages by appending the batch under
+    * the old codebook (the drift), a takedown slice (vec_id ≡ 3 mod
+    * 97) tombstones, then [[Similarity.retrainIvfIndex]] rebuilds the
+    * codebook AND assignment over LIVE rows in place (tombstones fold
+    * into the rebuilt lists, the side dir drops). The exact-guarantee
+    * probe over the retrained index must equal brute force over the
+    * live union — the retrain can move every list boundary and the
+    * answer may not change.
+    */
+  private val ivfRetrainBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfRetrainIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf_retrain_${tag(d)}").toString
+      if (!ivfRetrainBuilt.contains(path)) {
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeIvfIndex(vecs.filter(col("vec_id") % 13 =!= 0), path)
+        Similarity.appendToIvfIndex(s, path,
+          vecs.filter(col("vec_id") % 13 === 0))
+        Similarity.deleteFromIvfIndex(s, path,
+          vecs.filter(col("vec_id") % 97 === 3).select("vec_id"))
+        Similarity.retrainIvfIndex(s, path)
+        ivfRetrainBuilt += path
+      }
+      path
     }
 
   /** AGED IVF index with a SQL-REPRODUCIBLE codebook for the drift
@@ -1624,6 +1775,11 @@ object SparkEntry {
     // indistinguishable from a full rebuild
     "cluster_upsert_stats" -> ((s, d) =>
       Dedup.clusterStatsFromIndex(s, clusterUpsertIndexTable(s, d))),
+    // the STREAMING twin: the same batch merged through
+    // clusterUpsertStream (foreachBatch → upsertClusterIndex under
+    // batch-id idempotence) — shares the full-rebuild oracle verbatim
+    "cluster_upsert_stream_ingested" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, clusterUpsertStreamTable(s, d))),
     "dedup_keep_best_indexed" -> ((s, d) => Dedup.keepBestIndexed(s, clusterIdx(s, d))),
     "cluster_stats_indexed" -> ((s, d) => Dedup.clusterStatsFromIndex(s, clusterIdx(s, d))),
     "split_from_index" -> ((s, d) => Sampling.splitFromIndex(s, clusterIdx(s, d))),
@@ -1640,6 +1796,21 @@ object SparkEntry {
     // union — the whole embeddings table — is the correct oracle
     "ann_ivf_incremental" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfIncrIdx(s, d), 7L, 20)),
+    // the TWO-LEVEL index probe: same exact-guarantee machinery over
+    // the coarse⋈fine-trained flat layout (assignment paid n·2√k·d at
+    // ingest instead of n·k·d) — brute force stays the correct oracle
+    "ann_ivf_twolevel" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfTwoLevelIdx(s, d), 7L, 20)),
+    // the assignment-COST measurement pair (the scaling audit's
+    // flat-ceiling demonstration): per-list sizes under the flat
+    // corpus-sized head codebook (n·k·d — quadratic under k ∝ n) vs
+    // the factored two-level head books (n·2√k·d)
+    "ivf_assign_flat" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.assignListSizes(vecs, Similarity.headCodebookSized(vecs))
+    }),
+    "ivf_assign_twolevel" -> ((s, d) =>
+      Similarity.twoLevelHeadListSizes(Tables.embeddings(s, d))),
     // the PATH-BASED streaming ingest twin: the batch appended through
     // ivfAppendStream (applied_batches-dir idempotence) instead of the
     // batch call — the exact-guarantee probe stays exact over the
@@ -1653,6 +1824,12 @@ object SparkEntry {
     // HALF_UP recall identity)
     "ann_drift_report" -> ((s, d) =>
       Similarity.ivfDriftReport(s, ivfDriftIdx(s, d))),
+    // the retrain gate: probe the drifted → takedown → RETRAINED index
+    // (codebook + assignment rebuilt over live rows in place, tombstones
+    // folded) — the exact guarantee holds over the retrained lists, so
+    // brute force over the live rows is the oracle
+    "ann_retrained_probe" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfRetrainIdx(s, d), 7L, 20)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -1761,6 +1938,17 @@ object SparkEntry {
       Dedup.clusterStatsFromIndex(s, semClusterIdx(s, d))),
     "semantic_weights_indexed" -> ((s, d) =>
       Similarity.semanticWeightsFromIndex(s, semClusterIdx(s, d))),
+    // the semantic-components INGEST-PERSIST gate: the batch's τ-edges
+    // merge into the persisted components in place (stale-mark + batch-
+    // sized re-append through the same bucket spec), then the size
+    // histogram reads the live rows; the oracle recomputes components
+    // over ALL rows assigned under the residue codebook, so the merged
+    // persisted state must be indistinguishable from a full rebuild
+    "semantic_upsert_stats" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, semClusterUpsertTable(s, d))),
+    // the STREAMING twin (semanticUpsertStream) — shared oracle
+    "semantic_upsert_stream_ingested" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, semUpsertStreamTable(s, d))),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -2518,8 +2706,67 @@ object SparkEntry {
     * recursive-reach min-label. Ends after `lbl` WITHOUT a trailing
     * comma — callers append their SELECT (or `, cl AS ...`).
     */
-  private def semanticClusterCtes: String =
-    headAssignCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+  private def semanticClusterCtes: String = semanticClusterCtesFor("")
+
+  /** Oracle for ivf_assign_twolevel: replay the head-derived two-level
+    * books and the factored assignment — grid g = ⌈√max(16, ⌈n/256⌉)⌉
+    * (clamped at 4, the [[Similarity.twoLevelGrid]] formula), coarse
+    * book = first g embeddings by vec_id, coarse cell = sequential-fold
+    * L2 argmin (ties to the lowest id — the NearestCentroidExpr IEEE
+    * chain), fine book per cell = the cell's first g members by vec_id,
+    * fine pick = the same argmin within the cell, list_id = cid·g + fid.
+    */
+  private def twoLevelAssignOracle: String =
+    """WITH gp AS (SELECT greatest(4, CAST(ceil(sqrt(greatest(16.0, ceil(count(*) / 256.0)))) AS BIGINT)) AS g FROM embeddings),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (SELECT rn - 1 AS cid, cent FROM (
+      |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+      |      CAST(embedding AS DOUBLE[]) AS cent FROM embeddings)
+      |  WHERE rn <= (SELECT g FROM gp)),
+      |cd AS (SELECT ev.vec_id, cb.cid,
+      |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(cb.cent))),
+      |    i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
+      |  FROM ev CROSS JOIN cb),
+      |ca AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM cd) WHERE rn = 1),
+      |fb AS (SELECT cid, rn - 1 AS fid, cent FROM (
+      |    SELECT ca.cid, row_number() OVER (PARTITION BY ca.cid ORDER BY ca.vec_id) AS rn,
+      |      ev.v AS cent FROM ca JOIN ev USING (vec_id))
+      |  WHERE rn <= (SELECT g FROM gp)),
+      |fd AS (SELECT ev.vec_id, ca.cid, fb.fid,
+      |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(fb.cent))),
+      |    i -> (ev.v[i] - fb.cent[i]) * (ev.v[i] - fb.cent[i]))), (a, b) -> a + b) AS d2
+      |  FROM ev JOIN ca USING (vec_id) JOIN fb ON fb.cid = ca.cid),
+      |fa AS (SELECT vec_id, cid, fid FROM (
+      |  SELECT vec_id, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, fid) AS rn
+      |  FROM fd) WHERE rn = 1)
+      |SELECT CAST(cid * (SELECT g FROM gp) + fid AS INTEGER) AS list_id,
+      |  count(*)::BIGINT AS n_vectors
+      |FROM fa GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle shared by semantic_upsert_stats and its streaming twin:
+    * components over ALL rows (residue ∪ batch) assigned under the
+    * RESIDUE codebook — exactly what the residue-built index plus the
+    * in-place batch merge must equal.
+    */
+  private def semanticUpsertStatsOracle: String =
+    semanticClusterCtesFor("WHERE vec_id % 13 <> 0") +
+      """, cl AS (SELECT d.vec_id,
+        |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
+        |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+        |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |  (cluster_size * count(*))::BIGINT AS n_docs
+        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** [[semanticClusterCtes]] with the codebook drawn from a FILTERED
+    * slice (the mod-13 residue for the upsert gate) while every row is
+    * still assigned under it — what the residue-built index stores
+    * plus the upserted batch's compiled pass.
+    */
+  private def semanticClusterCtesFor(cbWhere: String): String =
+    headAssignCteFor(cbWhere).replaceFirst("WITH ", "WITH RECURSIVE ") +
       """sp AS (SELECT a.vec_id AS a, b.vec_id AS b
         |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
         |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
@@ -4186,6 +4433,8 @@ object SparkEntry {
     "dedup_containment_incremental" -> containmentIncrementalOracle,
     "dedup_cluster_incremental" -> clusterIncrOracle,
     "cluster_upsert_stats" -> clusterUpsertStatsOracle,
+    // the stream-merged live rows must equal the same full rebuild
+    "cluster_upsert_stream_ingested" -> clusterUpsertStatsOracle,
     "dedup_keep_best_indexed" -> keepBestOracle,
     "cluster_stats_indexed" -> clusterStatsOracle,
     "dedup_weights" -> weightsOracle,
@@ -4234,6 +4483,34 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
         |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // retrained-index probe: live rows = everything minus the takedown
+    // slice; the exact guarantee survives the in-place retrain
+    "ann_retrained_probe" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 AND e.vec_id % 97 <> 3
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // exact-guarantee probe over the TWO-LEVEL index: the triangle-
+    // inequality bounds hold over ANY assignment, so brute force is
+    // the correct oracle regardless of the trained books
+    "ann_ivf_twolevel" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // flat assignment-cost key: the shared head-codebook assignment,
+    // aggregated to per-list sizes
+    "ivf_assign_flat" ->
+      (headAssignCte +
+        """sz AS (SELECT list_id, count(*)::BIGINT AS n_vectors FROM asg GROUP BY 1)
+          |SELECT CAST(list_id AS INTEGER) AS list_id, n_vectors
+          |FROM sz ORDER BY list_id""".stripMargin),
+    // two-level assignment-cost key: coarse book = first √k embeddings
+    // by vec_id, fine book per cell = the cell's first √k members by
+    // vec_id (both SQL-replayable), argmins on the same sequential-fold
+    // L2 with ties to the lowest id, list_id = cid·√k + fid
+    "ivf_assign_twolevel" -> twoLevelAssignOracle,
     // day diffs and truncating div only — integer-exact on both
     // engines; published is the api_search ingest derivation
     "sample_recency" -> {
@@ -4586,6 +4863,12 @@ object SparkEntry {
           |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size,
           |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
           |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id""".stripMargin),
+    // upsert gate: components over ALL rows (residue ∪ batch) assigned
+    // under the RESIDUE codebook — exactly what the residue-built index
+    // plus the in-place batch merge must equal
+    "semantic_upsert_stats" -> semanticUpsertStatsOracle,
+    // the stream-merged semantic components must equal the same rebuild
+    "semantic_upsert_stream_ingested" -> semanticUpsertStatsOracle,
     "semantic_cluster_stats" ->
       (semanticClusterCtes +
         """, cl AS (SELECT d.vec_id,
