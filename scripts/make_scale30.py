@@ -14,6 +14,11 @@ audit threshold or saturating.
    make_scale10.py, so each copy's internal dup structure is preserved
    while cross-copy char-5 Jaccard stays under every LSH trigger.
 
+ - /tmp/scale30_wide: documents AND embeddings at 30x (r14: third
+   points for bm25_topk and knn_graph, the two highest unflagged 10x
+   wide ratios) — same content-seeded word permutation for docs, same
+   deterministic sign flips for vectors as make_scale10.py.
+
 Tables not scaled are symlinked from sf0.1. Deterministic throughout.
 """
 import os
@@ -22,6 +27,7 @@ import duckdb
 SF = "/root/testdata/sf0.1"
 LONG30 = "/tmp/scale30_long"
 DOCS30 = "/tmp/scale30_docs"
+WIDE30 = "/tmp/scale30_wide"
 COPIES = 30
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
@@ -66,7 +72,24 @@ def main():
       ) TO '{DOCS30}/documents.parquet' (FORMAT PARQUET)""")
     link_rest(DOCS30, {"documents"})
 
-    for d, t in ((LONG30, "events"), (DOCS30, "documents")):
+    os.makedirs(WIDE30, exist_ok=True)
+    if not os.path.exists(f"{WIDE30}/documents.parquet"):
+        os.symlink(f"{DOCS30}/documents.parquet", f"{WIDE30}/documents.parquet")
+    con.execute(f"""
+      COPY (
+        SELECT vec_id + c * 2000 AS vec_id,
+               CASE WHEN c = 0 THEN embedding
+                    ELSE list_transform(embedding,
+                      (e, j) -> CASE WHEN hash(vec_id * 131 + j * 13 + c * 7) % 2 = 0
+                                     THEN e ELSE -e END)
+               END AS embedding,
+               label
+        FROM read_parquet('{SF}/embeddings.parquet'), copies
+      ) TO '{WIDE30}/embeddings.parquet' (FORMAT PARQUET)""")
+    link_rest(WIDE30, {"documents", "embeddings"})
+
+    for d, t in ((LONG30, "events"), (DOCS30, "documents"),
+                 (WIDE30, "embeddings")):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{d}/{t}.parquet')").fetchone()[0]
         print(f"{d}: {t} rows = {n}")

@@ -66,6 +66,12 @@ WIDE_KEYS = [
     "dedup_cluster_incremental", "embed_neardup_incremental",
     "media_phash_incremental", "ann_ivf_incremental",
     "semdedup_incremental", "semantic_admission_ingest",
+    # r14: the write-back family (upserts are batch-sized merges against
+    # the corpus-sized artifact) and the retrained/two-level probes
+    # (builds land in the untimed pre-build; the probe is partition-
+    # pruned and must not scale with the corpus)
+    "cluster_upsert_stats", "semantic_upsert_stats",
+    "ann_retrained_probe", "ann_ivf_twolevel",
 ]
 
 LONG_KEYS = [
@@ -147,6 +153,31 @@ def main():
                             "note": "30x docs (decorrelated copies) — simhash candidate-density third point",
                             "keys": audit("wide30_docs", ["dedup_simhash"],
                                           "/tmp/scale30_docs", threshold=45.0)},
+            # r13 verdict item #5: third points for the two highest
+            # unflagged wide ratios (bm25_topk 7.84x, knn_graph 5.73x at
+            # 10x) — the kendall lesson: two points can't separate a log
+            # factor from a hidden square
+            "wide30_curves": {"dir": "/tmp/scale30_wide", "data_factor": 30,
+                              "note": "30x docs/vectors — third points for bm25_topk and "
+                                      "knn_graph (highest unflagged 10x wide ratios)",
+                              "keys": audit("wide30_curves", ["bm25_topk", "knn_graph"],
+                                            "/tmp/scale30_wide", threshold=45.0)},
+            # the flat-vs-two-level ASSIGNMENT ceiling, measured: under
+            # the corpus-sized k = max(16, ceil(n/256)), the flat pass is
+            # n*k*d (EXPECTED ~100x at 10x data — the documented ceiling,
+            # threshold set above it so the demonstration is a reading,
+            # not a flag), the factored pass n*2*sqrt(k)*d (~n^1.5,
+            # expected ~30x; its own threshold stays at 45 = 1.5x factor)
+            "wide_assign_flat": {"dir": WIDE, "data_factor": 10,
+                                 "note": "flat assignment n*k*d under k ∝ n: expected ~100x at 10x "
+                                         "(the SURVEY §5 ceiling, demonstrated not flagged)",
+                                 "keys": audit("wide_assign_flat", ["ivf_assign_flat"],
+                                               WIDE, threshold=150.0)},
+            "wide_assign_twolevel": {"dir": WIDE, "data_factor": 10,
+                                     "note": "two-level assignment n*2*sqrt(k)*d: expected ~30x at 10x "
+                                             "(the escape; above 45x would mean the factoring failed)",
+                                     "keys": audit("wide_assign_twolevel", ["ivf_assign_twolevel"],
+                                                   WIDE, threshold=45.0)},
         },
     }
     flags = [(a, k) for a, ax in result["axes"].items()
