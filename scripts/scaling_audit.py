@@ -98,9 +98,9 @@ def run_bench(sf_dir, keys):
     return rec["queries"], rec.get("errors", {})
 
 
-def audit(axis, sf_keys, scaled_dir, threshold=THRESHOLD):
-    print(f"[audit] baseline {axis}: {len(sf_keys)} keys at {SF}")
-    base, base_err = run_bench(SF, sf_keys)
+def audit(axis, sf_keys, scaled_dir, threshold=THRESHOLD, base_dir=SF):
+    print(f"[audit] baseline {axis}: {len(sf_keys)} keys at {base_dir}")
+    base, base_err = run_bench(base_dir, sf_keys)
     print(f"[audit] scaled {axis}: {scaled_dir}")
     scaled, scaled_err = run_bench(scaled_dir, sf_keys)
     out = {}
@@ -162,22 +162,28 @@ def main():
                                       "knn_graph (highest unflagged 10x wide ratios)",
                               "keys": audit("wide30_curves", ["bm25_topk", "knn_graph"],
                                             "/tmp/scale30_wide", threshold=45.0)},
-            # the flat-vs-two-level ASSIGNMENT ceiling, measured: under
-            # the corpus-sized k = max(16, ceil(n/256)), the flat pass is
-            # n*k*d (EXPECTED ~100x at 10x data — the documented ceiling,
-            # threshold set above it so the demonstration is a reading,
-            # not a flag), the factored pass n*2*sqrt(k)*d (~n^1.5,
-            # expected ~30x; its own threshold stays at 45 = 1.5x factor)
-            "wide_assign_flat": {"dir": WIDE, "data_factor": 10,
-                                 "note": "flat assignment n*k*d under k ∝ n: expected ~100x at 10x "
-                                         "(the SURVEY §5 ceiling, demonstrated not flagged)",
-                                 "keys": audit("wide_assign_flat", ["ivf_assign_flat"],
-                                               WIDE, threshold=150.0)},
-            "wide_assign_twolevel": {"dir": WIDE, "data_factor": 10,
-                                     "note": "two-level assignment n*2*sqrt(k)*d: expected ~30x at 10x "
-                                             "(the escape; above 45x would mean the factoring failed)",
-                                     "keys": audit("wide_assign_twolevel", ["ivf_assign_twolevel"],
-                                                   WIDE, threshold=45.0)},
+            # the flat-vs-two-level ASSIGNMENT ceiling, measured between
+            # 10x-wide and 30x-wide (3x data, BOTH above the k = 16
+            # clamp, so the exponents read clean): flat is n*k*d — flop
+            # ratio (60000*235)/(20000*79) ≈ 8.9x ≈ 3² (the SURVEY §5
+            # quadratic ceiling, demonstrated not flagged; threshold
+            # above it) — while the factored pass is n*2*sqrt(k)*d —
+            # expected ≈ 3^1.5 ≈ 5.3x (above ~7x would mean the
+            # factoring failed); a LINEAR op would read ~3x
+            "assign_flat_3x": {"dir": "/tmp/scale30_wide", "data_factor": 3,
+                               "base_dir": WIDE,
+                               "note": "flat assignment n*k*d under k ∝ n, 10x-wide -> 30x-wide: "
+                                       "expected ~9x for 3x data (the quadratic ceiling reading)",
+                               "keys": audit("assign_flat_3x", ["ivf_assign_flat"],
+                                             "/tmp/scale30_wide", threshold=15.0,
+                                             base_dir=WIDE)},
+            "assign_twolevel_3x": {"dir": "/tmp/scale30_wide", "data_factor": 3,
+                                   "base_dir": WIDE,
+                                   "note": "two-level assignment n*2*sqrt(k)*d, same corpora: "
+                                           "expected ~5.3x ≈ 3^1.5 (the escape)",
+                                   "keys": audit("assign_twolevel_3x", ["ivf_assign_twolevel"],
+                                                 "/tmp/scale30_wide", threshold=7.0,
+                                                 base_dir=WIDE)},
         },
     }
     flags = [(a, k) for a, ax in result["axes"].items()

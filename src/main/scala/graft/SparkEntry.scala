@@ -595,6 +595,27 @@ object SparkEntry {
       path
     }
 
+  /** Residue-built two-level index grown by the batch through the
+    * FACTORED append ([[Similarity.appendToTwoLevelIvfIndex]] — coarse
+    * route, then the cell's ragged book, batch·2√k·d) — the two-level
+    * family's check→extend loop.
+    */
+  private val ivf2IncrBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfTwoLevelIncrIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf2_incr_${tag(d)}").toString
+      if (!ivf2IncrBuilt.contains(path)) {
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeTwoLevelIvfIndex(
+          vecs.filter(col("vec_id") % 13 =!= 0), path)
+        Similarity.appendToTwoLevelIvfIndex(s, path,
+          vecs.filter(col("vec_id") % 13 === 0))
+        ivf2IncrBuilt += path
+      }
+      path
+    }
+
   private val ivfIncrBuilt = scala.collection.mutable.Set.empty[String]
   private def ivfIncrIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
@@ -1801,6 +1822,11 @@ object SparkEntry {
     // ingest instead of n·k·d) — brute force stays the correct oracle
     "ann_ivf_twolevel" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfTwoLevelIdx(s, d), 7L, 20)),
+    // the two-level ingest loop: batch appended through the FACTORED
+    // assignment (stored coarse book + the cell's ragged fine book) —
+    // exact probe over the grown lists, brute force over the union
+    "ann_ivf_twolevel_incremental" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfTwoLevelIncrIdx(s, d), 7L, 20)),
     // the assignment-COST measurement pair (the scaling audit's
     // flat-ceiling demonstration): per-list sizes under the flat
     // corpus-sized head codebook (n·k·d — quadratic under k ∝ n) vs
@@ -4495,6 +4521,13 @@ object SparkEntry {
     // inequality bounds hold over ANY assignment, so brute force is
     // the correct oracle regardless of the trained books
     "ann_ivf_twolevel" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // two-level index grown by the factored append: union brute force,
+    // exactly like ann_ivf_incremental
+    "ann_ivf_twolevel_incremental" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q

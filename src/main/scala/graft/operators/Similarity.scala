@@ -552,11 +552,46 @@ object Similarity {
     flat.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("coarse_id", "cent")
+    // the coarse book rides with each cell's REAL fine-book length, so
+    // maintenance ([[appendToTwoLevelIvfIndex]]) can rebuild the ragged
+    // books from the flat slices without guessing at hole padding
+    coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, fine(i).length) }
+      .toDF("coarse_id", "cent", "n_fine")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook_coarse")
     twoLevelAssigned(embeddings, coarse, fine, g)
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** Index MAINTENANCE for the two-level index — [[appendToIvfIndex]]
+    * with the FACTORED assignment: the batch routes through the stored
+    * coarse book (`codebook_coarse`) and then its cell's fine slice of
+    * the flat codebook, costing batch·2√k·d like the build (the flat
+    * append would silently pay batch·k·d and, worse, route by global
+    * nearest — a different cell than the factored pass picks, breaking
+    * build↔append assignment parity). Hole slots (a cell's flat slice
+    * padded with its coarse centroid where the cell had fewer members
+    * than √k at build) are excluded from the batch's fine books the
+    * same way the build's ragged books excluded them, so an appended
+    * vector can only land in a list the build could have produced.
+    * Probes stay partition-pruned and exact (radii over live rows).
+    */
+  def appendToTwoLevelIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, newVecs: DataFrame): Unit = {
+    val cRows = spark.read.parquet(s"$path/codebook_coarse")
+      .orderBy("coarse_id").collect()
+    val coarse = cRows.map(vecOf(_, "cent"))
+    val nFine = cRows.map(_.getAs[Int]("n_fine"))
+    val flat = spark.read.parquet(s"$path/codebook")
+      .orderBy("list_id").collect().map(vecOf(_, "cent"))
+    val g = flat.length / coarse.length
+    // rebuild the ragged books from the flat slices at the RECORDED
+    // per-cell lengths (hole padding excluded exactly as at build)
+    val fine: Array[Array[Array[Double]]] = Array.tabulate(coarse.length) { c =>
+      flat.slice(c * g, c * g + nFine(c))
+    }
+    twoLevelAssigned(newVecs, coarse, fine, g)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
   /** Per-list sizes of an IN-QUERY flat assignment — the

