@@ -616,6 +616,117 @@ object SparkEntry {
       path
     }
 
+  /** Two-level index drifted (factored batch append) → takedown →
+    * RETRAINED TWO-LEVEL over live rows (grid resized to the live
+    * count) — the factored twin of [[ivfRetrainIdx]]: a two-level
+    * index must never retrain flat, or every future append silently
+    * pays n·k·d again.
+    */
+  private val ivf2RetrainBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfTwoLevelRetrainIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf2_retrain_${tag(d)}").toString
+      if (!ivf2RetrainBuilt.contains(path)) {
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeTwoLevelIvfIndex(
+          vecs.filter(col("vec_id") % 13 =!= 0), path)
+        Similarity.appendToTwoLevelIvfIndex(s, path,
+          vecs.filter(col("vec_id") % 13 === 0))
+        Similarity.deleteFromIvfIndex(s, path,
+          vecs.filter(col("vec_id") % 97 === 3).select("vec_id"))
+        Similarity.retrainTwoLevelIvfIndex(s, path)
+        ivf2RetrainBuilt += path
+      }
+      path
+    }
+
+  /** STREAM-grown two-level index: residue built batch-side, the
+    * arriving vector batch appended through the FACTORED streaming
+    * stage ([[graft.streaming.StreamingRollups.ivfTwoLevelAppendStream]]).
+    */
+  private val ivf2StreamBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfTwoLevelStreamIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf2_stream_${tag(d)}").toString
+      if (!ivf2StreamBuilt.contains(path)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(path))
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeTwoLevelIvfIndex(
+          vecs.filter(col("vec_id") % 13 =!= 0), path)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        feedStream(in, vecs.filter(col("vec_id") % 13 === 0)
+          .select("vec_id", "embedding").as[(Long, Array[Float])])
+        val ck = java.nio.file.Files
+          .createTempDirectory("g_gate_ivf2_stream_ck").toString
+        val q = graft.streaming.StreamingRollups.ivfTwoLevelAppendStream(
+          in.toDF().toDF("vec_id", "embedding"), path, ck,
+          streamId = Some("gate-ivf2-stream"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $path")
+        ivf2StreamBuilt += path
+      }
+      path
+    }
+
+  /** The full CURATION loop gate artifacts: the residue semantic index
+    * + residue components table, ONE micro-batch run through
+    * [[graft.streaming.StreamingRollups.semanticCurationStream]] —
+    * admission check, index append of the novel vectors, component
+    * merge of the admitted set — under one replay guard. Returns the
+    * components table name (the probe reads its live histogram); the
+    * IVF index path is derived.
+    */
+  private val semCurationBuilt = scala.collection.mutable.Set.empty[String]
+  private def semCurationTables(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val t = s"g_gate_sem_curation_${tag(d)}"
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_sem_curation_${tag(d)}").toString
+      if (!semCurationBuilt.contains(t)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(path))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val dir = new java.io.File(wh, t)
+        if (dir.exists()) rm(dir)
+        clearStaleSide(s, t)
+        val vecs = Tables.embeddings(s, d)
+        val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+        val cents = Similarity.headCodebookSized(residue)
+        Similarity.writeIvfIndexWith(residue, path, cents)
+        Similarity.writeSemanticClusterIndex(residue, cents, t)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        feedStream(in, vecs.filter(col("vec_id") % 13 === 0)
+          .select("vec_id", "embedding").as[(Long, Array[Float])])
+        val ck = java.nio.file.Files
+          .createTempDirectory("g_gate_sem_curation_ck").toString
+        val q = graft.streaming.StreamingRollups.semanticCurationStream(
+          in.toDF().toDF("vec_id", "embedding"), path, t, ck,
+          streamId = Some("gate-sem-curation"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $t")
+        semCurationBuilt += t
+      }
+      t
+    }
+
   private val ivfIncrBuilt = scala.collection.mutable.Set.empty[String]
   private def ivfIncrIdx(s: SparkSession, d: String): String = indexLock.synchronized {
     val path = new java.io.File(
@@ -1827,6 +1938,18 @@ object SparkEntry {
     // exact probe over the grown lists, brute force over the union
     "ann_ivf_twolevel_incremental" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfTwoLevelIncrIdx(s, d), 7L, 20)),
+    // drifted → takedown → retrained TWO-LEVEL (grid resized to live
+    // count, factored structure preserved) — live-rows brute force
+    "ann_ivf_twolevel_retrained" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfTwoLevelRetrainIdx(s, d), 7L, 20)),
+    // the factored STREAMING ingest stage — union brute force
+    "ivf_twolevel_stream_ingested" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfTwoLevelStreamIdx(s, d), 7L, 20)),
+    // the full curation loop per micro-batch (admit → append → merge
+    // components, one replay guard): the probe reads the component
+    // size histogram over residue ∪ admitted
+    "semantic_curation_stream_ingested" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, semCurationTables(s, d))),
     // the assignment-COST measurement pair (the scaling audit's
     // flat-ceiling demonstration): per-list sizes under the flat
     // corpus-sized head codebook (n·k·d — quadratic under k ∝ n) vs
@@ -4532,6 +4655,52 @@ object SparkEntry {
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
         |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // stream-grown two-level lists probe exactly like batch-grown ones
+    "ivf_twolevel_stream_ingested" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // retrained two-level: live rows = everything minus the takedown
+    // slice, exactly like ann_retrained_probe
+    "ann_ivf_twolevel_retrained" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 AND e.vec_id % 97 <> 3
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // curation loop: components over residue ∪ ADMITTED rows only —
+    // admission replay (a batch row is refused when any same-list
+    // residue row is within tau), then the within-list τ-edges among
+    // LIVE rows, recursive-reach min-label, size histogram
+    "semantic_curation_stream_ingested" ->
+      (headAssignCteFor("WHERE vec_id % 13 <> 0")
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """pr AS (SELECT b.vec_id AS vec_id
+          |  FROM asg b JOIN asg a ON a.list_id = b.list_id
+          |    AND b.vec_id % 13 = 0 AND a.vec_id % 13 <> 0
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+          |  GROUP BY b.vec_id),
+          |lv AS (SELECT vec_id, list_id FROM asg WHERE vec_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT asg.vec_id, asg.list_id FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+          |  WHERE asg.vec_id % 13 = 0 AND pr.vec_id IS NULL),
+          |sp AS (SELECT a.vec_id AS a, b.vec_id AS b
+          |  FROM lv a JOIN lv b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35),
+          |edges AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
+          |reach AS (SELECT a AS vec_id, b AS r FROM edges
+          |  UNION SELECT e.a AS vec_id, reach.r FROM edges e JOIN reach ON e.b = reach.vec_id),
+          |lbl AS (SELECT vec_id, min(r) AS mr FROM reach GROUP BY vec_id),
+          |cl AS (SELECT l.vec_id,
+          |  coalesce(least(lb.mr, l.vec_id), l.vec_id) AS cluster_id
+          |  FROM lv l LEFT JOIN lbl lb ON l.vec_id = lb.vec_id),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+          |  (cluster_size * count(*))::BIGINT AS n_docs
+          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
     // flat assignment-cost key: the shared head-codebook assignment,
     // aggregated to per-list sizes
     "ivf_assign_flat" ->

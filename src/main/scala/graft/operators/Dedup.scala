@@ -1039,12 +1039,18 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("new_label"), col("doc_id")).as("cluster_id"),
         col("quality"))
+    // materialize the re-append rows BEFORE marking clusters stale:
+    // `relabeled` reads through the live-cluster view, and when this is
+    // not the table's first upsert that view already anti-joins the
+    // stale side table — writing this upsert's stale ids first would
+    // make the lazy scan exclude exactly the member rows being
+    // relabeled (second-upsert compose caught three dropped rows)
+    val rows = relabeled.unionByName(batchRows).localCheckpoint(true)
     stale.select("cluster_id").distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(staleClusterTable(clusterTable))
     graft.sources.Sinks.appendBucketed(
-      relabeled.unionByName(batchRows), clusterTable,
-      Seq("cluster_id"), numBuckets)
+      rows, clusterTable, Seq("cluster_id"), numBuckets)
   }
 
   /** Fold BOTH of the cluster index's side tables (doc_id tombstones,

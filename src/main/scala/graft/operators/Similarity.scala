@@ -594,6 +594,50 @@ object Similarity {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
+  /** [[retrainIvfIndex]] for the TWO-LEVEL index: the flat retrain
+    * would silently collapse the factored structure (train a flat
+    * codebook and pay n·k·d on every future append), so a two-level
+    * index retrains two-level — hierarchical k-means over LIVE rows at
+    * the grid [[twoLevelGrid]] picks for the live count, fresh flat
+    * codebook + coarse book (+ recorded ragged lengths) + reassignment
+    * written to sibling tmp dirs, then swapped in place; tombstones
+    * fold for free exactly like the flat retrain. The grid RESIZES
+    * with the live corpus — an index that grew 10× since build gets
+    * √k-larger books, keeping the per-append cost on the factored
+    * curve.
+    */
+  def retrainTwoLevelIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, targetCluster: Int = 256,
+                              iters: Int = 2): Unit = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = liveAssigned(spark, path).select("vec_id", "embedding")
+    val g = twoLevelGrid(live.count(), targetCluster)
+    val (coarse, fine, flat) = trainTwoLevelCodebook(live, g, g, iters)
+    val tmpA = s"$path/assigned_retrain_tmp"
+    val tmpC = s"$path/codebook_retrain_tmp"
+    val tmpG = s"$path/codebook_coarse_retrain_tmp"
+    Seq(tmpA, tmpC, tmpG).foreach(t => fs.delete(p(t), true))
+    twoLevelAssigned(live, coarse, fine, g)
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmpA)
+    flat.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(tmpC)
+    coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, fine(i).length) }
+      .toDF("coarse_id", "cent", "n_fine")
+      .coalesce(1).write.mode("overwrite").parquet(tmpG)
+    fs.delete(p(s"$path/assigned"), true)
+    fs.rename(p(tmpA), p(s"$path/assigned"))
+    fs.delete(p(s"$path/codebook"), true)
+    fs.rename(p(tmpC), p(s"$path/codebook"))
+    fs.delete(p(s"$path/codebook_coarse"), true)
+    fs.rename(p(tmpG), p(s"$path/codebook_coarse"))
+    fs.delete(p(s"$path/tombstones"), true)
+  }
+
   /** Per-list sizes of an IN-QUERY flat assignment — the
     * assignment-COST measurement form (its twin
     * [[twoLevelHeadListSizes]] runs the factored pass on the same
@@ -1278,12 +1322,15 @@ object Similarity {
       .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
+    // materialize BEFORE the stale-mark — on a second upsert the lazy
+    // live view would otherwise exclude the rows being relabeled (see
+    // Dedup.upsertClusterIndex)
+    val rows = relabeled.unionByName(batchRows).localCheckpoint(true)
     stale.select("cluster_id").distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(graft.operators.Dedup.staleClusterTable(clusterTable))
     graft.sources.Sinks.appendBucketed(
-      relabeled.unionByName(batchRows), clusterTable,
-      Seq("cluster_id"), numBuckets)
+      rows, clusterTable, Seq("cluster_id"), numBuckets)
   }
 
   /** [[semanticWeights]] off the persisted components — a narrow read

@@ -610,6 +610,81 @@ object StreamingRollups {
       }
   }
 
+  /** [[ivfAppendStream]] for a TWO-LEVEL index: arriving vector
+    * micro-batches route through the FACTORED assignment
+    * ([[graft.operators.Similarity.appendToTwoLevelIvfIndex]] — stored
+    * coarse book, then the cell's ragged fine book, batch·2√k·d), not
+    * the flat pass (which would pay batch·k·d and route by global
+    * nearest). Same path-based replay guard.
+    */
+  def ivfTwoLevelAppendStream(vecs: DataFrame, indexDir: String,
+                              checkpoint: String,
+                              streamId: Option[String] = None)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sid = streamId.getOrElse(checkpoint)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.IndexMaintenance.applyBatchOnceAt(
+          batch.sparkSession, indexDir, sid, epochId) {
+          graft.operators.Similarity.appendToTwoLevelIvfIndex(
+            batch.sparkSession, indexDir, batch)
+        }
+        ()
+      }
+  }
+
+  /** The full semantic CURATION loop in one streaming stage — the
+    * composition [[semanticAdmissionStream]] and
+    * [[semanticUpsertStream]] each do half of: per micro-batch,
+    * (1) check the batch against the persisted assignment and keep
+    * only the semantically NOVEL vectors ([[graft.operators.Similarity.semDedupAgainstIndex]]
+    * — batch-only assignment under the stored codebook, corpus read
+    * partition-pruned); (2) append the admitted vectors to the index
+    * so the next batch's check sees them; (3) merge the admitted
+    * vectors' τ-edges into the persisted semantic COMPONENTS
+    * ([[graft.operators.Similarity.upsertSemanticClusterIndex]] —
+    * stale-mark + bucket-preserving re-append), so grouping consumers
+    * (weights, stats, splits) read merged state immediately. Refused
+    * vectors touch neither artifact. The admission check runs BEFORE
+    * the append (corpus = pre-batch state, matching the batch
+    * admission rule); the component merge runs against the POST-append
+    * index only for edge generation geometry — its corpus rows are the
+    * pre-batch live set plus the batch itself, which the contracted
+    * graph handles by construction (batch↔batch edges are computed
+    * in-batch).
+    *
+    * One replay guard covers all three steps: the triple is
+    * read-modify-write end to end, so a redelivered batch must re-run
+    * NOTHING. The guard is the path-based one (sited in the index
+    * dir), matching [[semanticAdmissionStream]].
+    */
+  def semanticCurationStream(vecs: DataFrame, indexDir: String,
+                             clusterTable: String, checkpoint: String,
+                             tau: Double = 0.35,
+                             streamId: Option[String] = None,
+                             maxIter: Int = 8, numBuckets: Int = 8)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sid = streamId.getOrElse(checkpoint)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.IndexMaintenance.applyBatchOnceAt(
+          batch.sparkSession, indexDir, sid, epochId) {
+          val spark = batch.sparkSession
+          val admitted = batch.join(
+            graft.operators.Similarity
+              .semDedupAgainstIndex(spark, indexDir, batch, tau)
+              .filter(col("admitted")).select("vec_id"),
+            "vec_id")
+          graft.operators.Similarity.appendToIvfIndex(spark, indexDir, admitted)
+          graft.operators.Similarity.upsertSemanticClusterIndex(
+            spark, indexDir, clusterTable, admitted, tau, maxIter, numBuckets)
+        }
+        ()
+      }
+  }
+
   /** ADMISSION-GATED streaming ingest for the semantic index: each
     * arriving vector micro-batch is first checked against the
     * persisted assignment

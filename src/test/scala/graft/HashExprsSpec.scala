@@ -731,6 +731,62 @@ class HashExprsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(landed.intersect(holes).isEmpty,
       s"appended rows landed in hole lists: ${landed.intersect(holes)}")
+    // retrain preserves the FACTORED structure (a flat retrain would
+    // silently put every future append back on the n·k·d curve): the
+    // coarse book survives with the grid resized to the live count and
+    // the flat book is exactly grid² rows; the probe answer is
+    // retrain-invariant
+    operators.Similarity.retrainTwoLevelIvfIndex(spark, path)
+    val cAfter = spark.read.parquet(s"$path/codebook_coarse").collect()
+    val flatAfter = spark.read.parquet(s"$path/codebook").count()
+    assert(cAfter.length > 1 &&
+      flatAfter === cAfter.length.toLong * cAfter.length)
+    assert(cAfter.forall(_.getAs[Int]("n_fine") >= 1))
+    val probe2 = operators.Similarity.ivfTopKExactIndexed(spark, path, 7L, 20)
+      .collect().toSeq
+    assert(probe2 === brute)
+  }
+
+  test("semantic cluster upsert composes: a second batch merges onto the upserted state") {
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val batch1 = vecs.filter(col("vec_id") % 26 === 0)
+    val batch2 = vecs.filter(col("vec_id") % 13 === 0 && col("vec_id") % 26 =!= 0)
+    val cents = operators.Similarity.headCodebookSized(residue)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    Seq("g_sem_ups2_cluster",
+        operators.Dedup.staleClusterTable("g_sem_ups2_cluster")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val ivf = java.nio.file.Files.createTempDirectory("g_sem_ups2_ivf").toString
+    operators.Similarity.writeIvfIndexWith(residue, ivf, cents)
+    operators.Similarity.writeSemanticClusterIndex(
+      residue, cents, "g_sem_ups2_cluster")
+    operators.Similarity.upsertSemanticClusterIndex(
+      spark, ivf, "g_sem_ups2_cluster", batch1)
+    val staleAfter1 = spark.table(
+      operators.Dedup.staleClusterTable("g_sem_ups2_cluster")).count()
+    // the index must advance too (check → extend) so batch 2's
+    // batch↔corpus edges can reach batch 1
+    operators.Similarity.appendToIvfIndex(spark, ivf, batch1)
+    operators.Similarity.upsertSemanticClusterIndex(
+      spark, ivf, "g_sem_ups2_cluster", batch2)
+    // round 2 must supersede (the stale-mark/re-append ordering is
+    // only exercised when the live view already anti-joins the table)
+    assert(spark.table(
+      operators.Dedup.staleClusterTable("g_sem_ups2_cluster")).count() > staleAfter1,
+      "second semantic upsert superseded no component — compose spec is vacuous")
+    val live = operators.Dedup.liveClusterRows(spark, "g_sem_ups2_cluster")
+      .select(col("doc_id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
+    val direct = operators.Similarity.semanticClusters(vecs, cents)
+      .select("vec_id", "cluster_id").orderBy("vec_id")
+    assert(live.collect().toSeq === direct.collect().toSeq)
+    assert(live.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
   }
 
   test("cluster-index upsert composes: a second batch merges onto the upserted state") {
@@ -741,8 +797,11 @@ class HashExprsSpec extends SparkSpec {
     // nodes), and labels must keep only decreasing across merges.
     val docs = sources.Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 13 =!= 0)
-    val batch1 = docs.filter(col("doc_id") % 26 === 0)
-    val batch2 = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 26 =!= 0)
+    // the %26==0 half carries this corpus's superseding merges — it
+    // goes SECOND so round 2 (where the live view already anti-joins
+    // the stale table) exercises the stale-mark/re-append ordering
+    val batch1 = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 26 =!= 0)
+    val batch2 = docs.filter(col("doc_id") % 26 === 0)
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -758,12 +817,21 @@ class HashExprsSpec extends SparkSpec {
     operators.Dedup.writeClusterIndex(corpus, "g_ups2_cluster")
     operators.Dedup.upsertClusterIndex(
       spark, "g_ups2_minhash", "g_ups2_cluster", batch1, corpus)
+    val staleAfter1 = spark.table(
+      operators.Dedup.staleClusterTable("g_ups2_cluster")).count()
     // the band index must advance too (the lifecycle contract: check →
     // extend), so batch 2's batch↔corpus candidates can reach batch 1
     operators.Dedup.appendToMinhashIndex(batch1, "g_ups2_minhash")
     operators.Dedup.upsertClusterIndex(
       spark, "g_ups2_minhash", "g_ups2_cluster", batch2,
       corpus.unionByName(batch1))
+    // the SECOND upsert must itself supersede clusters — that is the
+    // path where the relabeled re-append races the stale-mark (the
+    // live view already anti-joins the stale table at plan time), so
+    // a vacuous round 2 would leave the ordering untested
+    assert(spark.table(
+      operators.Dedup.staleClusterTable("g_ups2_cluster")).count() > staleAfter1,
+      "second upsert superseded no cluster — compose spec is vacuous")
     val live = operators.Dedup.liveClusterRows(spark, "g_ups2_cluster")
       .select("doc_id", "cluster_id").orderBy("doc_id")
     val direct = operators.Dedup.minhashClusters(docs)

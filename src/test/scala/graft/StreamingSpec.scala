@@ -1075,6 +1075,103 @@ class StreamingSpec extends SparkSpec {
       "redelivered semantic upsert micro-batch changed the live assignment")
   }
 
+  test("streaming two-level IVF append equals the factored batch append; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 13 === 0)
+    val strDir = java.nio.file.Files.createTempDirectory("g_ivf2_str").toString
+    val batDir = java.nio.file.Files.createTempDirectory("g_ivf2_bat").toString
+    operators.Similarity.writeTwoLevelIvfIndex(residue, strDir)
+    operators.Similarity.writeTwoLevelIvfIndex(residue, batDir)
+    operators.Similarity.appendToTwoLevelIvfIndex(spark, batDir, batch)
+    val arriving = batch.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    def runStream(ck: String): Unit = {
+      val in = MemoryStream[(Long, Array[Float])]
+      in.addData(arriving: _*)
+      val q = StreamingRollups.ivfTwoLevelAppendStream(
+        in.toDF().toDF("vec_id", "embedding"), strDir, ck,
+        streamId = Some("spec-ivf2-stream"))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    runStream(java.nio.file.Files.createTempDirectory("g_ivf2_ck1").toString)
+    def assigned(dir: String) = spark.read.parquet(s"$dir/assigned")
+      .select("vec_id", "list_id").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // parity: the stream routes batches through the SAME factored pass
+    assert(assigned(strDir) === assigned(batDir))
+    runStream(java.nio.file.Files.createTempDirectory("g_ivf2_ck2").toString)
+    assert(assigned(strDir) === assigned(batDir),
+      "redelivered two-level append micro-batch double-appended")
+  }
+
+  test("streaming curation loop: admit, append, merge components in one guarded stage; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val strTbl = "g_stream_cur_sem"
+    val batTbl = "g_batch_cur_sem"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq(strTbl, batTbl,
+        operators.Dedup.staleClusterTable(strTbl),
+        operators.Dedup.staleClusterTable(batTbl)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 13 === 0)
+    val cents = operators.Similarity.headCodebookSized(residue)
+    val strDir = java.nio.file.Files.createTempDirectory("g_cur_str").toString
+    val batDir = java.nio.file.Files.createTempDirectory("g_cur_bat").toString
+    for ((dir, tbl) <- Seq((strDir, strTbl), (batDir, batTbl))) {
+      operators.Similarity.writeIvfIndexWith(residue, dir, cents)
+      operators.Similarity.writeSemanticClusterIndex(residue, cents, tbl)
+    }
+    // the batch composition — the parity reference: admit vs the
+    // pre-batch corpus, append the novel set, merge its edges
+    val admitted = batch.join(
+      operators.Similarity.semDedupAgainstIndex(spark, batDir, batch)
+        .filter(col("admitted")).select("vec_id"), "vec_id")
+    operators.Similarity.appendToIvfIndex(spark, batDir, admitted)
+    operators.Similarity.upsertSemanticClusterIndex(
+      spark, batDir, batTbl, admitted)
+    val arriving = batch.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    def runStream(ck: String): Unit = {
+      val in = MemoryStream[(Long, Array[Float])]
+      in.addData(arriving: _*)
+      val q = StreamingRollups.semanticCurationStream(
+        in.toDF().toDF("vec_id", "embedding"), strDir, strTbl, ck,
+        streamId = Some("spec-cur-stream"))
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    runStream(java.nio.file.Files.createTempDirectory("g_cur_ck1").toString)
+    def liveIdx(dir: String) = sources.IndexMaintenance
+      .liveRowsAt(spark, s"$dir/assigned", dir, "vec_id")
+      .select("vec_id", "list_id").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def liveCl(t: String) = operators.Dedup.liveClusterRows(spark, t)
+      .select("doc_id", "cluster_id").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // parity on BOTH artifacts: the index holds residue ∪ admitted,
+    // the components hold the merged assignment
+    assert(liveIdx(strDir) === liveIdx(batDir))
+    assert(liveCl(strTbl) === liveCl(batTbl))
+    // replay: one guard covers all three steps
+    runStream(java.nio.file.Files.createTempDirectory("g_cur_ck2").toString)
+    assert(liveIdx(strDir) === liveIdx(batDir),
+      "redelivered curation micro-batch re-appended to the index")
+    assert(liveCl(strTbl) === liveCl(batTbl),
+      "redelivered curation micro-batch re-merged the components")
+  }
+
   test("streaming BM25 append equals the batch append; redelivery never double-counts stats") {
     // BM25 is the family where batch-id idempotence matters MOST: the
     // (N, Σdl) restamp is a read-modify-write, so a replayed batch
