@@ -72,6 +72,7 @@ WIDE_KEYS = [
     # pruned and must not scale with the corpus)
     "cluster_upsert_stats", "semantic_upsert_stats",
     "ann_retrained_probe", "ann_ivf_twolevel",
+    "ann_ivf_twolevel_incremental", "ann_ivf_twolevel_retrained",
 ]
 
 LONG_KEYS = [
