@@ -152,10 +152,14 @@ object Bench {
     // include them, or their builds land inside their own warm-ups
     // mid-run and tax whichever keys run next (the round-11 advice).
     val artifactKeys = SparkEntry.queries.keys
-      .filter(k => k.contains("indexed") || k.contains("incremental") ||
+      .filter(k => (k.contains("indexed") || k.contains("incremental") ||
         k.contains("upsert") || k.contains("stream_ingested") ||
         k.contains("drift") || k.contains("twolevel") ||
-        k.contains("retrained") || k == "split_from_index").toSeq.sorted
+        k.contains("retrained") || k == "split_from_index") &&
+        // the ivf_assign_* measurement pair is pure in-query (no
+        // artifact to pre-build); pre-running one side would also give
+        // the two timing-comparison keys asymmetric warm treatment
+        !k.startsWith("ivf_assign")).toSeq.sorted
     artifactKeys.foreach { k =>
       if (subset.isEmpty || subset(k))
         try SparkEntry.queries(k)(spark, sfDir).count()

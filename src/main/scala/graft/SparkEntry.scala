@@ -54,17 +54,22 @@ object SparkEntry {
 
   private val indexLock = new Object
 
+  /** Recursive delete (no-op on a missing path) — shared by every gate
+    * builder that must clear a previous JVM's leftover dirs.
+    */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+    ()
+  }
+
   private def ensureTable(s: SparkSession, name: String)(build: => Unit): String =
     indexLock.synchronized {
       if (!s.catalog.tableExists(name)) {
         // a stale managed-table location (killed run) blocks CREATE
         val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
         val dir = new java.io.File(wh, name)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (dir.exists()) rm(dir)
+        if (dir.exists()) rmTree(dir)
         build
       }
       name
@@ -348,11 +353,7 @@ object SparkEntry {
     s.sql(s"DROP TABLE IF EXISTS $stale")
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val dir = new java.io.File(wh, stale)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (dir.exists()) rm(dir)
+    if (dir.exists()) rmTree(dir)
   }
 
   private def clusterUpsertIndexTable(s: SparkSession, d: String): String = {
@@ -438,11 +439,7 @@ object SparkEntry {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_gate_ivf_stream_${tag(d)}").toString
       if (!ivfStreamBuilt.contains(path)) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(path))
+        rmTree(new java.io.File(path))
         val vecs = Tables.embeddings(s, d)
         Similarity.writeIvfIndex(vecs.filter(col("vec_id") % 13 =!= 0), path)
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -549,11 +546,7 @@ object SparkEntry {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_gate_sem_admit_${tag(d)}").toString
       if (!semAdmitBuilt.contains(path)) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(path))
+        rmTree(new java.io.File(path))
         val vecs = Tables.embeddings(s, d)
         val residue = vecs.filter(col("vec_id") % 13 =!= 0)
         Similarity.writeIvfIndexWith(residue, path,
@@ -651,11 +644,7 @@ object SparkEntry {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_gate_ivf2_stream_${tag(d)}").toString
       if (!ivf2StreamBuilt.contains(path)) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(path))
+        rmTree(new java.io.File(path))
         val vecs = Tables.embeddings(s, d)
         Similarity.writeTwoLevelIvfIndex(
           vecs.filter(col("vec_id") % 13 =!= 0), path)
@@ -693,15 +682,16 @@ object SparkEntry {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_gate_sem_curation_${tag(d)}").toString
       if (!semCurationBuilt.contains(t)) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(path))
-        s.sql(s"DROP TABLE IF EXISTS $t")
+        rmTree(new java.io.File(path))
         val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        val dir = new java.io.File(wh, t)
-        if (dir.exists()) rm(dir)
+        // the components table, its stale side, AND the inner merge
+        // guard's applied-batch side table may all survive a previous
+        // JVM as warehouse dirs
+        Seq(t, graft.sources.IndexMaintenance.appliedBatchTable(t)).foreach { n =>
+          s.sql(s"DROP TABLE IF EXISTS $n")
+          val dir = new java.io.File(wh, n)
+          if (dir.exists()) rmTree(dir)
+        }
         clearStaleSide(s, t)
         val vecs = Tables.embeddings(s, d)
         val residue = vecs.filter(col("vec_id") % 13 =!= 0)
@@ -766,11 +756,7 @@ object SparkEntry {
       val side = graft.sources.IndexMaintenance.appliedBatchTable(t)
       s.sql(s"DROP TABLE IF EXISTS $side")
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(wh, side))
+      rmTree(new java.io.File(wh, side))
       buildResidue
       val ck = java.nio.file.Files.createTempDirectory(s"${t}_ck").toString
       val q = startStream(ck)

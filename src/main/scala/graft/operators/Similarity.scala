@@ -451,7 +451,12 @@ object Similarity {
                             iters: Int = 2)
   : (Array[Array[Double]], Array[Array[Array[Double]]], Array[Array[Double]]) = {
     import org.apache.spark.sql.expressions.Window
+    // a corpus smaller than the grid yields a SHORT coarse book
+    // (seedCodebook caps at n rows) — size everything off the book we
+    // actually got, like the flat writeIvfIndex does, instead of
+    // indexing past it
     val coarse = trainCodebook(embeddings, nCoarse, iters)
+    val nc = coarse.length
     val withC = embeddings.select(col("vec_id"),
       col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
@@ -466,7 +471,7 @@ object Similarity {
       .collect()
     val fine: Array[Array[Array[Double]]] = {
       val byCell = seedRows.groupBy(_.getAs[Int]("cid"))
-      Array.tabulate(nCoarse) { c =>
+      Array.tabulate(nc) { c =>
         byCell.getOrElse(c, Array.empty)
           .sortBy(_.getAs[Int]("fid"))
           .map(_.getSeq[Double](2).toArray)
@@ -491,7 +496,7 @@ object Similarity {
         }
       }
     }
-    val flat = Array.tabulate(nCoarse * nFine) { lid =>
+    val flat = Array.tabulate(nc * nFine) { lid =>
       val (c, f) = (lid / nFine, lid % nFine)
       if (f < fine(c).length) fine(c)(f) else coarse(c)
     }
@@ -512,21 +517,31 @@ object Similarity {
                                coarse: Array[Array[Double]],
                                fine: Array[Array[Array[Double]]],
                                nFine: Int): DataFrame = {
-    val withC = embeddings.select(col("vec_id"), col("embedding"),
-      HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
+    // route over the NON-EMPTY cells only: a cell Lloyd's left with no
+    // members has no fine book, and an APPENDED vector from a drifted
+    // batch may still be nearest to it — routing it there would land
+    // it in a hole list (a padding slot, not a list the build could
+    // produce). Restricting the coarse argmin to populated cells sends
+    // such a vector to its nearest populated cell instead; at build
+    // time the restriction is a no-op (no training row is nearest an
+    // empty cell, by definition of empty).
     val cells = coarse.indices.filter(c => fine(c).nonEmpty)
-    // an empty cell captures no rows by construction (its cid never
-    // wins with members absent only if it truly has none) — the
-    // otherwise() is the defensive identity list for that impossible
-    // branch, not a semantic path
-    val listId = cells.tail
-      .foldLeft(when(col("cid") === cells.head,
+    val routedCoarse = cells.map(coarse).toArray
+    val withC = embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), routedCoarse).as("ri"))
+    // the CASE branches on the dense routed index; values evaluate
+    // lazily so a row pays coarse + ONE cell's fine distances. The
+    // otherwise() is unreachable (the routed argmin is always a valid
+    // index) — defensive identity only.
+    val listId = cells.indices.tail
+      .foldLeft(when(col("ri") === 0,
         lit(cells.head * nFine) +
           HashExprs.nearestCentroid(col("embedding"), fine(cells.head)))) {
-        (acc, c) => acc.when(col("cid") === c,
-          lit(c * nFine) + HashExprs.nearestCentroid(col("embedding"), fine(c)))
+        (acc, j) => acc.when(col("ri") === j,
+          lit(cells(j) * nFine) +
+            HashExprs.nearestCentroid(col("embedding"), fine(cells(j))))
       }
-      .otherwise(col("cid") * nFine)
+      .otherwise(lit(cells.head * nFine))
     withC.select(col("vec_id"), col("embedding"),
       listId.cast("int").as("list_id"))
   }
@@ -1071,14 +1086,23 @@ object Similarity {
     */
   def semDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, newVecs: DataFrame,
-                           tau: Double = 0.35): DataFrame = {
+                           tau: Double = 0.35,
+                           excludeBatch: Boolean = false): DataFrame = {
     val cents = spark.read.parquet(s"$path/codebook")
       .orderBy("list_id").collect().map(vecOf(_, "cent"))
     val batch = assignLists(newVecs, cents)
     val touched = batch.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = liveAssigned(spark, path)
+    // excludeBatch: drop the batch's OWN ids from the corpus side —
+    // the crash-replay form ([[graft.streaming.StreamingRollups.semanticCurationStream]]):
+    // a redelivered batch whose vectors already appended must compute
+    // the SAME admitted set, not refuse every vector against its own
+    // appended copy (broadcast anti-join on the batch's bounded ids)
+    val corpusAll = liveAssigned(spark, path)
       .filter(col("list_id").isin(touched: _*))
+    val corpus = (if (excludeBatch)
+      corpusAll.join(broadcast(newVecs.select("vec_id")), Seq("vec_id"), "left_anti")
+    else corpusAll)
       .select(col("list_id"), col("vec_id").as("c"), col("embedding").as("vc"))
     val hits = batch
       .select(col("list_id"), col("vec_id").as("b"), col("embedding").as("vb"))

@@ -103,15 +103,23 @@ object IndexMaintenance {
     val dir = s"${indexDir.stripSuffix("/")}/applied_batches"
     // a crash between directory creation and the first committed part
     // file leaves a dir parquet can't infer a schema from (_temporary
-    // only) — treat unreadable/empty as "no marks yet" instead of
-    // permanently wedging the stream, mirroring the table-based
-    // applyBatchOnce's missing-table path
-    val done = fs(spark).exists(new org.apache.hadoop.fs.Path(dir)) &&
-      scala.util.Try(
-        spark.read.parquet(dir)
-          .filter(col("stream_id") === streamId && col("batch_id") === batchId)
-          .head(1).nonEmpty
-      ).getOrElse(false)
+    // only) — treat a COMMITTED-FILE-LESS dir as "no marks yet",
+    // mirroring the table-based applyBatchOnce's missing-table path.
+    // The check is a directory listing, NOT a swallow-all Try: a real
+    // read failure over committed marks must stay loud (treating it as
+    // no-marks would silently re-apply an applied batch — the exact
+    // corruption this guard exists to prevent).
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark)
+    def hasCommittedFiles: Boolean =
+      f.listStatus(dirPath).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val done = f.exists(dirPath) && hasCommittedFiles &&
+      spark.read.parquet(dir)
+        .filter(col("stream_id") === streamId && col("batch_id") === batchId)
+        .head(1).nonEmpty
     if (!done) {
       apply
       import spark.implicits._

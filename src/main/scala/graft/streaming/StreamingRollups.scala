@@ -654,10 +654,17 @@ object StreamingRollups {
     * graph handles by construction (batch↔batch edges are computed
     * in-batch).
     *
-    * One replay guard covers all three steps: the triple is
-    * read-modify-write end to end, so a redelivered batch must re-run
-    * NOTHING. The guard is the path-based one (sited in the index
-    * dir), matching [[semanticAdmissionStream]].
+    * Replay safety is PER STEP, because the triple is read-modify-write
+    * end to end and a crash can land between any two steps: (a) the
+    * admission check EXCLUDES the batch's own ids from the corpus side
+    * (semDedupAgainstIndex's excludeBatch), so a redelivered batch
+    * whose vectors already appended computes the SAME admitted set
+    * instead of refusing everything against its own copies; (b) the
+    * index append anti-joins the admitted set against ids already in
+    * the touched lists, so re-running it never double-appends; (c) the
+    * component merge — itself read-modify-write — runs under its OWN
+    * table-keyed batch-id guard. The outer path-based guard then makes
+    * the fully-completed case free.
     */
   def semanticCurationStream(vecs: DataFrame, indexDir: String,
                              clusterTable: String, checkpoint: String,
@@ -672,14 +679,27 @@ object StreamingRollups {
         graft.sources.IndexMaintenance.applyBatchOnceAt(
           batch.sparkSession, indexDir, sid, epochId) {
           val spark = batch.sparkSession
+          // materialized once: the admission join otherwise re-executes
+          // inside the append AND every pass of the upsert
           val admitted = batch.join(
             graft.operators.Similarity
-              .semDedupAgainstIndex(spark, indexDir, batch, tau)
+              .semDedupAgainstIndex(spark, indexDir, batch, tau,
+                excludeBatch = true)
               .filter(col("admitted")).select("vec_id"),
-            "vec_id")
-          graft.operators.Similarity.appendToIvfIndex(spark, indexDir, admitted)
-          graft.operators.Similarity.upsertSemanticClusterIndex(
-            spark, indexDir, clusterTable, admitted, tau, maxIter, numBuckets)
+            "vec_id").localCheckpoint(true)
+          val present = graft.sources.IndexMaintenance
+            .liveRowsAt(spark, s"$indexDir/assigned", indexDir, "vec_id")
+            .join(broadcast(admitted.select("vec_id")), "vec_id")
+            .select("vec_id")
+          graft.operators.Similarity.appendToIvfIndex(spark, indexDir,
+            admitted.join(present, Seq("vec_id"), "left_anti"))
+          graft.sources.IndexMaintenance.applyBatchOnce(
+            spark, clusterTable, sid, epochId) {
+            graft.operators.Similarity.upsertSemanticClusterIndex(
+              spark, indexDir, clusterTable, admitted, tau, maxIter,
+              numBuckets)
+          }
+          ()
         }
         ()
       }

@@ -1118,6 +1118,7 @@ class StreamingSpec extends SparkSpec {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     Seq(strTbl, batTbl,
+        s"${strTbl}_applied_batches",
         operators.Dedup.staleClusterTable(strTbl),
         operators.Dedup.staleClusterTable(batTbl)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -1141,6 +1142,16 @@ class StreamingSpec extends SparkSpec {
     operators.Similarity.appendToIvfIndex(spark, batDir, admitted)
     operators.Similarity.upsertSemanticClusterIndex(
       spark, batDir, batTbl, admitted)
+    // CRASH-WINDOW simulation on the stream side: a first delivery that
+    // completed the index append but died before the component merge
+    // and before the batch-id mark. The redelivery below must (a) not
+    // refuse the admitted set against its own appended copies, (b) not
+    // double-append, (c) still run the merge exactly once.
+    operators.Similarity.appendToIvfIndex(spark, strDir,
+      batch.join(
+        operators.Similarity.semDedupAgainstIndex(spark, strDir, batch,
+          excludeBatch = true)
+          .filter(col("admitted")).select("vec_id"), "vec_id"))
     val arriving = batch.select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect().toSeq
     def runStream(ck: String): Unit = {
