@@ -2084,6 +2084,11 @@ object SparkEntry {
     // the STREAMING twin (semanticUpsertStream) — shared oracle
     "semantic_upsert_stream_ingested" -> ((s, d) =>
       Dedup.clusterStatsFromIndex(s, semUpsertStreamTable(s, d))),
+    // the consumer proof: SoftDeDup weights read off the UPSERTED
+    // index (narrow bucketed read, zero exchanges post-merge) must
+    // equal the weights of a full re-cluster of the union
+    "semantic_upsert_weights" -> ((s, d) =>
+      Similarity.semanticWeightsFromIndex(s, semClusterUpsertTable(s, d))),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -5057,6 +5062,17 @@ object SparkEntry {
     "semantic_upsert_stats" -> semanticUpsertStatsOracle,
     // the stream-merged semantic components must equal the same rebuild
     "semantic_upsert_stream_ingested" -> semanticUpsertStatsOracle,
+    // weights off the upserted index: the same union components under
+    // the residue codebook, with the shared integer weight identity
+    "semantic_upsert_weights" ->
+      (semanticClusterCtesFor("WHERE vec_id % 13 <> 0") +
+        """, cl AS (SELECT d.vec_id,
+          |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
+          |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+          |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size,
+          |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
+          |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id""".stripMargin),
     "semantic_cluster_stats" ->
       (semanticClusterCtes +
         """, cl AS (SELECT d.vec_id,
