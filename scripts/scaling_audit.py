@@ -17,9 +17,12 @@ work plus log factors and fixed overheads; very fast keys are
 overhead-dominated and can land well UNDER 10x). The audit flags
 anything above the threshold for per-key explanation in the artifact.
 
-Usage: python3 scripts/scaling_audit.py [round_tag]
-Runs sbt three times (baseline subset, wide subset, long subset); each
-run is a full Bench session (pre-build, per-key warmups, median of 3).
+Usage: python3 scripts/scaling_audit.py [round_tag] [--axes a,b,...]
+Runs sbt per axis (baseline subset + scaled subset); each run is a full
+Bench session (pre-build, per-key warmups, median of 3). `--axes`
+restricts to the named axes (re-pointing one curve without re-running
+the hour-long full audit); merge the partial JSON into the round
+artifact by hand.
 """
 import json
 import os
@@ -73,6 +76,13 @@ WIDE_KEYS = [
     "cluster_upsert_stats", "semantic_upsert_stats",
     "ann_retrained_probe", "ann_ivf_twolevel",
     "ann_ivf_twolevel_incremental", "ann_ivf_twolevel_retrained",
+    # r15: the FACTORED semantic family (same pair joins over the
+    # two-level assignment — n*2*sqrt(k)*d instead of n*k*d) and the
+    # compacted-index probe (build+tombstone+compact in the untimed
+    # pre-build; the probe must scale with live rows only)
+    "semdedup_twolevel", "semantic_clusters_twolevel",
+    "semantic_weights_twolevel", "knn_graph_twolevel",
+    "dedup_lsh_compacted",
 ]
 
 LONG_KEYS = [
@@ -117,20 +127,73 @@ def audit(axis, sf_keys, scaled_dir, threshold=THRESHOLD, base_dir=SF):
     return out
 
 
+def knn_block_volume(dirs):
+    """Candidate-pair GEOMETRY for the cluster-blocked keys (knn_graph,
+    semdedup, semantic_clusters): replay the head-codebook assignment in
+    DuckDB (the ivf_assign_flat oracle) per corpus and report per-list
+    sizes' sum of squares — the block pair volume the timing SHOULD
+    track. Reading geometry directly separates a genuinely superlinear
+    candidate set from session contention in a timing row (the r14
+    knn_graph 11.75x-at-10x vs 6.75x-at-30x non-curve).
+    """
+    import duckdb
+    out = {}
+    for name, d in dirs.items():
+        con = duckdb.connect()
+        q = f"""
+        WITH cb AS (SELECT rn - 1 AS list_id, cent FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+              CAST(embedding AS DOUBLE[]) AS cent
+            FROM '{d}/embeddings.parquet')
+          WHERE rn <= (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT))
+                       FROM '{d}/embeddings.parquet')),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM '{d}/embeddings.parquet'),
+        ad AS (SELECT ev.vec_id, cb.list_id,
+          list_reduce(list_prepend(0.0, list_transform(
+            generate_series(1, least(len(ev.v), len(cb.cent))),
+            i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))),
+            (a, b) -> a + b) AS d2
+          FROM ev CROSS JOIN cb),
+        asg AS (SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+          FROM ad) WHERE rn = 1),
+        sz AS (SELECT list_id, count(*)::BIGINT AS n FROM asg GROUP BY 1)
+        SELECT count(*)::BIGINT, sum(n)::BIGINT, max(n)::BIGINT,
+               sum(n * n)::BIGINT FROM sz"""
+        lists, n, mx, ss = con.execute(q).fetchone()
+        con.close()
+        out[name] = {"n_vectors": n, "n_lists": lists, "max_list": mx,
+                     "pair_volume_sum_sq": ss}
+    rats = {}
+    if "base" in out and "wide10" in out:
+        rats["wide10_vs_base"] = round(
+            out["wide10"]["pair_volume_sum_sq"] / out["base"]["pair_volume_sum_sq"], 2)
+    if "wide10" in out and "wide30" in out:
+        rats["wide30_vs_wide10"] = round(
+            out["wide30"]["pair_volume_sum_sq"] / out["wide10"]["pair_volume_sum_sq"], 2)
+    out["pair_volume_ratios"] = rats
+    return out
+
+
 def main():
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r11"
-    result = {
-        "data_factor": 10,
-        "threshold": THRESHOLD,
-        "axes": {
-            "wide": {"dir": WIDE, "note": "10x series/docs/vectors/orders, history unchanged",
+    argv = sys.argv[1:]
+    only = None
+    if "--axes" in argv:
+        i = argv.index("--axes")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    tag = argv[0] if argv else "r11"
+    axes_spec = {
+            "wide": lambda: {"dir": WIDE, "note": "10x series/docs/vectors/orders, history unchanged",
                      "keys": audit("wide", WIDE_KEYS, WIDE)},
-            "long": {"dir": LONG, "note": "10x history per series (bars 30->300), series unchanged",
+            "long": lambda: {"dir": LONG, "note": "10x history per series (bars 30->300), series unchanged",
                      "keys": audit("long", LONG_KEYS, LONG)},
             # third-point curve for the two round-11 documented
             # superlinear keys (verdict item #9): 30x data, threshold
             # scaled to 1.5x the factor like the 10x axes
-            "long30": {"dir": "/tmp/scale30_long", "data_factor": 30,
+            "long30": lambda: {"dir": "/tmp/scale30_long", "data_factor": 30,
                        "note": "30x history per series (bars 30->900) — third points: "
                                "kendall (Fenwick curve) and holt_winters (seasonal ring "
                                "walk; 3.42x at 10x was r12's highest unflagged long ratio)",
@@ -144,13 +207,13 @@ def main():
             # quadratic with corpus size while 3-of-10 combo keys
             # (22-bit) stay bounded, so at 10x docs chunk should blow
             # past the threshold and combo should stay well under it
-            "wide_media": {"dir": WIDE,
+            "wide_media": lambda: {"dir": WIDE,
                            "note": "10x docs, realistic ~1.5% media dup rate — "
                                    "chunk vs combo banding crossover, per scheme",
                            "keys": audit("wide_media",
                                          ["media_phash_realistic_chunk",
                                           "media_phash_realistic_combo"], WIDE)},
-            "wide30_docs": {"dir": "/tmp/scale30_docs", "data_factor": 30,
+            "wide30_docs": lambda: {"dir": "/tmp/scale30_docs", "data_factor": 30,
                             "note": "30x docs (decorrelated copies) — simhash candidate-density third point",
                             "keys": audit("wide30_docs", ["dedup_simhash"],
                                           "/tmp/scale30_docs", threshold=45.0)},
@@ -158,7 +221,7 @@ def main():
             # unflagged wide ratios (bm25_topk 7.84x, knn_graph 5.73x at
             # 10x) — the kendall lesson: two points can't separate a log
             # factor from a hidden square
-            "wide30_curves": {"dir": "/tmp/scale30_wide", "data_factor": 30,
+            "wide30_curves": lambda: {"dir": "/tmp/scale30_wide", "data_factor": 30,
                               "note": "30x docs/vectors — third points for bm25_topk and "
                                       "knn_graph (highest unflagged 10x wide ratios)",
                               "keys": audit("wide30_curves", ["bm25_topk", "knn_graph"],
@@ -171,24 +234,52 @@ def main():
             # above it) — while the factored pass is n*2*sqrt(k)*d —
             # expected ≈ 3^1.5 ≈ 5.3x (above ~7x would mean the
             # factoring failed); a LINEAR op would read ~3x
-            "assign_flat_3x": {"dir": "/tmp/scale30_wide", "data_factor": 3,
+            "assign_flat_3x": lambda: {"dir": "/tmp/scale30_wide", "data_factor": 3,
                                "base_dir": WIDE,
                                "note": "flat assignment n*k*d under k ∝ n, 10x-wide -> 30x-wide: "
                                        "expected ~9x for 3x data (the quadratic ceiling reading)",
                                "keys": audit("assign_flat_3x", ["ivf_assign_flat"],
                                              "/tmp/scale30_wide", threshold=15.0,
                                              base_dir=WIDE)},
-            "assign_twolevel_3x": {"dir": "/tmp/scale30_wide", "data_factor": 3,
+            "assign_twolevel_3x": lambda: {"dir": "/tmp/scale30_wide", "data_factor": 3,
                                    "base_dir": WIDE,
                                    "note": "two-level assignment n*2*sqrt(k)*d, same corpora: "
                                            "expected ~5.3x ≈ 3^1.5 (the escape)",
                                    "keys": audit("assign_twolevel_3x", ["ivf_assign_twolevel"],
                                                  "/tmp/scale30_wide", threshold=7.0,
                                                  base_dir=WIDE)},
-        },
+            # r15: third point for the FACTORED SEMANTIC curve — the
+            # whole semdedup pass (factored assignment + within-list
+            # pairs) between 10x-wide and 30x-wide: pairs are linear
+            # under k ∝ n (~3x) and the factored assignment is ~3^1.5
+            # ≈ 5.3x, so the blend must land in [3x, 5.3x]; above 7x
+            # would mean the semantic routing fell off the factored
+            # curve
+            "semantic_twolevel_3x": lambda: {"dir": "/tmp/scale30_wide", "data_factor": 3,
+                                   "base_dir": WIDE,
+                                   "note": "factored semdedup (assignTwoLevel + pair join), "
+                                           "10x-wide -> 30x-wide: expected in [3x, 5.3x]",
+                                   "keys": audit("semantic_twolevel_3x", ["semdedup_twolevel"],
+                                                 "/tmp/scale30_wide", threshold=7.0,
+                                                 base_dir=WIDE)},
+            # r15: knn_graph's timing rows read contention as easily as
+            # geometry (the r14 11.75x-at-10x vs 6.75x-at-30x
+            # non-curve) — so read the GEOMETRY directly: the
+            # head-codebook block sizes' sum of squares IS the
+            # candidate-pair volume the timing should track
+            "knn_block_geometry": lambda: {
+                "note": "DuckDB replay of the head-codebook assignment per corpus: "
+                        "per-list pair volume sum(n^2) — expected ~n*256 "
+                        "(linear under k ∝ n), so wide10/base ~10x, wide30/wide10 ~3x",
+                "keys": {},
+                "geometry": knn_block_volume({"base": SF, "wide10": WIDE,
+                                              "wide30": "/tmp/scale30_wide"})},
     }
+    if only:
+        axes_spec = {a: fn for a, fn in axes_spec.items() if a in only}
+    result["axes"] = {a: fn() for a, fn in axes_spec.items()}
     flags = [(a, k) for a, ax in result["axes"].items()
-             for k, v in ax["keys"].items() if v.get("flag")]
+             for k, v in ax.get("keys", {}).items() if v.get("flag")]
     result["flagged"] = [f"{a}:{k}" for a, k in flags]
     path = os.path.join(REPO, f"SCALING_{tag}.json")
     with open(path, "w") as f:

@@ -66,7 +66,8 @@ object Bench {
   /** warm-ups + timed reps for one query; returns (median, min, noise, err). */
   private def timeOne(spark: SparkSession, sfDir: String,
                       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                      warmups: Int, reps: Int): (Double, Double, Double, Option[String]) = {
+                      warmups: Int, reps: Int)
+  : (Double, Double, Double, Option[String], Seq[Double]) = {
     var err: Option[String] = None
     (1 to warmups).foreach { _ =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -80,7 +81,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.sorted
     (samples(reps / 2), samples.head,
-      if (samples.head > 0) samples.last / samples.head else 1.0, err)
+      if (samples.head > 0) samples.last / samples.head else 1.0, err, samples)
   }
 
   /** Previous round's per-key medians, for the cross-round regression
@@ -199,7 +200,7 @@ object Bench {
         // untimed cost stays under a minute across the full surface.
         sinceGc += 1
         if (sinceGc >= 4) { sinceGc = 0; System.gc() }
-        val (median, min, noise, err) = timeOne(spark, sfDir, fn, warmups, reps)
+        val (median, min, noise, err, _) = timeOne(spark, sfDir, fn, warmups, reps)
         (name, median, min, noise, err)
       }
 
@@ -235,6 +236,9 @@ object Bench {
       }
       .sortBy(-_._2).take(24).map(_._1)
     val suspects = if (noIsolate) Seq.empty[String] else suspectsAll
+    // per-suspect fresh-session rep spread (JSON arrays, keyed like
+    // `isolated`) — published so min-vs-typical is adjudicable
+    var isolatedReps: Map[String, String] = Map.empty
     val (isolated: Map[String, Double], isolatedErrs: Map[String, String]) =
       if (suspects.isEmpty) (Map.empty[String, Double], Map.empty[String, String])
       else {
@@ -261,8 +265,9 @@ object Bench {
           try byName(name)(spark, sfDir).count()
           catch { case _: Throwable => () }
           System.gc()
-          val (_, min, _, err) = timeOne(spark, sfDir, byName(name), warmups, reps)
-          (name, min, err)
+          val (_, min, _, err, samples) =
+            timeOne(spark, sfDir, byName(name), warmups, reps)
+          (name, min, err, samples)
         }
         // Publish the isolated MIN, not the median: this map exists to
         // answer "is the plan itself clean in a fresh session" (it is
@@ -270,10 +275,17 @@ object Bench {
         // shared environment a single contended rep out of 3 inflated
         // the published median three rounds in a row. The min is the
         // least-contended sample — the measurement the question needs.
+        // The full rep spread publishes ALONGSIDE it (isolated_reps) so
+        // an adjudicator can distinguish one contended rep from a
+        // uniformly slower plan — a min alone could mask a regression
+        // that shows in every typical rep.
         // A key that errors only in the fresh session must NOT publish
         // its time-to-exception as a clean isolated figure.
-        (runs.collect { case (n, m, None) => n -> m }.toMap,
-          runs.collect { case (n, _, Some(e)) => n -> e }.toMap)
+        isolatedReps = runs.collect { case (n, _, None, ss) =>
+          n -> ss.map(s => f"$s%.3f").mkString("[", ",", "]")
+        }.toMap
+        (runs.collect { case (n, m, None, _) => n -> m }.toMap,
+          runs.collect { case (n, _, Some(e), _) => n -> e }.toMap)
       }
 
     def jstr(s: String): String =
@@ -291,6 +303,7 @@ object Bench {
     val ns = jmap(results.map { case (k, _, _, n, _) => k -> f"$n%.2f" })
     val errs = jmap(results.collect { case (k, _, _, _, Some(e)) => k -> jstr(e) })
     val iso = jmap(isolated.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })
+    val isoReps = jmap(isolatedReps.toSeq.sortBy(_._1))
     val isoErrs = jmap(isolatedErrs.toSeq.sortBy(_._1).map { case (k, v) => k -> jstr(v) })
     val total = results.map { case (_, v, _, _, _) => v }.sum
     val nErrs = results.count(_._5.isDefined)
@@ -316,7 +329,7 @@ object Bench {
         "keys remains session-accumulation, not plan cost (r13 bisect: all " +
         "flagged keys recover isolated)"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","bisect":${jstr(bisectNote)},"errors":$errs,"noise":$ns,"min":$mins,"isolated":$iso,"isolated_errors":$isoErrs,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","bisect":${jstr(bisectNote)},"errors":$errs,"noise":$ns,"min":$mins,"isolated":$iso,"isolated_reps":$isoReps,"isolated_errors":$isoErrs,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LATEST.json")
       try w.println(full) finally w.close()

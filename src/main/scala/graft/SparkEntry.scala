@@ -354,6 +354,9 @@ object SparkEntry {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val dir = new java.io.File(wh, stale)
     if (dir.exists()) rmTree(dir)
+    // a previous JVM's crashed upsert may have left a committed staging
+    // dir — folding it into a freshly rebuilt table would be corruption
+    Dedup.clearUpsertStaging(s, t)
   }
 
   private def clusterUpsertIndexTable(s: SparkSession, d: String): String = {
@@ -716,6 +719,100 @@ object SparkEntry {
       }
       t
     }
+
+  /** The FACTORED curation loop's gate artifacts: the same
+    * admit → append → merge stage ([[graft.streaming.StreamingRollups.semanticCurationStream]],
+    * no code change) pointed at a TWO-LEVEL residue index
+    * ([[Similarity.writeTwoLevelIvfIndexWith]] under the SQL-replayable
+    * head books) + a residue components table built over the same
+    * factored assignment — every batch pass in the loop routes
+    * batch·2√k·d through [[Similarity.assignUnderIndex]].
+    */
+  private val semCuration2Built = scala.collection.mutable.Set.empty[String]
+  private def semCurationTwoLevelTables(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val t = s"g_gate_sem_cur2_${tag(d)}"
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_sem_cur2_${tag(d)}").toString
+      if (!semCuration2Built.contains(t)) {
+        rmTree(new java.io.File(path))
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        Seq(t, graft.sources.IndexMaintenance.appliedBatchTable(t)).foreach { n =>
+          s.sql(s"DROP TABLE IF EXISTS $n")
+          val dir = new java.io.File(wh, n)
+          if (dir.exists()) rmTree(dir)
+        }
+        clearStaleSide(s, t)
+        val vecs = Tables.embeddings(s, d)
+        val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+        val books = Similarity.headTwoLevelBooks(residue)
+        Similarity.writeTwoLevelIvfIndexWith(residue, path, books)
+        Similarity.writeSemanticClusterIndexTwoLevel(residue, books, t)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        feedStream(in, vecs.filter(col("vec_id") % 13 === 0)
+          .select("vec_id", "embedding").as[(Long, Array[Float])])
+        val ck = java.nio.file.Files
+          .createTempDirectory("g_gate_sem_cur2_ck").toString
+        val q = graft.streaming.StreamingRollups.semanticCurationStream(
+          in.toDF().toDF("vec_id", "embedding"), path, t, ck,
+          streamId = Some("gate-sem-cur2"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $t")
+        semCuration2Built += t
+      }
+      t
+    }
+
+  /** Data files of a managed table's warehouse dir (committed parquet
+    * parts only) — the compaction gate's did-it-actually-rewrite
+    * evidence. */
+  private def tableDataFiles(s: SparkSession, t: String): Set[String] = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Option(new java.io.File(wh, t).listFiles())
+      .map(_.filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+  }
+
+  /** COMPACTED minhash index: build over the corpus, tombstone the
+    * doc_id ≡ 3 (mod 97) takedown slice, then FOLD the tombstones into
+    * fresh bucketed files ([[Dedup.compactMinhashIndex]]). The builder
+    * asserts compaction physically ran — tombstones existed before,
+    * the side table is gone after, and the data-file set was rewritten
+    * — so the gate's probe genuinely reads a compacted index, against
+    * the SAME exact-pairs oracle as the uncompacted probe minus the
+    * deleted docs.
+    */
+  private def minhashCompactIdx(s: SparkSession, d: String): String = {
+    val t = s"g_gate_minhash_compact_${tag(d)}"
+    ensureTable(s, t) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(graft.sources.IndexMaintenance.tombstoneTable(t),
+          s"${t}_compact_tmp").foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val dir = new java.io.File(wh, n)
+        if (dir.exists()) rmTree(dir)
+      }
+      Dedup.writeMinhashIndex(Tables.documents(s, d), t)
+      Dedup.deleteFromMinhashIndex(s, t,
+        Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
+          .select("doc_id"))
+      val tomb = graft.sources.IndexMaintenance.tombstoneTable(t)
+      require(s.catalog.tableExists(tomb),
+        "compaction gate: no tombstones to fold — the gate would be vacuous")
+      val before = tableDataFiles(s, t)
+      Dedup.compactMinhashIndex(s, t)
+      require(!s.catalog.tableExists(tomb),
+        "compaction gate: tombstone table survived the compact")
+      val after = tableDataFiles(s, t)
+      require(after.nonEmpty && after != before,
+        "compaction gate: data files unchanged — compact did not rewrite")
+    }
+  }
 
   private val ivfIncrBuilt = scala.collection.mutable.Set.empty[String]
   private def ivfIncrIdx(s: SparkSession, d: String): String = indexLock.synchronized {
@@ -1855,6 +1952,15 @@ object SparkEntry {
       Dedup.embeddingNearDupIndexed(
         s, embedStreamIdxTable(s, d), Tables.embeddings(s, d))
     }),
+    // COMPACTION, oracle-gated (previously spec-only): tombstoned
+    // takedowns folded into fresh bucketed files (compactMinhashIndex;
+    // the builder asserts the rewrite physically happened), then the
+    // SAME probe as the uncompacted index — the oracle is the exact
+    // pairs among the surviving docs, so probe-after-compact ≡
+    // probe-before-minus-deleted
+    "dedup_lsh_compacted" -> ((s, d) =>
+      Dedup.minhashLshIndexed(s, minhashCompactIdx(s, d),
+        Tables.documents(s, d))),
     // the INCREMENTAL-INGEST path, oracle-gated (previously spec-only):
     // an arriving batch (doc_id ≡ 0 mod 13) checked against the
     // corpus-minus-batch index — only the batch is shingled/signed,
@@ -1880,10 +1986,13 @@ object SparkEntry {
     // the oracle is the full recursive-CTE components over the union
     "dedup_cluster_incremental" -> ((s, d) => {
       val docs = incrGateDocs(s, d)
+      // ordering lives in the gate projection, not the operator (the
+      // API output is corpus-sized; no production consumer sorts it)
       Dedup.clusterIncremental(s, minhashIncrIndexTable(s, d),
         clusterIncrIndexTable(s, d),
         docs.filter(col("doc_id") % 13 === 0),
         docs.filter(col("doc_id") % 13 =!= 0))
+        .orderBy("doc_id")
     }),
     // the cluster-index INGEST-PERSIST gate: the same residue batch is
     // UPSERTED into the persisted corpus assignment (stale-mark merged
@@ -2089,6 +2198,36 @@ object SparkEntry {
     // equal the weights of a full re-cluster of the union
     "semantic_upsert_weights" -> ((s, d) =>
       Similarity.semanticWeightsFromIndex(s, semClusterUpsertTable(s, d))),
+    // the FACTORED semantic family: the same prune/group/graph passes
+    // over the two-level (coarse ⋈ fine) head-book assignment — the
+    // corpus partitioning costs n·2√k·d instead of the flat n·k·d
+    // (`ivf_assign_flat` vs `ivf_assign_twolevel` measures the gap);
+    // the oracles replay the factored books + both argmin passes and
+    // then share the flat twins' consumer CTEs verbatim
+    "semdedup_twolevel" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semDedupTwoLevel(vecs, Similarity.headTwoLevelBooks(vecs))
+    }),
+    "semantic_clusters_twolevel" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semanticClustersTwoLevel(vecs,
+        Similarity.headTwoLevelBooks(vecs))
+    }),
+    "semantic_weights_twolevel" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.semanticWeightsTwoLevel(vecs,
+        Similarity.headTwoLevelBooks(vecs))
+    }),
+    "knn_graph_twolevel" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.knnGraphTwoLevel(vecs, Similarity.headTwoLevelBooks(vecs))
+    }),
+    // the FACTORED curation loop: the same admit → append → merge
+    // streaming stage over a TWO-LEVEL residue index — every batch
+    // pass routes batch·2√k·d through assignUnderIndex; the probe
+    // reads the component size histogram over residue ∪ admitted
+    "semantic_curation_twolevel_stream_ingested" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, semCurationTwoLevelTables(s, d))),
     "embed_quantize"    -> ((s, d) => {
       val st = graft.plans.HashExprs.quantizeI8Stats(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"), st.as("st"))
@@ -2848,42 +2987,58 @@ object SparkEntry {
     */
   private def semanticClusterCtes: String = semanticClusterCtesFor("")
 
-  /** Oracle for ivf_assign_twolevel: replay the head-derived two-level
-    * books and the factored assignment — grid g = ⌈√max(16, ⌈n/256⌉)⌉
-    * (clamped at 4, the [[Similarity.twoLevelGrid]] formula), coarse
-    * book = first g embeddings by vec_id, coarse cell = sequential-fold
-    * L2 argmin (ties to the lowest id — the NearestCentroidExpr IEEE
-    * chain), fine book per cell = the cell's first g members by vec_id,
-    * fine pick = the same argmin within the cell, list_id = cid·g + fid.
+  /** Shared oracle prefix for the TWO-LEVEL head-book gates
+    * (`ivf_assign_twolevel`, the factored semantic twins, the factored
+    * curation loop): replay the head-derived factored books and the
+    * two-pass assignment — grid g = ⌈√max(16, ⌈n/256⌉)⌉ over the
+    * codebook slice (clamped at 4, the [[Similarity.twoLevelGrid]]
+    * formula), coarse book = the slice's first g embeddings by vec_id,
+    * coarse cell = sequential-fold L2 argmin (ties to the lowest id —
+    * the NearestCentroidExpr IEEE chain), fine book per cell = the
+    * cell's first g SLICE members by vec_id (what the build saw), fine
+    * pick = the same argmin within the cell, list_id = cid·g + fid.
+    * Every row — slice and batch — is assigned under the slice books,
+    * exactly what the persisted index stores plus the batch's routed
+    * pass. Ends mid-WITH after `asg` (trailing comma), mirroring
+    * [[headAssignCteFor]], so the flat twins' consumer CTEs serve the
+    * factored gates verbatim.
+    */
+  private def twoLevelAssignCteFor(cbWhere: String): String =
+    s"""WITH gp AS (SELECT greatest(4, CAST(ceil(sqrt(greatest(16.0, ceil(count(*) / 256.0)))) AS BIGINT)) AS g FROM embeddings $cbWhere),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT rn - 1 AS cid, cent FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+       |      CAST(embedding AS DOUBLE[]) AS cent FROM embeddings $cbWhere)
+       |  WHERE rn <= (SELECT g FROM gp)),
+       |cd AS (SELECT ev.vec_id, cb.cid,
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(cb.cent))),
+       |    i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
+       |  FROM ev CROSS JOIN cb),
+       |ca AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |fb AS (SELECT cid, rn - 1 AS fid, cent FROM (
+       |    SELECT ca.cid, row_number() OVER (PARTITION BY ca.cid ORDER BY ca.vec_id) AS rn,
+       |      ev.v AS cent FROM ca JOIN ev USING (vec_id) $cbWhere)
+       |  WHERE rn <= (SELECT g FROM gp)),
+       |fd AS (SELECT ev.vec_id, ca.cid, fb.fid,
+       |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(fb.cent))),
+       |    i -> (ev.v[i] - fb.cent[i]) * (ev.v[i] - fb.cent[i]))), (a, b) -> a + b) AS d2
+       |  FROM ev JOIN ca USING (vec_id) JOIN fb ON fb.cid = ca.cid),
+       |fa AS (SELECT vec_id, cid, fid FROM (
+       |  SELECT vec_id, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, fid) AS rn
+       |  FROM fd) WHERE rn = 1),
+       |asg AS (SELECT vec_id, CAST(cid * (SELECT g FROM gp) + fid AS INTEGER) AS list_id FROM fa),
+       |""".stripMargin
+
+  /** Oracle for ivf_assign_twolevel: the factored head-book assignment
+    * ([[twoLevelAssignCteFor]]), aggregated to per-list sizes.
     */
   private def twoLevelAssignOracle: String =
-    """WITH gp AS (SELECT greatest(4, CAST(ceil(sqrt(greatest(16.0, ceil(count(*) / 256.0)))) AS BIGINT)) AS g FROM embeddings),
-      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cb AS (SELECT rn - 1 AS cid, cent FROM (
-      |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
-      |      CAST(embedding AS DOUBLE[]) AS cent FROM embeddings)
-      |  WHERE rn <= (SELECT g FROM gp)),
-      |cd AS (SELECT ev.vec_id, cb.cid,
-      |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(cb.cent))),
-      |    i -> (ev.v[i] - cb.cent[i]) * (ev.v[i] - cb.cent[i]))), (a, b) -> a + b) AS d2
-      |  FROM ev CROSS JOIN cb),
-      |ca AS (SELECT vec_id, cid FROM (
-      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |  FROM cd) WHERE rn = 1),
-      |fb AS (SELECT cid, rn - 1 AS fid, cent FROM (
-      |    SELECT ca.cid, row_number() OVER (PARTITION BY ca.cid ORDER BY ca.vec_id) AS rn,
-      |      ev.v AS cent FROM ca JOIN ev USING (vec_id))
-      |  WHERE rn <= (SELECT g FROM gp)),
-      |fd AS (SELECT ev.vec_id, ca.cid, fb.fid,
-      |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, least(len(ev.v), len(fb.cent))),
-      |    i -> (ev.v[i] - fb.cent[i]) * (ev.v[i] - fb.cent[i]))), (a, b) -> a + b) AS d2
-      |  FROM ev JOIN ca USING (vec_id) JOIN fb ON fb.cid = ca.cid),
-      |fa AS (SELECT vec_id, cid, fid FROM (
-      |  SELECT vec_id, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, fid) AS rn
-      |  FROM fd) WHERE rn = 1)
-      |SELECT CAST(cid * (SELECT g FROM gp) + fid AS INTEGER) AS list_id,
-      |  count(*)::BIGINT AS n_vectors
-      |FROM fa GROUP BY 1 ORDER BY 1""".stripMargin
+    twoLevelAssignCteFor("") +
+      """sz AS (SELECT list_id, count(*)::BIGINT AS n_vectors FROM asg GROUP BY 1)
+        |SELECT CAST(list_id AS INTEGER) AS list_id, n_vectors
+        |FROM sz ORDER BY list_id""".stripMargin
 
   /** Oracle shared by semantic_upsert_stats and its streaming twin:
     * components over ALL rows (residue ∪ batch) assigned under the
@@ -2907,15 +3062,112 @@ object SparkEntry {
     */
   private def semanticClusterCtesFor(cbWhere: String): String =
     headAssignCteFor(cbWhere).replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """sp AS (SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-        |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
-        |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35),
-        |edges AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
-        |reach AS (SELECT a AS vec_id, b AS r FROM edges
-        |  UNION SELECT e.a AS vec_id, reach.r FROM edges e JOIN reach ON e.b = reach.vec_id),
-        |lbl AS (SELECT vec_id, min(r) AS mr FROM reach GROUP BY vec_id)
-        |""".stripMargin
+      semanticEdgeLblCtes
+
+  /** The within-list τ-edge set + recursive-reach min-label chunk
+    * shared by every semantic-components oracle — consumes `asg` and
+    * `ev` from EITHER assignment prefix (flat [[headAssignCteFor]] or
+    * factored [[twoLevelAssignCteFor]]), which is exactly the code
+    * relationship the operators have ([[Similarity.semanticClustersAssigned]]
+    * behind both forms). Ends after `lbl` WITHOUT a trailing comma.
+    */
+  private val semanticEdgeLblCtes: String =
+    """sp AS (SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+      |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35),
+      |edges AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
+      |reach AS (SELECT a AS vec_id, b AS r FROM edges
+      |  UNION SELECT e.a AS vec_id, reach.r FROM edges e JOIN reach ON e.b = reach.vec_id),
+      |lbl AS (SELECT vec_id, min(r) AS mr FROM reach GROUP BY vec_id)
+      |""".stripMargin
+
+  /** [[semanticClusterCtesFor]] over the FACTORED head books — the
+    * two-level semantic twins' shared prefix. */
+  private def twoLevelClusterCtes: String =
+    twoLevelAssignCteFor("").replaceFirst("WITH ", "WITH RECURSIVE ") +
+      semanticEdgeLblCtes
+
+  // — consumer bodies shared between the FLAT and FACTORED twins: each
+  // consumes `asg`/`ev` (from headAssignCteFor or twoLevelAssignCteFor)
+  // exactly as the operators consume an assigned frame from either
+  // pass. One definition per semantics, so a twin pair can never drift.
+
+  /** semdedup earlier-id prune rule + per-row report. */
+  private val semdedupPruneBody: String =
+    """pr AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS near_id,
+      |  max(round(list_cosine_similarity(ea.v, eb.v), 4)) AS max_cos
+      |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+      |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+      |  GROUP BY b.vec_id)
+      |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
+      |  pr.near_id IS NULL AS kept,
+      |  coalesce(pr.near_id, -1) AS near_id,
+      |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
+      |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+      |ORDER BY asg.vec_id""".stripMargin
+
+  /** blocked kNN graph: per-vector cosine-DESC window over list pairs. */
+  private val knnGraphBody: String =
+    """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+      |  round(list_cosine_similarity(ea.v, eb.v), 4) + 0.0 AS cos_sim
+      |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+      |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rn FROM s)
+      |SELECT vec_id, nbr_id, cos_sim, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin
+
+  /** components assignment off `lbl` (cluster id = component min). */
+  private val semanticClustersBody: String =
+    """SELECT d.vec_id,
+      |coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id,
+      |(coalesce(least(l.mr, d.vec_id), d.vec_id) = d.vec_id) AS is_canonical
+      |FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id
+      |ORDER BY d.vec_id""".stripMargin
+
+  /** SoftDeDup weights off `lbl` (shared integer weight identity). */
+  private val semanticWeightsBody: String =
+    """, cl AS (SELECT d.vec_id,
+      |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
+      |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+      |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+      |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size,
+      |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
+      |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id""".stripMargin
+
+  /** the curation loop's replay off an assignment prefix whose books
+    * come from the residue: admission (a batch row is refused when any
+    * same-list residue row is within tau), live = residue ∪ admitted,
+    * within-list τ-edges among live rows, recursive-reach min-label,
+    * size histogram.
+    */
+  private val curationBody: String =
+    """pr AS (SELECT b.vec_id AS vec_id
+      |  FROM asg b JOIN asg a ON a.list_id = b.list_id
+      |    AND b.vec_id % 13 = 0 AND a.vec_id % 13 <> 0
+      |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+      |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+      |  GROUP BY b.vec_id),
+      |lv AS (SELECT vec_id, list_id FROM asg WHERE vec_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT asg.vec_id, asg.list_id FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+      |  WHERE asg.vec_id % 13 = 0 AND pr.vec_id IS NULL),
+      |sp AS (SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM lv a JOIN lv b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
+      |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35),
+      |edges AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
+      |reach AS (SELECT a AS vec_id, b AS r FROM edges
+      |  UNION SELECT e.a AS vec_id, reach.r FROM edges e JOIN reach ON e.b = reach.vec_id),
+      |lbl AS (SELECT vec_id, min(r) AS mr FROM reach GROUP BY vec_id),
+      |cl AS (SELECT l.vec_id,
+      |  coalesce(least(lb.mr, l.vec_id), l.vec_id) AS cluster_id
+      |  FROM lv l LEFT JOIN lbl lb ON l.vec_id = lb.vec_id),
+      |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+      |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+      |  (cluster_size * count(*))::BIGINT AS n_docs
+      |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** retrieval_eval's oracle: the brute-force labeled top-10 with the
     * SAME baked 6dp DCG weights ([[Similarity.dcgW6]] interpolated as
@@ -4666,32 +4918,13 @@ object SparkEntry {
     // LIVE rows, recursive-reach min-label, size histogram
     "semantic_curation_stream_ingested" ->
       (headAssignCteFor("WHERE vec_id % 13 <> 0")
-        .replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """pr AS (SELECT b.vec_id AS vec_id
-          |  FROM asg b JOIN asg a ON a.list_id = b.list_id
-          |    AND b.vec_id % 13 = 0 AND a.vec_id % 13 <> 0
-          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
-          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
-          |  GROUP BY b.vec_id),
-          |lv AS (SELECT vec_id, list_id FROM asg WHERE vec_id % 13 <> 0
-          |  UNION ALL
-          |  SELECT asg.vec_id, asg.list_id FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
-          |  WHERE asg.vec_id % 13 = 0 AND pr.vec_id IS NULL),
-          |sp AS (SELECT a.vec_id AS a, b.vec_id AS b
-          |  FROM lv a JOIN lv b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
-          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35),
-          |edges AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
-          |reach AS (SELECT a AS vec_id, b AS r FROM edges
-          |  UNION SELECT e.a AS vec_id, reach.r FROM edges e JOIN reach ON e.b = reach.vec_id),
-          |lbl AS (SELECT vec_id, min(r) AS mr FROM reach GROUP BY vec_id),
-          |cl AS (SELECT l.vec_id,
-          |  coalesce(least(lb.mr, l.vec_id), l.vec_id) AS cluster_id
-          |  FROM lv l LEFT JOIN lbl lb ON l.vec_id = lb.vec_id),
-          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
-          |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
-          |  (cluster_size * count(*))::BIGINT AS n_docs
-          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + curationBody),
+    // the FACTORED curation loop: the identical replay over the
+    // two-level residue head books — only the assignment prefix
+    // differs, exactly the code relationship the streaming stage has
+    "semantic_curation_twolevel_stream_ingested" ->
+      (twoLevelAssignCteFor("WHERE vec_id % 13 <> 0")
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + curationBody),
     // flat assignment-cost key: the shared head-codebook assignment,
     // aggregated to per-list sizes
     "ivf_assign_flat" ->
@@ -4941,20 +5174,9 @@ object SparkEntry {
     // NearestCentroidExpr runs, ties to the lowest list), then the
     // within-cluster pair set — earlier-id prune rule for semdedup,
     // per-vector cosine-DESC window for the graph
-    "semdedup_prune" ->
-      (headAssignCte +
-        """pr AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS near_id,
-          |  max(round(list_cosine_similarity(ea.v, eb.v), 4)) AS max_cos
-          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
-          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
-          |  GROUP BY b.vec_id)
-          |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
-          |  pr.near_id IS NULL AS kept,
-          |  coalesce(pr.near_id, -1) AS near_id,
-          |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
-          |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
-          |ORDER BY asg.vec_id""".stripMargin),
+    "semdedup_prune" -> (headAssignCte + semdedupPruneBody),
+    // the FACTORED twin: same prune body over the two-level assignment
+    "semdedup_twolevel" -> (twoLevelAssignCteFor("") + semdedupPruneBody),
     "semdedup_stats" ->
       (headAssignCte +
         """pr AS (SELECT b.vec_id AS vec_id
@@ -4971,20 +5193,7 @@ object SparkEntry {
     // the persisted-assignment twin reads what the index stores —
     // assignment under the same corpus-sized head codebook — so the
     // prune-rule replay is shared verbatim
-    "semdedup_indexed" ->
-      (headAssignCte +
-        """pr AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS near_id,
-          |  max(round(list_cosine_similarity(ea.v, eb.v), 4)) AS max_cos
-          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id
-          |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
-          |  GROUP BY b.vec_id)
-          |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
-          |  pr.near_id IS NULL AS kept,
-          |  coalesce(pr.near_id, -1) AS near_id,
-          |  coalesce(pr.max_cos, 0.0) + 0.0 AS max_cos
-          |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
-          |ORDER BY asg.vec_id""".stripMargin),
+    "semdedup_indexed" -> (headAssignCte + semdedupPruneBody),
     // incremental admission: codebook from the RESIDUE (what the
     // persisted index trained on), every row assigned under it, a
     // batch row refused when any corpus row shares its list within tau
@@ -5021,13 +5230,11 @@ object SparkEntry {
           |FROM live GROUP BY 1 ORDER BY 1""".stripMargin),
     // semantic components: the same within-list threshold edges, then
     // the clusterOracle recursive-reach min-label convention
-    "semantic_clusters" ->
-      (semanticClusterCtes +
-        """SELECT d.vec_id,
-          |coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id,
-          |(coalesce(least(l.mr, d.vec_id), d.vec_id) = d.vec_id) AS is_canonical
-          |FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id
-          |ORDER BY d.vec_id""".stripMargin),
+    "semantic_clusters" -> (semanticClusterCtes + semanticClustersBody),
+    // the FACTORED components twin: same reach/label body over the
+    // two-level within-list edge set
+    "semantic_clusters_twolevel" ->
+      (twoLevelClusterCtes + semanticClustersBody),
     // persisted-components twins share the direct forms' replays
     "semantic_stats_indexed" ->
       (semanticClusterCtes +
@@ -5039,23 +5246,11 @@ object SparkEntry {
           |  (cluster_size * count(*))::BIGINT AS n_docs
           |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
     "semantic_weights_indexed" ->
-      (semanticClusterCtes +
-        """, cl AS (SELECT d.vec_id,
-          |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
-          |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
-          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
-          |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size,
-          |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
-          |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id""".stripMargin),
-    "semantic_weights" ->
-      (semanticClusterCtes +
-        """, cl AS (SELECT d.vec_id,
-          |  coalesce(least(l.mr, d.vec_id), d.vec_id) AS cluster_id
-          |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
-          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
-          |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size,
-          |  CAST(1000000 // sz.cluster_size AS DOUBLE) / 1000000.0 AS weight
-          |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id""".stripMargin),
+      (semanticClusterCtes + semanticWeightsBody),
+    "semantic_weights" -> (semanticClusterCtes + semanticWeightsBody),
+    // the FACTORED weights twin (shared integer weight identity)
+    "semantic_weights_twolevel" ->
+      (twoLevelClusterCtes + semanticWeightsBody),
     // upsert gate: components over ALL rows (residue ∪ batch) assigned
     // under the RESIDUE codebook — exactly what the residue-built index
     // plus the in-place batch merge must equal
@@ -5083,24 +5278,16 @@ object SparkEntry {
           |  (cluster_size * count(*))::BIGINT AS n_docs
           |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin),
     // the persisted-assignment knn twin shares the same replay
-    "knn_graph_indexed" ->
-      (headAssignCte +
-        """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-          |  round(list_cosine_similarity(ea.v, eb.v), 4) + 0.0 AS cos_sim
-          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
-          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id),
-          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rn FROM s)
-          |SELECT vec_id, nbr_id, cos_sim, CAST(rn AS INTEGER) AS rn
-          |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin),
-    "knn_graph" ->
-      (headAssignCte +
-        """s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-          |  round(list_cosine_similarity(ea.v, eb.v), 4) + 0.0 AS cos_sim
-          |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
-          |  JOIN ev ea ON ea.vec_id = a.vec_id JOIN ev eb ON eb.vec_id = b.vec_id),
-          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rn FROM s)
-          |SELECT vec_id, nbr_id, cos_sim, CAST(rn AS INTEGER) AS rn
-          |FROM r WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin),
+    "knn_graph_indexed" -> (headAssignCte + knnGraphBody),
+    "knn_graph" -> (headAssignCte + knnGraphBody),
+    // the FACTORED graph twin: same window body over the two-level
+    // block pairs
+    "knn_graph_twolevel" -> (twoLevelAssignCteFor("") + knnGraphBody),
+    // compacted-index probe: exact pairs among the SURVIVING docs —
+    // probe-after-compact ≡ probe-before minus the takedown slice
+    "dedup_lsh_compacted" -> jaccardPairsOracle(
+      word = false, k = 5, threshold = 0.5,
+      rel = "(SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3)"),
     // int8 search oracle: re-quantize in SQL (same round-away-from-
     // zero as quantize_i8), then integer dot/norms — every partial is
     // an exact integer well under 2^53, so double accumulation is

@@ -829,6 +829,8 @@ object Dedup {
     * cluster-partitioned work ZERO-exchange (spec-asserted).
     */
   def writeClusterIndex(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    // a full rebuild supersedes any pending upsert commit
+    clearUpsertStaging(documents.sparkSession, table)
     val clusters = minhashClusters(documents).select("doc_id", "cluster_id")
     val quality = documents.select(col("doc_id"),
       graft.functions.TextAnalysis.qualityCol(col("text")).as("quality"))
@@ -914,10 +916,13 @@ object Dedup {
       .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
+    // NO ordering tail: the output is corpus-sized and no consumer
+    // needs a global sort (upserts recompute labels internally; gates
+    // order in their own projection) — sorting here would be the one
+    // corpus-wide exchange in an otherwise batch-sized op
     corpusOut.unionByName(batchOut)
       .select(col("doc_id"), col("cluster_id"),
         (col("cluster_id") === col("doc_id")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** The contracted edge table [[clusterIncremental]] clusters over —
@@ -974,6 +979,102 @@ object Dedup {
     else t
   }
 
+  /** Staging directory for a cluster-index upsert's pending commit —
+    * single-writer (the index contract) ⇒ at most one in flight per
+    * table. Lives next to the table under the warehouse, so the next
+    * writer finds it after a crash.
+    */
+  private[graft] def upsertStagingDir(spark: org.apache.spark.sql.SparkSession,
+                                      table: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    s"${wh.stripSuffix("/")}/${table}_upsert_staging"
+  }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Durably COMMIT an upsert's two writes BEFORE applying either: the
+    * stale cluster ids and the re-append rows land in a staging dir via
+    * write-everything-then-one-atomic-rename. This closes the
+    * intra-merge loss window: previously a crash between the
+    * stale-mark and the bucketed re-append dropped the superseded
+    * clusters' member rows permanently (the live view anti-joins the
+    * stale ids, so a replayed merge could never see those members
+    * again). With the commit staged first, every crash lands in one of
+    * two recoverable states — before the rename (nothing applied, the
+    * live view untouched, a replay recomputes from scratch) or after
+    * it (both frames durable, [[applyStagedUpsert]] folds them in
+    * idempotently — called here on the happy path and by the NEXT
+    * writer on entry as crash recovery).
+    */
+  private[graft] def stageUpsert(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, staleIds: DataFrame,
+                                 rows: DataFrame): Unit = {
+    val dir = upsertStagingDir(spark, table)
+    val tmp = s"$dir.tmp"
+    val fs = hadoopFs(spark, dir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    require(!fs.exists(p(dir)),
+      s"stageUpsert: pending staging at $dir — recovery must fold it first")
+    fs.delete(p(tmp), true)
+    staleIds.write.parquet(s"$tmp/stale")
+    rows.write.parquet(s"$tmp/rows")
+    require(fs.rename(p(tmp), p(dir)), s"staging commit rename failed: $dir")
+  }
+
+  /** Fold a COMMITTED upsert staging into the index, then drop it —
+    * idempotent, so it doubles as crash recovery for every window
+    * inside the apply:
+    *
+    *  - the stale-id append is inert under duplication (the live
+    *    view's anti-join reads ids as a set; compaction clears dups);
+    *  - the row re-append anti-joins the bare table on
+    *    (doc_id, cluster_id) first, which is SOUND because component
+    *    labels strictly DECREASE (a cluster id is its component-min
+    *    doc_id, and merges only lower minima) — a staged (doc, label)
+    *    pair can already exist in the table only if this same staged
+    *    apply (or a fully-applied replay of the same batch) put it
+    *    there. A crash mid-append leaves at most committed part files,
+    *    and the per-row anti-join resumes exactly the missing rows.
+    *
+    * Returns true iff a committed staging existed. The residual
+    * multi-writer story is still a table format's (Delta/Iceberg
+    * MERGE) — this protocol assumes the single-writer contract every
+    * index-maintenance op here states.
+    */
+  private[graft] def applyStagedUpsert(spark: org.apache.spark.sql.SparkSession,
+                                       table: String,
+                                       numBuckets: Int = 8): Boolean = {
+    val dir = upsertStagingDir(spark, table)
+    val fs = hadoopFs(spark, dir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(dir))) return false
+    spark.read.parquet(s"$dir/stale")
+      .write.mode("append").format("parquet")
+      .saveAsTable(staleClusterTable(table))
+    val rows = spark.read.parquet(s"$dir/rows")
+    val todo = rows.join(
+      spark.table(table).select("doc_id", "cluster_id"),
+      Seq("doc_id", "cluster_id"), "left_anti")
+    graft.sources.Sinks.appendBucketed(
+      todo, table, Seq("cluster_id"), numBuckets)
+    fs.delete(p(dir), true)
+    true
+  }
+
+  /** Drop any pending upsert staging for `table` — a full rebuild
+    * supersedes an in-flight commit (its frames were computed against
+    * the replaced state). Called by the writeIndex paths.
+    */
+  private[graft] def clearUpsertStaging(spark: org.apache.spark.sql.SparkSession,
+                                        table: String): Unit = {
+    val dir = upsertStagingDir(spark, table)
+    hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    ()
+  }
+
   /** Persist an arriving batch's cluster merge — the WRITE-BACK
     * [[clusterIncremental]] lacked: the compute there is batch-sized
     * but the only persist path was a full [[writeClusterIndex]]
@@ -999,16 +1100,22 @@ object Dedup {
     * corpus ∪ batch (spec-asserted), keepBestIndexed / clusterStats /
     * splitFromIndex / weights plans stay exchange-free, and
     * [[compactClusterIndex]] folds both side tables into fresh files
-    * out of band. Single-writer, one apply per batch, like every
-    * index-maintenance op here (a crash between the stale-mark and
-    * the append re-runs the batch; plain parquet catalogs have no
-    * multi-writer or transactional story — on a cluster this is a
-    * Delta/Iceberg MERGE commit).
+    * out of band. Crash safety is the STAGED COMMIT ([[stageUpsert]] /
+    * [[applyStagedUpsert]]): both writes are durable behind one atomic
+    * rename before the stale-mark, so no crash point loses member rows
+    * and replay/recovery folds idempotently (spec-simulated at every
+    * window). Single-writer, one apply per batch, like every
+    * index-maintenance op here (plain parquet catalogs have no
+    * multi-writer story — on a cluster this is a Delta/Iceberg MERGE
+    * commit).
     */
   def upsertClusterIndex(spark: org.apache.spark.sql.SparkSession,
                          minhashTable: String, clusterTable: String,
                          newDocs: DataFrame, corpus: DataFrame,
                          maxIter: Int = 8, numBuckets: Int = 8): Unit = {
+    // crash recovery: fold any committed-but-unapplied predecessor
+    // commit before reading the live view (single-writer contract)
+    applyStagedUpsert(spark, clusterTable, numBuckets)
     val assign = liveClusterRows(spark, clusterTable)
       .select("doc_id", "cluster_id", "quality")
     val edges = incrementalEdges(spark, minhashTable, clusterTable,
@@ -1039,18 +1146,17 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("new_label"), col("doc_id")).as("cluster_id"),
         col("quality"))
-    // materialize the re-append rows BEFORE marking clusters stale:
-    // `relabeled` reads through the live-cluster view, and when this is
-    // not the table's first upsert that view already anti-joins the
-    // stale side table — writing this upsert's stale ids first would
-    // make the lazy scan exclude exactly the member rows being
-    // relabeled (second-upsert compose caught three dropped rows)
-    val rows = relabeled.unionByName(batchRows).localCheckpoint(true)
-    stale.select("cluster_id").distinct()
-      .write.mode("append").format("parquet")
-      .saveAsTable(staleClusterTable(clusterTable))
-    graft.sources.Sinks.appendBucketed(
-      rows, clusterTable, Seq("cluster_id"), numBuckets)
+    // STAGED COMMIT ([[stageUpsert]]): both frames are made durable
+    // BEFORE the stale-mark touches the live view. This subsumes the
+    // old materialize-before-mark ordering rule (the staging write IS
+    // the materialization — `relabeled`'s lazy scan executes here,
+    // while the live view still shows the rows being relabeled) AND
+    // closes the crash window between the mark and the re-append.
+    val rows = relabeled.unionByName(batchRows)
+    stageUpsert(spark, clusterTable,
+      stale.select("cluster_id").distinct(), rows)
+    applyStagedUpsert(spark, clusterTable, numBuckets)
+    ()
   }
 
   /** Fold BOTH of the cluster index's side tables (doc_id tombstones,

@@ -291,13 +291,60 @@ object Similarity {
     * data-driven.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String, newVecs: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$path/codebook")
-      .orderBy("list_id").collect().map(vecOf(_, "cent"))
-    newVecs.select(col("vec_id"), col("embedding"),
-      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
+                       path: String, newVecs: DataFrame): Unit =
+    assignUnderIndex(spark, path, newVecs)
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
+
+  /** Whether the index at `path` carries the factored coarse book —
+    * i.e. was written by [[writeTwoLevelIvfIndex]]. Every
+    * batch-assignment consumer routes on this, so a two-level index
+    * never silently pays the flat batch·k·d pass.
+    */
+  private def isTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean =
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/codebook_coarse"))
+
+  /** Rebuild the ragged books bundle from a two-level index's stored
+    * coarse book + flat codebook (hole padding excluded exactly as at
+    * build, via the recorded per-cell lengths).
+    */
+  private def readTwoLevelBooks(spark: org.apache.spark.sql.SparkSession,
+                                path: String): TwoLevelBooks = {
+    val cRows = spark.read.parquet(s"$path/codebook_coarse")
+      .orderBy("coarse_id").collect()
+    val coarse = cRows.map(vecOf(_, "cent"))
+    val nFine = cRows.map(_.getAs[Int]("n_fine"))
+    val flat = spark.read.parquet(s"$path/codebook")
+      .orderBy("list_id").collect().map(vecOf(_, "cent"))
+    val g = flat.length / coarse.length
+    val fine: Array[Array[Array[Double]]] = Array.tabulate(coarse.length) { c =>
+      flat.slice(c * g, c * g + nFine(c))
+    }
+    TwoLevelBooks(coarse, fine, g)
   }
+
+  /** Assign a batch under an index's STORED books — the single routing
+    * point every index-consuming batch pass shares: FACTORED
+    * (coarse → the cell's ragged fine book, batch·2√k·d) when the index
+    * is two-level (`codebook_coarse` present), flat (batch·k·d) only
+    * when the index genuinely is flat. Routing here rather than per
+    * caller is what keeps the semantic admission/merge family and the
+    * append stages on the factored curve the moment their index is —
+    * and keeps build↔append assignment PARITY (a flat pass over a
+    * two-level index would route by global nearest, a different cell
+    * than the factored build picked).
+    */
+  def assignUnderIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, newVecs: DataFrame): DataFrame =
+    if (isTwoLevelIndex(spark, path))
+      assignTwoLevel(newVecs, readTwoLevelBooks(spark, path))
+    else {
+      val cents = spark.read.parquet(s"$path/codebook")
+        .orderBy("list_id").collect().map(vecOf(_, "cent"))
+      assignLists(newVecs, cents)
+    }
 
   /** Codebook-DRIFT report for an aged IVF index: recall@k of the
     * fixed-`nProbe` probe vs exact cosine, one row per query — the
@@ -418,6 +465,75 @@ object Similarity {
     math.max(4, math.ceil(math.sqrt(
       math.max(16.0, n.toDouble / targetCluster))).toInt)
 
+  /** The factored codebook bundle every two-level consumer passes
+    * around: `coarse` cells, per-cell RAGGED fine books, and the grid
+    * width `nFine` flattening list_id = cid·nFine + fid. `flat` is the
+    * probe-metadata view (hole slots carry their cell's coarse
+    * centroid — an empty list's radius is 0, so exact-probe bounds
+    * stay valid and a scan of it reads nothing).
+    */
+  final case class TwoLevelBooks(coarse: Array[Array[Double]],
+                                 fine: Array[Array[Array[Double]]],
+                                 nFine: Int) {
+    def flat: Array[Array[Double]] = Array.tabulate(coarse.length * nFine) { lid =>
+      val (c, f) = (lid / nFine, lid % nFine)
+      if (f < fine(c).length) fine(c)(f) else coarse(c)
+    }
+  }
+
+  /** TRAINED two-level books at the corpus-sized grid — hierarchical
+    * Lloyd's ([[trainTwoLevelCodebook]]) at g = [[twoLevelGrid]](n),
+    * the production books behind [[writeTwoLevelIvfIndex]] and the
+    * factored semantic family ([[semDedupTwoLevel]] et al.). The one
+    * `count()` is ingest-grade work, like [[semDedup]]'s.
+    */
+  def trainTwoLevelBooks(embeddings: DataFrame, targetCluster: Int = 256,
+                         iters: Int = 2): TwoLevelBooks = {
+    val g = twoLevelGrid(embeddings.count(), targetCluster)
+    val (coarse, fine, _) = trainTwoLevelCodebook(embeddings, g, g, iters)
+    TwoLevelBooks(coarse, fine, g)
+  }
+
+  /** SQL-REPLAYABLE two-level books — the [[headCodebookSized]]
+    * convention factored: coarse book = the first g corpus embeddings
+    * by vec_id (g = [[twoLevelGrid]](n)), fine book per cell = the
+    * cell's first g members by vec_id under the coarse assignment —
+    * both pure functions of the table, so a DuckDB oracle re-derives
+    * cell, fine pick, and the flattened list id. Only the BOOKS differ
+    * from [[trainTwoLevelBooks]] (head-picked vs trained), which moves
+    * list boundaries but not cost or output contracts — the gate
+    * geometry stays the scale-right factored one.
+    */
+  def headTwoLevelBooks(embeddings: DataFrame,
+                        targetCluster: Int = 256): TwoLevelBooks = {
+    import org.apache.spark.sql.expressions.Window
+    val g = twoLevelGrid(embeddings.count(), targetCluster)
+    val coarse = headCodebook(embeddings, g)
+    val withC = embeddings.select(col("vec_id"), col("embedding"),
+      HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
+    val w = Window.partitionBy("cid").orderBy("vec_id")
+    val seedRows = withC.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= g)
+      .select(col("cid"), (col("rn") - 1).as("fid"),
+        col("embedding").cast("array<double>").as("cent"))
+      .collect()
+    val fine: Array[Array[Array[Double]]] = {
+      val byCell = seedRows.groupBy(_.getAs[Int]("cid"))
+      Array.tabulate(coarse.length) { c =>
+        byCell.getOrElse(c, Array.empty)
+          .sortBy(_.getAs[Int]("fid"))
+          .map(_.getSeq[Double](2).toArray)
+      }
+    }
+    TwoLevelBooks(coarse, fine, g)
+  }
+
+  /** The factored (coarse → cell's ragged fine book) assignment pass
+    * under a books bundle — n·2√k·d, the [[twoLevelAssigned]] contract.
+    */
+  def assignTwoLevel(embeddings: DataFrame, books: TwoLevelBooks): DataFrame =
+    twoLevelAssigned(embeddings, books.coarse, books.fine, books.nFine)
+
   /** Two-level (coarse ⋈ fine) IVF codebook — the documented escape
     * from the flat-assignment ceiling (SURVEY §5): with k ∝ n lists, a
     * flat nearest-centroid pass costs n·k·d flops (quadratic in n),
@@ -483,13 +599,18 @@ object Similarity {
         .groupBy(col("list_id"), col("pos"))
         .agg(sum(col("col").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
         .collect()
+      // clone each updated centroid ONCE per iteration (the seed arrays
+      // are shared with the assignment expression literals of the pass
+      // above, so in-place writes without a clone would corrupt them;
+      // re-cloning per (list, pos) row is O(k·d²) driver copying)
+      val cloned = scala.collection.mutable.Set.empty[Int]
       sums.foreach { r =>
         val lid = r.getAs[Int]("list_id")
         val (c, f) = (lid / nFine, lid % nFine)
         if (f < fine(c).length) {
           val s = r.getAs[java.math.BigDecimal]("s")
           val n = r.getAs[Long]("n")
-          fine(c)(f) = fine(c)(f).clone()
+          if (cloned.add(lid)) fine(c)(f) = fine(c)(f).clone()
           fine(c)(f)(r.getAs[Int]("pos")) =
             s.divide(java.math.BigDecimal.valueOf(n),
               java.math.MathContext.DECIMAL64).doubleValue()
@@ -503,20 +624,36 @@ object Similarity {
     (coarse, fine, flat)
   }
 
+  /** Above this many populated coarse cells, [[twoLevelAssigned]]
+    * switches from the CASE fan-out (k·d expression literals in the
+    * plan) to the broadcast-join + window-argmin form — same values
+    * (spec-asserted parity), bounded plan size. The join form pays one
+    * shuffle of n·nFine candidate rows for the per-query window, so it
+    * is only the right trade once the CASE plan's constants are the
+    * bigger problem (√k in the hundreds, i.e. k ≳ 10⁵ lists).
+    */
+  private[graft] val caseFormMaxCells = 384
+
   /** The two-level assignment pass shared by training and
     * [[writeTwoLevelIvfIndex]]: project the coarse cell first (one
     * compiled nearest-centroid over √k cells), then resolve the fine
     * centroid as a CASE over the cell id — branch VALUES evaluate
     * lazily, so each row pays exactly its own cell's ≤ nFine distances
-    * (the 2√k·d contract). At very large √k the CASE fans wide; the
-    * join-form equivalent (broadcast (cid, fine book) rows, window
-    * argmin) is the documented escape — same output, one extra
-    * shuffle of n·nFine candidate rows.
+    * (the 2√k·d contract). Past [[caseFormMaxCells]] populated cells
+    * the CASE plan's O(k·d) literals dominate, and the pass switches
+    * to the JOIN form: the (cell, fine centroid) books broadcast as
+    * rows, each row scores only its own cell's book via the SAME
+    * left-to-right IEEE fold the compiled expression evaluates, and a
+    * per-vector window argmin (ties to the lowest fid — the strict-less
+    * convention) picks the list. Value parity between the two forms is
+    * spec-asserted.
     */
-  private def twoLevelAssigned(embeddings: DataFrame,
-                               coarse: Array[Array[Double]],
-                               fine: Array[Array[Array[Double]]],
-                               nFine: Int): DataFrame = {
+  private[graft] def twoLevelAssigned(embeddings: DataFrame,
+                                      coarse: Array[Array[Double]],
+                                      fine: Array[Array[Array[Double]]],
+                                      nFine: Int,
+                                      caseMaxCells: Int = caseFormMaxCells)
+  : DataFrame = {
     // route over the NON-EMPTY cells only: a cell Lloyd's left with no
     // members has no fine book, and an APPENDED vector from a drifted
     // batch may still be nearest to it — routing it there would land
@@ -526,24 +663,57 @@ object Similarity {
     // time the restriction is a no-op (no training row is nearest an
     // empty cell, by definition of empty).
     val cells = coarse.indices.filter(c => fine(c).nonEmpty)
+    require(cells.nonEmpty,
+      "two-level assignment needs a non-empty codebook (empty input corpus?)")
     val routedCoarse = cells.map(coarse).toArray
     val withC = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), routedCoarse).as("ri"))
-    // the CASE branches on the dense routed index; values evaluate
-    // lazily so a row pays coarse + ONE cell's fine distances. The
-    // otherwise() is unreachable (the routed argmin is always a valid
-    // index) — defensive identity only.
-    val listId = cells.indices.tail
-      .foldLeft(when(col("ri") === 0,
-        lit(cells.head * nFine) +
-          HashExprs.nearestCentroid(col("embedding"), fine(cells.head)))) {
-        (acc, j) => acc.when(col("ri") === j,
-          lit(cells(j) * nFine) +
-            HashExprs.nearestCentroid(col("embedding"), fine(cells(j))))
-      }
-      .otherwise(lit(cells.head * nFine))
-    withC.select(col("vec_id"), col("embedding"),
-      listId.cast("int").as("list_id"))
+    if (cells.length <= caseMaxCells) {
+      // the CASE branches on the dense routed index; values evaluate
+      // lazily so a row pays coarse + ONE cell's fine distances. The
+      // otherwise() is unreachable (the routed argmin is always a valid
+      // index) — defensive identity only.
+      val listId =
+        if (cells.length == 1)
+          lit(cells.head * nFine) +
+            HashExprs.nearestCentroid(col("embedding"), fine(cells.head))
+        else cells.indices.tail
+          .foldLeft(when(col("ri") === 0,
+            lit(cells.head * nFine) +
+              HashExprs.nearestCentroid(col("embedding"), fine(cells.head)))) {
+            (acc, j) => acc.when(col("ri") === j,
+              lit(cells(j) * nFine) +
+                HashExprs.nearestCentroid(col("embedding"), fine(cells(j))))
+          }
+          .otherwise(lit(cells.head * nFine))
+      withC.select(col("vec_id"), col("embedding"),
+        listId.cast("int").as("list_id"))
+    } else {
+      // JOIN form: books as broadcast rows keyed by the routed index —
+      // Σ|fine| rows of d doubles, k·d values shipped as DATA instead
+      // of plan constants. d2 is the same sequential zip_with fold as
+      // the drift report (left-to-right double adds — bit-identical to
+      // the compiled expression's while-loop), and row_number ties on
+      // fid, matching the expression's strict-less first-index rule.
+      import org.apache.spark.sql.expressions.Window
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val books = cells.indices.flatMap { j =>
+        fine(cells(j)).zipWithIndex.map { case (cent, fid) =>
+          (j, cells(j) * nFine + fid, cent.toSeq)
+        }
+      }.toDF("ri", "flat_id", "cent")
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("flat_id"))
+      withC.join(broadcast(books), "ri")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(embedding, cent, (x, y) -> " +
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+            "0.0D, (a, v) -> a + v)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"),
+          col("flat_id").cast("int").as("list_id"))
+    }
   }
 
   /** Persist a TWO-LEVEL IVF index — [[writeIvfIndex]] past the flat
@@ -559,22 +729,31 @@ object Similarity {
     * oracle remains plain brute force.
     */
   def writeTwoLevelIvfIndex(embeddings: DataFrame, path: String,
-                            targetCluster: Int = 256, iters: Int = 2): Unit = {
+                            targetCluster: Int = 256, iters: Int = 2): Unit =
+    writeTwoLevelIvfIndexWith(embeddings, path,
+      trainTwoLevelBooks(embeddings, targetCluster, iters))
+
+  /** [[writeTwoLevelIvfIndex]] with caller-supplied books — the
+    * injection point mirroring [[writeIvfIndexWith]]: gates pin the
+    * SQL-replayable head-derived books ([[headTwoLevelBooks]] — an
+    * oracle cannot replay hierarchical Lloyd's), production callers
+    * pass [[trainTwoLevelBooks]] output.
+    */
+  def writeTwoLevelIvfIndexWith(embeddings: DataFrame, path: String,
+                                books: TwoLevelBooks): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val g = twoLevelGrid(embeddings.count(), targetCluster)
-    val (coarse, fine, flat) = trainTwoLevelCodebook(embeddings, g, g, iters)
-    flat.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+    books.flat.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     // the coarse book rides with each cell's REAL fine-book length, so
     // maintenance ([[appendToTwoLevelIvfIndex]]) can rebuild the ragged
     // books from the flat slices without guessing at hole padding
-    coarse.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq, fine(i).length) }
+    books.coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, books.fine(i).length) }
       .toDF("coarse_id", "cent", "n_fine")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook_coarse")
-    twoLevelAssigned(embeddings, coarse, fine, g)
+    assignTwoLevel(embeddings, books)
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
@@ -593,20 +772,12 @@ object Similarity {
     */
   def appendToTwoLevelIvfIndex(spark: org.apache.spark.sql.SparkSession,
                                path: String, newVecs: DataFrame): Unit = {
-    val cRows = spark.read.parquet(s"$path/codebook_coarse")
-      .orderBy("coarse_id").collect()
-    val coarse = cRows.map(vecOf(_, "cent"))
-    val nFine = cRows.map(_.getAs[Int]("n_fine"))
-    val flat = spark.read.parquet(s"$path/codebook")
-      .orderBy("list_id").collect().map(vecOf(_, "cent"))
-    val g = flat.length / coarse.length
-    // rebuild the ragged books from the flat slices at the RECORDED
-    // per-cell lengths (hole padding excluded exactly as at build)
-    val fine: Array[Array[Array[Double]]] = Array.tabulate(coarse.length) { c =>
-      flat.slice(c * g, c * g + nFine(c))
-    }
-    twoLevelAssigned(newVecs, coarse, fine, g)
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
+    require(isTwoLevelIndex(spark, path),
+      s"appendToTwoLevelIvfIndex: $path carries no codebook_coarse")
+    // the shared routing point resolves to the factored pass here
+    // (readTwoLevelBooks rebuilds the ragged books from the recorded
+    // per-cell lengths); kept as a named op so call sites state intent
+    appendToIvfIndex(spark, path, newVecs)
   }
 
   /** [[retrainIvfIndex]] for the TWO-LEVEL index: the flat retrain
@@ -679,30 +850,10 @@ object Similarity {
     * [[semDedup]]'s trained codebook.
     */
   def twoLevelHeadListSizes(embeddings: DataFrame,
-                            targetCluster: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = twoLevelGrid(embeddings.count(), targetCluster)
-    val coarse = headCodebook(embeddings, g)
-    val withC = embeddings.select(col("vec_id"), col("embedding"),
-      HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
-    val w = Window.partitionBy("cid").orderBy("vec_id")
-    val seedRows = withC.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= g)
-      .select(col("cid"), (col("rn") - 1).as("fid"),
-        col("embedding").cast("array<double>").as("cent"))
-      .collect()
-    val fine: Array[Array[Array[Double]]] = {
-      val byCell = seedRows.groupBy(_.getAs[Int]("cid"))
-      Array.tabulate(g) { c =>
-        byCell.getOrElse(c, Array.empty)
-          .sortBy(_.getAs[Int]("fid"))
-          .map(_.getSeq[Double](2).toArray)
-      }
-    }
-    twoLevelAssigned(embeddings, coarse, fine, g)
+                            targetCluster: Int = 256): DataFrame =
+    assignTwoLevel(embeddings, headTwoLevelBooks(embeddings, targetCluster))
       .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
-  }
 
   /** Embedding takedown for the persisted IVF index — merge-on-read
     * tombstones (the [[graft.sources.IndexMaintenance]] mechanism,
@@ -1088,9 +1239,9 @@ object Similarity {
                            path: String, newVecs: DataFrame,
                            tau: Double = 0.35,
                            excludeBatch: Boolean = false): DataFrame = {
-    val cents = spark.read.parquet(s"$path/codebook")
-      .orderBy("list_id").collect().map(vecOf(_, "cent"))
-    val batch = assignLists(newVecs, cents)
+    // routed assignment ([[assignUnderIndex]]): factored batch·2√k·d
+    // over a two-level index, flat only when the index is flat
+    val batch = assignUnderIndex(spark, path, newVecs)
     val touched = batch.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     // excludeBatch: drop the batch's OWN ids from the corpus side —
@@ -1135,8 +1286,17 @@ object Similarity {
     * and the pair volume stays the semdedup linear-under-k∝n shape.
     */
   def semanticClusters(embeddings: DataFrame, cents: Array[Array[Double]],
-                       tau: Double = 0.35): DataFrame = {
-    val assigned = assignLists(embeddings, cents)
+                       tau: Double = 0.35): DataFrame =
+    semanticClustersAssigned(assignLists(embeddings, cents), tau)
+
+  /** The components pass over an ALREADY-ASSIGNED frame (vec_id,
+    * embedding, list_id) — shared by the flat form
+    * ([[semanticClusters]]) and the factored form
+    * ([[semanticClustersTwoLevel]]): the within-list τ-edge set, then
+    * the shared label-propagation machinery.
+    */
+  private[graft] def semanticClustersAssigned(assigned: DataFrame,
+                                              tau: Double): DataFrame = {
     val a = assigned.select(col("list_id"), col("vec_id").as("a"),
       col("embedding").as("va"))
     val b = assigned.select(col("list_id"), col("vec_id").as("b"),
@@ -1146,7 +1306,7 @@ object Similarity {
       .filter(round(HashExprs.cosineSim(col("va"), col("vb")), 4) >= tau)
       .select("a", "b")
     graft.operators.Dedup.clusterPairs(pairs,
-        embeddings.select(col("vec_id").as("doc_id")))
+        assigned.select(col("vec_id").as("doc_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("is_canonical"))
       .orderBy("vec_id")
@@ -1185,11 +1345,14 @@ object Similarity {
   def writeSemanticClusterIndex(embeddings: DataFrame,
                                 cents: Array[Array[Double]], table: String,
                                 tau: Double = 0.35,
-                                numBuckets: Int = 8): Unit =
+                                numBuckets: Int = 8): Unit = {
+    // a full rebuild supersedes any pending upsert commit
+    graft.operators.Dedup.clearUpsertStaging(embeddings.sparkSession, table)
     graft.sources.Sinks.writeBucketed(
       semanticClusters(embeddings, cents, tau)
         .select(col("vec_id").as("doc_id"), col("cluster_id")),
       table, Seq("cluster_id"), numBuckets)
+  }
 
   /** The contracted τ-edge graph the semantic INCREMENTAL family
     * clusters over — [[graft.operators.Dedup.incrementalEdges]] in
@@ -1216,9 +1379,10 @@ object Similarity {
                                        indexPath: String, clusterTable: String,
                                        newVecs: DataFrame,
                                        tau: Double): DataFrame = {
-    val cents = spark.read.parquet(s"$indexPath/codebook")
-      .orderBy("list_id").collect().map(vecOf(_, "cent"))
-    val batch = assignLists(newVecs, cents)
+    // routed assignment: factored over a two-level index (the edge
+    // lists must match the index's OWN list layout, or batch↔corpus
+    // edges would pair across different partitionings)
+    val batch = assignUnderIndex(spark, indexPath, newVecs)
     val touched = batch.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     val corpus = liveAssigned(spark, indexPath)
@@ -1299,10 +1463,13 @@ object Similarity {
       .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
+    // NO ordering tail: the output is corpus-sized and no consumer
+    // needs a global sort (upserts recompute labels internally; gates
+    // order in their own projection) — sorting here would be the one
+    // corpus-wide exchange in an otherwise batch-sized op
     corpusOut.unionByName(batchOut)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("cluster_id") === col("doc_id")).as("is_canonical"))
-      .orderBy("vec_id")
   }
 
   /** Persist an arriving batch's SEMANTIC component merge — the
@@ -1330,6 +1497,25 @@ object Similarity {
                                  indexPath: String, clusterTable: String,
                                  newVecs: DataFrame, tau: Double = 0.35,
                                  maxIter: Int = 8, numBuckets: Int = 8): Unit = {
+    // crash recovery: fold any committed-but-unapplied predecessor
+    // commit before reading the live view (single-writer contract)
+    graft.operators.Dedup.applyStagedUpsert(spark, clusterTable, numBuckets)
+    stageSemanticUpsertOnly(spark, indexPath, clusterTable, newVecs, tau,
+      maxIter)
+    graft.operators.Dedup.applyStagedUpsert(spark, clusterTable, numBuckets)
+    ()
+  }
+
+  /** Compute a semantic upsert's merge and durably STAGE it without
+    * applying — the crash-simulation seam for the staged-commit spec
+    * (a "crash" between the commit rename and the apply is this method
+    * returning). Production callers use [[upsertSemanticClusterIndex]],
+    * which recovers, stages, then applies.
+    */
+  private[graft] def stageSemanticUpsertOnly(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, clusterTable: String, newVecs: DataFrame,
+      tau: Double = 0.35, maxIter: Int = 8): Unit = {
     val assign = graft.operators.Dedup.liveClusterRows(spark, clusterTable)
       .select("doc_id", "cluster_id")
     val merged = semanticMergedLabels(spark, indexPath, clusterTable,
@@ -1346,15 +1532,14 @@ object Similarity {
       .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
-    // materialize BEFORE the stale-mark — on a second upsert the lazy
-    // live view would otherwise exclude the rows being relabeled (see
-    // Dedup.upsertClusterIndex)
-    val rows = relabeled.unionByName(batchRows).localCheckpoint(true)
-    stale.select("cluster_id").distinct()
-      .write.mode("append").format("parquet")
-      .saveAsTable(graft.operators.Dedup.staleClusterTable(clusterTable))
-    graft.sources.Sinks.appendBucketed(
-      rows, clusterTable, Seq("cluster_id"), numBuckets)
+    // STAGED COMMIT (see [[graft.operators.Dedup.upsertClusterIndex]]):
+    // the staging write materializes `rows` while the live view still
+    // shows the members being relabeled, and makes both frames durable
+    // behind one atomic rename BEFORE the stale-mark — no crash point
+    // loses member rows, and recovery folds idempotently
+    val rows = relabeled.unionByName(batchRows)
+    graft.operators.Dedup.stageUpsert(spark, clusterTable,
+      stale.select("cluster_id").distinct(), rows)
   }
 
   /** [[semanticWeights]] off the persisted components — a narrow read
@@ -1390,6 +1575,65 @@ object Similarity {
     val k = math.max(16,
       math.ceil(embeddings.count().toDouble / targetCluster).toInt)
     semDedupWith(embeddings, trainCodebook(embeddings, k), tau)
+  }
+
+  // — the FACTORED semantic family: the same prune/group/graph passes
+  // over the two-level (coarse ⋈ fine) assignment, so partitioning the
+  // corpus costs n·2√k·d instead of the flat n·k·d — the measured
+  // flat-assignment ceiling (`ivf_assign_flat` vs `ivf_assign_twolevel`)
+  // removed from the semantic operators themselves. Cluster SIZE is
+  // still governed by k ∝ n (the grid is √k × √k), so within-list pair
+  // volume stays on the same linear-under-k∝n curve; only the list
+  // boundaries move (different books ⇒ different partitions — the same
+  // relationship trained-vs-head books already have). Production
+  // callers pass [[trainTwoLevelBooks]]; gates pin the SQL-replayable
+  // [[headTwoLevelBooks]].
+
+  /** [[semDedupWith]] under factored books — assignment n·2√k·d. */
+  def semDedupTwoLevel(embeddings: DataFrame, books: TwoLevelBooks,
+                       tau: Double = 0.35): DataFrame =
+    semDedupAssigned(assignTwoLevel(embeddings, books), tau)
+
+  /** [[semanticClusters]] under factored books. */
+  def semanticClustersTwoLevel(embeddings: DataFrame, books: TwoLevelBooks,
+                               tau: Double = 0.35): DataFrame =
+    semanticClustersAssigned(assignTwoLevel(embeddings, books), tau)
+
+  /** [[semanticWeights]] under factored books (shared integer weight
+    * identity — lexical, flat-semantic and factored-semantic
+    * downweighting compose on one scale).
+    */
+  def semanticWeightsTwoLevel(embeddings: DataFrame, books: TwoLevelBooks,
+                              tau: Double = 0.35): DataFrame =
+    graft.operators.Dedup.softWeights(
+        semanticClustersTwoLevel(embeddings, books, tau)
+          .select(col("vec_id").as("doc_id"), col("cluster_id")))
+      .withColumnRenamed("doc_id", "vec_id")
+
+  /** [[knnGraphWith]] under factored books. */
+  def knnGraphTwoLevel(embeddings: DataFrame, books: TwoLevelBooks,
+                       k: Int = 5): DataFrame =
+    knnGraphAssigned(assignTwoLevel(embeddings, books), k)
+
+  /** [[writeSemanticClusterIndex]] under factored books — the
+    * components-at-ingest artifact for a two-level corpus: the
+    * assignment pass is the only step that differs, so the persisted
+    * table speaks the same cluster-index schema and every maintenance
+    * op ([[semanticClusterIncremental]], [[upsertSemanticClusterIndex]],
+    * the curation stream) applies unchanged — their batch passes route
+    * factored automatically via [[assignUnderIndex]] when the paired
+    * IVF index is two-level.
+    */
+  def writeSemanticClusterIndexTwoLevel(embeddings: DataFrame,
+                                        books: TwoLevelBooks, table: String,
+                                        tau: Double = 0.35,
+                                        numBuckets: Int = 8): Unit = {
+    // a full rebuild supersedes any pending upsert commit
+    graft.operators.Dedup.clearUpsertStaging(embeddings.sparkSession, table)
+    graft.sources.Sinks.writeBucketed(
+      semanticClustersTwoLevel(embeddings, books, tau)
+        .select(col("vec_id").as("doc_id"), col("cluster_id")),
+      table, Seq("cluster_id"), numBuckets)
   }
 
   /** The curation-report view of [[semDedupWith]]: per-cluster vector

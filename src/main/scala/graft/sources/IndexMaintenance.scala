@@ -129,6 +129,100 @@ object IndexMaintenance {
     !done
   }
 
+  /** EXACTLY-ONCE variant of [[applyBatchOnceAt]] for APPEND-shaped
+    * maintenance — closes the documented append→mark crash window
+    * without a table format, by splitting the batch into three
+    * idempotent-or-atomic steps:
+    *
+    *  1. STAGE: `stage(tmpDir)` writes the batch's output files under
+    *     `_staging/<stream>/<batch>.tmp` in `dataDir`'s layout (e.g.
+    *     `list_id=X/part-*.parquet`). A crash here leaves only tmp
+    *     files; replay deletes and re-stages.
+    *  2. COMMIT: one atomic rename tmp → `_staging/<stream>/<batch>`.
+    *     This rename IS the transaction boundary — before it, nothing
+    *     is visible; after it, the batch WILL be applied.
+    *  3. FOLD + MARK: every committed part file moves into `dataDir`
+    *     by individual atomic rename (part names carry task UUIDs, so
+    *     they never collide and a move is trivially idempotent — a
+    *     file already moved is simply absent from the staging dir on
+    *     replay), then the batch-id mark lands, then the emptied
+    *     staging dir drops. A crash anywhere in step 3 is recovered by
+    *     replay: mark present → done (cleanup only); mark absent but
+    *     committed dir present → resume folding the remaining files
+    *     (possibly none) and re-mark. No interleaving double-applies
+    *     or loses rows.
+    *
+    * Returns true iff the batch's data was (newly) applied. Single
+    * writer per (indexDir, streamId), like every maintenance op here —
+    * foreachBatch serializes batches, which is what makes "resume the
+    * fold" race-free.
+    */
+  def applyBatchOnceStagedAt(spark: SparkSession, indexDir: String,
+                             dataDir: String, streamId: String,
+                             batchId: Long)(stage: String => Unit): Boolean = {
+    val f = fs(spark)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val marksDir = s"${indexDir.stripSuffix("/")}/applied_batches"
+    val committed =
+      s"${indexDir.stripSuffix("/")}/_staging/$streamId/$batchId"
+    val tmp = s"$committed.tmp"
+    def marked: Boolean = {
+      val dirPath = p(marksDir)
+      f.exists(dirPath) &&
+        f.listStatus(dirPath).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        } &&
+        spark.read.parquet(marksDir)
+          .filter(col("stream_id") === streamId && col("batch_id") === batchId)
+          .head(1).nonEmpty
+    }
+    if (marked) {
+      // fully applied (a crash may have landed between mark and
+      // cleanup) — make replay free of leftovers and report no-op
+      f.delete(p(tmp), true)
+      f.delete(p(committed), true)
+      return false
+    }
+    if (!f.exists(p(committed))) {
+      f.delete(p(tmp), true)
+      stage(tmp)
+      f.mkdirs(p(committed).getParent)
+      require(f.rename(p(tmp), p(committed)),
+        s"staged-batch commit rename failed: $committed")
+    }
+    foldInto(f, p(committed), p(dataDir))
+    import spark.implicits._
+    Seq((streamId, batchId)).toDF("stream_id", "batch_id")
+      .write.mode("append").parquet(marksDir)
+    f.delete(p(committed), true)
+    true
+  }
+
+  /** Move every committed data file under `src` into `dst`, preserving
+    * relative (partition) subpaths; `_`/`.`-prefixed entries (Spark's
+    * _SUCCESS, _temporary) are skipped. Each move is one atomic rename;
+    * already-moved files are absent from `src`, so a resumed fold picks
+    * up exactly where the crash left it.
+    */
+  private[graft] def foldInto(f: org.apache.hadoop.fs.FileSystem,
+                              src: org.apache.hadoop.fs.Path,
+                              dst: org.apache.hadoop.fs.Path): Unit = {
+    if (!f.exists(src)) return
+    f.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory)
+          foldInto(f, st.getPath, new org.apache.hadoop.fs.Path(dst, name))
+        else {
+          if (!f.exists(dst)) f.mkdirs(dst)
+          require(f.rename(st.getPath, new org.apache.hadoop.fs.Path(dst, name)),
+            s"staged-batch fold rename failed: ${st.getPath} -> $dst/$name")
+        }
+      }
+    }
+  }
+
   def tombstoneAt(spark: SparkSession, indexDir: String, ids: DataFrame,
                   idCol: String): Unit =
     ids.select(col(idCol)).distinct()

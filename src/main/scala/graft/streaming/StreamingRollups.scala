@@ -540,7 +540,12 @@ object StreamingRollups {
     * LOAD-BEARING here beyond row duplication: an upsert is
     * read-modify-write (it contracts against the live view it is
     * about to change), so a replayed batch without the guard would
-    * stale-mark and re-append rows that already merged. `corpus` is
+    * stale-mark and re-append rows that already merged. Crashes INSIDE
+    * the merge are covered by the upsert's own staged commit
+    * ([[graft.operators.Dedup.stageUpsert]] — both writes durable
+    * behind one atomic rename before the stale-mark, recovery folds
+    * idempotently), so no crash point loses the superseded clusters'
+    * member rows. `corpus` is
     * the static document frame candidate verification reads (text is
     * never re-shingled — the [[graft.operators.Dedup.clusterIncremental]]
     * contract); keep the band index advancing in the same pipeline
@@ -566,9 +571,10 @@ object StreamingRollups {
     * batch assigned under the stored codebook, corpus read
     * partition-pruned to touched lists, stale-mark + bucket-preserving
     * re-append). Same read-modify-write replay hazard, same batch-id
-    * guard. Compose with [[semanticAdmissionStream]] upstream when the
-    * stream should both refuse paraphrases AND group admitted
-    * arrivals.
+    * guard; crashes inside the merge are covered by the upsert's
+    * staged commit (see [[clusterUpsertStream]]). Compose with
+    * [[semanticAdmissionStream]] upstream when the stream should both
+    * refuse paraphrases AND group admitted arrivals.
     */
   def semanticUpsertStream(vecs: DataFrame, indexDir: String,
                            clusterTable: String, checkpoint: String,
@@ -601,10 +607,18 @@ object StreamingRollups {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        graft.sources.IndexMaintenance.applyBatchOnceAt(
-          batch.sparkSession, indexDir, sid, epochId) {
-          graft.operators.Similarity.appendToIvfIndex(
-            batch.sparkSession, indexDir, batch)
+        // EXACTLY-ONCE append (applyBatchOnceStagedAt): the assigned
+        // batch stages in the list-partitioned layout, commits behind
+        // one atomic rename, then folds into the live dir file by file
+        // — the append→mark crash window of the plain guard is closed
+        // (crash-window spec-simulated). Assignment routes factored
+        // over a two-level index (assignUnderIndex).
+        graft.sources.IndexMaintenance.applyBatchOnceStagedAt(
+          batch.sparkSession, indexDir, s"$indexDir/assigned",
+          sid, epochId) { tmp =>
+          graft.operators.Similarity
+            .assignUnderIndex(batch.sparkSession, indexDir, batch)
+            .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
         }
         ()
       }
@@ -620,19 +634,14 @@ object StreamingRollups {
   def ivfTwoLevelAppendStream(vecs: DataFrame, indexDir: String,
                               checkpoint: String,
                               streamId: Option[String] = None)
-  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val sid = streamId.getOrElse(checkpoint)
-    vecs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        graft.sources.IndexMaintenance.applyBatchOnceAt(
-          batch.sparkSession, indexDir, sid, epochId) {
-          graft.operators.Similarity.appendToTwoLevelIvfIndex(
-            batch.sparkSession, indexDir, batch)
-        }
-        ()
-      }
-  }
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    // assignUnderIndex routes the batch through the stored coarse book
+    // + the cell's ragged fine book over a two-level index (the flat
+    // pass would pay batch·k·d AND route by global nearest — a
+    // different cell than the factored build picks), so the generic
+    // stage IS the factored stage; kept as a named op for call-site
+    // intent, like [[graft.operators.Similarity.appendToTwoLevelIvfIndex]]
+    ivfAppendStream(vecs, indexDir, checkpoint, streamId)
 
   /** The full semantic CURATION loop in one streaming stage — the
     * composition [[semanticAdmissionStream]] and
@@ -663,8 +672,20 @@ object StreamingRollups {
     * index append anti-joins the admitted set against ids already in
     * the touched lists, so re-running it never double-appends; (c) the
     * component merge — itself read-modify-write — runs under its OWN
-    * table-keyed batch-id guard. The outer path-based guard then makes
-    * the fully-completed case free.
+    * table-keyed batch-id guard, and crashes INSIDE it are covered by
+    * the upsert's staged commit ([[graft.operators.Dedup.stageUpsert]]
+    * — no crash point loses superseded clusters' member rows). The
+    * outer path-based guard then makes the fully-completed case free.
+    *
+    * Over a TWO-LEVEL index ([[graft.operators.Similarity.writeTwoLevelIvfIndex]])
+    * the whole loop runs FACTORED with no code change: the admission
+    * check, the index append, and the merge's edge generation all
+    * route their batch assignment through
+    * [[graft.operators.Similarity.assignUnderIndex]], which resolves
+    * to the stored coarse book + the cell's ragged fine book
+    * (batch·2√k·d) whenever the index carries `codebook_coarse` — the
+    * factored curation loop is this same stage pointed at a two-level
+    * index (gated: `semantic_curation_twolevel_stream_ingested`).
     */
   def semanticCurationStream(vecs: DataFrame, indexDir: String,
                              clusterTable: String, checkpoint: String,

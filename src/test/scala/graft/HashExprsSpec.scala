@@ -541,6 +541,7 @@ class HashExprsSpec extends SparkSpec {
     operators.Dedup.writeClusterIndex(corpus, "g_incr_cluster")
     val out = operators.Dedup.clusterIncremental(
       spark, "g_incr_minhash", "g_incr_cluster", batch, corpus)
+      .orderBy("doc_id")
     // the merge must be indistinguishable from re-clustering the whole
     // union — including cross-cluster bridges and canonical-id
     // rewrites (doc 0 is in the batch, so any cluster it joins gets a
@@ -1450,6 +1451,90 @@ class HashExprsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // best-first: (9,7) beats (9,11); the three 5.0s keep ids 3 then 4
     assert(got === Seq((7L, 9.0), (11L, 9.0), (3L, 5.0), (4L, 5.0)))
+  }
+
+  test("two-level assignment: the join-form escape equals the CASE form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val books = operators.Similarity.headTwoLevelBooks(vecs)
+    // both forms compute the same left-to-right IEEE distance fold and
+    // the same lowest-index tie-break, so the assignment must be
+    // IDENTICAL — caseMaxCells=0 forces the broadcast-join + window
+    // argmin, MaxValue forces the CASE fan-out
+    def assigned(maxCells: Int) = operators.Similarity.twoLevelAssigned(
+        vecs, books.coarse, books.fine, books.nFine, maxCells)
+      .select("vec_id", "list_id").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(assigned(0) === assigned(Int.MaxValue))
+    // the empty-codebook guard fails loudly (a NoSuchElementException
+    // from cells.head was the old failure mode)
+    val err = intercept[IllegalArgumentException] {
+      operators.Similarity.assignTwoLevel(vecs,
+        operators.Similarity.TwoLevelBooks(
+          Array(Array(0.0, 0.0)), Array(Array.empty[Array[Double]]), 1))
+    }
+    assert(err.getMessage.contains("non-empty codebook"))
+  }
+
+  test("staged upsert commit: no crash window loses member rows; recovery and replay fold idempotently") {
+    import org.apache.spark.sql.functions._
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 13 === 0)
+    val cents = operators.Similarity.headCodebookSized(residue)
+    val t = "g_sem_crash_cluster"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    Seq(t, operators.Dedup.staleClusterTable(t)).foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      rm(new java.io.File(wh, n))
+    }
+    operators.Dedup.clearUpsertStaging(spark, t)
+    val ivf = java.nio.file.Files.createTempDirectory("g_sem_crash_ivf").toString
+    operators.Similarity.writeIvfIndexWith(residue, ivf, cents)
+    operators.Similarity.writeSemanticClusterIndex(residue, cents, t)
+    val direct = operators.Similarity.semanticClusters(vecs, cents)
+      .select("vec_id", "cluster_id").orderBy("vec_id").collect().toSeq
+    // CRASH WINDOW 1: the commit rename landed, nothing applied — the
+    // live view is untouched and the batch is durable in staging
+    operators.Similarity.stageSemanticUpsertOnly(spark, ivf, t, batch)
+    val stagingDir = operators.Dedup.upsertStagingDir(spark, t)
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stagingDir)))
+    assert(operators.Dedup.liveClusterRows(spark, t)
+      .filter(col("doc_id") % 13 === 0).count() === 0,
+      "staged-but-unapplied upsert already visible")
+    // the staged commit must exercise the supersede path, or the loss
+    // window this spec pins never opens
+    val staleStaged = spark.read.parquet(s"$stagingDir/stale")
+    assert(staleStaged.count() > 0,
+      "residue split superseded no component — crash spec is vacuous")
+    // CRASH WINDOW 2 (the r14-adviced loss window): the apply's
+    // stale-mark landed but the re-append did NOT — under the old
+    // protocol the superseded clusters' member rows were gone forever
+    // (the live view anti-joins them, and a replayed merge can never
+    // see them again); with the staged commit, replay recovers them
+    staleStaged.write.mode("append").format("parquet")
+      .saveAsTable(operators.Dedup.staleClusterTable(t))
+    operators.Similarity.upsertSemanticClusterIndex(spark, ivf, t, batch)
+    def live() = operators.Dedup.liveClusterRows(spark, t)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id").collect().toSeq
+    assert(live() === direct,
+      "post-crash recovery diverged from the full rebuild")
+    assert(operators.Dedup.liveClusterRows(spark, t)
+      .groupBy("doc_id").count().filter(col("count") > 1).count() === 0,
+      "recovery duplicated assignment rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingDir)),
+      "staging dir survived a completed apply")
+    // a FULLY-applied batch replayed end to end (the redelivery case
+    // where even the outer batch-id mark was lost) is still a no-op
+    operators.Similarity.upsertSemanticClusterIndex(spark, ivf, t, batch)
+    assert(live() === direct, "full replay of an applied batch changed state")
   }
 
   test("top_k_by works as a registered SQL aggregate and matches a sort") {

@@ -1108,6 +1108,71 @@ class StreamingSpec extends SparkSpec {
       "redelivered two-level append micro-batch double-appended")
   }
 
+  test("applyBatchOnceStagedAt: every crash window replays exactly-once") {
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    val batchA = vecs.filter(col("vec_id") % 26 === 0)
+    val batchB = vecs.filter(col("vec_id") % 13 === 0 && col("vec_id") % 26 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("g_staged_once").toString
+    operators.Similarity.writeIvfIndex(residue, dir)
+    val dataDir = s"$dir/assigned"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def stage(batch: org.apache.spark.sql.DataFrame)(tmp: String): Unit =
+      operators.Similarity.assignUnderIndex(spark, dir, batch)
+        .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    def count() = spark.read.parquet(dataDir).count()
+    val base = count()
+    val nA = batchA.count()
+    val nB = batchB.count()
+    assert(nA > 0 && nB > 0)
+
+    // CRASH WINDOW 1: after the staging-commit rename, before any fold
+    // — the batch is durable but invisible; replay folds exactly once
+    // and must NOT re-run the stage
+    val committedA = s"$dir/_staging/sid/0"
+    stage(batchA)(s"$committedA.tmp")
+    fs.mkdirs(p(committedA).getParent)
+    assert(fs.rename(p(s"$committedA.tmp"), p(committedA)))
+    assert(count() === base, "staged batch visible before the fold")
+    val ran1 = sources.IndexMaintenance.applyBatchOnceStagedAt(
+      spark, dir, dataDir, "sid", 0) { _ =>
+      fail("stage re-ran despite a committed staging")
+    }
+    assert(ran1 && count() === base + nA)
+
+    // CRASH WINDOW 2: after the fold, before the mark — replay must
+    // resume (no-op fold), write the mark, and NOT double-append
+    val committedB = s"$dir/_staging/sid/1"
+    stage(batchB)(s"$committedB.tmp")
+    assert(fs.rename(p(s"$committedB.tmp"), p(committedB)))
+    sources.IndexMaintenance.foldInto(fs, p(committedB), p(dataDir))
+    assert(count() === base + nA + nB)
+    val ran2 = sources.IndexMaintenance.applyBatchOnceStagedAt(
+      spark, dir, dataDir, "sid", 1) { _ =>
+      fail("stage re-ran despite a committed staging")
+    }
+    assert(ran2 && count() === base + nA + nB,
+      "post-fold replay double-appended")
+
+    // fully-applied replay (mark present): pure no-op
+    for (bid <- Seq(0L, 1L)) {
+      val ran = sources.IndexMaintenance.applyBatchOnceStagedAt(
+        spark, dir, dataDir, "sid", bid) { _ =>
+        fail("stage re-ran on a marked batch")
+      }
+      assert(!ran)
+    }
+    assert(count() === base + nA + nB)
+    // the staged-and-folded index answers exactly like brute force
+    val probe = operators.Similarity.ivfTopKExactIndexed(spark, dir, 7L, 20)
+      .collect().toSeq
+    val brute = operators.Similarity.bruteForceTopK(vecs, 7L, 20)
+      .collect().toSeq
+    assert(probe === brute)
+  }
+
   test("streaming curation loop: admit, append, merge components in one guarded stage; replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
