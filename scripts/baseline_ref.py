@@ -85,9 +85,13 @@ def main():
     loop_sec = loop_k_sec + loop_rest_sec
     timed = min(3 * K, len(entities))
     per_entity_k = loop_k_sec / K
-    per_entity_3k = loop_sec / timed
-    per_entity = per_entity_3k  # the larger window is the better rate
-    linearity_pct = round(100.0 * per_entity_3k / per_entity_k, 1) \
+    per_entity_tail = loop_rest_sec / max(1, timed - K)
+    # charity rule: every divergence favors the REFERENCE — extrapolate
+    # from the CHEAPER window's rate (in practice the tail: the first-K
+    # window still carries residual JIT warm-up, so a blended rate
+    # would overstate the reference's cost)
+    per_entity = min(per_entity_k, per_entity_tail)
+    linearity_pct = round(100.0 * per_entity_tail / per_entity_k, 1) \
         if per_entity_k > 0 else None
     print(json.dumps({
         "metric": "reference_transform_loop",
@@ -95,18 +99,20 @@ def main():
         "entities_timed": timed,
         "entities_total": n_entities,
         "loop_sec": round(loop_sec, 2),
-        "per_entity_sec_k": round(per_entity_k, 4),
-        "per_entity_sec_3k": round(per_entity_3k, 4),
+        "per_entity_sec_first_k": round(per_entity_k, 4),
+        "per_entity_sec_tail_2k": round(per_entity_tail, 4),
         "linearity_pct": linearity_pct,
         "per_entity_sec": round(per_entity, 4),
         "extrapolated_full_sec": round(per_entity * n_entities, 1),
         "extrapolated": True,
         "note": "per-stock driver loop (reference transform shape), "
                 "Mongo writes replaced by counts (favors the reference); "
-                "extrapolation linearity measured as the K-window vs "
-                "3K-window per-entity rate (linearity_pct ~ 100 = flat); "
-                "compare to the engine's one-plan rollup_daily/monthly/"
-                "yearly times in BENCH_FULL",
+                "extrapolation rate = min of the first-K and tail-2K "
+                "window rates (charity: residual JIT warm-up in the "
+                "first window must not inflate the reference's cost); "
+                "linearity_pct = tail/first rate (<100 = warm-up decay, "
+                "~100 = flat steady state); compare to the engine's "
+                "one-plan rollup_daily/monthly/yearly times in BENCH_FULL",
     }))
     spark.stop()
 

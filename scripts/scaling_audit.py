@@ -185,6 +185,7 @@ def main():
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
     tag = argv[0] if argv else "r11"
+    result = {"data_factor": 10, "threshold": THRESHOLD}
     axes_spec = {
             "wide": lambda: {"dir": WIDE, "note": "10x series/docs/vectors/orders, history unchanged",
                      "keys": audit("wide", WIDE_KEYS, WIDE)},
@@ -269,19 +270,31 @@ def main():
             # candidate-pair volume the timing should track
             "knn_block_geometry": lambda: {
                 "note": "DuckDB replay of the head-codebook assignment per corpus: "
-                        "per-list pair volume sum(n^2) — expected ~n*256 "
-                        "(linear under k ∝ n), so wide10/base ~10x, wide30/wide10 ~3x",
+                        "per-list pair volume sum(n^2) — the work the blocked pair "
+                        "keys' timing should track. base (sf0.1, 2000 vectors) sits "
+                        "UNDER the k=16 clamp (125/list vs the 256 target), so "
+                        "wide10/base reads ~20x BY DESIGN (measured 20.32) — "
+                        "base-anchored timing ratios for knn_graph/semdedup "
+                        "legitimately exceed the 10x data factor; the clean "
+                        "exponent is wide30/wide10 (both unclamped): 3.01x at 3x "
+                        "data = linear under k ∝ n, exactly the SemDeDup contract",
                 "keys": {},
                 "geometry": knn_block_volume({"base": SF, "wide10": WIDE,
                                               "wide30": "/tmp/scale30_wide"})},
     }
     if only:
         axes_spec = {a: fn for a, fn in axes_spec.items() if a in only}
-    result["axes"] = {a: fn() for a, fn in axes_spec.items()}
+    path = os.path.join(REPO, f"SCALING_{tag}.json")
+    result["axes"] = {}
+    for a, fn in axes_spec.items():
+        result["axes"][a] = fn()
+        # checkpoint after EVERY axis: an hour of timing must never
+        # evaporate to a crash in a later axis or in the summary code
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
     flags = [(a, k) for a, ax in result["axes"].items()
              for k, v in ax.get("keys", {}).items() if v.get("flag")]
     result["flagged"] = [f"{a}:{k}" for a, k in flags]
-    path = os.path.join(REPO, f"SCALING_{tag}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"[audit] wrote {path}; flagged: {result['flagged']}")

@@ -767,6 +767,49 @@ object SparkEntry {
       t
     }
 
+  /** COMPACTED IVF index — the PATH-based compaction mechanism
+    * ([[graft.sources.IndexMaintenance.compactAt]]: live rows rewritten
+    * to a sibling tmp dir in the list-partitioned layout, one dir swap,
+    * tombstones dropped) gated like its table-based twin
+    * ([[minhashCompactIdx]]): build over the corpus, tombstone the
+    * vec_id ≡ 3 (mod 97) takedown slice, fold, assert the rewrite
+    * physically happened, then the SAME exact-guarantee probe — its
+    * bounds hold over any live-row layout, so brute force over the
+    * surviving vectors is the oracle.
+    */
+  private val ivfCompactBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfCompactIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf_compact_${tag(d)}").toString
+      if (!ivfCompactBuilt.contains(path)) {
+        rmTree(new java.io.File(path))
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeIvfIndex(vecs, path)
+        Similarity.deleteFromIvfIndex(s, path,
+          vecs.filter(col("vec_id") % 97 === 3).select("vec_id"))
+        def files(sub: String): Set[String] = {
+          val dir = new java.io.File(path, sub)
+          Option(dir.listFiles()).map(_.flatMap { f =>
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+              .filter(_.isFile).map(g => f.getName + "/" + g.getName)
+            else Array(f.getName)
+          }.toSet).getOrElse(Set.empty[String])
+        }
+        require(new java.io.File(path, "tombstones").exists(),
+          "IVF compaction gate: no tombstones to fold — gate would be vacuous")
+        val before = files("assigned")
+        Similarity.compactIvfIndex(s, path)
+        require(!new java.io.File(path, "tombstones").exists(),
+          "IVF compaction gate: tombstones dir survived the compact")
+        val after = files("assigned")
+        require(after.nonEmpty && after != before,
+          "IVF compaction gate: assigned files unchanged — compact did not rewrite")
+        ivfCompactBuilt += path
+      }
+      path
+    }
+
   /** Data files of a managed table's warehouse dir (committed parquet
     * parts only) — the compaction gate's did-it-actually-rewrite
     * evidence. */
@@ -2074,6 +2117,12 @@ object SparkEntry {
     // brute force over the live rows is the oracle
     "ann_retrained_probe" -> ((s, d) =>
       Similarity.ivfTopKExactIndexed(s, ivfRetrainIdx(s, d), 7L, 20)),
+    // PATH-based compaction gated (compactAt: live rows rewritten in
+    // the list-partitioned layout, dir swap, tombstones dropped — the
+    // builder asserts the rewrite physically happened): exact probe
+    // over the compacted index ≡ brute force over surviving vectors
+    "ann_ivf_compacted" -> ((s, d) =>
+      Similarity.ivfTopKExactIndexed(s, ivfCompactIdx(s, d), 7L, 20)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -4878,6 +4927,14 @@ object SparkEntry {
     // retrained-index probe: live rows = everything minus the takedown
     // slice; the exact guarantee survives the in-place retrain
     "ann_retrained_probe" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
+        |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |WHERE e.vec_id <> 7 AND e.vec_id % 97 <> 3
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // compacted-index probe: identical live set (tombstones folded
+    // into the files instead of merged at read) — same oracle shape
+    "ann_ivf_compacted" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
