@@ -286,6 +286,13 @@ def main():
         axes_spec = {a: fn for a, fn in axes_spec.items() if a in only}
     path = os.path.join(REPO, f"SCALING_{tag}.json")
     result["axes"] = {}
+    # --axes refreshes a subset IN PLACE: preload the existing artifact
+    # so untouched axes (and any hand-added notes) survive the merge
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        result.update({k: v for k, v in prev.items() if k != "flagged"})
+        result["axes"] = prev.get("axes", {})
     for a, fn in axes_spec.items():
         result["axes"][a] = fn()
         # checkpoint after EVERY axis: an hour of timing must never

@@ -1180,7 +1180,24 @@ object Similarity {
     */
   def semDedupWith(embeddings: DataFrame, cents: Array[Array[Double]],
                    tau: Double = 0.35): DataFrame =
-    semDedupAssigned(assignLists(embeddings, cents), tau)
+    semDedupAssigned(blockPartitioned(assignLists(embeddings, cents)), tau)
+
+  /** Repartition an IN-QUERY assignment on the block key before the
+    * pair self-join — the dedup_simhash r13 lesson applied to the
+    * cluster-blocked family: when the corpus side fits the broadcast
+    * threshold, the pair join inherits the SCAN's file-count
+    * parallelism, and a one-file mid-scale corpus runs its whole
+    * within-block pair volume in a single task (measured: knn_graph
+    * 6.1 s at 10×-wide vs 5.3 s at 30×-wide — the smaller corpus
+    * SLOWER, because 30× crosses the threshold into a 32-partition
+    * SortMergeJoin). One narrow-row shuffle restores key-parallelism
+    * at every scale; above the broadcast threshold the join shuffles
+    * on this same key anyway, so nothing is paid twice. The PERSISTED
+    * twins don't take this path — their list-partitioned/bucketed
+    * layout already carries the distribution.
+    */
+  private def blockPartitioned(assigned: DataFrame): DataFrame =
+    assigned.repartition(col("list_id"))
 
   /** The prune pass over an ALREADY-ASSIGNED frame (vec_id, embedding,
     * list_id) — shared by the in-query form ([[semDedupWith]]) and the
@@ -1287,7 +1304,8 @@ object Similarity {
     */
   def semanticClusters(embeddings: DataFrame, cents: Array[Array[Double]],
                        tau: Double = 0.35): DataFrame =
-    semanticClustersAssigned(assignLists(embeddings, cents), tau)
+    semanticClustersAssigned(
+      blockPartitioned(assignLists(embeddings, cents)), tau)
 
   /** The components pass over an ALREADY-ASSIGNED frame (vec_id,
     * embedding, list_id) — shared by the flat form
@@ -1592,12 +1610,13 @@ object Similarity {
   /** [[semDedupWith]] under factored books — assignment n·2√k·d. */
   def semDedupTwoLevel(embeddings: DataFrame, books: TwoLevelBooks,
                        tau: Double = 0.35): DataFrame =
-    semDedupAssigned(assignTwoLevel(embeddings, books), tau)
+    semDedupAssigned(blockPartitioned(assignTwoLevel(embeddings, books)), tau)
 
   /** [[semanticClusters]] under factored books. */
   def semanticClustersTwoLevel(embeddings: DataFrame, books: TwoLevelBooks,
                                tau: Double = 0.35): DataFrame =
-    semanticClustersAssigned(assignTwoLevel(embeddings, books), tau)
+    semanticClustersAssigned(
+      blockPartitioned(assignTwoLevel(embeddings, books)), tau)
 
   /** [[semanticWeights]] under factored books (shared integer weight
     * identity — lexical, flat-semantic and factored-semantic
@@ -1613,7 +1632,7 @@ object Similarity {
   /** [[knnGraphWith]] under factored books. */
   def knnGraphTwoLevel(embeddings: DataFrame, books: TwoLevelBooks,
                        k: Int = 5): DataFrame =
-    knnGraphAssigned(assignTwoLevel(embeddings, books), k)
+    knnGraphAssigned(blockPartitioned(assignTwoLevel(embeddings, books)), k)
 
   /** [[writeSemanticClusterIndex]] under factored books — the
     * components-at-ingest artifact for a two-level corpus: the
@@ -1671,7 +1690,7 @@ object Similarity {
     */
   def knnGraphWith(embeddings: DataFrame, cents: Array[Array[Double]],
                    k: Int = 5): DataFrame =
-    knnGraphAssigned(assignLists(embeddings, cents), k)
+    knnGraphAssigned(blockPartitioned(assignLists(embeddings, cents)), k)
 
   /** [[knnGraphWith]] over the PERSISTED assignment (the same IVF
     * layout [[semDedupFromIndex]] reads): the nearest-centroid pass is
