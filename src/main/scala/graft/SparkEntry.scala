@@ -535,6 +535,38 @@ object SparkEntry {
     }
   }
 
+  /** The cluster-index COMPACTION gate's artifact: the semantic upsert
+    * table rebuilt independently ([[semClusterUpsertTable]]'s flow on
+    * its own name), then [[Dedup.compactClusterIndex]] folds BOTH side
+    * tables (doc tombstones absent here; the upsert's stale cluster
+    * ids present and non-empty, asserted) into fresh bucketed files.
+    * Live rows must be IDENTICAL before and after, so the key shares
+    * the upsert gate's full-rebuild oracle — probe-after-compact ≡
+    * probe-before, the third compact mechanism oracle-gated.
+    */
+  private def semClusterUpsertCompactTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_sem_upsc_${tag(d)}"
+    ensureTable(s, t) {
+      clearStaleSide(s, t)
+      val vecs = Tables.embeddings(s, d)
+      val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+      Similarity.writeSemanticClusterIndex(residue,
+        Similarity.headCodebookSized(residue), t)
+      Similarity.upsertSemanticClusterIndex(s, semIncrIdx(s, d), t,
+        vecs.filter(col("vec_id") % 13 === 0))
+      require(s.catalog.tableExists(Dedup.staleClusterTable(t)),
+        "cluster compaction gate: the upsert superseded nothing — " +
+          "the stale-fold path would be vacuous")
+      val before = tableDataFiles(s, t)
+      Dedup.compactClusterIndex(s, t)
+      require(!s.catalog.tableExists(Dedup.staleClusterTable(t)),
+        "cluster compaction gate: stale side table survived the compact")
+      val after = tableDataFiles(s, t)
+      require(after.nonEmpty && after != before,
+        "cluster compaction gate: data files unchanged — compact did not rewrite")
+    }
+  }
+
   /** ADMISSION-GATED stream-ingested semantic index: the residue index
     * grown by ONE micro-batch through
     * [[graft.streaming.StreamingRollups.semanticAdmissionStream]] —
@@ -2098,6 +2130,14 @@ object SparkEntry {
     }),
     "ivf_assign_twolevel" -> ((s, d) =>
       Similarity.twoLevelHeadListSizes(Tables.embeddings(s, d))),
+    // the JOIN-form escape itself gated: caseMaxCells = 0 forces the
+    // broadcast-books + window-argmin assignment (the bounded-plan
+    // path for √k in the hundreds) against the SAME oracle — the
+    // escape's value-parity contract, checked cross-engine, not just
+    // by the in-repo parity spec
+    "ivf_assign_twolevel_join" -> ((s, d) =>
+      Similarity.twoLevelHeadListSizes(Tables.embeddings(s, d),
+        caseMaxCells = 0)),
     // the PATH-BASED streaming ingest twin: the batch appended through
     // ivfAppendStream (applied_batches-dir idempotence) instead of the
     // batch call — the exact-guarantee probe stays exact over the
@@ -2242,6 +2282,12 @@ object SparkEntry {
     // the STREAMING twin (semanticUpsertStream) — shared oracle
     "semantic_upsert_stream_ingested" -> ((s, d) =>
       Dedup.clusterStatsFromIndex(s, semUpsertStreamTable(s, d))),
+    // CLUSTER-INDEX compaction gated: both side tables folded into
+    // fresh bucketed files (the builder asserts the stale fold was
+    // non-vacuous and the rewrite happened) — live rows must equal the
+    // same full-rebuild oracle as before the compact
+    "semantic_upsert_compacted" -> ((s, d) =>
+      Dedup.clusterStatsFromIndex(s, semClusterUpsertCompactTable(s, d))),
     // the consumer proof: SoftDeDup weights read off the UPSERTED
     // index (narrow bucketed read, zero exchanges post-merge) must
     // equal the weights of a full re-cluster of the union
@@ -4994,6 +5040,8 @@ object SparkEntry {
     // vec_id (both SQL-replayable), argmins on the same sequential-fold
     // L2 with ties to the lowest id, list_id = cid·√k + fid
     "ivf_assign_twolevel" -> twoLevelAssignOracle,
+    // the join form must produce the IDENTICAL assignment
+    "ivf_assign_twolevel_join" -> twoLevelAssignOracle,
     // day diffs and truncating div only — integer-exact on both
     // engines; published is the api_search ingest derivation
     "sample_recency" -> {
@@ -5314,6 +5362,8 @@ object SparkEntry {
     "semantic_upsert_stats" -> semanticUpsertStatsOracle,
     // the stream-merged semantic components must equal the same rebuild
     "semantic_upsert_stream_ingested" -> semanticUpsertStatsOracle,
+    // compaction must not change the live rows — same rebuild oracle
+    "semantic_upsert_compacted" -> semanticUpsertStatsOracle,
     // weights off the upserted index: the same union components under
     // the residue codebook, with the shared integer weight identity
     "semantic_upsert_weights" ->

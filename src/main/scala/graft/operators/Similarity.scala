@@ -850,10 +850,17 @@ object Similarity {
     * [[semDedup]]'s trained codebook.
     */
   def twoLevelHeadListSizes(embeddings: DataFrame,
-                            targetCluster: Int = 256): DataFrame =
-    assignTwoLevel(embeddings, headTwoLevelBooks(embeddings, targetCluster))
+                            targetCluster: Int = 256,
+                            caseMaxCells: Int = caseFormMaxCells): DataFrame = {
+    // caseMaxCells = 0 forces the JOIN-form escape — the gate twin
+    // `ivf_assign_twolevel_join` runs it against the SAME oracle as
+    // the CASE form (value parity is the escape's whole contract)
+    val books = headTwoLevelBooks(embeddings, targetCluster)
+    twoLevelAssigned(embeddings, books.coarse, books.fine, books.nFine,
+        caseMaxCells)
       .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
+  }
 
   /** Embedding takedown for the persisted IVF index — merge-on-read
     * tombstones (the [[graft.sources.IndexMaintenance]] mechanism,
