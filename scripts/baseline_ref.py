@@ -84,15 +84,22 @@ def main():
     loop_rest_sec = time.time() - t1
     loop_sec = loop_k_sec + loop_rest_sec
     timed = min(3 * K, len(entities))
-    per_entity_k = loop_k_sec / K
-    per_entity_tail = loop_rest_sec / max(1, timed - K)
+    # divide each window by the entities it ACTUALLY timed: with fewer
+    # than K distinct entities the first window holds them all and the
+    # tail is empty — dividing by K (and min-ing with a 0-rate empty
+    # tail) would publish extrapolated_full_sec = 0, a degenerate
+    # baseline artifact
+    per_entity_k = loop_k_sec / max(1, min(K, timed))
+    has_tail = timed > K
+    per_entity_tail = (loop_rest_sec / (timed - K)) if has_tail else None
     # charity rule: every divergence favors the REFERENCE — extrapolate
     # from the CHEAPER window's rate (in practice the tail: the first-K
     # window still carries residual JIT warm-up, so a blended rate
-    # would overstate the reference's cost)
-    per_entity = min(per_entity_k, per_entity_tail)
+    # would overstate the reference's cost). No tail window → the
+    # first-window rate stands alone and linearity is unmeasured.
+    per_entity = min(per_entity_k, per_entity_tail) if has_tail else per_entity_k
     linearity_pct = round(100.0 * per_entity_tail / per_entity_k, 1) \
-        if per_entity_k > 0 else None
+        if has_tail and per_entity_k > 0 else None
     print(json.dumps({
         "metric": "reference_transform_loop",
         "sf": SF,
@@ -100,7 +107,8 @@ def main():
         "entities_total": n_entities,
         "loop_sec": round(loop_sec, 2),
         "per_entity_sec_first_k": round(per_entity_k, 4),
-        "per_entity_sec_tail_2k": round(per_entity_tail, 4),
+        "per_entity_sec_tail_2k":
+            round(per_entity_tail, 4) if has_tail else None,
         "linearity_pct": linearity_pct,
         "per_entity_sec": round(per_entity, 4),
         "extrapolated_full_sec": round(per_entity * n_entities, 1),

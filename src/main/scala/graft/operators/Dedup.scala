@@ -829,8 +829,10 @@ object Dedup {
     * cluster-partitioned work ZERO-exchange (spec-asserted).
     */
   def writeClusterIndex(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
-    // a full rebuild supersedes any pending upsert commit
-    clearUpsertStaging(documents.sparkSession, table)
+    // a full rebuild supersedes every side artifact — including the
+    // stale-cluster ids, whose survival across a label-history reset
+    // could anti-join freshly rebuilt clusters out (resetClusterIndexSides)
+    resetClusterIndexSides(documents.sparkSession, table)
     val clusters = minhashClusters(documents).select("doc_id", "cluster_id")
     val quality = documents.select(col("doc_id"),
       graft.functions.TextAnalysis.qualityCol(col("text")).as("quality"))
@@ -1011,7 +1013,7 @@ object Dedup {
     */
   private[graft] def stageUpsert(spark: org.apache.spark.sql.SparkSession,
                                  table: String, staleIds: DataFrame,
-                                 rows: DataFrame): Unit = {
+                                 rows: DataFrame, numBuckets: Int): Unit = {
     val dir = upsertStagingDir(spark, table)
     val tmp = s"$dir.tmp"
     val fs = hadoopFs(spark, dir)
@@ -1021,6 +1023,12 @@ object Dedup {
     fs.delete(p(tmp), true)
     staleIds.write.parquet(s"$tmp/stale")
     rows.write.parquet(s"$tmp/rows")
+    // the bucket spec the re-append MUST use rides with the commit:
+    // recovery runs under whatever caller finds the staging, and a
+    // mismatched bucketBy at append time fails loudly — wedging recovery
+    // until invoked with the original count if it weren't recorded here
+    import spark.implicits._
+    Seq(numBuckets).toDF("num_buckets").coalesce(1).write.parquet(s"$tmp/meta")
     require(fs.rename(p(tmp), p(dir)), s"staging commit rename failed: $dir")
   }
 
@@ -1051,6 +1059,13 @@ object Dedup {
     val fs = hadoopFs(spark, dir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     if (!fs.exists(p(dir))) return false
+    // the bucket count the crashed upsert STAGED under, not the
+    // caller's: recovery may run from a caller configured differently,
+    // and appendBucketed fails loudly on a mismatched bucket spec
+    val buckets =
+      if (fs.exists(p(s"$dir/meta")))
+        spark.read.parquet(s"$dir/meta").head().getAs[Int]("num_buckets")
+      else numBuckets
     spark.read.parquet(s"$dir/stale")
       .write.mode("append").format("parquet")
       .saveAsTable(staleClusterTable(table))
@@ -1059,7 +1074,7 @@ object Dedup {
       spark.table(table).select("doc_id", "cluster_id"),
       Seq("doc_id", "cluster_id"), "left_anti")
     graft.sources.Sinks.appendBucketed(
-      todo, table, Seq("cluster_id"), numBuckets)
+      todo, table, Seq("cluster_id"), buckets)
     fs.delete(p(dir), true)
     true
   }
@@ -1072,6 +1087,25 @@ object Dedup {
                                         table: String): Unit = {
     val dir = upsertStagingDir(spark, table)
     hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    ()
+  }
+
+  /** Reset EVERY side artifact of a cluster index ahead of a full
+    * rebuild: the pending upsert staging, the `_stale_clusters` side
+    * table, and the doc_id tombstones. The stale drop is
+    * correctness-bearing, not hygiene: a rebuild resets label history,
+    * so a surviving stale id from the PREVIOUS generation can equal a
+    * freshly rebuilt cluster id — and [[liveClusterRows]]' anti-join
+    * would then silently drop live rows. Tombstones are takedowns
+    * against the replaced generation for the same reason (the rebuild's
+    * input corpus is the post-takedown truth).
+    */
+  private[graft] def resetClusterIndexSides(spark: org.apache.spark.sql.SparkSession,
+                                            table: String): Unit = {
+    clearUpsertStaging(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${staleClusterTable(table)}")
+    spark.sql(
+      s"DROP TABLE IF EXISTS ${graft.sources.IndexMaintenance.tombstoneTable(table)}")
     ()
   }
 
@@ -1154,7 +1188,7 @@ object Dedup {
     // closes the crash window between the mark and the re-append.
     val rows = relabeled.unionByName(batchRows)
     stageUpsert(spark, clusterTable,
-      stale.select("cluster_id").distinct(), rows)
+      stale.select("cluster_id").distinct(), rows, numBuckets)
     applyStagedUpsert(spark, clusterTable, numBuckets)
     ()
   }

@@ -123,8 +123,7 @@ object Lifecycle {
     // store the swap is a manifest commit; locally, renames.
     val tmp = path.stripSuffix("/") + "_upsert_tmp"
     changed.write.mode("overwrite").partitionBy("status").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
     affected.foreach { st =>
       val dst = new org.apache.hadoop.fs.Path(path, s"status=$st")
       val src = new org.apache.hadoop.fs.Path(tmp, s"status=$st")

@@ -302,8 +302,12 @@ object Similarity {
     */
   private def isTwoLevelIndex(spark: org.apache.spark.sql.SparkSession,
                               path: String): Boolean =
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    // the PATH'S OWN filesystem, not the default one: for an index on a
+    // non-default FS (s3a/hdfs vs file:) the default-FS check would
+    // silently return false and route every batch pass through the flat
+    // codebook — paying batch·k·d AND routing by global nearest, the
+    // exact cell-parity break assignUnderIndex exists to prevent
+    graft.sources.IndexMaintenance.fsFor(spark, path)
       .exists(new org.apache.hadoop.fs.Path(s"$path/codebook_coarse"))
 
   /** Rebuild the ragged books bundle from a two-level index's stored
@@ -433,8 +437,7 @@ object Similarity {
                       path: String, nCentroids: Int = 16,
                       trainIters: Int = 3): Unit = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val live = liveAssigned(spark, path).select("vec_id", "embedding")
     val cents = trainCodebook(live, nCentroids, trainIters)
@@ -626,11 +629,15 @@ object Similarity {
 
   /** Above this many populated coarse cells, [[twoLevelAssigned]]
     * switches from the CASE fan-out (k·d expression literals in the
-    * plan) to the broadcast-join + window-argmin form — same values
-    * (spec-asserted parity), bounded plan size. The join form pays one
-    * shuffle of n·nFine candidate rows for the per-query window, so it
-    * is only the right trade once the CASE plan's constants are the
-    * bigger problem (√k in the hundreds, i.e. k ≳ 10⁵ lists).
+    * plan) to the broadcast-join + array-fold form — same values
+    * (spec-asserted parity), bounded plan size. The join form is
+    * shuffle-free (a 1:1 broadcast join plus a per-row higher-order
+    * fold over the cell's book), but the fold runs INTERPRETED where
+    * the CASE branches are codegen'd — so the CASE form stays the
+    * default until the plan's O(k·d) literals (compile time, plan
+    * transport) outweigh that per-row cost (√k in the hundreds,
+    * i.e. k ≳ 10⁵ lists). The crossover is measured by the scaling
+    * audit's twolevel_assign_form axis.
     */
   private[graft] val caseFormMaxCells = 384
 
@@ -689,30 +696,39 @@ object Similarity {
       withC.select(col("vec_id"), col("embedding"),
         listId.cast("int").as("list_id"))
     } else {
-      // JOIN form: books as broadcast rows keyed by the routed index —
-      // Σ|fine| rows of d doubles, k·d values shipped as DATA instead
-      // of plan constants. d2 is the same sequential zip_with fold as
-      // the drift report (left-to-right double adds — bit-identical to
-      // the compiled expression's while-loop), and row_number ties on
-      // fid, matching the expression's strict-less first-index rule.
-      import org.apache.spark.sql.expressions.Window
+      // JOIN form: ONE broadcast row per routed cell carrying the
+      // cell's whole fine book as an array of (flat_id, cent) structs —
+      // k·d values shipped as DATA instead of plan constants, joined
+      // 1:1 so every input row (including a duplicate vec_id) maps to
+      // exactly one output row, with NO shuffle and no window. The
+      // argmin is a higher-order fold over the book array: per
+      // centroid, d2 is the same sequential zip_with fold as the drift
+      // report (left-to-right double adds — bit-identical to the
+      // compiled expression's while-loop), and the strict `<` keeps the
+      // FIRST minimal flat_id (the book array ascends by fid), matching
+      // the expression's strict-less first-index tie rule.
       val spark = embeddings.sparkSession
       import spark.implicits._
-      val books = cells.indices.flatMap { j =>
-        fine(cells(j)).zipWithIndex.map { case (cent, fid) =>
-          (j, cells(j) * nFine + fid, cent.toSeq)
-        }
-      }.toDF("ri", "flat_id", "cent")
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("flat_id"))
+      val books = cells.indices.map { j =>
+        (j, fine(cells(j)).zipWithIndex.map { case (cent, fid) =>
+          (cells(j) * nFine + fid, cent.toSeq)
+        }.toSeq)
+      }.toDF("ri", "book")
+        .withColumn("book", expr(
+          "transform(book, c -> named_struct('flat_id', c._1, 'cent', c._2))"))
+      val argmin = expr(
+        "aggregate(" +
+          "transform(book, c -> named_struct(" +
+            "'d2', aggregate(zip_with(embedding, c.cent, (x, y) -> " +
+              "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+              "0.0D, (a, v) -> a + v), " +
+            "'flat_id', c.flat_id)), " +
+          "named_struct('d2', CAST('Infinity' AS DOUBLE), 'flat_id', -1), " +
+          "(acc, s) -> IF(s.d2 < acc.d2, s, acc)" +
+        ").flat_id")
       withC.join(broadcast(books), "ri")
-        .withColumn("d2", expr(
-          "aggregate(zip_with(embedding, cent, (x, y) -> " +
-            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
-            "0.0D, (a, v) -> a + v)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"),
-          col("flat_id").cast("int").as("list_id"))
+          argmin.cast("int").as("list_id"))
     }
   }
 
@@ -796,8 +812,7 @@ object Similarity {
                               path: String, targetCluster: Int = 256,
                               iters: Int = 2): Unit = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val live = liveAssigned(spark, path).select("vec_id", "embedding")
     val g = twoLevelGrid(live.count(), targetCluster)
@@ -1371,8 +1386,10 @@ object Similarity {
                                 cents: Array[Array[Double]], table: String,
                                 tau: Double = 0.35,
                                 numBuckets: Int = 8): Unit = {
-    // a full rebuild supersedes any pending upsert commit
-    graft.operators.Dedup.clearUpsertStaging(embeddings.sparkSession, table)
+    // a full rebuild supersedes every side artifact (pending upsert
+    // commit, stale-cluster ids, tombstones — a stale id surviving a
+    // label-history reset could shadow a rebuilt cluster)
+    graft.operators.Dedup.resetClusterIndexSides(embeddings.sparkSession, table)
     graft.sources.Sinks.writeBucketed(
       semanticClusters(embeddings, cents, tau)
         .select(col("vec_id").as("doc_id"), col("cluster_id")),
@@ -1526,7 +1543,7 @@ object Similarity {
     // commit before reading the live view (single-writer contract)
     graft.operators.Dedup.applyStagedUpsert(spark, clusterTable, numBuckets)
     stageSemanticUpsertOnly(spark, indexPath, clusterTable, newVecs, tau,
-      maxIter)
+      maxIter, numBuckets)
     graft.operators.Dedup.applyStagedUpsert(spark, clusterTable, numBuckets)
     ()
   }
@@ -1540,7 +1557,7 @@ object Similarity {
   private[graft] def stageSemanticUpsertOnly(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String, clusterTable: String, newVecs: DataFrame,
-      tau: Double = 0.35, maxIter: Int = 8): Unit = {
+      tau: Double = 0.35, maxIter: Int = 8, numBuckets: Int = 8): Unit = {
     val assign = graft.operators.Dedup.liveClusterRows(spark, clusterTable)
       .select("doc_id", "cluster_id")
     val merged = semanticMergedLabels(spark, indexPath, clusterTable,
@@ -1564,7 +1581,7 @@ object Similarity {
     // loses member rows, and recovery folds idempotently
     val rows = relabeled.unionByName(batchRows)
     graft.operators.Dedup.stageUpsert(spark, clusterTable,
-      stale.select("cluster_id").distinct(), rows)
+      stale.select("cluster_id").distinct(), rows, numBuckets)
   }
 
   /** [[semanticWeights]] off the persisted components — a narrow read
@@ -1654,8 +1671,9 @@ object Similarity {
                                         books: TwoLevelBooks, table: String,
                                         tau: Double = 0.35,
                                         numBuckets: Int = 8): Unit = {
-    // a full rebuild supersedes any pending upsert commit
-    graft.operators.Dedup.clearUpsertStaging(embeddings.sparkSession, table)
+    // a full rebuild supersedes every side artifact (pending upsert
+    // commit, stale-cluster ids, tombstones — see writeClusterIndex)
+    graft.operators.Dedup.resetClusterIndexSides(embeddings.sparkSession, table)
     graft.sources.Sinks.writeBucketed(
       semanticClustersTwoLevel(embeddings, books, tau)
         .select(col("vec_id").as("doc_id"), col("cluster_id")),

@@ -85,8 +85,14 @@ object IndexMaintenance {
   // rather than catalog tables (the IVF index's codebook/assigned
   // layout). Same mechanism: a `tombstones` subdirectory of ids.
 
-  private def fs(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** The filesystem the PATH lives on — never the default FS: an index
+    * on s3a/hdfs with a file: default (or vice versa) would otherwise
+    * silently answer exists/rename against the wrong store.
+    */
+  private[graft] def fsFor(spark: SparkSession,
+                           path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** [[applyBatchOnce]] for a path-based index: the applied-batch
     * marks live in an `applied_batches` subdirectory of `indexDir`
@@ -110,7 +116,7 @@ object IndexMaintenance {
     // no-marks would silently re-apply an applied batch — the exact
     // corruption this guard exists to prevent).
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val f = fs(spark)
+    val f = fsFor(spark, indexDir)
     def hasCommittedFiles: Boolean =
       f.listStatus(dirPath).exists { st =>
         val n = st.getPath.getName
@@ -160,7 +166,7 @@ object IndexMaintenance {
   def applyBatchOnceStagedAt(spark: SparkSession, indexDir: String,
                              dataDir: String, streamId: String,
                              batchId: Long)(stage: String => Unit): Boolean = {
-    val f = fs(spark)
+    val f = fsFor(spark, indexDir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val marksDir = s"${indexDir.stripSuffix("/")}/applied_batches"
     val committed =
@@ -236,26 +242,109 @@ object IndexMaintenance {
                  idCol: String): DataFrame = {
     val t = spark.read.parquet(dataDir)
     val tomb = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    if (fs(spark).exists(tomb))
+    if (fsFor(spark, indexDir).exists(tomb))
       t.join(broadcast(spark.read.parquet(tomb.toString).select(idCol)),
         Seq(idCol), "left_anti")
     else t
   }
 
+  /** Swap `tmp` in as `dataDir` WITHOUT ever deleting the last copy:
+    * rename the served dir aside (`_compact_old`), rename tmp in, then
+    * drop the old copy. Every crash point leaves at least one complete
+    * copy on disk, and [[recoverDirSwap]] rolls the swap forward (or
+    * back) from any interleaving — the delete-then-rename it replaces
+    * had a window where a crash left NO data and the documented
+    * recovery action (re-run) started from an empty dir.
+    */
+  private[graft] def swapDirIn(f: org.apache.hadoop.fs.FileSystem,
+                               dataDir: String, tmp: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = s"${dataDir.stripSuffix("/")}_compact_old"
+    require(f.exists(p(tmp)), s"swapDirIn: fresh copy missing at $tmp")
+    require(!f.exists(p(old)),
+      s"swapDirIn: unrecovered predecessor swap at $old — run recoverDirSwap first")
+    require(f.rename(p(dataDir), p(old)), s"swap rename failed: $dataDir -> $old")
+    require(f.rename(p(tmp), p(dataDir)), s"swap rename failed: $tmp -> $dataDir")
+    f.delete(p(old), true)
+    ()
+  }
+
+  /** Recover a [[swapDirIn]] a crash interrupted — called on entry by
+    * every compaction (and safe to call any time: no leftovers → no-op).
+    * States and actions, by the swap's invariants (`_old` appears only
+    * after the fresh copy is COMPLETE; `tmp` disappears the instant the
+    * fresh copy is serving):
+    *  - `_old` present, dataDir absent, tmp present → the fresh copy was
+    *    complete: roll FORWARD (rename tmp in, drop `_old`);
+    *  - `_old` present, dataDir absent, tmp absent → cannot happen
+    *    mid-protocol, but if found (manual surgery) roll BACK so data
+    *    serves again;
+    *  - `_old` and dataDir both present → crash after the swap: drop
+    *    `_old`;
+    *  - tmp present alone → a rewrite that never reached the swap (tmp
+    *    possibly partial): drop tmp.
+    * Leftover tombstones after a rolled-forward swap are INERT (their
+    * ids are no longer in the data, so the live-view anti-join is a
+    * no-op) and fold away on the next compaction.
+    */
+  private[graft] def recoverDirSwap(f: org.apache.hadoop.fs.FileSystem,
+                                    dataDir: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = s"${dataDir.stripSuffix("/")}_compact_old"
+    val tmp = s"${dataDir.stripSuffix("/")}_compact_tmp"
+    if (f.exists(p(old))) {
+      if (!f.exists(p(dataDir))) {
+        if (f.exists(p(tmp)))
+          require(f.rename(p(tmp), p(dataDir)),
+            s"swap roll-forward rename failed: $tmp -> $dataDir")
+        else
+          require(f.rename(p(old), p(dataDir)),
+            s"swap roll-back rename failed: $old -> $dataDir")
+      }
+      f.delete(p(old), true)
+    }
+    f.delete(p(tmp), true)
+    ()
+  }
+
   /** Fold a path-based index's tombstones in: `rewrite` materializes
     * the live rows to a sibling tmp dir (the caller's layout —
-    * partitioning etc), which then swaps in; the tombstones drop.
+    * partitioning etc), which then swaps in via the crash-safe
+    * [[swapDirIn]] protocol (a leftover from an interrupted predecessor
+    * is recovered on entry); the tombstones drop last — a crash before
+    * that leaves them inert against the compacted data.
     */
   def compactAt(spark: SparkSession, dataDir: String, indexDir: String,
                 idCol: String)(rewrite: (DataFrame, String) => Unit): Unit = {
     val tmp = s"${dataDir.stripSuffix("/")}_compact_tmp"
-    val f = fs(spark)
-    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val f = fsFor(spark, dataDir)
+    recoverDirSwap(f, dataDir)
     rewrite(liveRowsAt(spark, dataDir, indexDir, idCol), tmp)
-    f.delete(new org.apache.hadoop.fs.Path(dataDir), true)
-    f.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dataDir))
+    swapDirIn(f, dataDir, tmp)
     f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    ()
+  }
+
+  /** [[recoverDirSwap]] for the CATALOG-TABLE swap: roll a crashed
+    * [[compact]] forward (fresh `_compact_tmp` was complete the moment
+    * the served table moved to `_compact_old`) or back (no fresh copy:
+    * restore `_compact_old` as the served table), then clear leftovers.
+    * Called on entry by every table compaction; no leftovers → no-op.
+    */
+  private[graft] def recoverTableSwap(spark: SparkSession, table: String): Unit = {
+    val tmp = s"${table}_compact_tmp"
+    val old = s"${table}_compact_old"
+    if (spark.catalog.tableExists(old)) {
+      if (!spark.catalog.tableExists(table)) {
+        if (spark.catalog.tableExists(tmp))
+          spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        else
+          spark.sql(s"ALTER TABLE $old RENAME TO $table")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $old")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    ()
   }
 
   /** Fold accumulated tombstones into the data files: `rewrite`
@@ -267,20 +356,30 @@ object IndexMaintenance {
     * compaction bounds that side table; correctness never needs it.
     * Single-writer like every index maintenance op here (plain
     * parquet catalogs have no multi-writer story).
+    *
+    * CRASH-SAFE swap: the served table renames aside (`_compact_old`)
+    * — never drops — before the fresh table renames in, so every crash
+    * point leaves at least one complete copy in the catalog and
+    * [[recoverTableSwap]] (run on entry here, or by any later caller)
+    * rolls the swap forward. The delete-then-rename this replaces had
+    * a window where a crash erased the only copy and a RETRY destroyed
+    * the fresh one too (its first step dropped `_compact_tmp`).
     */
   def compact(spark: SparkSession, table: String, idCol: String = "doc_id")
              (rewrite: (DataFrame, String) => Unit): Unit = {
+    recoverTableSwap(spark, table)
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
       .filter { case (key, _) => key.startsWith("graft.") }
     val tmp = s"${table}_compact_tmp"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val old = s"${table}_compact_old"
     rewrite(liveRows(spark, table, idCol), tmp)
     if (props.nonEmpty) spark.sql(
       s"ALTER TABLE $tmp SET TBLPROPERTIES " +
         props.map { case (key, v) => s"'$key'='$v'" }.mkString("(", ",", ")"))
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
     spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(table)}")
   }
 }

@@ -74,7 +74,11 @@ object Sinks {
     * few-large-files layout; run it on cold partitions out of band.
     */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String]): Unit = {
-    val tmp = path.stripSuffix("/") + "_compacted_tmp"
+    val fs = IndexMaintenance.fsFor(spark, path)
+    // roll forward/back a predecessor swap a crash interrupted BEFORE
+    // reading — the read must see a complete serving copy
+    IndexMaintenance.recoverDirSwap(fs, path)
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
     val df = spark.read.parquet(path)
     val parts = partitionCols.map(df.col)
     // hash-clustering on the partition columns lands each partition
@@ -82,13 +86,9 @@ object Sinks {
     // big for one file, range-repartition on (partition cols, a salt))
     df.repartition(parts: _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
-    // atomic-ish swap (on an object store this would be a manifest
-    // commit; locally a directory rename)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    // swap without ever deleting the last copy (on an object store this
+    // would be a manifest commit; locally, the _old rename protocol)
+    IndexMaintenance.swapDirIn(fs, path, tmp)
   }
 
   /** Materialize a training EPOCH on disk: the documents with their

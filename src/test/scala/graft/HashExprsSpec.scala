@@ -1466,6 +1466,13 @@ class HashExprsSpec extends SparkSpec {
       .select("vec_id", "list_id").orderBy("vec_id")
       .collect().map(_.toSeq).toSeq
     assert(assigned(0) === assigned(Int.MaxValue))
+    // duplicate vec_id input rows are PRESERVED by the join form — the
+    // old window argmin (row_number over vec_id) collapsed them to one
+    // row per id, a silent cardinality break vs the CASE form
+    val dup = vecs.limit(3).unionByName(vecs.limit(3))
+    val dupOut = operators.Similarity.twoLevelAssigned(
+      dup, books.coarse, books.fine, books.nFine, 0)
+    assert(dupOut.count() === 6L)
     // the empty-codebook guard fails loudly (a NoSuchElementException
     // from cells.head was the old failure mode)
     val err = intercept[IllegalArgumentException] {
