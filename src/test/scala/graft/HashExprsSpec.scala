@@ -1544,6 +1544,122 @@ class HashExprsSpec extends SparkSpec {
     assert(live() === direct, "full replay of an applied batch changed state")
   }
 
+  test("compaction swap: every crash window keeps a complete copy; recovery converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // — PATH-BASED swap (compactAt / Sinks.compact): manufacture every
+    // on-disk state a crash can leave and assert recovery restores a
+    // complete serving copy. The old delete-then-rename protocol had a
+    // state (dataDir deleted, tmp not yet renamed) where a CRASH left no
+    // data and a RETRY (which started by deleting tmp) erased the last
+    // copy — that state is unreachable now: the served dir only ever
+    // moves aside by rename.
+    val base = java.nio.file.Files.createTempDirectory("g_swapcrash").toString
+    val dataDir = s"$base/data"
+    val tmpDir = s"${dataDir}_compact_tmp"
+    val oldDir = s"${dataDir}_compact_old"
+    val f = sources.IndexMaintenance.fsFor(spark, base)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def write(ids: Range, path: String): Unit =
+      ids.map(_.toLong).toDF("vec_id").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    def ids(path: String): Set[Long] =
+      spark.read.parquet(path).collect().map(_.getLong(0)).toSet
+    val served = (0 until 10)
+    val fresh = (0 until 5) // post-compaction contents
+
+    // state: tmp alone (rewrite crashed mid-write) → recovery drops the
+    // possibly-partial tmp, serving copy untouched
+    write(served, dataDir); write(fresh, tmpDir)
+    sources.IndexMaintenance.recoverDirSwap(f, dataDir)
+    assert(!f.exists(p(tmpDir)) && ids(dataDir) === served.map(_.toLong).toSet)
+
+    // state: old + tmp, dataDir absent (crash between the two renames;
+    // tmp was COMPLETE by the swap's invariant) → roll FORWARD
+    write(fresh, tmpDir)
+    require(f.rename(p(dataDir), p(oldDir)))
+    sources.IndexMaintenance.recoverDirSwap(f, dataDir)
+    assert(ids(dataDir) === fresh.map(_.toLong).toSet)
+    assert(!f.exists(p(oldDir)) && !f.exists(p(tmpDir)))
+
+    // state: old + dataDir (crash after the swap, before dropping old)
+    // → drop old, fresh copy keeps serving
+    write(served, oldDir)
+    sources.IndexMaintenance.recoverDirSwap(f, dataDir)
+    assert(ids(dataDir) === fresh.map(_.toLong).toSet && !f.exists(p(oldDir)))
+
+    // state: old alone (manual surgery / unknown) → roll BACK so data
+    // serves again
+    require(f.rename(p(dataDir), p(oldDir)))
+    sources.IndexMaintenance.recoverDirSwap(f, dataDir)
+    assert(ids(dataDir) === fresh.map(_.toLong).toSet && !f.exists(p(oldDir)))
+
+    // end-to-end: compactAt interrupted between the renames, then simply
+    // RE-RUN (the documented recovery action) — converges with no loss
+    write(served, dataDir)
+    Seq(7L, 8L, 9L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$base/tombstones")
+    write((0 until 7), tmpDir) // the live rows a crashed rewrite staged
+    require(f.rename(p(dataDir), p(oldDir))) // crash here
+    sources.IndexMaintenance.compactAt(spark, dataDir, base, "vec_id") {
+      (live, t) => live.write.mode("overwrite").parquet(t)
+    }
+    assert(ids(dataDir) === (0 until 7).map(_.toLong).toSet)
+    assert(!f.exists(p(s"$base/tombstones")) && !f.exists(p(oldDir)) &&
+      !f.exists(p(tmpDir)))
+
+    // — CATALOG-TABLE swap (IndexMaintenance.compact): same windows via
+    // table renames; graft.* props must survive every path
+    val t = "g_swapcrash_tbl"
+    val tTmp = s"${t}_compact_tmp"
+    val tOld = s"${t}_compact_old"
+    Seq(t, tTmp, tOld, s"${t}_tombstones").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    def buildTable(): Unit = {
+      (0L until 10L).toDF("doc_id").write.mode("overwrite")
+        .format("parquet").saveAsTable(t)
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.test.geom'='42')")
+      sources.IndexMaintenance.tombstone(spark, t, Seq(8L, 9L).toDF("doc_id"))
+    }
+    def tableIds(): Set[Long] =
+      spark.table(t).collect().map(_.getLong(0)).toSet
+    def rewrite(live: org.apache.spark.sql.DataFrame, tmp: String): Unit =
+      live.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+
+    // crash between the renames (served moved aside, fresh complete but
+    // not yet renamed in) → a RE-RUN of compact recovers forward first
+    buildTable()
+    rewrite(sources.IndexMaintenance.liveRows(spark, t), tTmp)
+    spark.sql(s"ALTER TABLE $tTmp SET TBLPROPERTIES ('graft.test.geom'='42')")
+    spark.sql(s"ALTER TABLE $t RENAME TO $tOld") // crash here
+    sources.IndexMaintenance.compact(spark, t)(rewrite)
+    assert(tableIds() === (0L until 8L).toSet)
+    assert(!spark.catalog.tableExists(tOld) && !spark.catalog.tableExists(tTmp))
+    assert(!spark.catalog.tableExists(s"${t}_tombstones"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.test.geom").contains("42"),
+      "graft props lost across a recovered swap")
+
+    // crash after the swap, before DROP old → recovery just drops old
+    spark.sql(s"DROP TABLE $t")
+    buildTable()
+    rewrite(sources.IndexMaintenance.liveRows(spark, t), tTmp)
+    spark.sql(s"ALTER TABLE $t RENAME TO $tOld")
+    spark.sql(s"ALTER TABLE $tTmp RENAME TO $t") // crash here
+    sources.IndexMaintenance.recoverTableSwap(spark, t)
+    assert(tableIds() === (0L until 8L).toSet)
+    assert(!spark.catalog.tableExists(tOld))
+
+    // roll back: old alone (no fresh copy) → served table restored
+    spark.sql(s"ALTER TABLE $t RENAME TO $tOld")
+    sources.IndexMaintenance.recoverTableSwap(spark, t)
+    assert(tableIds() === (0L until 8L).toSet)
+    assert(!spark.catalog.tableExists(tOld))
+    Seq(t, s"${t}_tombstones").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("top_k_by works as a registered SQL aggregate and matches a sort") {
     import spark.implicits._
     val rows = (1 to 200).map(i => ((i * 37 % 100).toDouble, i.toLong))
