@@ -467,6 +467,24 @@ object Corpus {
     * partial append.
     */
   def appendToBm25Index(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val (postings, props) = bm25AppendRowsAndProps(newDocs, table)
+    graft.sources.Sinks.appendBucketed(postings, table, Seq("word"), numBuckets)
+    newDocs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        props.map { case (k, v) => s"'$k'='$v'" }.mkString("(", ",", ")"))
+  }
+
+  /** The batch's posting rows AND the ABSOLUTE post-append (N, Σdl)
+    * property snapshot — the STAGE step shared by [[appendToBm25Index]]
+    * and the exactly-once streaming append. The snapshot is computed
+    * from the CURRENT stamp plus the batch's own stats scan (which sees
+    * zero-token documents the posting rows can't carry) and applied as
+    * an absolute value, so re-applying a committed snapshot on replay
+    * is a no-op — the additive restamp was the family's silent
+    * replay-corruption hazard.
+    */
+  private[graft] def bm25AppendRowsAndProps(newDocs: DataFrame, table: String)
+  : (DataFrame, Map[String, String]) = {
     val spark = newDocs.sparkSession
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -474,10 +492,8 @@ object Corpus {
       s"index table $table has no graft.bm25.n property — not written by writeBm25Index")).toLong
     val s0 = props("graft.bm25.s").toLong
     val (postings, (n1, s1)) = bm25Postings(newDocs)
-    graft.sources.Sinks.appendBucketed(postings, table, Seq("word"), numBuckets)
-    spark.sql(
-      s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('graft.bm25.n'='${n0 + n1}','graft.bm25.s'='${s0 + s1}')")
+    (postings, Map("graft.bm25.n" -> (n0 + n1).toString,
+      "graft.bm25.s" -> (s0 + s1).toString))
   }
 
   /** Recompute the (N, Σdl) stamp from the index's own posting rows

@@ -324,7 +324,19 @@ object Dedup {
     * [[graft.streaming.StreamingRollups.loadStream]] pattern).
     */
   def appendToMinhashIndex(newDocs: DataFrame, table: String, numBuckets: Int = 8,
-                           k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit = {
+                           k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit =
+    graft.sources.Sinks.appendBucketed(
+      minhashAppendRows(newDocs, table, k, numPerm, bands),
+      table, Seq("band", "band_hash"), numBuckets)
+
+  /** The batch's band rows for a minhash-index append, geometry
+    * validated against the table properties — the STAGE step shared by
+    * [[appendToMinhashIndex]] and the exactly-once streaming append
+    * ([[graft.streaming.StreamingRollups.indexAppendStream]]).
+    */
+  private[graft] def minhashAppendRows(newDocs: DataFrame, table: String,
+                                       k: Int = 5, numPerm: Int = 64,
+                                       bands: Int = 8): DataFrame = {
     val props = newDocs.sparkSession.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     Seq("graft.minhash.k" -> k, "graft.minhash.numPerm" -> numPerm,
@@ -335,9 +347,7 @@ object Dedup {
         s"minhash index geometry drift on $table: $key is $stored in the index, " +
           s"$expected in the append — rebuild the index or match its geometry")
     }
-    graft.sources.Sinks.appendBucketed(
-      bandTable(newDocs, k, word = false, numPerm, bands),
-      table, Seq("band", "band_hash"), numBuckets)
+    bandTable(newDocs, k, word = false, numPerm, bands)
   }
 
   /** INCREMENTAL near-dup check: an arriving batch against the
@@ -642,12 +652,20 @@ object Dedup {
     * carries the same prefix-length contract.
     */
   def appendToContainmentIndex(newDocs: DataFrame, table: String,
-                               numBuckets: Int = 8): Unit = {
-    val spark = newDocs.sparkSession
-    val (k, word, threshold) = containmentGeometry(spark, table)
-    val rows = prefixFlagged(newDocs.select(col("doc_id"),
+                               numBuckets: Int = 8): Unit =
+    graft.sources.Sinks.appendBucketed(
+      containmentAppendRows(newDocs, table), table, Seq("h"), numBuckets)
+
+  /** The batch's prefix-flagged token rows for a containment-index
+    * append (stored-threshold prefix lengths) — the STAGE step shared
+    * by [[appendToContainmentIndex]] and the exactly-once streaming
+    * append.
+    */
+  private[graft] def containmentAppendRows(newDocs: DataFrame,
+                                           table: String): DataFrame = {
+    val (k, word, threshold) = containmentGeometry(newDocs.sparkSession, table)
+    prefixFlagged(newDocs.select(col("doc_id"),
       HashExprs.shingleHashes(norm(col("text")), k, word).as("hs")), threshold)
-    graft.sources.Sinks.appendBucketed(rows, table, Seq("h"), numBuckets)
   }
 
   /** Incremental containment check: an arriving batch against the
@@ -1646,7 +1664,19 @@ object Dedup {
     */
   def appendToEmbedBandIndex(spark: org.apache.spark.sql.SparkSession,
                              table: String, newVecs: DataFrame,
-                             numBuckets: Int = 8, dim: Int = 64): Unit = {
+                             numBuckets: Int = 8, dim: Int = 64): Unit =
+    graft.sources.Sinks.appendBucketed(
+      embedAppendRows(spark, table, newVecs, dim),
+      table, Seq("band", "bucket"), numBuckets)
+    // saveAsTable(append) keeps existing properties; nothing to re-stamp
+
+  /** The batch's band rows for an embed-band-index append, projected at
+    * the width the index RECORDED — the STAGE step shared by
+    * [[appendToEmbedBandIndex]] and the exactly-once streaming append.
+    */
+  private[graft] def embedAppendRows(spark: org.apache.spark.sql.SparkSession,
+                                     table: String, newVecs: DataFrame,
+                                     dim: Int = 64): DataFrame = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val w = props.getOrElse("graft.embed.w",
@@ -1655,9 +1685,7 @@ object Dedup {
     require(idxDim == dim,
       s"embed index geometry drift on $table: built at dim=$idxDim, " +
         s"append offered dim=$dim — rebuild the index or match its geometry")
-    graft.sources.Sinks.appendBucketed(
-      embedBandTable(newVecs, dim, w), table, Seq("band", "bucket"), numBuckets)
-    // saveAsTable(append) keeps existing properties; nothing to re-stamp
+    embedBandTable(newVecs, dim, w)
   }
 
   /** [[embeddingNearDup]] over the persisted band index: candidates

@@ -327,8 +327,16 @@ object Multimodal {
   def appendToMediaPhashIndex(newMedia: DataFrame, table: String,
                               numBuckets: Int = 8): Unit =
     graft.sources.Sinks.appendBucketed(
-      bandedPhash(newMedia, indexScheme(newMedia.sparkSession, table)),
+      mediaAppendRows(newMedia, table),
       table, Seq("band", "bucket", "modality"), numBuckets)
+
+  /** The batch's banded phash rows per the scheme the index RECORDED —
+    * the STAGE step shared by [[appendToMediaPhashIndex]] and the
+    * exactly-once streaming append.
+    */
+  private[graft] def mediaAppendRows(newMedia: DataFrame,
+                                     table: String): DataFrame =
+    bandedPhash(newMedia, indexScheme(newMedia.sparkSession, table))
 
   /** Media takedown for the phash index — merge-on-read tombstones
     * (the shared [[graft.sources.IndexMaintenance]] mechanism, keyed

@@ -59,26 +59,153 @@ object IndexMaintenance {
     * ids restart at 0 for every new query): callers pass a stable
     * logical-stream name — the checkpoint path is the natural one.
     *
-    * Returns true iff `apply` ran. The mark lands AFTER the append —
-    * a crash between the two re-runs the batch (at-least-once on the
-    * append itself); closing that last window needs the append and
-    * the mark in one transactional commit (Delta/Iceberg on a
-    * cluster), which plain parquet catalogs can't express.
+    * Returns true iff `apply` ran. The mark lands AFTER the append — a
+    * crash between the two re-runs the batch (at-least-once on the
+    * apply itself), so this plain guard is now reserved for
+    * READ-MODIFY-WRITE maintenance whose replay is already neutralized
+    * internally (the cluster upserts: staged commit + per-row
+    * anti-join). APPEND-shaped maintenance takes the EXACTLY-ONCE
+    * staged variants instead — [[applyBatchOnceStagedAt]] for
+    * path-based indexes, [[applyBatchOnceStagedTable]] for the
+    * catalog-table families — which close the window without a table
+    * format.
     */
   def applyBatchOnce(spark: SparkSession, table: String, streamId: String,
                      batchId: Long)(apply: => Unit): Boolean = {
+    val done = batchMarked(spark, table, streamId, batchId)
+    if (!done) {
+      apply
+      markBatch(spark, table, streamId, batchId)
+    }
+    !done
+  }
+
+  private def batchMarked(spark: SparkSession, table: String,
+                          streamId: String, batchId: Long): Boolean = {
     val t = appliedBatchTable(table)
-    val done = spark.catalog.tableExists(t) &&
+    spark.catalog.tableExists(t) &&
       spark.table(t)
         .filter(col("stream_id") === streamId && col("batch_id") === batchId)
         .head(1).nonEmpty
-    if (!done) {
-      apply
+  }
+
+  private def markBatch(spark: SparkSession, table: String,
+                        streamId: String, batchId: Long): Unit = {
+    import spark.implicits._
+    Seq((streamId, batchId)).toDF("stream_id", "batch_id")
+      .write.mode("append").format("parquet")
+      .saveAsTable(appliedBatchTable(table))
+  }
+
+  /** A managed table's data directory (DESCRIBE EXTENDED — the public
+    * spelling; the catalyst catalog handle is private to sql).
+    */
+  private def tableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location")
+      .getOrElse(sys.error(s"no Location for table $table"))
+      .getString(1)
+
+  /** EXACTLY-ONCE staged append for a CATALOG-TABLE index —
+    * [[applyBatchOnceStagedAt]]'s protocol carried over to the five
+    * bucketed-table families (minhash bands, containment tokens, BM25
+    * postings, embed bands, media phash), closing the append→mark
+    * at-least-once window [[applyBatchOnce]] documents. The plain
+    * guard's residual hazard: a crash between the bucketed append and
+    * the batch-id mark replays the WHOLE append — duplicated band rows
+    * inflate every candidate join, and BM25's additive (N, Σdl) restamp
+    * silently skews every later score. Here the batch becomes
+    * idempotent-or-atomic steps:
+    *
+    *  1. STAGE: `stage` computes the batch's index rows (and, for
+    *     stats-stamped families, the ABSOLUTE post-fold `graft.*`
+    *     property snapshot — absolute, not a delta, so re-applying it
+    *     is a no-op). The rows write to a staging TABLE through the
+    *     SAME (bucketCols, numBuckets) writer as the live table, so
+    *     every staged part file carries the live layout's bucket id in
+    *     its name. A crash here leaves an uncommitted staging table;
+    *     replay drops and re-stages.
+    *  2. COMMIT: the (stream_id, batch_id, props) payload lands behind
+    *     one atomic rename — the transaction boundary.
+    *  3. FOLD + MARK: each staged part file moves into the live
+    *     table's directory by individual atomic rename (bucket-id
+    *     filenames carry over — both tables were written by the same
+    *     bucketed writer under the same spec, so the files ARE
+    *     bucket-compatible; part names carry job UUIDs, so they never
+    *     collide and a replayed fold resumes exactly the missing
+    *     files), then the props snapshot applies (idempotent), then
+    *     the batch-id mark lands, then the staging artifacts drop.
+    *
+    * Returns true iff the batch's data was (newly) applied. Single
+    * writer per table (every maintenance op's contract — foreachBatch
+    * serializes batches); assumes a durable catalog (a Hive metastore
+    * in production — the same assumption every saveAsTable op here
+    * makes). On a lakehouse table format this whole dance is one
+    * transactional commit; plain parquet catalogs need the staged
+    * spelling.
+    */
+  def applyBatchOnceStagedTable(spark: SparkSession, table: String,
+                                streamId: String, batchId: Long,
+                                bucketCols: Seq[String], numBuckets: Int)(
+      stage: => (DataFrame, Map[String, String])): Boolean = {
+    val stagingTable = s"${table}_staged_append"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val commitDir = s"${wh.stripSuffix("/")}/${table}_staged_commit"
+    val commitTmp = s"$commitDir.tmp"
+    val f = fsFor(spark, commitDir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def cleanup(): Unit = {
+      f.delete(p(commitDir), true)
+      f.delete(p(commitTmp), true)
+      spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+      ()
+    }
+    if (batchMarked(spark, table, streamId, batchId)) {
+      // fully applied (a crash may have landed between mark and
+      // cleanup) — make replay free of leftovers and report no-op
+      cleanup()
+      return false
+    }
+    val committedForThis = f.exists(p(commitDir)) && {
+      val id = spark.read.parquet(s"$commitDir/id").head()
+      val same = id.getAs[String]("stream_id") == streamId &&
+        id.getAs[Long]("batch_id") == batchId
+      if (!same) {
+        // a PREDECESSOR's commit survived its post-mark cleanup — legal
+        // only if that batch fully applied; anything else means a second
+        // writer or corruption, and folding would double-apply
+        require(batchMarked(spark, table, id.getAs[String]("stream_id"),
+          id.getAs[Long]("batch_id")),
+          s"unapplied staged commit for a different batch at $commitDir — " +
+            "single-writer contract violated; refusing to fold")
+        cleanup()
+      }
+      same
+    }
+    if (!committedForThis) {
+      spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+      f.delete(p(commitTmp), true)
+      val (rows, props) = stage
+      Sinks.writeBucketed(rows, stagingTable, bucketCols, numBuckets)
       import spark.implicits._
       Seq((streamId, batchId)).toDF("stream_id", "batch_id")
-        .write.mode("append").format("parquet").saveAsTable(t)
+        .coalesce(1).write.parquet(s"$commitTmp/id")
+      props.toSeq.toDF("key", "value")
+        .coalesce(1).write.parquet(s"$commitTmp/props")
+      require(f.rename(p(commitTmp), p(commitDir)),
+        s"staged-append commit rename failed: $commitDir")
     }
-    !done
+    foldInto(f, p(tableLocation(spark, stagingTable)),
+      p(tableLocation(spark, table)))
+    spark.catalog.refreshTable(table)
+    val props = spark.read.parquet(s"$commitDir/props").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    if (props.nonEmpty) spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES " +
+        props.map { case (key, v) => s"'$key'='$v'" }.mkString("(", ",", ")"))
+    markBatch(spark, table, streamId, batchId)
+    cleanup()
+    true
   }
 
   // — PATH-BASED twins, for indexes that live as parquet directories

@@ -415,37 +415,69 @@ object StreamingRollups {
   /** The streaming INDEX-APPEND stage — streaming↔lifecycle symmetry
     * closed for the re-crawl case [[dedupNear]] already detects:
     * arriving micro-batches extend the persisted minhash band index
-    * ([[graft.operators.Dedup.appendToMinhashIndex]] — geometry
-    * checked against the table properties, bucket layout preserved),
-    * so the NEXT batch's against-index check sees this one. Runs
-    * under [[graft.sources.IndexMaintenance.applyBatchOnce]] batch-id
-    * idempotence: foreachBatch redelivery (at-least-once after a
-    * crash-before-checkpoint) is a no-op instead of a double-append —
-    * the upsert-sink replay story ([[loadStream]]), applied to an
-    * operation that is NOT naturally idempotent. `streamId` names the
-    * logical stream (batch ids restart at 0 per query — default: the
-    * checkpoint path, which is stable across restarts). Compose with
-    * the document sink in the same foreachBatch when the corpus and
-    * its index must advance together.
+    * (geometry checked against the table properties, bucket layout
+    * preserved — [[graft.operators.Dedup.minhashAppendRows]]), so the
+    * NEXT batch's against-index check sees this one. Runs EXACTLY-ONCE
+    * under [[graft.sources.IndexMaintenance.applyBatchOnceStagedTable]]:
+    * foreachBatch redelivery (at-least-once after a
+    * crash-before-checkpoint) is a no-op instead of a double-append,
+    * and a crash at ANY point inside the append itself — including
+    * between the data landing and the batch-id mark, the window the
+    * plain guard left open — replays to the same final state (staged
+    * rows behind one atomic commit, idempotent per-file fold, then the
+    * mark). `streamId` names the logical stream (batch ids restart at
+    * 0 per query — default: the checkpoint path, which is stable
+    * across restarts). Compose with the document sink in the same
+    * foreachBatch when the corpus and its index must advance together.
     */
   def indexAppendStream(docs: DataFrame, indexTable: String,
                         checkpoint: String, streamId: Option[String] = None,
                         numBuckets: Int = 8, k: Int = 5, numPerm: Int = 64,
                         bands: Int = 8)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    indexAppendStreamWith(docs, indexTable, checkpoint, streamId) { batch =>
-      graft.operators.Dedup.appendToMinhashIndex(
-        batch, indexTable, numBuckets, k, numPerm, bands)
+    stagedAppendStreamWith(docs, indexTable, checkpoint, streamId,
+      Seq("band", "band_hash"), numBuckets) { batch =>
+      (graft.operators.Dedup.minhashAppendRows(
+        batch, indexTable, k, numPerm, bands), Map.empty)
     }
 
   /** The family-generic core of [[indexAppendStream]]: one foreachBatch
-    * sink that runs ANY `appendTo*` under
-    * [[graft.sources.IndexMaintenance.applyBatchOnce]] batch-id
-    * idempotence. Every persisted-index family shares the same replay
-    * hazard (at-least-once foreachBatch redelivery after a
+    * sink that stages ANY append family's batch rows (and optional
+    * absolute property snapshot) through
+    * [[graft.sources.IndexMaintenance.applyBatchOnceStagedTable]] —
+    * EXACTLY-ONCE per (streamId, batchId), with every internal crash
+    * window replay-safe. Every persisted-index family shares the same
+    * replay hazard (at-least-once foreachBatch redelivery after a
     * crash-before-checkpoint would double-append rows — and for BM25,
     * double-count the stats restamp), so the guard lives here once and
-    * the per-family wrappers below only choose the append.
+    * the per-family wrappers below only choose the staged rows and the
+    * bucket spec.
+    */
+  private def stagedAppendStreamWith(rows: DataFrame, indexTable: String,
+                                     checkpoint: String,
+                                     streamId: Option[String],
+                                     bucketCols: Seq[String],
+                                     numBuckets: Int)(
+      stage: DataFrame => (DataFrame, Map[String, String]))
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sid = streamId.getOrElse(checkpoint)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.IndexMaintenance.applyBatchOnceStagedTable(
+          batch.sparkSession, indexTable, sid, epochId,
+          bucketCols, numBuckets) {
+          stage(batch)
+        }
+        ()
+      }
+  }
+
+  /** The batch-id guard for READ-MODIFY-WRITE maintenance (the cluster
+    * upserts): plain [[graft.sources.IndexMaintenance.applyBatchOnce]]
+    * — the upserts neutralize internal-crash replay themselves via
+    * their staged commit + per-row anti-join, so the outer guard only
+    * needs to make the fully-applied case a no-op.
     */
   private def indexAppendStreamWith(rows: DataFrame, indexTable: String,
                                     checkpoint: String,
@@ -466,66 +498,75 @@ object StreamingRollups {
 
   /** [[indexAppendStream]] for the CONTAINMENT token index: arriving
     * micro-batches of (doc_id, text) extend the persisted prefix-token
-    * table ([[graft.operators.Dedup.appendToContainmentIndex]] —
-    * prefix lengths from the STORED threshold, so every appended row
-    * honors the build-time pigeonhole contract). Exactness is
-    * order-free ("any fixed per-document order"), so a stream-grown
-    * index probes identically to a built-at-once one.
+    * table ([[graft.operators.Dedup.containmentAppendRows]] — prefix
+    * lengths from the STORED threshold, so every appended row honors
+    * the build-time pigeonhole contract). Exactness is order-free
+    * ("any fixed per-document order"), so a stream-grown index probes
+    * identically to a built-at-once one. Exactly-once staged append,
+    * like every wrapper here.
     */
   def containmentAppendStream(docs: DataFrame, indexTable: String,
                               checkpoint: String,
                               streamId: Option[String] = None,
                               numBuckets: Int = 8)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    indexAppendStreamWith(docs, indexTable, checkpoint, streamId) { batch =>
-      graft.operators.Dedup.appendToContainmentIndex(batch, indexTable, numBuckets)
+    stagedAppendStreamWith(docs, indexTable, checkpoint, streamId,
+      Seq("h"), numBuckets) { batch =>
+      (graft.operators.Dedup.containmentAppendRows(batch, indexTable), Map.empty)
     }
 
   /** [[indexAppendStream]] for the BM25 inverted index: arriving
     * micro-batches extend the posting table AND restamp the corpus
-    * stats ([[graft.operators.Corpus.appendToBm25Index]]). This is the
-    * family where batch-id idempotence matters MOST: the stats restamp
-    * is a read-modify-write, so a replayed batch without the guard
-    * would not just duplicate postings — it would silently inflate
-    * N/Σdl and skew every later score. foreachBatch also serializes
-    * batches, satisfying the append's single-writer contract.
+    * stats. This is the family where EXACTLY-ONCE matters MOST: the
+    * stats restamp is a read-modify-write, so a replayed batch without
+    * the staged protocol would not just duplicate postings — it would
+    * silently inflate N/Σdl and skew every later score. The staged
+    * commit records the ABSOLUTE post-fold (N, Σdl) snapshot
+    * ([[graft.operators.Corpus.bm25AppendRowsAndProps]]), so replaying
+    * any crash window re-applies the same stamp instead of re-adding
+    * the deltas. foreachBatch serializes batches, satisfying the
+    * append's single-writer contract.
     */
   def bm25AppendStream(docs: DataFrame, indexTable: String,
                        checkpoint: String, streamId: Option[String] = None,
                        numBuckets: Int = 8)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    indexAppendStreamWith(docs, indexTable, checkpoint, streamId) { batch =>
-      graft.operators.Corpus.appendToBm25Index(batch, indexTable, numBuckets)
+    stagedAppendStreamWith(docs, indexTable, checkpoint, streamId,
+      Seq("word"), numBuckets) { batch =>
+      graft.operators.Corpus.bm25AppendRowsAndProps(batch, indexTable)
     }
 
   /** [[indexAppendStream]] for the EMBEDDING band index: arriving
     * vector micro-batches are projected at the width the index
     * RECORDED (geometry from table properties) and appended to the
     * (band, bucket) layout
-    * ([[graft.operators.Dedup.appendToEmbedBandIndex]]).
+    * ([[graft.operators.Dedup.embedAppendRows]]). Exactly-once staged
+    * append.
     */
   def embedAppendStream(vecs: DataFrame, indexTable: String,
                         checkpoint: String, streamId: Option[String] = None,
                         numBuckets: Int = 8, dim: Int = 64)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    indexAppendStreamWith(vecs, indexTable, checkpoint, streamId) { batch =>
-      graft.operators.Dedup.appendToEmbedBandIndex(
-        batch.sparkSession, indexTable, batch, numBuckets, dim)
+    stagedAppendStreamWith(vecs, indexTable, checkpoint, streamId,
+      Seq("band", "bucket"), numBuckets) { batch =>
+      (graft.operators.Dedup.embedAppendRows(
+        batch.sparkSession, indexTable, batch, dim), Map.empty)
     }
 
   /** [[indexAppendStream]] for the MEDIA phash index: arriving binary
     * micro-batches are decoded + hashed once and banded per the scheme
     * the index recorded
-    * ([[graft.operators.Multimodal.appendToMediaPhashIndex]]), so a
-    * re-upload in the NEXT batch is caught by the incremental check.
+    * ([[graft.operators.Multimodal.mediaAppendRows]]), so a re-upload
+    * in the NEXT batch is caught by the incremental check. Exactly-once
+    * staged append.
     */
   def mediaAppendStream(media: DataFrame, indexTable: String,
                         checkpoint: String, streamId: Option[String] = None,
                         numBuckets: Int = 8)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    indexAppendStreamWith(media, indexTable, checkpoint, streamId) { batch =>
-      graft.operators.Multimodal.appendToMediaPhashIndex(
-        batch, indexTable, numBuckets)
+    stagedAppendStreamWith(media, indexTable, checkpoint, streamId,
+      Seq("band", "bucket", "modality"), numBuckets) { batch =>
+      (graft.operators.Multimodal.mediaAppendRows(batch, indexTable), Map.empty)
     }
 
   /** STREAMING stage for the cluster-assignment UPSERT — the last

@@ -1173,6 +1173,134 @@ class StreamingSpec extends SparkSpec {
     assert(probe === brute)
   }
 
+  test("applyBatchOnceStagedTable: every crash window replays exactly-once (minhash rows, BM25 absolute stats)") {
+    import spark.implicits._
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    def reset(ts: String*): Unit = ts.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def loc(table: String): String =
+      spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+    // manufacture the protocol's own commit marker (the crash seam the
+    // production code crosses in one rename)
+    def commitMarker(table: String, sid: String, bid: Long,
+                     props: Map[String, String]): String = {
+      val dir = s"$wh/${table}_staged_commit"
+      val tmp = s"$dir.tmp"
+      Seq((sid, bid)).toDF("stream_id", "batch_id")
+        .coalesce(1).write.parquet(s"$tmp/id")
+      props.toSeq.toDF("key", "value").coalesce(1).write.parquet(s"$tmp/props")
+      assert(fs.rename(p(tmp), p(dir)))
+      dir
+    }
+
+    val corpus = sources.Tables.documents(spark, sfDir)
+    val residue = corpus.filter(col("doc_id") % 7 =!= 0)
+    val batchA = corpus.filter(col("doc_id") % 14 === 0)
+    val batchB = corpus.filter(col("doc_id") % 7 === 0 && col("doc_id") % 14 =!= 0)
+
+    // — MINHASH band index
+    val mt = "g_staged_tbl_mh"
+    reset(mt, s"${mt}_applied_batches", s"${mt}_staged_append")
+    fs.delete(p(s"$wh/${mt}_staged_commit"), true)
+    operators.Dedup.writeMinhashIndex(residue, mt)
+    def rows() = spark.table(mt).count()
+    val base = rows()
+    val nA = operators.Dedup.minhashAppendRows(batchA, mt).count()
+    val nB = operators.Dedup.minhashAppendRows(batchB, mt).count()
+    assert(nA > 0 && nB > 0)
+
+    // CRASH WINDOW 1: staging table written, commit marker NOT yet
+    // renamed in — replay must drop the orphan staging and re-stage
+    graft.sources.Sinks.writeBucketed(
+      operators.Dedup.minhashAppendRows(batchA, mt),
+      s"${mt}_staged_append", Seq("band", "band_hash"), 8)
+    var staged = 0
+    val ran1 = sources.IndexMaintenance.applyBatchOnceStagedTable(
+      spark, mt, "sid", 0, Seq("band", "band_hash"), 8) {
+      staged += 1
+      (operators.Dedup.minhashAppendRows(batchA, mt), Map.empty)
+    }
+    assert(ran1 && staged === 1 && rows() === base + nA,
+      "uncommitted staging must re-stage exactly once")
+
+    // CRASH WINDOW 2: staging + commit marker durable, nothing folded —
+    // replay folds WITHOUT re-running the stage
+    graft.sources.Sinks.writeBucketed(
+      operators.Dedup.minhashAppendRows(batchB, mt),
+      s"${mt}_staged_append", Seq("band", "band_hash"), 8)
+    commitMarker(mt, "sid", 1, Map.empty)
+    val ran2 = sources.IndexMaintenance.applyBatchOnceStagedTable(
+      spark, mt, "sid", 1, Seq("band", "band_hash"), 8) {
+      fail("stage re-ran despite a committed staging")
+    }
+    assert(ran2 && rows() === base + nA + nB)
+
+    // fully-applied replays (mark present): pure no-ops, leftovers gone
+    for (bid <- Seq(0L, 1L)) {
+      val ran = sources.IndexMaintenance.applyBatchOnceStagedTable(
+        spark, mt, "sid", bid, Seq("band", "band_hash"), 8) {
+        fail("stage re-ran on a marked batch")
+      }
+      assert(!ran)
+    }
+    assert(rows() === base + nA + nB, "replay double-appended band rows")
+    assert(!spark.catalog.tableExists(s"${mt}_staged_append"))
+    assert(!fs.exists(p(s"$wh/${mt}_staged_commit")))
+    // the stream-grown index equals a built-at-once rebuild row-for-row
+    val rebuilt = "g_staged_tbl_mh_ref"
+    reset(rebuilt)
+    operators.Dedup.writeMinhashIndex(corpus, rebuilt)
+    def keyset(t: String) = spark.table(t)
+      .select("band", "band_hash", "doc_id").collect()
+      .map(_.toSeq).toSet
+    assert(keyset(mt) === keyset(rebuilt))
+
+    // — BM25: the stats restamp is the silent-corruption family — the
+    // committed snapshot is ABSOLUTE, so every replay re-applies the
+    // same (N, Σdl) instead of re-adding the deltas
+    val bt = "g_staged_tbl_bm25"
+    reset(bt, s"${bt}_applied_batches", s"${bt}_staged_append")
+    fs.delete(p(s"$wh/${bt}_staged_commit"), true)
+    operators.Corpus.writeBm25Index(residue, bt)
+    def stats(t: String): (Long, Long) = {
+      val m = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      (m("graft.bm25.n").toLong, m("graft.bm25.s").toLong)
+    }
+    // the truth: a built-at-once index over residue ∪ batchA
+    val btRef = "g_staged_tbl_bm25_ref"
+    reset(btRef)
+    operators.Corpus.writeBm25Index(residue.unionByName(batchA), btRef)
+    val expected = stats(btRef)
+    // crash window: staging + commit (with the absolute snapshot)
+    // durable, then TWO replays across fold/props/mark — the stamp must
+    // land at the absolute value, never accumulate
+    val (bRows, bProps) = operators.Corpus.bm25AppendRowsAndProps(batchA, bt)
+    graft.sources.Sinks.writeBucketed(bRows, s"${bt}_staged_append", Seq("word"), 8)
+    commitMarker(bt, "sid", 0, bProps)
+    for (_ <- 1 to 2) {
+      sources.IndexMaintenance.applyBatchOnceStagedTable(
+        spark, bt, "sid", 0, Seq("word"), 8) {
+        fail("stage re-ran despite a committed staging")
+      }
+    }
+    assert(stats(bt) === expected,
+      s"BM25 stats skewed by replay: ${stats(bt)} vs $expected")
+    assert(spark.table(bt).count() === spark.table(btRef).count(),
+      "BM25 postings duplicated by replay")
+    reset(mt, rebuilt, bt, btRef, s"${mt}_applied_batches",
+      s"${bt}_applied_batches")
+  }
+
   test("streaming curation loop: admit, append, merge components in one guarded stage; replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
