@@ -63,6 +63,40 @@ object SparkEntry {
     ()
   }
 
+  /** Maintenance side artifacts a KILLED previous run can leave for a
+    * gate table — staging tables, commit markers, swap leftovers, the
+    * writer lease. Builders clear them before building (a leftover
+    * lease would fail-loud a fresh build; a leftover committed staging
+    * folded into a rebuilt table would be corruption) and ASSERT none
+    * survive after (a stray `_compact_tmp`/`_staging` surviving a gate
+    * build would mask the crash-window specs).
+    */
+  private def strayArtifacts(s: SparkSession, name: String): Seq[String] = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val tables = Seq(s"${name}_staged_append", s"${name}_compact_tmp",
+      s"${name}_compact_old").filter(s.catalog.tableExists)
+    val dirs = Seq(s"${name}_staged_commit", s"${name}_staged_commit.tmp",
+      s"${name}_upsert_staging", s"${name}_upsert_staging.tmp",
+      s"${name}_writer_lease", s"${name}_staged_append", s"${name}_compact_tmp",
+      s"${name}_compact_old")
+      .filter(n => new java.io.File(wh, n).exists())
+    (tables ++ dirs).distinct
+  }
+
+  private def resetTableArtifacts(s: SparkSession, name: String): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(s"${name}_staged_append", s"${name}_compact_tmp", s"${name}_compact_old")
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    Seq(s"${name}_staged_append", s"${name}_compact_tmp", s"${name}_compact_old",
+      s"${name}_staged_commit", s"${name}_staged_commit.tmp",
+      s"${name}_upsert_staging", s"${name}_upsert_staging.tmp",
+      s"${name}_writer_lease")
+      .foreach { n =>
+        val f = new java.io.File(wh, n)
+        if (f.exists()) rmTree(f)
+      }
+  }
+
   private def ensureTable(s: SparkSession, name: String)(build: => Unit): String =
     indexLock.synchronized {
       if (!s.catalog.tableExists(name)) {
@@ -70,7 +104,12 @@ object SparkEntry {
         val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
         val dir = new java.io.File(wh, name)
         if (dir.exists()) rmTree(dir)
+        resetTableArtifacts(s, name)
         build
+        val strays = strayArtifacts(s, name)
+        require(strays.isEmpty,
+          s"gate build for $name left stray maintenance artifacts: " +
+            strays.mkString(", "))
       }
       name
     }
@@ -355,8 +394,10 @@ object SparkEntry {
     val dir = new java.io.File(wh, stale)
     if (dir.exists()) rmTree(dir)
     // a previous JVM's crashed upsert may have left a committed staging
-    // dir — folding it into a freshly rebuilt table would be corruption
+    // dir — folding it into a freshly rebuilt table would be corruption;
+    // ditto staged appends, swap leftovers, and the writer lease
     Dedup.clearUpsertStaging(s, t)
+    resetTableArtifacts(s, t)
   }
 
   private def clusterUpsertIndexTable(s: SparkSession, d: String): String = {

@@ -466,7 +466,9 @@ object Corpus {
     * pattern does) and run [[repairBm25Stats]] after a suspected
     * partial append.
     */
-  def appendToBm25Index(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+  def appendToBm25Index(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit =
+    graft.sources.IndexMaintenance.withTableWriterLease(
+      newDocs.sparkSession, table) {
     val (postings, props) = bm25AppendRowsAndProps(newDocs, table)
     graft.sources.Sinks.appendBucketed(postings, table, Seq("word"), numBuckets)
     newDocs.sparkSession.sql(

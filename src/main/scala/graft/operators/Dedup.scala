@@ -325,9 +325,12 @@ object Dedup {
     */
   def appendToMinhashIndex(newDocs: DataFrame, table: String, numBuckets: Int = 8,
                            k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit =
-    graft.sources.Sinks.appendBucketed(
-      minhashAppendRows(newDocs, table, k, numPerm, bands),
-      table, Seq("band", "band_hash"), numBuckets)
+    graft.sources.IndexMaintenance.withTableWriterLease(
+      newDocs.sparkSession, table) {
+      graft.sources.Sinks.appendBucketed(
+        minhashAppendRows(newDocs, table, k, numPerm, bands),
+        table, Seq("band", "band_hash"), numBuckets)
+    }
 
   /** The batch's band rows for a minhash-index append, geometry
     * validated against the table properties — the STAGE step shared by
@@ -653,8 +656,11 @@ object Dedup {
     */
   def appendToContainmentIndex(newDocs: DataFrame, table: String,
                                numBuckets: Int = 8): Unit =
-    graft.sources.Sinks.appendBucketed(
-      containmentAppendRows(newDocs, table), table, Seq("h"), numBuckets)
+    graft.sources.IndexMaintenance.withTableWriterLease(
+      newDocs.sparkSession, table) {
+      graft.sources.Sinks.appendBucketed(
+        containmentAppendRows(newDocs, table), table, Seq("h"), numBuckets)
+    }
 
   /** The batch's prefix-flagged token rows for a containment-index
     * append (stored-threshold prefix lengths) — the STAGE step shared
@@ -1164,7 +1170,9 @@ object Dedup {
   def upsertClusterIndex(spark: org.apache.spark.sql.SparkSession,
                          minhashTable: String, clusterTable: String,
                          newDocs: DataFrame, corpus: DataFrame,
-                         maxIter: Int = 8, numBuckets: Int = 8): Unit = {
+                         maxIter: Int = 8, numBuckets: Int = 8): Unit =
+                         graft.sources.IndexMaintenance
+                           .withTableWriterLease(spark, clusterTable) {
     // crash recovery: fold any committed-but-unapplied predecessor
     // commit before reading the live view (single-writer contract)
     applyStagedUpsert(spark, clusterTable, numBuckets)
@@ -1665,9 +1673,11 @@ object Dedup {
   def appendToEmbedBandIndex(spark: org.apache.spark.sql.SparkSession,
                              table: String, newVecs: DataFrame,
                              numBuckets: Int = 8, dim: Int = 64): Unit =
-    graft.sources.Sinks.appendBucketed(
-      embedAppendRows(spark, table, newVecs, dim),
-      table, Seq("band", "bucket"), numBuckets)
+    graft.sources.IndexMaintenance.withTableWriterLease(spark, table) {
+      graft.sources.Sinks.appendBucketed(
+        embedAppendRows(spark, table, newVecs, dim),
+        table, Seq("band", "bucket"), numBuckets)
+    }
     // saveAsTable(append) keeps existing properties; nothing to re-stamp
 
   /** The batch's band rows for an embed-band-index append, projected at

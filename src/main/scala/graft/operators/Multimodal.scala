@@ -326,9 +326,12 @@ object Multimodal {
     */
   def appendToMediaPhashIndex(newMedia: DataFrame, table: String,
                               numBuckets: Int = 8): Unit =
-    graft.sources.Sinks.appendBucketed(
-      mediaAppendRows(newMedia, table),
-      table, Seq("band", "bucket", "modality"), numBuckets)
+    graft.sources.IndexMaintenance.withTableWriterLease(
+      newMedia.sparkSession, table) {
+      graft.sources.Sinks.appendBucketed(
+        mediaAppendRows(newMedia, table),
+        table, Seq("band", "bucket", "modality"), numBuckets)
+    }
 
   /** The batch's banded phash rows per the scheme the index RECORDED —
     * the STAGE step shared by [[appendToMediaPhashIndex]] and the

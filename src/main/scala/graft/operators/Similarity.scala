@@ -292,8 +292,10 @@ object Similarity {
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, newVecs: DataFrame): Unit =
-    assignUnderIndex(spark, path, newVecs)
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
+    graft.sources.IndexMaintenance.withWriterLeaseAt(spark, path) {
+      assignUnderIndex(spark, path, newVecs)
+        .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
+    }
 
   /** Whether the index at `path` carries the factored coarse book —
     * i.e. was written by [[writeTwoLevelIvfIndex]]. Every
@@ -435,7 +437,9 @@ object Similarity {
     */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, nCentroids: Int = 16,
-                      trainIters: Int = 3): Unit = {
+                      trainIters: Int = 3): Unit =
+                      graft.sources.IndexMaintenance
+                        .withWriterLeaseAt(spark, path) {
     import spark.implicits._
     val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -810,7 +814,9 @@ object Similarity {
     */
   def retrainTwoLevelIvfIndex(spark: org.apache.spark.sql.SparkSession,
                               path: String, targetCluster: Int = 256,
-                              iters: Int = 2): Unit = {
+                              iters: Int = 2): Unit =
+                              graft.sources.IndexMaintenance
+                                .withWriterLeaseAt(spark, path) {
     import spark.implicits._
     val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -1538,7 +1544,9 @@ object Similarity {
   def upsertSemanticClusterIndex(spark: org.apache.spark.sql.SparkSession,
                                  indexPath: String, clusterTable: String,
                                  newVecs: DataFrame, tau: Double = 0.35,
-                                 maxIter: Int = 8, numBuckets: Int = 8): Unit = {
+                                 maxIter: Int = 8, numBuckets: Int = 8): Unit =
+                                 graft.sources.IndexMaintenance
+                                   .withTableWriterLease(spark, clusterTable) {
     // crash recovery: fold any committed-but-unapplied predecessor
     // commit before reading the live view (single-writer contract)
     graft.operators.Dedup.applyStagedUpsert(spark, clusterTable, numBuckets)

@@ -71,14 +71,15 @@ object IndexMaintenance {
     * format.
     */
   def applyBatchOnce(spark: SparkSession, table: String, streamId: String,
-                     batchId: Long)(apply: => Unit): Boolean = {
-    val done = batchMarked(spark, table, streamId, batchId)
-    if (!done) {
-      apply
-      markBatch(spark, table, streamId, batchId)
+                     batchId: Long)(apply: => Unit): Boolean =
+    withTableWriterLease(spark, table) {
+      val done = batchMarked(spark, table, streamId, batchId)
+      if (!done) {
+        apply
+        markBatch(spark, table, streamId, batchId)
+      }
+      !done
     }
-    !done
-  }
 
   private def batchMarked(spark: SparkSession, table: String,
                           streamId: String, batchId: Long): Boolean = {
@@ -147,7 +148,8 @@ object IndexMaintenance {
   def applyBatchOnceStagedTable(spark: SparkSession, table: String,
                                 streamId: String, batchId: Long,
                                 bucketCols: Seq[String], numBuckets: Int)(
-      stage: => (DataFrame, Map[String, String])): Boolean = {
+      stage: => (DataFrame, Map[String, String])): Boolean =
+      withTableWriterLease(spark, table) {
     val stagingTable = s"${table}_staged_append"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val commitDir = s"${wh.stripSuffix("/")}/${table}_staged_commit"
@@ -221,6 +223,108 @@ object IndexMaintenance {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // — SINGLE-WRITER ENFORCEMENT. Every maintenance op here states a
+  // single-writer contract; these leases make a violation FAIL LOUD
+  // instead of corrupting silently: a second writer errors at acquire,
+  // and a lease that changed hands mid-operation (broken + re-acquired)
+  // errors at completion instead of reporting success over a
+  // doubly-written index.
+
+  /** Leases this JVM currently holds, for REENTRANCY: a maintenance op
+    * that calls another op on the same resource (the curation stream's
+    * guarded stage wraps the index append; the upserts wrap their own
+    * staged apply) must not deadlock against itself.
+    */
+  private val heldLeases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def tableLeasePath(spark: SparkSession, table: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    s"${wh.stripSuffix("/")}/${table}_writer_lease"
+  }
+
+  /** Run `body` holding the writer lease for a catalog-table index. */
+  private[graft] def withTableWriterLease[T](spark: SparkSession,
+                                             table: String)(body: => T): T =
+    withWriterLease(spark, tableLeasePath(spark, table))(body)
+
+  /** Run `body` holding the writer lease for a path-based index (the
+    * lease file lives INSIDE the index root, which is never itself
+    * renamed — only its subdirectories swap).
+    */
+  private[graft] def withWriterLeaseAt[T](spark: SparkSession,
+                                          indexDir: String)(body: => T): T =
+    withWriterLease(spark, s"${indexDir.stripSuffix("/")}/_writer_lease")(body)
+
+  /** Acquire `leaseFile` exclusively (atomic create-no-overwrite — the
+    * HDFS/object-store mutex primitive), stamp a fencing token, run
+    * `body`, VERIFY the token is still ours, release. Failure modes,
+    * all loud:
+    *  - lease already held → IllegalStateException at acquire (the
+    *    second-writer case — nothing was touched);
+    *  - token changed mid-body → error at completion (someone broke the
+    *    lease and wrote concurrently; the op's effects need audit);
+    *  - holder crashed → the lease survives and every later writer
+    *    fails at acquire until an operator verifies no writer is alive
+    *    and calls [[breakWriterLease]] — fail-loud by design, since
+    *    plain filesystems cannot distinguish crashed from slow.
+    */
+  private[graft] def withWriterLease[T](spark: SparkSession,
+                                        leaseFile: String)(body: => T): T = {
+    if (!heldLeases.add(leaseFile)) return body // reentrant: already ours
+    try {
+      val f = fsFor(spark, leaseFile)
+      val path = new org.apache.hadoop.fs.Path(leaseFile)
+      val token = java.util.UUID.randomUUID().toString
+      def readToken(): String =
+        try {
+          val in = f.open(path)
+          try {
+            val b = new Array[Byte](128)
+            val n = in.read(b)
+            new String(b, 0, math.max(n, 0), "UTF-8")
+          } finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      val out =
+        try f.create(path, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.io.IOException =>
+            throw new IllegalStateException(
+              s"writer lease $leaseFile is held (token ${readToken()}): a second " +
+                "concurrent index-maintenance writer would corrupt silently — " +
+                "this error is the fail-loud guard. If the holder crashed, " +
+                "verify no writer is alive, then breakWriterLease.")
+        }
+      out.write(token.getBytes("UTF-8"))
+      out.close()
+      try {
+        val r = body
+        require(readToken() == token,
+          s"writer lease $leaseFile changed hands mid-operation — a second " +
+            "writer ran concurrently; the index needs verification")
+        r
+      } finally {
+        if (readToken() == token) f.delete(path, false)
+        ()
+      }
+    } finally {
+      heldLeases.remove(leaseFile)
+      ()
+    }
+  }
+
+  /** Remove a lease a CRASHED writer left behind. Only after verifying
+    * out-of-band that no writer is alive — breaking a live writer's
+    * lease converts the fail-loud guard back into silent corruption
+    * (the live writer will at least error at its own completion via the
+    * fencing check).
+    */
+  def breakWriterLease(spark: SparkSession, leaseFile: String): Unit = {
+    fsFor(spark, leaseFile).delete(new org.apache.hadoop.fs.Path(leaseFile), false)
+    ()
+  }
+
   /** [[applyBatchOnce]] for a path-based index: the applied-batch
     * marks live in an `applied_batches` subdirectory of `indexDir`
     * (sibling of `tombstones`), so they survive an out-of-band
@@ -232,7 +336,7 @@ object IndexMaintenance {
     */
   def applyBatchOnceAt(spark: SparkSession, indexDir: String,
                        streamId: String, batchId: Long)(
-      apply: => Unit): Boolean = {
+      apply: => Unit): Boolean = withWriterLeaseAt(spark, indexDir) {
     val dir = s"${indexDir.stripSuffix("/")}/applied_batches"
     // a crash between directory creation and the first committed part
     // file leaves a dir parquet can't infer a schema from (_temporary
@@ -292,7 +396,8 @@ object IndexMaintenance {
     */
   def applyBatchOnceStagedAt(spark: SparkSession, indexDir: String,
                              dataDir: String, streamId: String,
-                             batchId: Long)(stage: String => Unit): Boolean = {
+                             batchId: Long)(stage: String => Unit): Boolean =
+                             withWriterLeaseAt(spark, indexDir) {
     val f = fsFor(spark, indexDir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val marksDir = s"${indexDir.stripSuffix("/")}/applied_batches"
@@ -442,7 +547,8 @@ object IndexMaintenance {
     * that leaves them inert against the compacted data.
     */
   def compactAt(spark: SparkSession, dataDir: String, indexDir: String,
-                idCol: String)(rewrite: (DataFrame, String) => Unit): Unit = {
+                idCol: String)(rewrite: (DataFrame, String) => Unit): Unit =
+                withWriterLeaseAt(spark, indexDir) {
     val tmp = s"${dataDir.stripSuffix("/")}_compact_tmp"
     val f = fsFor(spark, dataDir)
     recoverDirSwap(f, dataDir)
@@ -493,7 +599,8 @@ object IndexMaintenance {
     * the fresh one too (its first step dropped `_compact_tmp`).
     */
   def compact(spark: SparkSession, table: String, idCol: String = "doc_id")
-             (rewrite: (DataFrame, String) => Unit): Unit = {
+             (rewrite: (DataFrame, String) => Unit): Unit =
+             withTableWriterLease(spark, table) {
     recoverTableSwap(spark, table)
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

@@ -73,7 +73,10 @@ object Sinks {
     * and NameNode/listing pressure. One clustered rewrite restores
     * few-large-files layout; run it on cold partitions out of band.
     */
-  def compact(spark: SparkSession, path: String, partitionCols: Seq[String]): Unit = {
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String]): Unit =
+    // the lease file sits BESIDE the dir (the dir itself is swapped)
+    IndexMaintenance.withWriterLease(
+      spark, path.stripSuffix("/") + "_writer_lease") {
     val fs = IndexMaintenance.fsFor(spark, path)
     // roll forward/back a predecessor swap a crash interrupted BEFORE
     // reading — the read must see a complete serving copy

@@ -1660,6 +1660,84 @@ class HashExprsSpec extends SparkSpec {
     Seq(t, s"${t}_tombstones").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
+  test("writer lease: a second concurrent writer fails loudly at acquire; fencing catches a mid-op steal; reentrant within the writer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def holdLease(leaseFile: String): Unit = {
+      val out = fs.create(p(leaseFile), false)
+      out.write("foreign-writer-token".getBytes("UTF-8")); out.close()
+    }
+
+    // — TABLE op: with a foreign lease in place, an append ERRORS and
+    // touches nothing (the silent-corruption alternative was two
+    // writers double-appending band rows)
+    val corpus = sources.Tables.documents(spark, sfDir)
+    val residue = corpus.filter(col("doc_id") % 7 =!= 0)
+    val batch = corpus.filter(col("doc_id") % 7 === 0)
+    val mt = "g_lease_mh"
+    spark.sql(s"DROP TABLE IF EXISTS $mt")
+    val mtDir = new java.io.File(wh, mt)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(mtDir)
+    val mtLease = sources.IndexMaintenance.tableLeasePath(spark, mt)
+    fs.delete(p(mtLease), false)
+    operators.Dedup.writeMinhashIndex(residue, mt)
+    val before = spark.table(mt).count()
+    holdLease(mtLease)
+    val err = intercept[IllegalStateException] {
+      operators.Dedup.appendToMinhashIndex(batch, mt)
+    }
+    assert(err.getMessage.contains("writer lease"))
+    assert(spark.table(mt).count() === before, "failed acquire still wrote")
+    // operator-verified break → the append proceeds and releases cleanly
+    sources.IndexMaintenance.breakWriterLease(spark, mtLease)
+    operators.Dedup.appendToMinhashIndex(batch, mt)
+    assert(spark.table(mt).count() > before)
+    assert(!fs.exists(p(mtLease)), "lease not released after completion")
+
+    // — PATH-BASED op: same contract through the index-dir lease
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("g_lease_ivf").toString
+    operators.Similarity.writeIvfIndex(vecs.filter(col("vec_id") % 13 =!= 0), dir)
+    holdLease(s"$dir/_writer_lease")
+    intercept[IllegalStateException] {
+      operators.Similarity.appendToIvfIndex(
+        spark, dir, vecs.filter(col("vec_id") % 13 === 0))
+    }
+    sources.IndexMaintenance.breakWriterLease(spark, s"$dir/_writer_lease")
+    operators.Similarity.appendToIvfIndex(
+      spark, dir, vecs.filter(col("vec_id") % 13 === 0))
+    assert(!fs.exists(p(s"$dir/_writer_lease")))
+
+    // — FENCING: a lease broken and re-taken MID-OPERATION surfaces at
+    // completion instead of reporting success over a doubly-written index
+    val fenced = s"$wh/g_lease_fenced"
+    fs.delete(p(fenced), false)
+    val err2 = intercept[IllegalArgumentException] {
+      sources.IndexMaintenance.withWriterLease(spark, fenced) {
+        sources.IndexMaintenance.breakWriterLease(spark, fenced)
+        holdLease(fenced) // the rogue writer
+      }
+    }
+    assert(err2.getMessage.contains("changed hands"))
+    fs.delete(p(fenced), false)
+
+    // — REENTRANCY: an op that calls another op on the same resource
+    // (the curation stream's shape) must not deadlock against itself
+    val re = s"$wh/g_lease_reentrant"
+    val got = sources.IndexMaintenance.withWriterLease(spark, re) {
+      sources.IndexMaintenance.withWriterLease(spark, re) { 42 }
+    }
+    assert(got === 42 && !fs.exists(p(re)))
+    spark.sql(s"DROP TABLE IF EXISTS $mt")
+  }
+
   test("top_k_by works as a registered SQL aggregate and matches a sort") {
     import spark.implicits._
     val rows = (1 to 200).map(i => ((i * 37 % 100).toDouble, i.toLong))
