@@ -1211,21 +1211,31 @@ object Similarity {
     semDedupAssigned(blockPartitioned(assignLists(embeddings, cents)), tau)
 
   /** Repartition an IN-QUERY assignment on the block key before the
-    * pair self-join — the dedup_simhash r13 lesson applied to the
-    * cluster-blocked family: when the corpus side fits the broadcast
-    * threshold, the pair join inherits the SCAN's file-count
-    * parallelism, and a one-file mid-scale corpus runs its whole
-    * within-block pair volume in a single task (measured: knn_graph
-    * 6.1 s at 10×-wide vs 5.3 s at 30×-wide — the smaller corpus
-    * SLOWER, because 30× crosses the threshold into a 32-partition
-    * SortMergeJoin). One narrow-row shuffle restores key-parallelism
-    * at every scale; above the broadcast threshold the join shuffles
-    * on this same key anyway, so nothing is paid twice. The PERSISTED
-    * twins don't take this path — their list-partitioned/bucketed
-    * layout already carries the distribution.
+    * pair self-join — CONDITIONALLY: only when the scan's own
+    * parallelism is below the session's shuffle width. The dedup_simhash
+    * r13 lesson applied to the cluster-blocked family: when the corpus
+    * side fits the broadcast threshold, the pair join inherits the
+    * SCAN's file-count parallelism, and a one-file mid-scale corpus
+    * runs its whole within-block pair volume in a single task
+    * (measured: knn_graph 6.1 s at 10×-wide vs 5.3 s at 30×-wide — the
+    * smaller corpus SLOWER, because 30× crosses the threshold into a
+    * 32-partition SortMergeJoin). One narrow-row shuffle restores
+    * key-parallelism exactly where it is missing; at TRUE scale —
+    * thousands of input splits, where the pair join either broadcasts
+    * over an already-wide scan or shuffles on this same key anyway —
+    * the input is already at least shuffle-wide and the exchange is
+    * SKIPPED, so the at-scale plan never pays a corpus-wide exchange
+    * the persisted twins don't (their list-partitioned/bucketed layout
+    * carries the distribution; they never take this path).
     */
-  private def blockPartitioned(assigned: DataFrame): DataFrame =
-    assigned.repartition(col("list_id"))
+  private def blockPartitioned(assigned: DataFrame): DataFrame = {
+    val width = assigned.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // physical-plan partition count of the narrow assignment (scan +
+    // compiled projection): planning only, nothing executes
+    if (assigned.queryExecution.toRdd.getNumPartitions >= width) assigned
+    else assigned.repartition(col("list_id"))
+  }
 
   /** The prune pass over an ALREADY-ASSIGNED frame (vec_id, embedding,
     * list_id) — shared by the in-query form ([[semDedupWith]]) and the

@@ -3951,6 +3951,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("expected_bp")).sum === 10000L)
   }
 
+  test("block repartition is conditional: narrow scans get the exchange, already-wide inputs skip it") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.headCodebook(vecs, 16)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def pairExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning\\(list_id".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // a ONE-FILE corpus (the mid-scale broadcast plan-flip case) must
+    // get the block-key repartition: without it the whole within-block
+    // pair volume runs in a single task
+    val oneFile = java.nio.file.Files.createTempDirectory("g_blockpart").toString
+    vecs.coalesce(1).write.mode("overwrite").parquet(oneFile)
+    val narrow = spark.read.parquet(oneFile)
+    assert(narrow.queryExecution.toRdd.getNumPartitions < width)
+    assert(pairExchanges(Similarity.semDedupWith(narrow, cents)) >= 1,
+      "one-file corpus lost the block-key repartition")
+    // an input already at shuffle width (the at-scale case: thousands
+    // of splits) must NOT pay a corpus-wide exchange the persisted
+    // twins never pay
+    val wide = vecs.repartition(width)
+    assert(pairExchanges(Similarity.semDedupWith(wide, cents)) === 0,
+      "already-wide corpus paid the block-key exchange")
+    // values identical either way (the exchange is physical only)
+    assert(Similarity.semDedupWith(narrow, cents).collect().map(_.toSeq).toSeq
+      === Similarity.semDedupWith(wide, cents).orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("semdedup: earlier-id prune rule holds cluster-locally; tau is monotone") {
     val vecs = Tables.embeddings(spark, sfDir)
     val cents = Similarity.headCodebook(vecs, 16)
