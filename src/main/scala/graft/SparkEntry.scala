@@ -1221,6 +1221,45 @@ object SparkEntry {
       name
     }
 
+  /** STREAM-COMPUTED CUSUM changepoint monitor (the fourth
+    * streaming-COMPUTE gate — and the first WINDOWED-STATE fold gated
+    * cross-engine, retiring the in-repo-parity-only status of the §G
+    * indicator streams): the events table replayed through
+    * [[graft.streaming.StreamingRollups.cusumStream]] —
+    * flatMapGroupsWithState carrying the two-sided (S⁺, S⁻) BIGINT
+    * recursion per series, calibration joined in as the offline
+    * artifact ([[graft.operators.TimeSeries.cusumCalibration]]) — into
+    * an append-mode memory sink. The stream finalizes a day only when
+    * a later day's tick closes it, so each series' still-open LAST day
+    * never emits; the oracle is the batch recursive-CTE restricted to
+    * rn < m (every closed day), making the comparison exact rather
+    * than approximate.
+    */
+  private val cusumStreamBuilt = scala.collection.mutable.Set.empty[String]
+  private def cusumStreamTable(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val name = s"g_gate_cusum_stream_${tag(d)}"
+      if (!cusumStreamBuilt.contains(name)) {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val calib = TimeSeries.cusumCalibration(ev)
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.StreamingRollups.Tick]
+        feedStream(in, ev.as[graft.streaming.StreamingRollups.Tick])
+        val q = graft.streaming.StreamingRollups
+          .cusumStream(in.toDS(), calib, "10 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $name")
+        cusumStreamBuilt += name
+      }
+      name
+    }
+
   /** STREAM-COMPUTED session windows (the third streaming-COMPUTE
     * gate): the events table replayed through
     * [[graft.streaming.StreamingRollups.sessionWindowed]] — Spark's
@@ -1865,6 +1904,15 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd").as("period_key"),
           col("open"), col("high"), col("low"), col("close"), col("n_obs"))
         .orderBy("user_id", "period_key")),
+    // the fourth streaming-COMPUTE gate — a WINDOWED-STATE fold
+    // (flatMapGroupsWithState CUSUM) replayed cross-engine: every
+    // CLOSED day's (S+, S-, alarm) against the batch recursive CTE
+    // restricted to closed days (rn < m)
+    "cusum_stream_ingested" -> ((s, d) =>
+      s.table(cusumStreamTable(s, d))
+        .select(col("user_id"), col("day"), col("target"),
+          col("s_pos"), col("s_neg"), col("alarm"))
+        .orderBy("user_id", "day")),
     // weekly bars from DAILY bars, never raw ticks (algebraic merge;
     // oracle resamples ticks directly — value-identical by contract)
     "ohlc_weekly_incremental" -> ((s, d) =>
@@ -6732,6 +6780,13 @@ object SparkEntry {
     "kendall_trend" -> kendallOracle,
     "theil_sen" -> theilSenOracle,
     "cusum_changepoint" -> cusumOracle,
+    // the streaming CUSUM emits exactly the CLOSED days (a day
+    // finalizes when a later day's tick arrives; each series'
+    // still-open last day never emits under Trigger.Once) — the batch
+    // recursion restricted to rn < m IS its exact domain
+    "cusum_stream_ingested" -> cusumOracle.replace(
+      "ORDER BY r.user_id, r.day",
+      "WHERE r.rn < r.m ORDER BY r.user_id, r.day"),
     "holt_linear" -> holtOracle,
     "ljung_box" -> ljungBoxOracle,
     "pacf_lags" -> pacfOracle,
