@@ -177,6 +177,31 @@ def knn_block_volume(dirs):
     return out
 
 
+def assign_form_sweep():
+    """Run graft.tools.AssignFormProbe per corpus and collect the
+    per-grid (case_sec, join_sec) pairs."""
+    points = [
+        ("sf0.1", SF, "24,96,384"),
+        ("wide10", WIDE, "96,192,384,576"),
+        ("wide30", "/tmp/scale30_wide", "384,768,1536"),
+    ]
+    out = {}
+    for name, d, grids in points:
+        if not os.path.isdir(d):
+            out[name] = {"error": f"missing corpus {d}"}
+            continue
+        env = dict(os.environ, SPARK_GRAFT_CPUS="32")
+        p = subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.tools.AssignFormProbe {d} {grids} 2"],
+            cwd=REPO, env=env, capture_output=True, text=True)
+        line = next((ln.split("] ", 1)[-1] for ln in p.stdout.splitlines()
+                     if '"grids"' in ln), None)
+        out[name] = json.loads(line) if line else {
+            "error": f"no probe output (rc={p.returncode})"}
+    return out
+
+
 def main():
     argv = sys.argv[1:]
     only = None
@@ -263,11 +288,34 @@ def main():
                                    "keys": audit("semantic_twolevel_3x", ["semdedup_twolevel"],
                                                  "/tmp/scale30_wide", threshold=7.0,
                                                  base_dir=WIDE)},
+            # r16: the CASE-vs-join assignment-form crossover, MEASURED
+            # (caseFormMaxCells had been asserted): sweep the grid side
+            # on the sf0.1/wide10/wide30 corpora, timing BOTH forms with
+            # fresh plan builds per rep (the CASE plan's O(k*d) literal
+            # construction is inside the window). Reading: the join
+            # form's interpreted per-row array fold is the dominant cost
+            # at every measured (n, cells) point while the CASE plan
+            # stays compile-bounded -- the threshold is a guard against
+            # plan-size blowup at extreme k, not a mid-range crossover.
+            "assign_form_crossover": lambda: {
+                "note": "twoLevelAssigned CASE vs broadcast-join form, min of "
+                        "2 fresh-plan reps per point (graft.tools.AssignFormProbe); "
+                        "value parity is spec- and gate-asserted elsewhere",
+                "keys": {},
+                "sweep": assign_form_sweep()},
             # r15: knn_graph's timing rows read contention as easily as
             # geometry (the r14 11.75x-at-10x vs 6.75x-at-30x
             # non-curve) — so read the GEOMETRY directly: the
             # head-codebook block sizes' sum of squares IS the
-            # candidate-pair volume the timing should track
+            # candidate-pair volume the timing should track.
+            # r16 NOTE RECONCILED with the shipped blockPartitioned fix:
+            # the in-query block repartition is now CONDITIONAL on scan
+            # parallelism (skipped when the assignment plan already has
+            # >= shuffle-width partitions), so the at-scale cost the r15
+            # note warned about -- one corpus-wide exchange the persisted
+            # twins never pay -- is no longer paid at true scale, while
+            # the one-file mid-scale plan-flip fix is retained
+            # (spec: OperatorsSpec 'block repartition is conditional').
             "knn_block_geometry": lambda: {
                 "note": "DuckDB replay of the head-codebook assignment per corpus: "
                         "per-list pair volume sum(n^2) — the work the blocked pair "

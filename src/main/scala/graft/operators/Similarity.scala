@@ -512,9 +512,18 @@ object Similarity {
     * geometry stays the scale-right factored one.
     */
   def headTwoLevelBooks(embeddings: DataFrame,
-                        targetCluster: Int = 256): TwoLevelBooks = {
+                        targetCluster: Int = 256): TwoLevelBooks =
+    headTwoLevelBooksGrid(embeddings,
+      twoLevelGrid(embeddings.count(), targetCluster))
+
+  /** [[headTwoLevelBooks]] at an EXPLICIT grid side — the
+    * assignment-form crossover probe's seam
+    * ([[graft.tools.AssignFormProbe]]): measuring where the CASE
+    * fan-out's O(k·d) plan literals start losing to the broadcast-join
+    * form needs the cell count swept independently of the corpus size.
+    */
+  def headTwoLevelBooksGrid(embeddings: DataFrame, g: Int): TwoLevelBooks = {
     import org.apache.spark.sql.expressions.Window
-    val g = twoLevelGrid(embeddings.count(), targetCluster)
     val coarse = headCodebook(embeddings, g)
     val withC = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
@@ -632,18 +641,25 @@ object Similarity {
   }
 
   /** Above this many populated coarse cells, [[twoLevelAssigned]]
-    * switches from the CASE fan-out (k·d expression literals in the
+    * switches from the CASE fan-out (k·d expression payload in the
     * plan) to the broadcast-join + array-fold form — same values
-    * (spec-asserted parity), bounded plan size. The join form is
-    * shuffle-free (a 1:1 broadcast join plus a per-row higher-order
-    * fold over the cell's book), but the fold runs INTERPRETED where
-    * the CASE branches are codegen'd — so the CASE form stays the
-    * default until the plan's O(k·d) literals (compile time, plan
-    * transport) outweigh that per-row cost (√k in the hundreds,
-    * i.e. k ≳ 10⁵ lists). The crossover is measured by the scaling
-    * audit's twolevel_assign_form axis.
+    * (spec-asserted parity; cross-engine gated as
+    * `ivf_assign_twolevel_join`), bounded plan size. MEASURED, not
+    * asserted (the scaling audit's assign_form_crossover sweep,
+    * fresh-plan reps so CASE's plan build is inside the window): the
+    * join form's interpreted per-row array fold loses to the codegen'd
+    * CASE branches at EVERY feasible point — n=60000/d=64: 0.21 s vs
+    * 4.7 s at 384 cells, 0.38 s vs 22.3 s at 1536 cells — so the CASE
+    * plan's cost axis is not compute but TRANSPORT: its payload is
+    * Σ|fine|·d doubles ≈ k·d·8 bytes of task binary, which at
+    * 2048 cells (k ≈ 4.2M lists — a ~1B-vector corpus at the
+    * 256-target) reaches the hundreds of MB where shipping the books
+    * as a broadcast RELATION (the join form) is the only workable
+    * mechanics. The threshold is therefore a plan-size guard at the
+    * measured-safe boundary, not a mid-range crossover; it was 384
+    * (asserted) before the sweep existed.
     */
-  private[graft] val caseFormMaxCells = 384
+  private[graft] val caseFormMaxCells = 2048
 
   /** The two-level assignment pass shared by training and
     * [[writeTwoLevelIvfIndex]]: project the coarse cell first (one
