@@ -104,10 +104,25 @@ object Lifecycle {
     */
   def upsertAdvance(spark: SparkSession, path: String,
                     processed: DataFrame, to: String): Unit = {
+    // roll forward a predecessor a crash interrupted BEFORE reading:
+    // the stage must see a complete table (a half-folded predecessor
+    // would feed this upsert corrupted current state)
+    recoverUpsertAdvance(spark, path)
+    stageUpsertAdvanceOnly(spark, path, processed, to)
+    recoverUpsertAdvance(spark, path) // fold the commit just staged
+  }
+
+  /** Compute an advance and durably COMMIT it without folding — the
+    * crash-simulation seam for the staged-commit spec (a "crash"
+    * between the commit rename and the fold is this method returning).
+    * Production callers use [[upsertAdvance]].
+    */
+  private[graft] def stageUpsertAdvanceOnly(spark: SparkSession, path: String,
+                                            processed: DataFrame,
+                                            to: String): Unit = {
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
     val cur = spark.read.parquet(path)
     val next = advance(cur, processed, to)
-    // partitions that change: where processed docs currently sit
-    // (they leave) + the destination. Bounded by the ladder length.
     // partitions that change: where processed docs currently sit
     // (they leave) + the destination. Bounded by the ladder length —
     // the collect is |ladder| strings, never corpus rows.
@@ -115,21 +130,95 @@ object Lifecycle {
       .select("status").distinct().collect().map(_.getString(0)).toSet + to
     val changed = next.filter(col("status").isin(affected.toSeq: _*))
     // `next` READS the table being replaced, so the new contents are
-    // materialized to a sibling tmp dir first, then swapped in one
-    // directory rename per affected partition (a dynamic overwrite
-    // in place would delete source files mid-read — and couldn't
-    // clear a partition every processed doc departed, since 0-row
-    // partitions never appear in the written data). On an object
-    // store the swap is a manifest commit; locally, renames.
+    // materialized to a sibling tmp dir first. The swap is CRASH-SAFE
+    // in the compaction-protocol style: the tmp (plus the affected-
+    // partition list) commits behind ONE atomic rename, and the
+    // per-partition folds move the served directory ASIDE (a sibling
+    // `_upsert_old` root — never inside the table, where partition
+    // discovery would read it as a status value) before the fresh one
+    // renames in — so no crash point deletes the last copy of a
+    // partition, and [[recoverUpsertAdvance]] replays the fold from
+    // the commit. (The old delete-then-rename had a window where a
+    // crash erased a partition and the RE-RUN recomputed `next` from
+    // the corrupted table.) On an object store the whole swap is a
+    // manifest commit; locally, renames.
     val tmp = path.stripSuffix("/") + "_upsert_tmp"
+    val commit = path.stripSuffix("/") + "_upsert_commit"
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(tmp), true)
     changed.write.mode("overwrite").partitionBy("status").parquet(tmp)
-    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
+    // the manifest rides INSIDE the commit: which partitions are
+    // affected, and which of those carry fresh content (recorded at
+    // commit time — the fold CONSUMES the content dirs by rename, so a
+    // replay could not re-derive the distinction between "cleared"
+    // and "fresh partition already folded" from the leftovers)
+    val fresh = fs.listStatus(p(tmp))
+      .map(_.getPath.getName).filter(_.startsWith("status=")).sorted
+      .map(_.stripPrefix("status="))
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_affected"), true)
+    out.write((affected.toSeq.sorted.map("a " + _) ++ fresh.map("f " + _))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(p(tmp), p(commit)),
+      s"upsertAdvance commit rename failed: $commit")
+  }
+
+  /** Fold a COMMITTED upsert into the table: per affected partition,
+    * move the served dir aside, rename the fresh one in (or delete the
+    * served dir when every doc departed — the fresh side has no such
+    * partition), then drop the old copies and the commit. Every step
+    * is an idempotent rename/delete keyed on existence, so a replay
+    * from ANY crash point inside resumes exactly the remaining moves.
+    */
+  private def foldUpsertAdvance(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, commit: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val oldRoot = path.stripSuffix("/") + "_upsert_old"
+    val in = fs.open(p(s"$commit/_affected"))
+    val manifest = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    val affected = manifest.collect { case s if s.startsWith("a ") => s.drop(2) }
+    val fresh = manifest.collect { case s if s.startsWith("f ") => s.drop(2) }.toSet
+    fs.mkdirs(p(oldRoot))
     affected.foreach { st =>
-      val dst = new org.apache.hadoop.fs.Path(path, s"status=$st")
-      val src = new org.apache.hadoop.fs.Path(tmp, s"status=$st")
-      fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      val dst = p(s"$path/status=$st")
+      val src = p(s"$commit/status=$st")
+      if (fresh(st)) {
+        // fresh content for this partition: aside-then-in; a consumed
+        // src (replay after this partition already folded) is a no-op
+        if (fs.exists(src)) {
+          if (fs.exists(dst))
+            require(fs.rename(dst, p(s"$oldRoot/status=$st")),
+              s"upsertAdvance aside rename failed: $dst")
+          require(fs.rename(src, dst),
+            s"upsertAdvance fold rename failed: $src -> $dst")
+        }
+      } else {
+        // every doc departed this partition: clearing IS the terminal
+        // state, and re-deleting on replay is a no-op
+        fs.delete(dst, true)
+        ()
+      }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(p(oldRoot), true)
+    fs.delete(p(commit), true)
+    ()
+  }
+
+  /** Entry-time recovery for [[upsertAdvance]]: a committed-but-
+    * unfolded (or half-folded) predecessor rolls FORWARD from its
+    * commit; an uncommitted tmp (crash mid-write) drops. No leftovers
+    * → no-op.
+    */
+  private[graft] def recoverUpsertAdvance(spark: SparkSession,
+                                          path: String): Unit = {
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val commit = path.stripSuffix("/") + "_upsert_commit"
+    if (fs.exists(p(commit))) foldUpsertAdvance(fs, path, commit)
+    else fs.delete(p(path.stripSuffix("/") + "_upsert_old"), true)
+    fs.delete(p(path.stripSuffix("/") + "_upsert_tmp"), true)
+    ()
   }
 }

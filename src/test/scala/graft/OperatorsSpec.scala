@@ -1844,6 +1844,62 @@ class OperatorsSpec extends SparkSpec {
       .select(col("doc_id"), col("status").cast("string"))) === after1)
     // doc 1 left "extracted" and no one remains: the directory is gone
     assert(!new java.io.File(path, "status=extracted").exists())
+
+    // — CRASH WINDOWS: the partition swap is a staged commit (no crash
+    // point deletes the last copy of a partition; recovery replays the
+    // fold from the commit). Fresh scenario: (1 extracted,
+    // 2 transformed) all advance to "loaded" — "loaded" is a BRAND-NEW
+    // partition (the replay case that must not be mistaken for a
+    // clear) and both source partitions empty out.
+    val path2 = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_status_crash").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq("", "_upsert_tmp", "_upsert_commit", "_upsert_old")
+      .foreach(sfx => rm(new java.io.File(path2 + sfx)))
+    val status2 = Seq((1L, "extracted"), (2L, "transformed"))
+      .toDF("doc_id", "status")
+    val all = Seq(1L, 2L).toDF("doc_id")
+    val expected = Seq(1L -> "loaded", 2L -> "loaded")
+    def table2() = snap(spark.read.parquet(path2)
+      .select(col("doc_id"), col("status").cast("string")))
+
+    // crash between the commit rename and the fold: the table still
+    // serves the OLD state; recovery rolls the commit forward
+    Lifecycle.writeStatus(status2, path2)
+    Lifecycle.stageUpsertAdvanceOnly(spark, path2, all, "loaded")
+    assert(table2() === Seq(1L -> "extracted", 2L -> "transformed"),
+      "staged-but-unfolded upsert already visible")
+    Lifecycle.recoverUpsertAdvance(spark, path2)
+    assert(table2() === expected)
+    assert(!new java.io.File(path2 + "_upsert_commit").exists())
+    assert(!new java.io.File(path2 + "_upsert_old").exists())
+
+    // crash MID-FOLD after the new partition already moved in (its
+    // commit-side dir consumed): replay must NOT delete it (the
+    // fresh-vs-clear manifest distinction), and must finish the clears
+    rm(new java.io.File(path2))
+    Lifecycle.writeStatus(status2, path2)
+    Lifecycle.stageUpsertAdvanceOnly(spark, path2, all, "loaded")
+    val fsys = new org.apache.hadoop.fs.Path(path2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.rename(
+      new org.apache.hadoop.fs.Path(path2 + "_upsert_commit", "status=loaded"),
+      new org.apache.hadoop.fs.Path(path2, "status=loaded")))
+    Lifecycle.recoverUpsertAdvance(spark, path2)
+    assert(table2() === expected,
+      "mid-fold replay lost the freshly-created partition")
+    assert(!new java.io.File(path2, "status=extracted").exists())
+    assert(!new java.io.File(path2, "status=transformed").exists())
+
+    // an uncommitted tmp (crash mid-write) simply drops; a full re-run
+    // of the SAME upsert on the folded table is a no-op (advance is
+    // idempotent), and recovery with no leftovers is a no-op
+    new java.io.File(path2 + "_upsert_tmp").mkdirs()
+    Lifecycle.upsertAdvance(spark, path2, all, "loaded")
+    assert(table2() === expected)
+    assert(!new java.io.File(path2 + "_upsert_tmp").exists())
   }
 
   test("range join candidate fan-out is bounded near 2x true pairs on the gate data") {
