@@ -1260,6 +1260,37 @@ object SparkEntry {
       name
     }
 
+  /** [[cusumStreamTable]]'s sibling for the HOLT forecaster — the
+    * second windowed-state fold gated cross-engine: the events table
+    * replayed through [[graft.streaming.StreamingRollups.holtStream]]
+    * (two longs of per-series smoothing state, each step one signed
+    * HALF_UP integer op in micro-cents). Same closed-day emission
+    * domain, same rn < m oracle restriction.
+    */
+  private val holtStreamBuilt = scala.collection.mutable.Set.empty[String]
+  private def holtStreamTable(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val name = s"g_gate_holt_stream_${tag(d)}"
+      if (!holtStreamBuilt.contains(name)) {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.StreamingRollups.Tick]
+        feedStream(in, ev.as[graft.streaming.StreamingRollups.Tick])
+        val q = graft.streaming.StreamingRollups
+          .holtStream(in.toDS(), "10 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        require(q.awaitTermination(120000),
+          s"stream gate build timed out: $name")
+        holtStreamBuilt += name
+      }
+      name
+    }
+
   /** STREAM-COMPUTED session windows (the third streaming-COMPUTE
     * gate): the events table replayed through
     * [[graft.streaming.StreamingRollups.sessionWindowed]] — Spark's
@@ -1912,6 +1943,13 @@ object SparkEntry {
       s.table(cusumStreamTable(s, d))
         .select(col("user_id"), col("day"), col("target"),
           col("s_pos"), col("s_neg"), col("alarm"))
+        .orderBy("user_id", "day")),
+    // its sibling: the Holt forecaster's windowed-state fold, same
+    // closed-day domain against the batch recursion's oracle
+    "holt_stream_ingested" -> ((s, d) =>
+      s.table(holtStreamTable(s, d))
+        .select(col("user_id"), col("day"), col("level"),
+          col("trend"), col("forecast"))
         .orderBy("user_id", "day")),
     // weekly bars from DAILY bars, never raw ticks (algebraic merge;
     // oracle resamples ticks directly — value-identical by contract)
@@ -6785,6 +6823,9 @@ object SparkEntry {
     // still-open last day never emits under Trigger.Once) — the batch
     // recursion restricted to rn < m IS its exact domain
     "cusum_stream_ingested" -> cusumOracle.replace(
+      "ORDER BY r.user_id, r.day",
+      "WHERE r.rn < r.m ORDER BY r.user_id, r.day"),
+    "holt_stream_ingested" -> holtOracle.replace(
       "ORDER BY r.user_id, r.day",
       "WHERE r.rn < r.m ORDER BY r.user_id, r.day"),
     "holt_linear" -> holtOracle,
