@@ -230,13 +230,16 @@ object IndexMaintenance {
   // errors at completion instead of reporting success over a
   // doubly-written index.
 
-  /** Leases this JVM currently holds, for REENTRANCY: a maintenance op
-    * that calls another op on the same resource (the curation stream's
-    * guarded stage wraps the index append; the upserts wrap their own
-    * staged apply) must not deadlock against itself.
+  /** Leases this JVM currently holds, keyed to the holding THREAD, for
+    * REENTRANCY: a maintenance op that calls another op on the same
+    * resource (the curation stream's guarded stage wraps the index
+    * append; the upserts wrap their own staged apply) must not
+    * deadlock against itself — while a DIFFERENT thread of the same
+    * JVM (two streaming queries pointed at one index) is still a
+    * second writer and must fail at acquire like any other.
     */
   private val heldLeases =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
   private[graft] def tableLeasePath(spark: SparkSession, table: String): String = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -271,7 +274,15 @@ object IndexMaintenance {
     */
   private[graft] def withWriterLease[T](spark: SparkSession,
                                         leaseFile: String)(body: => T): T = {
-    if (!heldLeases.add(leaseFile)) return body // reentrant: already ours
+    val self = Thread.currentThread()
+    val holder = heldLeases.putIfAbsent(leaseFile, self)
+    if (holder != null) {
+      if (holder eq self) return body // reentrant: this thread owns it
+      throw new IllegalStateException(
+        s"writer lease $leaseFile is held by thread '${holder.getName}' of " +
+          "this JVM: a second concurrent index-maintenance writer would " +
+          "corrupt silently — this error is the fail-loud guard.")
+    }
     try {
       val f = fsFor(spark, leaseFile)
       val path = new org.apache.hadoop.fs.Path(leaseFile)

@@ -1729,10 +1729,21 @@ class HashExprsSpec extends SparkSpec {
     fs.delete(p(fenced), false)
 
     // — REENTRANCY: an op that calls another op on the same resource
-    // (the curation stream's shape) must not deadlock against itself
+    // (the curation stream's shape) must not deadlock against itself —
+    // while a DIFFERENT thread of the same JVM (two streaming queries
+    // on one index) is a second writer and fails at acquire
     val re = s"$wh/g_lease_reentrant"
     val got = sources.IndexMaintenance.withWriterLease(spark, re) {
-      sources.IndexMaintenance.withWriterLease(spark, re) { 42 }
+      sources.IndexMaintenance.withWriterLease(spark, re) {
+        var crossThread: Option[Throwable] = None
+        val t = new Thread(() =>
+          try sources.IndexMaintenance.withWriterLease(spark, re) { () }
+          catch { case e: Throwable => crossThread = Some(e) })
+        t.start(); t.join()
+        assert(crossThread.exists(_.isInstanceOf[IllegalStateException]),
+          s"same-JVM cross-thread writer not refused: $crossThread")
+        42
+      }
     }
     assert(got === 42 && !fs.exists(p(re)))
     spark.sql(s"DROP TABLE IF EXISTS $mt")

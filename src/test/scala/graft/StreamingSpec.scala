@@ -1255,6 +1255,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows() === base + nA + nB, "replay double-appended band rows")
     assert(!spark.catalog.tableExists(s"${mt}_staged_append"))
     assert(!fs.exists(p(s"$wh/${mt}_staged_commit")))
+
+    // CRASH WINDOW 3: a MARKED predecessor's commit survived its
+    // post-mark cleanup (crash between mark and cleanup) — the NEXT
+    // batch must clean it up and proceed; an UNMARKED foreign commit
+    // must fail loud instead of folding (single-writer violation)
+    commitMarker(mt, "sid", 1, Map.empty) // batch 1 is marked above
+    val ran3 = sources.IndexMaintenance.applyBatchOnceStagedTable(
+      spark, mt, "sid", 2, Seq("band", "band_hash"), 8) {
+      (operators.Dedup.minhashAppendRows(batchA.limit(0), mt), Map.empty)
+    }
+    assert(ran3 && !fs.exists(p(s"$wh/${mt}_staged_commit")))
+    commitMarker(mt, "sid-foreign", 99, Map.empty) // never marked
+    val err3 = intercept[IllegalArgumentException] {
+      sources.IndexMaintenance.applyBatchOnceStagedTable(
+        spark, mt, "sid", 3, Seq("band", "band_hash"), 8) {
+        fail("must not stage over an unapplied foreign commit")
+      }
+    }
+    assert(err3.getMessage.contains("unapplied staged commit"))
+    fs.delete(p(s"$wh/${mt}_staged_commit"), true)
     // the stream-grown index equals a built-at-once rebuild row-for-row
     val rebuilt = "g_staged_tbl_mh_ref"
     reset(rebuilt)
