@@ -437,6 +437,12 @@ object Corpus {
     * thereafter reads only the buckets its terms hash to.
     */
   def writeBm25Index(documents: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    // full rebuild: previous-generation side artifacts drop
+    // (IndexMaintenance.resetTableIndexSides — stale tombstones would
+    // silently anti-join fresh rows out; stale batch marks would
+    // silently skip a reused stream's live batches)
+    graft.sources.IndexMaintenance.resetTableIndexSides(
+      documents.sparkSession, table)
     val (postings, (n, s)) = bm25Postings(documents)
     graft.sources.Sinks.writeBucketed(postings, table, Seq("word"), numBuckets)
     documents.sparkSession.sql(

@@ -214,6 +214,12 @@ object Dedup {
     */
   def writeMinhashIndex(documents: DataFrame, table: String, numBuckets: Int = 8,
                         k: Int = 5, numPerm: Int = 64, bands: Int = 8): Unit = {
+    // full rebuild: previous-generation side artifacts drop
+    // (IndexMaintenance.resetTableIndexSides — stale tombstones would
+    // silently anti-join fresh rows out; stale batch marks would
+    // silently skip a reused stream's live batches)
+    graft.sources.IndexMaintenance.resetTableIndexSides(
+      documents.sparkSession, table)
     graft.sources.Sinks.writeBucketed(
       bandTable(documents, k, word = false, numPerm, bands),
       // bucket columns = the candidate join's key set EXACTLY: Spark's
@@ -636,6 +642,12 @@ object Dedup {
   def writeContainmentIndex(documents: DataFrame, table: String, k: Int = 5,
                             word: Boolean = true, threshold: Double = 0.8,
                             numBuckets: Int = 8): Unit = {
+    // full rebuild: previous-generation side artifacts drop
+    // (IndexMaintenance.resetTableIndexSides — stale tombstones would
+    // silently anti-join fresh rows out; stale batch marks would
+    // silently skip a reused stream's live batches)
+    graft.sources.IndexMaintenance.resetTableIndexSides(
+      documents.sparkSession, table)
     val (_, ranked) = containmentRanked(documents, k, word)
     val rows = prefixFlagged(ranked.select(col("doc_id"), col("hs")), threshold)
     graft.sources.Sinks.writeBucketed(rows, table, Seq("h"), numBuckets)
@@ -1128,8 +1140,9 @@ object Dedup {
                                             table: String): Unit = {
     clearUpsertStaging(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS ${staleClusterTable(table)}")
-    spark.sql(
-      s"DROP TABLE IF EXISTS ${graft.sources.IndexMaintenance.tombstoneTable(table)}")
+    // tombstones, batch marks, staged appends, the lease — shared with
+    // every other table-index family
+    graft.sources.IndexMaintenance.resetTableIndexSides(spark, table)
     ()
   }
 
@@ -1651,6 +1664,8 @@ object Dedup {
   def writeEmbedBandIndex(embeddings: DataFrame, table: String,
                           numBuckets: Int = 8, dim: Int = 64,
                           targetBucket: Int = 128): Unit = {
+    graft.sources.IndexMaintenance.resetTableIndexSides(
+      embeddings.sparkSession, table) // full rebuild drops side artifacts
     val w = embedBandWidth(embeddings.count(), targetBucket)
     graft.sources.Sinks.writeBucketed(
       embedBandTable(embeddings, dim, w), table, Seq("band", "bucket"),

@@ -90,9 +90,18 @@ object Lifecycle {
     * pending query reads only the below-stage directories, and stage
     * completions rewrite only the partitions they touch.
     */
-  def writeStatus(status: DataFrame, path: String): Unit =
+  def writeStatus(status: DataFrame, path: String): Unit = {
+    // a full rebuild supersedes any in-flight upsert: a crashed
+    // predecessor's committed-but-unfolded advance was computed against
+    // the REPLACED table, and recovery folding it into the fresh one
+    // would resurrect superseded statuses
+    val fs = graft.sources.IndexMaintenance.fsFor(status.sparkSession, path)
+    Seq("_upsert_commit", "_upsert_tmp", "_upsert_old").foreach { sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(path.stripSuffix("/") + sfx), true)
+    }
     graft.sources.Sinks.writePartitionedClustered(
       status.select(col("doc_id"), col("status")), path, Seq("status"))
+  }
 
   /** [[advance]] against the PERSISTED table, rewriting only the
     * affected status partitions (the `to` partition plus every

@@ -295,6 +295,8 @@ object Multimodal {
     */
   def writeMediaPhashIndex(media: DataFrame, table: String, numBuckets: Int = 8,
                            comboThreshold: Long = 8L * 1024 * 1024): Unit = {
+    graft.sources.IndexMaintenance.resetTableIndexSides(
+      media.sparkSession, table) // full rebuild drops side artifacts
     val combo = media.count() > comboThreshold
     graft.sources.Sinks.writeBucketed(
       bandedPhash(media, combo), table, Seq("band", "bucket", "modality"), numBuckets)

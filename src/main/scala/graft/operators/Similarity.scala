@@ -246,12 +246,37 @@ object Similarity {
                         cents: Array[Array[Double]]): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // a full rebuild supersedes EVERY side artifact of the previous
+    // generation — and for a FLAT rebuild over a dir that previously
+    // held a two-level index, dropping the old coarse book is
+    // correctness-bearing: a surviving codebook_coarse would route
+    // every future batch pass (assignUnderIndex) through a STALE
+    // factored book against the new flat codebook
+    resetIvfIndexSides(spark, path, dropCoarse = true)
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** Clear a path-based index's side artifacts ahead of a full rebuild:
+    * previous-generation tombstones (their ids are from the replaced
+    * corpus — anti-joining them against fresh rows would silently drop
+    * data), applied-batch marks, staged-append leftovers, and a crashed
+    * holder's writer lease. `dropCoarse` additionally removes the
+    * two-level coarse book (flat rebuilds only — the two-level writer
+    * overwrites it).
+    */
+  private def resetIvfIndexSides(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, dropCoarse: Boolean): Unit = {
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
+    val sides = Seq("tombstones", "applied_batches", "_staging",
+      "_writer_lease") ++ (if (dropCoarse) Seq("codebook_coarse") else Nil)
+    sides.foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$s"), true)
+    }
   }
 
   /** [[ivfTopK]] over a persisted index: no training, no assignment
@@ -779,6 +804,9 @@ object Similarity {
                                 books: TwoLevelBooks): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // full rebuild: previous-generation tombstones/marks/staging drop
+    // (the coarse book is overwritten below, not dropped)
+    resetIvfIndexSides(spark, path, dropCoarse = false)
     books.flat.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")

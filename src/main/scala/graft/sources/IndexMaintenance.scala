@@ -325,6 +325,27 @@ object IndexMaintenance {
     }
   }
 
+  /** Clear every side artifact of a catalog-table index ahead of a
+    * FULL REBUILD: previous-generation tombstones (their ids belong to
+    * the replaced corpus — anti-joining them against fresh rows would
+    * silently drop data), applied-batch marks (a rebuild resets replay
+    * history; streams must restart on a fresh checkpoint, and a stale
+    * mark under a reused streamId would silently skip a live batch),
+    * staged-append leftovers, and a crashed holder's writer lease.
+    * Every writeIndex path calls this.
+    */
+  def resetTableIndexSides(spark: SparkSession, table: String): Unit = {
+    Seq(tombstoneTable(table), appliedBatchTable(table),
+      s"${table}_staged_append")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val f = fsFor(spark, wh)
+    Seq(s"${table}_staged_commit", s"${table}_staged_commit.tmp",
+      s"${table}_writer_lease").foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(s"${wh.stripSuffix("/")}/$n"), true)
+    }
+  }
+
   /** Remove a lease a CRASHED writer left behind. Only after verifying
     * out-of-band that no writer is alive — breaking a live writer's
     * lease converts the fail-loud guard back into silent corruption
