@@ -321,7 +321,16 @@ object Bench {
     // suspect the 1-min periodic full GC landing mid-rep, now stretched
     // to 30min with the steady drain moved to the untimed per-4-key GC.
     val bisectNote =
-      "r15 bisect of the r13->r14 vocab_coverage/pivot_points min drift " +
+      "r16 bisect of the broad ~1.2x min-sum inflation vs r15 committed " +
+        "(137.9 vs 119.0): ENVIRONMENTAL host state, not plan cost - a " +
+        "same-host A/B (r16 HEAD vs an r15-HEAD worktree, identical " +
+        "fresh-JVM subset probes, back to back) ran r16 FASTER-or-equal on " +
+        "every suspect key (dedup_weighted_sample 1.64s vs 5.04, " +
+        "ann_drift_report 0.38 vs 0.94, dedup_weights 1.48 vs 2.44; " +
+        "calibration keys within noise), and the r16 scaling audit flagged " +
+        "zero keys across 11 axes. Adjudicate cross-round drift against " +
+        "same-session relatives and the A/B, not committed absolutes. " +
+      "(r15 note retained:) r15 bisect of the r13->r14 vocab_coverage/pivot_points min drift " +
         "(0.211->0.327, 0.334->0.458): ENVIRONMENTAL session-warmth, not plan " +
         "cost - no plan change in either round's diff, and fresh-JVM subset " +
         "probes on an IDLE machine (load 1.3) inflate UNTOUCHED calibration " +
