@@ -318,6 +318,11 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, newVecs: DataFrame): Unit =
     graft.sources.IndexMaintenance.withWriterLeaseAt(spark, path) {
+      // roll a crashed retrain's COMMITTED generation forward before
+      // assigning: the batch must route under one consistent
+      // (codebook, assignment) generation (one marker stat per batch)
+      val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
+      if (fs.exists(retrainMarker(path))) foldRetrain(fs, path)
       assignUnderIndex(spark, path, newVecs)
         .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
     }
@@ -454,11 +459,19 @@ object Similarity {
     * retrain. Cost is one training pass (hash-sampled at scale, the
     * [[trainCodebook]] contract) + one assignment pass over live
     * rows — paid when the drift report says so, amortized over every
-    * probe until the next retrain. Single-writer with a
-    * write-fresh-then-swap sequence (a reader races to old-or-new,
-    * never a mix of codebook and assignment from different
-    * generations except in the crash window between the two renames —
-    * on a cluster this whole swap is a Delta/Iceberg REPLACE commit).
+    * probe until the next retrain. Single-writer (lease-enforced), and
+    * CRASH-SAFE as of r16: every fresh component writes to a
+    * `_retrain_tmp` sibling, a `_retrain_commit` marker lands only
+    * once ALL of them are complete, and the per-component folds move
+    * the served dir ASIDE before renaming the fresh one in — so no
+    * crash point deletes the last copy of any component, and
+    * [[recoverRetrainSwap]] (run on entry by every retrain/append)
+    * rolls a committed generation forward, which also closes the
+    * old permanent-generation-mismatch window (codebook from one
+    * generation, assignment from another, frozen by a crash between
+    * the two renames). A live READER still races old-vs-new per
+    * component during the fold — on a cluster this whole swap is a
+    * Delta/Iceberg REPLACE commit.
     */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, nCentroids: Int = 16,
@@ -467,25 +480,103 @@ object Similarity {
                         .withWriterLeaseAt(spark, path) {
     import spark.implicits._
     val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    recoverRetrainSwap(spark, path)
     val live = liveAssigned(spark, path).select("vec_id", "embedding")
     val cents = trainCodebook(live, nCentroids, trainIters)
     // write BOTH halves fresh before touching the served ones: every
     // read of `live` below still resolves against the old files
-    val tmpA = s"$path/assigned_retrain_tmp"
-    val tmpC = s"$path/codebook_retrain_tmp"
-    fs.delete(p(tmpA), true); fs.delete(p(tmpC), true)
     live.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmpA)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/assigned_retrain_tmp")
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(tmpC)
-    fs.delete(p(s"$path/assigned"), true)
-    fs.rename(p(tmpA), p(s"$path/assigned"))
-    fs.delete(p(s"$path/codebook"), true)
-    fs.rename(p(tmpC), p(s"$path/codebook"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebook_retrain_tmp")
+    commitRetrain(fs, path, Seq("assigned", "codebook"))
+    foldRetrain(fs, path)
+  }
+
+  /** The component set a retrain swaps — folded as a SUPERSET at
+    * recovery (whichever tmps the committed generation staged).
+    */
+  private val retrainComponents = Seq("assigned", "codebook", "codebook_coarse")
+
+  private[graft] def retrainMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_retrain_commit")
+
+  /** Land the retrain's commit marker carrying the STAGED component
+    * list — the transaction boundary: before it, a crash discards the
+    * staged generation; after it, the fold WILL complete (here or at
+    * the next maintenance op's recovery). The list is what lets a FLAT
+    * retrain over a formerly two-level index drop the stale coarse
+    * book (a generation that doesn't stage `codebook_coarse` excludes
+    * it — leaving it live would route every later batch pass through a
+    * stale factored book against the new flat codebook).
+    */
+  private[graft] def commitRetrain(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, comps: Seq[String]): Unit = {
+    val out = fs.create(retrainMarker(path), true)
+    out.write(comps.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Fold a COMMITTED retrain generation in: per STAGED component,
+    * move the served dir aside (`_retrain_old`), rename the fresh one
+    * in, drop the old copy; a swap component the generation did NOT
+    * stage (the coarse book under a flat retrain) is deleted — each
+    * step an idempotent rename/delete keyed on existence, so a replay
+    * from any crash point resumes exactly the remaining moves; then
+    * the folded tombstones and the marker drop.
+    */
+  private[graft] def foldRetrain(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staged: Set[String] = {
+      val in = fs.open(retrainMarker(path))
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    retrainComponents.foreach { c =>
+      val tmp = p(s"$path/${c}_retrain_tmp")
+      val old = p(s"$path/${c}_retrain_old")
+      val livePath = p(s"$path/$c")
+      if (staged(c)) {
+        if (fs.exists(tmp)) {
+          if (fs.exists(livePath))
+            require(fs.rename(livePath, old),
+              s"retrain aside rename failed: $livePath")
+          require(fs.rename(tmp, livePath),
+            s"retrain fold rename failed: $tmp -> $livePath")
+        }
+        fs.delete(old, true) // consumed-tmp replay: only the old remains
+      } else {
+        // the committed generation excludes this component
+        fs.delete(livePath, true)
+        ()
+      }
+    }
     fs.delete(p(s"$path/tombstones"), true)
+    fs.delete(retrainMarker(path), false)
+    ()
+  }
+
+  /** Entry-time recovery for the retrain swap: a committed generation
+    * rolls FORWARD (the marker lands only after every tmp is
+    * complete); uncommitted tmps from a crash mid-write drop. No
+    * leftovers → no-op. Public so an operator can heal an index
+    * without waiting for the next maintenance op.
+    */
+  def recoverRetrainSwap(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (fs.exists(retrainMarker(path))) foldRetrain(fs, path)
+    else retrainComponents.foreach { c =>
+      fs.delete(p(s"$path/${c}_retrain_tmp"), true)
+      fs.delete(p(s"$path/${c}_retrain_old"), true)
+    }
   }
 
   /** Grid side for the two-level codebook: nCoarse = nFine =
@@ -863,30 +954,29 @@ object Similarity {
                                 .withWriterLeaseAt(spark, path) {
     import spark.implicits._
     val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    recoverRetrainSwap(spark, path)
     val live = liveAssigned(spark, path).select("vec_id", "embedding")
     val g = twoLevelGrid(live.count(), targetCluster)
     val (coarse, fine, flat) = trainTwoLevelCodebook(live, g, g, iters)
-    val tmpA = s"$path/assigned_retrain_tmp"
-    val tmpC = s"$path/codebook_retrain_tmp"
-    val tmpG = s"$path/codebook_coarse_retrain_tmp"
-    Seq(tmpA, tmpC, tmpG).foreach(t => fs.delete(p(t), true))
     twoLevelAssigned(live, coarse, fine, g)
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmpA)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/assigned_retrain_tmp")
     flat.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(tmpC)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebook_retrain_tmp")
     coarse.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, fine(i).length) }
       .toDF("coarse_id", "cent", "n_fine")
-      .coalesce(1).write.mode("overwrite").parquet(tmpG)
-    fs.delete(p(s"$path/assigned"), true)
-    fs.rename(p(tmpA), p(s"$path/assigned"))
-    fs.delete(p(s"$path/codebook"), true)
-    fs.rename(p(tmpC), p(s"$path/codebook"))
-    fs.delete(p(s"$path/codebook_coarse"), true)
-    fs.rename(p(tmpG), p(s"$path/codebook_coarse"))
-    fs.delete(p(s"$path/tombstones"), true)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebook_coarse_retrain_tmp")
+    // crash-safe swap shared with the flat retrain: the marker lands
+    // only after ALL THREE components staged, so a committed generation
+    // can never fold half — the coarse book and the flat codebook it
+    // indexes into move atomically-or-recoverably together
+    commitRetrain(fs, path,
+      Seq("assigned", "codebook", "codebook_coarse"))
+    foldRetrain(fs, path)
   }
 
   /** Per-list sizes of an IN-QUERY flat assignment — the
@@ -941,11 +1031,16 @@ object Similarity {
   /** Fold IVF tombstones into the list-partitioned files (same
     * layout, codebook untouched). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit =
+                      path: String): Unit = {
+    // a crashed retrain's committed generation folds first — compaction
+    // must rewrite the generation that will be served
+    val fs = graft.sources.IndexMaintenance.fsFor(spark, path)
+    if (fs.exists(retrainMarker(path))) foldRetrain(fs, path)
     graft.sources.IndexMaintenance.compactAt(
       spark, s"$path/assigned", path, "vec_id") { (live, tmp) =>
       live.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     }
+  }
 
   /** IVF top-k with an EXACT-recall guarantee (triangle-inequality
     * list pruning). Works in the normalized-vector geometry where

@@ -1660,6 +1660,83 @@ class HashExprsSpec extends SparkSpec {
     Seq(t, s"${t}_tombstones").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
+  test("retrain swap: every crash window keeps a complete generation; a flat retrain drops a stale coarse book") {
+    import org.apache.spark.sql.functions._
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("g_retrain_crash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    operators.Similarity.writeIvfIndex(vecs.filter(col("vec_id") % 13 =!= 0), dir)
+    def nAssigned() = spark.read.parquet(s"$dir/assigned").count()
+    val baseCount = nAssigned()
+    // a distinguishable staged generation: the same rows minus the
+    // vec_id % 7 slice (the fold MECHANICS are under test, not Lloyd's)
+    def stage(): Long = {
+      val st = spark.read.parquet(s"$dir/assigned")
+        .filter(col("vec_id") % 7 =!= 0)
+      st.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dir/assigned_retrain_tmp")
+      spark.read.parquet(s"$dir/codebook").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/codebook_retrain_tmp")
+      st.count()
+    }
+    // state: tmps staged, NO marker (crash mid-write) — recovery drops
+    // the uncommitted generation; the served one is untouched
+    stage()
+    operators.Similarity.recoverRetrainSwap(spark, dir)
+    assert(!fs.exists(p(s"$dir/assigned_retrain_tmp")))
+    assert(nAssigned() === baseCount, "uncommitted retrain leaked in")
+    // state: marker landed, nothing folded — recovery rolls FORWARD
+    val stagedCount = stage()
+    operators.Similarity.commitRetrain(fs, dir, Seq("assigned", "codebook"))
+    operators.Similarity.recoverRetrainSwap(spark, dir)
+    assert(nAssigned() === stagedCount)
+    Seq("assigned_retrain_tmp", "codebook_retrain_tmp",
+        "assigned_retrain_old", "codebook_retrain_old", "_retrain_commit")
+      .foreach(n => assert(!fs.exists(p(s"$dir/$n")), s"leftover $n"))
+    // state: crash MID-FOLD — assigned already swapped (tmp consumed,
+    // old copy still aside), codebook tmp not yet folded
+    val staged2 = stage()
+    operators.Similarity.commitRetrain(fs, dir, Seq("assigned", "codebook"))
+    assert(fs.rename(p(s"$dir/assigned"), p(s"$dir/assigned_retrain_old")))
+    assert(fs.rename(p(s"$dir/assigned_retrain_tmp"), p(s"$dir/assigned")))
+    operators.Similarity.recoverRetrainSwap(spark, dir)
+    assert(nAssigned() === staged2)
+    assert(!fs.exists(p(s"$dir/assigned_retrain_old")) &&
+      !fs.exists(p(s"$dir/codebook_retrain_tmp")) &&
+      !fs.exists(p(s"$dir/_retrain_commit")))
+    // the recovered index still probes exactly (codebook ↔ assignment
+    // from ONE generation — the old permanent-mismatch window is gone)
+    val probe = operators.Similarity.ivfTopKExactIndexed(spark, dir, 7L, 10)
+      .collect().toSeq
+    val brute = operators.Similarity.bruteForceTopK(
+      spark.read.parquet(s"$dir/assigned").select("vec_id", "embedding"),
+      7L, 10).collect().toSeq
+    assert(probe === brute)
+
+    // — DOWNGRADE: a FLAT retrain over a formerly two-level index must
+    // drop the coarse book (a survivor would route every later batch
+    // pass through stale factored books against the new flat codebook)
+    val dir2 = java.nio.file.Files.createTempDirectory("g_retrain_flat").toString
+    val residue = vecs.filter(col("vec_id") % 13 =!= 0)
+    operators.Similarity.writeTwoLevelIvfIndexWith(residue, dir2,
+      operators.Similarity.headTwoLevelBooks(residue))
+    assert(fs.exists(p(s"$dir2/codebook_coarse")))
+    operators.Similarity.retrainIvfIndex(spark, dir2, nCentroids = 4,
+      trainIters = 1)
+    assert(!fs.exists(p(s"$dir2/codebook_coarse")),
+      "flat retrain left a stale two-level coarse book")
+    // appended batches now route flat and the exact probe stays exact
+    operators.Similarity.appendToIvfIndex(spark, dir2,
+      vecs.filter(col("vec_id") % 13 === 0))
+    val probe2 = operators.Similarity.ivfTopKExactIndexed(spark, dir2, 7L, 10)
+      .collect().toSeq
+    val brute2 = operators.Similarity.bruteForceTopK(vecs, 7L, 10)
+      .collect().toSeq
+    assert(probe2 === brute2)
+  }
+
   test("writer lease: a second concurrent writer fails loudly at acquire; fencing catches a mid-op steal; reentrant within the writer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
