@@ -883,6 +883,37 @@ object SparkEntry {
       path
     }
 
+  /** TOMBSTONED-BUT-NOT-COMPACTED twin tables/dirs for the maintenance
+    * ADVISOR gates: the report must read real deferred debt (takedowns
+    * pending compaction), so these builders stop exactly where the
+    * compaction builders continue.
+    */
+  private def clusterMaintTable(s: SparkSession, d: String): String = {
+    val t = s"g_gate_cluster_maint_${tag(d)}"
+    ensureTable(s, t) {
+      val docs = Tables.documents(s, d)
+      Dedup.writeClusterIndex(docs, t)
+      Dedup.deleteFromClusterIndex(s, t,
+        docs.filter(col("doc_id") % 97 === 3).select("doc_id"))
+    }
+  }
+
+  private val ivfMaintBuilt = scala.collection.mutable.Set.empty[String]
+  private def ivfMaintIdx(s: SparkSession, d: String): String =
+    indexLock.synchronized {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_gate_ivf_maint_${tag(d)}").toString
+      if (!ivfMaintBuilt.contains(path)) {
+        rmTree(new java.io.File(path))
+        val vecs = Tables.embeddings(s, d)
+        Similarity.writeIvfIndex(vecs, path)
+        Similarity.deleteFromIvfIndex(s, path,
+          vecs.filter(col("vec_id") % 97 === 3).select("vec_id"))
+        ivfMaintBuilt += path
+      }
+      path
+    }
+
   /** Data files of a managed table's warehouse dir (committed parquet
     * parts only) — the compaction gate's did-it-actually-rewrite
     * evidence. */
@@ -2163,6 +2194,18 @@ object SparkEntry {
     "dedup_lsh_compacted" -> ((s, d) =>
       Dedup.minhashLshIndexed(s, minhashCompactIdx(s, d),
         Tables.documents(s, d))),
+    // the maintenance ADVISOR over real deferred debt: a cluster index
+    // with a pending takedown slice — counts, tombstone pressure in
+    // integer bp, staged/lease leftovers, and the compact/recover/ok
+    // recommendation (the "when to compact" read as a query)
+    "index_maintenance_report" -> ((s, d) =>
+      graft.sources.IndexMaintenance.maintenanceReport(
+        s, clusterMaintTable(s, d))),
+    // the PATH-BASED twin over the IVF layout (adds the retrain/staging
+    // leftover class to the staged column)
+    "ivf_maintenance_report" -> ((s, d) =>
+      graft.sources.IndexMaintenance.maintenanceReportAt(
+        s, ivfMaintIdx(s, d))),
     // the INCREMENTAL-INGEST path, oracle-gated (previously spec-only):
     // an arriving batch (doc_id ≡ 0 mod 13) checked against the
     // corpus-minus-batch index — only the batch is shingled/signed,
@@ -5519,6 +5562,37 @@ object SparkEntry {
     "knn_graph_twolevel" -> (twoLevelAssignCteFor("") + knnGraphBody),
     // compacted-index probe: exact pairs among the SURVIVING docs —
     // probe-after-compact ≡ probe-before minus the takedown slice
+    // the advisor reports replay as pure counts over the base tables:
+    // the cluster index holds ONE row per document, the IVF assignment
+    // one per vector, and the gates' takedown slice is id % 97 = 3 —
+    // so rows/tombstoned/live/bp (the HALF_UP integer identity) are
+    // engine-exact; no staged/lease leftovers exist at report time and
+    // the tombstone pressure sits above the 1% default, so the
+    // recommendation branch is exercised ("compact"), not vacuous
+    "index_maintenance_report" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents),
+        |t AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_tomb
+        |      FROM documents WHERE doc_id % 97 = 3)
+        |SELECT n.n_rows AS n_rows, t.n_tomb AS n_tombstoned,
+        |  n.n_rows - t.n_tomb AS n_live,
+        |  (2 * t.n_tomb * 10000 + n.n_rows) // (2 * n.n_rows) AS tombstone_bp,
+        |  CAST(0 AS BIGINT) AS n_applied_batches,
+        |  FALSE AS staged_leftover, FALSE AS lease_held,
+        |  CASE WHEN (2 * t.n_tomb * 10000 + n.n_rows) // (2 * n.n_rows) >= 100
+        |       THEN 'compact' ELSE 'ok' END AS recommendation
+        |FROM n, t""".stripMargin,
+    "ivf_maintenance_report" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM embeddings),
+        |t AS (SELECT count(DISTINCT vec_id)::BIGINT AS n_tomb
+        |      FROM embeddings WHERE vec_id % 97 = 3)
+        |SELECT n.n_rows AS n_rows, t.n_tomb AS n_tombstoned,
+        |  n.n_rows - t.n_tomb AS n_live,
+        |  (2 * t.n_tomb * 10000 + n.n_rows) // (2 * n.n_rows) AS tombstone_bp,
+        |  CAST(0 AS BIGINT) AS n_applied_batches,
+        |  FALSE AS staged_leftover, FALSE AS lease_held,
+        |  CASE WHEN (2 * t.n_tomb * 10000 + n.n_rows) // (2 * n.n_rows) >= 100
+        |       THEN 'compact' ELSE 'ok' END AS recommendation
+        |FROM n, t""".stripMargin,
     "dedup_lsh_compacted" -> jaccardPairsOracle(
       word = false, k = 5, threshold = 0.5,
       rel = "(SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3)"),

@@ -346,6 +346,104 @@ object IndexMaintenance {
     }
   }
 
+  /** MAINTENANCE ADVISOR for a catalog-table index — the operational
+    * read an index owner runs on a schedule to decide WHEN to pay the
+    * out-of-band costs this module defers: one row of health counters
+    * and a recommendation. Merge-on-read makes deletes O(batch), but
+    * the deferred debt (tombstone broadcast size, dead rows scanned
+    * per probe) grows until [[compact]] folds it — and "when to
+    * compact" should be a query, not a guess. Columns:
+    *
+    *  - `n_rows` / `n_tombstoned` / `n_live`: bare rows, distinct
+    *    tombstoned ids still present, and the live view's count;
+    *  - `tombstone_bp`: dead fraction in HALF_UP integer basis points
+    *    (the library's ratio convention);
+    *  - `n_applied_batches`: replay-guard marks accumulated (grows one
+    *    row per stream batch — bounded, but a very long-lived stream's
+    *    mark table is itself compactable);
+    *  - `staged_leftover` / `lease_held`: a committed-but-unfolded
+    *    staged append, or a (possibly crashed) writer's lease —
+    *    either means "run recovery / investigate before compacting";
+    *  - `recommendation`: `recover` > `compact` (tombstone_bp ≥
+    *    `compactBp`) > `ok`.
+    *
+    * Cost: two scans + the live anti-join — an ops report, not a
+    * probe-path read; run it where compaction itself would run.
+    */
+  def maintenanceReport(spark: SparkSession, table: String,
+                        idCol: String = "doc_id",
+                        compactBp: Long = 100): DataFrame = {
+    import spark.implicits._
+    val n = spark.table(table).count()
+    val tombPresent =
+      if (spark.catalog.tableExists(tombstoneTable(table)))
+        spark.table(table).select(idCol)
+          .join(broadcast(spark.table(tombstoneTable(table)).select(idCol)),
+            Seq(idCol), "left_semi")
+          .distinct().count()
+      else 0L
+    val live = liveRows(spark, table, idCol).count()
+    val marks =
+      if (spark.catalog.tableExists(appliedBatchTable(table)))
+        spark.table(appliedBatchTable(table)).count()
+      else 0L
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val f = fsFor(spark, wh)
+    val staged = spark.catalog.tableExists(s"${table}_staged_append") ||
+      f.exists(new org.apache.hadoop.fs.Path(s"$wh/${table}_staged_commit"))
+    val lease =
+      f.exists(new org.apache.hadoop.fs.Path(tableLeasePath(spark, table)))
+    val bp = if (n > 0) (2 * tombPresent * 10000 + n) / (2 * n) else 0L
+    val rec =
+      if (staged || lease) "recover"
+      else if (bp >= compactBp) "compact"
+      else "ok"
+    Seq((n, tombPresent, live, bp, marks, staged, lease, rec))
+      .toDF("n_rows", "n_tombstoned", "n_live", "tombstone_bp",
+        "n_applied_batches", "staged_leftover", "lease_held",
+        "recommendation")
+  }
+
+  /** [[maintenanceReport]] for a PATH-BASED index (the IVF layout):
+    * same counters over `indexDir/assigned` + the `tombstones`
+    * subdirectory, with the path family's extra leftover class — a
+    * committed-but-unfolded RETRAIN generation (`_retrain_commit`) or
+    * staged batch (`_staging`) — folded into `staged_leftover`.
+    */
+  def maintenanceReportAt(spark: SparkSession, indexDir: String,
+                          idCol: String = "vec_id",
+                          compactBp: Long = 100): DataFrame = {
+    import spark.implicits._
+    val dataDir = s"${indexDir.stripSuffix("/")}/assigned"
+    val f = fsFor(spark, indexDir)
+    def ex(sub: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"${indexDir.stripSuffix("/")}/$sub"))
+    val rows = spark.read.parquet(dataDir)
+    val n = rows.count()
+    val tombPresent =
+      if (ex("tombstones"))
+        rows.select(idCol)
+          .join(broadcast(spark.read.parquet(s"$indexDir/tombstones").select(idCol)),
+            Seq(idCol), "left_semi")
+          .distinct().count()
+      else 0L
+    val live = liveRowsAt(spark, dataDir, indexDir, idCol).count()
+    val marks =
+      if (ex("applied_batches")) spark.read.parquet(s"$indexDir/applied_batches").count()
+      else 0L
+    val staged = ex("_staging") || ex("_retrain_commit")
+    val lease = ex("_writer_lease")
+    val bp = if (n > 0) (2 * tombPresent * 10000 + n) / (2 * n) else 0L
+    val rec =
+      if (staged || lease) "recover"
+      else if (bp >= compactBp) "compact"
+      else "ok"
+    Seq((n, tombPresent, live, bp, marks, staged, lease, rec))
+      .toDF("n_rows", "n_tombstoned", "n_live", "tombstone_bp",
+        "n_applied_batches", "staged_leftover", "lease_held",
+        "recommendation")
+  }
+
   /** Remove a lease a CRASHED writer left behind. Only after verifying
     * out-of-band that no writer is alive — breaking a live writer's
     * lease converts the fail-loud guard back into silent corruption

@@ -1660,6 +1660,68 @@ class HashExprsSpec extends SparkSpec {
     Seq(t, s"${t}_tombstones").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
+  test("maintenance advisor: tombstone pressure drives compact; leftovers and leases drive recover") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val docs = sources.Tables.documents(spark, sfDir)
+    val t = "g_maint_adv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val rm: java.io.File => Unit = { f =>
+      def go(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(go)); x.delete()
+      }
+      go(f)
+    }
+    rm(new java.io.File(wh, t))
+    operators.Dedup.writeClusterIndex(docs, t)
+    def report() = sources.IndexMaintenance.maintenanceReport(spark, t).head()
+    val clean = report()
+    assert(clean.getAs[String]("recommendation") === "ok" &&
+      clean.getAs[Long]("n_tombstoned") === 0L &&
+      clean.getAs[Long]("n_rows") === clean.getAs[Long]("n_live"))
+    // a heavy takedown slice pushes tombstone pressure over the default
+    // 1% threshold → compact; counts are live-view consistent
+    operators.Dedup.deleteFromClusterIndex(spark, t,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+    val dirty = report()
+    assert(dirty.getAs[String]("recommendation") === "compact")
+    assert(dirty.getAs[Long]("n_live") ===
+      dirty.getAs[Long]("n_rows") - dirty.getAs[Long]("n_tombstoned"))
+    assert(dirty.getAs[Long]("tombstone_bp") >= 100L)
+    // a held lease (possibly a crashed writer) outranks compaction
+    val lease = sources.IndexMaintenance.tableLeasePath(spark, t)
+    val out = fs.create(p(lease), false); out.write('x'); out.close()
+    assert(report().getAs[String]("recommendation") === "recover" &&
+      report().getAs[Boolean]("lease_held"))
+    fs.delete(p(lease), false)
+    // so does a committed-but-unfolded staged append
+    fs.mkdirs(p(s"$wh/${t}_staged_commit"))
+    assert(report().getAs[String]("recommendation") === "recover" &&
+      report().getAs[Boolean]("staged_leftover"))
+    fs.delete(p(s"$wh/${t}_staged_commit"), true)
+    assert(report().getAs[String]("recommendation") === "compact")
+    // compaction clears the debt and the report agrees
+    operators.Dedup.compactClusterIndex(spark, t)
+    val post = report()
+    assert(post.getAs[String]("recommendation") === "ok" &&
+      post.getAs[Long]("n_tombstoned") === 0L)
+    // the PATH twin: a committed retrain generation reads as recover
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("g_maint_ivf").toString
+    operators.Similarity.writeIvfIndex(vecs, dir)
+    assert(sources.IndexMaintenance.maintenanceReportAt(spark, dir)
+      .head().getAs[String]("recommendation") === "ok")
+    val mk = fs.create(p(s"$dir/_retrain_commit"), false); mk.close()
+    val r = sources.IndexMaintenance.maintenanceReportAt(spark, dir).head()
+    assert(r.getAs[String]("recommendation") === "recover" &&
+      r.getAs[Boolean]("staged_leftover"))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("retrain swap: every crash window keeps a complete generation; a flat retrain drops a stale coarse book") {
     import org.apache.spark.sql.functions._
     val vecs = sources.Tables.embeddings(spark, sfDir)
