@@ -335,11 +335,17 @@ object IndexMaintenance {
     * Every writeIndex path calls this.
     */
   def resetTableIndexSides(spark: SparkSession, table: String): Unit = {
-    Seq(tombstoneTable(table), appliedBatchTable(table),
-      s"${table}_staged_append")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val f = fsFor(spark, wh)
+    // drop from the catalog AND delete the warehouse location: after a
+    // JVM restart the (non-Hive) catalog has forgotten the side table
+    // while its directory survives, and the next side-table CREATE
+    // would fail with LOCATION_ALREADY_EXISTS
+    Seq(tombstoneTable(table), appliedBatchTable(table),
+      s"${table}_staged_append").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      f.delete(new org.apache.hadoop.fs.Path(s"${wh.stripSuffix("/")}/$t"), true)
+    }
     Seq(s"${table}_staged_commit", s"${table}_staged_commit.tmp",
       s"${table}_writer_lease").foreach { n =>
       f.delete(new org.apache.hadoop.fs.Path(s"${wh.stripSuffix("/")}/$n"), true)
