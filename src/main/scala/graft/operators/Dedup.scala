@@ -1353,27 +1353,80 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 8,
                    numParts: Int = 0): DataFrame = {
-    // undirected edges, both directions — materialized once: the pair
-    // source (a whole LSH pipeline) is referenced in every propagation
-    // round and would otherwise be recomputed maxIter times. The edge
-    // table is tiny relative to the corpus (one row per near-dup
-    // edge), so few partitions keep every subsequent barrier a
-    // few-task job instead of a shuffle-partitions-wide one.
-    val edges0 = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
+    // the pair source (a whole LSH pipeline) is referenced repeatedly
+    // below — materialize it ONCE, single-direction (half the rows of
+    // the old both-direction table; the swap union is derived from the
+    // checkpoint, so the LSH pipeline itself still runs exactly once)
+    val pairs0 = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val nEdges = pairs0.count()
+    // SIZE-GATED exact path: a near-dup edge set that fits the driver
+    // (16 bytes/edge; default gate 2M edges ≈ 32 MB — the broadcast-
+    // relation class of driver state, parameterizable like a join
+    // threshold) is clustered with a path-compressed min-root
+    // union-find and the labels broadcast back. This replaces ~10
+    // barrier jobs (per-round join/checkpoint/sum at a fixed wall cost
+    // regardless of edge count) with one collect + one broadcast join,
+    // and it is EXACT at any component diameter — the distributed
+    // propagation below is bounded by maxIter pointer-jump rounds
+    // (diameter ≲ 2^maxIter), which a chain-shaped component can
+    // exceed. Above the gate (true 100 TB edge volumes) the
+    // distributed path runs unchanged.
+    val spark = pairs0.sparkSession
+    val driverEdgeMax = spark.conf.getOption("graft.cluster.driverEdgeMax")
+      .orElse(sys.env.get("GRAFT_CLUSTER_DRIVER_EDGE_MAX"))
+      .map(_.toLong).getOrElse(2000000L)
+    if (nEdges <= driverEdgeMax) {
+      import spark.implicits._
+      val es = pairs0
+        .filter(col("a").isNotNull && col("b").isNotNull)
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      // min-root union-find: the smaller id always becomes the root,
+      // so every root IS its component's min doc_id — with path
+      // compression lookups stay near-constant
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var px = parent.getOrElse(x, x)
+        while (px != x) {
+          val gp = parent.getOrElse(px, px)
+          parent(x) = gp
+          x = px; px = gp
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val nodes = new scala.collection.mutable.LongMap[Long]()
+      es.foreach { case (a, b) => nodes(a) = 0L; nodes(b) = 0L }
+      val labelRows = nodes.keys.toArray.map(x => (x, find(x))).toSeq
+      val labelsDf = labelRows.toDF("doc_id", "label")
+      return allDocs.select(col("doc_id"))
+        .join(broadcast(labelsDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }
+    // undirected edges, both directions, derived from the checkpointed
+    // single-direction pairs (the swap union re-reads the checkpoint,
+    // never the pair pipeline)
+    val edges0 = pairs0.unionByName(
+      pairs0.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint(true)
     // Propagation parallelism SIZED BY THE EDGE COUNT (the round-11
     // fixed coalesce(1) was right for gate-scale edge sets but a
     // serial barrier at 100 TB edge volumes): ~250k edges per
-    // partition, clamped to the session's shuffle parallelism. The
-    // count is a cheap job over the already-materialized checkpoint;
+    // partition, clamped to the session's shuffle parallelism;
     // callers that know their edge volume can pass numParts directly.
     val p =
       if (numParts > 0) numParts
       else {
-        val n = edges0.count()
         val sp = edges0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-        math.max(1, math.min(sp, ((n - 1) / 250000L + 1L).toInt))
+        math.max(1, math.min(sp, ((2 * nEdges - 1) / 250000L + 1L).toInt))
       }
     val edges = edges0.coalesce(math.max(p, 4))
     // start: every doc labels itself with the min direct neighbor

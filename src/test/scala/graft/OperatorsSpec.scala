@@ -129,6 +129,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out(13L) === 13L && out(14L) === 14L)
   }
 
+  test("clusterPairs driver union-find path ≡ distributed propagation path") {
+    import spark.implicits._
+    // adversarial graph: a chain (diameter), a star, a cycle, duplicate
+    // + reversed edges, a self-loop, plus edgeless singletons
+    val pairs = (
+      (1L until 20L).map(i => (i, i + 1)) ++          // chain 1..20
+        Seq((30L, 31L), (30L, 32L), (30L, 33L)) ++    // star at 30
+        Seq((40L, 41L), (41L, 42L), (42L, 40L)) ++    // cycle
+        Seq((2L, 1L), (1L, 2L), (50L, 50L))           // reversed, dup, self-loop
+      ).toDF("a", "b")
+    val docs = (1L to 60L).toDF("doc_id")
+    val viaDriver = Dedup.clusterPairs(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    spark.conf.set("graft.cluster.driverEdgeMax", "0") // force distributed
+    val viaDistributed =
+      try Dedup.clusterPairs(pairs, docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      finally spark.conf.unset("graft.cluster.driverEdgeMax")
+    assert(viaDriver.toSeq === viaDistributed.toSeq)
+    val byId = viaDriver.map(t => t._1 -> t._2).toMap
+    (1L to 20L).foreach(d => assert(byId(d) === 1L))
+    Seq(30L, 31L, 32L, 33L).foreach(d => assert(byId(d) === 30L))
+    Seq(40L, 41L, 42L).foreach(d => assert(byId(d) === 40L))
+    assert(byId(50L) === 50L && byId(55L) === 55L)
+  }
+
+  test("clusterPairs driver path is exact past the pointer-jump diameter bound") {
+    import spark.implicits._
+    // a 600-long chain exceeds the distributed path's 2^maxIter≈256
+    // diameter coverage; the union-find path must still collapse it
+    val pairs = (1L until 600L).map(i => (i, i + 1)).toDF("a", "b")
+    val docs = (1L to 600L).toDF("doc_id")
+    val out = Dedup.clusterPairs(pairs, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(out.forall(_._2 === 1L))
+  }
+
   test("minhash clusters assign every doc the min reachable doc_id") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
