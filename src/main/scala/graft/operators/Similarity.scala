@@ -2022,22 +2022,16 @@ object Similarity {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     var eig = 0.0
     for (_ <- 1 to iters) {
-      val vLit = array(v.map(lit(_)): _*)
-      val dots = emb.withColumn("dot",
-        round(aggregate(zip_with(col("e"), vLit, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x), 6))
-      // bounded d-row aggregate; the ONLY thing that leaves the
-      // cluster. The explode + 64-group map-side-combined groupBy
-      // beats d parallel per-column sum buffers here: 64 wide decimal
-      // aggregates blow the codegen limits and fall back to the
-      // interpreted path (measured 1.8× slower end-to-end)
-      val w: Array[java.math.BigDecimal] = dots
-        .select(col("dot"), posexplode(col("e")).as(Seq("dim", "x")))
-        .select(col("dim"),
-          round(col("x") * col("dot"), 6).cast("decimal(28,6)").as("c"))
-        .groupBy("dim").agg(sum("c").as("w"))
-        .orderBy("dim").collect()
-        .map(_.getDecimal(1))
+      // ONE-PASS fused step ([[graft.plans.PcaPowerStep]]): the whole
+      // w = Σ x·round6(x·v) reduction in a single narrow aggregate —
+      // bit-equal to the posexplode + d-group SQL form it replaced
+      // (spec-pinned in HashExprsSpec, oracle-gated), but each
+      // iteration now scans the cached vectors once with d decimals
+      // per partition leaving the executors instead of |rows|·d
+      // exploded (dim, decimal) rows through an exchange
+      val w: Array[java.math.BigDecimal] = emb
+        .select(graft.plans.SketchAggs.pcaPowerStep(col("e"), v).as("w"))
+        .head().getSeq[java.math.BigDecimal](0).toArray
       // norm over the d decimal components, summed in dim order (the
       // same left-to-right fold the oracle's 64-row sum performs)
       val normSq = w.foldLeft(0.0)((acc, x) => acc + x.doubleValue * x.doubleValue)

@@ -308,7 +308,199 @@ case class BloomAgg(child: Expression, numBits: Int,
   override def prettyName: String = "bloom_agg"
 }
 
+/** ONE-PASS power-iteration step for [[graft.operators.Similarity.embedPcaPower]]:
+  * w[j] = Σ_rows round6(x[j] · round6(x · v)) as exact decimal(38,6) —
+  * the whole per-iteration reduction fused into a single aggregate, so
+  * each iteration is ONE narrow scan of the cached vectors instead of
+  * a 64-way posexplode + d-group shuffle (the old plan moved |rows|·d
+  * (dim, decimal) rows through an exchange per iteration; this moves
+  * d decimals per partition).
+  *
+  * Bit-equivalence with the SQL form it replaces (spec-pinned in
+  * HashExprsSpec and gated by the embed_pca_power oracle):
+  *  - the dot is the same sequential left fold of IEEE double
+  *    multiply-adds `aggregate(zip_with(e, v, a·b), 0.0, acc+x)`
+  *    evaluates, then `BigDecimal.valueOf(dot).setScale(6, HALF_UP)
+  *    .doubleValue` — exactly Spark's `round(_, 6)` on DoubleType;
+  *  - each contribution replays `round(x·dot, 6).cast(decimal(28,6))`:
+  *    valueOf-based 6dp rounding, then the 6dp-exact unscaled long;
+  *  - the per-dimension sum accumulates unscaled 1e-6 units in a long
+  *    with exact-overflow promotion into a BigInteger spill (decimal
+  *    sum semantics at any corpus size);
+  *  - rows whose vector is null, not of length d, or contains a null /
+  *    non-finite-producing element contribute exactly what the SQL
+  *    form's null-propagating pipeline contributed: nothing.
+  * A dimension with no non-null contribution evaluates to null (sum
+  * semantics); a corpus with no vectors at all yields an empty array
+  * (the old plan's empty group-by result).
+  */
+case class PcaPowerStep(child: Expression, v: Seq[Double],
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PcaPowerStep.Buf]
+  with UnaryLike[Expression] {
+
+  private def d: Int = v.length
+  private lazy val varr: Array[Double] = v.toArray
+
+  override def createAggregationBuffer(): PcaPowerStep.Buf =
+    new PcaPowerStep.Buf(new Array[Long](d),
+      new Array[java.math.BigInteger](d), new Array[Long](d), 0L)
+
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def update(buf: PcaPowerStep.Buf, input: InternalRow): PcaPowerStep.Buf = {
+    val a = child.eval(input)
+    if (a == null) return buf
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    buf.rows += 1L
+    if (arr.numElements() != d) return buf
+    // null element ⇒ the zip_with/aggregate fold yields a null dot ⇒
+    // every contribution of this row is null
+    var i = 0
+    while (i < d) { if (arr.isNullAt(i)) return buf; i += 1 }
+    var acc = 0.0
+    i = 0
+    while (i < d) { acc = acc + arr.getDouble(i) * varr(i); i += 1 }
+    val dot = round6(acc)
+    if (java.lang.Double.isNaN(dot) || java.lang.Double.isInfinite(dot)) return buf
+    i = 0
+    while (i < d) {
+      val t = round6(arr.getDouble(i) * dot)
+      if (!java.lang.Double.isNaN(t) && !java.lang.Double.isInfinite(t)) {
+        // cast(double as decimal(28,6)): valueOf (decimal-string)
+        // semantics, setScale(6, HALF_UP), exact unscaled units
+        val u = java.math.BigDecimal.valueOf(t)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue()
+        if (u.bitLength() < 63) {
+          val ul = u.longValue()
+          val s = buf.acc(i) + ul
+          // overflow check (Math.addExact shape, no exception)
+          if (((buf.acc(i) ^ s) & (ul ^ s)) < 0) {
+            val sp = if (buf.spill(i) == null) java.math.BigInteger.ZERO else buf.spill(i)
+            buf.spill(i) = sp.add(java.math.BigInteger.valueOf(buf.acc(i)))
+              .add(java.math.BigInteger.valueOf(ul))
+            buf.acc(i) = 0L
+          } else buf.acc(i) = s
+        } else {
+          val sp = if (buf.spill(i) == null) java.math.BigInteger.ZERO else buf.spill(i)
+          buf.spill(i) = sp.add(u)
+        }
+        buf.cnt(i) += 1L
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: PcaPowerStep.Buf, b2: PcaPowerStep.Buf): PcaPowerStep.Buf = {
+    b1.rows += b2.rows
+    var i = 0
+    while (i < d) {
+      val s = b1.acc(i) + b2.acc(i)
+      if (((b1.acc(i) ^ s) & (b2.acc(i) ^ s)) < 0) {
+        val sp = if (b1.spill(i) == null) java.math.BigInteger.ZERO else b1.spill(i)
+        b1.spill(i) = sp.add(java.math.BigInteger.valueOf(b1.acc(i)))
+          .add(java.math.BigInteger.valueOf(b2.acc(i)))
+        b1.acc(i) = 0L
+      } else b1.acc(i) = s
+      if (b2.spill(i) != null) {
+        val sp = if (b1.spill(i) == null) java.math.BigInteger.ZERO else b1.spill(i)
+        b1.spill(i) = sp.add(b2.spill(i))
+      }
+      b1.cnt(i) += b2.cnt(i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buf: PcaPowerStep.Buf): Any = {
+    if (buf.rows == 0L) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](d)
+    var i = 0
+    while (i < d) {
+      out(i) =
+        if (buf.cnt(i) == 0L) null
+        else {
+          val total =
+            (if (buf.spill(i) == null) java.math.BigInteger.ZERO else buf.spill(i))
+              .add(java.math.BigInteger.valueOf(buf.acc(i)))
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(total, 6), 38, 6)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: PcaPowerStep.Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.rows)
+    var i = 0
+    while (i < d) {
+      out.writeLong(buf.acc(i)); out.writeLong(buf.cnt(i))
+      if (buf.spill(i) == null) out.writeInt(0)
+      else {
+        val b = buf.spill(i).toByteArray
+        out.writeInt(b.length); out.write(b)
+      }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): PcaPowerStep.Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    buf.rows = in.readLong()
+    var i = 0
+    while (i < d) {
+      buf.acc(i) = in.readLong(); buf.cnt(i) = in.readLong()
+      val len = in.readInt()
+      if (len > 0) {
+        val b = new Array[Byte](len); in.readFully(b)
+        buf.spill(i) = new java.math.BigInteger(b)
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PcaPowerStep =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PcaPowerStep =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): PcaPowerStep =
+    copy(child = newChild)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 6), containsNull = true)
+  override def prettyName: String = "pca_power_step"
+}
+
+object PcaPowerStep {
+  /** d unscaled-long accumulators (1e-6 units) + lazy BigInteger
+    * spill per dim + non-null-contribution counts + total rows seen.
+    */
+  final class Buf(val acc: Array[Long],
+                  val spill: Array[java.math.BigInteger],
+                  val cnt: Array[Long],
+                  var rows: Long)
+}
+
 object SketchAggs {
+  /** Column form of [[PcaPowerStep]]: one-pass Σ round6(x[j]·round6(x·v)). */
+  def pcaPowerStep(c: Column, v: Array[Double]): Column =
+    GraftSqlBridge.column(
+      PcaPowerStep(GraftSqlBridge.expression(c), v.toSeq).toAggregateExpression())
+
   /** Column form: `heavyHitters(col("event_type"), 8)` aggregates to
     * the sorted array<struct<item, cnt>> summary.
     */

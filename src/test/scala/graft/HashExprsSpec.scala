@@ -7,6 +7,47 @@ import graft.sources.Sinks
 /** Specs for the compiled sketch expressions and their SQL surface. */
 class HashExprsSpec extends SparkSpec {
 
+  test("pca_power_step is bit-equal to the posexplode + group-by SQL form") {
+    import spark.implicits._
+    // the SQL form the fused aggregate replaced — kept here verbatim
+    // as the semantic pin (sequential double fold, round6, decimal
+    // cast, exact per-dim decimal sum)
+    def sqlForm(emb: org.apache.spark.sql.DataFrame,
+                v: Array[Double]): Array[java.math.BigDecimal] = {
+      val vLit = array(v.map(lit(_)): _*)
+      emb.withColumn("dot",
+          round(aggregate(zip_with(col("e"), vLit, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x), 6))
+        .select(col("dot"), posexplode(col("e")).as(Seq("dim", "x")))
+        .select(col("dim"),
+          round(col("x") * col("dot"), 6).cast("decimal(28,6)").as("c"))
+        .groupBy("dim").agg(sum("c").as("w"))
+        .orderBy("dim").collect()
+        .map(_.getDecimal(1))
+    }
+    def aggForm(emb: org.apache.spark.sql.DataFrame,
+                v: Array[Double]): Array[java.math.BigDecimal] =
+      emb.select(graft.plans.SketchAggs.pcaPowerStep(col("e"), v).as("w"))
+        .head().getSeq[java.math.BigDecimal](0).toArray
+    // real corpus embeddings
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("e"))
+    val d = emb.select(size(col("e"))).head().getInt(0)
+    val v0 = Array.fill(d)(BigDecimal.valueOf(1.0 / math.sqrt(d.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(aggForm(emb, v0).toSeq === sqlForm(emb, v0).toSeq)
+    // adversarial synthetic: mixed signs/magnitudes across multiple
+    // partitions (exercises partial merge), plus a second v
+    val rnd = new scala.util.Random(7)
+    val syn = (1 to 500).map { _ =>
+      Array.fill(8)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(5) - 2))
+    }.toDF("e").repartition(4)
+    val v1 = Array.tabulate(8)(i => (i + 1) * 0.137 - 0.5)
+    assert(aggForm(syn, v1).toSeq === sqlForm(syn, v1).toSeq)
+    val v2 = Array.fill(8)(0.0)
+    assert(aggForm(syn, v2).toSeq === sqlForm(syn, v2).toSeq)
+  }
+
   test("minhash signature estimates Jaccard and lanes are independent") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog and runs far away today"
