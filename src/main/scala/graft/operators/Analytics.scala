@@ -1465,18 +1465,35 @@ object Analytics {
     */
   def latencyBands(orders: DataFrame, lineitem: DataFrame,
                    ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    // CUMULATIVE-HISTOGRAM nearest-rank: o_orderpriority has 5 values,
+    // so a row_number window here funnels every joined line through 5
+    // tasks (the skew signature of guide §2.5 — one giant sort per
+    // priority at any scale). lag_days is a bounded small-int domain,
+    // so the exact same nearest-rank value falls out of a map-side-
+    // combined (priority, lag_days) histogram + a cumulative window
+    // over the ≤ |priorities|·|lag domain| bins: the value at rank r
+    // is the bin where the cumulative count first reaches r — the
+    // within-bin (orderkey, linenumber) tie-break order never changes
+    // WHICH lag_days value rank r lands on. Output identical
+    // (oracle-shared); per-priority work drops from sort(n·log n) on
+    // the full join output to a bounded-bin cumsum.
     val byP = Window.partitionBy("o_orderpriority")
-    val w = byP.orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))
-    lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val wcum = byP.orderBy("lag_days")
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate"),
         col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderpriority"), col("l_orderkey"), col("l_linenumber"),
+      .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(byP))
-      .select(col("o_orderpriority"), col("lag_days"), col("rn"), col("n"),
+      .groupBy("o_orderpriority", "lag_days")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("n", sum("cnt").over(byP))
+      .select(col("o_orderpriority"), col("lag_days"), col("cnt"),
+        col("cum"), col("n"),
         explode(array(ps.map(p => lit(p)): _*)).as("p"))
-      .filter(col("rn") === expr("(p * n + 99) div 100"))
+      .withColumn("target", expr("(p * n + 99) div 100"))
+      .filter(col("cum") - col("cnt") < col("target") &&
+        col("target") <= col("cum"))
       .select(col("o_orderpriority"), col("p").cast("long").as("p"),
         col("lag_days").cast("long").as("lag_days"), col("n").as("n_lines"))
       .orderBy("o_orderpriority", "p")

@@ -393,9 +393,16 @@ object Corpus {
     val ws = split(TextAnalysis.normalizeWs(col("text")), " ")
     def tfCol(t: String): org.apache.spark.sql.Column =
       size(ws) - size(array_remove(ws, t))
+    // materialized once: the tokenized (doc_id, dl, tf_*) table is
+    // consumed twice (corpus-stats aggregate + final scoring scan) and
+    // the two sit on opposite sides of a broadcast — no exchange
+    // exists for Spark to reuse, so without this the corpus is
+    // tokenized twice per query. The checkpoint is |docs| × (2 +
+    // |terms|) longs — the narrow per-doc projection, never the text.
     val base = documents.select(
       col("doc_id") +: size(ws).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) => tfCol(t).cast("long").as(s"tf_$i") }: _*)
+      .localCheckpoint(true)
     val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("s") +:
       terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))

