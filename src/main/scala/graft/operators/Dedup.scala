@@ -618,8 +618,15 @@ object Dedup {
     val base = documents.select(col("doc_id"), norm(col("text")).as("nt"))
     val sets = base.select(col("doc_id"), HashExprs.shingleHashes(col("nt"), k, word).as("sh"))
     val tokens = sets.select(col("doc_id"), explode(col("sh")).as("h"))
-    val dfreq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
-    val ranked = tokens.join(dfreq, "h")
+    // df via an unordered window over the token-stream's ONE exchange
+    // on h — the former groupBy(h) + join-back consumed the shingle
+    // pass twice (the aggregate subtree and the join's probe side
+    // cannot share an exchange) and paid a second h-keyed shuffle;
+    // count().over(partitionBy(h)) attaches the identical df in the
+    // same pass. Same (df, h) total order, same prefix, same output.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val ranked = tokens
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col("doc_id"),

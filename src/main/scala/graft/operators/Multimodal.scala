@@ -236,11 +236,17 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
         col("x.phash").as("pa"), col("y.phash").as("pb"))
-      .distinct()
+      // hamming verify BEFORE the dedupe: the two phash longs ride the
+      // pair row, so the exact check is one codegen'd bit_count per
+      // COLLISION — filtering first means the distinct's exchange
+      // carries only true near-dups (× band multiplicity) instead of
+      // every background bucket collision. Same output set: hamming
+      // is a function of (a, b).
       .withColumn("hamming",
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+      .distinct()
       .orderBy("a", "b")
   }
 
@@ -387,11 +393,17 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
         col("x.phash").as("pa"), col("y.phash").as("pb"))
-      .distinct()
+      // hamming verify BEFORE the dedupe: the two phash longs ride the
+      // pair row, so the exact check is one codegen'd bit_count per
+      // COLLISION — filtering first means the distinct's exchange
+      // carries only true near-dups (× band multiplicity) instead of
+      // every background bucket collision. Same output set: hamming
+      // is a function of (a, b).
       .withColumn("hamming",
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+      .distinct()
       .orderBy("a", "b")
   }
 
@@ -406,11 +418,17 @@ object Multimodal {
           col("x.media_id") =!= col("y.media_id"))
       .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
         col("x.phash").as("pa"), col("y.phash").as("pb"))
-      .distinct()
+      // hamming verify BEFORE the dedupe: the two phash longs ride the
+      // pair row, so the exact check is one codegen'd bit_count per
+      // COLLISION — filtering first means the distinct's exchange
+      // carries only true near-dups (× band multiplicity) instead of
+      // every background bucket collision. Same output set: hamming
+      // is a function of (a, b).
       .withColumn("hamming",
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+      .distinct()
       .orderBy("a", "b")
   }
 
