@@ -1360,34 +1360,35 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 8,
                    numParts: Int = 0): DataFrame = {
-    // the pair source (a whole LSH pipeline) is referenced repeatedly
-    // below — materialize it ONCE, single-direction (half the rows of
-    // the old both-direction table; the swap union is derived from the
-    // checkpoint, so the LSH pipeline itself still runs exactly once)
-    val pairs0 = pairs.select(col("a"), col("b")).localCheckpoint(true)
-    val nEdges = pairs0.count()
     // SIZE-GATED exact path: a near-dup edge set that fits the driver
     // (16 bytes/edge; default gate 2M edges ≈ 32 MB — the broadcast-
     // relation class of driver state, parameterizable like a join
     // threshold) is clustered with a path-compressed min-root
     // union-find and the labels broadcast back. This replaces ~10
     // barrier jobs (per-round join/checkpoint/sum at a fixed wall cost
-    // regardless of edge count) with one collect + one broadcast join,
-    // and it is EXACT at any component diameter — the distributed
-    // propagation below is bounded by maxIter pointer-jump rounds
-    // (diameter ≲ 2^maxIter), which a chain-shaped component can
-    // exceed. Above the gate (true 100 TB edge volumes) the
-    // distributed path runs unchanged.
-    val spark = pairs0.sparkSession
+    // regardless of edge count) with ONE limit(max+1) collect (the
+    // limit truncates the pipeline early when the set is huge, and a
+    // full result ≤ max proves the gate held — no separate
+    // checkpoint/count jobs) + one broadcast join. It is also EXACT at
+    // any component diameter — the distributed propagation below is
+    // bounded by maxIter pointer-jump rounds (diameter ≲ 2^maxIter),
+    // which a chain-shaped component can exceed. Above the gate (true
+    // 100 TB edge volumes) the distributed path runs unchanged.
+    val spark = pairs.sparkSession
     val driverEdgeMax = spark.conf.getOption("graft.cluster.driverEdgeMax")
       .orElse(sys.env.get("GRAFT_CLUSTER_DRIVER_EDGE_MAX"))
       .map(_.toLong).getOrElse(2000000L)
-    if (nEdges <= driverEdgeMax) {
+    val probeLimit = math.min(driverEdgeMax + 1L, Int.MaxValue.toLong - 1L).toInt
+    val es = {
       import spark.implicits._
-      val es = pairs0
+      pairs
         .filter(col("a").isNotNull && col("b").isNotNull)
         .select(col("a").cast("long"), col("b").cast("long"))
+        .limit(probeLimit)
         .as[(Long, Long)].collect()
+    }
+    if (es.length <= driverEdgeMax) {
+      import spark.implicits._
       // min-root union-find: the smaller id always becomes the root,
       // so every root IS its component's min doc_id — with path
       // compression lookups stay near-constant
@@ -1418,9 +1419,13 @@ object Dedup {
           (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
         .orderBy("doc_id")
     }
-    // undirected edges, both directions, derived from the checkpointed
-    // single-direction pairs (the swap union re-reads the checkpoint,
-    // never the pair pipeline)
+    // DISTRIBUTED path (edge set larger than the driver gate): the
+    // pair source (a whole LSH pipeline) is referenced in every
+    // propagation round — materialize it ONCE, single-direction (half
+    // the rows of the old both-direction table; the swap union is
+    // derived from the checkpoint, so the pipeline runs exactly once)
+    val pairs0 = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val nEdges = pairs0.count()
     val edges0 = pairs0.unionByName(
       pairs0.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint(true)
