@@ -945,7 +945,12 @@ object Dedup {
                          newDocs: DataFrame, corpus: DataFrame,
                          maxIter: Int = 8): DataFrame = {
     val assign = liveClusterRows(spark, clusterTable).select("doc_id", "cluster_id")
+    // batch-sized by construction — materialized ONCE: the edge
+    // pipeline (batch LSH + index probe + contraction) is consumed
+    // three times below (both node projections + clusterPairs), and
+    // each reference would otherwise re-run it end to end
     val edges = incrementalEdges(spark, minhashTable, clusterTable, newDocs, corpus)
+      .localCheckpoint(true)
     val nodes = edges.select(col("a").as("doc_id"))
       .unionByName(edges.select(col("b").as("doc_id")))
       .unionByName(newDocs.select(col("doc_id")))
@@ -1198,8 +1203,11 @@ object Dedup {
     applyStagedUpsert(spark, clusterTable, numBuckets)
     val assign = liveClusterRows(spark, clusterTable)
       .select("doc_id", "cluster_id", "quality")
+    // batch-sized; materialized once for the same three consumers as
+    // [[clusterIncremental]]'s edge table
     val edges = incrementalEdges(spark, minhashTable, clusterTable,
       newDocs, corpus)
+      .localCheckpoint(true)
     val nodes = edges.select(col("a").as("doc_id"))
       .unionByName(edges.select(col("b").as("doc_id")))
       .unionByName(newDocs.select(col("doc_id")))

@@ -1636,8 +1636,12 @@ object Similarity {
                                    indexPath: String, clusterTable: String,
                                    newVecs: DataFrame, tau: Double,
                                    maxIter: Int): DataFrame = {
+    // batch-sized; materialized once — consumed by both node
+    // projections and clusterPairs (each reference would otherwise
+    // re-run the batch assignment + pair join end to end)
     val edges = semanticIncrementalEdges(spark, indexPath, clusterTable,
       newVecs, tau)
+      .localCheckpoint(true)
     val nodes = edges.select(col("a").as("doc_id"))
       .unionByName(edges.select(col("b").as("doc_id")))
       .unionByName(newVecs.select(col("vec_id").as("doc_id")))
