@@ -159,12 +159,18 @@ object Similarity {
     else embeddings
     var cents = seedCodebook(embeddings, nCentroids)
     for (_ <- 1 to iters) {
+      // ONE-PASS fused update ([[graft.plans.CentroidSumsAgg]]): the
+      // per-(list, dim) sums and counts in a single narrow aggregate —
+      // bit-equal to the posexplode + (k·d)-group decimal group-by it
+      // replaced (spec-pinned), but each round now scans the sample
+      // once with k·d decimals per partition leaving the executors
+      // instead of |rows|·d exploded rows through an exchange
       val sums = train
         .select(HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"),
-          posexplode(col("embedding")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(sum(col("col").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
-        .collect()
+          col("embedding"))
+        .select(graft.plans.SketchAggs.centroidSums(
+          col("list_id"), col("embedding")).as("cs"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
       val next = cents.map(_.clone())
       sums.foreach { r =>
         val list = r.getAs[Int]("list_id")
@@ -744,11 +750,13 @@ object Similarity {
       }
     }
     for (_ <- 1 to iters) {
+      // fused per-(list, dim) update — see [[trainCodebook]]; the
+      // factored assignment stays in the projection, the aggregate
+      // only accumulates
       val sums = twoLevelAssigned(embeddings, coarse, fine, nFine)
-        .select(col("list_id"), posexplode(col("embedding")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(sum(col("col").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
-        .collect()
+        .select(graft.plans.SketchAggs.centroidSums(
+          col("list_id"), col("embedding")).as("cs"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
       // clone each updated centroid ONCE per iteration (the seed arrays
       // are shared with the assignment expression literals of the pass
       // above, so in-place writes without a clone would corrupt them;

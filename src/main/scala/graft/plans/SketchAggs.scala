@@ -495,7 +495,210 @@ object PcaPowerStep {
                   var rows: Long)
 }
 
+/** ONE-PASS per-(list, dim) centroid sums for the Lloyd's iterations in
+  * [[graft.operators.Similarity.trainCodebook]] /
+  * [[graft.operators.Similarity.trainTwoLevelCodebook]]: the centroid
+  * update Σ x[pos], count per (list_id, pos) fused into a single
+  * aggregate over (list_id, embedding) rows — replacing a d-way
+  * posexplode + (k·d)-group decimal group-by that moved |rows|·d
+  * (list, pos, decimal) rows through an exchange per training round.
+  * The assignment expression stays in the (codegen'd) projection
+  * feeding the aggregate, so this works for any list source: the flat
+  * nearest-centroid pass, the factored two-level assignment, or a
+  * persisted list_id column.
+  *
+  * Bit-equivalence with the SQL form it replaces (spec-pinned, and the
+  * trained codebooks feed oracle-gated index builds):
+  *  - each element replays `cast(x as decimal(28,12))` — valueOf
+  *    (decimal-string) semantics on the double-widened value, then
+  *    setScale(12, HALF_UP) — accumulated as exact unscaled 1e-12
+  *    units in a long with BigInteger overflow spill;
+  *  - `n` counts EVERY exploded element (the SQL `count(lit(1))`
+  *    counted null/NaN elements too; the sum excludes them, exactly
+  *    like the decimal cast's null);
+  *  - output rows appear only for (list, pos) groups that had at least
+  *    one exploded element, sorted by (list_id, pos); `s` is null when
+  *    every element of the group was null/non-finite (sum-of-nulls).
+  */
+case class CentroidSumsAgg(listId: Expression, emb: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LongMap[CentroidSumsAgg.Acc]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = listId
+  override def right: Expression = emb
+
+  @transient private lazy val isFloat =
+    emb.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def createAggregationBuffer(): mutable.LongMap[CentroidSumsAgg.Acc] =
+    new mutable.LongMap[CentroidSumsAgg.Acc]()
+
+  override def update(buf: mutable.LongMap[CentroidSumsAgg.Acc],
+                      input: InternalRow): mutable.LongMap[CentroidSumsAgg.Acc] = {
+    val lidAny = listId.eval(input)
+    val embAny = emb.eval(input)
+    if (lidAny == null || embAny == null) return buf
+    val lid = lidAny.asInstanceOf[Int]
+    val arr = embAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val key = (lid.toLong << 32) | (i.toLong & 0xFFFFFFFFL)
+      val acc = buf.getOrNull(key) match {
+        case null =>
+          val a = new CentroidSumsAgg.Acc; buf(key) = a; a
+        case a => a
+      }
+      acc.cnt += 1L
+      if (!arr.isNullAt(i)) {
+        val x: Double =
+          if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+          // cast(double as decimal(28,12)): valueOf semantics,
+          // HALF_UP at scale 12, exact unscaled units
+          val u = java.math.BigDecimal.valueOf(x)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+            .unscaledValue()
+          if (u.bitLength() < 63) {
+            val ul = u.longValue()
+            val s = acc.acc + ul
+            if (((acc.acc ^ s) & (ul ^ s)) < 0) {
+              acc.spill = acc.spillOrZero
+                .add(java.math.BigInteger.valueOf(acc.acc))
+                .add(java.math.BigInteger.valueOf(ul))
+              acc.acc = 0L
+            } else acc.acc = s
+          } else acc.spill = acc.spillOrZero.add(u)
+          acc.hasSum = true
+        }
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.LongMap[CentroidSumsAgg.Acc],
+                     b2: mutable.LongMap[CentroidSumsAgg.Acc]): mutable.LongMap[CentroidSumsAgg.Acc] = {
+    b2.foreach { case (key, a2) =>
+      b1.getOrNull(key) match {
+        case null => b1(key) = a2
+        case a1 =>
+          val s = a1.acc + a2.acc
+          if (((a1.acc ^ s) & (a2.acc ^ s)) < 0) {
+            a1.spill = a1.spillOrZero
+              .add(java.math.BigInteger.valueOf(a1.acc))
+              .add(java.math.BigInteger.valueOf(a2.acc))
+            a1.acc = 0L
+          } else a1.acc = s
+          if (a2.spill != null)
+            a1.spill = a1.spillOrZero.add(a2.spill)
+          a1.cnt += a2.cnt
+          a1.hasSum = a1.hasSum || a2.hasSum
+      }
+    }
+    b1
+  }
+
+  override def eval(buf: mutable.LongMap[CentroidSumsAgg.Acc]): Any = {
+    val keys = buf.keys.toArray.sorted
+    val rows = new Array[Any](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      val key = keys(i)
+      val a = buf(key)
+      val s =
+        if (!a.hasSum) null
+        else {
+          val total = a.spillOrZero.add(java.math.BigInteger.valueOf(a.acc))
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(total, 12), 38, 12)
+        }
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        (key >> 32).toInt, (key & 0xFFFFFFFFL).toInt, s, a.cnt)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: mutable.LongMap[CentroidSumsAgg.Acc]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (key, a) =>
+      out.writeLong(key); out.writeLong(a.acc); out.writeLong(a.cnt)
+      out.writeBoolean(a.hasSum)
+      if (a.spill == null) out.writeInt(0)
+      else {
+        val b = a.spill.toByteArray
+        out.writeInt(b.length); out.write(b)
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[CentroidSumsAgg.Acc] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val key = in.readLong()
+      val a = new CentroidSumsAgg.Acc
+      a.acc = in.readLong(); a.cnt = in.readLong(); a.hasSum = in.readBoolean()
+      val len = in.readInt()
+      if (len > 0) {
+        val b = new Array[Byte](len); in.readFully(b)
+        a.spill = new java.math.BigInteger(b)
+      }
+      buf(key) = a
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CentroidSumsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CentroidSumsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CentroidSumsAgg =
+    copy(listId = newLeft, emb = newRight)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("list_id", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("s", DecimalType(38, 12), nullable = true),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "centroid_sums"
+}
+
+object CentroidSumsAgg {
+  /** Per-(list, pos) accumulator: unscaled-long sum (1e-12 units) with
+    * lazy BigInteger spill, element count, and whether any non-null
+    * finite element contributed (sum-of-nulls ⇒ null, like SQL sum).
+    */
+  final class Acc {
+    var acc: Long = 0L
+    var spill: java.math.BigInteger = null
+    var cnt: Long = 0L
+    var hasSum: Boolean = false
+    def spillOrZero: java.math.BigInteger =
+      if (spill == null) java.math.BigInteger.ZERO else spill
+  }
+}
+
 object SketchAggs {
+  /** Column form of [[CentroidSumsAgg]]: one-pass per-(list, dim)
+    * centroid sums + counts for a Lloyd's update.
+    */
+  def centroidSums(listId: Column, emb: Column): Column =
+    GraftSqlBridge.column(
+      CentroidSumsAgg(GraftSqlBridge.expression(listId),
+        GraftSqlBridge.expression(emb)).toAggregateExpression())
+
   /** Column form of [[PcaPowerStep]]: one-pass Σ round6(x[j]·round6(x·v)). */
   def pcaPowerStep(c: Column, v: Array[Double]): Column =
     GraftSqlBridge.column(

@@ -48,6 +48,39 @@ class HashExprsSpec extends SparkSpec {
     assert(aggForm(syn, v2).toSeq === sqlForm(syn, v2).toSeq)
   }
 
+  test("centroid_sums is bit-equal to the posexplode + group-by SQL form") {
+    import spark.implicits._
+    def sqlForm(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, java.math.BigDecimal, Long)] =
+      df.select(col("list_id"), posexplode(col("embedding")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .orderBy("list_id", "pos").collect()
+        .map(r => (r.getAs[Int]("list_id"), r.getAs[Int]("pos"),
+          r.getAs[java.math.BigDecimal]("s"), r.getAs[Long]("n"))).toSeq
+    def aggForm(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, java.math.BigDecimal, Long)] =
+      df.select(graft.plans.SketchAggs.centroidSums(
+          col("list_id"), col("embedding")).as("cs"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getAs[Int]("list_id"), r.getAs[Int]("pos"),
+          r.getAs[java.math.BigDecimal]("s"), r.getAs[Long]("n")))
+    // real corpus (float-array embeddings) under a head codebook
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.Similarity.headCodebook(emb, 4)
+    val assigned = emb.select(
+      HashExprs.nearestCentroid(col("embedding"), cents).as("list_id"),
+      col("embedding"))
+    assert(aggForm(assigned) === sqlForm(assigned))
+    // adversarial synthetic doubles: mixed magnitudes/signs, ragged
+    // lengths, null elements, several partitions (partial merge path)
+    val rnd = new scala.util.Random(11)
+    val syn = (1 to 400).map { i =>
+      (i % 5, Array.tabulate(if (i % 7 == 0) 3 else 6)(j =>
+        if ((i + j) % 13 == 0) null
+        else java.lang.Double.valueOf((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6) - 2))))
+    }.toDF("list_id", "embedding").repartition(4)
+    assert(aggForm(syn) === sqlForm(syn))
+  }
+
   test("minhash signature estimates Jaccard and lanes are independent") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog and runs far away today"
